@@ -1,0 +1,148 @@
+"""Port of the reference's 8 behavioral tests
+(/root/reference/test/tests.js:28-135; SURVEY.md §5.1) through the batch
+formulation of the pipeline. Tests 3 (drop) and 4 (rename) live in
+test_lifecycle.py with the lifecycle operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikitrender_spark.functions import classify
+from wikitrender_spark.operators.page_state import page_state
+
+from .fixtures import AFD, BOT_EDIT, BOT_REVERT, RAW_EDIT, RAW_REVERT, make_events
+
+
+def state_rows(spark, events):
+    df = make_events(spark, events)
+    return {r["id"]: r.asDict() for r in page_state(df).collect()}
+
+
+# test 1 — isIP classifier (/root/reference/test/tests.js:32-36)
+@pytest.mark.parametrize(
+    "user,expected",
+    [
+        ("2A02:27B0:4400:33F0:E0FF:19DF:B401:9559", True),
+        ("Jdlrobson", False),
+        ("192.168.0.1", True),
+    ],
+)
+def test_is_ip(spark, user, expected):
+    df = spark.createDataFrame([(user,)], "user string")
+    assert df.select(classify.is_ip(F.col("user")).alias("x")).head()["x"] is expected
+
+
+# test 2 — edit tracking (/root/reference/test/tests.js:38-51)
+def test_edit_tracked(spark):
+    st = state_rows(spark, [RAW_EDIT])
+    assert list(st) == ["Foo"]
+    page = st["Foo"]
+    assert page["bytesChanged"] == 1
+    assert page["edits"] == 1
+    assert page["contributors"] == ["Jon"]
+    assert page["anons"] == []
+    assert page["distribution"] == {"Jon": 1}
+
+
+# test 5 — bot edits not counted (/root/reference/test/tests.js:80-95)
+def test_bot_edit(spark):
+    st = state_rows(spark, [BOT_EDIT])
+    page = st["Foo"]
+    assert page["edits"] == 0
+    assert page["bytesChanged"] == 0
+    assert page["contributors"] == []
+    assert page["distribution"] == {}
+
+
+# test 6 — revert tracked, not an edit (/root/reference/test/tests.js:97-109)
+def test_revert(spark):
+    st = state_rows(spark, [RAW_REVERT])
+    page = st["Foo"]
+    assert page["reverts"] == 1
+    assert page["edits"] == 0
+    assert page["contributors"] == []
+    # reverts DO move bytes (/root/reference/index.js:251-255)
+    assert page["bytesChanged"] == 1
+
+
+# test 7 — bot revert still moves bytes (/root/reference/test/tests.js:111-122)
+def test_bot_revert(spark):
+    st = state_rows(spark, [BOT_REVERT])
+    page = st["Foo"]
+    assert page["reverts"] == 1
+    assert page["edits"] == 0
+    assert page["bytesChanged"] == 1
+
+
+# test 8 — AfD comment flags volatility (/root/reference/test/tests.js:124-134)
+def test_afd_volatile(spark):
+    st = state_rows(spark, [AFD])
+    page = st["Foo"]
+    assert page["volatileFlags"] == 1
+    assert page["edits"] == 1
+    assert page["contributors"] == ["Vandal"]
+
+
+# extra parity coverage: multi-event accumulation + id normalization
+def test_multi_event_accumulation(spark):
+    st = state_rows(
+        spark,
+        [
+            RAW_EDIT,
+            {**RAW_EDIT, "user": "192.168.0.1", "length_new": 5, "length_old": 2},
+            {**RAW_EDIT, "user": "Jon", "type": "new"},
+            {**RAW_EDIT, "wiki": "dewiki", "server_name": "de.wikipedia.org"},
+        ],
+    )
+    assert set(st) == {"Foo", "dewiki/Foo"}
+    page = st["Foo"]
+    assert page["edits"] == 3
+    assert page["anonEdits"] == 1
+    assert page["isNew"] is True
+    assert page["anons"] == ["192.168.0.1"]
+    assert page["distribution"] == {"Jon": 2, "192.168.0.1": 1}
+    assert page["bytesChanged"] == 1 + 3 + 1
+    assert st["dewiki/Foo"]["wiki"] == "dewiki"
+
+
+def test_cluebot_is_bot(spark):
+    st = state_rows(spark, [{**RAW_EDIT, "user": "ClueBot NG", "bot": False}])
+    page = st["Foo"]
+    assert page["edits"] == 0
+    assert page["contributors"] == []
+
+
+def test_fixup_filtered(spark):
+    df = make_events(
+        spark, [RAW_EDIT, {**RAW_EDIT, "comment": "Fixed error in cite"}]
+    )
+    kept = df.filter(
+        classify.keep_event(F.col("namespace"), F.col("server_name"), F.col("comment"))
+    )
+    assert kept.count() == 1
+
+
+def test_namespace_filtered(spark):
+    df = make_events(spark, [RAW_EDIT, {**RAW_EDIT, "namespace": 2}])
+    kept = df.filter(
+        classify.keep_event(F.col("namespace"), F.col("server_name"), F.col("comment"))
+    )
+    assert kept.count() == 1
+
+
+def test_project_filter(spark):
+    df = make_events(
+        spark,
+        [RAW_EDIT, {**RAW_EDIT, "server_name": "de.wikipedia.org"}],
+    )
+    kept = df.filter(
+        classify.keep_event(
+            F.col("namespace"),
+            F.col("server_name"),
+            F.col("comment"),
+            project="en.wikipedia.org",
+        )
+    )
+    assert kept.count() == 1

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() in DuckDB
+over the same sf dir; compare row count, column names/types, and values
+(column-name-sorted, row-sorted, exact for ints/strings/bools, bit-exact
+then 1e-9-relative fallback reporting for doubles).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from wikitrender_spark.schemas import TESTDATA_TABLES
+from wikitrender_spark.session import get_spark
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        problems.append(f"columns: spark={scols} oracle={ocols}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for col in s.columns:
+        sv, ov = s[col], o[col]
+        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            sv = sv.astype(float)
+            ov = ov.astype(float)
+            exact = (sv == ov) | (sv.isna() & ov.isna())
+            if not exact.all():
+                bad = (~exact).sum()
+                denom = ov.abs().where(ov.abs() > 1e-12, 1e-12)
+                reldiff = ((sv - ov).abs() / denom).max()
+                problems.append(
+                    f"col {col}: {bad}/{len(sv)} float mismatches, "
+                    f"max rel diff {reldiff:.3e}"
+                )
+        else:
+            sv = sv.astype(object).where(pd.notna(sv), None)
+            ov = ov.astype(object).where(pd.notna(ov), None)
+            neq = sum(1 for a, b in zip(sv, ov) if a != b)
+            if neq:
+                i = next(i for i, (a, b) in enumerate(zip(sv, ov)) if a != b)
+                problems.append(
+                    f"col {col}: {neq}/{len(sv)} mismatches, first at row {i}: "
+                    f"spark={sv[i]!r} oracle={ov[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("oracle-check", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows={len(sdf)} (no oracle; rows-only)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL  {name}: rows={len(sdf)}")
+            for p in problems:
+                print(f"      - {p}")
+            failed.append(name)
+        else:
+            print(f"OK    {name}: rows={len(sdf)}, cols={len(sdf.columns)}")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,196 @@
+"""DuckDB oracle-SQL builders for the wikitrender pipeline.
+
+These generate the ANSI-SQL equivalents the driver runs in DuckDB against
+the same parquet tables. Keyword lists / regexes are imported from
+``functions.classify`` so the Spark plan and the oracle can never drift.
+
+The state aggregation mirrors operators/page_state.py level-for-level
+(groupBy(id,user) -> groupBy(id)) and the metric arithmetic mirrors
+functions/metrics.py expression-for-expression, so double results are
+bit-identical (same IEEE op order), not merely close.
+"""
+
+from __future__ import annotations
+
+from ..functions import classify
+from ..operators.derive import duckdb_rc_cte
+
+GRACE_MINUTES = 60  # snapshot clock: now = max(rc.ts) + grace
+
+
+def contains_any_sql(col: str, keywords: tuple[str, ...]) -> str:
+    parts = " OR ".join(f"lower({col}) LIKE '%{kw}%'" for kw in keywords)
+    return f"({parts})"
+
+
+def is_revert_sql(col: str = "comment") -> str:
+    return contains_any_sql(col, classify.REVERT_KEYWORDS)
+
+
+def is_bot_sql(bot: str = "bot", user: str = '"user"') -> str:
+    bots = ", ".join(f"'{b}'" for b in classify.KNOWN_BOTS)
+    return f"(coalesce({bot}, false) OR {user} IN ({bots}))"
+
+
+def is_ip_sql(user: str = '"user"') -> str:
+    return f"regexp_matches({user}, '{classify.IP_REGEX}')"
+
+
+def classified_events_cte() -> str:
+    """CTE chain: rc (derived+filtered) -> e2 (edit branch, classified).
+    Mirrors operators/page_state.classified_edit_events."""
+    return f"""
+rc AS ({duckdb_rc_cte()}),
+e2 AS (
+  SELECT
+    CASE WHEN (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) = '' THEN title
+         ELSE (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) || '/' || title
+    END AS id,
+    CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END AS wiki,
+    title, "user", ts, seq,
+    {is_revert_sql()} AS is_revert,
+    {is_bot_sql()} AS is_bot,
+    (NOT {is_bot_sql()} AND NOT {is_revert_sql()}) AS eligible,
+    {is_ip_sql()} AS is_anon,
+    (type = 'new') AS is_new,
+    CASE WHEN {contains_any_sql('comment', classify.NOTABILITY_KEYWORDS)}
+         THEN 1 ELSE 0 END AS notability_hit,
+    CASE WHEN {contains_any_sql('comment', classify.VOLATILE_KEYWORDS)}
+         THEN 1 ELSE 0 END AS volatile_hit,
+    length_new - length_old AS delta
+  FROM rc WHERE log_type IS NULL
+)"""
+
+
+def page_state_cte() -> str:
+    """CTE chain ending in `state` — the scalar page_state aggregation
+    (two-level, mirroring operators/page_state.page_state
+    with_collections=False). All sums cast to BIGINT (DuckDB sums to
+    HUGEINT; Spark to LONG)."""
+    return f"""{classified_events_cte()},
+lvl1 AS (
+  SELECT id, "user",
+    min(wiki) AS wiki, min(title) AS title,
+    CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT) AS user_edits,
+    max(is_anon) AS is_anon,
+    CAST(sum(CASE WHEN eligible AND is_anon THEN 1 ELSE 0 END) AS BIGINT) AS p_anon,
+    CAST(sum(CASE WHEN is_revert THEN 1 ELSE 0 END) AS BIGINT) AS p_rev,
+    max(is_new) AS p_new,
+    CAST(sum(notability_hit) AS BIGINT) AS p_not,
+    CAST(sum(volatile_hit) AS BIGINT) AS p_vol,
+    CAST(sum(CASE WHEN is_revert OR NOT is_bot THEN delta ELSE 0 END) AS BIGINT) AS p_bytes,
+    min(ts) AS p_start, max(ts) AS p_upd
+  FROM e2 GROUP BY id, "user"
+),
+state AS (
+  SELECT id,
+    min(wiki) AS wiki, min(title) AS title,
+    CAST(sum(user_edits) AS BIGINT) AS edits,
+    CAST(sum(p_anon) AS BIGINT) AS anonEdits,
+    max(p_new) AS isNew,
+    CAST(sum(p_not) AS BIGINT) AS notabilityFlags,
+    CAST(sum(p_vol) AS BIGINT) AS volatileFlags,
+    CAST(sum(p_rev) AS BIGINT) AS reverts,
+    min(p_start) AS start,
+    max(p_upd) AS updated,
+    CAST(sum(p_bytes) AS BIGINT) AS bytesChanged,
+    count(CASE WHEN user_edits > 0 AND NOT is_anon THEN "user" END) AS n_contributors,
+    count(CASE WHEN user_edits > 0 AND is_anon THEN "user" END) AS n_anons,
+    CAST(max(CASE WHEN user_edits > 0 THEN user_edits END) AS BIGINT) AS max_user_edits,
+    CAST(sum(CASE WHEN user_edits > 0 THEN user_edits END) AS BIGINT) AS total_user_edits
+  FROM lvl1 GROUP BY id
+)"""
+
+
+def metrics_cte(grace_minutes: int = GRACE_MINUTES) -> str:
+    """CTE chain ending in `m` = state + now + D1-D4 metric columns.
+    Arithmetic mirrors functions/metrics.py exactly:
+    minutes = (unix_micros(now) - unix_micros(t)) / 60000000.0."""
+    return f"""{page_state_cte()},
+clock AS (SELECT max(ts) + INTERVAL {grace_minutes} MINUTE AS now_ts FROM rc),
+m0 AS (
+  SELECT state.*, epoch_us(clock.now_ts) AS now_us FROM state CROSS JOIN clock
+),
+m AS (
+  SELECT *,
+    (now_us - epoch_us(start)) / 60000000.0 AS age_min,
+    (now_us - epoch_us(updated)) / 60000000.0 AS last_updated_min,
+    CASE WHEN ((now_us - epoch_us(start)) / 60000000.0) < 1.0
+              OR CAST(edits AS DOUBLE) = 0.0
+         THEN CAST(edits AS DOUBLE)
+         ELSE CAST(edits AS DOUBLE) / ((now_us - epoch_us(start)) / 60000000.0)
+    END AS edits_per_minute,
+    CASE WHEN coalesce(total_user_edits, 0) = 0 THEN 0.0
+         ELSE CAST(max_user_edits AS DOUBLE) / CAST(total_user_edits AS DOUBLE)
+    END AS bias
+  FROM m0
+)"""
+
+
+def page_state_oracle() -> str:
+    """Oracle for the scalar page_state snapshot (timestamps as unix
+    micros for engine-stable hashing)."""
+    return f"""WITH {page_state_cte()}
+SELECT id, wiki, title, edits, anonEdits, isNew, notabilityFlags,
+       volatileFlags, reverts,
+       epoch_us(start) AS start_us, epoch_us(updated) AS updated_us,
+       bytesChanged, n_contributors, n_anons, max_user_edits,
+       total_user_edits
+FROM state"""
+
+
+def q1_oracle(k: int = 5) -> str:
+    return f"""WITH {metrics_cte()}
+SELECT id, title, edits, edits_per_minute FROM m
+ORDER BY edits_per_minute DESC, id ASC LIMIT {k}"""
+
+
+def q2_oracle(k: int = 5) -> str:
+    return f"""WITH {metrics_cte()}
+SELECT id, title, bytesChanged FROM m
+ORDER BY bytesChanged DESC, id ASC LIMIT {k}"""
+
+
+def q3_oracle(k: int = 5) -> str:
+    return f"""WITH {metrics_cte()}
+SELECT id, title, bias FROM m
+ORDER BY bias DESC, id ASC LIMIT {k}"""
+
+
+def purge_oracle(max_lifespan: float, max_inactivity: float,
+                 min_speed: float, min_purge_time: float) -> str:
+    """P2 survivors (/root/reference/index.js:362-398); safe=false for all
+    (no control stream in the oracle path)."""
+    return f"""WITH {metrics_cte()}
+SELECT id, title, edits, reverts, age_min, last_updated_min, edits_per_minute
+FROM m
+WHERE NOT (
+  age_min > {min_purge_time} AND (
+    (edits_per_minute < {min_speed} OR last_updated_min > {max_inactivity})
+    OR age_min > {max_lifespan}
+  )
+)"""
+
+
+def classify_counts_oracle() -> str:
+    """Classifier cross-tab over edit events (F5/F8/F9/F10 in isolation)."""
+    return f"""WITH {classified_events_cte()}
+SELECT is_revert, is_bot, is_anon,
+       count(*) AS n,
+       CAST(sum(delta) AS BIGINT) AS total_delta,
+       CAST(sum(notability_hit) AS BIGINT) AS notability_hits,
+       CAST(sum(volatile_hit) AS BIGINT) AS volatile_hits
+FROM e2
+GROUP BY is_revert, is_bot, is_anon"""
+
+
+def delete_targets_oracle() -> str:
+    """F11 regexp extraction over delete log events."""
+    return f"""WITH rc AS ({duckdb_rc_cte()})
+SELECT seq,
+  CASE WHEN regexp_extract(log_action_comment, '{classify.DELETE_TARGET_REGEX}', 1) <> ''
+       THEN regexp_extract(log_action_comment, '{classify.DELETE_TARGET_REGEX}', 1)
+       ELSE regexp_extract(log_action_comment, '{classify.DELETE_TARGET_REGEX}', 2)
+  END AS target
+FROM rc
+WHERE log_type = 'log' AND log_action = 'delete'"""

@@ -1,0 +1,128 @@
+"""Driver-facing wikitrender queries (SURVEY.md §2) with DuckDB oracles.
+
+Each entry: a Spark DataFrame-API callable (spark, sf_dir) -> DataFrame,
+plus the equivalent DuckDB SQL from plans/sqlgen.py. Column names/types are
+aligned pairwise (driver hashes values after sorting columns by name).
+Timestamps are emitted as unix micros (BIGINT) so hashing is
+engine-representation-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import classify
+from ..operators import topk
+from ..operators.derive import rc_events
+from ..operators.page_state import (
+    classified_edit_events,
+    page_state,
+    with_snapshot_metrics,
+)
+from . import sqlgen
+
+# Purge parameters used by the oracle-checked purge query. The reference
+# defaults (minSpeed=3 epm etc., /root/reference/index.js:110-113) assume a
+# live firehose; on the month-long synthetic replay they'd purge everything,
+# so the checked query uses thresholds that exercise every clause of P2.
+PURGE_PARAMS = dict(
+    max_lifespan=42000.0,
+    max_inactivity=5000.0,
+    min_speed=0.0002,
+    min_purge_time=5.0,
+)
+
+
+def _state_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rc = rc_events(spark, sf_dir)
+    st = page_state(rc, with_collections=False)
+    return st.select(
+        "id",
+        "wiki",
+        "title",
+        "edits",
+        "anonEdits",
+        "isNew",
+        "notabilityFlags",
+        "volatileFlags",
+        "reverts",
+        F.unix_micros("start").alias("start_us"),
+        F.unix_micros("updated").alias("updated_us"),
+        "bytesChanged",
+        "n_contributors",
+        "n_anons",
+        "max_user_edits",
+        "total_user_edits",
+    )
+
+
+def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rc = rc_events(spark, sf_dir)
+    st = page_state(rc, with_collections=False)
+    return with_snapshot_metrics(st, rc, grace_minutes=sqlgen.GRACE_MINUTES)
+
+
+def q_page_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _state_scalar(spark, sf_dir)
+
+
+def q_most_edited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.most_edited(_metrics(spark, sf_dir))
+
+
+def q_biggest_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.biggest_movers(_metrics(spark, sf_dir))
+
+
+def q_most_vibrant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.most_vibrant(_metrics(spark, sf_dir))
+
+
+def q_purge_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    surv = topk.purge_survivors(_metrics(spark, sf_dir), **PURGE_PARAMS)
+    return surv.select(
+        "id", "title", "edits", "reverts", "age_min", "last_updated_min",
+        "edits_per_minute",
+    )
+
+
+def q_classify_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rc = rc_events(spark, sf_dir)
+    e = classified_edit_events(rc)
+    return e.groupBy("is_revert", "is_bot", "is_anon").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("delta").alias("total_delta"),
+        F.sum("notability_hit").alias("notability_hits"),
+        F.sum("volatile_hit").alias("volatile_hits"),
+    )
+
+
+def q_delete_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rc = rc_events(spark, sf_dir)
+    return rc.filter(
+        (F.col("log_type") == "log") & (F.col("log_action") == "delete")
+    ).select(
+        "seq", classify.delete_target(F.col("log_action_comment")).alias("target")
+    )
+
+
+QUERIES = {
+    "wt_page_state": q_page_state,
+    "wt_most_edited": q_most_edited,
+    "wt_biggest_movers": q_biggest_movers,
+    "wt_most_vibrant": q_most_vibrant,
+    "wt_purge_survivors": q_purge_survivors,
+    "wt_classify_counts": q_classify_counts,
+    "wt_delete_targets": q_delete_targets,
+}
+
+ORACLES = {
+    "wt_page_state": sqlgen.page_state_oracle(),
+    "wt_most_edited": sqlgen.q1_oracle(),
+    "wt_biggest_movers": sqlgen.q2_oracle(),
+    "wt_most_vibrant": sqlgen.q3_oracle(),
+    "wt_purge_survivors": sqlgen.purge_oracle(**PURGE_PARAMS),
+    "wt_classify_counts": sqlgen.classify_counts_oracle(),
+    "wt_delete_targets": sqlgen.delete_targets_oracle(),
+}
