@@ -1,0 +1,128 @@
+"""Reference tests 3 (drop) and 4 (rename) (/root/reference/test/tests.js:
+53-78) plus lifecycle edge cases, through BOTH the declarative formulation
+and the exact replay — the two must agree with each other and with the
+hand-computed expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikitrender_spark.operators.lifecycle import (
+    page_state_lifecycle,
+    replay_lifecycle,
+)
+
+from .fixtures import MOVE_LOG, RAW_EDIT, make_events
+
+DELETE_LOG = {
+    **RAW_EDIT,
+    "comment": "Because",
+    "log_type": "log",
+    "log_action": "delete",
+    "log_action_comment": 'deleted &quot;[[Foo]]&quot; per afd',
+    "length_new": None,
+    "length_old": None,
+}
+PROTECT_LOG = {
+    **RAW_EDIT,
+    "comment": "Because",
+    "log_type": "log",
+    "log_action": "protect",
+    "length_new": None,
+    "length_old": None,
+}
+
+def both_states(spark, events):
+    df = make_events(spark, events)
+    decl = {r["id"]: r.asDict() for r in page_state_lifecycle(df).collect()}
+    # single closed group for fixture-scale tests
+    repl = {r["id"]: r.asDict() for r in replay_lifecycle(df, F.lit("g")).collect()}
+    # replay is authoritative; declarative must match it exactly
+    assert decl.keys() == repl.keys()
+    for k in decl:
+        assert decl[k] == repl[k], f"mismatch for {k}:\n{decl[k]}\n{repl[k]}"
+    return repl
+
+
+# test 3 — drop removes the page (/root/reference/test/tests.js:53-61)
+def test_drop(spark):
+    st = both_states(spark, [RAW_EDIT, DELETE_LOG])
+    assert st == {}
+
+
+def test_drop_then_recreate(spark):
+    st = both_states(spark, [RAW_EDIT, RAW_EDIT, DELETE_LOG, RAW_EDIT])
+    assert list(st) == ["Foo"]
+    assert st["Foo"]["edits"] == 1  # counters reset by the delete
+
+
+# test 4 — rename keeps exactly one page (/root/reference/test/tests.js:63-78)
+def test_rename(spark):
+    st = both_states(spark, [RAW_EDIT, MOVE_LOG])
+    assert list(st) == ["FoO"]
+    page = st["FoO"]
+    assert page["title"] == "FoO"
+    assert page["edits"] == 1  # accumulated state adopted
+    assert page["bytesChanged"] == 1
+
+
+def test_rename_unseen_page_creates_fresh(spark):
+    st = both_states(spark, [MOVE_LOG])
+    assert list(st) == ["FoO"]
+    page = st["FoO"]
+    assert page["edits"] == 0
+    assert page["start"] == page["updated"]
+
+
+def test_rename_overwrites_target_state(spark):
+    # edits to FoO before the move are lost — the adopted object overwrites
+    # titles[new id] (/root/reference/index.js:166)
+    st = both_states(
+        spark,
+        [
+            {**RAW_EDIT, "title": "FoO", "user": "Alice"},
+            {**RAW_EDIT, "title": "FoO", "user": "Bob"},
+            RAW_EDIT,
+            MOVE_LOG,
+        ],
+    )
+    assert list(st) == ["FoO"]
+    assert st["FoO"]["edits"] == 1
+    assert st["FoO"]["n_contributors"] == 1
+
+
+def test_protect_sets_flag(spark):
+    st = both_states(spark, [RAW_EDIT, PROTECT_LOG])
+    assert st["Foo"]["isProtected"] is True
+
+
+def test_protect_missing_page_noop(spark):
+    st = both_states(spark, [PROTECT_LOG, RAW_EDIT])
+    # protect arrived before the page existed -> flag not set
+    assert st["Foo"]["isProtected"] is False
+
+
+def test_protect_enwiki_normalization_pin(spark):
+    # reference bug: protectPage uses un-normalized id and never matches
+    # enwiki pages (/root/reference/index.js:418); we pin normalized-id
+    # behavior (SURVEY.md §2.9-3) so the flag DOES stick on enwiki.
+    st = both_states(spark, [RAW_EDIT, PROTECT_LOG])
+    assert st["Foo"]["isProtected"] is True
+
+
+def test_delete_after_protect_clears(spark):
+    st = both_states(spark, [RAW_EDIT, PROTECT_LOG, DELETE_LOG, RAW_EDIT])
+    assert st["Foo"]["isProtected"] is False
+
+
+def test_move_after_delete_window(spark):
+    # delete cuts, two fresh edits, then move adopts only the post-delete
+    # state
+    st = both_states(
+        spark,
+        [RAW_EDIT, RAW_EDIT, RAW_EDIT, DELETE_LOG, RAW_EDIT, RAW_EDIT, MOVE_LOG],
+    )
+    assert list(st) == ["FoO"]
+    assert st["FoO"]["edits"] == 2

@@ -1,0 +1,355 @@
+"""Lifecycle operators A4-A7 + batch replay (SURVEY.md §2.3, §7 step 4).
+
+The reference mutates keyed state in arrival order:
+- delete (A5): drop the page's state row (/root/reference/index.js:328-337,
+  427-430) — later edits recreate the page from scratch;
+- move (A4): re-key the accumulated state to the target id, overwriting
+  whatever was there; fresh pages are created for never-seen titles
+  (renamePage, /root/reference/index.js:154-167);
+- protect (A6): set isProtected if the page currently exists
+  (/root/reference/index.js:417-422; normalized-id pin, SURVEY.md §2.9);
+- markSafe (A7): external control input — modeled as a broadcast-joined
+  safe-list (control_command stream, FIXTURES.md A3).
+
+Two implementations:
+
+1. ``page_state_lifecycle`` — declarative DataFrame formulation.
+   Replay order is (ts, seq). "Cuts" (deletes + move-outs) partition each
+   page's event sequence into lifetimes; only the final lifetime
+   contributes to final state. Log events are a tiny fraction of the
+   stream, so every join against cut/move/protect sets is a broadcast —
+   the only wide operations are the same two hash aggregations as
+   page_state. Restriction (documented, holds for the derived oracle
+   workload and is the overwhelmingly common real-world shape): move
+   targets are not themselves re-moved/deleted and receive no direct
+   edits (no rename chains). The general case is handled by (2).
+
+2. ``replay_lifecycle`` — exact ordered fold via applyInPandas over
+   *closed page groups* (each group contains every id reachable through
+   its move events), reproducing updateFromRCStream + log routing
+   event-for-event. Arrow-batched, one group per pandas frame, fully
+   parallel across groups — this is the batch twin of the streaming
+   stateful processor and the semantics oracle for (1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import classify
+from .page_state import aggregate_classified, classified_edit_events
+
+_NEG_INF = -1  # sentinel: "no cut" (seq are non-negative)
+
+
+def log_events(rc: DataFrame) -> DataFrame:
+    """The routed log branch (F4) with normalized ids."""
+    return rc.filter(F.col("log_type").isNotNull()).select(
+        classify.page_id(F.col("wiki"), F.col("title")).alias("id"),
+        F.when(
+            F.col("log_action") == "move",
+            classify.page_id(F.col("wiki"), F.col("log_target")),
+        ).alias("move_dst"),
+        F.when(
+            F.col("log_action") == "delete",
+            classify.page_id(
+                F.col("wiki"), classify.delete_target(F.col("log_action_comment"))
+            ),
+        ).alias("delete_id"),
+        F.col("log_action"),
+        F.col("log_target"),
+        F.col("wiki"),
+        F.col("ts"),
+        F.col("seq"),
+    )
+
+
+def _cuts(logs: DataFrame) -> DataFrame:
+    """(id, seq) pairs at which a page's state row is removed: deletes of
+    the page + moves out of the page."""
+    deletes = logs.filter(F.col("log_action") == "delete").select(
+        F.col("delete_id").alias("id"), "seq"
+    )
+    moves = logs.filter(F.col("log_action") == "move").select("id", "seq")
+    return deletes.unionByName(moves)
+
+
+def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataFrame:
+    """Final page_state after applying deletes, moves and protects in
+    replay order (declarative formulation; see module docstring)."""
+    e = classified_edit_events(rc)
+    logs = log_events(rc)
+    cuts = _cuts(logs)
+
+    last_cut = cuts.groupBy("id").agg(F.max("seq").alias("cut_seq"))
+
+    # --- direct lifetimes: edits after the page's last cut -----------------
+    live = e.join(F.broadcast(last_cut), "id", "left").filter(
+        (F.col("cut_seq").isNull()) | (F.col("seq") > F.col("cut_seq"))
+    )
+    base = aggregate_classified(live.drop("cut_seq"), with_collections)
+    first_edit = live.groupBy("id").agg(F.min("seq").alias("first_edit_seq"))
+
+    protects = logs.filter(F.col("log_action") == "protect").select(
+        "id", F.col("seq").alias("pr_seq")
+    )
+
+    # protect applies only if the page exists when the log event arrives:
+    # some edit of the current lifetime precedes it.
+    pr = (
+        protects.join(F.broadcast(last_cut), "id", "left")
+        .filter((F.col("cut_seq").isNull()) | (F.col("pr_seq") > F.col("cut_seq")))
+        .groupBy("id")
+        .agg(F.max("pr_seq").alias("max_pr_seq"))
+    )
+    direct = (
+        base.join(F.broadcast(first_edit), "id", "left")
+        .join(F.broadcast(pr), "id", "left")
+        .withColumn(
+            "isProtected",
+            F.coalesce(
+                F.col("max_pr_seq") > F.col("first_edit_seq"), F.lit(False)
+            ),
+        )
+        .drop("first_edit_seq", "max_pr_seq")
+    )
+
+    # --- adopted lifetimes: last move per source re-keys its state ---------
+    moves = logs.filter(F.col("log_action") == "move")
+    last_move = moves.groupBy("id").agg(
+        F.max_by(F.struct("seq", "ts", "move_dst", "log_target", "wiki"), "seq").alias(
+            "mv"
+        )
+    ).select(
+        F.col("id"),
+        F.col("mv.seq").alias("mv_seq"),
+        F.col("mv.ts").alias("mv_ts"),
+        F.col("mv.move_dst").alias("dst_id"),
+        F.col("mv.log_target").alias("dst_title"),
+        F.col("mv.wiki").alias("mv_wiki"),
+    )
+    # previous cut strictly before the last move
+    prev_cut = (
+        cuts.join(F.broadcast(last_move.select("id", "mv_seq")), "id")
+        .filter(F.col("seq") < F.col("mv_seq"))
+        .groupBy("id")
+        .agg(F.max("seq").alias("prev_cut_seq"))
+    )
+    window_bounds = last_move.join(F.broadcast(prev_cut), "id", "left").withColumn(
+        "prev_cut_seq", F.coalesce(F.col("prev_cut_seq"), F.lit(_NEG_INF))
+    )
+    adopted_edits = e.join(F.broadcast(window_bounds), "id").filter(
+        (F.col("seq") > F.col("prev_cut_seq")) & (F.col("seq") <= F.col("mv_seq"))
+    )
+    adopted_state = aggregate_classified(
+        adopted_edits.select(e.columns), with_collections
+    )
+    adopted_first = adopted_edits.groupBy("id").agg(
+        F.min("seq").alias("first_edit_seq")
+    )
+    adopted_pr = (
+        protects.join(F.broadcast(window_bounds), "id")
+        .filter((F.col("pr_seq") > F.col("prev_cut_seq")) & (F.col("pr_seq") <= F.col("mv_seq")))
+        .groupBy("id")
+        .agg(F.max("pr_seq").alias("max_pr_seq"))
+    )
+
+    zero = F.lit(0).cast("long")
+    adopted = (
+        window_bounds.join(adopted_state, "id", "left")
+        .join(F.broadcast(adopted_first), "id", "left")
+        .join(F.broadcast(adopted_pr), "id", "left")
+        .select(
+            F.col("dst_id").alias("id"),
+            F.when(F.col("mv_wiki") == "enwiki", F.lit(""))
+            .otherwise(F.col("mv_wiki"))
+            .alias("wiki"),
+            F.col("dst_title").alias("title"),
+            *[
+                F.coalesce(F.col(c), zero).alias(c)
+                for c in (
+                    "edits",
+                    "anonEdits",
+                    "notabilityFlags",
+                    "volatileFlags",
+                    "reverts",
+                    "bytesChanged",
+                )
+            ],
+            F.coalesce(F.col("isNew"), F.lit(False)).alias("isNew"),
+            # fresh page created by the move itself when the source had no
+            # live edits (renamePage -> getPage, index.js:155-156,443)
+            F.coalesce(F.col("start"), F.col("mv_ts")).alias("start"),
+            # renamePage stamps updated = now (index.js:164)
+            F.col("mv_ts").alias("updated"),
+            *(
+                [
+                    F.coalesce(F.col("contributors"), F.array().cast("array<string>")).alias("contributors"),
+                    F.coalesce(F.col("anons"), F.array().cast("array<string>")).alias("anons"),
+                    F.coalesce(
+                        F.col("distribution"),
+                        F.map_from_arrays(
+                            F.array().cast("array<string>"),
+                            F.array().cast("array<long>"),
+                        ),
+                    ).alias("distribution"),
+                ]
+                if with_collections
+                else [
+                    F.coalesce(F.col("n_contributors"), zero).alias("n_contributors"),
+                    F.coalesce(F.col("n_anons"), zero).alias("n_anons"),
+                    F.col("max_user_edits"),
+                    F.col("total_user_edits"),
+                ]
+            ),
+            F.coalesce(
+                F.col("max_pr_seq") > F.col("first_edit_seq"), F.lit(False)
+            ).alias("isProtected"),
+        )
+    )
+    return direct.unionByName(adopted, allowMissingColumns=False)
+
+
+# ---------------------------------------------------------------------------
+# exact ordered replay (authoritative semantics; general move graphs)
+# ---------------------------------------------------------------------------
+
+_REPLAY_SCHEMA = (
+    "id string, wiki string, title string, edits long, anonEdits long, "
+    "isNew boolean, notabilityFlags long, volatileFlags long, reverts long, "
+    "start timestamp, updated timestamp, bytesChanged long, "
+    "n_contributors long, n_anons long, max_user_edits long, "
+    "total_user_edits long, isProtected boolean"
+)
+
+
+def _norm_wiki(wiki: str) -> str:
+    return "" if wiki == "enwiki" else wiki
+
+
+def _page_id(wiki: str, title: str) -> str:
+    w = _norm_wiki(wiki)
+    return f"{w}/{title}" if w else title
+
+
+def _fresh(pid: str, wiki: str, title: str, now) -> dict:
+    return dict(
+        id=pid, wiki=_norm_wiki(wiki), title=title, edits=0, anonEdits=0,
+        isNew=False, notabilityFlags=0, volatileFlags=0, reverts=0,
+        start=now, updated=now, distribution={}, anon_set=set(),
+        contrib_set=set(), bytesChanged=0, isProtected=False,
+    )
+
+
+def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fold one closed page group in (ts, seq) order — the pandas twin of
+    the reference's event loop (updateFromRCStream + log routing)."""
+    import re
+
+    ip_re = re.compile(classify.IP_REGEX)
+    del_re = re.compile(classify.DELETE_TARGET_REGEX)
+    titles: dict[str, dict] = {}
+
+    def get_page(wiki, title, now):
+        pid = _page_id(wiki, title)
+        if pid not in titles:
+            titles[pid] = _fresh(pid, wiki, title, now)
+        return titles[pid]
+
+    for row in pdf.sort_values(["ts", "seq"]).itertuples(index=False):
+        now = row.ts
+        if row.log_type is not None and not pd.isna(row.log_type):
+            if row.log_action == "move":
+                page = get_page(row.wiki, row.title, now)
+                new_page = get_page(row.wiki, row.log_target, now)
+                del titles[page["id"]]
+                page["id"] = new_page["id"]
+                page["title"] = new_page["title"]
+                page["updated"] = now
+                titles[page["id"]] = page
+            elif row.log_action == "protect":
+                pid = _page_id(row.wiki, row.title)
+                if pid in titles:
+                    titles[pid]["isProtected"] = True
+            elif row.log_action == "delete":
+                m = del_re.search(row.log_action_comment or "")
+                target = (m.group(1) or m.group(2)) if m else None
+                if target:
+                    titles.pop(_page_id(row.wiki, target), None)
+            continue
+        page = get_page(row.wiki, row.title, now)
+        comment = (row.comment or "").lower()
+        is_bot = bool(row.bot) or row.user in classify.KNOWN_BOTS
+        is_revert = any(k in comment for k in classify.REVERT_KEYWORDS)
+        delta = int(row.length_new - row.length_old)
+        if row.type == "new":
+            page["isNew"] = True
+        if is_revert:
+            page["reverts"] += 1
+            page["bytesChanged"] += delta
+        elif not is_bot:
+            page["edits"] += 1
+            page["bytesChanged"] += delta
+        if any(k in comment for k in classify.NOTABILITY_KEYWORDS):
+            page["notabilityFlags"] += 1
+        if any(k in comment for k in classify.VOLATILE_KEYWORDS):
+            page["volatileFlags"] += 1
+        if not is_bot and not is_revert:
+            if ip_re.search(row.user):
+                page["anonEdits"] += 1
+                page["anon_set"].add(row.user)
+            else:
+                page["contrib_set"].add(row.user)
+            page["distribution"][row.user] = page["distribution"].get(row.user, 0) + 1
+        page["updated"] = now
+
+    out = []
+    for p in titles.values():
+        dist = p["distribution"]
+        out.append(
+            dict(
+                id=p["id"], wiki=p["wiki"], title=p["title"], edits=p["edits"],
+                anonEdits=p["anonEdits"], isNew=p["isNew"],
+                notabilityFlags=p["notabilityFlags"],
+                volatileFlags=p["volatileFlags"], reverts=p["reverts"],
+                start=p["start"], updated=p["updated"],
+                bytesChanged=p["bytesChanged"],
+                n_contributors=len(p["contrib_set"]), n_anons=len(p["anon_set"]),
+                max_user_edits=max(dist.values()) if dist else None,
+                total_user_edits=sum(dist.values()) if dist else None,
+                isProtected=p["isProtected"],
+            )
+        )
+    cols = [f.split()[0] for f in _REPLAY_SCHEMA.split(", ")]
+    return pd.DataFrame(out, columns=cols)
+
+
+def replay_lifecycle(rc: DataFrame, group_col) -> DataFrame:
+    """Exact ordered replay, parallel across closed page groups.
+
+    ``group_col`` must assign every event of a move-connected component to
+    the same group (for workloads without rename chains, wiki + base title
+    modulo the rename mapping). Shuffles once on the group key, then folds
+    each group in one Arrow batch — no driver collect, scales with the
+    number of groups.
+    """
+    return rc.withColumn("_grp", group_col).groupBy("_grp").applyInPandas(
+        lambda pdf: _replay_group(pdf.drop(columns=["_grp"])), _REPLAY_SCHEMA
+    )
+
+
+def apply_safe_list(state: DataFrame, control: DataFrame) -> DataFrame:
+    """A7 markSafe: latest command per id wins (broadcast join — the
+    control stream is human-issued and tiny)."""
+    latest = control.groupBy("id").agg(
+        F.max_by(F.col("command"), F.struct("ts")).alias("_cmd")
+    )
+    return (
+        state.join(F.broadcast(latest), "id", "left")
+        .withColumn("safe", F.coalesce(F.col("_cmd") == "markSafe", F.lit(False)))
+        .drop("_cmd")
+    )

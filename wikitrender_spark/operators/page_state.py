@@ -73,8 +73,12 @@ def page_state(rc: DataFrame, with_collections: bool = True) -> DataFrame:
     oracle-facing shape (`n_contributors`, `n_anons`, `max_user_edits`,
     `total_user_edits`).
     """
-    e = classified_edit_events(rc)
+    return aggregate_classified(classified_edit_events(rc), with_collections)
 
+
+def aggregate_classified(e: DataFrame, with_collections: bool = True) -> DataFrame:
+    """The two-level aggregation over an (optionally pre-windowed) set of
+    classified edit events — see module docstring for semantics."""
     # level 1: per (page, editor)
     lvl1 = e.groupBy("id", "user").agg(
         F.min("wiki").alias("wiki"),

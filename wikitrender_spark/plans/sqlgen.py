@@ -62,13 +62,12 @@ e2 AS (
 )"""
 
 
-def page_state_cte() -> str:
-    """CTE chain ending in `state` — the scalar page_state aggregation
-    (two-level, mirroring operators/page_state.page_state
-    with_collections=False). All sums cast to BIGINT (DuckDB sums to
-    HUGEINT; Spark to LONG)."""
-    return f"""{classified_events_cte()},
-lvl1 AS (
+def state_agg_sql(src: str, lvl1: str = "lvl1", state: str = "state") -> str:
+    """Two CTE definitions `<lvl1>`, `<state>`: the scalar two-level
+    page_state aggregation over edit-event relation `src` (mirrors
+    operators/page_state.aggregate_classified with_collections=False).
+    All sums cast to BIGINT (DuckDB sums to HUGEINT; Spark to LONG)."""
+    return f"""{lvl1} AS (
   SELECT id, "user",
     min(wiki) AS wiki, min(title) AS title,
     CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT) AS user_edits,
@@ -80,9 +79,9 @@ lvl1 AS (
     CAST(sum(volatile_hit) AS BIGINT) AS p_vol,
     CAST(sum(CASE WHEN is_revert OR NOT is_bot THEN delta ELSE 0 END) AS BIGINT) AS p_bytes,
     min(ts) AS p_start, max(ts) AS p_upd
-  FROM e2 GROUP BY id, "user"
+  FROM {src} GROUP BY id, "user"
 ),
-state AS (
+{state} AS (
   SELECT id,
     min(wiki) AS wiki, min(title) AS title,
     CAST(sum(user_edits) AS BIGINT) AS edits,
@@ -98,8 +97,16 @@ state AS (
     count(CASE WHEN user_edits > 0 AND is_anon THEN "user" END) AS n_anons,
     CAST(max(CASE WHEN user_edits > 0 THEN user_edits END) AS BIGINT) AS max_user_edits,
     CAST(sum(CASE WHEN user_edits > 0 THEN user_edits END) AS BIGINT) AS total_user_edits
-  FROM lvl1 GROUP BY id
+  FROM {lvl1} GROUP BY id
 )"""
+
+
+def page_state_cte() -> str:
+    """CTE chain ending in `state` — the scalar page_state aggregation
+    (two-level, mirroring operators/page_state.page_state
+    with_collections=False)."""
+    return f"""{classified_events_cte()},
+{state_agg_sql("e2")}"""
 
 
 def metrics_cte(grace_minutes: int = GRACE_MINUTES) -> str:
@@ -194,3 +201,123 @@ SELECT seq,
   END AS target
 FROM rc
 WHERE log_type = 'log' AND log_action = 'delete'"""
+
+
+def lifecycle_oracle() -> str:
+    """Oracle for page_state_lifecycle (operators/lifecycle.py): final
+    state after deletes (cuts), moves (state adoption at the last move per
+    source) and protects, in replay order. Mirrors the DataFrame
+    formulation CTE-for-CTE; same no-rename-chain restriction (guaranteed
+    by the derivation: move targets live in a disjoint title namespace)."""
+    delete_re = classify.DELETE_TARGET_REGEX
+    return f"""WITH {classified_events_cte()},
+logs AS (
+  SELECT
+    CASE WHEN (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) = '' THEN title
+         ELSE (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) || '/' || title
+    END AS id,
+    CASE WHEN log_action = 'move' THEN
+      CASE WHEN (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) = '' THEN log_target
+           ELSE (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) || '/' || log_target
+      END
+    END AS move_dst,
+    CASE WHEN log_action = 'delete' THEN
+      CASE WHEN (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) = ''
+           THEN CASE WHEN regexp_extract(log_action_comment, '{delete_re}', 1) <> ''
+                     THEN regexp_extract(log_action_comment, '{delete_re}', 1)
+                     ELSE regexp_extract(log_action_comment, '{delete_re}', 2) END
+           ELSE (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) || '/' ||
+                CASE WHEN regexp_extract(log_action_comment, '{delete_re}', 1) <> ''
+                     THEN regexp_extract(log_action_comment, '{delete_re}', 1)
+                     ELSE regexp_extract(log_action_comment, '{delete_re}', 2) END
+      END
+    END AS delete_id,
+    log_action, log_target, wiki, ts, seq
+  FROM rc WHERE log_type IS NOT NULL
+),
+cuts AS (
+  SELECT delete_id AS id, seq FROM logs WHERE log_action = 'delete'
+  UNION ALL
+  SELECT id, seq FROM logs WHERE log_action = 'move'
+),
+last_cut AS (SELECT id, max(seq) AS cut_seq FROM cuts GROUP BY id),
+live AS (
+  SELECT e2.* FROM e2 LEFT JOIN last_cut USING (id)
+  WHERE cut_seq IS NULL OR seq > cut_seq
+),
+{state_agg_sql("live", "live_lvl1", "live_state")},
+first_edit AS (SELECT id, min(seq) AS first_edit_seq FROM live GROUP BY id),
+protects AS (SELECT id, seq AS pr_seq FROM logs WHERE log_action = 'protect'),
+pr AS (
+  SELECT p.id, max(pr_seq) AS max_pr_seq
+  FROM protects p LEFT JOIN last_cut lc USING (id)
+  WHERE lc.cut_seq IS NULL OR p.pr_seq > lc.cut_seq
+  GROUP BY p.id
+),
+direct AS (
+  SELECT s.*, coalesce(pr.max_pr_seq > fe.first_edit_seq, false) AS isProtected
+  FROM live_state s
+  LEFT JOIN first_edit fe USING (id)
+  LEFT JOIN pr USING (id)
+),
+last_move AS (
+  SELECT id, max(seq) AS mv_seq, arg_max(ts, seq) AS mv_ts,
+         arg_max(move_dst, seq) AS dst_id, arg_max(log_target, seq) AS dst_title,
+         arg_max(wiki, seq) AS mv_wiki
+  FROM logs WHERE log_action = 'move' GROUP BY id
+),
+prev_cut AS (
+  SELECT c.id, max(c.seq) AS prev_cut_seq
+  FROM cuts c JOIN last_move lm ON c.id = lm.id AND c.seq < lm.mv_seq
+  GROUP BY c.id
+),
+wb AS (
+  SELECT lm.*, coalesce(pc.prev_cut_seq, -1) AS prev_cut_seq
+  FROM last_move lm LEFT JOIN prev_cut pc USING (id)
+),
+adopted_edits AS (
+  SELECT e2.* FROM e2 JOIN wb USING (id)
+  WHERE e2.seq > wb.prev_cut_seq AND e2.seq <= wb.mv_seq
+),
+{state_agg_sql("adopted_edits", "ad_lvl1", "ad_state")},
+adopted_first AS (SELECT id, min(seq) AS first_edit_seq FROM adopted_edits GROUP BY id),
+adopted_pr AS (
+  SELECT p.id, max(p.pr_seq) AS max_pr_seq
+  FROM protects p JOIN wb USING (id)
+  WHERE p.pr_seq > wb.prev_cut_seq AND p.pr_seq <= wb.mv_seq
+  GROUP BY p.id
+),
+adopted AS (
+  SELECT
+    wb.dst_id AS id,
+    CASE WHEN wb.mv_wiki = 'enwiki' THEN '' ELSE wb.mv_wiki END AS wiki,
+    wb.dst_title AS title,
+    coalesce(s.edits, 0) AS edits,
+    coalesce(s.anonEdits, 0) AS anonEdits,
+    coalesce(s.isNew, false) AS isNew,
+    coalesce(s.notabilityFlags, 0) AS notabilityFlags,
+    coalesce(s.volatileFlags, 0) AS volatileFlags,
+    coalesce(s.reverts, 0) AS reverts,
+    coalesce(s.start, wb.mv_ts) AS start,
+    wb.mv_ts AS updated,
+    coalesce(s.bytesChanged, 0) AS bytesChanged,
+    coalesce(s.n_contributors, 0) AS n_contributors,
+    coalesce(s.n_anons, 0) AS n_anons,
+    s.max_user_edits, s.total_user_edits,
+    coalesce(apr.max_pr_seq > af.first_edit_seq, false) AS isProtected
+  FROM wb
+  LEFT JOIN ad_state s USING (id)
+  LEFT JOIN adopted_first af USING (id)
+  LEFT JOIN adopted_pr apr USING (id)
+)
+SELECT id, wiki, title, edits, anonEdits, isNew, notabilityFlags,
+       volatileFlags, reverts, epoch_us(start) AS start_us,
+       epoch_us(updated) AS updated_us, bytesChanged, n_contributors,
+       n_anons, max_user_edits, total_user_edits, isProtected
+FROM direct
+UNION ALL
+SELECT id, wiki, title, edits, anonEdits, isNew, notabilityFlags,
+       volatileFlags, reverts, epoch_us(start) AS start_us,
+       epoch_us(updated) AS updated_us, bytesChanged, n_contributors,
+       n_anons, max_user_edits, total_user_edits, isProtected
+FROM adopted"""

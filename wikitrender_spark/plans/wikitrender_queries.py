@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import classify
-from ..operators import topk
+from ..operators import lifecycle, topk
 from ..operators.derive import rc_events
 from ..operators.page_state import (
     classified_edit_events,
@@ -107,6 +107,42 @@ def q_delete_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LIFECYCLE_COLS = [
+    "id", "wiki", "title", "edits", "anonEdits", "isNew", "notabilityFlags",
+    "volatileFlags", "reverts", "bytesChanged", "n_contributors", "n_anons",
+    "max_user_edits", "total_user_edits", "isProtected",
+]
+
+
+def _lifecycle_select(df: DataFrame) -> DataFrame:
+    return df.select(
+        *_LIFECYCLE_COLS[:9],
+        F.unix_micros("start").alias("start_us"),
+        F.unix_micros("updated").alias("updated_us"),
+        *_LIFECYCLE_COLS[9:],
+    )
+
+
+def q_page_state_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative (window/join) lifecycle formulation."""
+    rc = rc_events(spark, sf_dir)
+    return _lifecycle_select(lifecycle.page_state_lifecycle(rc))
+
+
+def q_lifecycle_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered replay via applyInPandas over closed page groups.
+    Checked against the SAME oracle as the declarative formulation — the
+    two implementations and DuckDB must three-way agree.
+
+    Group key: the derivation ties each move target 1:1 to its source page
+    number ('Page_N' -> 'Moved_N'), so wiki + N closes the move graph."""
+    rc = rc_events(spark, sf_dir)
+    group = F.concat(
+        F.col("wiki"), F.lit("#"), F.regexp_extract(F.col("title"), r"_(\d+)$", 1)
+    )
+    return _lifecycle_select(lifecycle.replay_lifecycle(rc, group))
+
+
 QUERIES = {
     "wt_page_state": q_page_state,
     "wt_most_edited": q_most_edited,
@@ -115,6 +151,8 @@ QUERIES = {
     "wt_purge_survivors": q_purge_survivors,
     "wt_classify_counts": q_classify_counts,
     "wt_delete_targets": q_delete_targets,
+    "wt_page_state_lifecycle": q_page_state_lifecycle,
+    "wt_lifecycle_replay": q_lifecycle_replay,
 }
 
 ORACLES = {
@@ -125,4 +163,6 @@ ORACLES = {
     "wt_purge_survivors": sqlgen.purge_oracle(**PURGE_PARAMS),
     "wt_classify_counts": sqlgen.classify_counts_oracle(),
     "wt_delete_targets": sqlgen.delete_targets_oracle(),
+    "wt_page_state_lifecycle": sqlgen.lifecycle_oracle(),
+    "wt_lifecycle_replay": sqlgen.lifecycle_oracle(),
 }
