@@ -1,0 +1,367 @@
+"""Relational operator coverage (SURVEY.md §2.7) over the TPC-H-ish star
+schema: every standard operator class the reference lacks, expressed
+idiomatically in the DataFrame API and oracle-checked against DuckDB.
+
+Scale notes per query are in the docstrings; common principles:
+- dimension tables (region/nation/supplier/part at this ratio) are
+  broadcast — no shuffle on the fact side;
+- fact-fact joins shuffle on the join key and rely on AQE for skew;
+- double aggregates that are order-dependent (parallel sums) are rounded
+  to 2 decimals on BOTH sides; window sums have a total order pinned by a
+  unique tiebreak, so they compare bit-exact without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+
+
+# --- aggregation over the fact table (TPC-H Q1 shape) ----------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan group-aggregate: partial (map-side) agg then a 6-group
+    merge; the scan prunes to 7 of 11 columns. At 100 TB this is the
+    canonical 'one wide shuffle of tiny partial states' plan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-09-01")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+# --- multi-way join + top-k (TPC-H Q3/Q10 shape) ----------------------------
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ nation with a broadcast dim (nation) and a
+    shuffled fact join; top-10 via TakeOrderedAndProject (no global
+    sort)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+  round(sum(o_totalprice), 2) AS revenue,
+  count(*) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 10"""
+
+
+# --- deep dim chain (TPC-H Q5 shape) ----------------------------------------
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region ⋈ nation ⋈ customer ⋈ orders: two broadcast dims, one
+    shuffled fact join, grouped rollup to 5 rows."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct(F.col("c_custkey")).alias("n_customers"),
+        )
+        .orderBy("r_name")
+    )
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT r_name,
+  round(sum(o_totalprice), 2) AS revenue,
+  count(*) AS n_orders,
+  count(DISTINCT c_custkey) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name"""
+
+
+# --- window functions: ranking ----------------------------------------------
+def q_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the partitioned form of Q1-Q3's
+    global top-5 (SURVEY.md §2.7). One shuffle on the partition key."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rnk")
+    )
+
+
+TOPK_PER_BRAND_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+  FROM part) t
+WHERE rnk <= 3"""
+
+
+# --- window functions: running frame -----------------------------------------
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer over order time. The frame's total
+    order is pinned (o_orderdate, o_orderkey), so the double running sum
+    is sequential and bit-identical across engines — no rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.filter(F.col("o_custkey") < 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice").over(w).alias("running_revenue"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+  sum(o_totalprice) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue,
+  row_number() OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders WHERE o_custkey < 100"""
+
+
+# --- as-of join (event-time point lookup) -------------------------------------
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a running conditional max inside the key
+    partition: for every 'purchase' event, the user's most recent
+    strictly-prior 'signup' time. Spark lacks a native ASOF JOIN; the
+    window formulation is shuffle-minimal (one exchange on user_id) and
+    avoids the naive range-join blowup."""
+    from ..operators.derive import read_events_raw
+
+    ev = read_events_raw(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    signup_ts = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_signup_us", F.unix_micros(signup_ts))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "last_signup_us")
+    )
+
+
+ASOF_LAST_SIGNUP_SQL = """
+SELECT event_id, user_id, last_signup_us FROM (
+  SELECT event_id, user_id, event_type,
+    epoch_us(max(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS last_signup_us
+  FROM events) t
+WHERE event_type = 'purchase'"""
+
+
+# --- rollup / grouping sets ---------------------------------------------------
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (orderstatus, orderpriority) — subtotal + grand-total
+    rows with NULL indicators, all in one pass (free via Catalyst,
+    SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+ROLLUP_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+
+# --- semi / anti joins ---------------------------------------------------------
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS). Spark plans a broadcast/shuffled hash
+    anti-join; no null-semantics trap since keys are non-null."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    )
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+ORDER BY c_custkey"""
+
+
+def q_suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) + distinct-agg on the probe side."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy("s_nationkey")
+    )
+
+
+SUPPLIERS_WITH_SHIPMENTS_SQL = """
+SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+GROUP BY s_nationkey ORDER BY s_nationkey"""
+
+
+# --- set operations -------------------------------------------------------------
+def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over derived key sets (set semantics, dedup)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust.intersect(sup).withColumn("category", F.lit("both"))
+    # subtract = EXCEPT (set semantics), matching the oracle's NOT IN over
+    # DISTINCT keys
+    cust_only = cust.subtract(sup).withColumn("category", F.lit("customers_only"))
+    return both.unionByName(cust_only).orderBy("category", "nationkey")
+
+
+NATION_SET_OPS_SQL = """
+SELECT nationkey, 'both' AS category FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT SELECT s_nationkey FROM supplier) t
+UNION ALL
+SELECT nationkey, 'customers_only' AS category FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier)) t2
+ORDER BY category, nationkey"""
+
+
+# --- scalar function surface -----------------------------------------------------
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math builtins in one projection (full library is free
+    in Spark; the reference only ever used contains/lower/regex —
+    SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.upper("o_orderpriority").alias("priority_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.round(F.abs(F.col("o_totalprice") - 1000.0), 1).alias("price_dist"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("tag"),
+    )
+
+
+SCALAR_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(month(o_orderdate) AS INT) AS order_month,
+  CAST(day(o_orderdate) AS INT) AS order_day,
+  upper(o_orderpriority) AS priority_upper,
+  substring(o_orderpriority, 1, 1) AS priority_code,
+  CAST(length(o_orderstatus) AS INT) AS status_len,
+  round(abs(o_totalprice - 1000.0), 1) AS price_dist,
+  'o' || CAST(o_orderkey AS STRING) AS tag
+FROM orders WHERE o_orderkey < 1000"""
+
+
+QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_top_customers": q_top_customers,
+    "rel_regional_revenue": q_regional_revenue,
+    "rel_topk_per_brand": q_topk_per_brand,
+    "rel_running_revenue": q_running_revenue,
+    "rel_asof_last_signup": q_asof_last_signup,
+    "rel_rollup_orders": q_rollup_orders,
+    "rel_customers_without_orders": q_customers_without_orders,
+    "rel_suppliers_with_shipments": q_suppliers_with_shipments,
+    "rel_nation_set_ops": q_nation_set_ops,
+    "rel_scalar_functions": q_scalar_functions,
+}
+
+ORACLES = {
+    "rel_pricing_summary": PRICING_SUMMARY_SQL,
+    "rel_top_customers": TOP_CUSTOMERS_SQL,
+    "rel_regional_revenue": REGIONAL_REVENUE_SQL,
+    "rel_topk_per_brand": TOPK_PER_BRAND_SQL,
+    "rel_running_revenue": RUNNING_REVENUE_SQL,
+    "rel_asof_last_signup": ASOF_LAST_SIGNUP_SQL,
+    "rel_rollup_orders": ROLLUP_ORDERS_SQL,
+    "rel_customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "rel_suppliers_with_shipments": SUPPLIERS_WITH_SHIPMENTS_SQL,
+    "rel_nation_set_ops": NATION_SET_OPS_SQL,
+    "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
+}
