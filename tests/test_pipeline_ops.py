@@ -1,0 +1,156 @@
+"""Behavioral tests for the LLM-pipeline operators: dedup, similarity
+search, text analysis, multimodal plumbing — on controlled inputs where
+the expected results are computable by hand."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikitrender_spark.functions import similarity as S
+from wikitrender_spark.functions import text as T
+from wikitrender_spark.operators import ann, dedup, multimodal
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_poly_hash_reference_values(spark):
+    # h('ab') = (0*31+97)*31 + 98 mod 1000003 = 3105
+    df = spark.range(1).select(
+        T.poly_hash(F.lit("ab")).alias("ab"),
+        T.poly_hash(F.lit("")).alias("empty"),
+    )
+    row = df.head()
+    assert row["ab"] == (97 * 31 + 98) % 1_000_003
+    assert row["empty"] == 0
+
+
+def test_token_count_and_quality_bounds(spark):
+    d = docs_df(spark, ["the quick brown fox", "", "  spaced   out  "])
+    rows = d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["n"] == 4
+    assert by_id[1]["n"] == 0
+    assert by_id[2]["n"] == 2
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_exact_dedup(spark):
+    d = docs_df(spark, ["same text", "same text", "other"])
+    groups = {
+        r["keeper_doc_id"]: r["n_copies"]
+        for r in dedup.exact_dedup_groups(d).collect()
+    }
+    assert groups == {0: 2, 2: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    text = "a b c d e f g h"
+    d = docs_df(spark, [text, text, "x y z w v u t s"])
+    pairs = dedup.ngram_jaccard_pairs(d, 0.99).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (0, 1)
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_lsh_finds_identical_docs(spark):
+    text = "a b c d e f g h i j"
+    d = docs_df(spark, [text, text, "completely different words here now ok"])
+    cands = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(d).collect()}
+    assert (0, 1) in cands
+    dups = dedup.near_duplicates(d).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in dups} == {(0, 1)}
+
+
+def test_simhash_close_for_similar_docs(spark):
+    d = docs_df(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "one two three four five six seven eight",
+        ],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(d).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(sh[0], sh[1]) <= ham(sh[0], sh[2])
+    assert all(0 <= v < 2**16 for v in sh.values())
+
+
+def emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_cosine_exact(spark):
+    df = emb_df(spark, [[1, 0, 0, 0], [0.5, 0, 0, 0], [0, 1, 0, 0]])
+    a = S.to_double(F.col("a.embedding"))
+    b = S.to_double(F.col("b.embedding"))
+    r = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .filter((F.col("a.vec_id") == 0) & (F.col("b.vec_id") > 0))
+        .select(F.col("b.vec_id").alias("v"), S.cosine(a, b).alias("cos"))
+        .collect()
+    )
+    by_id = {r_["v"]: r_["cos"] for r_ in r}
+    assert by_id[1] == pytest.approx(1.0)
+    assert by_id[2] == pytest.approx(0.0)
+
+
+def test_brute_force_topk_orders_by_similarity(spark):
+    base = [1.0] + [0.0] * 63
+    near = [1.0, 0.1] + [0.0] * 62
+    far = [0.0, 1.0] + [0.0] * 62
+    df = emb_df(spark, [base, near, far])
+    rows = ann.brute_force_topk(df, [0], k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_lsh_bucket_determinism(spark):
+    df = emb_df(spark, [[0.5] * 64, [0.5] * 64, [-0.5] * 64])
+    b = {r["vec_id"]: r["bucket"] for r in ann.lsh_buckets(df).collect()}
+    assert b[0] == b[1]  # identical vectors, identical bucket
+    assert 0 <= b[0] < 2**ann.N_PLANES
+
+
+def test_multimodal_feature_extraction(spark):
+    d = docs_df(spark, ["hello world", "another document body"])
+    media = multimodal.documents_as_media(d)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == len("hello world")
+    assert len(feats[0]["feature"]) == 8
+    assert feats[0]["width"] == 16 + len("hello world") % 64
+    # checksum matches the portable 31-polynomial
+    h = 0
+    for ch in "hello world":
+        h = (h * 31 + ord(ch)) % 1_000_003
+    assert feats[0]["checksum"] == h
+
+
+def test_frame_sample(spark):
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"xx"), (None, None, None, 25))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frames = [r["frame_idx"] for r in multimodal.frame_sample(media, 10).collect()]
+    assert frames == [0, 10, 20]
+
+
+def test_fake_decode_is_stub_guarded():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_real(b"bytes")

@@ -1,0 +1,156 @@
+"""Text-analysis Column library for the LLM-pipeline operators
+(BASELINE.json north star; SURVEY.md §2.8): tokenization, portable
+hashing, quality scoring, language-ID, fingerprinting.
+
+Everything is built from Spark higher-order functions (transform /
+aggregate / filter) — JVM-side, no Python UDFs — and every hash is pinned
+to engine-portable integer arithmetic (31-polynomial mod 1000003) so the
+DuckDB oracle can reproduce values exactly. At 100 TB these are narrow
+per-row projections: no shuffle, fully pipelined into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_003  # prime; keeps 31*h + c < 2^31 (no overflow anywhere)
+HASH_MULT = 31
+
+# tiny stopword lists for the language-ID heuristic (top function words)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "a", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "de", "y", "que", "los", "un"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4", "ren2", "you3"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish segmentation regex: word pieces, digit
+    runs, and individual punctuation marks each count as one token (the
+    pre-tokenizer split used by GPT-style BPE vocabularies)."""
+    return (
+        F.size(
+            F.regexp_extract_all(
+                text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("long")
+    )
+
+
+def char_codes(s: Column) -> Column:
+    """Array of character codepoints (1..length); empty array for ''."""
+    return F.when(F.length(s) == 0, F.array().cast("array<int>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.ascii(F.substr(s, i, F.lit(1))),
+        )
+    )
+
+
+def poly_hash(s: Column) -> Column:
+    """Portable 31-polynomial string hash mod 1000003 (pinned; DuckDB twin
+    uses list_reduce with identical arithmetic)."""
+    return F.aggregate(
+        char_codes(s),
+        F.lit(0),
+        lambda h, c: (h * HASH_MULT + c) % HASH_MOD,
+    ).cast("long")
+
+
+def token_hashes(text: Column) -> Column:
+    """Array of portable hashes, one per whitespace token."""
+    return F.transform(tokens(text), poly_hash)
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Document fingerprint: the same 31-polynomial rolled over the whole
+    text — a deterministic stand-in for a rolling-hash content signature."""
+    return poly_hash(text)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of characters that are not alphanumeric/whitespace."""
+    cleaned = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(cleaned).cast("double") / F.length(text).cast("double")
+    )
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards reasonable length,
+    low punctuation noise, and natural function-word density — the
+    standard cheap pre-filter before expensive LLM-pipeline stages."""
+    n = token_count(text).cast("double")
+    length_term = F.least(n / F.lit(64.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(
+        punct_ratio(text) * F.lit(4.0), F.lit(1.0)
+    )
+    stop_term = F.least(
+        stopword_ratio(text, LANG_STOPWORDS["en"]) * F.lit(5.0), F.lit(1.0)
+    )
+    return F.round(
+        (length_term * F.lit(0.4) + punct_term * F.lit(0.4) + stop_term * F.lit(0.2)),
+        6,
+    )
+
+
+def lang_scores(text: Column) -> Column:
+    """Map lang -> stopword-hit count (the n-gram-free language-ID
+    heuristic; argmax with 'und' fallback in predict_lang)."""
+    toks = tokens(F.lower(text))
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in LANG_STOPWORDS]),
+        F.array(
+            *[
+                F.size(F.filter(toks, lambda t: t.isin(*kws))).cast("long")
+                for kws in LANG_STOPWORDS.values()
+            ]
+        ),
+    )
+
+
+def predict_lang(text: Column) -> Column:
+    """Deterministic argmax over lang_scores (ties: lexicographically
+    smallest lang; zero hits: 'und')."""
+    toks = tokens(F.lower(text))
+    best = None
+    best_score = None
+    for lang in sorted(LANG_STOPWORDS):
+        kws = LANG_STOPWORDS[lang]
+        score = F.size(F.filter(toks, lambda t: t.isin(*kws))).cast("long")
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            take = score > best_score
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_score = F.when(take, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))

@@ -1,0 +1,422 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.8 / BASELINE.json north star):
+text analysis, dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash),
+similarity search (brute-force + hyperplane-LSH), multimodal binary
+plumbing — each with a DuckDB oracle twin built on the same pinned
+portable arithmetic (31-polynomial hashes mod 1000003, sequential float
+folds), so values compare exactly, not approximately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.similarity import hyperplane
+from ..operators import ann, dedup, multimodal
+from ..schemas import load_table
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments twinning functions/text.py + functions/similarity.py
+# ---------------------------------------------------------------------------
+_TOKENS = "list_filter(string_split_regex({t}, '\\s+'), x -> x <> '')"
+_WORD_HASH = (
+    "list_reduce(list_prepend(0, list_transform(range(1, length({w})+1), "
+    "i -> unicode({w}[i]))), (h, c) -> (h*31 + c) % 1000003)"
+)
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+_TOK_HASH_CTE = f"""
+tk AS (SELECT doc_id, {_TOKENS.format(t='text')} AS toks FROM documents),
+th AS (SELECT doc_id, list_transform(toks, w -> {_WORD_HASH.format(w='w')}) AS th FROM tk),
+sh AS (SELECT doc_id, CASE WHEN length(th) < 3 THEN [] ELSE
+         list_transform(range(1, length(th)-1), i ->
+           ((th[i]*31 + th[i+1]) % 1000003 * 31 + th[i+2]) % 1000003) END AS sh
+       FROM th)"""
+
+_MINHASH_CTE = f"""{_TOK_HASH_CTE},
+mh AS (SELECT doc_id, list_transform(range(0,16), j ->
+         CASE WHEN length(list_distinct(sh)) = 0 THEN 1000003
+              ELSE list_min(list_transform(sh, x -> ((2*j+1)*x + j*7919 + 1) % 1000003))
+         END) AS mh
+       FROM sh)"""
+
+_JACCARD_CTE = f"""{_TOK_HASH_CTE},
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+sz AS (SELECT doc_id, length(sh) AS n_shingles FROM ds),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b,
+    round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id)"""
+
+_LSH_CTE = f"""{_MINHASH_CTE},
+banded AS (
+  SELECT doc_id, j AS band_idx,
+    array_to_string(list_transform(list_slice(mh, j*4+1, j*4+4),
+                                   x -> CAST(x AS STRING)), '-') AS band_key
+  FROM mh, (SELECT unnest(range(0,4)) AS j) bands),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id)"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- text analysis -----------------------------------------------------------
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.round(T.mean_token_length(t), 6).alias("mean_token_len"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(t, T.LANG_STOPWORDS["en"]), 6).alias(
+            "stopword_ratio_en"
+        ),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+WITH {_TOK_HASH_CTE}
+SELECT d.doc_id,
+  CAST(length(tk.toks) AS BIGINT) AS n_tokens,
+  CAST(length(regexp_extract_all(d.text, '{_BPE_RE}')) AS BIGINT) AS n_tokens_bpe,
+  round(CASE WHEN length(tk.toks) = 0 THEN 0.0
+        ELSE CAST(list_sum(list_transform(tk.toks, x -> length(x))) AS DOUBLE)
+             / CAST(length(tk.toks) AS DOUBLE) END, 6) AS mean_token_len,
+  round(CASE WHEN length(d.text) = 0 THEN 0.0
+        ELSE CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / CAST(length(d.text) AS DOUBLE) END, 6) AS punct_ratio,
+  round(CASE WHEN length(tk.toks) = 0 THEN 0.0
+        ELSE CAST(length(list_filter(list_transform(tk.toks, x -> lower(x)),
+               x -> list_contains({list(T.LANG_STOPWORDS['en'])}, x))) AS DOUBLE)
+             / CAST(length(tk.toks) AS DOUBLE) END, 6) AS stopword_ratio_en
+FROM documents d JOIN tk ON d.doc_id = tk.doc_id"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "lang", "source", T.quality_score(F.col("text")).alias("quality")
+    )
+
+
+_STOP_EN = list(T.LANG_STOPWORDS["en"])
+QUALITY_SQL = f"""
+WITH {_TOK_HASH_CTE},
+comp AS (
+  SELECT d.doc_id, d.lang, d.source,
+    CAST(length(tk.toks) AS DOUBLE) AS n,
+    CASE WHEN length(d.text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+              / CAST(length(d.text) AS DOUBLE) END AS punct,
+    CASE WHEN length(tk.toks) = 0 THEN 0.0
+         ELSE CAST(length(list_filter(list_transform(tk.toks, x -> lower(x)),
+                x -> list_contains({_STOP_EN}, x))) AS DOUBLE)
+              / CAST(length(tk.toks) AS DOUBLE) END AS stop
+  FROM documents d JOIN tk ON d.doc_id = tk.doc_id)
+SELECT doc_id, lang, source,
+  round(least(n / 64.0, 1.0) * 0.4
+        + (1.0 - least(punct * 4.0, 1.0)) * 0.4
+        + least(stop * 5.0, 1.0) * 0.2, 6) AS quality
+FROM comp"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pred = T.predict_lang(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def _langid_sql() -> str:
+    langs = sorted(T.LANG_STOPWORDS)
+    score = {
+        lang: (
+            "CAST(length(list_filter(list_transform(tk.toks, x -> lower(x)), "
+            f"x -> list_contains({list(T.LANG_STOPWORDS[lang])}, x))) AS BIGINT)"
+        )
+        for lang in langs
+    }
+    scores_sel = ", ".join(f"{score[lang]} AS s_{lang}" for lang in langs)
+    best, best_score = f"'{langs[0]}'", f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN s_{lang} > {best_score} THEN s_{lang} ELSE {best_score} END"
+    return f"""
+WITH {_TOK_HASH_CTE},
+sc AS (SELECT d.doc_id, d.lang, {scores_sel}
+       FROM documents d JOIN tk ON d.doc_id = tk.doc_id)
+SELECT doc_id, lang,
+  CASE WHEN {best_score} > 0 THEN {best} ELSE 'und' END AS predicted,
+  (CASE WHEN {best_score} > 0 THEN {best} ELSE 'und' END) = lang AS is_match
+FROM sc"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, CAST({_WORD_HASH.format(w='text')} AS BIGINT) AS fingerprint
+FROM documents"""
+
+
+# --- dedup ---------------------------------------------------------------------
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return sig.select(
+        "doc_id", F.posexplode("signature").alias("sig_idx", "sig_val")
+    )
+
+
+MINHASH_SIG_SQL = f"""
+WITH {_MINHASH_CTE}
+SELECT doc_id, CAST(j AS INT) AS sig_idx, CAST(mh[j+1] AS BIGINT) AS sig_val
+FROM mh, (SELECT unnest(range(0,16)) AS j) idx"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_JACCARD_CTE}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5"""
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+LSH_CANDIDATES_SQL = f"""
+WITH {_LSH_CTE}
+SELECT doc_a, doc_b FROM cands"""
+
+
+def q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_duplicates(_docs(spark, sf_dir))
+
+
+NEAR_DUPS_SQL = f"""
+WITH {_LSH_CTE},
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+sz AS (SELECT doc_id, length(sh) AS n_shingles FROM ds),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b,
+    round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {dedup.NEAR_DUP_THRESHOLD}"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+SIMHASH_SQL = f"""
+WITH {_TOK_HASH_CTE}
+SELECT doc_id,
+  CAST(coalesce(list_sum(list_transform(range(0,16), j ->
+    CASE WHEN list_sum(list_transform(th, hh -> ((hh // CAST(pow(2,j) AS BIGINT)) % 2)*2 - 1)) > 0
+         THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS simhash
+FROM th"""
+
+
+# --- similarity search -----------------------------------------------------------
+_QIDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+_COSINE_CTE = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+nrm AS (SELECT vec_id,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+                           (a, b) -> a + b)) AS nrm
+        FROM e)"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH {_COSINE_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_reduce(list_prepend(0.0,
+            list_transform(range(1, 65), i -> q.emb[i] * c.emb[i])),
+            (a, b) -> a + b) / (nq.nrm * nc.nrm), 6) AS sim
+  FROM e q
+  JOIN e c ON q.vec_id <> c.vec_id
+  JOIN nrm nq ON nq.vec_id = q.vec_id
+  JOIN nrm nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id IN ({_QIDS}))
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {ANN_K}"""
+
+
+def _planes_values_sql() -> str:
+    rows = []
+    for j in range(ann.N_PLANES):
+        vals = ", ".join(repr(v) for v in hyperplane(j, ann.EMB_DIM))
+        rows.append(f"({j}, [{vals}])")
+    return ", ".join(rows)
+
+
+_BUCKET_CTE = f"""
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+planes(j, plane) AS (VALUES {{planes}}),
+bkt AS (
+  SELECT e.vec_id,
+    CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+           list_transform(range(1, 65), i -> e.emb[i] * planes.plane[i])),
+           (a, b) -> a + b) > 0
+         THEN CAST(pow(2, planes.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes GROUP BY e.vec_id)"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.lsh_buckets(_emb(spark, sf_dir))
+
+
+ANN_LSH_BUCKETS_SQL = (
+    "WITH "
+    + _BUCKET_CTE.format(planes=_planes_values_sql())
+    + "\nSELECT vec_id, bucket FROM bkt"
+)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.lsh_bucketed_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+ANN_LSH_TOPK_SQL = (
+    "WITH "
+    + _BUCKET_CTE.format(planes=_planes_values_sql())
+    + f""",
+nrm AS (SELECT vec_id,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+                           (a, b) -> a + b)) AS nrm
+        FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_reduce(list_prepend(0.0,
+            list_transform(range(1, 65), i -> q.emb[i] * c.emb[i])),
+            (a, b) -> a + b) / (nq.nrm * nc.nrm), 6) AS sim
+  FROM e q
+  JOIN bkt bq ON bq.vec_id = q.vec_id
+  JOIN bkt bc ON bq.bucket = bc.bucket
+  JOIN e c ON c.vec_id = bc.vec_id AND q.vec_id <> c.vec_id
+  JOIN nrm nq ON nq.vec_id = q.vec_id
+  JOIN nrm nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id IN ({_QIDS}))
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {ANN_K}"""
+)
+
+
+# --- multimodal binary plumbing ----------------------------------------------------
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature stage over binary payloads (fake decode
+    kernel; real Spark plumbing). Feature array excluded from the oracle
+    projection; width/height/checksum are deterministic."""
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "checksum", "width", "height"
+    )
+
+
+MEDIA_FEATURES_SQL = f"""
+SELECT doc_id AS media_id, 'text' AS kind,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST({_WORD_HASH.format(w='text')} AS BIGINT) AS checksum,
+  CAST(16 + length(text) % 64 AS INT) AS width,
+  CAST(16 + (length(text) // 64) % 64 AS INT) AS height
+FROM documents"""
+
+
+QUERIES = {
+    "tx_token_stats": q_token_stats,
+    "tx_quality": q_quality,
+    "tx_langid": q_langid,
+    "tx_fingerprint": q_fingerprint,
+    "dd_exact_groups": q_exact_dedup,
+    "dd_minhash_signatures": q_minhash_signatures,
+    "dd_ngram_jaccard": q_ngram_jaccard,
+    "dd_lsh_candidates": q_lsh_candidates,
+    "dd_near_duplicates": q_near_duplicates,
+    "dd_simhash": q_simhash,
+    "ann_bruteforce_topk": q_ann_bruteforce,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "mm_media_features": q_media_features,
+}
+
+ORACLES = {
+    "tx_token_stats": TOKEN_STATS_SQL,
+    "tx_quality": QUALITY_SQL,
+    "tx_langid": _langid_sql(),
+    "tx_fingerprint": FINGERPRINT_SQL,
+    "dd_exact_groups": EXACT_DEDUP_SQL,
+    "dd_minhash_signatures": MINHASH_SIG_SQL,
+    "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dd_lsh_candidates": LSH_CANDIDATES_SQL,
+    "dd_near_duplicates": NEAR_DUPS_SQL,
+    "dd_simhash": SIMHASH_SQL,
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
+    "ann_lsh_topk": ANN_LSH_TOPK_SQL,
+    "mm_media_features": MEDIA_FEATURES_SQL,
+}
