@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are materialized via the noop sink (full computation, no driver
+collect). The headline set spans every engine subsystem: keyed stateful
+aggregation + metrics + top-k (wikitrender core), exact lifecycle replay,
+relational joins/aggs, dedup sketching, ANN, text analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wikitrender_spark.plans import registry
+from wikitrender_spark.session import get_spark
+
+HEADLINE = [
+    "wt_page_state",
+    "wt_most_edited",
+    "wt_most_vibrant",
+    "wt_purge_survivors",
+    "wt_page_state_lifecycle",
+    "wt_lifecycle_replay",
+    "rel_pricing_summary",
+    "rel_top_customers",
+    "rel_regional_revenue",
+    "rel_topk_per_brand",
+    "tx_token_stats",
+    "dd_minhash_signatures",
+    "dd_lsh_candidates",
+    "dd_near_duplicates",
+    "ann_bruteforce_topk",
+    "mm_media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("wikitrender-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.all_queries()
+    # warmup pass: executor spin-up, codegen, parquet footers — we report
+    # steady-state times (second execution)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,11 +78,14 @@ def page_state(rc: DataFrame, with_collections: bool = True) -> DataFrame:
 
 def aggregate_classified(e: DataFrame, with_collections: bool = True) -> DataFrame:
     """The two-level aggregation over an (optionally pre-windowed) set of
-    classified edit events — see module docstring for semantics."""
+    classified edit events — see module docstring for semantics.
+
+    wiki/title ride along in the GROUPING KEY (id determines both, 1:1 by
+    construction): string MIN/MAX aggregates have var-length buffers and
+    would force SortAggregate; keeping every aggregate fixed-width keeps
+    both levels HashAggregate with map-side partial combine."""
     # level 1: per (page, editor)
-    lvl1 = e.groupBy("id", "user").agg(
-        F.min("wiki").alias("wiki"),
-        F.min("title").alias("title"),
+    lvl1 = e.groupBy("id", "wiki", "title", "user").agg(
         F.sum(F.when(F.col("eligible"), 1).otherwise(0)).alias("user_edits"),
         F.max("is_anon").alias("is_anon"),
         F.sum(F.when(F.col("eligible") & F.col("is_anon"), 1).otherwise(0)).alias(
@@ -102,8 +105,6 @@ def aggregate_classified(e: DataFrame, with_collections: bool = True) -> DataFra
     )
 
     agg_cols = [
-        F.min("wiki").alias("wiki"),
-        F.min("title").alias("title"),
         F.sum("user_edits").alias("edits"),
         F.sum("p_anon_edits").alias("anonEdits"),
         F.max("p_is_new").alias("isNew"),
@@ -158,7 +159,7 @@ def aggregate_classified(e: DataFrame, with_collections: bool = True) -> DataFra
             ).alias("n_anons"),
         ]
 
-    return lvl1.groupBy("id").agg(*agg_cols)
+    return lvl1.groupBy("id", "wiki", "title").agg(*agg_cols)
 
 
 def with_metrics(state: DataFrame, now: Column) -> DataFrame:
