@@ -1,0 +1,161 @@
+"""Streaming core tests (SURVEY.md §5.2-5): batch-stream equivalence,
+purge policy P2 across micro-batches, safe-list control events, state
+blob round-trip."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wikitrender_spark.operators import lifecycle
+from wikitrender_spark.operators.derive import rc_events
+from wikitrender_spark.sources.replay import chunked_event_stream, rc_event_stream
+from wikitrender_spark.streaming import fold, processor
+
+SF_DIR = "/root/testdata/sf0.001"
+
+def _group():
+    # needs an active SparkContext -> built lazily inside tests
+    return F.concat(
+        F.col("wiki"), F.lit("#"), F.regexp_extract(F.col("title"), r"_(\d+)$", 1)
+    )
+
+
+def _run(cl, name, ckpt):
+    return processor.run_changelog_to_memory(cl, name, ckpt)
+
+
+@pytest.fixture(scope="module")
+def batch_state(spark):
+    return sorted(
+        map(tuple, lifecycle.replay_lifecycle(rc_events(spark, SF_DIR), _group()).collect())
+    )
+
+
+def test_stream_equals_batch_single_batch(spark, batch_state):
+    with tempfile.TemporaryDirectory() as d:
+        cl = processor.page_state_changelog(rc_event_stream(spark, SF_DIR), _group())
+        t = _run(cl, "t_eq_1", d + "/ckpt")
+        got = sorted(map(tuple, processor.final_state(t).collect()))
+    assert got == batch_state
+
+
+def test_stream_equals_batch_chunked(spark, batch_state):
+    """5 micro-batches with state carried in the state store between them;
+    includes delete->recreate and move->adopt transitions mid-stream."""
+    with tempfile.TemporaryDirectory() as d:
+        cl = processor.page_state_changelog(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=5), _group()
+        )
+        t = _run(cl, "t_eq_5", d + "/ckpt")
+        assert t.agg(F.max("_ver")).first()[0] > 1  # really incremental
+        got = sorted(map(tuple, processor.final_state(t).collect()))
+    assert got == batch_state
+
+
+def test_stream_purge_matches_inprocess_fold(spark):
+    """Streaming purge (P2 at each micro-batch, now = group's batch max
+    event time) must equal the same fold+purge driven in-process."""
+    params = fold.PurgeParams(
+        max_lifespan=40000.0, max_inactivity=6000.0,
+        min_speed=0.00015, min_purge_time=5.0,
+    )
+    n_chunks = 4
+    with tempfile.TemporaryDirectory() as d:
+        cl = processor.page_state_changelog(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=n_chunks),
+            _group(), purge=params,
+        )
+        t = _run(cl, "t_purge", d + "/ckpt")
+        got = sorted(map(tuple, processor.final_state(t).collect()))
+        tombstones = t.filter(F.col("_deleted")).count()
+
+    # expected: same chunks folded in-process, purged per group at the
+    # group's max ts of each chunk. Chunk boundaries replicate the source's:
+    # (ts, event_id) row-ranges over the RAW events table (pre-filter).
+    from wikitrender_spark.operators.derive import read_events_raw
+
+    raw = (read_events_raw(spark, SF_DIR).select("event_id", "ts")
+           .toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True))
+    step = (len(raw) + n_chunks - 1) // n_chunks
+    chunk_of = {eid: i // step for i, eid in enumerate(raw["event_id"])}
+
+    rc = rc_events(spark, SF_DIR).withColumn("_grp", _group())
+    pdf = rc.toPandas().sort_values(["ts", "seq"]).reset_index(drop=True)
+    state_by_grp: dict[str, dict] = {}
+    for i in range(n_chunks):
+        chunk = pdf[pdf["seq"].map(chunk_of) == i]
+        for grp, gpdf in chunk.groupby("_grp"):
+            titles = state_by_grp.setdefault(grp, {})
+            fold.fold_pdf(titles, gpdf.drop(columns=["_grp"]))
+            fold.purge_titles(titles, gpdf["ts"].max(), params)
+    exp_rows = []
+    for titles in state_by_grp.values():
+        for p in titles.values():
+            r = fold.page_record(p)
+            exp_rows.append(tuple(
+                pd.Timestamp(v).to_pydatetime() if k in ("start", "updated") else v
+                for k, v in r.items()
+            ))
+    assert tombstones > 0  # the thresholds actually evict something
+    assert sorted(got) == sorted(exp_rows)
+
+
+def test_control_stream_marksafe(spark):
+    """A7: markSafe exempts a page from the speed/inactivity purge but not
+    from max_lifespan (/root/reference/index.js:93-100,409-411)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for page in ("Keep", "Lose"):
+        rows.append(dict(title=page, ts=t0, type="new"))
+        rows.append(dict(title=page, ts=t0 + dt.timedelta(minutes=1), user="B"))
+    # control event: markSafe Keep
+    titles: dict = {}
+    pdf = pd.DataFrame([
+        dict(seq=i, ts=r["ts"], title=r["title"], wiki="enwiki",
+             user=r.get("user", "Jon"), bot=False, type=r.get("type", "edit"),
+             comment="yo", length_new=2, length_old=1, log_type=None,
+             log_action=None, log_target=None, log_action_comment=None)
+        for i, r in enumerate(rows)
+    ])
+    fold.fold_pdf(titles, pdf)
+    ctrl = pd.DataFrame([
+        dict(seq=99, ts=t0 + dt.timedelta(minutes=2), title="Keep",
+             wiki="enwiki", user="ops", bot=False, type="edit", comment="",
+             length_new=None, length_old=None, log_type="control",
+             log_action="markSafe", log_target=None, log_action_comment=None)
+    ])
+    fold.fold_pdf(titles, ctrl)
+    assert titles["Keep"]["safe"] and not titles["Lose"]["safe"]
+
+    # speed purge at +30min: Lose evicted (0.066 epm < 3), Keep survives
+    params = fold.PurgeParams()
+    evicted = fold.purge_titles(titles, t0 + dt.timedelta(minutes=30), params)
+    assert evicted == {"Lose"}
+    # lifespan purge evicts even safe pages
+    evicted = fold.purge_titles(titles, t0 + dt.timedelta(minutes=2000), params)
+    assert evicted == {"Keep"}
+
+
+def test_state_blob_roundtrip():
+    t0 = pd.Timestamp("2024-01-01 12:00:00.123456")
+    titles = {"X": fold.fresh_page("X", "dewiki", "X", t0)}
+    titles["X"]["distribution"] = {"a": 2, "b": 1}
+    titles["X"]["anon_set"] = {"1.2.3.4"}
+    titles["X"]["contrib_set"] = {"a", "b"}
+    titles["X"]["edits"] = 3
+    back = fold.deserialize_titles(fold.serialize_titles(titles))
+    assert back == titles
+
+
+def test_epm_clamp():
+    """D3 clamp (/root/reference/index.js:80-88): raw count below 1 minute
+    of age or at zero count."""
+    page = dict(edits=5)
+    assert fold.edits_per_minute(page, 0.5) == 5.0
+    assert fold.edits_per_minute(page, 10.0) == 0.5
+    assert fold.edits_per_minute(dict(edits=0), 10.0) == 0.0

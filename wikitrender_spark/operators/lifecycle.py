@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import classify
+from ..streaming import fold
 from .page_state import aggregate_classified, classified_edit_events
 
 _NEG_INF = -1  # sentinel: "no cut" (seq are non-negative)
@@ -218,114 +219,18 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
 # exact ordered replay (authoritative semantics; general move graphs)
 # ---------------------------------------------------------------------------
 
-_REPLAY_SCHEMA = (
-    "id string, wiki string, title string, edits long, anonEdits long, "
-    "isNew boolean, notabilityFlags long, volatileFlags long, reverts long, "
-    "start timestamp, updated timestamp, bytesChanged long, "
-    "n_contributors long, n_anons long, max_user_edits long, "
-    "total_user_edits long, isProtected boolean"
-)
-
-
-def _norm_wiki(wiki: str) -> str:
-    return "" if wiki == "enwiki" else wiki
-
-
-def _page_id(wiki: str, title: str) -> str:
-    w = _norm_wiki(wiki)
-    return f"{w}/{title}" if w else title
-
-
-def _fresh(pid: str, wiki: str, title: str, now) -> dict:
-    return dict(
-        id=pid, wiki=_norm_wiki(wiki), title=title, edits=0, anonEdits=0,
-        isNew=False, notabilityFlags=0, volatileFlags=0, reverts=0,
-        start=now, updated=now, distribution={}, anon_set=set(),
-        contrib_set=set(), bytesChanged=0, isProtected=False,
-    )
+_REPLAY_SCHEMA = fold.STATE_SCHEMA
 
 
 def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Fold one closed page group in (ts, seq) order — the pandas twin of
-    the reference's event loop (updateFromRCStream + log routing)."""
-    import re
-
-    ip_re = re.compile(classify.IP_REGEX)
-    del_re = re.compile(classify.DELETE_TARGET_REGEX)
+    the reference's event loop (updateFromRCStream + log routing). The
+    fold itself lives in streaming/fold.py, shared verbatim with the
+    streaming stateful processor (batch-stream equivalence by
+    construction, SURVEY.md §5.2-5)."""
     titles: dict[str, dict] = {}
-
-    def get_page(wiki, title, now):
-        pid = _page_id(wiki, title)
-        if pid not in titles:
-            titles[pid] = _fresh(pid, wiki, title, now)
-        return titles[pid]
-
-    for row in pdf.sort_values(["ts", "seq"]).itertuples(index=False):
-        now = row.ts
-        if row.log_type is not None and not pd.isna(row.log_type):
-            if row.log_action == "move":
-                page = get_page(row.wiki, row.title, now)
-                new_page = get_page(row.wiki, row.log_target, now)
-                del titles[page["id"]]
-                page["id"] = new_page["id"]
-                page["title"] = new_page["title"]
-                page["updated"] = now
-                titles[page["id"]] = page
-            elif row.log_action == "protect":
-                pid = _page_id(row.wiki, row.title)
-                if pid in titles:
-                    titles[pid]["isProtected"] = True
-            elif row.log_action == "delete":
-                m = del_re.search(row.log_action_comment or "")
-                target = (m.group(1) or m.group(2)) if m else None
-                if target:
-                    titles.pop(_page_id(row.wiki, target), None)
-            continue
-        page = get_page(row.wiki, row.title, now)
-        comment = (row.comment or "").lower()
-        is_bot = bool(row.bot) or row.user in classify.KNOWN_BOTS
-        is_revert = any(k in comment for k in classify.REVERT_KEYWORDS)
-        delta = int(row.length_new - row.length_old)
-        if row.type == "new":
-            page["isNew"] = True
-        if is_revert:
-            page["reverts"] += 1
-            page["bytesChanged"] += delta
-        elif not is_bot:
-            page["edits"] += 1
-            page["bytesChanged"] += delta
-        if any(k in comment for k in classify.NOTABILITY_KEYWORDS):
-            page["notabilityFlags"] += 1
-        if any(k in comment for k in classify.VOLATILE_KEYWORDS):
-            page["volatileFlags"] += 1
-        if not is_bot and not is_revert:
-            if ip_re.search(row.user):
-                page["anonEdits"] += 1
-                page["anon_set"].add(row.user)
-            else:
-                page["contrib_set"].add(row.user)
-            page["distribution"][row.user] = page["distribution"].get(row.user, 0) + 1
-        page["updated"] = now
-
-    out = []
-    for p in titles.values():
-        dist = p["distribution"]
-        out.append(
-            dict(
-                id=p["id"], wiki=p["wiki"], title=p["title"], edits=p["edits"],
-                anonEdits=p["anonEdits"], isNew=p["isNew"],
-                notabilityFlags=p["notabilityFlags"],
-                volatileFlags=p["volatileFlags"], reverts=p["reverts"],
-                start=p["start"], updated=p["updated"],
-                bytesChanged=p["bytesChanged"],
-                n_contributors=len(p["contrib_set"]), n_anons=len(p["anon_set"]),
-                max_user_edits=max(dist.values()) if dist else None,
-                total_user_edits=sum(dist.values()) if dist else None,
-                isProtected=p["isProtected"],
-            )
-        )
-    cols = [f.split()[0] for f in _REPLAY_SCHEMA.split(", ")]
-    return pd.DataFrame(out, columns=cols)
+    fold.fold_pdf(titles, pdf)
+    return fold.titles_to_pdf(titles)
 
 
 def replay_lifecycle(rc: DataFrame, group_col) -> DataFrame:

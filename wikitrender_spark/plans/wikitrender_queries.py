@@ -143,6 +143,28 @@ def q_lifecycle_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lifecycle_select(lifecycle.replay_lifecycle(rc, group))
 
 
+def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING engine end-to-end: rc events replayed as a Structured
+    Streaming source -> applyInPandasWithState changelog (SURVEY.md §7
+    step 5) -> final-state collapse. Checked against the same oracle as
+    both batch lifecycle formulations — a four-way agreement (declarative
+    batch, exact batch replay, streaming, DuckDB)."""
+    import tempfile
+    import uuid
+
+    from ..sources.replay import rc_event_stream
+    from ..streaming import processor
+
+    group = F.concat(
+        F.col("wiki"), F.lit("#"), F.regexp_extract(F.col("title"), r"_(\d+)$", 1)
+    )
+    cl = processor.page_state_changelog(rc_event_stream(spark, sf_dir), group)
+    name = "wt_stream_replay_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="wt_stream_ckpt_")
+    changelog = processor.run_changelog_to_memory(cl, name, ckpt)
+    return _lifecycle_select(processor.final_state(changelog))
+
+
 QUERIES = {
     "wt_page_state": q_page_state,
     "wt_most_edited": q_most_edited,
@@ -153,6 +175,7 @@ QUERIES = {
     "wt_delete_targets": q_delete_targets,
     "wt_page_state_lifecycle": q_page_state_lifecycle,
     "wt_lifecycle_replay": q_lifecycle_replay,
+    "wt_stream_replay": q_stream_replay,
 }
 
 ORACLES = {
@@ -165,4 +188,5 @@ ORACLES = {
     "wt_delete_targets": sqlgen.delete_targets_oracle(),
     "wt_page_state_lifecycle": sqlgen.lifecycle_oracle(),
     "wt_lifecycle_replay": sqlgen.lifecycle_oracle(),
+    "wt_stream_replay": sqlgen.lifecycle_oracle(),
 }

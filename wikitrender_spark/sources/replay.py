@@ -1,0 +1,81 @@
+"""File-replay streaming sources (SURVEY.md §7 step 6).
+
+The test/bench twin of the live SSE source (sources/sse.py): replays the
+driver's ``events`` parquet as a Structured Streaming file source with the
+same rc derivation as the batch path (operators/derive.py), so every
+streaming run is oracle-comparable to its batch formulation.
+
+``chunked_event_stream`` splits the table into N seq-ordered files so
+Trigger.AvailableNow processes them as N micro-batches in order — the
+deterministic stand-in for 'the firehose delivered these events over N
+ticks', used by the batch–stream equivalence and purge tests.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.derive import rc_filtered_sql, read_events_raw
+
+#: driver events table schema, with ts read as raw int64 nanos
+#: (spark.sql.legacy.parquet.nanosAsLong — see operators/derive.py).
+EVENTS_SCHEMA = ("event_id long, ts long, user_id long, event_type string, "
+                 "value double, props string")
+
+
+def _derive(spark: SparkSession, raw: DataFrame, view: str) -> DataFrame:
+    raw.createOrReplaceTempView(view)
+    return spark.sql(rc_filtered_sql("spark", view))
+
+
+def rc_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rc event stream off the whole events parquet (one micro-batch
+    under AvailableNow). Same projection/filter SQL as the batch path —
+    Catalyst prunes and pushes into the file-stream scan identically."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory; events.parquet is a single
+    # file inside sf_dir -> select it with a glob filter
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return _derive(spark, raw, "wtr_events_stream")
+
+
+def chunked_event_stream(spark: SparkSession, sf_dir: str, work_dir: str,
+                         n_chunks: int = 4) -> DataFrame:
+    """Split the events table into ``n_chunks`` seq-ranged parquet files
+    under ``work_dir`` and stream them one file per trigger, in order.
+
+    File-source ordering is by modification time, so each chunk's mtime is
+    stamped increasing; maxFilesPerTrigger=1 then yields one ordered
+    micro-batch per chunk.
+    """
+    # chunk boundaries follow the authoritative replay order (ts, seq) —
+    # SURVEY.md §2.9-2 — so each micro-batch is an exact prefix extension
+    # and the chunked stream folds identically to the one-shot batch.
+    src = read_events_raw(spark, sf_dir).withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy("ts", "event_id")) - 1,
+    )
+    n_rows = src.count()
+    step = max(1, (n_rows + n_chunks - 1) // n_chunks)
+    chunk_dir = os.path.join(work_dir, "chunks")
+    for i in range(n_chunks):
+        part = src.filter(
+            (F.col("_rn") >= i * step) & (F.col("_rn") < (i + 1) * step)
+        ).drop("_rn")
+        path = os.path.join(chunk_dir, f"chunk_{i:04d}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        ts = time.time() + i  # strictly increasing mtimes -> replay order
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", 1)
+           .option("recursiveFileLookup", "true")
+           .parquet(chunk_dir))
+    return _derive(spark, raw, "wtr_events_stream_chunked")
