@@ -1,0 +1,66 @@
+"""Sink tests (S4/S7/S8): snapshot merge correctness vs batch replay,
+edit-callback delivery, top-5 report rendering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikitrender_spark.operators import lifecycle
+from wikitrender_spark.operators.derive import rc_events
+from wikitrender_spark.sources import sinks
+from wikitrender_spark.sources.replay import chunked_event_stream
+from wikitrender_spark.streaming import processor
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _group():
+    return F.concat(
+        F.col("wiki"), F.lit("#"), F.regexp_extract(F.col("title"), r"_(\d+)$", 1)
+    )
+
+
+def test_snapshot_sink_converges_to_batch_state(spark, tmp_path):
+    """After the chunked stream drains, the maintained parquet snapshot
+    must equal the batch replay's final state (S4 parity: the snapshot is
+    the engine's queryable 'whole state' export)."""
+    reports: list[tuple[str, int]] = []
+
+    cl = processor.page_state_changelog(
+        chunked_event_stream(spark, SF_DIR, str(tmp_path / "src"), n_chunks=3),
+        _group(),
+    )
+    snap = str(tmp_path / "state_snapshot")
+    q = sinks.state_snapshot_sink(
+        cl, snap, str(tmp_path / "ckpt"),
+        report=lambda name, rows: reports.append((name, len(rows))),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(snap).drop("safe").collect())
+    )
+    exp = sorted(
+        map(tuple,
+            lifecycle.replay_lifecycle(rc_events(spark, SF_DIR), _group()).collect())
+    )
+    assert got == exp
+    # S8: three reports per non-empty batch, 5 rows each
+    names = {n for n, _ in reports}
+    assert names == {"Most edited", "Biggest movers", "Most vibrant"}
+    assert all(k <= 5 for _, k in reports)
+
+
+def test_foreach_edit_callback(spark, tmp_path):
+    seen: list[str] = []
+    cl = processor.page_state_changelog(
+        chunked_event_stream(spark, SF_DIR, str(tmp_path / "src"), n_chunks=2),
+        _group(),
+    )
+    q = sinks.foreach_edit(cl, lambda row: seen.append(row["id"]),
+                           str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) > 400  # every changed page per batch fires once
+    assert "Page_1" in seen

@@ -1,0 +1,101 @@
+"""SSE source tests (S1-S3): wire-protocol parser, file-transcript replay
+through the registered DataSource, JSON decode + flatten (S2)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from wikitrender_spark.sources import sse
+
+
+def test_sse_parser_dispatch_rules():
+    lines = [
+        ": keep-alive comment\n",
+        "event: message\n",
+        "id: [{\"topic\":\"x\",\"offset\":1}]\n",
+        "data: {\"a\": 1,\n",
+        "data:  \"b\": 2}\n",
+        "\n",
+        "data:no-space-value\n",
+        "\n",
+        "retry: 3000\n",
+        "data: tail-without-trailing-blank",
+    ]
+    evs = list(sse.iter_sse_events(lines))
+    assert len(evs) == 3
+    assert evs[0]["event"] == "message"
+    assert evs[0]["id"] == '[{"topic":"x","offset":1}]'
+    assert evs[0]["data"] == '{"a": 1,\n "b": 2}'  # multi-line join, 1 sp strip
+    assert evs[1]["data"] == "no-space-value"
+    assert evs[2]["data"] == "tail-without-trailing-blank"
+
+
+def _write_transcript(path, payloads):
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(": welcome\n\n")
+        for i, p in enumerate(payloads):
+            f.write("event: message\n")
+            f.write(f"id: [{{\"offset\":{i}}}]\n")
+            f.write(f"data: {json.dumps(p)}\n\n")
+
+
+def _payload(i, **over):
+    p = dict(
+        title=f"T{i}", comment="yo", namespace=0, user="Jon", bot=False,
+        type="edit", length={"new": 2 + i, "old": 1}, wiki="enwiki",
+        server_name="en.wikipedia.org", log_type=None, log_action=None,
+        log_params=None, log_action_comment=None,
+        ts="2024-01-01T00:00:%02d" % i, seq=i,
+    )
+    p.update(over)
+    return p
+
+
+def test_sse_datasource_file_replay(spark, tmp_path):
+    payloads = [_payload(i) for i in range(5)]
+    # one event the F1 filter must drop (non-mainspace), one fixup (F3)
+    payloads.append(_payload(5, namespace=2))
+    payloads.append(_payload(6, comment="Fixed error in infobox"))
+    transcript = tmp_path / "stream.sse"
+    _write_transcript(transcript, payloads)
+
+    sse.register_sse_source(spark)
+    raw = (
+        spark.readStream.format("wikimedia_sse")
+        .option("url", f"file://{transcript}")
+        .option("batchwaitseconds", "2.0")
+        .load()
+    )
+    rc = sse.rc_from_sse(raw)
+    name = "sse_replay_test"
+    q = (
+        rc.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 5:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.table(name).orderBy("seq").collect()
+    assert [r["title"] for r in got] == [f"T{i}" for i in range(5)]
+    assert got[0]["length_new"] == 2 and got[0]["length_old"] == 1
+    assert all(r["namespace"] == 0 for r in got)
+
+
+def test_rc_from_sse_flattens_log_events(spark):
+    payload = _payload(0, log_type="log", log_action="move",
+                       log_params={"target": "New_Title"})
+    raw = spark.createDataFrame(
+        [("message", "id0", json.dumps(payload))],
+        "event string, id string, value string",
+    )
+    row = sse.rc_from_sse(raw).first()
+    assert row["log_target"] == "New_Title"
+    assert row["log_action"] == "move"
+    assert row["ts"] is not None

@@ -1,0 +1,112 @@
+"""Sinks S7/S8 + state-snapshot sink (SURVEY.md §2.1).
+
+The reference's consumer surface is a callback per applied edit
+(emitter.emit('edit', page, collection), /root/reference/index.js:341,
+subscribe API index.js:146-148) and a periodic top-5 console report over
+the full live state (examples/index.js:19-71). Mapping:
+
+- ``foreach_edit``        — S7: callback per changed page row per
+  micro-batch (tombstones excluded; the reference only emits on edits).
+- ``state_snapshot_sink`` — S4 analogue + the state surface for S8:
+  per micro-batch, merge the batch's upserts/tombstones into a queryable
+  parquet snapshot of the CURRENT live state (the foreachBatch MERGE
+  pattern; plain-parquet two-phase write since the container has no
+  transactional table format). Optionally renders the reference's three
+  top-5 reports from the merged state after each batch (S8,
+  /root/reference/examples/index.js:19-71) — the report reads the FULL
+  state, not just the batch's changed rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions import metrics
+from ..operators import topk
+
+
+def foreach_edit(changelog: DataFrame, callback: Callable, checkpoint: str
+                 ) -> StreamingQuery:
+    """S7: ``callback(row)`` per changed page per micro-batch. Rows arrive
+    already aggregated (one per page per batch), so callback volume is
+    bounded by live pages, not raw event rate."""
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        for row in batch.filter(~F.col("_deleted")).toLocalIterator():
+            callback(row)
+
+    return (changelog.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(handle).start())
+
+
+def with_report_metrics(state: DataFrame, now) -> DataFrame:
+    """D1-D4 metric columns at one logical ``now`` (clock pin §2.9-1)."""
+    return (
+        state.withColumn("age_min", metrics.age_minutes(F.lit(now), F.col("start")))
+        .withColumn("last_updated_min",
+                    metrics.last_updated_minutes(F.lit(now), F.col("updated")))
+        .withColumn("edits_per_minute", metrics.edits_per_minute(
+            F.col("edits"), F.col("reverts"), F.col("anonEdits"),
+            F.col("age_min")))
+        .withColumn("bias", metrics.bias_from_counts(
+            F.col("max_user_edits"), F.col("total_user_edits")))
+    )
+
+
+def render_top5(state: DataFrame, now,
+                render: Callable[[str, list], None]) -> None:
+    """S8 report body: Q1-Q3 over a state snapshot."""
+    m = with_report_metrics(state, now).cache()
+    try:
+        render("Most edited", topk.most_edited(m).collect())
+        render("Biggest movers", topk.biggest_movers(m).collect())
+        render("Most vibrant", topk.most_vibrant(m).collect())
+    finally:
+        m.unpersist()
+
+
+def _print_render(name: str, rows: list) -> None:  # pragma: no cover
+    print(f"== {name} ==")
+    for r in rows:
+        print(f"  {r['title']}: {r[2]}")
+
+
+def state_snapshot_sink(changelog: DataFrame, table_path: str,
+                        checkpoint: str,
+                        report: Callable[[str, list], None] | bool = False,
+                        ) -> StreamingQuery:
+    """Maintain the live-state parquet snapshot; optionally render S8
+    top-5 reports from it after each merge. ``report=True`` prints to the
+    console (the reference example's sink); a callable customizes it."""
+    render = _print_render if report is True else report
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        cols = [c for c in batch.columns if c not in ("_ver", "_deleted")]
+        upserts = batch.filter(~F.col("_deleted")).select(*cols)
+        keys = batch.select("id").distinct()
+        try:
+            current = spark.read.parquet(table_path)
+            merged = current.join(keys, "id", "left_anti").unionByName(upserts)
+        except Exception:  # first batch: snapshot doesn't exist yet
+            merged = upserts
+        # two-phase write: materialize next to the live snapshot, then
+        # promote — readers never observe a half-written snapshot and the
+        # merge never reads the file it is overwriting.
+        merged.write.mode("overwrite").parquet(table_path + "_next")
+        promoted = spark.read.parquet(table_path + "_next")
+        promoted.write.mode("overwrite").parquet(table_path)
+        if render:
+            state = spark.read.parquet(table_path)
+            now = state.agg(F.max("updated")).first()[0]
+            if now is not None:
+                render_top5(state, now, render)
+
+    return (changelog.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(handle).start())
