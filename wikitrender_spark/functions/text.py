@@ -75,6 +75,27 @@ def token_hashes(text: Column) -> Column:
     return F.transform(tokens(text), poly_hash)
 
 
+def shingle_hashes(text: Column) -> Column:
+    """Array of word-trigram shingle hashes (31-poly over the three token
+    hashes, same arithmetic as the row form) — a narrow per-row projection:
+    sketches built from this never shuffle token rows. Empty for < 3
+    tokens."""
+    ths = token_hashes(text)
+    n = F.size(ths)
+    return F.when(n < 3, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                (F.element_at(ths, i) * HASH_MULT + F.element_at(ths, i + 1))
+                % HASH_MOD
+                * HASH_MULT
+                + F.element_at(ths, i + 2)
+            )
+            % HASH_MOD,
+        )
+    )
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Document fingerprint: the same 31-polynomial rolled over the whole
     text — a deterministic stand-in for a rolling-hash content signature."""

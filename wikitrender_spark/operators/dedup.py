@@ -5,23 +5,30 @@ Scale design (the point of each variant at 100 TB):
 - exact: one hash-aggregate on a 128-bit content digest — the digest
   (md5 here, for oracle portability; xxhash128 in production) collapses
   the shuffle payload from document bytes to 16 bytes + ids.
+- all sketch variants share ONE materialization: ``doc_token_hashes``
+  hashes every token exactly once on exploded rows, then reassembles the
+  ordered per-doc hash array through a single aggregation. Downstream
+  sketches are then pure array arithmetic over that stored column.
+  This shape is deliberate: higher-order-function projections run
+  interpreted (no whole-stage codegen, no common-subexpression
+  elimination), so chaining the hash expression itself into k per-
+  permutation lambdas would recompute the O(doc-length) hash k times per
+  document. Materializing through the aggregation is the CSE barrier.
+- MinHash+LSH: k permutation minima = array_min over transform of the
+  stored shingle-hash array; banding turns near-dup search into an
+  equi-join on band keys — the linear-ish scale path, AQE-skew-safe.
 - n-gram Jaccard: exact pairwise similarity via an inverted index
   (explode distinct shingles -> self-join) — the ground-truth oracle for
   the sketch variants; quadratic in the worst case, only run on candidate
   subsets at scale.
-- MinHash+LSH: per-doc signatures are narrow projections (no shuffle);
-  banding turns near-dup search into an equi-join on band keys — the
-  linear-ish scale path. Band-key groupBy is AQE-skew-safe.
-- SimHash: one 16-bit locality-sensitive fingerprint per doc; Hamming
-  neighbors cluster under prefix buckets.
+- SimHash: 16 bit-vote aggregates over the stored token-hash array;
+  Hamming neighbors cluster under prefix buckets.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from pyspark.sql import Window
 
 from ..functions import similarity as S
 from ..functions import text as T
@@ -44,40 +51,57 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def token_hash_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, th): one row per token with its portable hash.
+def doc_token_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, ths array<long>): per-token portable hashes in token
+    order, each token hashed exactly ONCE (posexplode -> poly_hash per
+    row, whole-stage codegen), then one hash aggregation per doc.
 
-    The explode-to-rows layout (rather than nested array lambdas) is
-    deliberate: the per-token hash is computed exactly once, whole-stage
-    codegen stays flat, and every downstream sketch becomes a plain
-    aggregation — the shape that scales to 100 TB token tables."""
-    return docs.select(
+    Every doc keeps a row: docs with zero tokens get an empty array via
+    the left join (they must still receive sentinel signatures)."""
+    rows = docs.select(
         "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
     ).select("doc_id", "pos", T.poly_hash(F.col("tok")).alias("th"))
-
-
-def shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, shingle): word-trigram shingle hashes via window
-    lead() over the token rows — no self-join, one shuffle on doc_id."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    th1 = F.lead("th", 1).over(w)
-    th2 = F.lead("th", 2).over(w)
+    per_doc = rows.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "th"))),
+            lambda s: s["th"],
+        ).alias("ths")
+    )
     return (
-        token_hash_rows(docs)
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "pos",
-            (
-                ((F.col("th") * 31 + th1) % T.HASH_MOD * 31 + th2) % T.HASH_MOD
-            ).alias("shingle"),
+            F.coalesce(F.col("ths"), F.array().cast("array<long>")).alias("ths"),
         )
-        .filter(F.col("shingle").isNotNull())
+    )
+
+
+def _shingles(ths: Column) -> Column:
+    """Word-trigram shingle hashes from a STORED token-hash array — cheap
+    integer arithmetic, safe to inline into multiple consumers."""
+    n = F.size(ths)
+    return F.when(n < 3, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                (F.element_at(ths, i) * T.HASH_MULT + F.element_at(ths, i + 1))
+                % T.HASH_MOD
+                * T.HASH_MULT
+                + F.element_at(ths, i + 2)
+            )
+            % T.HASH_MOD,
+        )
     )
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct word-trigram shingle hashes."""
-    return shingle_rows(docs).select("doc_id", "shingle").distinct()
+    """(doc_id, shingle) distinct word-trigram shingle hashes (the
+    inverted-index rows for exact Jaccard)."""
+    return doc_token_hashes(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("ths")))).alias("shingle"),
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
@@ -114,27 +138,28 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, signature array<long> of length k): k permutation minima
-    as k plain min() aggregates over the shingle rows (map-side partial
-    min -> tiny shuffle), then packed into an array. Docs with no shingles
-    (< 3 tokens) get the sentinel signature."""
-    sh = shingle_rows(docs)
-    mins = sh.groupBy("doc_id").agg(
+    over the stored shingle array. Docs with no shingles (< 3 tokens) get
+    the sentinel signature."""
+    sentinel = F.array(*[F.lit(S.EMPTY_SIG).cast("long")] * k)
+    mins = F.array(
         *[
-            F.min(
-                ((2 * j + 1) * F.col("shingle") + j * 7919 + 1) % T.HASH_MOD
-            ).alias(f"mh{j}")
+            F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda x: ((2 * j + 1) * x + j * 7919 + 1) % T.HASH_MOD,
+                )
+            )
             for j in range(k)
         ]
     )
-    sentinel = F.array(*[F.lit(S.EMPTY_SIG).cast("long")] * k)
     return (
-        docs.select("doc_id")
-        .join(mins, "doc_id", "left")
+        doc_token_hashes(docs)
+        .select("doc_id", _shingles(F.col("ths")).alias("_sh"))
         .select(
             "doc_id",
-            F.when(F.col("mh0").isNull(), sentinel)
-            .otherwise(F.array(*[F.col(f"mh{j}") for j in range(k)]))
-            .alias("signature"),
+            F.when(F.size("_sh") == 0, sentinel).otherwise(mins).alias(
+                "signature"
+            ),
         )
     )
 
@@ -179,28 +204,26 @@ def near_duplicates(
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash as 16 vote-sum aggregates over the token-hash rows
-    (bit j of the hash votes +1/-1; bit set iff the sum is positive).
+    """16-bit SimHash: 16 bit-vote folds over the stored token-hash array
+    (bit j of each hash votes +1/-1; bit set iff the sum is positive).
     Docs with zero tokens hash to 0."""
-    th = token_hash_rows(docs)
-    p2 = [F.lit(2 ** j).cast("long") for j in range(16)]
-    votes = th.groupBy("doc_id").agg(
-        *[
-            F.sum(((F.col("th") / p2[j]).cast("long") % 2) * 2 - 1).alias(f"v{j}")
-            for j in range(16)
-        ]
-    )
+    votes = [
+        F.aggregate(
+            F.col("ths"),
+            F.lit(0).cast("long"),
+            lambda a, x: a
+            + (x.bitwiseAND(F.lit(2 ** j).cast("long")) != 0).cast("long") * 2
+            - 1,
+        )
+        for j in range(16)
+    ]
     sim = sum(
-        (F.when(F.col(f"v{j}") > 0, 2 ** j).otherwise(0) for j in range(16)),
+        (F.when(votes[j] > 0, 2 ** j).otherwise(0) for j in range(16)),
         F.lit(0),
     ).cast("long")
-    return (
-        docs.select("doc_id")
-        .join(votes, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("v0").isNull(), F.lit(0).cast("long"))
-            .otherwise(sim)
-            .alias("simhash"),
-        )
+    return doc_token_hashes(docs).select(
+        "doc_id",
+        F.when(F.size("ths") == 0, F.lit(0).cast("long"))
+        .otherwise(sim)
+        .alias("simhash"),
     )

@@ -81,9 +81,17 @@ def _cuts(logs: DataFrame) -> DataFrame:
 
 def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataFrame:
     """Final page_state after applying deletes, moves and protects in
-    replay order (declarative formulation; see module docstring)."""
+    replay order (declarative formulation; see module docstring).
+
+    Scan economics: log events are a sliver of the stream (~0.1% here; the
+    same on the real firehose) but feed ~10 subtrees (cuts, last-cut,
+    moves, protect windows). They are cached once — every later use is a
+    broadcast off the cached sliver instead of a fresh scan of the full
+    event set. Edit events are scanned exactly twice (direct + adopted
+    lifetimes); `first_edit_seq` rides along inside the main aggregation
+    (with_first_seq) rather than a third scan + groupBy + join."""
     e = classified_edit_events(rc)
-    logs = log_events(rc)
+    logs = log_events(rc).cache()
     cuts = _cuts(logs)
 
     last_cut = cuts.groupBy("id").agg(F.max("seq").alias("cut_seq"))
@@ -92,8 +100,8 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
     live = e.join(F.broadcast(last_cut), "id", "left").filter(
         (F.col("cut_seq").isNull()) | (F.col("seq") > F.col("cut_seq"))
     )
-    base = aggregate_classified(live.drop("cut_seq"), with_collections)
-    first_edit = live.groupBy("id").agg(F.min("seq").alias("first_edit_seq"))
+    base = aggregate_classified(live.drop("cut_seq"), with_collections,
+                                with_first_seq=True)
 
     protects = logs.filter(F.col("log_action") == "protect").select(
         "id", F.col("seq").alias("pr_seq")
@@ -108,8 +116,7 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
         .agg(F.max("pr_seq").alias("max_pr_seq"))
     )
     direct = (
-        base.join(F.broadcast(first_edit), "id", "left")
-        .join(F.broadcast(pr), "id", "left")
+        base.join(F.broadcast(pr), "id", "left")
         .withColumn(
             "isProtected",
             F.coalesce(
@@ -147,10 +154,7 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
         (F.col("seq") > F.col("prev_cut_seq")) & (F.col("seq") <= F.col("mv_seq"))
     )
     adopted_state = aggregate_classified(
-        adopted_edits.select(e.columns), with_collections
-    )
-    adopted_first = adopted_edits.groupBy("id").agg(
-        F.min("seq").alias("first_edit_seq")
+        adopted_edits.select(e.columns), with_collections, with_first_seq=True
     )
     adopted_pr = (
         protects.join(F.broadcast(window_bounds), "id")
@@ -162,7 +166,6 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
     zero = F.lit(0).cast("long")
     adopted = (
         window_bounds.join(adopted_state, "id", "left")
-        .join(F.broadcast(adopted_first), "id", "left")
         .join(F.broadcast(adopted_pr), "id", "left")
         .select(
             F.col("dst_id").alias("id"),

@@ -76,16 +76,23 @@ def page_state(rc: DataFrame, with_collections: bool = True) -> DataFrame:
     return aggregate_classified(classified_edit_events(rc), with_collections)
 
 
-def aggregate_classified(e: DataFrame, with_collections: bool = True) -> DataFrame:
+def aggregate_classified(e: DataFrame, with_collections: bool = True,
+                         with_first_seq: bool = False) -> DataFrame:
     """The two-level aggregation over an (optionally pre-windowed) set of
     classified edit events — see module docstring for semantics.
 
     wiki/title ride along in the GROUPING KEY (id determines both, 1:1 by
     construction): string MIN/MAX aggregates have var-length buffers and
     would force SortAggregate; keeping every aggregate fixed-width keeps
-    both levels HashAggregate with map-side partial combine."""
+    both levels HashAggregate with map-side partial combine.
+
+    with_first_seq adds a `first_edit_seq` column (min event seq per page)
+    as one more fixed-width aggregate — the lifecycle operator needs it,
+    and folding it in here avoids a separate groupBy + join over a second
+    scan of the event set."""
     # level 1: per (page, editor)
     lvl1 = e.groupBy("id", "wiki", "title", "user").agg(
+        *([F.min("seq").alias("p_min_seq")] if with_first_seq else []),
         F.sum(F.when(F.col("eligible"), 1).otherwise(0)).alias("user_edits"),
         F.max("is_anon").alias("is_anon"),
         F.sum(F.when(F.col("eligible") & F.col("is_anon"), 1).otherwise(0)).alias(
@@ -105,6 +112,7 @@ def aggregate_classified(e: DataFrame, with_collections: bool = True) -> DataFra
     )
 
     agg_cols = [
+        *([F.min("p_min_seq").alias("first_edit_seq")] if with_first_seq else []),
         F.sum("user_edits").alias("edits"),
         F.sum("p_anon_edits").alias("anonEdits"),
         F.max("p_is_new").alias("isNew"),
