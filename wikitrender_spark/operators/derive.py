@@ -107,9 +107,18 @@ def duckdb_rc_cte(filtered: bool = True) -> str:
 
 
 def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the driver's events parquet (nanos timestamps -> LongType)."""
+    """Read the driver's events parquet (nanos timestamps -> LongType).
+
+    Spread across cores when the file gives fewer splits than cores (see
+    schemas.load_table): the rc derivation above this scan is a wide CASE
+    projection whose per-row cost dominates at small byte sizes. The guard
+    never fires at real scale (file splits >> cores)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def rc_events(spark: SparkSession, sf_dir: str, filtered: bool = True) -> DataFrame:

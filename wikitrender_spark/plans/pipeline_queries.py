@@ -73,11 +73,11 @@ cands AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return load_table(spark, sf_dir, "documents", spread=True)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return load_table(spark, sf_dir, "embeddings", spread=True)
 
 
 # --- text analysis -----------------------------------------------------------

@@ -163,9 +163,22 @@ TESTDATA_TABLES = (
 )
 
 
-def load_table(spark, sf_dir: str, name: str):
+def load_table(spark, sf_dir: str, name: str, spread: bool = False):
     """Read one driver-provided parquet table. Parquet scans give us
     predicate pushdown / column pruning / partition-sized splits for free —
     at 100 TB the same call works, with splits governed by
-    spark.sql.files.maxPartitionBytes."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    spark.sql.files.maxPartitionBytes.
+
+    spread=True: if the scan yields fewer splits than cores (byte-light
+    but compute-heavy tables — documents/embeddings feeding hash/HOF
+    projections where per-row cost, not bytes, dominates), round-robin
+    repartition to defaultParallelism. At 100 TB the file count alone
+    exceeds any core count, the guard never fires, and the scan shape is
+    untouched — this only ever pays one tiny extra shuffle to stop a
+    single task from serializing all sketch compute."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df

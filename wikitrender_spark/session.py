@@ -29,6 +29,11 @@ def get_spark(app_name: str = "wikitrender-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # our sketch/HOF stages are compute-bound at tiny byte sizes; the
+        # default 1m floor lets AQE coalesce them to ONE task. 16k keeps
+        # post-shuffle parallelism for byte-light rows and is irrelevant
+        # once partitions are MB-sized (any real scale factor).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
