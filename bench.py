@@ -33,11 +33,16 @@ HEADLINE = [
     "rel_top_customers",
     "rel_regional_revenue",
     "rel_topk_per_brand",
+    "rel_signup_burst",
+    "wt_windowed_activity",
+    "wt_session_activity",
     "tx_token_stats",
     "dd_minhash_signatures",
     "dd_lsh_candidates",
     "dd_near_duplicates",
+    "dd_embedding_neardup",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "mm_media_features",
 ]
 

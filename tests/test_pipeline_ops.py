@@ -154,3 +154,52 @@ def test_frame_sample(spark):
 def test_fake_decode_is_stub_guarded():
     with pytest.raises(NotImplementedError):
         multimodal._decode_image_real(b"bytes")
+
+
+def _emb_df(spark, vecs, labels=None):
+    labels = labels or [i % 2 for i in range(len(vecs))]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], int(l)) for i, (v, l) in enumerate(zip(vecs, labels))],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_ivf_cells_assign_nearest_centroid(spark):
+    # two well-separated clusters along axes 0 and 1; labels seed the cells
+    vecs = [[1.0, 0.1], [0.9, 0.0], [0.1, 1.0], [0.0, 0.9]]
+    emb = _emb_df(spark, vecs, labels=[0, 0, 1, 1])
+    cents = ann.ivf_centroids(emb)
+    cells = {r["vec_id"]: r["cell"] for r in ann.ivf_cells(emb, cents).collect()}
+    assert cells == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_ivf_topk_matches_bruteforce_on_separable_data(spark):
+    # all vectors land in probed cells -> IVF == brute force exactly
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.8, 0.2], [0.0, 1.0], [0.1, 0.9], [0.2, 0.8]]
+    emb = _emb_df(spark, vecs, labels=[0, 0, 0, 1, 1, 1])
+    bf = sorted(map(tuple, ann.brute_force_topk(emb, [0], k=5).collect()))
+    ivf = sorted(map(tuple, ann.ivf_topk(emb, [0], k=5, nprobe=2).collect()))
+    assert ivf == bf
+
+
+def test_embedding_near_duplicates_finds_clones(spark):
+    vecs = [[1.0, 0.0, 0.0], [1.0, 0.001, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    emb = _emb_df(spark, vecs)
+    pairs = {(r["vec_a"], r["vec_b"]): r["sim"]
+             for r in ann.embedding_near_duplicates(emb, threshold=0.9).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] > 0.999
+
+
+def test_documents_as_video_frame_counts(spark):
+    d = docs_df(spark, ["x" * 10, "y" * 130])
+    media = multimodal.documents_as_video(d)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[0]["meta"]["n_frames"] == 18      # 8 + 10 % 120
+    assert rows[1]["meta"]["n_frames"] == 8 + 130 % 120
+    sampled = multimodal.frame_sample(media, every_n=10).collect()
+    per = {}
+    for r in sampled:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(per[0]) == [0, 10]              # frames 0..17 step 10
+    assert sorted(per[1]) == [0, 10]              # frames 0..17 step 10

@@ -159,3 +159,40 @@ def test_epm_clamp():
     assert fold.edits_per_minute(page, 0.5) == 5.0
     assert fold.edits_per_minute(page, 10.0) == 0.5
     assert fold.edits_per_minute(dict(edits=0), 10.0) == 0.0
+
+
+# --- event-time windowed aggregation (watermark + tumbling window) ----------
+def _batch_windowed(spark):
+    from wikitrender_spark.operators.page_state import classified_edit_events
+    from wikitrender_spark.streaming import windows
+
+    return windows.windowed_activity_agg(
+        classified_edit_events(rc_events(spark, SF_DIR))
+    )
+
+
+def test_windowed_stream_append_equals_batch(spark):
+    """Watermarked two-level window agg (multi-stateful chain) across 4
+    micro-batches, append mode: every emitted (finalized) window matches
+    the batch formulation exactly, and all windows comfortably below the
+    final watermark are present."""
+    from wikitrender_spark.streaming import windows
+
+    batch_rows = {r[0]: tuple(r) for r in _batch_windowed(spark).collect()}
+    with tempfile.TemporaryDirectory() as d:
+        win = windows.windowed_activity_stream(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=4),
+            watermark_delay="2 hours",
+        )
+        t = windows.run_windowed_to_memory(
+            win, "t_win_append", d + "/ckpt", mode="append"
+        )
+        got = {r[0]: tuple(r) for r in t.collect()}
+    assert got  # something finalized
+    for start_us, row in got.items():
+        assert batch_rows[start_us] == row  # emitted == batch, exactly
+    # every window older than (max event time - delay - slack) must emit
+    max_us = max(batch_rows)
+    horizon = max_us - (2 + 1 + 1) * 3600 * 1000000
+    missing = [s for s in batch_rows if s < horizon and s not in got]
+    assert not missing

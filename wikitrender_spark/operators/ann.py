@@ -21,6 +21,20 @@ from ..functions import similarity as S
 N_PLANES = 8
 EMB_DIM = 64
 
+# IVF coarse quantizer: centroid components rounded to this many decimals
+# so the (order-dependent) parallel mean is engine-stable; a coarse
+# quantizer needs no more precision.
+CENTROID_DP = 4
+N_PROBE = 2
+
+# embedding near-dup: 4 bands x 2 hyperplanes sliced out of the 8-plane
+# bucket. At production dims/thresholds you'd raise planes-per-band and
+# band count together (recall ~ 1-(1-p^r)^b); 4x2 keeps recall ~0.87 at
+# cosine 0.4 on 64-dim data.
+EMB_BANDS = 4
+EMB_BAND_PLANES = 2
+EMB_NEARDUP_THRESHOLD = 0.4
+
 
 def _cosine_col() -> "F.Column":
     return F.round(
@@ -63,6 +77,180 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return emb.select(
         "vec_id",
         S.hyperplane_bucket(F.col("embedding"), n_planes, EMB_DIM).alias("bucket"),
+    )
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse quantizer for IVF: one k-means refinement step seeded by the
+    corpus `label` column (cell = label, centroid = mean embedding of the
+    cell). Cost at scale: one (label, dim_idx) aggregation — n_cells*dim
+    tiny groups, map-side partials do almost all the work.
+
+    Components are rounded to CENTROID_DP decimals BEFORE any similarity
+    math so the parallel (order-dependent) mean is bit-stable across
+    engines; every downstream fold then runs on identical inputs."""
+    rows = emb.select(
+        "label", F.posexplode(S.to_double(F.col("embedding"))).alias("i", "x")
+    )
+    means = rows.groupBy("label", "i").agg(
+        F.round(F.avg("x"), CENTROID_DP).alias("m")
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+
+
+def ivf_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Cell assignment (nearest centroid by rounded cosine, lowest cell on
+    ties) with ZERO shuffle on the corpus side: the centroid table is
+    collapsed to one broadcast row of struct array sorted by cell, and the
+    argmax is a per-row fold — no exchange of the (huge) vector relation,
+    unlike a window/groupBy argmax formulation."""
+    packed = cents.select(
+        "cell", "centroid", S.l2_norm(F.col("centroid")).alias("c_nrm")
+    )
+    one = packed.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid", "c_nrm"))).alias(
+            "cs"
+        )
+    )
+    v = S.to_double(F.col("embedding"))
+    df = emb.crossJoin(F.broadcast(one)).withColumn("v_nrm", S.l2_norm(v))
+
+    def step(acc, c):
+        csim = F.round(
+            S.dot(v, c["centroid"]) / (F.col("v_nrm") * c["c_nrm"]), 6
+        )
+        return F.when(
+            csim > acc["csim"],
+            F.struct(csim.alias("csim"), c["cell"].alias("cell")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("cs"),
+        F.struct(
+            F.lit(-2.0).cast("double").alias("csim"),
+            F.lit(-1).cast("int").alias("cell"),
+        ),
+        step,
+    )
+    return df.select("vec_id", best["cell"].alias("cell"))
+
+
+def _centroid_ranks(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, crank): centroids ranked per vector by rounded
+    cosine desc, cell asc. Window formulation — only used on the tiny
+    query set (probe selection)."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(
+            S.cosine(S.to_double(F.col("embedding")), F.col("centroid")), 6
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    return scored.withColumn("crank", F.row_number().over(w))
+
+
+def ivf_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10, nprobe: int = N_PROBE
+) -> DataFrame:
+    """IVF cell-probe ANN: assign every vector to its nearest centroid,
+    probe the query's nprobe nearest cells, rescore candidates exactly.
+    The scale shape: candidate generation is a broadcast(probes)-to-cells
+    equi-join on `cell` — the corpus is touched once for assignment (no
+    shuffle, see ivf_cells) and once for the probe join."""
+    cents = ivf_centroids(emb)
+    cells = ivf_cells(emb, cents)
+    q = emb.filter(F.col("vec_id").isin(query_ids))
+    probes = (
+        _centroid_ranks(q, cents)
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = F.broadcast(probes).join(cells, "cell").select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    qe = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(ne, "neighbor_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                S.cosine(S.to_double(F.col("q_emb")), S.to_double(F.col("n_emb"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_band_keys(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, band_idx, band_key): the 8-plane hyperplane bucket sliced
+    into EMB_BANDS bands of EMB_BAND_PLANES sign bits each."""
+    b = lsh_buckets(emb, n_planes)
+    step = 2**EMB_BAND_PLANES
+    bands = F.array(
+        *[F.expr(f"(bucket div {step ** k}) % {step}") for k in range(EMB_BANDS)]
+    )
+    return b.select(
+        "vec_id", F.posexplode(bands).alias("band_idx", "band_key")
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame, threshold: float = EMB_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded hyperplane-LSH candidates
+    (equi-join on (band_idx, band_key) — the linear-ish scale path) then
+    exact cosine verification at `threshold`."""
+    banded = embedding_band_keys(emb)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                S.cosine(S.to_double(F.col("emb_a")), S.to_double(F.col("emb_b"))),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
     )
 
 

@@ -51,6 +51,23 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_video(docs: DataFrame) -> DataFrame:
+    """Adapter: wrap documents as a video media table with a deterministic
+    per-row frame count (8 + len % 120) in meta.n_frames, so the
+    frame-sampling stage is exercised on driver-provided data."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.lit(8) + F.length("text") % 120).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def _decode_image_real(payload: bytes) -> "object":
     """Real decode kernel — requires an image codec library that is not in
     this container. The fake below preserves the exact interface."""

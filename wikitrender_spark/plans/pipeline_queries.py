@@ -366,6 +366,101 @@ WHERE rank <= {ANN_K}"""
 )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+_DOT64 = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+
+_IVF_CTE = f"""
+e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+nrm AS (SELECT vec_id,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+                           (a, b) -> a + b)) AS nrm
+        FROM e),
+cm AS (SELECT label, i, round(avg(emb[i]), {ann.CENTROID_DP}) AS m
+       FROM e, (SELECT unnest(range(1, 65)) AS i) ii GROUP BY label, i),
+cent AS (SELECT label AS cell, list(m ORDER BY i) AS centroid FROM cm GROUP BY label),
+cnrm AS (SELECT cell,
+           sqrt(list_reduce(list_prepend(0.0, list_transform(centroid, x -> x*x)),
+                            (a, b) -> a + b)) AS c_nrm
+         FROM cent),
+vs AS (
+  SELECT e.vec_id, c.cell,
+    round({_DOT64.format(a='e.emb', b='c.centroid')} / (n.nrm * cn.c_nrm), 6) AS csim
+  FROM e CROSS JOIN cent c
+  JOIN nrm n ON n.vec_id = e.vec_id
+  JOIN cnrm cn ON cn.cell = c.cell),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY csim DESC, cell ASC) AS rn FROM vs) t
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY csim DESC, cell ASC) AS rn
+    FROM vs WHERE vec_id IN ({_QIDS})) t
+  WHERE rn <= {ann.N_PROBE})"""
+
+ANN_IVF_TOPK_SQL = f"""
+WITH {_IVF_CTE},
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+    round({_DOT64.format(a='q.emb', b='n.emb')} / (nq.nrm * nn.nrm), 6) AS sim
+  FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e n ON n.vec_id = c.vec_id
+  JOIN nrm nq ON nq.vec_id = p.query_id
+  JOIN nrm nn ON nn.vec_id = c.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {ANN_K}"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.embedding_near_duplicates(_emb(spark, sf_dir))
+
+
+_EMB_BAND_STEP = 2**ann.EMB_BAND_PLANES
+
+EMBEDDING_NEARDUP_SQL = (
+    "WITH "
+    + _BUCKET_CTE.format(planes=_planes_values_sql())
+    + f""",
+banded AS (
+  SELECT vec_id, k AS band_idx,
+    (bucket // CAST(pow({_EMB_BAND_STEP}, k) AS BIGINT)) % {_EMB_BAND_STEP} AS band_key
+  FROM bkt, (SELECT unnest(range(0, {ann.EMB_BANDS})) AS k) ks),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.vec_id < b.vec_id),
+nrm AS (SELECT vec_id,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+                           (a, b) -> a + b)) AS nrm
+        FROM e),
+verified AS (
+  SELECT c.vec_a, c.vec_b,
+    round({_DOT64.format(a='ea.emb', b='eb.emb')} / (na.nrm * nb.nrm), 6) AS sim
+  FROM cands c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
+  JOIN nrm na ON na.vec_id = c.vec_a
+  JOIN nrm nb ON nb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, sim FROM verified
+WHERE sim >= {ann.EMB_NEARDUP_THRESHOLD}"""
+)
+
+
 # --- multimodal binary plumbing ----------------------------------------------------
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature stage over binary payloads (fake decode
@@ -387,6 +482,19 @@ SELECT doc_id AS media_id, 'text' AS kind,
 FROM documents"""
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: documents wrapped as video payloads with a
+    deterministic frame count, one row per sampled frame index."""
+    media = multimodal.documents_as_video(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, every_n=10)
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+  CAST(unnest(range(0, 8 + length(text) % 120, 10)) AS INT) AS frame_idx
+FROM documents"""
+
+
 QUERIES = {
     "tx_token_stats": q_token_stats,
     "tx_quality": q_quality,
@@ -398,10 +506,13 @@ QUERIES = {
     "dd_lsh_candidates": q_lsh_candidates,
     "dd_near_duplicates": q_near_duplicates,
     "dd_simhash": q_simhash,
+    "dd_embedding_neardup": q_embedding_neardup,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "mm_media_features": q_media_features,
+    "mm_frame_sample": q_frame_sample,
 }
 
 ORACLES = {
@@ -415,8 +526,11 @@ ORACLES = {
     "dd_lsh_candidates": LSH_CANDIDATES_SQL,
     "dd_near_duplicates": NEAR_DUPS_SQL,
     "dd_simhash": SIMHASH_SQL,
+    "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
+    "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "mm_media_features": MEDIA_FEATURES_SQL,
+    "mm_frame_sample": FRAME_SAMPLE_SQL,
 }

@@ -239,6 +239,124 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
 
 
+# --- cube / grouping sets ------------------------------------------------------
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority) with a distinct aggregate —
+    all 4 grouping sets in one pass (Catalyst expands to a single
+    aggregate over an exploded grouping-id, SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+CUBE_SUMMARY_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  round(sum(o_totalprice), 2) AS revenue,
+  count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+
+# --- range (interval) join ------------------------------------------------------
+def q_signup_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + time-range join: for each signup event, purchases by the
+    same user within the following 72 hours. Spark plans the equi part as
+    the join key (hash/SMJ on user_id) with the range as a post-filter —
+    the scale-safe shape for event-window joins (the pure-range form
+    without an equi key would need a broadcast nested loop)."""
+    from ..operators.derive import read_events_raw
+
+    ev = read_events_raw(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+        "value",
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    j = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("signup_ts"))
+        & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 72 HOURS")),
+        "left",
+    )
+    return j.groupBy("signup_id", "user_id").agg(
+        F.count("p_ts").alias("n_purchases"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("purchase_value"),
+    )
+
+
+SIGNUP_BURST_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events),
+s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+      FROM ev WHERE event_type = 'signup'),
+p AS (SELECT user_id AS p_user, ts AS p_ts, value
+      FROM ev WHERE event_type = 'purchase')
+SELECT signup_id, user_id,
+  count(p_ts) AS n_purchases,
+  round(coalesce(sum(value), 0.0), 2) AS purchase_value
+FROM s LEFT JOIN p
+  ON user_id = p_user AND p_ts > signup_ts
+     AND p_ts <= signup_ts + INTERVAL 72 HOUR
+GROUP BY signup_id, user_id"""
+
+
+# --- band (non-equi theta) join --------------------------------------------------
+def q_acctbal_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join: supplier pairs in the same nation with account
+    balances within 500 of each other. Equi on nation bounds the
+    candidate set; at scale with a skewed band key you'd bucket the
+    balance axis (floor(bal/width)) and join adjacent buckets."""
+    sup = load_table(spark, sf_dir, "supplier")
+    a = sup.alias("a")
+    b = sup.alias("b")
+    gap = F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal"))
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+            & (gap <= 500.0),
+        )
+        .select(
+            F.col("a.s_nationkey").alias("nationkey"),
+            F.col("a.s_suppkey").alias("s1"),
+            F.col("b.s_suppkey").alias("s2"),
+            F.round(gap, 2).alias("bal_gap"),
+        )
+    )
+
+
+ACCTBAL_BAND_PAIRS_SQL = """
+SELECT a.s_nationkey AS nationkey, a.s_suppkey AS s1, b.s_suppkey AS s2,
+  round(abs(a.s_acctbal - b.s_acctbal), 2) AS bal_gap
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+     AND abs(a.s_acctbal - b.s_acctbal) <= 500.0"""
+
+
 # --- semi / anti joins ---------------------------------------------------------
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (NOT EXISTS). Spark plans a broadcast/shuffled hash
@@ -346,6 +464,9 @@ QUERIES = {
     "rel_running_revenue": q_running_revenue,
     "rel_asof_last_signup": q_asof_last_signup,
     "rel_rollup_orders": q_rollup_orders,
+    "rel_cube_summary": q_cube_summary,
+    "rel_signup_burst": q_signup_burst,
+    "rel_acctbal_band_pairs": q_acctbal_band_pairs,
     "rel_customers_without_orders": q_customers_without_orders,
     "rel_suppliers_with_shipments": q_suppliers_with_shipments,
     "rel_nation_set_ops": q_nation_set_ops,
@@ -360,6 +481,9 @@ ORACLES = {
     "rel_running_revenue": RUNNING_REVENUE_SQL,
     "rel_asof_last_signup": ASOF_LAST_SIGNUP_SQL,
     "rel_rollup_orders": ROLLUP_ORDERS_SQL,
+    "rel_cube_summary": CUBE_SUMMARY_SQL,
+    "rel_signup_burst": SIGNUP_BURST_SQL,
+    "rel_acctbal_band_pairs": ACCTBAL_BAND_PAIRS_SQL,
     "rel_customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "rel_suppliers_with_shipments": SUPPLIERS_WITH_SHIPMENTS_SQL,
     "rel_nation_set_ops": NATION_SET_OPS_SQL,

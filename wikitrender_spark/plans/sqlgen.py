@@ -203,6 +203,45 @@ FROM rc
 WHERE log_type = 'log' AND log_action = 'delete'"""
 
 
+def windowed_activity_oracle() -> str:
+    """Tumbling 1-hour event-time windows over classified edit events
+    (Spark's window() aligns to epoch => date_trunc('hour'))."""
+    return f"""WITH {classified_events_cte()}
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+  count(*) AS n_events,
+  CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT) AS n_edits,
+  CAST(sum(CASE WHEN is_revert THEN 1 ELSE 0 END) AS BIGINT) AS n_reverts,
+  count(DISTINCT id) AS n_pages,
+  CAST(sum(CASE WHEN is_revert OR NOT is_bot THEN delta ELSE 0 END) AS BIGINT)
+    AS total_delta
+FROM e2 GROUP BY 1, 2"""
+
+
+def session_activity_oracle(gap_hours: int) -> str:
+    """Per-page session windows with a `gap_hours` inactivity gap —
+    lag-gap-cumsum sessionization, matching Spark's session_window merge
+    rule (same session iff ts - prev_ts < gap, half-open)."""
+    return f"""WITH {classified_events_cte()},
+marked AS (
+  SELECT id, ts, seq,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL {gap_hours} HOUR
+         THEN 1 ELSE 0 END AS brk
+  FROM e2
+  WINDOW w AS (PARTITION BY id ORDER BY ts, seq)
+),
+sess AS (
+  SELECT id, ts,
+    sum(brk) OVER (PARTITION BY id ORDER BY ts, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS last_us, count(*) AS n_events
+FROM sess GROUP BY id, sid"""
+
+
 def lifecycle_oracle() -> str:
     """Oracle for page_state_lifecycle (operators/lifecycle.py): final
     state after deletes (cuts), moves (state adoption at the last move per

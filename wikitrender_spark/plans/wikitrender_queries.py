@@ -107,6 +107,37 @@ def q_delete_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_HOURS = 12
+
+
+def q_windowed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 1-hour windows over the classified edit stream
+    (SURVEY.md §2.7 'free when we add event-time variants'). Batch form of
+    the watermarked streaming aggregation in streaming/windows.py — the
+    two are equivalence-tested in tests/test_streaming.py."""
+    from ..streaming.windows import windowed_activity_agg
+
+    rc = rc_events(spark, sf_dir)
+    return windowed_activity_agg(classified_edit_events(rc))
+
+
+def q_session_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page session windows (12h inactivity gap) via session_window —
+    the dynamic-gap groupBy the reference's cumulative state never had."""
+    rc = rc_events(spark, sf_dir)
+    e = classified_edit_events(rc).select("id", "ts")
+    return (
+        e.groupBy(F.session_window("ts", f"{SESSION_GAP_HOURS} hours"), F.col("id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros("last_ts").alias("last_us"),
+            "n_events",
+        )
+    )
+
+
 _LIFECYCLE_COLS = [
     "id", "wiki", "title", "edits", "anonEdits", "isNew", "notabilityFlags",
     "volatileFlags", "reverts", "bytesChanged", "n_contributors", "n_anons",
@@ -172,6 +203,8 @@ QUERIES = {
     "wt_most_vibrant": q_most_vibrant,
     "wt_purge_survivors": q_purge_survivors,
     "wt_classify_counts": q_classify_counts,
+    "wt_windowed_activity": q_windowed_activity,
+    "wt_session_activity": q_session_activity,
     "wt_delete_targets": q_delete_targets,
     "wt_page_state_lifecycle": q_page_state_lifecycle,
     "wt_lifecycle_replay": q_lifecycle_replay,
@@ -185,6 +218,8 @@ ORACLES = {
     "wt_most_vibrant": sqlgen.q3_oracle(),
     "wt_purge_survivors": sqlgen.purge_oracle(**PURGE_PARAMS),
     "wt_classify_counts": sqlgen.classify_counts_oracle(),
+    "wt_windowed_activity": sqlgen.windowed_activity_oracle(),
+    "wt_session_activity": sqlgen.session_activity_oracle(SESSION_GAP_HOURS),
     "wt_delete_targets": sqlgen.delete_targets_oracle(),
     "wt_page_state_lifecycle": sqlgen.lifecycle_oracle(),
     "wt_lifecycle_replay": sqlgen.lifecycle_oracle(),
