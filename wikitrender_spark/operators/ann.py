@@ -36,11 +36,25 @@ EMB_BAND_PLANES = 2
 EMB_NEARDUP_THRESHOLD = 0.4
 
 
-def _cosine_col() -> "F.Column":
+def _with_norm(
+    emb: DataFrame, id_alias: str, emb_alias: str, nrm_alias: str
+) -> DataFrame:
+    """Project (id, embedding, l2-norm): norms are computed once per
+    VECTOR here, not once per candidate pair — pairwise scoring then costs
+    one dot fold instead of three (dot + 2 norms). cosine(a,b) =
+    dot/(nrm_a*nrm_b) is the exact same expression S.cosine inlines, so
+    values (and the DuckDB oracle twin) are unchanged."""
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").alias(emb_alias),
+        S.l2_norm(S.to_double(F.col("embedding"))).alias(nrm_alias),
+    )
+
+
+def _pair_sim() -> "F.Column":
     return F.round(
-        S.cosine(
-            S.to_double(F.col("q.embedding")), S.to_double(F.col("c.embedding"))
-        ),
+        S.dot(S.to_double(F.col("q_emb")), S.to_double(F.col("n_emb")))
+        / (F.col("q_nrm") * F.col("n_nrm")),
         6,
     )
 
@@ -50,17 +64,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query (self excluded); rounded similarity is
     the rank key so ordering is engine-portable."""
-    q = emb.filter(F.col("vec_id").isin(query_ids)).alias("q")
-    c = emb.alias("c")
+    q = _with_norm(emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm")
+    c = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
-        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            _cosine_col().alias("sim"),
-        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pair_sim().alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -177,24 +187,13 @@ def ivf_topk(
     cand = F.broadcast(probes).join(cells, "cell").select(
         "query_id", F.col("vec_id").alias("neighbor_id")
     )
-    qe = q.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    ne = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
-    )
+    qe = _with_norm(q, "query_id", "q_emb", "q_nrm")
+    ne = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
     scored = (
         cand.filter(F.col("query_id") != F.col("neighbor_id"))
         .join(ne, "neighbor_id")
         .join(F.broadcast(qe), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                S.cosine(S.to_double(F.col("q_emb")), S.to_double(F.col("n_emb"))),
-                6,
-            ).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", _pair_sim().alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -236,19 +235,12 @@ def embedding_near_duplicates(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    ea = _with_norm(emb, "vec_a", "q_emb", "q_nrm")
+    eb = _with_norm(emb, "vec_b", "n_emb", "n_nrm")
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                S.cosine(S.to_double(F.col("emb_a")), S.to_double(F.col("emb_b"))),
-                6,
-            ).alias("sim"),
-        )
+        .select("vec_a", "vec_b", _pair_sim().alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
@@ -259,17 +251,22 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket."""
     with_bucket = emb.join(lsh_buckets(emb, n_planes), "vec_id")
-    q = with_bucket.filter(F.col("vec_id").isin(query_ids)).alias("q")
-    c = with_bucket.alias("c")
+
+    def project(src: DataFrame, role: str) -> DataFrame:
+        return src.select(
+            F.col("vec_id").alias("query_id" if role == "q" else "neighbor_id"),
+            F.col("embedding").alias(f"{role}_emb"),
+            S.l2_norm(S.to_double(F.col("embedding"))).alias(f"{role}_nrm"),
+            F.col("bucket").alias(f"{role}_bucket"),
+        )
+
+    q = project(with_bucket.filter(F.col("vec_id").isin(query_ids)), "q")
+    c = project(with_bucket, "n")
     scored = (
         F.broadcast(q)
-        .join(c, F.col("q.bucket") == F.col("c.bucket"))
-        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            _cosine_col().alias("sim"),
-        )
+        .join(c, F.col("q_bucket") == F.col("n_bucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pair_sim().alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
