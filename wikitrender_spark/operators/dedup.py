@@ -195,11 +195,33 @@ def near_duplicates(
     docs: DataFrame, threshold: float = NEAR_DUP_THRESHOLD
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the full
-    minhash -> band -> bucket-join -> verify pipeline."""
+    minhash -> band -> bucket-join -> verify pipeline.
+
+    Verification touches ONLY candidate pairs: each side joins its stored
+    distinct-shingle array and the intersection is a per-pair
+    array_intersect — O(candidates * shingles), not the inverted-index
+    self-join over all pairs (that quadratic ground-truth path exists
+    separately as ngram_jaccard_pairs). Same jaccard arithmetic as the
+    oracle: |a∩b| / (|a|+|b|-|a∩b|), rounded to 6; zero-intersection
+    pairs (incl. sentinel-signature empty docs) fall out as NULL/0."""
     cands = lsh_candidate_pairs(docs)
-    exact = ngram_jaccard_pairs(docs, threshold)
-    return cands.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    sets = doc_token_hashes(docs).select(
+        "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
