@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around (scan pruning, filter pushdown, broadcast joins, top-k
+without global sort) must stay visible in the executed plan — a silent
+plan regression is a 100x cost at 100 TB even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from wikitrender_spark.plans import registry
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = registry.all_queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def _scan_columns(plan: str, table: str) -> list[list[str]]:
+    """Column lists of every FileScan over `table`.parquet in the plan."""
+    out = []
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\].*?" + table + r"\.parquet",
+                         plan):
+        cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
+        out.append(cols)
+    assert out, f"no FileScan over {table} found"
+    return out
+
+
+def test_pricing_summary_prunes_and_pushes(plans):
+    plan = plans("rel_pricing_summary")
+    (cols,) = _scan_columns(plan, "lineitem")
+    # 6 of 11 lineitem columns; notably no l_orderkey/l_partkey/l_comment
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_text_queries_read_only_needed_columns(plans):
+    for q in ("tx_token_stats", "tx_fingerprint", "dd_simhash"):
+        for cols in _scan_columns(plans(q), "documents"):
+            assert set(cols) <= {"doc_id", "text"}, (q, cols)
+
+
+def test_events_scan_prunes_props(plans):
+    # the rc derivation never reads the wide 'props' payload column
+    for cols in _scan_columns(plans("wt_page_state"), "events"):
+        assert "props" not in cols
+
+
+def test_top_customers_broadcasts_dims_and_takes_ordered(plans):
+    plan = plans("rel_top_customers")
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_queries_avoid_global_sort(plans):
+    for q, k in (("wt_most_edited", 5), ("wt_biggest_movers", 5),
+                 ("wt_most_vibrant", 5)):
+        assert f"TakeOrderedAndProject(limit={k}" in plans(q), q
+
+
+def test_ann_broadcasts_query_side(plans):
+    plan = plans("ann_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan
+    # query-side scan pushes the id filter down
+    assert re.search(r"vec_id#\d+L IN \(0,1,2,3,4\)", plan)
+
+
+def test_near_dup_has_no_cartesian(plans):
+    # candidate generation must be an equi-join on band keys, never a
+    # cartesian product of the corpus with itself
+    plan = plans("dd_near_duplicates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
