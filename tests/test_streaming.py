@@ -196,3 +196,36 @@ def test_windowed_stream_append_equals_batch(spark):
     horizon = max_us - (2 + 1 + 1) * 3600 * 1000000
     missing = [s for s in batch_rows if s < horizon and s not in got]
     assert not missing
+
+
+def test_session_stream_append_equals_batch(spark):
+    """Streaming sessionization across 4 micro-batches: sessions merge
+    via keyed session state; every emitted (closed) session matches the
+    batch formulation, and sessions well below the final watermark all
+    emit."""
+    from wikitrender_spark.operators.page_state import classified_edit_events
+    from wikitrender_spark.streaming import windows
+
+    batch = {
+        (r["id"], r["session_start_us"]): tuple(r)
+        for r in windows.session_activity_agg(
+            classified_edit_events(rc_events(spark, SF_DIR)).select("id", "ts")
+        ).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        sess = windows.session_activity_stream(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=4),
+            watermark_delay="2 hours",
+        )
+        t = windows.run_windowed_to_memory(
+            sess, "t_sess_append", d + "/ckpt", mode="append"
+        )
+        got = {(r["id"], r["session_start_us"]): tuple(r) for r in t.collect()}
+    assert got
+    for key, row in got.items():
+        assert batch[key] == row
+    # sessions whose last event is older than delay+gap+slack must be closed
+    max_last = max(r[2] for r in batch.values())
+    horizon = max_last - (2 + windows.SESSION_GAP_HOURS + 1) * 3600 * 1000000
+    missing = [k for k, r in batch.items() if r[2] < horizon and k not in got]
+    assert not missing

@@ -107,7 +107,7 @@ def q_delete_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_GAP_HOURS = 12
+from ..streaming.windows import SESSION_GAP_HOURS
 
 
 def q_windowed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,19 +123,13 @@ def q_windowed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_session_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page session windows (12h inactivity gap) via session_window —
-    the dynamic-gap groupBy the reference's cumulative state never had."""
+    the dynamic-gap groupBy the reference's cumulative state never had.
+    Shares its spec with the watermarked streaming form
+    (streaming/windows.session_activity_stream)."""
+    from ..streaming.windows import session_activity_agg
+
     rc = rc_events(spark, sf_dir)
-    e = classified_edit_events(rc).select("id", "ts")
-    return (
-        e.groupBy(F.session_window("ts", f"{SESSION_GAP_HOURS} hours"), F.col("id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
-        .select(
-            "id",
-            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
-            F.unix_micros("last_ts").alias("last_us"),
-            "n_events",
-        )
-    )
+    return session_activity_agg(classified_edit_events(rc).select("id", "ts"))
 
 
 _LIFECYCLE_COLS = [

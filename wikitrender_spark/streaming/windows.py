@@ -80,6 +80,43 @@ def windowed_activity_stream(
     )
 
 
+SESSION_GAP_HOURS = 12
+
+
+def session_activity_agg(e: DataFrame, gap_hours: int = SESSION_GAP_HOURS) -> DataFrame:
+    """Per-page session windows (dynamic-gap grouping): same spec for the
+    batch query and the watermarked stream. A session's state closes (and
+    in streaming, is evicted) once the watermark passes last_ts + gap."""
+    return (
+        e.groupBy(F.session_window("ts", f"{gap_hours} hours"), F.col("id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros("last_ts").alias("last_us"),
+            "n_events",
+        )
+    )
+
+
+def session_activity_stream(
+    rc_stream: DataFrame,
+    gap_hours: int = SESSION_GAP_HOURS,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: sessions merge across micro-batches via
+    keyed session state; append mode emits each session exactly once,
+    when the watermark closes it."""
+    from ..operators.page_state import classified_edit_events
+
+    e = (
+        classified_edit_events(rc_stream)
+        .select("id", "ts")
+        .withWatermark("ts", watermark_delay)
+    )
+    return session_activity_agg(e, gap_hours)
+
+
 def run_windowed_to_memory(
     windowed: DataFrame, name: str, checkpoint: str, mode: str = "append"
 ) -> DataFrame:
