@@ -229,3 +229,32 @@ def test_session_stream_append_equals_batch(spark):
     horizon = max_last - (2 + windows.SESSION_GAP_HOURS + 1) * 3600 * 1000000
     missing = [k for k, r in batch.items() if r[2] < horizon and k not in got]
     assert not missing
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Stream-stream event-time interval join across 4 micro-batches:
+    inner-join matches always emit (watermarks only bound state), and the
+    replay is in ts order (no late data), so stream == batch exactly —
+    including pairs whose two sides arrive in different micro-batches."""
+    from wikitrender_spark.streaming import joins
+
+    sf_dir = "/root/testdata/sf0.01"  # sf0.001 is too sparse for pairs
+    batch = sorted(
+        map(tuple, joins.edit_protect_pairs_batch(rc_events(spark, sf_dir)).collect())
+    )
+    with tempfile.TemporaryDirectory() as d:
+        rc_a = chunked_event_stream(spark, sf_dir, d + "/a", n_chunks=4)
+        rc_b = chunked_event_stream(spark, sf_dir, d + "/b", n_chunks=4)
+        j = joins.edit_protect_pairs_stream(rc_a, rc_b)
+        q = (
+            j.writeStream.format("memory")
+            .queryName("t_ss_join")
+            .outputMode("append")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.table("t_ss_join").collect()))
+    assert got == batch
+    assert len(batch) > 0

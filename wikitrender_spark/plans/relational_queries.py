@@ -397,6 +397,33 @@ WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
 GROUP BY s_nationkey ORDER BY s_nationkey"""
 
 
+# --- correlated scalar subquery (TPC-H Q17 shape) --------------------------------
+_SMALL_QTY_SQL = """
+SELECT p_brand,
+  count(*) AS n_small,
+  round(sum(l_extendedprice), 2) AS small_qty_revenue
+FROM lineitem l
+JOIN part p ON p_partkey = l_partkey
+WHERE l_quantity < (
+  SELECT round(0.5 * avg(l2.l_quantity), 6)
+  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p_brand
+ORDER BY p_brand"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, written as SQL so Catalyst's subquery
+    decorrelation actually runs (SURVEY.md §4.2): rewritten into an
+    aggregate-on-partkey + join — one shuffle on l_partkey feeding both
+    the per-part average and the probe side."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SMALL_QTY_SQL)
+
+
+SMALL_QUANTITY_REVENUE_SQL = _SMALL_QTY_SQL
+
+
 # --- set operations -------------------------------------------------------------
 def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT over derived key sets (set semantics, dedup)."""
@@ -467,6 +494,7 @@ QUERIES = {
     "rel_cube_summary": q_cube_summary,
     "rel_signup_burst": q_signup_burst,
     "rel_acctbal_band_pairs": q_acctbal_band_pairs,
+    "rel_small_quantity_revenue": q_small_quantity_revenue,
     "rel_customers_without_orders": q_customers_without_orders,
     "rel_suppliers_with_shipments": q_suppliers_with_shipments,
     "rel_nation_set_ops": q_nation_set_ops,
@@ -484,6 +512,7 @@ ORACLES = {
     "rel_cube_summary": CUBE_SUMMARY_SQL,
     "rel_signup_burst": SIGNUP_BURST_SQL,
     "rel_acctbal_band_pairs": ACCTBAL_BAND_PAIRS_SQL,
+    "rel_small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
     "rel_customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "rel_suppliers_with_shipments": SUPPLIERS_WITH_SHIPMENTS_SQL,
     "rel_nation_set_ops": NATION_SET_OPS_SQL,

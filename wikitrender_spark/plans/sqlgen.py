@@ -242,6 +242,24 @@ SELECT id, epoch_us(min(ts)) AS session_start_us,
 FROM sess GROUP BY id, sid"""
 
 
+def protect_followups_oracle(window_hours: int) -> str:
+    """Interval join: edits to protect log actions on the same page within
+    the following `window_hours` (streaming/joins.py batch twin)."""
+    return f"""WITH {classified_events_cte()},
+pr AS (
+  SELECT
+    CASE WHEN (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) = '' THEN title
+         ELSE (CASE WHEN wiki = 'enwiki' THEN '' ELSE wiki END) || '/' || title
+    END AS id,
+    ts AS p_ts, seq AS p_seq
+  FROM rc WHERE log_type IS NOT NULL AND log_action = 'protect')
+SELECT e.id, e.seq AS e_seq, pr.p_seq,
+  (epoch_us(pr.p_ts) - epoch_us(e.ts)) / 60000000.0 AS gap_min
+FROM e2 e JOIN pr ON e.id = pr.id
+  AND pr.p_ts >= e.ts
+  AND pr.p_ts <= e.ts + INTERVAL {window_hours} HOUR"""
+
+
 def lifecycle_oracle() -> str:
     """Oracle for page_state_lifecycle (operators/lifecycle.py): final
     state after deletes (cuts), moves (state adoption at the last move per

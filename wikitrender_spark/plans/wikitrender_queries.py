@@ -107,6 +107,7 @@ def q_delete_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..streaming.joins import PROTECT_WINDOW_HOURS
 from ..streaming.windows import SESSION_GAP_HOURS
 
 
@@ -130,6 +131,14 @@ def q_session_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rc = rc_events(spark, sf_dir)
     return session_activity_agg(classified_edit_events(rc).select("id", "ts"))
+
+
+def q_protect_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (batch twin of the stream-stream join in
+    streaming/joins.py): edits to protects on the same page within 12h."""
+    from ..streaming.joins import edit_protect_pairs_batch
+
+    return edit_protect_pairs_batch(rc_events(spark, sf_dir))
 
 
 _LIFECYCLE_COLS = [
@@ -200,6 +209,7 @@ QUERIES = {
     "wt_windowed_activity": q_windowed_activity,
     "wt_session_activity": q_session_activity,
     "wt_delete_targets": q_delete_targets,
+    "wt_protect_followups": q_protect_followups,
     "wt_page_state_lifecycle": q_page_state_lifecycle,
     "wt_lifecycle_replay": q_lifecycle_replay,
     "wt_stream_replay": q_stream_replay,
@@ -215,6 +225,7 @@ ORACLES = {
     "wt_windowed_activity": sqlgen.windowed_activity_oracle(),
     "wt_session_activity": sqlgen.session_activity_oracle(SESSION_GAP_HOURS),
     "wt_delete_targets": sqlgen.delete_targets_oracle(),
+    "wt_protect_followups": sqlgen.protect_followups_oracle(PROTECT_WINDOW_HOURS),
     "wt_page_state_lifecycle": sqlgen.lifecycle_oracle(),
     "wt_lifecycle_replay": sqlgen.lifecycle_oracle(),
     "wt_stream_replay": sqlgen.lifecycle_oracle(),
