@@ -203,3 +203,15 @@ def test_documents_as_video_frame_counts(spark):
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert sorted(per[0]) == [0, 10]              # frames 0..17 step 10
     assert sorted(per[1]) == [0, 10]              # frames 0..17 step 10
+
+
+def test_approx_distinct_within_error_bound(spark):
+    from wikitrender_spark.plans.relational_queries import q_approx_segments
+
+    rows = q_approx_segments(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        # rsd=0.02; allow a generous 5x margin so the test is not flaky
+        assert abs(r["approx_customers"] - r["exact_customers"]) <= max(
+            5, 0.10 * r["exact_customers"]
+        )

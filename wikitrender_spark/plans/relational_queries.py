@@ -451,6 +451,61 @@ SELECT nationkey, 'customers_only' AS category FROM
 ORDER BY category, nationkey"""
 
 
+# --- full outer join --------------------------------------------------------------
+def q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (customers vs suppliers per
+    nation) — coalesced keys and zero-filled counts."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(sup, cust.ck == sup.sk, "full_outer")
+        .select(
+            F.coalesce("ck", "sk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+NATION_PRESENCE_SQL = """
+WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_customers
+           FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS sk, count(*) AS n_suppliers
+      FROM supplier GROUP BY 1)
+SELECT coalesce(ck, sk) AS nationkey,
+  coalesce(n_customers, 0) AS n_customers,
+  coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON ck = sk
+ORDER BY nationkey"""
+
+
+# --- approximate distinct (HLL sketch; rows-only driver check) --------------------
+def q_approx_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the shuffle-light sketch path for distinct cardinality at 100 TB.
+    Sketch estimates are engine-specific, so this query has NO DuckDB
+    oracle (the driver records the weaker rows-only check); the exact
+    column and the estimate's own error bound are asserted in tests."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("c_custkey").alias("exact_customers"),
+            F.approx_count_distinct("c_custkey", 0.02).alias("approx_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --- scalar function surface -----------------------------------------------------
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/math builtins in one projection (full library is free
@@ -498,6 +553,8 @@ QUERIES = {
     "rel_customers_without_orders": q_customers_without_orders,
     "rel_suppliers_with_shipments": q_suppliers_with_shipments,
     "rel_nation_set_ops": q_nation_set_ops,
+    "rel_nation_presence": q_nation_presence,
+    "rel_approx_segments": q_approx_segments,
     "rel_scalar_functions": q_scalar_functions,
 }
 
@@ -516,5 +573,8 @@ ORACLES = {
     "rel_customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "rel_suppliers_with_shipments": SUPPLIERS_WITH_SHIPMENTS_SQL,
     "rel_nation_set_ops": NATION_SET_OPS_SQL,
+    "rel_nation_presence": NATION_PRESENCE_SQL,
+    # rel_approx_segments intentionally has no oracle: HLL estimates are
+    # engine-specific (driver records the rows-only check)
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
 }
