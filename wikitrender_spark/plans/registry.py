@@ -42,20 +42,10 @@ def _load() -> None:
     if _loaded:
         return
     _loaded = True
-    from . import wikitrender_queries
+    # strict imports: a broken module must fail loudly here, not silently
+    # shrink the query set the driver sees
+    from . import pipeline_queries, relational_queries, wikitrender_queries
 
     register(wikitrender_queries.QUERIES, wikitrender_queries.ORACLES)
-    # further modules (relational coverage, dedup/similarity/text) register
-    # here as they land:
-    try:
-        from . import relational_queries
-
-        register(relational_queries.QUERIES, relational_queries.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from . import pipeline_queries
-
-        register(pipeline_queries.QUERIES, pipeline_queries.ORACLES)
-    except ImportError:
-        pass
+    register(relational_queries.QUERIES, relational_queries.ORACLES)
+    register(pipeline_queries.QUERIES, pipeline_queries.ORACLES)
