@@ -1,0 +1,195 @@
+"""User-facing engine facade: the Spark-native twin of the reference's
+public API (``WikiSocketCollection``, /root/reference/index.js:103-460,
+README.md:9-38). A consumer of the reference can switch to this class and
+keep their workflow: construct with the same options, subscribe to edit
+callbacks, mark pages safe, drop pages, and read the live page set.
+
+| reference surface (index.js)        | here                                |
+|-------------------------------------|-------------------------------------|
+| `new WikiSocketCollection(options)` | `WikiTrenderCollection(spark, ...)` |
+| options.project (F2)                | `project=`                          |
+| options.minPurgeTime/maxLifespan/   | `purge=PurgeParams(...)`            |
+|   minSpeed/maxInactivity (P2)       |                                     |
+| options.id (LevelDB cache key, S4)  | `work_dir=` (checkpoint+snapshot)   |
+| options.clearCache (S6)             | `clear_cache=True`                  |
+| `.on('edit', cb)` (S7)              | `on_edit(cb)`                       |
+| `.markSafe(id)` (A7)                | `mark_safe(id)` — control inbox     |
+| `.drop(title, wiki)` (A5)           | `drop(title, wiki)` — control inbox |
+| `.getPages()`                       | `pages()` -> DataFrame              |
+| periodic cleaner (P1/P2)            | per-micro-batch purge in processor  |
+| exported `isIP` (F9)                | `is_ip(user)`                       |
+
+Execution model: a pull-driven micro-batch loop. ``process_available()``
+runs one Trigger.AvailableNow pass over everything new — stream events
+plus any control commands written since the last pass — resuming from the
+checkpoint (the reference's LevelDB rehydration, S5, for free). Control
+commands (markSafe/drop) are an inbox of parquet files unioned into the
+event stream (SURVEY.md §2.3-A7: control stream unioned into the keyed
+processor), so they flow through the same ordered fold as real events.
+
+The live state is maintained as a parquet snapshot (sources/sinks.
+state_snapshot_sink) — the queryable `getPages()` surface — while the
+keyed state store holds the authoritative fold state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources import sinks
+from .sources.replay import rc_event_stream
+from .streaming import fold, processor
+
+#: flat rc-event schema produced by the derivation (operators/derive.py) —
+#: control commands are written in this exact shape.
+RC_FLAT_SCHEMA = (
+    "seq long, ts timestamp, title string, wiki string, server_name string, "
+    "namespace int, user string, bot boolean, type string, comment string, "
+    "length_new long, length_old long, log_type string, log_action string, "
+    "log_target string, log_action_comment string"
+)
+
+def default_group() -> F.Column:
+    """Default group key: closes move components for the driver's
+    synthetic derivation ('Page_N' -> 'Moved_N' share the trailing
+    number). A live deployment supplies its own move-closing group
+    expression — see streaming/processor.py design notes. (Built lazily:
+    Column construction needs an active SparkContext.)"""
+    return F.concat(
+        F.col("wiki"), F.lit("#"), F.regexp_extract(F.col("title"), r"_(\d+)$", 1)
+    )
+
+
+def is_ip(user: str) -> bool:
+    """F9 classifier, exported like the reference's `isIP`
+    (/root/reference/index.js:460)."""
+    return bool(fold._IP_RE.search(user or ""))
+
+
+class WikiTrenderCollection:
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        sf_dir: str | None = None,
+        project: str = "*",
+        purge: fold.PurgeParams | None = None,
+        group_col: F.Column | None = None,
+        clear_cache: bool = False,
+    ):
+        self.spark = spark
+        self.work_dir = work_dir
+        self.sf_dir = sf_dir
+        self.project = project
+        self.purge = purge
+        self.group_col = default_group() if group_col is None else group_col
+        if clear_cache and os.path.isdir(work_dir):
+            shutil.rmtree(work_dir)
+        self._control_dir = os.path.join(work_dir, "control")
+        self._state_path = os.path.join(work_dir, "state")
+        self._ckpt_state = os.path.join(work_dir, "ckpt_state")
+        self._ckpt_edits = os.path.join(work_dir, "ckpt_edits")
+        os.makedirs(self._control_dir, exist_ok=True)
+        self._edit_callbacks: list[Callable] = []
+        self._report: Callable[[str, list], None] | bool = False
+
+    # --- consumer surface -------------------------------------------------
+    def on_edit(self, callback: Callable) -> None:
+        """S7: callback(row) per changed page per micro-batch."""
+        self._edit_callbacks.append(callback)
+
+    def report_to(self, render: Callable[[str, list], None] | bool) -> None:
+        """S8: render the three top-5 reports after each merge."""
+        self._report = render
+
+    def mark_safe(self, page_id: str, unsafe: bool = False) -> None:
+        """A7 (/root/reference/index.js:409-411): exempt a page from the
+        speed/inactivity purge (not from max-lifespan)."""
+        wiki, title = self._split_id(page_id)
+        self._write_control(
+            wiki, title, log_type="control",
+            log_action="markUnsafe" if unsafe else "markSafe",
+        )
+
+    def drop(self, title: str, wiki: str = "enwiki") -> None:
+        """A5 (/root/reference/index.js:427-430): remove a page's state
+        row, routed through the normal delete-log path."""
+        self._write_control(
+            wiki, title, log_type="log", log_action="delete",
+            log_action_comment=f"&quot;[[{title}]]&quot;",
+        )
+
+    def pages(self) -> DataFrame:
+        """getPages() (/root/reference/index.js:454-456): the live page
+        set as a DataFrame (parquet snapshot maintained per micro-batch)."""
+        try:
+            return self.spark.read.parquet(self._state_path)
+        except Exception:
+            schema = fold.STATE_SCHEMA + ", safe boolean"
+            return self.spark.createDataFrame([], schema)
+
+    # --- execution --------------------------------------------------------
+    def process_available(self) -> None:
+        """Run one AvailableNow pass over all new input (events + control
+        inbox), resuming from the checkpoint. Each registered sink is its
+        own streaming query with its own checkpoint (Spark streaming
+        queries are single-sink)."""
+        q = sinks.state_snapshot_sink(
+            self._changelog(), self._state_path, self._ckpt_state,
+            report=self._report, available_now=True,
+        )
+        q.awaitTermination()
+        if self._edit_callbacks:
+            def fanout(row):
+                for cb in self._edit_callbacks:
+                    cb(row)
+
+            q2 = sinks.foreach_edit(
+                self._changelog(), fanout, self._ckpt_edits,
+                available_now=True,
+            )
+            q2.awaitTermination()
+
+    # --- internals --------------------------------------------------------
+    def _split_id(self, page_id: str) -> tuple[str, str]:
+        """Invert A1 key derivation (wiki/title; bare title = enwiki)."""
+        if "/" in page_id:
+            wiki, title = page_id.split("/", 1)
+            return wiki, title
+        return "enwiki", page_id
+
+    def _write_control(self, wiki: str, title: str, **kw) -> None:
+        now_us = time.time_ns() // 1000
+        row = dict(
+            seq=now_us, ts=None, title=title, wiki=wiki,
+            server_name=f"{wiki}.example", namespace=0, user="control",
+            bot=False, type="external", comment="", length_new=None,
+            length_old=None, log_type=None, log_action=None,
+            log_target=None, log_action_comment=None,
+        )
+        row.update(kw)
+        df = self.spark.createDataFrame([row], RC_FLAT_SCHEMA).withColumn(
+            "ts", F.timestamp_micros(F.lit(now_us))
+        )
+        df.coalesce(1).write.mode("append").parquet(self._control_dir)
+
+    def _rc_stream(self) -> DataFrame:
+        rc = rc_event_stream(self.spark, self.sf_dir)
+        if self.project != "*":
+            rc = rc.filter(F.col("server_name") == self.project)  # F2
+        control = (
+            self.spark.readStream.schema(RC_FLAT_SCHEMA)
+            .parquet(self._control_dir)
+        )
+        return rc.unionByName(control)
+
+    def _changelog(self) -> DataFrame:
+        return processor.page_state_changelog(
+            self._rc_stream(), self.group_col, self.purge
+        )

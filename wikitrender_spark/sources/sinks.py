@@ -29,8 +29,8 @@ from ..functions import metrics
 from ..operators import topk
 
 
-def foreach_edit(changelog: DataFrame, callback: Callable, checkpoint: str
-                 ) -> StreamingQuery:
+def foreach_edit(changelog: DataFrame, callback: Callable, checkpoint: str,
+                 available_now: bool = False) -> StreamingQuery:
     """S7: ``callback(row)`` per changed page per micro-batch. Rows arrive
     already aggregated (one per page per batch), so callback volume is
     bounded by live pages, not raw event rate."""
@@ -39,9 +39,12 @@ def foreach_edit(changelog: DataFrame, callback: Callable, checkpoint: str
         for row in batch.filter(~F.col("_deleted")).toLocalIterator():
             callback(row)
 
-    return (changelog.writeStream.outputMode("update")
-            .option("checkpointLocation", checkpoint)
-            .foreachBatch(handle).start())
+    writer = (changelog.writeStream.outputMode("update")
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch(handle))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def with_report_metrics(state: DataFrame, now) -> DataFrame:
@@ -79,6 +82,7 @@ def _print_render(name: str, rows: list) -> None:  # pragma: no cover
 def state_snapshot_sink(changelog: DataFrame, table_path: str,
                         checkpoint: str,
                         report: Callable[[str, list], None] | bool = False,
+                        available_now: bool = False,
                         ) -> StreamingQuery:
     """Maintain the live-state parquet snapshot; optionally render S8
     top-5 reports from it after each merge. ``report=True`` prints to the
@@ -107,6 +111,9 @@ def state_snapshot_sink(changelog: DataFrame, table_path: str,
             if now is not None:
                 render_top5(state, now, render)
 
-    return (changelog.writeStream.outputMode("update")
-            .option("checkpointLocation", checkpoint)
-            .foreachBatch(handle).start())
+    writer = (changelog.writeStream.outputMode("update")
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch(handle))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
