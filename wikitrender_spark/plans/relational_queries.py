@@ -520,7 +520,10 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("o_orderpriority").alias("priority_upper"),
         F.substring("o_orderpriority", 1, 1).alias("priority_code"),
         F.length("o_orderstatus").alias("status_len"),
-        F.round(F.abs(F.col("o_totalprice") - 1000.0), 1).alias("price_dist"),
+        # round to the input's own 2-decimal precision: a coarser rounding
+        # hits .x5 boundaries where engines disagree on the binary
+        # representation (HALF_UP on the exact double vs C-library rint)
+        F.round(F.abs(F.col("o_totalprice") - 1000.0), 2).alias("price_dist"),
         F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("tag"),
     )
 
@@ -533,7 +536,7 @@ SELECT o_orderkey,
   upper(o_orderpriority) AS priority_upper,
   substring(o_orderpriority, 1, 1) AS priority_code,
   CAST(length(o_orderstatus) AS INT) AS status_len,
-  round(abs(o_totalprice - 1000.0), 1) AS price_dist,
+  round(abs(o_totalprice - 1000.0), 2) AS price_dist,
   'o' || CAST(o_orderkey AS STRING) AS tag
 FROM orders WHERE o_orderkey < 1000"""
 
