@@ -258,3 +258,38 @@ def test_stream_stream_interval_join_equals_batch(spark):
         got = sorted(map(tuple, spark.table("t_ss_join").collect()))
     assert got == batch
     assert len(batch) > 0
+
+
+def test_transform_with_state_equals_apply_in_pandas(spark, batch_state):
+    """The transformWithStateInPandas processor (Spark-4 API, RocksDB
+    state store) produces the same final state as the
+    applyInPandasWithState one and the batch replay — three-way
+    agreement across both arbitrary-state APIs.
+
+    Requires google.protobuf (the TWS Python worker speaks a protobuf
+    state protocol) — skipped where it isn't installed; the
+    applyInPandasWithState engine path needs no such dependency."""
+    pytest.importorskip("google.protobuf")
+    from wikitrender_spark.streaming import processor_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        processor_tws.ROCKSDB_PROVIDER,
+    )
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            cl = processor_tws.page_state_changelog_tws(
+                chunked_event_stream(spark, SF_DIR, d, n_chunks=3), _group()
+            )
+            t = _run(cl, "t_tws", d + "/ckpt")
+            assert t.agg(F.max("_ver")).first()[0] > 1  # really incremental
+            got = sorted(map(tuple, processor.final_state(t).collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    assert got == batch_state

@@ -1,0 +1,97 @@
+"""transformWithStateInPandas variant of the keyed stateful processor
+(the Spark-4 arbitrary-state API, SURVEY.md §1.1/§2.3 'preferred' form).
+
+Same event fold, same changelog contract, same state blob as
+processor.py (applyInPandasWithState) — the two implementations are
+equivalence-tested in tests/test_streaming.py, so the engine can run on
+either API. This is the migration target because transformWithState
+adds, beyond what the fold uses today: multiple named state variables,
+state TTL, and processing-time/event-time timers — the natural home for
+a wall-clock P2 cleaner (reference's 20 s setInterval,
+/root/reference/index.js:399-400) in a live deployment, where today's
+deterministic variant purges at micro-batch boundaries.
+
+Requires the RocksDB state-store provider (set by run helpers/tests via
+spark.sql.streaming.stateStore.providerClass) and the google.protobuf
+package (the TWS Python worker speaks a protobuf state protocol; absent
+in this container, so the equivalence test import-skips and the default
+engine path stays on applyInPandasWithState, which has no such
+dependency).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from . import fold
+from .processor import CHANGELOG_SCHEMA, _changelog_rows
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+_STATE_SCHEMA = "blob string, ver long"
+
+
+class PageStateProcessor(StatefulProcessor):
+    def __init__(self, purge: fold.PurgeParams | None = None):
+        self._purge = purge
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("fold", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        existing = self._state.get() if self._state.exists() else None
+        titles = fold.deserialize_titles(existing[0]) if existing else {}
+        ver = (existing[1] if existing else 0) + 1
+
+        changed: set = set()
+        removed: set = set()
+        batch_max_ts = None
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.drop(columns=["_grp"])
+            fold.fold_pdf(titles, pdf, changed, removed)
+            m = pdf["ts"].max()
+            batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
+
+        if self._purge is not None and batch_max_ts is not None:
+            removed |= fold.purge_titles(titles, batch_max_ts, self._purge)
+
+        # ver stays monotone for the group's lifetime (see processor.py)
+        self._state.update((fold.serialize_titles(titles), ver))
+
+        out = _changelog_rows(titles, changed, removed, ver)
+        if len(out):
+            yield out
+
+    def close(self) -> None:
+        pass
+
+
+def page_state_changelog_tws(
+    rc: DataFrame, group_col: Column, purge: fold.PurgeParams | None = None
+) -> DataFrame:
+    """Changelog stream via transformWithStateInPandas (update mode, no
+    timers — the deterministic batch-boundary purge variant)."""
+    return (
+        rc.withColumn("_grp", group_col)
+        .groupBy("_grp")
+        .transformWithStateInPandas(
+            statefulProcessor=PageStateProcessor(purge),
+            outputStructType=CHANGELOG_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
