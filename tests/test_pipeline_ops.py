@@ -215,3 +215,25 @@ def test_approx_distinct_within_error_bound(spark):
         assert abs(r["approx_customers"] - r["exact_customers"]) <= max(
             5, 0.10 * r["exact_customers"]
         )
+
+
+def test_duplicate_clusters_transitive(spark):
+    # a~b and b~c near-identical -> one cluster keyed by min doc_id, even
+    # if a~c would not pair directly; d unrelated -> absent (singleton)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = docs_df(spark, [base, base + " x", base + " x y", "totally different text here now ok"])
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in dedup.duplicate_clusters(docs, threshold=0.5).collect()}
+    assert labels.get(0) == 0 and labels.get(1) == 0 and labels.get(2) == 0
+    assert 3 not in labels
+
+
+def test_token_chunks_windows(spark):
+    from wikitrender_spark.operators import chunking
+
+    text = " ".join(f"w{i}" for i in range(100))
+    d = docs_df(spark, [text, ""])
+    rows = chunking.token_chunks(d, size=64, overlap=16).collect()
+    per = sorted((r["chunk_idx"], r["n_tokens"]) for r in rows if r["doc_id"] == 0)
+    assert per == [(0, 64), (1, 52), (2, 4)]       # starts 0, 48, 96
+    assert not [r for r in rows if r["doc_id"] == 1]  # empty doc: no chunks

@@ -225,6 +225,60 @@ def near_duplicates(
     )
 
 
+def duplicate_clusters(
+    docs: DataFrame, threshold: float = NEAR_DUP_THRESHOLD, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every doc
+    in a component labeled with the component's min doc_id — the keeper
+    assignment for cluster-level dedup.
+
+    HashMin label propagation: per iteration, label = min(own label,
+    neighbors' labels); converges in O(component diameter) iterations.
+    The driver loop carries only a changed-row COUNT per iteration (no
+    data collect) and cuts lineage with localCheckpoint — the standard
+    large-scale iterative-graph shape on DataFrames. Only docs that
+    appear in a near-dup pair are emitted (singletons are their own
+    trivial cluster)."""
+    pairs = near_duplicates(docs, threshold).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """16-bit SimHash: 16 bit-vote folds over the stored token-hash array
     (bit j of each hash votes +1/-1; bit set iff the sum is positive).

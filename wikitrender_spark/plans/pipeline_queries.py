@@ -254,6 +254,59 @@ FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= {dedup.NEAR_DUP_THRESHOLD}"""
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_clusters(_docs(spark, sf_dir))
+
+
+# transitive closure over the (tiny) near-dup component graph — the
+# recursive-CTE twin of the iterative HashMin labels
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{NEAR_DUPS_SQL}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a"""
+
+
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import chunking
+
+    return chunking.token_chunks(_docs(spark, sf_dir))
+
+
+def _token_chunks_sql() -> str:
+    from ..operators import chunking
+
+    size, stride = chunking.CHUNK_SIZE, chunking.CHUNK_SIZE - chunking.CHUNK_OVERLAP
+    return f"""
+WITH {_TOK_HASH_CTE},
+st AS (
+  SELECT doc_id, th,
+    CASE WHEN length(th) = 0 THEN []
+         ELSE range(0, length(th), {stride}) END AS starts
+  FROM th),
+ch AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS s,
+    list_slice(th, s + 1, s + {size}) AS ck
+  FROM st, unnest(starts) AS u(s))
+SELECT doc_id,
+  CAST(s / {stride} AS INT) AS chunk_idx,
+  CAST(length(ck) AS BIGINT) AS n_tokens,
+  CAST(list_reduce(list_prepend(0, ck),
+       (h, x) -> (h * 31 + x) % 1000003) AS BIGINT) AS chunk_fp
+FROM ch"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -507,6 +560,8 @@ QUERIES = {
     "dd_near_duplicates": q_near_duplicates,
     "dd_simhash": q_simhash,
     "dd_embedding_neardup": q_embedding_neardup,
+    "dd_dup_clusters": q_dup_clusters,
+    "tx_chunks": q_token_chunks,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -527,6 +582,8 @@ ORACLES = {
     "dd_near_duplicates": NEAR_DUPS_SQL,
     "dd_simhash": SIMHASH_SQL,
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "dd_dup_clusters": DUP_CLUSTERS_SQL,
+    "tx_chunks": _token_chunks_sql(),
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
