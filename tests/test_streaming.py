@@ -293,3 +293,40 @@ def test_transform_with_state_equals_apply_in_pandas(spark, batch_state):
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
     assert got == batch_state
+
+
+def test_streaming_dedup_drops_replayed_events(spark):
+    """dropDuplicatesWithinWatermark admission layer: replaying whole
+    chunks (at-least-once delivery after a socket rebuild, S3) yields
+    exactly the unique event set."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from wikitrender_spark.streaming import windows
+
+    with tempfile.TemporaryDirectory() as d:
+        rc = chunked_event_stream(spark, SF_DIR, d, n_chunks=2)
+        # duplicate both chunks with later mtimes -> re-delivered batches
+        for i, c in enumerate(sorted(glob.glob(d + "/chunks/chunk_*"))):
+            dst = c + "_replay"
+            shutil.copytree(c, dst)
+            ts = _t.time() + 10 + i
+            for root, _dirs, files in os.walk(dst):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+        ded = windows.dedup_events_stream(rc)
+        q = (
+            ded.writeStream.format("memory")
+            .queryName("t_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("t_dedup")
+        n_unique = rc_events(spark, SF_DIR).count()
+        assert got.count() == n_unique
+        assert got.select("seq").distinct().count() == n_unique

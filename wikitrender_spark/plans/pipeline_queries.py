@@ -514,6 +514,86 @@ WHERE sim >= {ann.EMB_NEARDUP_THRESHOLD}"""
 )
 
 
+# --- capstone: end-to-end corpus cleaning -------------------------------------------
+CLEAN_MIN_QUALITY = 0.6
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline over documents:
+    language-consistency filter (predicted == labeled), quality floor,
+    exact-dedup keeper selection, and near-dup cluster keeper selection —
+    each stage a previously oracle-checked operator, composed as one
+    DataFrame plan (filters and anti-joins; the only wide steps are the
+    dedup aggregations and the near-dup candidate join)."""
+    from ..operators import dedup
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.round(T.quality_score(t), 6).alias("quality"),
+        T.token_count(t).alias("n_tokens"),
+        (T.predict_lang(t) == F.col("lang")).alias("lang_ok"),
+    )
+    exact_keepers = dedup.exact_dedup_groups(d).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    near_dup_losers = (
+        dedup.duplicate_clusters(d)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        scored.filter(F.col("lang_ok") & (F.col("quality") >= CLEAN_MIN_QUALITY))
+        .join(exact_keepers, "doc_id", "left_semi")
+        .join(near_dup_losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "quality", "n_tokens")
+    )
+
+
+def _clean_corpus_sql() -> str:
+    langid = _langid_sql()
+    return f"""
+WITH RECURSIVE
+pairs AS (
+{NEAR_DUPS_SQL}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+losers AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a
+),
+exact_keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+langp AS (
+{langid}
+),
+qualp AS (
+{QUALITY_SQL}
+),
+tokp AS (
+{TOKEN_STATS_SQL}
+)
+SELECT d.doc_id, d.lang, q.quality, t.n_tokens
+FROM documents d
+JOIN langp l ON l.doc_id = d.doc_id
+JOIN qualp q ON q.doc_id = d.doc_id
+JOIN tokp t ON t.doc_id = d.doc_id
+WHERE l.is_match AND q.quality >= {CLEAN_MIN_QUALITY}
+  AND d.doc_id IN (SELECT doc_id FROM exact_keepers)
+  AND d.doc_id NOT IN (SELECT doc_id FROM losers)"""
+
+
 # --- multimodal binary plumbing ----------------------------------------------------
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature stage over binary payloads (fake decode
@@ -562,6 +642,7 @@ QUERIES = {
     "dd_embedding_neardup": q_embedding_neardup,
     "dd_dup_clusters": q_dup_clusters,
     "tx_chunks": q_token_chunks,
+    "tx_clean_corpus": q_clean_corpus,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -584,6 +665,7 @@ ORACLES = {
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "dd_dup_clusters": DUP_CLUSTERS_SQL,
     "tx_chunks": _token_chunks_sql(),
+    "tx_clean_corpus": _clean_corpus_sql(),
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,

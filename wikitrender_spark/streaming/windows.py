@@ -117,6 +117,20 @@ def session_activity_stream(
     return session_activity_agg(e, gap_hours)
 
 
+def dedup_events_stream(
+    rc_stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop re-delivered events by seq within the
+    watermark (dropDuplicatesWithinWatermark). This is the admission
+    layer for at-least-once sources — the reference's watchdog rebuilds
+    the SSE socket on stall (S3, /root/reference/index.js:349-356) and
+    can re-receive events; state is bounded by the watermark horizon
+    rather than growing with the whole stream."""
+    return rc_stream.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["seq"]
+    )
+
+
 def run_windowed_to_memory(
     windowed: DataFrame, name: str, checkpoint: str, mode: str = "append"
 ) -> DataFrame:
