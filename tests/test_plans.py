@@ -48,7 +48,7 @@ def test_pricing_summary_prunes_and_pushes(plans):
 
 
 def test_text_queries_read_only_needed_columns(plans):
-    for q in ("tx_token_stats", "tx_fingerprint", "dd_simhash"):
+    for q in ("tx_token_stats", "tx_fingerprint", "dd_simhash", "tx_chunks"):
         for cols in _scan_columns(plans(q), "documents"):
             assert set(cols) <= {"doc_id", "text"}, (q, cols)
 
