@@ -73,3 +73,22 @@ def test_is_ip_export():
     assert engine.is_ip("10.0.0.1")
     assert engine.is_ip("2001:DB8:85A3:8D3:1319:8A2E:370:7348")
     assert not engine.is_ip("Jon")
+
+
+def test_engine_purge_bounds_state(spark, tmp_path):
+    from wikitrender_spark.streaming import fold
+
+    full = engine.WikiTrenderCollection(spark, str(tmp_path / "full"), sf_dir=SF_DIR)
+    full.process_available()
+    n_full = full.pages().count()
+
+    purged = engine.WikiTrenderCollection(
+        spark, str(tmp_path / "purged"), sf_dir=SF_DIR,
+        purge=fold.PurgeParams(
+            max_lifespan=42000.0, max_inactivity=5000.0,
+            min_speed=0.0002, min_purge_time=5.0,
+        ),
+    )
+    purged.process_available()
+    n_purged = purged.pages().count()
+    assert 0 < n_purged < n_full

@@ -506,6 +506,54 @@ def q_approx_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pivot / unpivot --------------------------------------------------------------
+_STATUSES = ["F", "O", "P"]
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority with one column per status.
+    Explicit value list keeps the plan a single pass (no distinct-values
+    pre-query) and pins the output schema for the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .count()
+    )
+    return pv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in _STATUSES
+        ],
+    ).orderBy("o_orderpriority")
+
+
+PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
+def q_unpivot_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide nation-presence row set back to long
+    (nationkey, metric, value) form."""
+    wide = q_nation_presence(spark, sf_dir)
+    return wide.unpivot(
+        "nationkey", ["n_customers", "n_suppliers"], "metric", "value"
+    ).orderBy("nationkey", "metric")
+
+
+UNPIVOT_PRESENCE_SQL = f"""
+WITH wide AS ({NATION_PRESENCE_SQL.replace("ORDER BY nationkey", "")})
+SELECT nationkey, 'n_customers' AS metric, CAST(n_customers AS BIGINT) AS value FROM wide
+UNION ALL
+SELECT nationkey, 'n_suppliers' AS metric, CAST(n_suppliers AS BIGINT) AS value FROM wide
+ORDER BY nationkey, metric"""
+
+
 # --- scalar function surface -----------------------------------------------------
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/math builtins in one projection (full library is free
@@ -557,6 +605,8 @@ QUERIES = {
     "rel_suppliers_with_shipments": q_suppliers_with_shipments,
     "rel_nation_set_ops": q_nation_set_ops,
     "rel_nation_presence": q_nation_presence,
+    "rel_pivot_status": q_pivot_status,
+    "rel_unpivot_presence": q_unpivot_presence,
     "rel_approx_segments": q_approx_segments,
     "rel_scalar_functions": q_scalar_functions,
 }
@@ -577,6 +627,8 @@ ORACLES = {
     "rel_suppliers_with_shipments": SUPPLIERS_WITH_SHIPMENTS_SQL,
     "rel_nation_set_ops": NATION_SET_OPS_SQL,
     "rel_nation_presence": NATION_PRESENCE_SQL,
+    "rel_pivot_status": PIVOT_STATUS_SQL,
+    "rel_unpivot_presence": UNPIVOT_PRESENCE_SQL,
     # rel_approx_segments intentionally has no oracle: HLL estimates are
     # engine-specific (driver records the rows-only check)
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
