@@ -506,6 +506,37 @@ def q_approx_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- JSON functions ---------------------------------------------------------------
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface: parse the events.props JSON payload with a
+    pinned schema (from_json — Catalyst-typed, prunable) and aggregate
+    the extracted field per event type."""
+    from ..operators.derive import read_events_raw
+
+    ev = read_events_raw(spark, sf_dir).select(
+        "event_type",
+        F.from_json("props", "k long").getField("k").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
 # --- pivot / unpivot --------------------------------------------------------------
 _STATUSES = ["F", "O", "P"]
 
@@ -607,6 +638,7 @@ QUERIES = {
     "rel_nation_presence": q_nation_presence,
     "rel_pivot_status": q_pivot_status,
     "rel_unpivot_presence": q_unpivot_presence,
+    "rel_json_props": q_json_props,
     "rel_approx_segments": q_approx_segments,
     "rel_scalar_functions": q_scalar_functions,
 }
@@ -629,6 +661,7 @@ ORACLES = {
     "rel_nation_presence": NATION_PRESENCE_SQL,
     "rel_pivot_status": PIVOT_STATUS_SQL,
     "rel_unpivot_presence": UNPIVOT_PRESENCE_SQL,
+    "rel_json_props": JSON_PROPS_SQL,
     # rel_approx_segments intentionally has no oracle: HLL estimates are
     # engine-specific (driver records the rows-only check)
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
