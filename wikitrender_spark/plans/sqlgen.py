@@ -164,6 +164,17 @@ SELECT id, title, bias FROM m
 ORDER BY bias DESC, id ASC LIMIT {k}"""
 
 
+def topk_per_wiki_oracle(k: int) -> str:
+    """Per-wiki top-k by edits-per-minute (the partitioned row_number
+    form of Q1, SURVEY.md §2.7)."""
+    return f"""WITH {metrics_cte()}
+SELECT wiki, id, title, edits, edits_per_minute, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY wiki
+            ORDER BY edits_per_minute DESC, id ASC) AS rnk
+  FROM m) t
+WHERE rnk <= {k}"""
+
+
 def purge_oracle(max_lifespan: float, max_inactivity: float,
                  min_speed: float, min_purge_time: float) -> str:
     """P2 survivors (/root/reference/index.js:362-398); safe=false for all

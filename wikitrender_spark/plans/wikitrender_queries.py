@@ -79,6 +79,26 @@ def q_most_vibrant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.most_vibrant(_metrics(spark, sf_dir))
 
 
+TOPK_PER_WIKI = 3
+
+
+def q_top_pages_per_wiki(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-wiki top-k by edits-per-minute — the partitioned row_number
+    generalization of Q1's global sort+limit (SURVEY.md §2.7): one
+    shuffle on the partition key instead of a single-partition final."""
+    from pyspark.sql import Window
+
+    m = _metrics(spark, sf_dir)
+    w = Window.partitionBy("wiki").orderBy(
+        F.desc("edits_per_minute"), F.asc("id")
+    )
+    return (
+        m.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_PER_WIKI)
+        .select("wiki", "id", "title", "edits", "edits_per_minute", "rnk")
+    )
+
+
 def q_purge_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = topk.purge_survivors(_metrics(spark, sf_dir), **PURGE_PARAMS)
     return surv.select(
@@ -204,6 +224,7 @@ QUERIES = {
     "wt_most_edited": q_most_edited,
     "wt_biggest_movers": q_biggest_movers,
     "wt_most_vibrant": q_most_vibrant,
+    "wt_top_pages_per_wiki": q_top_pages_per_wiki,
     "wt_purge_survivors": q_purge_survivors,
     "wt_classify_counts": q_classify_counts,
     "wt_windowed_activity": q_windowed_activity,
@@ -220,6 +241,7 @@ ORACLES = {
     "wt_most_edited": sqlgen.q1_oracle(),
     "wt_biggest_movers": sqlgen.q2_oracle(),
     "wt_most_vibrant": sqlgen.q3_oracle(),
+    "wt_top_pages_per_wiki": sqlgen.topk_per_wiki_oracle(TOPK_PER_WIKI),
     "wt_purge_survivors": sqlgen.purge_oracle(**PURGE_PARAMS),
     "wt_classify_counts": sqlgen.classify_counts_oracle(),
     "wt_windowed_activity": sqlgen.windowed_activity_oracle(),
