@@ -237,3 +237,20 @@ def test_token_chunks_windows(spark):
     per = sorted((r["chunk_idx"], r["n_tokens"]) for r in rows if r["doc_id"] == 0)
     assert per == [(0, 64), (1, 52), (2, 4)]       # starts 0, 48, 96
     assert not [r for r in rows if r["doc_id"] == 1]  # empty doc: no chunks
+
+
+def test_token_chunks_rejects_bad_params(spark):
+    from wikitrender_spark.operators import chunking
+
+    d = docs_df(spark, ["a b c"])
+    with pytest.raises(ValueError):
+        chunking.token_chunks(d, size=16, overlap=16)
+    with pytest.raises(ValueError):
+        chunking.token_chunks(d, size=0, overlap=0)
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = docs_df(spark, [base, base + " x", base + " x y"])
+    with pytest.raises(RuntimeError):
+        dedup.duplicate_clusters(docs, threshold=0.5, max_iters=0)

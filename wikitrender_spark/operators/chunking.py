@@ -28,6 +28,10 @@ def token_chunks(
     """(doc_id, chunk_idx, n_tokens, chunk_fp): token windows of `size`
     every `size - overlap` tokens. The final window may be short; docs
     with zero tokens produce no chunks."""
+    if size <= 0 or overlap < 0 or size <= overlap:
+        raise ValueError(
+            f"need size > overlap >= 0, got size={size} overlap={overlap}"
+        )
     stride = size - overlap
     ths = F.col("ths")
     n = F.size(ths)

@@ -251,6 +251,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -276,6 +277,12 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # partially propagated labels are silently WRONG — fail loudly
+        # (diameter > max_iters implies an unexpectedly deep dup chain)
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} iterations"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
