@@ -92,3 +92,42 @@ def test_engine_purge_bounds_state(spark, tmp_path):
     purged.process_available()
     n_purged = purged.pages().count()
     assert 0 < n_purged < n_full
+
+
+def test_mark_safe_with_purge_does_not_mass_purge(spark, tmp_path):
+    """Control commands are stamped with wall-clock time; the purge clock
+    must advance on EVENT time only, or a mark_safe over replayed history
+    would age every page in the group to 'now' and purge it."""
+    from wikitrender_spark.streaming import fold
+
+    c = engine.WikiTrenderCollection(
+        spark, str(tmp_path / "wtp"), sf_dir=SF_DIR,
+        purge=fold.PurgeParams(
+            max_lifespan=42000.0, max_inactivity=5000.0,
+            min_speed=0.0002, min_purge_time=5.0,
+        ),
+    )
+    c.process_available()
+    before = {r["id"] for r in c.pages().collect()}
+    target = sorted(before)[0]
+    c.mark_safe(target)
+    c.process_available()  # control-only batch: no event time -> no purge
+    after = {r["id"] for r in c.pages().collect()}
+    assert after == before
+    assert c.pages().filter(F.col("id") == target).first()["safe"]
+
+
+def test_late_callback_sees_only_new_batches(spark, tmp_path):
+    """on_edit after earlier passes must NOT replay history (the
+    reference's subscribe-from-now semantics): the single snapshot query
+    advances the checkpoint every pass."""
+    c = engine.WikiTrenderCollection(spark, str(tmp_path / "wtl"), sf_dir=SF_DIR)
+    c.process_available()          # full history, no callbacks
+    n_pages = c.pages().count()
+    seen = []
+    c.on_edit(lambda row: seen.append(row["id"]))
+    some_id = c.pages().orderBy("id").first()["id"]
+    c.mark_safe(some_id)
+    c.process_available()          # only the control batch is new
+    assert len(seen) < n_pages     # no full-history replay
+    assert some_id in seen         # but the touched page did fire

@@ -94,7 +94,6 @@ class WikiTrenderCollection:
         self._control_dir = os.path.join(work_dir, "control")
         self._state_path = os.path.join(work_dir, "state")
         self._ckpt_state = os.path.join(work_dir, "ckpt_state")
-        self._ckpt_edits = os.path.join(work_dir, "ckpt_edits")
         os.makedirs(self._control_dir, exist_ok=True)
         self._edit_callbacks: list[Callable] = []
         self._report: Callable[[str, list], None] | bool = False
@@ -128,37 +127,50 @@ class WikiTrenderCollection:
     def pages(self) -> DataFrame:
         """getPages() (/root/reference/index.js:454-456): the live page
         set as a DataFrame (parquet snapshot maintained per micro-batch)."""
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(self._state_path)
-        except Exception:
+        except AnalysisException:  # no snapshot yet (first run)
             schema = fold.STATE_SCHEMA + ", safe boolean"
             return self.spark.createDataFrame([], schema)
 
     # --- execution --------------------------------------------------------
     def process_available(self) -> None:
         """Run one AvailableNow pass over all new input (events + control
-        inbox), resuming from the checkpoint. Each registered sink is its
-        own streaming query with its own checkpoint (Spark streaming
-        queries are single-sink)."""
+        inbox), resuming from the checkpoint. One streaming query drives
+        both the snapshot merge and the edit callbacks — one checkpoint,
+        one stateful fold, so late-registered callbacks see only batches
+        processed after registration (the reference's subscribe-from-now
+        semantics) and the snapshot can never drift from the callbacks."""
+        def fanout(row):
+            for cb in self._edit_callbacks:
+                cb(row)
+
         q = sinks.state_snapshot_sink(
             self._changelog(), self._state_path, self._ckpt_state,
             report=self._report, available_now=True,
+            edit_callback=fanout if self._edit_callbacks else None,
         )
         q.awaitTermination()
-        if self._edit_callbacks:
-            def fanout(row):
-                for cb in self._edit_callbacks:
-                    cb(row)
-
-            q2 = sinks.foreach_edit(
-                self._changelog(), fanout, self._ckpt_edits,
-                available_now=True,
-            )
-            q2.awaitTermination()
 
     # --- internals --------------------------------------------------------
     def _split_id(self, page_id: str) -> tuple[str, str]:
-        """Invert A1 key derivation (wiki/title; bare title = enwiki)."""
+        """Resolve a page id back to (wiki, title) for control routing.
+
+        Ids are ambiguous by construction ('AC/DC' on enwiki vs wiki 'AC',
+        title 'DC' — fold.page_id), so live pages are resolved from the
+        snapshot (authoritative, and markSafe only applies to live pages
+        anyway, /root/reference/index.js:409-411); only unknown ids fall
+        back to the prefix heuristic."""
+        hit = (
+            self.pages()
+            .filter(F.col("id") == page_id)
+            .select("wiki", "title")
+            .take(1)
+        )
+        if hit:
+            return (hit[0]["wiki"] or "enwiki"), hit[0]["title"]
         if "/" in page_id:
             wiki, title = page_id.split("/", 1)
             return wiki, title

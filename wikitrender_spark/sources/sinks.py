@@ -83,13 +83,20 @@ def state_snapshot_sink(changelog: DataFrame, table_path: str,
                         checkpoint: str,
                         report: Callable[[str, list], None] | bool = False,
                         available_now: bool = False,
+                        edit_callback: Callable | None = None,
                         ) -> StreamingQuery:
     """Maintain the live-state parquet snapshot; optionally render S8
     top-5 reports from it after each merge. ``report=True`` prints to the
-    console (the reference example's sink); a callable customizes it."""
+    console (the reference example's sink); a callable customizes it.
+    ``edit_callback`` additionally receives each non-tombstone changelog
+    row (S7) from the SAME query — one checkpoint, one stateful fold,
+    callbacks and snapshot always consistent."""
     render = _print_render if report is True else report
 
     def handle(batch: DataFrame, _batch_id: int) -> None:
+        if edit_callback is not None:
+            for row in batch.filter(~F.col("_deleted")).toLocalIterator():
+                edit_callback(row)
         spark = batch.sparkSession
         cols = [c for c in batch.columns if c not in ("_ver", "_deleted")]
         upserts = batch.filter(~F.col("_deleted")).select(*cols)

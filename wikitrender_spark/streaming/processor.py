@@ -81,8 +81,14 @@ def _make_processor(purge: fold.PurgeParams | None):
             if len(pdf) == 0:
                 continue
             fold.fold_pdf(titles, pdf, changed, removed)
-            m = pdf["ts"].max()
-            batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
+            # the purge clock advances on EVENT time only: control commands
+            # are stamped with the submitter's wall clock (engine inbox),
+            # and letting that drive batch_max_ts would age the whole group
+            # against real time and mass-purge it on replayed history
+            ev = pdf[pdf["log_type"] != "control"]
+            if len(ev):
+                m = ev["ts"].max()
+                batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
 
         if purge is not None and batch_max_ts is not None:
             removed |= fold.purge_titles(titles, batch_max_ts, purge)

@@ -32,13 +32,11 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from . import fold
-from .processor import CHANGELOG_SCHEMA, _changelog_rows
+from .processor import _STATE_SCHEMA, CHANGELOG_SCHEMA, _changelog_rows
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
-
-_STATE_SCHEMA = "blob string, ver long"
 
 
 class PageStateProcessor(StatefulProcessor):
@@ -63,8 +61,11 @@ class PageStateProcessor(StatefulProcessor):
                 continue
             pdf = pdf.drop(columns=["_grp"])
             fold.fold_pdf(titles, pdf, changed, removed)
-            m = pdf["ts"].max()
-            batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
+            # event-time purge clock only (see processor.py)
+            ev = pdf[pdf["log_type"] != "control"]
+            if len(ev):
+                m = ev["ts"].max()
+                batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
 
         if self._purge is not None and batch_max_ts is not None:
             removed |= fold.purge_titles(titles, batch_max_ts, self._purge)
