@@ -126,3 +126,24 @@ def test_move_after_delete_window(spark):
     )
     assert list(st) == ["FoO"]
     assert st["FoO"]["edits"] == 2
+
+
+def test_apply_safe_list_latest_command_wins(spark):
+    import datetime as dt
+
+    from wikitrender_spark.operators.lifecycle import apply_safe_list
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    state = spark.createDataFrame(
+        [("A", 3), ("B", 1), ("C", 2)], "id string, edits long"
+    )
+    control = spark.createDataFrame(
+        [
+            ("A", "markSafe", t0, 1),
+            ("B", "markSafe", t0, 1),
+            ("B", "markUnsafe", t0, 2),   # ts tie -> higher seq wins
+        ],
+        "id string, command string, ts timestamp, seq long",
+    )
+    got = {r["id"]: r["safe"] for r in apply_safe_list(state, control).collect()}
+    assert got == {"A": True, "B": False, "C": False}

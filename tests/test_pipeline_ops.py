@@ -235,7 +235,9 @@ def test_token_chunks_windows(spark):
     d = docs_df(spark, [text, ""])
     rows = chunking.token_chunks(d, size=64, overlap=16).collect()
     per = sorted((r["chunk_idx"], r["n_tokens"]) for r in rows if r["doc_id"] == 0)
-    assert per == [(0, 64), (1, 52), (2, 4)]       # starts 0, 48, 96
+    # starts stop below n - overlap = 84: a window at 96 would contain no
+    # new tokens (all inside chunk 1's coverage) and must not be emitted
+    assert per == [(0, 64), (1, 52)]               # starts 0, 48
     assert not [r for r in rows if r["doc_id"] == 1]  # empty doc: no chunks
 
 

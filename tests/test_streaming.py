@@ -330,3 +330,22 @@ def test_streaming_dedup_drops_replayed_events(spark):
         n_unique = rc_events(spark, SF_DIR).count()
         assert got.count() == n_unique
         assert got.select("seq").distinct().count() == n_unique
+
+
+def test_multi_chunk_groups_fold_in_order(spark, batch_state):
+    """A group larger than one Arrow batch arrives as multiple chunks;
+    the processor must concatenate them before the (ts, seq)-ordered fold
+    or later events can apply first. Forced by shrinking
+    arrow.maxRecordsPerBatch so nearly every group spans chunks."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            cl = processor.page_state_changelog(
+                rc_event_stream(spark, SF_DIR), _group()
+            )
+            t = _run(cl, "t_chunked_arrow", d + "/ckpt")
+            got = sorted(map(tuple, processor.final_state(t).collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got == batch_state

@@ -249,8 +249,12 @@ def embedding_near_duplicates(
 def lsh_bucketed_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = N_PLANES
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's bucket."""
-    with_bucket = emb.join(lsh_buckets(emb, n_planes), "vec_id")
+    """Approximate top-k: candidates restricted to the query's bucket.
+    The bucket is a narrow projection of the vector itself — attach it
+    with withColumn (zero shuffle), never a self-join."""
+    with_bucket = emb.withColumn(
+        "bucket", S.hyperplane_bucket(F.col("embedding"), n_planes, EMB_DIM)
+    )
 
     def project(src: DataFrame, role: str) -> DataFrame:
         return src.select(

@@ -27,7 +27,10 @@ def token_chunks(
 ) -> DataFrame:
     """(doc_id, chunk_idx, n_tokens, chunk_fp): token windows of `size`
     every `size - overlap` tokens. The final window may be short; docs
-    with zero tokens produce no chunks."""
+    with zero tokens produce no chunks. Window starts stop at
+    n - overlap: a later start's tokens would lie entirely inside the
+    previous window (its only content is the shared overlap), emitting a
+    chunk with zero new tokens — duplicated training data."""
     if size <= 0 or overlap < 0 or size <= overlap:
         raise ValueError(
             f"need size > overlap >= 0, got size={size} overlap={overlap}"
@@ -36,7 +39,9 @@ def token_chunks(
     ths = F.col("ths")
     n = F.size(ths)
     starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(0), n - 1, F.lit(stride))
+        F.sequence(
+            F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+        )
     )
 
     def chunk(s):

@@ -167,8 +167,17 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 def lsh_candidate_pairs(
     docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
-    sig = minhash_signatures(docs, k)
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
+
+    Sentinel signatures (docs with <3 tokens, no shingles) are excluded
+    BEFORE banding: they all share one signature, so banding them would
+    generate an all-pairs candidate set over every short doc — an O(n^2)
+    shuffle at corpus scale — only for verification to drop each pair as
+    NULL jaccard. A permuted hash is always < HASH_MOD, so sig[0] ==
+    EMPTY_SIG identifies exactly the sentinel docs."""
+    sig = minhash_signatures(docs, k).filter(
+        F.element_at("signature", 1) != S.EMPTY_SIG
+    )
     banded = sig.select(
         "doc_id",
         F.posexplode(S.lsh_bands(F.col("signature"), bands, rows)).alias(

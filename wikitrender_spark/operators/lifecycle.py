@@ -251,10 +251,13 @@ def replay_lifecycle(rc: DataFrame, group_col) -> DataFrame:
 
 
 def apply_safe_list(state: DataFrame, control: DataFrame) -> DataFrame:
-    """A7 markSafe: latest command per id wins (broadcast join — the
-    control stream is human-issued and tiny)."""
+    """A7 markSafe, batch formulation: latest command per id wins
+    (broadcast join — the control stream is human-issued and tiny). The
+    streaming engine routes commands through the keyed fold instead
+    (engine.py control inbox); tie-break matches the fold's (ts, seq)
+    replay order so the two formulations can never disagree."""
     latest = control.groupBy("id").agg(
-        F.max_by(F.col("command"), F.struct("ts")).alias("_cmd")
+        F.max_by(F.col("command"), F.struct("ts", "seq")).alias("_cmd")
     )
     return (
         state.join(F.broadcast(latest), "id", "left")

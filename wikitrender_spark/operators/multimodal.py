@@ -135,7 +135,9 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per
     sampled frame index based on meta.n_frames — pure column ops (the
     real decoder would slice the payload per frame inside mapInPandas)."""
-    return media.filter(F.col("meta.n_frames").isNotNull()).select(
+    return media.filter(
+        F.col("meta.n_frames").isNotNull() & (F.col("meta.n_frames") > 0)
+    ).select(
         "media_id",
         F.explode(
             F.sequence(

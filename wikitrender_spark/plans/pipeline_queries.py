@@ -64,7 +64,8 @@ banded AS (
   SELECT doc_id, j AS band_idx,
     array_to_string(list_transform(list_slice(mh, j*4+1, j*4+4),
                                    x -> CAST(x AS STRING)), '-') AS band_key
-  FROM mh, (SELECT unnest(range(0,4)) AS j) bands),
+  FROM mh, (SELECT unnest(range(0,4)) AS j) bands
+  WHERE mh[1] <> 1000003),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a
@@ -293,7 +294,8 @@ WITH {_TOK_HASH_CTE},
 st AS (
   SELECT doc_id, th,
     CASE WHEN length(th) = 0 THEN []
-         ELSE range(0, length(th), {stride}) END AS starts
+         ELSE range(0, greatest(length(th) - {chunking.CHUNK_OVERLAP}, 1),
+                    {stride}) END AS starts
   FROM th),
 ch AS (
   SELECT doc_id, CAST(s AS BIGINT) AS s,

@@ -107,10 +107,14 @@ def fold_pdf(titles: dict, pdf: pd.DataFrame,
                 # renamePage (/root/reference/index.js:154-167): the source
                 # page adopts the target id/title, OVERWRITING any fresh
                 # state at the target (old+new are not merged).
+                src_existed = page_id(row.wiki, row.title) in titles
                 page = get_page(row.wiki, row.title, now)
                 new_page = get_page(row.wiki, row.log_target, now)
                 del titles[page["id"]]
-                removed.add(page["id"])
+                if src_existed:
+                    # a never-live source must not emit a tombstone for an
+                    # id consumers never saw as live
+                    removed.add(page["id"])
                 page["id"] = new_page["id"]
                 page["title"] = new_page["title"]
                 page["updated"] = now

@@ -77,18 +77,24 @@ def _make_processor(purge: fold.PurgeParams | None):
         changed: set = set()
         removed: set = set()
         batch_max_ts = None
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            fold.fold_pdf(titles, pdf, changed, removed)
+        # a group larger than one Arrow batch arrives as MULTIPLE chunks in
+        # arbitrary fetch order; fold_pdf sorts only within its input, so
+        # the whole micro-batch must be concatenated before the single
+        # (ts, seq)-ordered fold — chunk-at-a-time folding would apply
+        # later events first and break batch-stream equivalence
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
+            fold.fold_pdf(titles, whole, changed, removed)
             # the purge clock advances on EVENT time only: control commands
             # are stamped with the submitter's wall clock (engine inbox),
             # and letting that drive batch_max_ts would age the whole group
             # against real time and mass-purge it on replayed history
-            ev = pdf[pdf["log_type"] != "control"]
+            ev = whole[whole["log_type"] != "control"]
             if len(ev):
-                m = ev["ts"].max()
-                batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
+                batch_max_ts = ev["ts"].max()
 
         if purge is not None and batch_max_ts is not None:
             removed |= fold.purge_titles(titles, batch_max_ts, purge)

@@ -56,16 +56,18 @@ class PageStateProcessor(StatefulProcessor):
         changed: set = set()
         removed: set = set()
         batch_max_ts = None
-        for pdf in rows:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.drop(columns=["_grp"])
-            fold.fold_pdf(titles, pdf, changed, removed)
+        # concatenate ALL Arrow chunks before the single ordered fold —
+        # see processor.py for why chunk-at-a-time folding is wrong
+        chunks = [pdf.drop(columns=["_grp"]) for pdf in rows if len(pdf)]
+        if chunks:
+            whole = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
+            fold.fold_pdf(titles, whole, changed, removed)
             # event-time purge clock only (see processor.py)
-            ev = pdf[pdf["log_type"] != "control"]
+            ev = whole[whole["log_type"] != "control"]
             if len(ev):
-                m = ev["ts"].max()
-                batch_max_ts = m if batch_max_ts is None else max(batch_max_ts, m)
+                batch_max_ts = ev["ts"].max()
 
         if self._purge is not None and batch_max_ts is not None:
             removed |= fold.purge_titles(titles, batch_max_ts, self._purge)
