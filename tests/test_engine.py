@@ -111,9 +111,12 @@ def test_mark_safe_with_purge_does_not_mass_purge(spark, tmp_path):
     before = {r["id"] for r in c.pages().collect()}
     target = sorted(before)[0]
     c.mark_safe(target)
+    victim = sorted(before)[1]
+    c.drop(victim.split("/", 1)[1] if "/" in victim else victim,
+           wiki=victim.split("/", 1)[0] if "/" in victim else "enwiki")
     c.process_available()  # control-only batch: no event time -> no purge
     after = {r["id"] for r in c.pages().collect()}
-    assert after == before
+    assert after == before - {victim}  # drop removed ONLY its target
     assert c.pages().filter(F.col("id") == target).first()["safe"]
 
 

@@ -39,7 +39,7 @@ def test_snapshot_sink_converges_to_batch_state(spark, tmp_path):
     q.stop()
 
     got = sorted(
-        map(tuple, spark.read.parquet(snap).drop("safe").collect())
+        map(tuple, sinks.read_snapshot(snap, spark).drop("safe").collect())
     )
     exp = sorted(
         map(tuple,

@@ -99,3 +99,37 @@ def test_rc_from_sse_flattens_log_events(spark):
     assert row["log_target"] == "New_Title"
     assert row["log_action"] == "move"
     assert row["ts"] is not None
+
+
+def test_rc_from_sse_derives_ts_seq_from_wire_payload(spark):
+    """The live Wikimedia payload has no ts/seq pins — they derive from
+    epoch-seconds 'timestamp' (or meta.dt) and the envelope's offset."""
+    import json
+
+    from wikitrender_spark.sources.sse import rc_from_sse
+
+    payload = json.dumps({
+        "title": "X", "comment": "c", "namespace": 0, "user": "U",
+        "bot": False, "type": "edit", "wiki": "enwiki",
+        "server_name": "en.wikipedia.org",
+        "length": {"new": 10, "old": 4},
+        "timestamp": 1704067200,
+        "meta": {"id": "u1", "dt": "2024-01-01T00:00:00Z", "offset": 42},
+    })
+    raw = spark.createDataFrame(
+        [("message", "id1", payload)], "event string, id string, value string"
+    )
+    row = rc_from_sse(raw).first()
+    assert row["seq"] == 42
+    assert row["ts"] is not None and row["ts"].year == 2024
+    # meta.dt fallback when 'timestamp' is absent
+    p2 = json.loads(payload)
+    del p2["timestamp"]
+    p2["meta"]["offset"] = None
+    raw2 = spark.createDataFrame(
+        [("message", "id1", json.dumps(p2))],
+        "event string, id string, value string",
+    )
+    row2 = rc_from_sse(raw2).first()
+    assert row2["ts"] is not None and row2["ts"].year == 2024
+    assert row2["seq"] == 0

@@ -46,24 +46,21 @@ from .sources import sinks
 from .sources.replay import rc_event_stream
 from .streaming import fold, processor
 
-#: flat rc-event schema produced by the derivation (operators/derive.py) —
-#: control commands are written in this exact shape.
-RC_FLAT_SCHEMA = (
-    "seq long, ts timestamp, title string, wiki string, server_name string, "
-    "namespace int, user string, bot boolean, type string, comment string, "
-    "length_new long, length_old long, log_type string, log_action string, "
-    "log_target string, log_action_comment string"
+#: flat rc-event schema (control commands are written in this exact
+#: shape) — derived from the pinned StructType, never hand-maintained.
+from .schemas import RC_EVENT_FLAT_SCHEMA as _FLAT
+
+RC_FLAT_SCHEMA = ", ".join(
+    f"{f.name} {f.dataType.simpleString()}" for f in _FLAT.fields
 )
 
 def default_group() -> F.Column:
-    """Default group key: closes move components for the driver's
-    synthetic derivation ('Page_N' -> 'Moved_N' share the trailing
-    number). A live deployment supplies its own move-closing group
-    expression — see streaming/processor.py design notes. (Built lazily:
-    Column construction needs an active SparkContext.)"""
-    return F.concat(
-        F.col("wiki"), F.lit("#"), F.regexp_extract(F.col("title"), r"_(\d+)$", 1)
-    )
+    """Default move-closing group key (shared single definition in
+    operators/derive.py). A live deployment supplies its own — see
+    streaming/processor.py design notes."""
+    from .operators.derive import move_closed_group
+
+    return move_closed_group()
 
 
 def is_ip(user: str) -> bool:
@@ -83,6 +80,11 @@ class WikiTrenderCollection:
         group_col: F.Column | None = None,
         clear_cache: bool = False,
     ):
+        if sf_dir is None:
+            raise ValueError(
+                "sf_dir is required: the facade replays the events parquet "
+                "(wire rc_from_sse + the wikimedia_sse source for live use)"
+            )
         self.spark = spark
         self.work_dir = work_dir
         self.sf_dir = sf_dir
@@ -117,23 +119,21 @@ class WikiTrenderCollection:
         )
 
     def drop(self, title: str, wiki: str = "enwiki") -> None:
-        """A5 (/root/reference/index.js:427-430): remove a page's state
-        row, routed through the normal delete-log path."""
-        self._write_control(
-            wiki, title, log_type="log", log_action="delete",
-            log_action_comment=f"&quot;[[{title}]]&quot;",
-        )
+        """drop() (/root/reference/index.js:427-430): remove a page's
+        state row directly by id. Routed as a CONTROL command (not a
+        delete-log event): control rows carry the submitter's wall clock,
+        and only log_type='control' is excluded from the purge clock —
+        a wall-clock 'log' row would age the whole group to now."""
+        self._write_control(wiki, title, log_type="control", log_action="drop")
 
     def pages(self) -> DataFrame:
         """getPages() (/root/reference/index.js:454-456): the live page
         set as a DataFrame (parquet snapshot maintained per micro-batch)."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(self._state_path)
-        except AnalysisException:  # no snapshot yet (first run)
+        snap = sinks.read_snapshot(self._state_path, self.spark)
+        if snap is None:  # no snapshot yet (first run)
             schema = fold.STATE_SCHEMA + ", safe boolean"
             return self.spark.createDataFrame([], schema)
+        return snap
 
     # --- execution --------------------------------------------------------
     def process_available(self) -> None:

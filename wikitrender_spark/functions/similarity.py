@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .text import HASH_MOD, token_hashes
+from .text import HASH_MOD
 
 EMPTY_SIG = HASH_MOD  # minhash of an empty shingle set
 
@@ -45,23 +45,10 @@ def cosine(a: Column, b: Column) -> Column:
 # token ROWS. Nested array lambdas recompute their captured expressions per
 # lambda (Catalyst inlines through project-collapse), so sketching over
 # arrays in place is correct but far slower — don't use these in bulk jobs.
-def shingle_hashes(text: Column) -> Column:
-    """Word-trigram shingle hashes (portable): combine consecutive token
-    hashes with the same 31-polynomial."""
-    th = token_hashes(text)
-    m = F.size(th)
-    return F.when(m < 3, F.array().cast("array<long>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), m - 2),
-            lambda i: (
-                (F.element_at(th, i) * 31 + F.element_at(th, i + 1))
-                % HASH_MOD
-                * 31
-                + F.element_at(th, i + 2)
-            )
-            % HASH_MOD,
-        )
-    )
+# single pinned trigram-shingle definition lives in functions.text;
+# re-exported here so the sketch library has one import surface and the
+# arithmetic can never fork between the two modules
+from .text import shingle_hashes  # noqa: E402,F401
 
 
 def minhash_signature(shingles: Column, k: int = 16) -> Column:

@@ -121,6 +121,19 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def move_closed_group():
+    """THE move-closing group key for this derivation (single shared
+    definition — batch replay, streaming processor, and the engine facade
+    must all partition state identically): move targets are 1:1 with
+    their source page number ('Page_N' -> 'Moved_N'), so wiki + N closes
+    every move component."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.col("wiki"), F.lit("#"), F.regexp_extract(F.col("title"), r"_(\d+)$", 1)
+    )
+
+
 def rc_events(spark: SparkSession, sf_dir: str, filtered: bool = True) -> DataFrame:
     """The derived rc_event stream as a DataFrame (flat schema,
     RC_EVENT_FLAT_SCHEMA minus nested structs).

@@ -190,11 +190,10 @@ def q_lifecycle_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Group key: the derivation ties each move target 1:1 to its source page
     number ('Page_N' -> 'Moved_N'), so wiki + N closes the move graph."""
+    from ..operators.derive import move_closed_group
+
     rc = rc_events(spark, sf_dir)
-    group = F.concat(
-        F.col("wiki"), F.lit("#"), F.regexp_extract(F.col("title"), r"_(\d+)$", 1)
-    )
-    return _lifecycle_select(lifecycle.replay_lifecycle(rc, group))
+    return _lifecycle_select(lifecycle.replay_lifecycle(rc, move_closed_group()))
 
 
 def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,13 +205,13 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from ..operators.derive import move_closed_group
     from ..sources.replay import rc_event_stream
     from ..streaming import processor
 
-    group = F.concat(
-        F.col("wiki"), F.lit("#"), F.regexp_extract(F.col("title"), r"_(\d+)$", 1)
+    cl = processor.page_state_changelog(
+        rc_event_stream(spark, sf_dir), move_closed_group()
     )
-    cl = processor.page_state_changelog(rc_event_stream(spark, sf_dir), group)
     name = "wt_stream_replay_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="wt_stream_ckpt_")
     changelog = processor.run_changelog_to_memory(cl, name, ckpt)

@@ -49,6 +49,21 @@ RC_EVENT_SCHEMA = StructType(
             "log_params", StructType([StructField("target", StringType())])
         ),
         StructField("log_action_comment", StringType()),
+        # the real Wikimedia wire payload carries event time as epoch
+        # seconds ('timestamp') plus an envelope ('meta') with an RFC3339
+        # dt and a Kafka offset — rc_from_sse derives the pinned ts/seq
+        # from these when the explicit pins below are absent.
+        StructField("timestamp", LongType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("id", StringType()),
+                    StructField("dt", StringType()),
+                    StructField("offset", LongType()),
+                ]
+            ),
+        ),
         # pins (SURVEY.md §2.9): explicit event time + per-key tiebreak so
         # distributed replay is deterministic (reference relies on a
         # single-threaded event loop's arrival order).

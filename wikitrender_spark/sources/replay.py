@@ -64,6 +64,12 @@ def chunked_event_stream(spark: SparkSession, sf_dir: str, work_dir: str,
     n_rows = src.count()
     step = max(1, (n_rows + n_chunks - 1) // n_chunks)
     chunk_dir = os.path.join(work_dir, "chunks")
+    # a previous run with more chunks leaves stale chunk_NNNN dirs that
+    # would replay as extra (duplicate) micro-batches — start clean
+    if os.path.isdir(chunk_dir):
+        import shutil
+
+        shutil.rmtree(chunk_dir)
     for i in range(n_chunks):
         part = src.filter(
             (F.col("_rn") >= i * step) & (F.col("_rn") < (i + 1) * step)

@@ -79,6 +79,46 @@ def _print_render(name: str, rows: list) -> None:  # pragma: no cover
         print(f"  {r['title']}: {r[2]}")
 
 
+def _manifest_path(table_path: str) -> str:
+    return table_path + "_MANIFEST"
+
+
+def read_snapshot(table_path: str, spark) -> DataFrame | None:
+    """Resolve the live snapshot through its manifest pointer. Returns
+    None when no snapshot exists yet; raises when the manifest names a
+    version directory that is missing (real corruption must be loud, not
+    an empty page set)."""
+    import os
+
+    mp = _manifest_path(table_path)
+    if not os.path.exists(mp):
+        return None
+    with open(mp, encoding="utf-8") as f:
+        vdir = f.read().strip()
+    if not vdir or not os.path.isdir(vdir):
+        raise RuntimeError(f"snapshot manifest {mp} points at missing {vdir!r}")
+    return spark.read.parquet(vdir)
+
+
+def _promote_snapshot(table_path: str, vdir: str) -> None:
+    """Atomically repoint the manifest at `vdir` (os.replace), then
+    best-effort remove superseded version directories."""
+    import os
+    import shutil
+
+    mp = _manifest_path(table_path)
+    tmp = mp + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(vdir)
+    os.replace(tmp, mp)
+    parent = os.path.dirname(table_path) or "."
+    prefix = os.path.basename(table_path) + "_v"
+    for name in os.listdir(parent):
+        full = os.path.join(parent, name)
+        if name.startswith(prefix) and full != vdir and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def state_snapshot_sink(changelog: DataFrame, table_path: str,
                         checkpoint: str,
                         report: Callable[[str, list], None] | bool = False,
@@ -90,33 +130,41 @@ def state_snapshot_sink(changelog: DataFrame, table_path: str,
     console (the reference example's sink); a callable customizes it.
     ``edit_callback`` additionally receives each non-tombstone changelog
     row (S7) from the SAME query — one checkpoint, one stateful fold,
-    callbacks and snapshot always consistent."""
+    callbacks and snapshot always consistent.
+
+    Durability: each batch writes ONE new version directory and then
+    atomically repoints a manifest file at it — readers (read_snapshot)
+    always see a complete snapshot; a crash mid-write leaves the manifest
+    on the previous version, and the checkpoint replays the batch. (A
+    transactional table format would replace this pattern wholesale.)"""
     render = _print_render if report is True else report
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
-        if edit_callback is not None:
-            for row in batch.filter(~F.col("_deleted")).toLocalIterator():
-                edit_callback(row)
+    def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        cols = [c for c in batch.columns if c not in ("_ver", "_deleted")]
-        upserts = batch.filter(~F.col("_deleted")).select(*cols)
-        keys = batch.select("id").distinct()
+        batch = batch.persist()
         try:
-            current = spark.read.parquet(table_path)
-            merged = current.join(keys, "id", "left_anti").unionByName(upserts)
-        except Exception:  # first batch: snapshot doesn't exist yet
-            merged = upserts
-        # two-phase write: materialize next to the live snapshot, then
-        # promote — readers never observe a half-written snapshot and the
-        # merge never reads the file it is overwriting.
-        merged.write.mode("overwrite").parquet(table_path + "_next")
-        promoted = spark.read.parquet(table_path + "_next")
-        promoted.write.mode("overwrite").parquet(table_path)
-        if render:
-            state = spark.read.parquet(table_path)
-            now = state.agg(F.max("updated")).first()[0]
-            if now is not None:
-                render_top5(state, now, render)
+            live = batch.filter(~F.col("_deleted"))
+            if edit_callback is not None:
+                for row in live.toLocalIterator():
+                    edit_callback(row)
+            cols = [c for c in batch.columns if c not in ("_ver", "_deleted")]
+            upserts = live.select(*cols)
+            keys = batch.select("id").distinct()
+            current = read_snapshot(table_path, spark)
+            merged = (
+                upserts if current is None
+                else current.join(keys, "id", "left_anti").unionByName(upserts)
+            )
+            vdir = f"{table_path}_v{batch_id}"
+            merged.write.mode("overwrite").parquet(vdir)
+            _promote_snapshot(table_path, vdir)
+            if render:
+                state = spark.read.parquet(vdir)
+                now = state.agg(F.max("updated")).first()[0]
+                if now is not None:
+                    render_top5(state, now, render)
+        finally:
+            batch.unpersist()
 
     writer = (changelog.writeStream.outputMode("update")
               .option("checkpointLocation", checkpoint)

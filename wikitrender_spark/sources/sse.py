@@ -120,13 +120,18 @@ class _LiveFeed:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
-    def _run(self) -> None:
-        while not self._stop.is_set():
+    def _run(self, stop: threading.Event) -> None:
+        # `stop` is THIS thread's own event, captured at spawn: the
+        # watchdog replaces self._stop when it rebuilds the reader, and a
+        # replaced reader still blocked in a socket read must keep seeing
+        # its own (set) event — reading self._stop here would un-stop it
+        # and leave a zombie reader feeding the queue alongside the new one
+        while not stop.is_set():
             try:
                 lines = _open_lines(self.url, self.last_event_id,
                                     self.connect_timeout_s)
                 for ev in iter_sse_events(lines):
-                    if self._stop.is_set():
+                    if stop.is_set():
                         return
                     self.last_event_id = ev["id"] or self.last_event_id
                     self.last_event_time = time.monotonic()
@@ -148,7 +153,9 @@ class _LiveFeed:
                 self._thread.join(timeout=2.0)
                 self._stop = threading.Event()
             if not (self.url.startswith("file://") and self._thread is not None):
-                self._thread = threading.Thread(target=self._run, daemon=True)
+                self._thread = threading.Thread(
+                    target=self._run, args=(self._stop,), daemon=True
+                )
                 self._thread.start()
             self.last_event_time = time.monotonic()
 
@@ -245,7 +252,20 @@ def rc_from_sse(raw: DataFrame, project: str = "*") -> DataFrame:
         F.col("e.length.old").alias("length_old"),
         "e.wiki", "e.server_name", "e.log_type", "e.log_action",
         F.col("e.log_params.target").alias("log_target"),
-        "e.log_action_comment", "e.ts", "e.seq",
+        "e.log_action_comment",
+        # the live wire payload has no 'ts'/'seq' pins — derive them:
+        # epoch-seconds 'timestamp', else the envelope's RFC3339 meta.dt;
+        # seq from the Kafka offset in meta. Without any of these (a
+        # malformed event) ts stays null and the F1-F3 filter semantics
+        # still apply; ordering falls back to arrival order (seq 0).
+        F.coalesce(
+            F.col("e.ts"),
+            F.timestamp_seconds(F.col("e.timestamp")),
+            F.to_timestamp(F.col("e.meta.dt")),
+        ).alias("ts"),
+        F.coalesce(F.col("e.seq"), F.col("e.meta.offset"), F.lit(0)).alias(
+            "seq"
+        ),
     )
     return flat.filter(
         classify.keep_event(

@@ -100,7 +100,12 @@ def fold_pdf(titles: dict, pdf: pd.DataFrame,
         if row.log_type is not None and not pd.isna(row.log_type):
             if row.log_type == "control":
                 pid = page_id(row.wiki, row.title)
-                if pid in titles:
+                if row.log_action == "drop":
+                    # drop() removes by id (/root/reference/index.js:427-430)
+                    if pid in titles:
+                        del titles[pid]
+                        removed.add(pid)
+                elif pid in titles:
                     titles[pid]["safe"] = row.log_action == "markSafe"
                     changed.add(pid)
             elif row.log_action == "move":
