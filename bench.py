@@ -34,16 +34,21 @@ HEADLINE = [
     "rel_regional_revenue",
     "rel_topk_per_brand",
     "rel_signup_burst",
+    "rel_small_quantity_revenue",
+    "rel_json_props",
     "wt_windowed_activity",
     "wt_session_activity",
+    "wt_protect_followups",
     "tx_token_stats",
     "dd_minhash_signatures",
     "dd_lsh_candidates",
     "dd_near_duplicates",
     "dd_embedding_neardup",
+    "tx_clean_corpus",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "mm_media_features",
+    "mm_frame_sample",
 ]
 
 
