@@ -357,6 +357,78 @@ FROM supplier a JOIN supplier b
      AND abs(a.s_acctbal - b.s_acctbal) <= 500.0"""
 
 
+# --- explicit grouping sets -------------------------------------------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with two disjoint single-column sets — one pass over
+    the fact table expands to both groupings (no second scan)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+
+# --- RANGE window frame + lag/lead analytics --------------------------------------
+def q_rolling_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per customer order, revenue of the
+    customer's orders within the preceding 30 days (value-based frame, vs
+    the ROWS frame in rel_running_revenue)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    day = F.datediff(F.col("o_orderdate"), F.lit("2024-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+ROLLING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER w, 2) AS revenue_30d,
+  count(*) OVER w AS n_orders_30d
+FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey
+  ORDER BY date_diff('day', DATE '2024-01-01', o_orderdate)
+  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)"""
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per customer order, days since the previous
+    and until the next order (deterministic total order pinned by
+    (o_orderdate, o_orderkey))."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_d = F.lag("o_orderdate").over(w)
+    next_d = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev_d).alias("days_since_prev"),
+        F.datediff(next_d, F.col("o_orderdate")).alias("days_to_next"),
+    )
+
+
+ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT)
+    AS days_since_prev,
+  CAST(date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS INT)
+    AS days_to_next
+FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+
 # --- semi / anti joins ---------------------------------------------------------
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (NOT EXISTS). Spark plans a broadcast/shuffled hash
@@ -632,6 +704,9 @@ QUERIES = {
     "rel_signup_burst": q_signup_burst,
     "rel_acctbal_band_pairs": q_acctbal_band_pairs,
     "rel_small_quantity_revenue": q_small_quantity_revenue,
+    "rel_grouping_sets": q_grouping_sets,
+    "rel_rolling_revenue_window": q_rolling_revenue_window,
+    "rel_order_gaps": q_order_gaps,
     "rel_customers_without_orders": q_customers_without_orders,
     "rel_suppliers_with_shipments": q_suppliers_with_shipments,
     "rel_nation_set_ops": q_nation_set_ops,
@@ -655,6 +730,9 @@ ORACLES = {
     "rel_signup_burst": SIGNUP_BURST_SQL,
     "rel_acctbal_band_pairs": ACCTBAL_BAND_PAIRS_SQL,
     "rel_small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
+    "rel_grouping_sets": GROUPING_SETS_SQL,
+    "rel_rolling_revenue_window": ROLLING_REVENUE_SQL,
+    "rel_order_gaps": ORDER_GAPS_SQL,
     "rel_customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "rel_suppliers_with_shipments": SUPPLIERS_WITH_SHIPMENTS_SQL,
     "rel_nation_set_ops": NATION_SET_OPS_SQL,
