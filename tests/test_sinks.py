@@ -64,3 +64,23 @@ def test_foreach_edit_callback(spark, tmp_path):
     q.stop()
     assert len(seen) > 400  # every changed page per batch fires once
     assert "Page_1" in seen
+
+
+def test_snapshot_promote_keeps_previous_version(spark, tmp_path):
+    """DataFrames bind lazily to their version dir; promote must keep the
+    immediately previous version alive for one cycle, then reap it."""
+    import os
+
+    base = str(tmp_path / "snap")
+    v1, v2, v3 = base + "_v0_a", base + "_v1_b", base + "_v2_c"
+    spark.range(3).write.parquet(v1)
+    sinks._promote_snapshot(base, v1, None)
+    bound = sinks.read_snapshot(base, spark)
+    spark.range(5).write.parquet(v2)
+    sinks._promote_snapshot(base, v2, v1)
+    assert bound.count() == 3                      # v1 survives one promote
+    assert sinks.read_snapshot(base, spark).count() == 5
+    spark.range(7).write.parquet(v3)
+    sinks._promote_snapshot(base, v3, v2)
+    assert not os.path.isdir(v1)                   # reaped after grace
+    assert os.path.isdir(v2)

@@ -74,17 +74,12 @@ class WikiTrenderCollection:
         self,
         spark: SparkSession,
         work_dir: str,
-        sf_dir: str | None = None,
+        sf_dir: str,
         project: str = "*",
         purge: fold.PurgeParams | None = None,
         group_col: F.Column | None = None,
         clear_cache: bool = False,
     ):
-        if sf_dir is None:
-            raise ValueError(
-                "sf_dir is required: the facade replays the events parquet "
-                "(wire rc_from_sse + the wikimedia_sse source for live use)"
-            )
         self.spark = spark
         self.work_dir = work_dir
         self.sf_dir = sf_dir

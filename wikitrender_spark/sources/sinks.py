@@ -87,22 +87,27 @@ def read_snapshot(table_path: str, spark) -> DataFrame | None:
     """Resolve the live snapshot through its manifest pointer. Returns
     None when no snapshot exists yet; raises when the manifest names a
     version directory that is missing (real corruption must be loud, not
-    an empty page set)."""
+    an empty page set). A concurrent promote between reading the manifest
+    and checking the dir is retried once before raising."""
     import os
 
     mp = _manifest_path(table_path)
-    if not os.path.exists(mp):
-        return None
-    with open(mp, encoding="utf-8") as f:
-        vdir = f.read().strip()
-    if not vdir or not os.path.isdir(vdir):
-        raise RuntimeError(f"snapshot manifest {mp} points at missing {vdir!r}")
-    return spark.read.parquet(vdir)
+    for _ in range(2):
+        if not os.path.exists(mp):
+            return None
+        with open(mp, encoding="utf-8") as f:
+            vdir = f.read().strip()
+        if vdir and os.path.isdir(vdir):
+            return spark.read.parquet(vdir)
+    raise RuntimeError(f"snapshot manifest {mp} points at missing {vdir!r}")
 
 
-def _promote_snapshot(table_path: str, vdir: str) -> None:
+def _promote_snapshot(table_path: str, vdir: str, prev: str | None) -> None:
     """Atomically repoint the manifest at `vdir` (os.replace), then
-    best-effort remove superseded version directories."""
+    best-effort remove superseded version directories — EXCEPT the
+    immediately previous one (`prev`): DataFrames handed out by
+    read_snapshot bind lazily to their version dir, so one promote cycle
+    of grace keeps them collectable."""
     import os
     import shutil
 
@@ -113,9 +118,10 @@ def _promote_snapshot(table_path: str, vdir: str) -> None:
     os.replace(tmp, mp)
     parent = os.path.dirname(table_path) or "."
     prefix = os.path.basename(table_path) + "_v"
+    keep = {vdir, prev}
     for name in os.listdir(parent):
         full = os.path.join(parent, name)
-        if name.startswith(prefix) and full != vdir and os.path.isdir(full):
+        if name.startswith(prefix) and full not in keep and os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
 
 
@@ -140,6 +146,9 @@ def state_snapshot_sink(changelog: DataFrame, table_path: str,
     render = _print_render if report is True else report
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import uuid
+
         spark = batch.sparkSession
         batch = batch.persist()
         try:
@@ -151,13 +160,22 @@ def state_snapshot_sink(changelog: DataFrame, table_path: str,
             upserts = live.select(*cols)
             keys = batch.select("id").distinct()
             current = read_snapshot(table_path, spark)
+            prev = None
+            mp = _manifest_path(table_path)
+            if os.path.exists(mp):
+                with open(mp, encoding="utf-8") as f:
+                    prev = f.read().strip()
             merged = (
                 upserts if current is None
                 else current.join(keys, "id", "left_anti").unionByName(upserts)
             )
-            vdir = f"{table_path}_v{batch_id}"
+            # the version dir is unique PER ATTEMPT, not per batch_id: a
+            # checkpoint replay of the same batch must never overwrite the
+            # directory the manifest currently points at (it is both the
+            # merge's lazy input and the only surviving copy)
+            vdir = f"{table_path}_v{batch_id}_{uuid.uuid4().hex[:8]}"
             merged.write.mode("overwrite").parquet(vdir)
-            _promote_snapshot(table_path, vdir)
+            _promote_snapshot(table_path, vdir, prev)
             if render:
                 state = spark.read.parquet(vdir)
                 now = state.agg(F.max("updated")).first()[0]
