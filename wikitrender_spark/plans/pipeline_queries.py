@@ -309,6 +309,41 @@ SELECT doc_id,
 FROM ch"""
 
 
+def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidates: levenshtein over a
+    fixed 64-char prefix (bounded per-pair cost — full-document edit
+    distance is quadratic in length and never the scale path)."""
+    docs = _docs(spark, sf_dir)
+    cands = dedup.lsh_candidate_pairs(docs)
+    pa = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 64).alias("pref_a"),
+    )
+    pb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 64).alias("pref_b"),
+    )
+    return (
+        cands.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pref_a", "pref_b").alias("prefix_editdist"),
+        )
+    )
+
+
+EDITDIST_PAIRS_SQL = f"""
+WITH {_LSH_CTE}
+SELECT c.doc_a, c.doc_b,
+  CAST(levenshtein(substring(da.text, 1, 64), substring(db.text, 1, 64))
+       AS INT) AS prefix_editdist
+FROM cands c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -643,6 +678,7 @@ QUERIES = {
     "dd_simhash": q_simhash,
     "dd_embedding_neardup": q_embedding_neardup,
     "dd_dup_clusters": q_dup_clusters,
+    "dd_editdist_pairs": q_editdist_pairs,
     "tx_chunks": q_token_chunks,
     "tx_clean_corpus": q_clean_corpus,
     "ann_bruteforce_topk": q_ann_bruteforce,
@@ -666,6 +702,7 @@ ORACLES = {
     "dd_simhash": SIMHASH_SQL,
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "dd_dup_clusters": DUP_CLUSTERS_SQL,
+    "dd_editdist_pairs": EDITDIST_PAIRS_SQL,
     "tx_chunks": _token_chunks_sql(),
     "tx_clean_corpus": _clean_corpus_sql(),
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
