@@ -133,3 +133,26 @@ def test_rc_from_sse_derives_ts_seq_from_wire_payload(spark):
     row2 = rc_from_sse(raw2).first()
     assert row2["ts"] is not None and row2["ts"].year == 2024
     assert row2["seq"] == 0
+
+
+def test_rc_from_sse_drops_malformed_json(spark):
+    """Unparseable payloads yield an all-null struct whose namespace
+    fails F1 — malformed wire data degrades to a dropped event, never a
+    crashed batch."""
+    import json
+
+    from wikitrender_spark.sources.sse import rc_from_sse
+
+    good = json.dumps({
+        "title": "X", "comment": "c", "namespace": 0, "user": "U",
+        "bot": False, "type": "edit", "wiki": "enwiki",
+        "server_name": "en.wikipedia.org", "timestamp": 1704067200,
+    })
+    raw = spark.createDataFrame(
+        [("message", "1", good),
+         ("message", "2", "{not json"),
+         ("message", "3", "")],
+        "event string, id string, value string",
+    )
+    rows = rc_from_sse(raw).collect()
+    assert len(rows) == 1 and rows[0]["title"] == "X"
