@@ -9,7 +9,9 @@ titles map carried in the state store between batches.
 
 Semantics are shared with the batch replay through streaming/fold.py, so
 batch–stream equivalence (SURVEY.md §5.2-5) holds by construction and is
-asserted in tests/test_streaming.py.
+asserted in tests/test_streaming.py — the prefix-consistency argument of
+the Structured Streaming paper (SIGMOD'18, PAPERS.md): every micro-batch
+run folds a prefix of the same event order the batch run folds.
 
 Design notes (100 TB shape):
 - State is partitioned by a *group key* that closes over move events (the
