@@ -13,8 +13,21 @@ Layout
 - ``operators``  DataFrame -> DataFrame operators (derive, page_state,
                  lifecycle, topk, dedup, ann, multimodal)
 - ``plans``      relational query plans over the TPC-H-ish star schema
-- ``sources``    SSE streaming DataSource + file-replay helpers
-- ``streaming``  keyed stateful processor (purge policy, rename protocol)
+- ``sources``    SSE streaming DataSource + file-replay helpers + sinks
+- ``streaming``  keyed stateful processors (purge policy, rename protocol),
+                 windowed/session aggs, stream-stream joins, telemetry
+- ``engine``     ``WikiTrenderCollection`` — the reference-API facade
+
+Quick start (the reference consumer's workflow)::
+
+    from wikitrender_spark.engine import WikiTrenderCollection
+    from wikitrender_spark.session import get_spark
+
+    spark = get_spark()
+    c = WikiTrenderCollection(spark, "/tmp/wt", sf_dir="/root/testdata/sf0.001")
+    c.on_edit(lambda row: print(row["id"]))
+    c.process_available()
+    c.pages().show()
 """
 
 __version__ = "0.1.0"
