@@ -560,22 +560,103 @@ FROM c FULL OUTER JOIN s ON ck = sk
 ORDER BY nationkey"""
 
 
-# --- approximate distinct (HLL sketch; rows-only driver check) --------------------
+# --- approximate distinct (HLL sketch with a deterministic error bound) -----------
 def q_approx_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to the exact count —
     the shuffle-light sketch path for distinct cardinality at 100 TB.
-    Sketch estimates are engine-specific, so this query has NO DuckDB
-    oracle (the driver records the weaker rows-only check); the exact
-    column and the estimate's own error bound are asserted in tests."""
+    The raw estimate is engine-specific, so the compared columns are the
+    exact count plus `within_2pct`, the sketch's own 2%-rsd error bound
+    evaluated against the exact count — the oracle asserts the bound
+    holds (TRUE literal), turning the sketch into a hard-checkable row
+    instead of a rows-only result."""
     cust = load_table(spark, sf_dir, "customer")
     return (
         cust.groupBy("c_mktsegment")
         .agg(
             F.count_distinct("c_custkey").alias("exact_customers"),
-            F.approx_count_distinct("c_custkey", 0.02).alias("approx_customers"),
+            F.approx_count_distinct("c_custkey", 0.02).alias("approx"),
+        )
+        .select(
+            "c_mktsegment",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                <= 0.02 * F.col("exact_customers")
+            ).alias("within_2pct"),
         )
         .orderBy("c_mktsegment")
     )
+
+
+APPROX_SEGMENTS_SQL = """
+SELECT c_mktsegment,
+  count(DISTINCT c_custkey) AS exact_customers,
+  TRUE AS within_2pct
+FROM customer GROUP BY 1 ORDER BY 1"""
+
+
+# --- exact percentiles per group --------------------------------------------------
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 / p99) of the order
+    total per priority class. `percentile` is the exact sort-based form —
+    right for grouped analytics up to millions of rows per group; the
+    100 TB path swaps in approx_percentile (t-digest sketch, map-side
+    combinable) with the same call shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY 1 ORDER BY 1"""
+
+
+# --- correlated subqueries (Catalyst decorrelation) -------------------------------
+def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + correlated EXISTS, written as SQL so
+    Catalyst's subquery decorrelation runs (SURVEY.md §4.2 lists it as a
+    free-but-unexercised surface): customers above their nation's average
+    balance who have placed an urgent order. Decorrelates to one
+    aggregate join plus one left-semi join — no per-row re-execution,
+    which is what makes the correlated form safe at 100 TB."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+        """
+    )
+
+
+CORR_SUBQUERY_SQL = """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey"""
 
 
 # --- JSON functions ---------------------------------------------------------------
@@ -715,6 +796,8 @@ QUERIES = {
     "rel_unpivot_presence": q_unpivot_presence,
     "rel_json_props": q_json_props,
     "rel_approx_segments": q_approx_segments,
+    "rel_percentiles": q_percentiles,
+    "rel_corr_subquery": q_corr_subquery,
     "rel_scalar_functions": q_scalar_functions,
 }
 
@@ -740,7 +823,10 @@ ORACLES = {
     "rel_pivot_status": PIVOT_STATUS_SQL,
     "rel_unpivot_presence": UNPIVOT_PRESENCE_SQL,
     "rel_json_props": JSON_PROPS_SQL,
-    # rel_approx_segments intentionally has no oracle: HLL estimates are
-    # engine-specific (driver records the rows-only check)
+    # rel_approx_segments compares the exact count + the sketch's error
+    # bound (within_2pct); the raw HLL estimate itself stays uncompared
+    "rel_approx_segments": APPROX_SEGMENTS_SQL,
+    "rel_percentiles": PERCENTILES_SQL,
+    "rel_corr_subquery": CORR_SUBQUERY_SQL,
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
 }
