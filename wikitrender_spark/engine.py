@@ -79,12 +79,24 @@ class WikiTrenderCollection:
         purge: fold.PurgeParams | None = None,
         group_col: F.Column | None = None,
         clear_cache: bool = False,
+        dead_group_ttl_min: float | None = None,
+        watermark_delay: str = "10 minutes",
     ):
+        """``dead_group_ttl_min`` reclaims state rows of groups whose page
+        set has been empty for that long in EVENT time (the streaming
+        state-leak fix — see processor.page_state_changelog). It puts a
+        watermark on the unioned stream; control commands carry the
+        submitter's wall clock, so enable it only when events are live
+        (event time ≈ wall time) — on replayed history a control row
+        would jump the watermark years ahead and drop every older event
+        as late."""
         self.spark = spark
         self.work_dir = work_dir
         self.sf_dir = sf_dir
         self.project = project
         self.purge = purge
+        self.dead_group_ttl_min = dead_group_ttl_min
+        self.watermark_delay = watermark_delay
         self.group_col = default_group() if group_col is None else group_col
         if clear_cache and os.path.isdir(work_dir):
             shutil.rmtree(work_dir)
@@ -198,5 +210,7 @@ class WikiTrenderCollection:
 
     def _changelog(self) -> DataFrame:
         return processor.page_state_changelog(
-            self._rc_stream(), self.group_col, self.purge
+            self._rc_stream(), self.group_col, self.purge,
+            dead_group_ttl_min=self.dead_group_ttl_min,
+            watermark_delay=self.watermark_delay,
         )

@@ -156,7 +156,8 @@ def state_snapshot_sink(changelog: DataFrame, table_path: str,
             if edit_callback is not None:
                 for row in live.toLocalIterator():
                     edit_callback(row)
-            cols = [c for c in batch.columns if c not in ("_ver", "_deleted")]
+            cols = [c for c in batch.columns
+                    if c not in ("_ts", "_ver", "_deleted")]
             upserts = live.select(*cols)
             keys = batch.select("id").distinct()
             current = read_snapshot(table_path, spark)

@@ -45,37 +45,58 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from . import fold
 
-#: changelog row = page-state row + safe flag + version + tombstone marker.
-CHANGELOG_SCHEMA = fold.STATE_SCHEMA + ", safe boolean, _ver long, _deleted boolean"
-_CHANGELOG_COLUMNS = fold.STATE_COLUMNS + ["safe", "_ver", "_deleted"]
+#: changelog row = page-state row + safe flag + (clock, version) + tombstone
+#: marker. ``_ts`` is the GROUP CLOCK (running max event time, unix micros):
+#: together (_ts, _ver) order emissions across the group's whole history,
+#: including across a TTL state reset (_ver alone restarts at 1 there).
+CHANGELOG_SCHEMA = (
+    fold.STATE_SCHEMA + ", safe boolean, _ts long, _ver long, _deleted boolean"
+)
+_CHANGELOG_COLUMNS = fold.STATE_COLUMNS + ["safe", "_ts", "_ver", "_deleted"]
 
-#: per-group state: serialized titles map + emission version counter.
-_STATE_SCHEMA = "blob string, ver long"
+#: per-group state: serialized titles map + group clock + version counter.
+_STATE_SCHEMA = "blob string, clock long, ver long"
 
 
-def _changelog_rows(titles: dict, changed: set, removed: set, ver: int
-                    ) -> pd.DataFrame:
+def _changelog_rows(titles: dict, changed: set, removed: set, clock: int,
+                    ver: int) -> pd.DataFrame:
     rows: list[dict[str, Any]] = []
     for pid in sorted(changed & titles.keys()):
         r = fold.page_record(titles[pid])
-        r.update(safe=titles[pid]["safe"], _ver=ver, _deleted=False)
+        r.update(safe=titles[pid]["safe"], _ts=clock, _ver=ver, _deleted=False)
         rows.append(r)
     for pid in sorted(removed - titles.keys()):
         rows.append({c: None for c in fold.STATE_COLUMNS}
-                    | dict(id=pid, safe=None, _ver=ver, _deleted=True))
+                    | dict(id=pid, safe=None, _ts=clock, _ver=ver,
+                           _deleted=True))
     return pd.DataFrame(rows, columns=_CHANGELOG_COLUMNS)
 
 
-def _make_processor(purge: fold.PurgeParams | None):
+def _make_processor(purge: fold.PurgeParams | None,
+                    dead_group_ttl_min: float | None):
+    ttl_us = (None if dead_group_ttl_min is None
+              else int(dead_group_ttl_min * 60_000_000))
+
     def process(key, pdfs: Iterable[pd.DataFrame], state: GroupState
                 ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            blob, ver = state.get
+            blob, clock, ver = state.get
             titles = fold.deserialize_titles(blob)
         else:
-            titles, ver = {}, 0
-        ver += 1
+            titles, clock, ver = {}, 0, 0
 
+        if ttl_us is not None and state.hasTimedOut:
+            # the timeout is armed only while the titles map is empty and
+            # is implicitly cleared by any newer batch (Spark resets
+            # timeouts on each invocation), so firing == the group has
+            # been empty for >= ttl of event time: drop the state row.
+            # A later revival restarts ver at 1, which is safe because
+            # consumers order by (_ts, _ver) and the watermark guarantees
+            # every revival event carries ts > clock + ttl > clock.
+            state.remove()
+            return
+
+        ver += 1
         changed: set = set()
         removed: set = set()
         batch_max_ts = None
@@ -92,23 +113,35 @@ def _make_processor(purge: fold.PurgeParams | None):
             fold.fold_pdf(titles, whole, changed, removed)
             # the purge clock advances on EVENT time only: control commands
             # are stamped with the submitter's wall clock (engine inbox),
-            # and letting that drive batch_max_ts would age the whole group
-            # against real time and mass-purge it on replayed history
+            # and letting that drive the group clock would age the whole
+            # group against real time and mass-purge it on replayed history
             ev = whole[whole["log_type"] != "control"]
             if len(ev):
                 batch_max_ts = ev["ts"].max()
+                clock = max(clock, fold._ts_us(batch_max_ts))
 
         if purge is not None and batch_max_ts is not None:
             removed |= fold.purge_titles(titles, batch_max_ts, purge)
 
-        # keep the state row even when all pages are gone: ver must stay
-        # monotone across the group's whole lifetime, or a page recreated
-        # after a delete would version below its own tombstone and lose in
-        # final_state. The empty-map row is ~2 bytes of blob; a live
-        # deployment would reclaim long-dead groups with a state TTL.
-        state.update((fold.serialize_titles(titles), ver))
+        # ver must stay monotone while the state row lives: a page
+        # recreated after a delete would otherwise version below its own
+        # tombstone and lose in final_state. Without a TTL the empty-map
+        # row (~2 bytes of blob) is kept forever; with dead_group_ttl the
+        # row is reclaimed once the WATERMARK passes clock + ttl — the
+        # (_ts, _ver) ordering above keeps any later revival consistent.
+        state.update((fold.serialize_titles(titles), clock, ver))
+        if ttl_us is not None and not titles:
+            deadline_ms = (clock + ttl_us) // 1000
+            watermark_ms = state.getCurrentWatermarkMs()
+            if deadline_ms <= watermark_ms:
+                # already expired relative to the watermark: Spark rejects
+                # timeouts at/below it, and the next batch would not call
+                # us for this silent group — reclaim now
+                state.remove()
+            else:
+                state.setTimeoutTimestamp(deadline_ms)
 
-        out = _changelog_rows(titles, changed, removed, ver)
+        out = _changelog_rows(titles, changed, removed, clock, ver)
         if len(out):
             yield out
 
@@ -116,39 +149,57 @@ def _make_processor(purge: fold.PurgeParams | None):
 
 
 def page_state_changelog(rc: DataFrame, group_col: Column,
-                         purge: fold.PurgeParams | None = None) -> DataFrame:
+                         purge: fold.PurgeParams | None = None,
+                         dead_group_ttl_min: float | None = None,
+                         watermark_delay: str = "0 seconds") -> DataFrame:
     """The streaming engine: rc event stream -> keyed stateful fold ->
     changelog stream (update output mode).
 
     ``group_col`` must assign every event of a move-connected component to
     one group (see module docstring). ``purge`` enables the P2 cleaner at
     each micro-batch boundary.
+
+    ``dead_group_ttl_min`` reclaims the state row of a group whose titles
+    map has been empty for that many minutes of EVENT time (watermark
+    clock) — the fix for the unbounded-key-space state leak: on a real
+    firehose every page that ever existed otherwise keeps a ~2-byte blob
+    forever after purge/delete. Requires a watermark, so the input gets
+    ``withWatermark('ts', watermark_delay)``; rows later than the
+    watermark are dropped by Spark before reaching the fold, so choose a
+    delay covering the source's out-of-orderness (the replay sources are
+    (ts, seq)-ordered, so the 0-second default is exact for them).
     """
+    timeout = GroupStateTimeout.NoTimeout
+    if dead_group_ttl_min is not None:
+        rc = rc.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return (
         rc.withColumn("_grp", group_col)
         .groupBy("_grp")
         .applyInPandasWithState(
-            _make_processor(purge),
+            _make_processor(purge, dead_group_ttl_min),
             outputStructType=CHANGELOG_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
 
 def final_state(changelog: DataFrame) -> DataFrame:
     """Collapse a changelog (all emitted rows) to the final live state:
-    latest version per id, tombstones filtered out. Static helper for
-    memory-sink results in tests and the driver query surface."""
+    latest emission per id — ordered by (group clock, version), which
+    stays correct across a dead-group TTL state reset where _ver alone
+    restarts — tombstones filtered out. Static helper for memory-sink
+    results in tests and the driver query surface."""
     latest = changelog.groupBy("id").agg(
         F.max_by(F.struct(*[c for c in changelog.columns if c != "id"]),
-                 F.col("_ver")).alias("s")
+                 F.struct(F.col("_ts"), F.col("_ver"))).alias("s")
     )
     return (
         latest.select("id", "s.*")
         .filter(~F.col("_deleted"))
-        .drop("_ver", "_deleted", "safe")
+        .drop("_ts", "_ver", "_deleted", "safe")
     )
 
 

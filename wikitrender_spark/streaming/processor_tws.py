@@ -51,7 +51,8 @@ class PageStateProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         existing = self._state.get() if self._state.exists() else None
         titles = fold.deserialize_titles(existing[0]) if existing else {}
-        ver = (existing[1] if existing else 0) + 1
+        clock = existing[1] if existing else 0
+        ver = (existing[2] if existing else 0) + 1
 
         changed: set = set()
         removed: set = set()
@@ -68,14 +69,15 @@ class PageStateProcessor(StatefulProcessor):
             ev = whole[whole["log_type"] != "control"]
             if len(ev):
                 batch_max_ts = ev["ts"].max()
+                clock = max(clock, fold._ts_us(batch_max_ts))
 
         if self._purge is not None and batch_max_ts is not None:
             removed |= fold.purge_titles(titles, batch_max_ts, self._purge)
 
         # ver stays monotone for the group's lifetime (see processor.py)
-        self._state.update((fold.serialize_titles(titles), ver))
+        self._state.update((fold.serialize_titles(titles), clock, ver))
 
-        out = _changelog_rows(titles, changed, removed, ver)
+        out = _changelog_rows(titles, changed, removed, clock, ver)
         if len(out):
             yield out
 
