@@ -1,7 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "samples": {name: [sec, ...]}, "sf": ...}.
+Per-query value is the median of 3 round-robin timed passes (see below).
 
 Queries are materialized via the noop sink (full computation, no driver
 collect). The headline set spans every engine subsystem: keyed stateful
@@ -14,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -68,13 +70,24 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # 3 timed passes, round-robin over the suite (not 3x back-to-back per
+    # query) so one transient system stall cannot poison every sample of a
+    # query; report the per-query MEDIAN and keep the raw samples in the
+    # JSON so a noisy pass is visible instead of silently rewriting the
+    # headline number (the r02 bench recorded a 30% phantom regression
+    # from a single noisy sample).
+    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_samples):
+        for name in HEADLINE:
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            samples[name].append(round(time.perf_counter() - t0, 3))
 
+    timings = {
+        name: round(statistics.median(vals), 3) for name, vals in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -83,6 +96,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
             }
         )

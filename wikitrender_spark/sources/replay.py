@@ -21,10 +21,12 @@ from pyspark.sql import functions as F
 
 from ..operators.derive import rc_filtered_sql, read_events_raw
 
-#: driver events table schema, with ts read as raw int64 nanos
-#: (spark.sql.legacy.parquet.nanosAsLong — see operators/derive.py).
-EVENTS_SCHEMA = ("event_id long, ts long, user_id long, event_type string, "
-                 "value double, props string")
+#: driver events table schema (ts is TIMESTAMP(MICROS) parquet; reading
+#: it as TimestampType under the pinned UTC session tz yields the same
+#: wall clock as the batch path's NTZ->TIMESTAMP cast — see
+#: operators/derive.py read_events_raw).
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
 
 
 def _derive(spark: SparkSession, raw: DataFrame, view: str) -> DataFrame:

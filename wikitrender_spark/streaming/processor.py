@@ -151,7 +151,8 @@ def _make_processor(purge: fold.PurgeParams | None,
 def page_state_changelog(rc: DataFrame, group_col: Column,
                          purge: fold.PurgeParams | None = None,
                          dead_group_ttl_min: float | None = None,
-                         watermark_delay: str = "0 seconds") -> DataFrame:
+                         watermark_delay: str | None = "0 seconds"
+                         ) -> DataFrame:
     """The streaming engine: rc event stream -> keyed stateful fold ->
     changelog stream (update output mode).
 
@@ -168,10 +169,17 @@ def page_state_changelog(rc: DataFrame, group_col: Column,
     watermark are dropped by Spark before reaching the fold, so choose a
     delay covering the source's out-of-orderness (the replay sources are
     (ts, seq)-ordered, so the 0-second default is exact for them).
+
+    ``watermark_delay=None`` means the CALLER already applied the
+    watermark to (a leg of) ``rc`` — used by the engine facade to
+    watermark only the event leg of the event∪control union, so a
+    control command stamped with the submitter's wall clock cannot jump
+    the watermark ahead of replayed history (see engine._rc_stream).
     """
     timeout = GroupStateTimeout.NoTimeout
     if dead_group_ttl_min is not None:
-        rc = rc.withWatermark("ts", watermark_delay)
+        if watermark_delay is not None:
+            rc = rc.withWatermark("ts", watermark_delay)
         timeout = GroupStateTimeout.EventTimeTimeout
     return (
         rc.withColumn("_grp", group_col)
