@@ -351,6 +351,200 @@ def test_multi_chunk_groups_fold_in_order(spark, batch_state):
     assert got == batch_state
 
 
+# --- dead-group TTL state reclamation (the streaming state-leak fix) --------
+def _flat_rows(spark, rows):
+    """Synthetic flat rc events: minimal overrides over a plain-edit base."""
+    from wikitrender_spark.engine import RC_FLAT_SCHEMA
+
+    base = dict(
+        title="Page_1", comment="", namespace=0, user="Jon", bot=False,
+        type="edit", length_new=1010, length_old=1000, wiki="enwiki",
+        server_name="en.wikipedia.org", log_type=None, log_action=None,
+        log_target=None, log_action_comment=None,
+    )
+    return spark.createDataFrame([{**base, **r} for r in rows], RC_FLAT_SCHEMA)
+
+
+def _write_chunk(spark, chunk_dir, idx, rows):
+    import os
+    import time as _t
+
+    path = os.path.join(chunk_dir, f"chunk_{idx:04d}")
+    _flat_rows(spark, rows).coalesce(1).write.mode("overwrite").parquet(path)
+    ts = _t.time() + idx
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (ts, ts))
+
+
+def _flat_stream(spark, chunk_dir):
+    from wikitrender_spark.engine import RC_FLAT_SCHEMA
+
+    return (
+        spark.readStream.schema(RC_FLAT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+
+
+def _run_resumable(spark, cl, out_dir, ckpt):
+    """Run a changelog stream to completion into an appended parquet dir.
+    Unlike the memory sink, foreachBatch supports checkpoint RECOVERY, so
+    tests can stop and resume the same query (the TTL tests below need
+    multiple sequential AvailableNow passes over one state store).
+    Returns the batch's accumulated changelog as a pandas frame (only
+    rows appended by THIS run), plus nothing else."""
+    import glob
+
+    before = set(glob.glob(out_dir + "/*.parquet"))
+    q = (
+        cl.writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    new = [f for f in glob.glob(out_dir + "/*.parquet")
+           if f not in before]
+    if not new:
+        import pandas as _pd
+
+        return _pd.DataFrame(columns=processor._CHANGELOG_COLUMNS)
+    return spark.read.parquet(*new).toPandas()
+
+
+def test_dead_group_ttl_reclaims_state_and_revival_orders(spark):
+    """dead_group_ttl_min: a group whose page set is purged/deleted empty
+    has its state row reclaimed once the watermark passes clock+ttl, and a
+    post-TTL revival (whose _ver restarts at 1) still resolves over the
+    old tombstone in final_state via the (_ts, _ver) ordering."""
+    t0 = dt.datetime(2024, 1, 1)
+    M = dt.timedelta(minutes=1)
+    with tempfile.TemporaryDirectory() as d:
+        chunks = d + "/chunks"
+        # batch 0: Page_1 created+edited then deleted -> group empty,
+        # group clock = t0+2m, ttl deadline = t0+12m
+        _write_chunk(spark, chunks, 0, [
+            dict(title="Page_1", type="new", ts=t0, seq=1),
+            dict(title="Page_1", ts=t0 + M, seq=2),
+            dict(title="Page_1", log_type="log", log_action="delete",
+                 log_action_comment='deleted &quot;[[Page_1]]&quot; per '
+                                    'discussion',
+                 ts=t0 + 2 * M, seq=3),
+            dict(title="Page_2", ts=t0 + 2 * M, seq=4),
+        ])
+        # batch 1 advances the watermark past the deadline...
+        _write_chunk(spark, chunks, 1,
+                     [dict(title="Page_2", ts=t0 + 30 * M, seq=5)])
+        # ...and batch 2 (any later batch) delivers the fired timeout
+        _write_chunk(spark, chunks, 2,
+                     [dict(title="Page_2", ts=t0 + 31 * M, seq=6)])
+        cl = processor.page_state_changelog(
+            _flat_stream(spark, chunks), _group(), dead_group_ttl_min=10.0
+        )
+        ta = _run_resumable(spark, cl, d + "/out", d + "/ckpt")
+        assert ta[(ta["id"] == "Page_1") & ta["_deleted"]].shape[0] == 1
+
+        # phase B (checkpoint resume): revive the page after the reclaim
+        _write_chunk(spark, chunks, 3, [
+            dict(title="Page_1", type="new", ts=t0 + 40 * M, seq=7,
+                 user="Revive"),
+            dict(title="Page_1", ts=t0 + 41 * M, seq=8, user="Revive"),
+        ])
+        cl2 = processor.page_state_changelog(
+            _flat_stream(spark, chunks), _group(), dead_group_ttl_min=10.0
+        )
+        tb = _run_resumable(spark, cl2, d + "/out", d + "/ckpt")
+        revived = tb[(tb["id"] == "Page_1") & ~tb["_deleted"]]
+        assert len(revived) == 1
+        # _ver restarted at 1 == the state row was actually removed (a
+        # surviving row would resume at its stored ver and emit 2)
+        assert revived["_ver"].iloc[0] == 1
+        assert revived["edits"].iloc[0] == 2 and revived["isNew"].iloc[0]
+
+        # the union of both phases must resolve the revival over the old
+        # tombstone despite the smaller _ver (clock _ts dominates)
+        both = spark.createDataFrame(pd.concat([ta, tb], ignore_index=True))
+        final = {r["id"]: r for r in processor.final_state(both).collect()}
+        assert "Page_1" in final and final["Page_1"]["edits"] == 2
+        assert final["Page_2"]["edits"] == 3
+
+
+def test_ttl_control_commands_do_not_poison_watermark(spark):
+    """Engine-shape union (watermarked event leg ∪ unwatermarked control
+    leg): a control command stamped with the submitter's wall clock must
+    not advance the event-time watermark — replayed history arriving
+    after it still folds. Also drives the eager-reclaim branch (deadline
+    already <= watermark when the group empties) and post-TTL revival."""
+    import os
+
+    from wikitrender_spark.engine import RC_FLAT_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+    M = dt.timedelta(minutes=1)
+    wall = dt.datetime(2026, 6, 1)
+    with tempfile.TemporaryDirectory() as d:
+        ev_dir, ctl_dir = d + "/ev", d + "/ctl"
+        os.makedirs(ctl_dir)
+
+        def changelog():
+            ev = _flat_stream(spark, ev_dir).withWatermark("ts", "0 seconds")
+            ctl = (spark.readStream.schema(RC_FLAT_SCHEMA)
+                   .parquet(ctl_dir))
+            return processor.page_state_changelog(
+                ev.unionByName(ctl), _group(), dead_group_ttl_min=10.0,
+                watermark_delay=None,
+            )
+
+        def run(tag):
+            return _run_resumable(spark, changelog(), d + "/out", d + "/ckpt")
+
+        def control(seq, action, ts):
+            _flat_rows(spark, [dict(title="Page_1", user="ops",
+                                    log_type="control", log_action=action,
+                                    ts=ts, seq=seq)]
+                       ).coalesce(1).write.mode("append").parquet(ctl_dir)
+
+        _write_chunk(spark, ev_dir, 0, [
+            dict(title="Page_1", type="new", ts=t0, seq=1),
+            dict(title="Page_1", ts=t0 + M, seq=2),
+        ])
+        run(1)                       # watermark -> t0+1m
+        control(99, "markSafe", wall)  # wall-clock control row
+        t2 = run(2)
+        assert t2[t2["id"] == "Page_1"]["safe"].iloc[0]
+        # the footgun pin: an event OLDER than the control's wall clock
+        # must still fold (a union-level watermark would drop it as late)
+        _write_chunk(spark, ev_dir, 1, [dict(title="Page_1", ts=t0 + 2 * M,
+                                             seq=3)])
+        t3 = run(3)
+        p1 = t3[t3["id"] == "Page_1"]
+        assert len(p1) == 1 and p1["edits"].iloc[0] == 3
+
+        # advance the watermark far past Page_1's clock+ttl
+        _write_chunk(spark, ev_dir, 2, [dict(title="Page_2", ts=t0 + 40 * M,
+                                             seq=4)])
+        run(4)
+        _write_chunk(spark, ev_dir, 3, [dict(title="Page_2", ts=t0 + 41 * M,
+                                             seq=5)])
+        run(5)                       # watermark -> t0+41m
+        # drop empties the group with deadline (t0+12m) already below the
+        # watermark: the state row must be reclaimed in the SAME batch
+        control(100, "drop", wall + M)
+        t6 = run(6)
+        assert t6[(t6["id"] == "Page_1") & t6["_deleted"]].shape[0] == 1
+        # revival: _ver==1 proves the eager remove really dropped the row
+        _write_chunk(spark, ev_dir, 4, [dict(title="Page_1", type="new",
+                                             ts=t0 + 50 * M, seq=6)])
+        t7 = run(7)
+        revived = t7[(t7["id"] == "Page_1") & ~t7["_deleted"]]
+        assert len(revived) == 1 and revived["_ver"].iloc[0] == 1
+
+
 def test_telemetry_listener_captures_batches(spark):
     """P3: the StreamingQueryListener surface records per-batch input
     rows and state rows; the changelog's own version groups account for
