@@ -156,3 +156,164 @@ def test_rc_from_sse_drops_malformed_json(spark):
     )
     rows = rc_from_sse(raw).collect()
     assert len(rows) == 1 and rows[0]["title"] == "X"
+
+
+# --- live HTTP transport (S1/S3 end-to-end over a local server) -------------
+class _SSEServer:
+    """Minimal scripted text/event-stream HTTP server.
+
+    ``script(conn_idx, last_event_id)`` returns the actions for one
+    connection: ("send", id, data) writes one SSE event; ("hang", secs)
+    holds the connection open silently (idle feed — watchdog bait). The
+    connection closes when the actions run out (reconnect bait). Every
+    connection's Last-Event-ID request header is recorded in
+    ``self.last_ids``.
+    """
+
+    def __init__(self, script):
+        import http.server
+        import threading
+
+        srv = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def do_GET(self):  # noqa: N802
+                with srv._lock:
+                    idx = srv.n_connections
+                    srv.n_connections += 1
+                last_id = self.headers.get("Last-Event-ID")
+                srv.last_ids.append(last_id)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    for action in srv.script(idx, last_id):
+                        if action[0] == "hang":
+                            deadline = time.time() + action[1]
+                            while (time.time() < deadline
+                                   and not srv._stopping.is_set()):
+                                time.sleep(0.05)
+                        else:
+                            _, ev_id, data = action
+                            self.wfile.write(
+                                f"id: {ev_id}\ndata: {data}\n\n".encode()
+                            )
+                            self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client tore the socket down (watchdog rebuild)
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        import threading as _th
+
+        self.script = script
+        self.last_ids: list = []
+        self.n_connections = 0
+        self._lock = _th.Lock()
+        self._stopping = _th.Event()
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = _th.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self.port}/sse"
+
+    def stop(self) -> None:
+        self._stopping.set()
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def _drain_feed(feed, want, timeout_s=20.0):
+    """Pump ensure_running+drain (what SSEStreamReader.read does per
+    micro-batch) until ``want`` events arrived or the deadline passes."""
+    events = []
+    deadline = time.time() + timeout_s
+    while len(events) < want and time.time() < deadline:
+        feed.ensure_running()
+        events += feed.drain(want - len(events), 0.5)
+    return events
+
+
+def test_sse_http_reconnect_resumes_with_last_event_id():
+    """S3 reconnect: the server closes the connection after 3 events; the
+    reader must reconnect carrying Last-Event-ID of the last seen event
+    and continue the stream without loss."""
+    def script(idx, last_id):
+        if idx == 0:
+            return [("send", str(i), f'{{"n":{i}}}') for i in (1, 2, 3)]
+        start = int(last_id) + 1
+        return [("send", str(i), f'{{"n":{i}}}')
+                for i in range(start, start + 3)] + [("hang", 30)]
+
+    srv = _SSEServer(script)
+    feed = sse._LiveFeed(srv.url(), timeout_after_s=60.0,
+                         connect_timeout_s=5.0)
+    try:
+        events = _drain_feed(feed, 6)
+        assert [e["id"] for e in events] == ["1", "2", "3", "4", "5", "6"]
+        assert srv.last_ids[0] is None and srv.last_ids[1] == "3"
+    finally:
+        feed.stop()
+        srv.stop()
+
+
+def test_sse_http_watchdog_rebuilds_idle_connection():
+    """S3 watchdog (/root/reference/index.js:349-356): a connection that
+    goes silent past timeout_after is torn down and rebuilt (with resume),
+    even though the socket is still open."""
+    def script(idx, last_id):
+        if idx == 0:
+            return [("send", "1", "{}"), ("send", "2", "{}"), ("hang", 60)]
+        return [("send", "3", "{}"), ("send", "4", "{}"), ("hang", 60)]
+
+    srv = _SSEServer(script)
+    feed = sse._LiveFeed(srv.url(), timeout_after_s=1.0,
+                         connect_timeout_s=5.0)
+    try:
+        events = _drain_feed(feed, 4)
+        assert [e["id"] for e in events] == ["1", "2", "3", "4"]
+        assert srv.n_connections >= 2        # the watchdog really rebuilt
+        assert srv.last_ids[1] == "2"        # ...and resumed, not restarted
+    finally:
+        feed.stop()
+        srv.stop()
+
+
+def test_sse_http_datasource_end_to_end(spark, tmp_path):
+    """The registered DataSource consuming a live local HTTP SSE endpoint
+    through a real streaming query — the full S1->S2 path over the http
+    transport (file:// replay covers only the parser/reader)."""
+    def script(idx, last_id):
+        return ([("send", str(i), json.dumps(_payload(i)))
+                 for i in range(1, 5)] + [("hang", 120)])
+
+    srv = _SSEServer(script)
+    sse.register_sse_source(spark)
+    raw = (
+        spark.readStream.format("wikimedia_sse")
+        .option("url", srv.url())
+        .option("batchwaitseconds", "0.5")
+        .load()
+    )
+    rc = sse.rc_from_sse(raw)
+    name = "t_sse_http_e2e"
+    q = (
+        rc.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 4:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.stop()
+    got = spark.table(name).orderBy("seq").collect()
+    assert [r["title"] for r in got[:4]] == [f"T{i}" for i in range(1, 5)]
