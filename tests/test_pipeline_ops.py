@@ -270,3 +270,37 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
     docs = docs_df(spark, [base, base + " x", base + " x y"])
     with pytest.raises(RuntimeError):
         dedup.duplicate_clusters(docs, threshold=0.5, max_iters=0)
+
+
+def test_repetition_ratios_hand_computed(spark):
+    """tx_repetition signals on docs where the answer is computable by
+    hand: 'a a a a' has 1 distinct token of 4 (ttr 0.25), 3 bigrams all
+    identical (dup 2/3), 2 trigrams identical (dup 1/2); a no-repeat doc
+    scores 1.0 / 0.0 / 0.0; short/empty docs degrade to 0-ratios."""
+    d = docs_df(spark, ["a a a a", "w x y z", "solo", ""])
+    hashed = d.select(
+        "doc_id", T.token_hashes(F.col("text")).alias("th")
+    )
+    base = hashed.select(
+        "doc_id",
+        F.size("th").alias("n"),
+        F.round(T.dup_ngram_ratio(T.bigrams_from_hashes(F.col("th"))), 6).alias(
+            "dup_bg"
+        ),
+        F.round(T.dup_ngram_ratio(T.shingles_from_hashes(F.col("th"))), 6).alias(
+            "dup_tg"
+        ),
+        F.round(
+            F.size(F.array_distinct("th")).cast("double")
+            / F.greatest(F.size("th"), F.lit(1)),
+            6,
+        ).alias("ttr"),
+    )
+    rows = {r["doc_id"]: r for r in base.collect()}
+    assert rows[0]["ttr"] == 0.25
+    assert rows[0]["dup_bg"] == round(2 / 3, 6)
+    assert rows[0]["dup_tg"] == 0.5
+    assert rows[1]["ttr"] == 1.0
+    assert rows[1]["dup_bg"] == 0.0 and rows[1]["dup_tg"] == 0.0
+    assert rows[2]["n"] == 1 and rows[2]["dup_bg"] == 0.0
+    assert rows[3]["n"] == 0 and rows[3]["dup_bg"] == 0.0

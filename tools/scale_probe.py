@@ -1,0 +1,139 @@
+"""sf1 scale probe (VERDICT r2 #6 / round-1 #6): measured per-query rows
+at 10x the bench scale factor.
+
+Generates .benchdata/sf1 by replicating the sf0.1 fact tables 10x with
+key remapping that preserves join semantics (customer keys offset per
+replica; orders follow their replica's customers; lineitem follows its
+replica's orders; events offset event_id/user_id so page/user diversity
+scales). Dimension tables and the documents/embeddings corpora are
+copied as-is — the dedup/ANN queries are content-addressed, so verbatim
+replication would only measure degenerate all-pairs duplicates, not
+scale (their scale story is the banded-join candidate math, audited in
+VERDICT).
+
+Usage: python tools/scale_probe.py [--queries q1,q2,...]
+Prints one JSON line: per-query median-of-3 seconds at sf1, plus the
+sf0.1 medians from the same session for a like-for-like ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from wikitrender_spark.plans import registry
+from wikitrender_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".benchdata", "sf1")
+FACTOR = 10
+
+QUERIES = [
+    "wt_page_state",
+    "wt_most_edited",
+    "wt_most_vibrant",
+    "wt_purge_survivors",
+    "wt_page_state_lifecycle",
+    "wt_windowed_activity",
+    "wt_session_activity",
+    "wt_protect_followups",
+    "rel_pricing_summary",
+    "rel_top_customers",
+    "rel_regional_revenue",
+    "rel_topk_per_brand",
+    "rel_signup_burst",
+    "rel_asof_last_signup",
+    "rel_small_quantity_revenue",
+    "rel_json_props",
+]
+
+
+def generate() -> None:
+    os.makedirs(SF1, exist_ok=True)
+    con = duckdb.connect()
+    maxes = {}
+    for t, k in (("customer", "c_custkey"), ("orders", "o_orderkey"),
+                 ("events", "event_id"), ("events", "user_id")):
+        maxes[k] = con.sql(
+            f"SELECT max({k}) FROM read_parquet('{SF01}/{t}.parquet')"
+        ).fetchone()[0] + 1
+    rep = f"(SELECT unnest(range({FACTOR})) AS _r)"
+    jobs = {
+        "customer": f"""
+            SELECT c_custkey + _r * {maxes['c_custkey']} AS c_custkey,
+                   c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM read_parquet('{SF01}/customer.parquet'), {rep}""",
+        "orders": f"""
+            SELECT o_orderkey + _r * {maxes['o_orderkey']} AS o_orderkey,
+                   o_custkey + _r * {maxes['c_custkey']} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet('{SF01}/orders.parquet'), {rep}""",
+        "lineitem": f"""
+            SELECT l_orderkey + _r * {maxes['o_orderkey']} AS l_orderkey,
+                   l_partkey, l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax, l_returnflag,
+                   l_linestatus, l_shipdate
+            FROM read_parquet('{SF01}/lineitem.parquet'), {rep}""",
+        "events": f"""
+            SELECT event_id + _r * {maxes['event_id']} AS event_id, ts,
+                   user_id + _r * {maxes['user_id']} AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{SF01}/events.parquet'), {rep}""",
+    }
+    for t, sql in jobs.items():
+        con.sql(f"COPY ({sql}) TO '{SF1}/{t}.parquet' (FORMAT PARQUET)")
+    for t in ("region", "nation", "supplier", "part", "documents",
+              "embeddings"):
+        shutil.copyfile(f"{SF01}/{t}.parquet", f"{SF1}/{t}.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(QUERIES))
+    args = ap.parse_args()
+    names = args.queries.split(",")
+
+    if not os.path.isdir(SF1):
+        generate()
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+
+    def timed(sf_dir: str) -> dict[str, float]:
+        for n in names:  # warmup
+            qs[n](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(3):
+            for n in names:
+                df = qs[n](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                samples[n].append(time.perf_counter() - t0)
+        return {n: round(statistics.median(v), 3) for n, v in samples.items()}
+
+    t01 = timed(SF01)
+    t1 = timed(SF1)
+    print(json.dumps({
+        "metric": "sf1_scale_probe_wall_seconds",
+        "factor": FACTOR,
+        "queries": {n: {"sf0.1": t01[n], "sf1": t1[n],
+                        "ratio": round(t1[n] / max(t01[n], 1e-9), 2)}
+                    for n in names},
+        "total_sf0.1": round(sum(t01.values()), 2),
+        "total_sf1": round(sum(t1.values()), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,52 @@ def shingle_hashes(text: Column) -> Column:
     )
 
 
+def bigrams_from_hashes(ths: Column) -> Column:
+    """Word-bigram hashes from an ALREADY-materialized token-hash array
+    (31-poly over adjacent hashes, same arithmetic as shingles' first
+    fold step). Taking the array — not the text — lets a query compute
+    the token-hash fold once and derive every n-gram width from that one
+    column (Spark does not CSE the big fold across projections). Empty
+    for < 2 tokens."""
+    n = F.size(ths)
+    return F.when(n < 2, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: (F.element_at(ths, i) * HASH_MULT + F.element_at(ths, i + 1))
+            % HASH_MOD,
+        )
+    )
+
+
+def shingles_from_hashes(ths: Column) -> Column:
+    """Word-trigram shingle hashes from a materialized token-hash array
+    (identical arithmetic to shingle_hashes). Empty for < 3 tokens."""
+    n = F.size(ths)
+    return F.when(n < 3, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                (F.element_at(ths, i) * HASH_MULT + F.element_at(ths, i + 1))
+                % HASH_MOD
+                * HASH_MULT
+                + F.element_at(ths, i + 2)
+            )
+            % HASH_MOD,
+        )
+    )
+
+
+def dup_ngram_ratio(ngrams: Column) -> Column:
+    """Fraction of n-gram occurrences that repeat an earlier one —
+    the Gopher-style repetition signal (1 - distinct/total; 0 for empty).
+    """
+    n = F.size(ngrams)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(ngrams)).cast("double") / n.cast("double")
+    )
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Document fingerprint: the same 31-polynomial rolled over the whole
     text — a deterministic stand-in for a rolling-hash content signature."""

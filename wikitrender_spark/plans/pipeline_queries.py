@@ -115,6 +115,56 @@ SELECT d.doc_id,
 FROM documents d JOIN tk ON d.doc_id = tk.doc_id"""
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / lexical-diversity quality signals (the Gopher-style
+    duplicate-n-gram filters a pretraining pipeline runs before training):
+    type-token ratio plus duplicate bigram/trigram fractions. All narrow
+    JVM-side HOF projections over one token-hash materialization — no
+    shuffle, fully pipelined into the scan at 100 TB."""
+    d = _docs(spark, sf_dir)
+    # one token-hash fold materialized, both n-gram widths derived from
+    # the array column (Spark does not CSE the fold across projections)
+    hashed = d.select("doc_id", T.token_hashes(F.col("text")).alias("th"))
+    base = hashed.select(
+        "doc_id",
+        "th",
+        T.bigrams_from_hashes(F.col("th")).alias("bg"),
+        T.shingles_from_hashes(F.col("th")).alias("sh3"),
+    )
+    n = F.size("th")
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_distinct("th")).cast("double") / n.cast("double")
+            ),
+            6,
+        ).alias("distinct_token_ratio"),
+        F.round(T.dup_ngram_ratio(F.col("bg")), 6).alias("dup_bigram_ratio"),
+        F.round(T.dup_ngram_ratio(F.col("sh3")), 6).alias("dup_trigram_ratio"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH {_TOK_HASH_CTE},
+bg AS (SELECT doc_id, CASE WHEN length(th) < 2 THEN [] ELSE
+         list_transform(range(1, length(th)), i -> (th[i]*31 + th[i+1]) % 1000003)
+       END AS bg FROM th)
+SELECT th.doc_id,
+  CAST(length(th.th) AS BIGINT) AS n_tokens,
+  round(CASE WHEN length(th.th) = 0 THEN 0.0
+        ELSE CAST(length(list_distinct(th.th)) AS DOUBLE)
+             / CAST(length(th.th) AS DOUBLE) END, 6) AS distinct_token_ratio,
+  round(CASE WHEN length(bg.bg) = 0 THEN 0.0
+        ELSE 1.0 - CAST(length(list_distinct(bg.bg)) AS DOUBLE)
+             / CAST(length(bg.bg) AS DOUBLE) END, 6) AS dup_bigram_ratio,
+  round(CASE WHEN length(sh.sh) = 0 THEN 0.0
+        ELSE 1.0 - CAST(length(list_distinct(sh.sh)) AS DOUBLE)
+             / CAST(length(sh.sh) AS DOUBLE) END, 6) AS dup_trigram_ratio
+FROM th JOIN bg ON th.doc_id = bg.doc_id JOIN sh ON th.doc_id = sh.doc_id"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -675,11 +725,15 @@ SELECT doc_id AS media_id,
 FROM documents"""
 
 
+#: Dict order is load-bearing (driver gates the first 50 registered
+#: queries; see registry._load). tx_fingerprint — hash-green in r01+r02 —
+#: is rotated out via QUERIES_ROTATED (registered last) to keep this
+#: module at 21 gated rows with tx_repetition added in round 3.
 QUERIES = {
     "tx_token_stats": q_token_stats,
     "tx_quality": q_quality,
     "tx_langid": q_langid,
-    "tx_fingerprint": q_fingerprint,
+    "tx_repetition": q_repetition,
     "dd_exact_groups": q_exact_dedup,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_ngram_jaccard": q_ngram_jaccard,
@@ -703,7 +757,7 @@ ORACLES = {
     "tx_token_stats": TOKEN_STATS_SQL,
     "tx_quality": QUALITY_SQL,
     "tx_langid": _langid_sql(),
-    "tx_fingerprint": FINGERPRINT_SQL,
+    "tx_repetition": REPETITION_SQL,
     "dd_exact_groups": EXACT_DEDUP_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
@@ -721,4 +775,14 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "mm_media_features": MEDIA_FEATURES_SQL,
     "mm_frame_sample": FRAME_SAMPLE_SQL,
+}
+
+#: rotated out of the driver's 50-row gate (hash-green r01 + r02);
+#: registered after all gated modules — see registry._load.
+QUERIES_ROTATED = {
+    "tx_fingerprint": q_fingerprint,
+}
+
+ORACLES_ROTATED = {
+    "tx_fingerprint": FINGERPRINT_SQL,
 }

@@ -48,10 +48,12 @@ def _load() -> None:
 
     # Registration order is load-bearing: the driver's correctness gate
     # checks the FIRST 50 registered queries. wikitrender (14) + pipeline
-    # (21) + the first 15 relational rows = exactly 50; the 10 relational
-    # rows past the cutoff are long-green rotation candidates (hash-green
-    # in both r01 and r02) deliberately ordered last — see the rel QUERIES
-    # dict comment in relational_queries.py.
+    # (21) + the first 15 relational rows = exactly 50; everything past
+    # the cutoff (the back of the rel dict plus the *_ROTATED dicts) is a
+    # long-green rotation candidate (hash-green in both r01 and r02),
+    # deliberately ordered last — see the QUERIES dict comments in
+    # relational_queries.py / pipeline_queries.py.
     register(wikitrender_queries.QUERIES, wikitrender_queries.ORACLES)
     register(pipeline_queries.QUERIES, pipeline_queries.ORACLES)
     register(relational_queries.QUERIES, relational_queries.ORACLES)
+    register(pipeline_queries.QUERIES_ROTATED, pipeline_queries.ORACLES_ROTATED)

@@ -626,6 +626,57 @@ SELECT o_orderpriority,
 FROM orders GROUP BY 1 ORDER BY 1"""
 
 
+# --- approximate percentiles (quantile sketch with a hard rank bound) -------------
+_APPROX_PCTL_ACC = 1000  # guaranteed rank error <= 1/_APPROX_PCTL_ACC
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the mergeable quantile sketch that replaces the
+    exact sort-based percentile at 100 TB (map-side combinable partials) —
+    hard-checked against its rank-error contract: with accuracy A the
+    returned value's rank is within n/A of the target, so the value must
+    lie between the exact interpolated percentiles at p ± 5/A (the 5x
+    margin absorbs element-vs-interpolated semantics at small groups and
+    mirrors the HLL row's 3-sigma philosophy: a miss means a genuine
+    sketch defect, not noise). The oracle asserts the bound columns hold
+    (TRUE literals) next to the exact p50, keeping the sketch
+    hard-checkable instead of rows-only."""
+    eps = 5.0 / _APPROX_PCTL_ACC
+    orders = load_table(spark, sf_dir, "orders")
+
+    def within(p: float):
+        lo = F.percentile("o_totalprice", F.lit(max(p - eps, 0.0)))
+        hi = F.percentile("o_totalprice", F.lit(min(p + eps, 1.0)))
+        ap = F.approx_percentile(
+            "o_totalprice", F.lit(p), F.lit(_APPROX_PCTL_ACC)
+        )
+        return (ap >= lo) & (ap <= hi)
+
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias(
+                "p50_exact"
+            ),
+            within(0.5).alias("p50_within_bound"),
+            within(0.9).alias("p90_within_bound"),
+            within(0.99).alias("p99_within_bound"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+APPROX_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+  TRUE AS p50_within_bound,
+  TRUE AS p90_within_bound,
+  TRUE AS p99_within_bound
+FROM orders GROUP BY 1 ORDER BY 1"""
+
+
 # --- correlated subqueries (Catalyst decorrelation) -------------------------------
 def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery + correlated EXISTS, written as SQL so
@@ -795,15 +846,16 @@ QUERIES = {
     "rel_suppliers_with_shipments": q_suppliers_with_shipments,
     "rel_grouping_sets": q_grouping_sets,
     "rel_order_gaps": q_order_gaps,
-    "rel_topk_per_brand": q_topk_per_brand,
     "rel_nation_set_ops": q_nation_set_ops,
     "rel_pivot_status": q_pivot_status,
     "rel_json_props": q_json_props,
     "rel_scalar_functions": q_scalar_functions,
     "rel_approx_segments": q_approx_segments,
     "rel_percentiles": q_percentiles,
+    "rel_approx_percentiles": q_approx_percentiles,
     "rel_corr_subquery": q_corr_subquery,
     # --- rotated out of the gate (hash-green r01 + r02) ---
+    "rel_topk_per_brand": q_topk_per_brand,
     "rel_top_customers": q_top_customers,
     "rel_regional_revenue": q_regional_revenue,
     "rel_running_revenue": q_running_revenue,
@@ -842,6 +894,9 @@ ORACLES = {
     # bound (within_bound); the raw HLL estimate itself stays uncompared
     "rel_approx_segments": APPROX_SEGMENTS_SQL,
     "rel_percentiles": PERCENTILES_SQL,
+    # rel_approx_percentiles compares exact p50 + the sketch's rank-error
+    # bound columns; the raw sketch values themselves stay uncompared
+    "rel_approx_percentiles": APPROX_PERCENTILES_SQL,
     "rel_corr_subquery": CORR_SUBQUERY_SQL,
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
 }
