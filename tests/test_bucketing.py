@@ -1,8 +1,10 @@
-"""Bucketed co-located join: pre-bucketing both sides of a recurring
-fact-fact join on the join key removes the per-query shuffle entirely —
-the 100 TB technique for repeated joins (SURVEY.md §2.7 / session notes).
-This test proves the engine's session actually exploits it: the bucketed
-join plan contains NO Exchange, the plain-parquet plan does."""
+"""Bucketed co-located join (SURVEY.md §4.2 / the 100 TB join story):
+writing both fact tables bucketed+sorted on the join key lets Spark plan
+the join with ZERO Exchange — each task zips matching buckets straight
+off the scan. This is the durable form of 'pre-partition once, join many
+times': at 100 TB the shuffle this avoids IS the dominant cost of every
+fact-fact join.
+"""
 
 from __future__ import annotations
 
@@ -14,48 +16,64 @@ from wikitrender_spark.schemas import load_table
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def warehouse(spark, tmp_path_factory):
-    wh = tmp_path_factory.mktemp("wh")
-    orders = load_table(spark, SF_DIR, "orders")
-    li = load_table(spark, SF_DIR, "lineitem")
-    (orders.write.mode("overwrite").bucketBy(4, "o_orderkey")
-     .sortBy("o_orderkey").option("path", str(wh / "orders_b"))
-     .saveAsTable("orders_b"))
-    (li.write.mode("overwrite").bucketBy(4, "l_orderkey")
-     .sortBy("l_orderkey").option("path", str(wh / "lineitem_b"))
-     .saveAsTable("lineitem_b"))
-    yield spark
-    spark.sql("DROP TABLE IF EXISTS orders_b")
-    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+@pytest.fixture()
+def bucketed_tables(spark, tmp_path):
+    names = ("t_orders_bkt", "t_lineitem_bkt")
+    for name, table, key in (
+        (names[0], "orders", "o_orderkey"),
+        (names[1], "lineitem", "l_orderkey"),
+    ):
+        (
+            load_table(spark, SF_DIR, table)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    yield names
+    for name in names:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
-def _join_plan(o, l) -> str:
-    j = o.join(l, o.o_orderkey == l.l_orderkey).groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return j._jdf.queryExecution().executedPlan().toString()
-
-
-def test_bucketed_join_has_no_shuffle(warehouse):
-    spark = warehouse
-    # disable auto-broadcast so the join strategy question is real even at
-    # this tiny SF (at scale neither side broadcasts)
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    orders_b, lineitem_b = bucketed_tables
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        bucketed = _join_plan(spark.table("orders_b"), spark.table("lineitem_b"))
-        plain = _join_plan(
-            load_table(spark, SF_DIR, "orders"),
-            load_table(spark, SF_DIR, "lineitem"),
+        j = (
+            spark.table(orders_b)
+            .join(
+                spark.table(lineitem_b),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_extendedprice").alias("rev"))
         )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the join itself must consume bucketed scan output directly:
+        # no shuffle below the SortMergeJoin (the single exchange allowed
+        # is the one feeding the final groupBy on a DIFFERENT key)
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, join_part
+        assert plan.count("Exchange") <= 1  # only the status groupBy
+
+        # and the co-located plan returns the shuffled plan's rows (float
+        # sums compare approx: parallel FP addition order differs)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        want = {
+            r["o_orderstatus"]: r["rev"]
+            for r in load_table(spark, SF_DIR, "orders")
+            .join(
+                load_table(spark, SF_DIR, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+            .collect()
+        }
+        got = {r["o_orderstatus"]: r["rev"] for r in j.collect()}
+        assert got == pytest.approx(want)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    # the plan prints top-down, so everything after the SortMergeJoin line
-    # is the join's inputs: bucketed sides are co-partitioned on the join
-    # key and need no Exchange below the join; plain parquet sides must
-    # each shuffle
-    assert "SortMergeJoin" in bucketed
-    assert "Exchange" not in bucketed.split("SortMergeJoin", 1)[1]
-    assert "SortMergeJoin" in plain
-    assert "Exchange" in plain.split("SortMergeJoin", 1)[1]

@@ -134,3 +134,23 @@ def test_late_callback_sees_only_new_batches(spark, tmp_path):
     c.process_available()          # only the control batch is new
     assert len(seen) < n_pages     # no full-history replay
     assert some_id in seen         # but the touched page did fire
+
+
+def test_bulk_mark_safe_and_drop(spark, collection):
+    """mark_safe_many / drop_many: one snapshot join resolves every id,
+    one control file carries every command — same semantics as the
+    per-command path."""
+    collection.process_available()
+    pages = [r["id"] for r in collection.pages().orderBy("id").take(3)]
+    collection.mark_safe_many(pages[:2])
+    collection.process_available()
+    safe = {
+        r["id"]: r["safe"]
+        for r in collection.pages().filter(F.col("id").isin(pages)).collect()
+    }
+    assert safe[pages[0]] and safe[pages[1]] and not safe[pages[2]]
+    collection.drop_many(pages[:2])
+    collection.process_available()
+    left = {r["id"] for r in collection.pages()
+            .filter(F.col("id").isin(pages)).collect()}
+    assert left == {pages[2]}

@@ -39,7 +39,7 @@ import shutil
 import time
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .sources import sinks
@@ -135,6 +135,19 @@ class WikiTrenderCollection:
         a wall-clock 'log' row would age the whole group to now."""
         self._write_control(wiki, title, log_type="control", log_action="drop")
 
+    def mark_safe_many(self, page_ids: list[str], unsafe: bool = False) -> None:
+        """Bulk A7: one snapshot join resolves every id, one control file
+        carries every command — the programmatic path (the per-command
+        mark_safe does a driver-side lookup per id, fine at human rate
+        only)."""
+        self._write_control_many(
+            page_ids, "markUnsafe" if unsafe else "markSafe"
+        )
+
+    def drop_many(self, page_ids: list[str]) -> None:
+        """Bulk drop by id (same one-join resolution as mark_safe_many)."""
+        self._write_control_many(page_ids, "drop")
+
     def pages(self) -> DataFrame:
         """getPages() (/root/reference/index.js:454-456): the live page
         set as a DataFrame (parquet snapshot maintained per micro-batch)."""
@@ -199,6 +212,54 @@ class WikiTrenderCollection:
             "ts", F.timestamp_micros(F.lit(now_us))
         )
         df.coalesce(1).write.mode("append").parquet(self._control_dir)
+
+    def _write_control_many(self, page_ids: list[str], action: str) -> None:
+        """Resolve N ids -> (wiki, title) with ONE snapshot join (live
+        pages authoritative; unknown ids fall back to the same prefix
+        heuristic as _split_id) and append ONE control parquet file."""
+        now_us = time.time_ns() // 1000
+        ids = self.spark.createDataFrame(
+            [(p,) for p in page_ids], "id string"
+        )
+        snap = self.pages().select(
+            "id", F.col("wiki").alias("_w"), F.col("title").alias("_t")
+        )
+        fallback_wiki = F.when(
+            F.col("id").contains("/"), F.substring_index("id", "/", 1)
+        ).otherwise(F.lit("enwiki"))
+        fallback_title = F.when(
+            F.col("id").contains("/"),
+            F.expr("substring(id, instr(id, '/') + 1)"),
+        ).otherwise(F.col("id"))
+        resolved = ids.join(F.broadcast(snap), "id", "left").select(
+            F.coalesce(
+                F.when(F.col("_w") == "", F.lit("enwiki")).otherwise(F.col("_w")),
+                fallback_wiki,
+            ).alias("wiki"),
+            F.coalesce(F.col("_t"), fallback_title).alias("title"),
+        )
+        rows = resolved.select(
+            "title",
+            F.lit("").alias("comment"),
+            F.lit(0).alias("namespace"),
+            F.lit("control").alias("user"),
+            F.lit(False).alias("bot"),
+            F.lit("external").alias("type"),
+            F.lit(None).cast("long").alias("length_new"),
+            F.lit(None).cast("long").alias("length_old"),
+            "wiki",
+            F.concat(F.col("wiki"), F.lit(".example")).alias("server_name"),
+            F.lit("control").alias("log_type"),
+            F.lit(action).alias("log_action"),
+            F.lit(None).cast("string").alias("log_target"),
+            F.lit(None).cast("string").alias("log_action_comment"),
+            F.timestamp_micros(F.lit(now_us)).alias("ts"),
+            # unique, deterministic per-command seq within the batch
+            (F.lit(now_us) + F.row_number().over(
+                Window.orderBy("wiki", "title")
+            )).alias("seq"),
+        )
+        rows.coalesce(1).write.mode("append").parquet(self._control_dir)
 
     def _rc_stream(self) -> DataFrame:
         rc = rc_event_stream(self.spark, self.sf_dir)
