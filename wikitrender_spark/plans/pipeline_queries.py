@@ -165,6 +165,53 @@ SELECT th.doc_id,
 FROM th JOIN bg ON th.doc_id = bg.doc_id JOIN sh ON th.doc_id = sh.doc_id"""
 
 
+PACK_TOKEN_BUDGET = 512
+
+
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pretraining batch assembly): deterministically
+    assign documents to fixed-token-budget packs — a doc joins the pack
+    where its first token lands in the (lang, source)-partition's running
+    token count (floor((cum - n)/budget)). One window per partition, no
+    iterative bin-packing: the greedy-by-order formulation is exactly
+    what distributed packing pipelines run. At 100 TB the partition key
+    gains a shard component (lang, source, hash(doc_id)%K) so no single
+    window task owns a whole language — same expression, finer key."""
+    d = _docs(spark, sf_dir)
+    n = T.token_count(F.col("text"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("doc_id", "lang", "source", n.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / PACK_TOKEN_BUDGET).alias("pack_id"),
+        (cum - F.col("n_tokens")).alias("start_offset"),
+    )
+
+
+PACK_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, source,
+    CAST(length({_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, lang, source, n_tokens,
+  CAST(floor((sum(n_tokens) OVER w - n_tokens) / {PACK_TOKEN_BUDGET}.0)
+       AS BIGINT) AS pack_id,
+  sum(n_tokens) OVER w - n_tokens AS start_offset
+FROM tk
+WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -726,14 +773,15 @@ FROM documents"""
 
 
 #: Dict order is load-bearing (driver gates the first 50 registered
-#: queries; see registry._load). tx_fingerprint — hash-green in r01+r02 —
-#: is rotated out via QUERIES_ROTATED (registered last) to keep this
-#: module at 21 gated rows with tx_repetition added in round 3.
+#: queries; see registry._load). tx_fingerprint and tx_langid —
+#: hash-green in r01+r02 — are rotated out via QUERIES_ROTATED
+#: (registered last) to keep this module at 21 gated rows with
+#: tx_repetition and tx_pack added in round 3.
 QUERIES = {
     "tx_token_stats": q_token_stats,
     "tx_quality": q_quality,
-    "tx_langid": q_langid,
     "tx_repetition": q_repetition,
+    "tx_pack": q_pack,
     "dd_exact_groups": q_exact_dedup,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_ngram_jaccard": q_ngram_jaccard,
@@ -756,8 +804,8 @@ QUERIES = {
 ORACLES = {
     "tx_token_stats": TOKEN_STATS_SQL,
     "tx_quality": QUALITY_SQL,
-    "tx_langid": _langid_sql(),
     "tx_repetition": REPETITION_SQL,
+    "tx_pack": PACK_SQL,
     "dd_exact_groups": EXACT_DEDUP_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
@@ -781,8 +829,10 @@ ORACLES = {
 #: registered after all gated modules — see registry._load.
 QUERIES_ROTATED = {
     "tx_fingerprint": q_fingerprint,
+    "tx_langid": q_langid,
 }
 
 ORACLES_ROTATED = {
     "tx_fingerprint": FINGERPRINT_SQL,
+    "tx_langid": _langid_sql(),
 }
