@@ -304,3 +304,27 @@ def test_repetition_ratios_hand_computed(spark):
     assert rows[1]["dup_bg"] == 0.0 and rows[1]["dup_tg"] == 0.0
     assert rows[2]["n"] == 1 and rows[2]["dup_bg"] == 0.0
     assert rows[3]["n"] == 0 and rows[3]["dup_bg"] == 0.0
+
+
+def test_decontamination_flags_hand_computed(spark):
+    """Docs sharing all/none of their trigram shingles with the eval doc
+    (doc_id % 97 == 0 -> doc 0) get overlap 1.0 / 0.0; short docs with no
+    shingles report zeros, never NULLs."""
+    from wikitrender_spark.operators import dedup
+
+    texts = {
+        0: "alpha beta gamma delta",      # eval slice (doc 0)
+        1: "alpha beta gamma delta",      # clone of eval -> contaminated
+        2: "one two three four five",     # disjoint -> clean
+        3: "too short",                   # no shingles -> zeros
+    }
+    d = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in dedup.decontamination_flags(d).collect()}
+    assert set(rows) == {1, 2, 3}         # eval doc excluded from output
+    assert rows[1]["overlap_frac"] == 1.0 and rows[1]["contaminated"]
+    assert rows[2]["overlap_frac"] == 0.0 and not rows[2]["contaminated"]
+    assert rows[3]["n_shingles"] == 0 and rows[3]["overlap_frac"] == 0.0
+    assert not rows[3]["contaminated"]

@@ -319,3 +319,62 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         .otherwise(sim)
         .alias("simhash"),
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+#: held-out eval slice: doc_id % EVAL_MOD == 0 (a deterministic stand-in
+#: for "the benchmark set" — in production this is a separate table).
+EVAL_MOD = 97
+DECONTAM_THRESHOLD = 0.5
+
+
+def decontamination_flags(
+    docs: DataFrame, threshold: float = DECONTAM_THRESHOLD
+) -> DataFrame:
+    """Eval-set decontamination (the pretraining hygiene step): for every
+    TRAINING document, the fraction of its distinct word-trigram shingles
+    that appear anywhere in the eval slice; `contaminated` when the
+    overlap fraction reaches `threshold`.
+
+    Scale shape: the eval shingle set is distinct'd and BROADCAST (eval
+    benchmarks are tiny next to a 100 TB corpus), so the corpus side
+    never shuffles for the membership probe — one narrow projection, a
+    broadcast hash join, and a map-combined per-doc count. The
+    contaminated flag compares the UNROUNDED ratio (exact IEEE division
+    of two ints — bit-identical across engines)."""
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev_sh = (
+        doc_shingles(docs.filter(is_eval)).select("shingle").distinct()
+    )
+    train = docs.filter(~is_eval)
+    sizes = (
+        doc_shingles(train)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    hits = (
+        doc_shingles(train)
+        .join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    frac = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+        F.col("n_eval_hits").cast("double") / F.col("n_shingles").cast("double")
+    )
+    return (
+        train.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_eval_hits",
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac >= threshold).alias("contaminated"),
+        )
+    )

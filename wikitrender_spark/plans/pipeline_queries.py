@@ -288,6 +288,35 @@ FROM documents"""
 
 
 # --- dedup ---------------------------------------------------------------------
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination flags over the documents corpus (eval
+    slice = doc_id % 97 == 0); see operators/dedup.decontamination_flags
+    for the broadcast-probe scale shape."""
+    return dedup.decontamination_flags(_docs(spark, sf_dir))
+
+
+DECONTAM_SQL = f"""
+WITH {_TOK_HASH_CTE},
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM ds
+       WHERE doc_id % {dedup.EVAL_MOD} = 0),
+tr AS (SELECT doc_id, sh FROM ds WHERE doc_id % {dedup.EVAL_MOD} <> 0),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM tr),
+hits AS (SELECT ex.doc_id, count(*) AS n_hits
+         FROM ex JOIN ev ON ex.shingle = ev.shingle GROUP BY 1)
+SELECT tr.doc_id,
+  CAST(length(tr.sh) AS BIGINT) AS n_shingles,
+  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_eval_hits,
+  round(CASE WHEN length(tr.sh) = 0 THEN 0.0
+        ELSE CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+             / CAST(length(tr.sh) AS DOUBLE) END, 6) AS overlap_frac,
+  (CASE WHEN length(tr.sh) = 0 THEN 0.0
+   ELSE CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+        / CAST(length(tr.sh) AS DOUBLE) END)
+    >= {dedup.DECONTAM_THRESHOLD} AS contaminated
+FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -787,8 +816,8 @@ QUERIES = {
     "dd_ngram_jaccard": q_ngram_jaccard,
     "dd_lsh_candidates": q_lsh_candidates,
     "dd_near_duplicates": q_near_duplicates,
-    "dd_simhash": q_simhash,
     "dd_embedding_neardup": q_embedding_neardup,
+    "dd_decontaminate": q_decontaminate,
     "dd_dup_clusters": q_dup_clusters,
     "dd_editdist_pairs": q_editdist_pairs,
     "tx_chunks": q_token_chunks,
@@ -811,8 +840,8 @@ ORACLES = {
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dd_lsh_candidates": LSH_CANDIDATES_SQL,
     "dd_near_duplicates": NEAR_DUPS_SQL,
-    "dd_simhash": SIMHASH_SQL,
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "dd_decontaminate": DECONTAM_SQL,
     "dd_dup_clusters": DUP_CLUSTERS_SQL,
     "dd_editdist_pairs": EDITDIST_PAIRS_SQL,
     "tx_chunks": _token_chunks_sql(),
@@ -830,9 +859,11 @@ ORACLES = {
 QUERIES_ROTATED = {
     "tx_fingerprint": q_fingerprint,
     "tx_langid": q_langid,
+    "dd_simhash": q_simhash,
 }
 
 ORACLES_ROTATED = {
     "tx_fingerprint": FINGERPRINT_SQL,
     "tx_langid": _langid_sql(),
+    "dd_simhash": SIMHASH_SQL,
 }
