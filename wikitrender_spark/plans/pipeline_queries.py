@@ -165,6 +165,43 @@ SELECT th.doc_id,
 FROM th JOIN bg ON th.doc_id = bg.doc_id JOIN sh ON th.doc_id = sh.doc_id"""
 
 
+VOCAB_K = 100
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (the tokenizer-training precursor): global token
+    frequencies -> top-K with ids. The explode is the only per-occurrence
+    step and the count aggregate map-combines, so the shuffle moves one
+    row per distinct token per task, not per occurrence; the top-K is
+    orderBy+limit (TakeOrderedAndProject — distributed partial top-K,
+    no global sort), and only the K surviving rows see the id window."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(VOCAB_K)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.select(
+        "token", "n_occurrences", F.row_number().over(w).alias("vocab_id")
+    )
+
+
+VOCAB_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKENS.format(t='text')}) AS token
+              FROM documents),
+counts AS (SELECT token, count(*) AS n_occurrences FROM toks GROUP BY 1),
+top AS (SELECT token, n_occurrences FROM counts
+        ORDER BY n_occurrences DESC, token LIMIT {VOCAB_K})
+SELECT token, n_occurrences,
+  CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT)
+    AS vocab_id
+FROM top"""
+
+
 PACK_TOKEN_BUDGET = 512
 
 
@@ -808,9 +845,9 @@ FROM documents"""
 #: tx_repetition and tx_pack added in round 3.
 QUERIES = {
     "tx_token_stats": q_token_stats,
-    "tx_quality": q_quality,
     "tx_repetition": q_repetition,
     "tx_pack": q_pack,
+    "tx_vocab": q_vocab,
     "dd_exact_groups": q_exact_dedup,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_ngram_jaccard": q_ngram_jaccard,
@@ -832,9 +869,9 @@ QUERIES = {
 
 ORACLES = {
     "tx_token_stats": TOKEN_STATS_SQL,
-    "tx_quality": QUALITY_SQL,
     "tx_repetition": REPETITION_SQL,
     "tx_pack": PACK_SQL,
+    "tx_vocab": VOCAB_SQL,
     "dd_exact_groups": EXACT_DEDUP_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
@@ -857,12 +894,14 @@ ORACLES = {
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);
 #: registered after all gated modules — see registry._load.
 QUERIES_ROTATED = {
+    "tx_quality": q_quality,
     "tx_fingerprint": q_fingerprint,
     "tx_langid": q_langid,
     "dd_simhash": q_simhash,
 }
 
 ORACLES_ROTATED = {
+    "tx_quality": QUALITY_SQL,
     "tx_fingerprint": FINGERPRINT_SQL,
     "tx_langid": _langid_sql(),
     "dd_simhash": SIMHASH_SQL,
