@@ -328,3 +328,26 @@ def test_decontamination_flags_hand_computed(spark):
     assert rows[2]["overlap_frac"] == 0.0 and not rows[2]["contaminated"]
     assert rows[3]["n_shingles"] == 0 and rows[3]["overlap_frac"] == 0.0
     assert not rows[3]["contaminated"]
+
+
+def test_vocab_top_k_ids(spark):
+    """tx_vocab on a corpus where the frequency order is hand-computable;
+    ties break lexicographically and ids are 1-based in rank order."""
+    from wikitrender_spark.plans import pipeline_queries as P
+
+    d = docs_df(spark, ["b a b c b a", "a c"])
+    counts = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("token")).limit(P.VOCAB_K)
+        .select("token", "n", F.row_number().over(w).alias("vocab_id"))
+        .collect()
+    )
+    got = [(r["token"], r["n"], r["vocab_id"]) for r in top]
+    assert got == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
