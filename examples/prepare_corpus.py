@@ -1,0 +1,94 @@
+"""End-to-end training-corpus preparation over the documents table —
+the LLM-data-pipeline operators composed the way a pretraining data run
+chains them (SURVEY.md §2.8):
+
+  1. quality + repetition filters   (tx_quality / tx_repetition signals)
+  2. near-duplicate cluster dedup   (MinHash LSH -> verify -> components)
+  3. eval-set decontamination       (broadcast shingle probe)
+  4. sequence packing               (fixed token budget per pack)
+  5. corpus vocabulary              (top-K token frequencies)
+
+Every step is a DataFrame transformation: at 100 TB the same composition
+runs with the same plans — bucketed joins, broadcast probes, map-combined
+aggregates — just with more partitions.
+
+Run:  python examples/prepare_corpus.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from wikitrender_spark.functions import text as T
+from wikitrender_spark.operators import dedup
+from wikitrender_spark.plans.pipeline_queries import (
+    PACK_TOKEN_BUDGET,
+    q_clean_corpus,
+    q_pack,
+    q_repetition,
+    q_vocab,
+)
+from wikitrender_spark.schemas import load_table
+from wikitrender_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("prepare-corpus", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. quality gates: drop highly repetitive documents
+    rep = q_repetition(spark, sf_dir)
+    keep_q = rep.filter(
+        (F.col("dup_trigram_ratio") < 0.8) & (F.col("n_tokens") >= 5)
+    ).select("doc_id")
+    print(f"quality gate: {keep_q.count()}/{n_docs} docs pass")
+
+    # 2. near-dup dedup: drop every clustered doc except its cluster's
+    # min-id representative (duplicate_clusters emits only docs that ARE
+    # in a near-dup component; unclustered docs all survive)
+    clusters = dedup.duplicate_clusters(docs)
+    reps = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+    dropped = clusters.join(reps.select("doc_id"), "doc_id", "left_anti")
+    survivors = docs.select("doc_id").join(dropped, "doc_id", "left_anti")
+    print(
+        f"dedup: {dropped.count()} near-dup docs dropped, "
+        f"{survivors.count()} survive"
+    )
+
+    # 3. decontamination: drop training docs overlapping the eval slice
+    clean = dedup.decontamination_flags(docs).filter(~F.col("contaminated"))
+    print(f"decontamination: {clean.count()} clean training docs")
+
+    # intersect the three gates
+    final = (
+        keep_q.join(survivors, "doc_id").join(clean.select("doc_id"), "doc_id")
+    )
+    print(f"final corpus: {final.count()} docs")
+
+    # 4. pack into fixed-token-budget sequences
+    packs = q_pack(spark, sf_dir).join(final, "doc_id")
+    n_packs = packs.select("lang", "source", "pack_id").distinct().count()
+    print(f"packing: {n_packs} packs of <= {PACK_TOKEN_BUDGET} tokens")
+
+    # 5. vocabulary over the corpus
+    vocab = q_vocab(spark, sf_dir)
+    top = ", ".join(
+        f"{r['token']}({r['n_occurrences']})" for r in vocab.take(5)
+    )
+    print(f"vocab head: {top}")
+
+    # the composed clean-corpus query (quality + cluster dedup in one plan)
+    print(f"q_clean_corpus rows: {q_clean_corpus(spark, sf_dir).count()}")
+
+
+if __name__ == "__main__":
+    main()
