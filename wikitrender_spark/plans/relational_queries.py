@@ -712,6 +712,56 @@ WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
 ORDER BY c_custkey"""
 
 
+# --- recursive CTE (calendar densification) ---------------------------------------
+RECURSIVE_MONTHS_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
+)
+SELECT CAST(m AS STRING) AS month_start,
+  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+  round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+FROM months LEFT JOIN orders
+  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+GROUP BY m ORDER BY m"""
+
+
+def q_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) doing calendar
+    densification: generate every month between the first and last order
+    date, then LEFT JOIN monthly revenue so empty months appear as
+    explicit zero rows — the gaps-in-time-series pattern a sort-based
+    window can't express. The recursion is bounded by the date span
+    (~tens of iterations), each step a one-row projection; the join and
+    aggregate below it are ordinary shuffle-safe plans. The EXACT same
+    SQL text runs on DuckDB — dialect-common by construction."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(RECURSIVE_MONTHS_SQL)
+
+
+# --- lateral join (correlated top-n per group) ------------------------------------
+LATERAL_TOPK_SQL = """
+SELECT n_name, c_custkey, acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+ORDER BY n_name, acctbal DESC, c_custkey"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT: top-2 customers
+    by balance per nation. Catalyst rewrites the correlated limit into a
+    DomainJoin + ranking — no per-row re-execution, same scale shape as
+    the window formulation (rel_topk_per_brand) but exercising the
+    lateral decorrelation path. Same SQL text runs on DuckDB."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
 # --- JSON functions ---------------------------------------------------------------
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar surface: parse the events.props JSON payload with a
@@ -827,26 +877,26 @@ FROM orders WHERE o_orderkey < 1000"""
 
 
 #: Dict order is load-bearing — the driver's correctness gate covers the
-#: first 50 registered queries and this module registers last (see
-#: registry._load), so only the FIRST 15 rows here are gated. Those 15
-#: keep one representative per operator family (agg, as-of join, range
-#: join, anti join, semi join, grouping sets, lag window, rank window,
-#: set ops, pivot, JSON, scalar lib) plus the three newest queries
-#: (approx_segments — column renamed this round, percentiles,
-#: corr_subquery). The 10 past the cutoff were hash-green in BOTH r01
-#: and r02 and are rotated out to make room for the never-attested
-#: ann_*/mm_*/tx_chunks/tx_clean_corpus/dd_dup_clusters/dd_editdist_pairs
-#: rows in pipeline_queries.
+#: first 50 registered queries and this module registers after
+#: wikitrender+pipeline (see registry._load), so only the FIRST 15 rows
+#: here are gated. Those 15 keep one representative per operator family
+#: (agg, as-of join, anti join, semi join, grouping sets, lag window,
+#: pivot, JSON, scalar lib) plus every round-3 addition needing first
+#: attestation (recursive CTE, lateral top-k, approx percentiles) and
+#: the r02-new rows (approx_segments — column renamed this round,
+#: percentiles, corr_subquery). Every row past the cutoff was hash-green
+#: in BOTH r01 and r02 — rotated out to make room for never-attested
+#: queries, per the r02 verdict's rotation rule.
 QUERIES = {
     # --- gated (first 15) ---
     "rel_pricing_summary": q_pricing_summary,
     "rel_asof_last_signup": q_asof_last_signup,
-    "rel_acctbal_band_pairs": q_acctbal_band_pairs,
     "rel_customers_without_orders": q_customers_without_orders,
     "rel_suppliers_with_shipments": q_suppliers_with_shipments,
     "rel_grouping_sets": q_grouping_sets,
     "rel_order_gaps": q_order_gaps,
-    "rel_nation_set_ops": q_nation_set_ops,
+    "rel_recursive_months": q_recursive_months,
+    "rel_lateral_topk": q_lateral_topk,
     "rel_pivot_status": q_pivot_status,
     "rel_json_props": q_json_props,
     "rel_scalar_functions": q_scalar_functions,
@@ -855,6 +905,8 @@ QUERIES = {
     "rel_approx_percentiles": q_approx_percentiles,
     "rel_corr_subquery": q_corr_subquery,
     # --- rotated out of the gate (hash-green r01 + r02) ---
+    "rel_nation_set_ops": q_nation_set_ops,
+    "rel_acctbal_band_pairs": q_acctbal_band_pairs,
     "rel_topk_per_brand": q_topk_per_brand,
     "rel_top_customers": q_top_customers,
     "rel_regional_revenue": q_regional_revenue,
@@ -894,6 +946,8 @@ ORACLES = {
     # bound (within_bound); the raw HLL estimate itself stays uncompared
     "rel_approx_segments": APPROX_SEGMENTS_SQL,
     "rel_percentiles": PERCENTILES_SQL,
+    "rel_recursive_months": RECURSIVE_MONTHS_SQL,
+    "rel_lateral_topk": LATERAL_TOPK_SQL,
     # rel_approx_percentiles compares exact p50 + the sketch's rank-error
     # bound columns; the raw sketch values themselves stay uncompared
     "rel_approx_percentiles": APPROX_PERCENTILES_SQL,
