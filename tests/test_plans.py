@@ -84,3 +84,21 @@ def test_near_dup_has_no_cartesian(plans):
     plan = plans("dd_near_duplicates")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_text_queries_prune_documents_scan(plans):
+    for q, allowed in (
+        ("tx_repetition", {"doc_id", "text"}),
+        ("tx_vocab", {"text"}),
+        ("tx_pack", {"doc_id", "text", "lang", "source"}),
+        ("dd_decontaminate", {"doc_id", "text"}),
+    ):
+        for cols in _scan_columns(plans(q), "documents"):
+            assert set(cols) <= allowed, (q, cols)
+
+
+def test_recursive_and_lateral_scans_prune(plans):
+    for cols in _scan_columns(plans("rel_recursive_months"), "orders"):
+        assert set(cols) <= {"o_orderkey", "o_orderdate", "o_totalprice"}
+    for cols in _scan_columns(plans("rel_lateral_topk"), "customer"):
+        assert set(cols) <= {"c_custkey", "c_nationkey", "c_acctbal"}

@@ -577,3 +577,38 @@ def test_telemetry_listener_captures_batches(spark):
     # the replay produce at least one tombstone overall
     assert all(n_live > 0 for n_live, _ in counts.values())
     assert sum(t for _, t in counts.values()) > 0
+
+
+def test_stream_static_enrichment_join(spark):
+    """Stream-static broadcast enrichment (SURVEY §2.7): the rc stream
+    joined to a static dimension inside the streaming query; the final
+    counts equal the batch formulation exactly."""
+    static = spark.createDataFrame(
+        [("enwiki", "tier1"), ("dewiki", "tier2")], "wiki string, tier string"
+    )
+    batch = {
+        r["tier"]: r["n"]
+        for r in rc_events(spark, SF_DIR)
+        .join(F.broadcast(static), "wiki")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        j = (
+            rc_event_stream(spark, SF_DIR)
+            .join(F.broadcast(static), "wiki")
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            j.writeStream.format("memory")
+            .queryName("t_stream_static")
+            .outputMode("complete")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["tier"]: r["n"] for r in spark.table("t_stream_static").collect()}
+    assert got == batch and len(got) == 2
