@@ -165,6 +165,44 @@ SELECT th.doc_id,
 FROM th JOIN bg ON th.doc_id = bg.doc_id JOIN sh ON th.doc_id = sh.doc_id"""
 
 
+#: deterministic split mix: 90/5/5 over a 0-99 bucket from portable
+#: integer arithmetic (no RNG — rerunning the pipeline reproduces the
+#: exact same split, the property that matters for training runs).
+SPLIT_MULT = 40503
+SPLIT_OFFSET = 17
+
+
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = an affine hash
+    of doc_id mod 100 (pinned integer arithmetic, identical in both
+    engines), split by fixed thresholds. A pure narrow projection — at
+    100 TB this is a zero-shuffle column over the scan, and the same
+    expression works as a partition predicate for split-specific reads."""
+    d = _docs(spark, sf_dir)
+    bucket = (F.col("doc_id") * SPLIT_MULT + SPLIT_OFFSET) % 1000003 % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SPLIT_SQL = f"""
+SELECT doc_id, lang,
+  CAST((doc_id * {SPLIT_MULT} + {SPLIT_OFFSET}) % 1000003 % 100 AS INT)
+    AS bucket,
+  CASE WHEN (doc_id * {SPLIT_MULT} + {SPLIT_OFFSET}) % 1000003 % 100 < 90
+         THEN 'train'
+       WHEN (doc_id * {SPLIT_MULT} + {SPLIT_OFFSET}) % 1000003 % 100 < 95
+         THEN 'val'
+       ELSE 'test' END AS split
+FROM documents"""
+
+
 VOCAB_K = 100
 
 
@@ -842,13 +880,14 @@ FROM documents"""
 #: queries; see registry._load). tx_fingerprint and tx_langid —
 #: hash-green in r01+r02 — are rotated out via QUERIES_ROTATED
 #: (registered last) to keep this module at 21 gated rows with
-#: tx_repetition and tx_pack added in round 3.
+#: tx_repetition/tx_pack/tx_vocab/tx_split/dd_decontaminate added in
+#: round 3 (one twice-green row rotated out per addition).
 QUERIES = {
     "tx_token_stats": q_token_stats,
     "tx_repetition": q_repetition,
     "tx_pack": q_pack,
     "tx_vocab": q_vocab,
-    "dd_exact_groups": q_exact_dedup,
+    "tx_split": q_split,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_ngram_jaccard": q_ngram_jaccard,
     "dd_lsh_candidates": q_lsh_candidates,
@@ -872,7 +911,7 @@ ORACLES = {
     "tx_repetition": REPETITION_SQL,
     "tx_pack": PACK_SQL,
     "tx_vocab": VOCAB_SQL,
-    "dd_exact_groups": EXACT_DEDUP_SQL,
+    "tx_split": SPLIT_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dd_lsh_candidates": LSH_CANDIDATES_SQL,
@@ -894,6 +933,7 @@ ORACLES = {
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);
 #: registered after all gated modules — see registry._load.
 QUERIES_ROTATED = {
+    "dd_exact_groups": q_exact_dedup,
     "tx_quality": q_quality,
     "tx_fingerprint": q_fingerprint,
     "tx_langid": q_langid,
@@ -901,6 +941,7 @@ QUERIES_ROTATED = {
 }
 
 ORACLES_ROTATED = {
+    "dd_exact_groups": EXACT_DEDUP_SQL,
     "tx_quality": QUALITY_SQL,
     "tx_fingerprint": FINGERPRINT_SQL,
     "tx_langid": _langid_sql(),
