@@ -351,3 +351,20 @@ def test_vocab_top_k_ids(spark):
     )
     got = [(r["token"], r["n"], r["vocab_id"]) for r in top]
     assert got == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
+
+
+def test_split_assignment_deterministic_and_proportional(spark):
+    """tx_split: assignment is a pure function of doc_id (re-running
+    reproduces the exact split), covers every doc exactly once, and the
+    90/5/5 mix holds within a few points at corpus size."""
+    from wikitrender_spark.plans.pipeline_queries import q_split
+
+    sf = "/root/testdata/sf0.01"
+    a = {r["doc_id"]: r["split"] for r in q_split(spark, sf).collect()}
+    b = {r["doc_id"]: r["split"] for r in q_split(spark, sf).collect()}
+    assert a == b and len(a) == 500
+    shares = {s: sum(1 for v in a.values() if v == s) / len(a)
+              for s in ("train", "val", "test")}
+    assert abs(shares["train"] - 0.90) < 0.05
+    assert abs(shares["val"] - 0.05) < 0.03
+    assert abs(shares["test"] - 0.05) < 0.03
