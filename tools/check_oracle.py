@@ -45,6 +45,21 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = normalize(sdf), normalize(odf)
     for col in s.columns:
         sv, ov = s[col], o[col]
+        # Dtype-kind drift (e.g. DuckDB HUGEINT window sums surfacing as
+        # float64 while Spark emits int64) hashes red under the driver even
+        # when the Python values compare equal — treat it as a failure here
+        # so it's caught locally (round-3 tx_pack lesson).
+        kinds = {sv.dtype.kind, ov.dtype.kind}
+        if (
+            sv.dtype.kind != ov.dtype.kind
+            and "O" not in kinds  # object columns compare by value below
+            and not kinds <= {"i", "u"}  # signedness drift is benign
+        ):
+            problems.append(
+                f"col {col}: dtype kind spark={sv.dtype} oracle={ov.dtype} "
+                "(cast the oracle SQL, e.g. HUGEINT sums -> BIGINT)"
+            )
+            continue
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sv = sv.astype(float)
             ov = ov.astype(float)

@@ -281,7 +281,7 @@ WITH tk AS (
 SELECT doc_id, lang, source, n_tokens,
   CAST(floor((sum(n_tokens) OVER w - n_tokens) / {PACK_TOKEN_BUDGET}.0)
        AS BIGINT) AS pack_id,
-  sum(n_tokens) OVER w - n_tokens AS start_offset
+  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset
 FROM tk
 WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
