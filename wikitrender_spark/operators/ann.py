@@ -283,14 +283,20 @@ def embedding_near_duplicates(
     RECALL IS THRESHOLD-DEPENDENT and the default is NOT the sketch's
     sweet spot: with 8 bands x 8 planes a pair at cosine c survives with
     probability 1-(1-p^8)^8, p = 1-arccos(c)/pi — ~0.94 at c=0.9, ~0.75
-    at c=0.8, ~0.18 at the default c=0.4. The default matches this
-    corpus's similarity regime (max pairwise cosine ~0.5), where the
-    operator is a deliberately sparse candidate SKETCH (candidates are a
-    strict subset of the true pairs, each verified exactly); treat the
-    output as high-precision/partial-recall there. To hit a recall
-    target at low thresholds, raise EMB_BANDS at fixed band width — cost
-    and candidate volume grow linearly in bands, sparsity per band is
-    governed by EMB_BAND_PLANES (collision ~2^-r for random pairs).
+    at c=0.8, ~0.18 at the default c=0.4. MEASURED on the sf0.01 corpus
+    (59 true pairs >= 0.4, max pairwise cosine 0.51): recall 0.186,
+    candidate rate 5.0% of all pairs — matching theory; both are
+    asserted in tests/test_ann_recall.py. High recall at c=0.4 is not
+    reachable with sign-LSH here: the signal band (0.4-0.51) sits ~7
+    degrees from the noise bulk (~0.3), and every (r, b) rebanding that
+    reaches recall 0.9 at 0.4 was measured to admit 45%+ of ALL pairs as
+    candidates (r=4,b=16: recall 0.80 at 45% candidates) — an all-pairs
+    join in disguise. The sketch is therefore pinned at 8x8 and
+    documented as high-precision/partial-recall below c~0.8; in the
+    regime near-dup detection actually targets (c >= 0.9, SemDeDup-style)
+    the same structure measures recall >= 0.9 (planted-pair test). For
+    exact recall at low thresholds use embedding_near_duplicates_exact —
+    the all-pairs ground-truth path.
 
     The band-key relation is locally checkpointed before the self-join:
     Spark plans the small side as a broadcast, so without materialization
@@ -321,6 +327,32 @@ def embedding_near_duplicates(
         .select("vec_a", "vec_b", _pair_sim().alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
+    )
+
+
+def embedding_near_duplicates_exact(
+    emb: DataFrame, threshold: float = EMB_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Exact (recall-1.0) cosine near-dup pairs: all-pairs theta join
+    (vec_a < vec_b) scored with the same sequential dot fold as the LSH
+    verifier, so the two operators' surviving pairs carry bit-identical
+    `sim` values and recall is directly measurable as a subset check.
+
+    This is the GROUND-TRUTH path, O(n^2) by contract: "all pairs above
+    a low threshold" has near-quadratic output in the worst case, so no
+    sub-quadratic candidate scheme can be exact (see the recall notes on
+    embedding_near_duplicates). Scope it to eval-set-sized inputs (the
+    regime where exactness matters: decontamination audits, recall
+    measurement); at corpus scale run the LSH sketch at a high threshold
+    instead. The join is a BroadcastNestedLoopJoin with the smaller
+    projection broadcast — for n beyond broadcast size, block it by
+    repartitioning one side (same all-pairs cost, bounded memory)."""
+    ea = _with_norm(emb, "vec_a", "q_emb", "q_nrm")
+    eb = _with_norm(emb, "vec_b", "n_emb", "n_nrm")
+    return (
+        ea.join(eb, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _pair_sim().alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
 
 

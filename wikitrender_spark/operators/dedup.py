@@ -378,3 +378,43 @@ def decontamination_flags(
             (frac >= threshold).alias("contaminated"),
         )
     )
+
+
+def dedup_lineage(docs: DataFrame) -> DataFrame:
+    """(doc_id, keeper_doc_id, reason) audit relation for every document
+    the dedup stages would DROP — the removal lineage downstream
+    pipelines need to explain why a training doc is absent and which
+    surviving doc supersedes it (tx_clean_corpus emits only survivors;
+    this emits the complement, with provenance).
+
+    reason 'exact': doc shares an md5 digest with a lower doc_id; keeper
+    is the digest group's min doc_id. reason 'near_dup': doc sits in a
+    near-duplicate cluster (duplicate_clusters) with a lower-id member;
+    keeper is the cluster label (component min). A doc can appear under
+    both reasons — both rows are emitted, because the two stages drop
+    independently and an audit must show every cause.
+
+    Scale shape: the exact branch is one hash-shuffle on the 16-byte
+    digest (window min over digest — the same exchange the dedup groupBy
+    uses, reused here for the per-row keeper instead of a second
+    join-back); the near-dup branch reuses the bucketed cluster relation
+    unchanged. Nothing touches document bytes beyond the digest scan."""
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("digest")
+    exact = (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .withColumn("keeper_doc_id", F.min("doc_id").over(wd))
+        .filter(F.col("doc_id") != F.col("keeper_doc_id"))
+        .select("doc_id", "keeper_doc_id", F.lit("exact").alias("reason"))
+    )
+    near = (
+        duplicate_clusters(docs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(
+            "doc_id",
+            F.col("cluster_id").alias("keeper_doc_id"),
+            F.lit("near_dup").alias("reason"),
+        )
+    )
+    return exact.unionByName(near)

@@ -287,6 +287,86 @@ WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
 
+def q_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-splitting sequence packing: unlike q_pack (which assigns
+    a doc wholly to the pack its FIRST token lands in, letting long docs
+    straddle budgets silently), this emits one row per (doc, pack) slice
+    so every pack holds exactly PACK_TOKEN_BUDGET tokens — the relation
+    real batch assembly consumes. A doc spanning packs k..m yields rows
+    (doc_id, pack_id, slice_start, slice_len) with slice_start the
+    offset INTO THE DOC and sum(slice_len) == n_tokens.
+
+    Plan shape: the same single window cumsum per (lang, source) as
+    q_pack, then a generator (sequence + explode over the doc's pack
+    range) — per-row work proportional to slices emitted, no second
+    shuffle. Zero-token docs occupy no pack space and emit no slice.
+    At 100 TB the partition key gains a shard component exactly as
+    documented on q_pack; slices stay correct because offsets are
+    per-partition by construction."""
+    d = _docs(spark, sf_dir)
+    n = T.token_count(F.col("text"))
+    from pyspark.sql import Window
+
+    B = PACK_TOKEN_BUDGET
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("doc_id", "lang", "source", n.alias("n_tokens"))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    spanned = (
+        base.select("doc_id", "lang", "source", "n_tokens", start)
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "start",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start") / B),
+                    F.floor((F.col("start") + F.col("n_tokens") - 1) / B),
+                )
+            ).alias("pack_id"),
+            "n_tokens",
+        )
+    )
+    lo = F.greatest(F.col("pack_id") * B, F.col("start"))
+    hi = F.least((F.col("pack_id") + 1) * B, F.col("start") + F.col("n_tokens"))
+    return spanned.select(
+        "doc_id",
+        "lang",
+        "source",
+        "pack_id",
+        (lo - F.col("start")).alias("slice_start"),
+        (hi - lo).alias("slice_len"),
+    )
+
+
+PACK_SPLIT_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, source,
+    CAST(length({_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, lang, source, n_tokens,
+    CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start
+  FROM tk
+  WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+spanned AS (
+  SELECT doc_id, lang, source, start, n_tokens,
+    unnest(range(start // {PACK_TOKEN_BUDGET},
+                 (start + n_tokens - 1) // {PACK_TOKEN_BUDGET} + 1)) AS pack_id
+  FROM cum WHERE n_tokens > 0)
+SELECT doc_id, lang, source, pack_id,
+  greatest(pack_id * {PACK_TOKEN_BUDGET}, start) - start AS slice_start,
+  least((pack_id + 1) * {PACK_TOKEN_BUDGET}, start + n_tokens)
+    - greatest(pack_id * {PACK_TOKEN_BUDGET}, start) AS slice_len
+FROM spanned"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -842,6 +922,65 @@ WHERE l.is_match AND q.quality >= {CLEAN_MIN_QUALITY}
   AND d.doc_id NOT IN (SELECT doc_id FROM losers)"""
 
 
+def q_dedup_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-lineage audit for the dedup stages (see
+    operators/dedup.dedup_lineage): one row per dropped doc per cause."""
+    from ..operators import dedup
+
+    return dedup.dedup_lineage(_docs(spark, sf_dir))
+
+
+DEDUP_LINEAGE_SQL = f"""
+WITH RECURSIVE pairs AS (
+{NEAR_DUPS_SQL}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+clusters AS (
+  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a),
+exact AS (
+  SELECT doc_id,
+    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_doc_id
+  FROM documents)
+SELECT doc_id, keeper_doc_id, 'exact' AS reason
+FROM exact WHERE doc_id <> keeper_doc_id
+UNION ALL
+SELECT doc_id, cluster_id AS keeper_doc_id, 'near_dup' AS reason
+FROM clusters WHERE doc_id <> cluster_id"""
+
+
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact cosine near-dup (recall-1.0 ground truth for the
+    LSH sketch; see operators/ann.embedding_near_duplicates_exact)."""
+    return ann.embedding_near_duplicates_exact(_emb(spark, sf_dir))
+
+
+EMBEDDING_NEARDUP_EXACT_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+nrm AS (SELECT vec_id,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+                           (a, b) -> a + b)) AS nrm
+        FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round({_DOT64.format(a='a.emb', b='b.emb')} / (na.nrm * nb.nrm), 6) AS sim
+FROM e a
+JOIN e b ON a.vec_id < b.vec_id
+JOIN nrm na ON na.vec_id = a.vec_id
+JOIN nrm nb ON nb.vec_id = b.vec_id
+WHERE round({_DOT64.format(a='a.emb', b='b.emb')} / (na.nrm * nb.nrm), 6)
+      >= {ann.EMB_NEARDUP_THRESHOLD}"""
+
+
 # --- multimodal binary plumbing ----------------------------------------------------
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature stage over binary payloads (fake decode
@@ -886,8 +1025,11 @@ QUERIES = {
     "tx_token_stats": q_token_stats,
     "tx_repetition": q_repetition,
     "tx_pack": q_pack,
+    "tx_pack_split": q_pack_split,
     "tx_vocab": q_vocab,
     "tx_split": q_split,
+    "tx_dedup_lineage": q_dedup_lineage,
+    "dd_embedding_neardup_exact": q_embedding_neardup_exact,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_ngram_jaccard": q_ngram_jaccard,
     "dd_lsh_candidates": q_lsh_candidates,
@@ -910,8 +1052,11 @@ ORACLES = {
     "tx_token_stats": TOKEN_STATS_SQL,
     "tx_repetition": REPETITION_SQL,
     "tx_pack": PACK_SQL,
+    "tx_pack_split": PACK_SPLIT_SQL,
     "tx_vocab": VOCAB_SQL,
     "tx_split": SPLIT_SQL,
+    "tx_dedup_lineage": DEDUP_LINEAGE_SQL,
+    "dd_embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dd_lsh_candidates": LSH_CANDIDATES_SQL,
