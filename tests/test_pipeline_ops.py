@@ -368,3 +368,68 @@ def test_split_assignment_deterministic_and_proportional(spark):
     assert abs(shares["train"] - 0.90) < 0.05
     assert abs(shares["val"] - 0.05) < 0.03
     assert abs(shares["test"] - 0.05) < 0.03
+
+
+# --- boundary-splitting sequence packing (tx_pack_split) ---------------------
+
+
+def test_pack_split_invariants(spark):
+    from wikitrender_spark.plans import pipeline_queries as PQ
+
+    sf = "/root/testdata/sf0.001"
+    split = PQ.q_pack_split(spark, sf).cache()
+    pack = PQ.q_pack(spark, sf)
+
+    # slice lengths per doc sum to the doc's token count
+    per_doc = split.groupBy("doc_id").agg(
+        F.sum("slice_len").alias("tot"), F.min("slice_start").alias("first_off")
+    )
+    toks = pack.select("doc_id", "n_tokens", "pack_id")
+    joined = per_doc.join(toks, "doc_id")
+    bad = joined.filter(
+        (F.col("tot") != F.col("n_tokens")) | (F.col("first_off") != 0)
+    ).count()
+    assert bad == 0
+
+    # every slice fits the budget and is non-empty
+    B = PQ.PACK_TOKEN_BUDGET
+    assert (
+        split.filter(
+            (F.col("slice_len") <= 0)
+            | (F.col("slice_len") > B)
+            | (F.col("slice_start") < 0)
+        ).count()
+        == 0
+    )
+
+    # packs are exactly full except each (lang, source) partition's last
+    fill = split.groupBy("lang", "source", "pack_id").agg(
+        F.sum("slice_len").alias("fill")
+    )
+    last = fill.groupBy("lang", "source").agg(F.max("pack_id").alias("last_pack"))
+    nonlast_bad = (
+        fill.join(last, ["lang", "source"])
+        .filter((F.col("pack_id") != F.col("last_pack")) & (F.col("fill") != B))
+        .count()
+    )
+    assert nonlast_bad == 0
+
+    # a doc's first slice lands in the pack q_pack assigns it to
+    first_slice = split.groupBy("doc_id").agg(F.min("pack_id").alias("first_pack"))
+    mismatch = (
+        first_slice.join(pack.filter(F.col("n_tokens") > 0), "doc_id")
+        .filter(F.col("first_pack") != F.col("pack_id"))
+        .count()
+    )
+    assert mismatch == 0
+    split.unpersist()
+
+
+def test_dedup_lineage_small(spark):
+    # docs 0,1 identical (exact dup); 2 unique
+    d = docs_df(spark, ["same text here", "same text here", "completely different"])
+    rows = dedup.dedup_lineage(d).collect()
+    exact_rows = [r for r in rows if r["reason"] == "exact"]
+    assert [(r["doc_id"], r["keeper_doc_id"]) for r in exact_rows] == [(1, 0)]
+    for r in rows:
+        assert r["keeper_doc_id"] < r["doc_id"]

@@ -36,6 +36,81 @@ def all_oracles() -> dict[str, str]:
 
 _loaded = False
 
+#: The driver's correctness gate checks only the FIRST 50 registered
+#: queries, so window membership is load-bearing evidence. This list IS
+#: the window, explicitly: _load() reorders registration so these 50
+#: names come first, in this order; everything else follows in module
+#: order. tests/test_registry_gate.py pins the composition — editing a
+#: QUERIES dict can no longer silently change what the driver attests.
+#:
+#: Round-4 composition policy (rotate coverage IN, never protect a red
+#: row): (a) tx_pack — red in r03 (HUGEINT oracle dtype), fixed this
+#: round, must re-gate; (b) the round-4 additions, never attested;
+#: (c) the 18 rows whose last driver attestation predates the round-3
+#: testdata regeneration (events.ts vintage change) — r1/r2 evidence is
+#: stale; (d) rows first gated in r03, kept for a second attestation;
+#: (e) remaining slots filled with twice-green rows. Rotated OUT (all
+#: green in r03 on CURRENT testdata, most multi-round green): the 14
+#: wt_* rows and 7 rel_* rows.
+GATE_WINDOW: list[str] = [
+    # (a) fixed red row + (b) round-4 additions
+    "tx_pack",
+    "tx_pack_split",
+    "tx_dedup_lineage",
+    "dd_embedding_neardup_exact",
+    # (c) last attested before the round-3 testdata regeneration
+    "rel_nation_set_ops",
+    "rel_acctbal_band_pairs",
+    "rel_topk_per_brand",
+    "rel_top_customers",
+    "rel_regional_revenue",
+    "rel_running_revenue",
+    "rel_rollup_orders",
+    "rel_cube_summary",
+    "rel_signup_burst",
+    "rel_small_quantity_revenue",
+    "rel_rolling_revenue_window",
+    "rel_nation_presence",
+    "rel_unpivot_presence",
+    "dd_exact_groups",
+    "tx_quality",
+    "tx_fingerprint",
+    "tx_langid",
+    "dd_simhash",
+    # (d) first gated in r03 — second attestation
+    "tx_repetition",
+    "tx_vocab",
+    "tx_split",
+    "dd_decontaminate",
+    "tx_chunks",
+    "tx_clean_corpus",
+    "ann_bruteforce_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "mm_media_features",
+    "mm_frame_sample",
+    "rel_recursive_months",
+    "rel_lateral_topk",
+    "rel_order_gaps",
+    # (e) twice-green fill
+    "dd_embedding_neardup",
+    "dd_minhash_signatures",
+    "dd_lsh_candidates",
+    "dd_near_duplicates",
+    "dd_dup_clusters",
+    "dd_editdist_pairs",
+    "dd_ngram_jaccard",
+    "tx_token_stats",
+    "rel_pricing_summary",
+    "rel_grouping_sets",
+    "rel_customers_without_orders",
+    "rel_suppliers_with_shipments",
+    "rel_asof_last_signup",
+]
+
+GATE_SIZE = 50
+
 
 def _load() -> None:
     global _loaded
@@ -46,14 +121,23 @@ def _load() -> None:
     # shrink the query set the driver sees
     from . import pipeline_queries, relational_queries, wikitrender_queries
 
-    # Registration order is load-bearing: the driver's correctness gate
-    # checks the FIRST 50 registered queries. wikitrender (14) + pipeline
-    # (21) + the first 15 relational rows = exactly 50; everything past
-    # the cutoff (the back of the rel dict plus the *_ROTATED dicts) is a
-    # long-green rotation candidate (hash-green in both r01 and r02),
-    # deliberately ordered last — see the QUERIES dict comments in
-    # relational_queries.py / pipeline_queries.py.
     register(wikitrender_queries.QUERIES, wikitrender_queries.ORACLES)
     register(pipeline_queries.QUERIES, pipeline_queries.ORACLES)
     register(relational_queries.QUERIES, relational_queries.ORACLES)
     register(pipeline_queries.QUERIES_ROTATED, pipeline_queries.ORACLES_ROTATED)
+
+    # Reorder so GATE_WINDOW occupies the first GATE_SIZE slots exactly.
+    # Fail loudly on drift: a GATE_WINDOW name that no module registered,
+    # or a window that isn't exactly GATE_SIZE long, is a bug here, not
+    # something to paper over at the driver.
+    if len(GATE_WINDOW) != GATE_SIZE:
+        raise ValueError(
+            f"GATE_WINDOW has {len(GATE_WINDOW)} names, expected {GATE_SIZE}"
+        )
+    missing = [n for n in GATE_WINDOW if n not in _QUERIES]
+    if missing:
+        raise ValueError(f"GATE_WINDOW names never registered: {missing}")
+    ordered = {n: _QUERIES[n] for n in GATE_WINDOW}
+    ordered.update({n: q for n, q in _QUERIES.items() if n not in ordered})
+    _QUERIES.clear()
+    _QUERIES.update(ordered)
