@@ -75,15 +75,24 @@ def main() -> None:
     # query; report the per-query MEDIAN and keep the raw samples in the
     # JSON so a noisy pass is visible instead of silently rewriting the
     # headline number (the r02 bench recorded a 30% phantom regression
-    # from a single noisy sample).
+    # from a single noisy sample). One EXTRA leading pass is timed but
+    # excluded from the medians (recorded as warm_pass): the untimed
+    # warmup above doesn't fully settle the JVM — r03 still saw a 1.7x
+    # hot first sample on the iterative dedup query — so steady-state
+    # medians must not include pass 0.
     n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(n_samples):
+    warm_pass: dict[str, float] = {}
+    for pass_i in range(n_samples + 1):
         for name in HEADLINE:
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            samples[name].append(round(time.perf_counter() - t0, 3))
+            dt = round(time.perf_counter() - t0, 3)
+            if pass_i == 0:
+                warm_pass[name] = dt
+            else:
+                samples[name].append(dt)
 
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()
@@ -97,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "warm_pass": warm_pass,
                 "sf": sf,
             }
         )

@@ -20,6 +20,7 @@ NEVER_OR_STALE_ATTESTED = {
     # round-4 additions, never driver-gated
     "tx_pack_split",
     "tx_dedup_lineage",
+    "tx_mix_weights",
     "dd_embedding_neardup_exact",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",

@@ -222,7 +222,10 @@ class WikiTrenderCollection:
             [(p,) for p in page_ids], "id string"
         )
         snap = self.pages().select(
-            "id", F.col("wiki").alias("_w"), F.col("title").alias("_t")
+            "id",
+            F.col("wiki").alias("_w"),
+            F.col("title").alias("_t"),
+            F.lit(True).alias("_hit"),
         )
         fallback_wiki = F.when(
             F.col("id").contains("/"), F.substring_index("id", "/", 1)
@@ -231,11 +234,21 @@ class WikiTrenderCollection:
             F.col("id").contains("/"),
             F.expr("substring(id, instr(id, '/') + 1)"),
         ).otherwise(F.col("id"))
+        # Snapshot rows are authoritative exactly like the single-command
+        # path (_split_id: `hit[0]['wiki'] or 'enwiki'`): a LIVE page with
+        # NULL/'' wiki resolves to enwiki, and only ids with no snapshot
+        # row at all fall back to the prefix heuristic — the _hit marker
+        # distinguishes "live with NULL wiki" from "join miss", which a
+        # bare coalesce on _w cannot.
         resolved = ids.join(F.broadcast(snap), "id", "left").select(
-            F.coalesce(
-                F.when(F.col("_w") == "", F.lit("enwiki")).otherwise(F.col("_w")),
-                fallback_wiki,
-            ).alias("wiki"),
+            F.when(
+                F.col("_hit").isNotNull(),
+                F.when(
+                    F.col("_w").isNull() | (F.col("_w") == ""), F.lit("enwiki")
+                ).otherwise(F.col("_w")),
+            )
+            .otherwise(fallback_wiki)
+            .alias("wiki"),
             F.coalesce(F.col("_t"), fallback_title).alias("title"),
         )
         rows = resolved.select(

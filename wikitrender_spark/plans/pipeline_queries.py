@@ -367,6 +367,68 @@ SELECT doc_id, lang, source, pack_id,
 FROM spanned"""
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix domain reweighting: per (lang, source) domain, token
+    counts, corpus token share, and the per-domain sampling weight that
+    equalizes the mix to a uniform target share (weight =
+    target_share / actual_share, DoReMi-style with a uniform target) —
+    the relation a data loader joins to upsample rare domains.
+
+    Scale shape: one hash-agg over (lang, source) — ~O(domains) output —
+    then a single-row global aggregate broadcast back via crossJoin
+    (the established tiny-side pattern, see operators/page_state.py).
+    Zero-token domains get weight 0.0 (nothing to sample), keeping the
+    division engine-stable."""
+    d = _docs(spark, sf_dir)
+    dom = (
+        d.select("lang", "source", T.token_count(F.col("text")).alias("n"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    tot = dom.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    joined = dom.crossJoin(F.broadcast(tot))
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    weight = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("total_tokens").cast("double")
+        / (F.col("n_domains") * F.col("n_tokens"))
+    )
+    return joined.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("sample_weight"),
+    )
+
+
+MIX_WEIGHTS_SQL = f"""
+WITH tk AS (
+  SELECT lang, source,
+    CAST(length({_TOKENS.format(t='text')}) AS BIGINT) AS n
+  FROM documents),
+dom AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n) AS BIGINT) AS n_tokens
+  FROM tk GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(count(*) AS BIGINT) AS n_domains
+  FROM dom)
+SELECT lang, source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+  round(CASE WHEN n_tokens = 0 THEN 0.0
+        ELSE CAST(total_tokens AS DOUBLE) / (n_domains * n_tokens) END,
+        6) AS sample_weight
+FROM dom, tot"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -1029,6 +1091,7 @@ QUERIES = {
     "tx_vocab": q_vocab,
     "tx_split": q_split,
     "tx_dedup_lineage": q_dedup_lineage,
+    "tx_mix_weights": q_mix_weights,
     "dd_embedding_neardup_exact": q_embedding_neardup_exact,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_ngram_jaccard": q_ngram_jaccard,
@@ -1056,6 +1119,7 @@ ORACLES = {
     "tx_vocab": VOCAB_SQL,
     "tx_split": SPLIT_SQL,
     "tx_dedup_lineage": DEDUP_LINEAGE_SQL,
+    "tx_mix_weights": MIX_WEIGHTS_SQL,
     "dd_embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,

@@ -57,6 +57,7 @@ GATE_WINDOW: list[str] = [
     "tx_pack",
     "tx_pack_split",
     "tx_dedup_lineage",
+    "tx_mix_weights",
     "dd_embedding_neardup_exact",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
@@ -102,7 +103,6 @@ GATE_WINDOW: list[str] = [
     "dd_editdist_pairs",
     "dd_ngram_jaccard",
     "tx_token_stats",
-    "rel_pricing_summary",
     "rel_grouping_sets",
     "rel_customers_without_orders",
     "rel_suppliers_with_shipments",

@@ -24,9 +24,22 @@ from ..operators.derive import rc_filtered_sql, read_events_raw
 #: driver events table schema (ts is TIMESTAMP(MICROS) parquet; reading
 #: it as TimestampType under the pinned UTC session tz yields the same
 #: wall clock as the batch path's NTZ->TIMESTAMP cast — see
-#: operators/derive.py read_events_raw).
+#: operators/derive.py read_events_raw). The legacy INT64-nanos vintage
+#: of the table needs `ts long` instead — a streaming read can't infer,
+#: so _events_ts_is_legacy probes the parquet footer and rc_event_stream
+#: picks the schema per vintage, keeping batch and streaming reads
+#: symmetric across driver testdata regenerations.
 EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                  "event_type string, value double, props string")
+EVENTS_SCHEMA_LEGACY_NANOS = EVENTS_SCHEMA.replace("ts timestamp", "ts long")
+
+
+def _events_ts_is_legacy(sf_dir: str) -> bool:
+    """True if events.parquet carries the legacy INT64-nanos `ts`."""
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return str(ts_type) == "int64"
 
 
 def _derive(spark: SparkSession, raw: DataFrame, view: str) -> DataFrame:
@@ -39,11 +52,15 @@ def rc_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     under AvailableNow). Same projection/filter SQL as the batch path —
     Catalyst prunes and pushes into the file-stream scan identically."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    legacy = _events_ts_is_legacy(sf_dir)
+    schema = EVENTS_SCHEMA_LEGACY_NANOS if legacy else EVENTS_SCHEMA
     # the file stream source wants a directory; events.parquet is a single
     # file inside sf_dir -> select it with a glob filter
-    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+    raw = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
+    if legacy:  # same nanos->micros truncation as the batch path
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return _derive(spark, raw, "wtr_events_stream")
 
 
