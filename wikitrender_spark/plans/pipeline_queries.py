@@ -374,11 +374,16 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_share / actual_share, DoReMi-style with a uniform target) —
     the relation a data loader joins to upsample rare domains.
 
-    Scale shape: one hash-agg over (lang, source) — ~O(domains) output —
-    then a single-row global aggregate broadcast back via crossJoin
-    (the established tiny-side pattern, see operators/page_state.py).
+    Scale shape: ONE corpus scan into the (lang, source) hash-agg —
+    ~O(domains) output — then the global totals come from an
+    unpartitioned window over that tiny domain relation (a deliberate
+    single-partition step over O(domains) rows, NOT over the corpus;
+    a `dom.agg(...)` twin would re-scan the corpus for the totals
+    branch, which .explain showed as a second full parquet scan).
     Zero-token domains get weight 0.0 (nothing to sample), keeping the
     division engine-stable."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
     dom = (
         d.select("lang", "source", T.token_count(F.col("text")).alias("n"))
@@ -388,11 +393,12 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_tokens"),
         )
     )
-    tot = dom.agg(
-        F.sum("n_tokens").alias("total_tokens"),
-        F.count(F.lit(1)).alias("n_domains"),
+    wall = Window.partitionBy()
+    joined = dom.select(
+        "*",
+        F.sum("n_tokens").over(wall).alias("total_tokens"),
+        F.count(F.lit(1)).over(wall).alias("n_domains"),
     )
-    joined = dom.crossJoin(F.broadcast(tot))
     share = F.col("n_tokens").cast("double") / F.col("total_tokens")
     weight = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
         F.col("total_tokens").cast("double")
