@@ -29,7 +29,9 @@ from wikitrender_spark.operators import dedup
 from wikitrender_spark.plans.pipeline_queries import (
     PACK_TOKEN_BUDGET,
     q_clean_corpus,
+    q_mix_weights,
     q_pack,
+    q_pack_split,
     q_repetition,
     q_vocab,
 )
@@ -74,10 +76,35 @@ def main() -> None:
     )
     print(f"final corpus: {final.count()} docs")
 
+    # 3b. removal lineage: why is each dropped doc absent, and what
+    # surviving doc supersedes it (audit relation for the two dedup gates)
+    lineage = dedup.dedup_lineage(docs)
+    by_reason = {
+        r["reason"]: r["n"]
+        for r in lineage.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    print(f"lineage: drops by reason {by_reason}")
+
     # 4. pack into fixed-token-budget sequences
     packs = q_pack(spark, sf_dir).join(final, "doc_id")
     n_packs = packs.select("lang", "source", "pack_id").distinct().count()
     print(f"packing: {n_packs} packs of <= {PACK_TOKEN_BUDGET} tokens")
+
+    # 4b. boundary-split packing: exact 512-token packs (docs sliced at
+    # pack boundaries) — what the batch assembler actually consumes
+    splits = q_pack_split(spark, sf_dir).join(final, "doc_id")
+    n_slices = splits.count()
+    n_split_docs = splits.groupBy("doc_id").count().filter("count > 1").count()
+    print(f"pack-split: {n_slices} slices, {n_split_docs} docs straddle packs")
+
+    # 4c. training-mix reweighting: per-domain sampling weights that
+    # equalize the (lang, source) token shares
+    mix = q_mix_weights(spark, sf_dir)
+    w = mix.agg(
+        F.min("sample_weight").alias("lo"), F.max("sample_weight").alias("hi")
+    ).head()
+    print(f"mix weights: {mix.count()} domains, weight range "
+          f"[{w['lo']:.3f}, {w['hi']:.3f}]")
 
     # 5. vocabulary over the corpus
     vocab = q_vocab(spark, sf_dir)
