@@ -80,7 +80,11 @@ def main() -> None:
     # warmup above doesn't fully settle the JVM — r03 still saw a 1.7x
     # hot first sample on the iterative dedup query — so steady-state
     # medians must not include pass 0.
-    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+    # 5 samples (up from 3 in r03): round-4 local runs observed bimodal
+    # per-query samples (1.1s vs 3.0s for the same plan, idle JVM) from
+    # host-level contention outside Spark; median-of-5 keeps one or two
+    # co-tenant stalls from moving the reported number.
+    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     warm_pass: dict[str, float] = {}
     for pass_i in range(n_samples + 1):
