@@ -19,6 +19,7 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_pack",
     # round-4 additions, never driver-gated
     "tx_pack_split",
+    "tx_pack_sharded",
     "tx_dedup_lineage",
     "tx_mix_weights",
     "dd_embedding_neardup_exact",

@@ -1,0 +1,129 @@
+"""Batch-stream equivalence for streaming exact dedup
+(streaming/dedup.py): replaying the documents table as N ordered
+micro-batches through dropDuplicates state must keep exactly one
+survivor per distinct content digest — the same digest relation as the
+batch dedup pass — with state genuinely carried across micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wikitrender_spark.schemas import load_table
+from wikitrender_spark.streaming import dedup as sdedup
+
+SF_DIR = "/root/testdata/sf0.001"
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _docs_with_planted_dups(spark):
+    """The documents table plus 40 planted exact copies (the sf corpus
+    has no content-identical rows, so duplicates are injected: higher
+    doc_ids, same text — arriving in LATER micro-batches than their
+    originals under doc_id-ordered replay)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    copies = docs.filter(F.col("doc_id") < 40).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    return docs.unionByName(copies)
+
+
+def _chunked_docs_stream(spark, work_dir, n_chunks=4):
+    """Split the planted-dup documents into n_chunks doc_id-ordered
+    parquet files with increasing mtimes; maxFilesPerTrigger=1 then
+    replays them as ordered micro-batches (same recipe as
+    sources/replay.chunked_event_stream)."""
+    docs = _docs_with_planted_dups(spark)
+    n_rows = docs.count()
+    step = max(1, (n_rows + n_chunks - 1) // n_chunks)
+    ranked = docs.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("doc_id")) - 1
+    )
+    chunk_dir = os.path.join(work_dir, "doc_chunks")
+    for i in range(n_chunks):
+        part = ranked.filter(
+            (F.col("_rn") >= i * step) & (F.col("_rn") < (i + 1) * step)
+        ).drop("_rn")
+        path = os.path.join(chunk_dir, f"chunk_{i:04d}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        ts = time.time() + i
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+
+
+@pytest.fixture(scope="module")
+def batch_digests(spark):
+    rows = (
+        _docs_with_planted_dups(spark)
+        .select(F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .count()
+        .collect()
+    )
+    return {r["digest"]: r["count"] for r in rows}
+
+
+def test_stream_dedup_equals_batch(spark, batch_digests):
+    with tempfile.TemporaryDirectory() as d:
+        stream = _chunked_docs_stream(spark, d, n_chunks=4)
+        q = (
+            sdedup.dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("t_sdedup")
+            .outputMode("append")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("t_sdedup").select("doc_id", "digest").collect()
+    digests = [r["digest"] for r in got]
+    # exactly one survivor per distinct digest, none invented
+    assert len(digests) == len(set(digests)) == len(batch_digests)
+    assert set(digests) == set(batch_digests)
+    # the planted copies were dropped...
+    assert len(got) < sum(batch_digests.values())
+    # ...and first arrival won: every survivor is an ORIGINAL doc_id
+    # (the planted copies sort after all originals in the replay order),
+    # proving state carried across micro-batches
+    assert all(r["doc_id"] < 100_000 for r in got)
+
+
+def test_stream_dedup_within_watermark(spark, batch_digests):
+    """Watermarked variant: duplicates inside the horizon are dropped;
+    with a horizon spanning the whole replay it matches global dedup."""
+    with tempfile.TemporaryDirectory() as d:
+        stream = _chunked_docs_stream(spark, d, n_chunks=3).withColumn(
+            "ingest_ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
+        )
+        q = (
+            sdedup.dedup_stream_within_watermark(
+                stream, "ingest_ts", horizon="7 days"
+            )
+            .writeStream.format("memory")
+            .queryName("t_sdedup_wm")
+            .outputMode("append")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        digests = [
+            r["digest"] for r in spark.table("t_sdedup_wm").select("digest").collect()
+        ]
+    assert len(digests) == len(set(digests)) == len(batch_digests)

@@ -287,6 +287,62 @@ WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
 
+PACK_SHARDS = 8
+
+
+def q_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q_pack, materialized and oracle-checked (not
+    just documented): the window partition key gains a shard component
+    so no single task ever owns a whole (lang, source) partition's
+    running sum — pack identity becomes (lang, source, shard, pack_id)
+    and each shard fills its packs independently (shard tails are the
+    only under-full packs, same as any parallel packer). doc_id % K
+    stands in for hash(doc_id) % K so the oracle twin is
+    engine-portable; production would use a hash for balance under
+    non-uniform ids. Same single-window plan shape as q_pack, K-fold
+    finer keys."""
+    d = _docs(spark, sf_dir)
+    n = T.token_count(F.col("text"))
+    from pyspark.sql import Window
+
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / PACK_TOKEN_BUDGET).alias("pack_id"),
+        (cum - F.col("n_tokens")).alias("start_offset"),
+    )
+
+
+PACK_SHARDED_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, source, doc_id % {PACK_SHARDS} AS shard,
+    CAST(length({_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, lang, source, shard, n_tokens,
+  CAST(floor((sum(n_tokens) OVER w - n_tokens) / {PACK_TOKEN_BUDGET}.0)
+       AS BIGINT) AS pack_id,
+  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset
+FROM tk
+WINDOW w AS (PARTITION BY lang, source, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
 def q_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-splitting sequence packing: unlike q_pack (which assigns
     a doc wholly to the pack its FIRST token lands in, letting long docs
@@ -1094,6 +1150,7 @@ QUERIES = {
     "tx_repetition": q_repetition,
     "tx_pack": q_pack,
     "tx_pack_split": q_pack_split,
+    "tx_pack_sharded": q_pack_sharded,
     "tx_vocab": q_vocab,
     "tx_split": q_split,
     "tx_dedup_lineage": q_dedup_lineage,
@@ -1122,6 +1179,7 @@ ORACLES = {
     "tx_repetition": REPETITION_SQL,
     "tx_pack": PACK_SQL,
     "tx_pack_split": PACK_SPLIT_SQL,
+    "tx_pack_sharded": PACK_SHARDED_SQL,
     "tx_vocab": VOCAB_SQL,
     "tx_split": SPLIT_SQL,
     "tx_dedup_lineage": DEDUP_LINEAGE_SQL,

@@ -56,6 +56,7 @@ GATE_WINDOW: list[str] = [
     # (a) fixed red row + (b) round-4 additions
     "tx_pack",
     "tx_pack_split",
+    "tx_pack_sharded",
     "tx_dedup_lineage",
     "tx_mix_weights",
     "dd_embedding_neardup_exact",
@@ -101,7 +102,6 @@ GATE_WINDOW: list[str] = [
     "dd_near_duplicates",
     "dd_dup_clusters",
     "dd_editdist_pairs",
-    "dd_ngram_jaccard",
     "tx_token_stats",
     "rel_grouping_sets",
     "rel_customers_without_orders",
