@@ -55,6 +55,11 @@ QUERIES = [
     "rel_asof_last_signup",
     "rel_small_quantity_revenue",
     "rel_json_props",
+    "tx_token_stats",
+    "tx_pack",
+    "tx_pack_split",
+    "tx_pack_sharded",
+    "tx_mix_weights",
 ]
 
 
@@ -89,11 +94,21 @@ def generate() -> None:
                    user_id + _r * {maxes['user_id']} AS user_id,
                    event_type, value, props
             FROM read_parquet('{SF01}/events.parquet'), {rep}""",
+        # documents replicate with fresh doc_ids: the token/pack/mix
+        # queries are per-row or windowed (NOT content-addressed), so
+        # replication measures real scale for them — notably the packing
+        # window, whose per-(lang, source) partition grows 10x (the
+        # regime the sharded variant exists for). Dedup/ANN queries stay
+        # off this table's probe list (verbatim copies would only add
+        # degenerate all-pairs duplicates there).
+        "documents": f"""
+            SELECT doc_id + _r * 10000000 AS doc_id, text, lang, source,
+                   n_chars
+            FROM read_parquet('{SF01}/documents.parquet'), {rep}""",
     }
     for t, sql in jobs.items():
         con.sql(f"COPY ({sql}) TO '{SF1}/{t}.parquet' (FORMAT PARQUET)")
-    for t in ("region", "nation", "supplier", "part", "documents",
-              "embeddings"):
+    for t in ("region", "nation", "supplier", "part", "embeddings"):
         shutil.copyfile(f"{SF01}/{t}.parquet", f"{SF1}/{t}.parquet")
 
 
