@@ -267,23 +267,23 @@ def duplicate_clusters(
             .groupBy(edges.doc_a.alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry (old, new) label side by side so the convergence count is
+        # a filter over the SAME materialized relation instead of a
+        # second join per iteration (one shuffle join saved per round;
+        # the count action reuses the localCheckpoint blocks)
+        joined = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = joined.filter(F.col("label") != F.col("old_label")).count()
+        labels = joined.select("doc_id", "label")
         if changed == 0:
             break
     if changed != 0:
