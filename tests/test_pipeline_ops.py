@@ -433,3 +433,27 @@ def test_dedup_lineage_small(spark):
     assert [(r["doc_id"], r["keeper_doc_id"]) for r in exact_rows] == [(1, 0)]
     for r in rows:
         assert r["keeper_doc_id"] < r["doc_id"]
+
+
+def test_minhash_estimator_selection_bias_contract(spark):
+    """On LSH-selected candidates the signature estimator must be
+    upward-biased on average (the pairs were selected because bands
+    collided) while exact verification stays unbiased by construction —
+    the measured argument for near_duplicates scoring with exact
+    Jaccard. Envelope kept loose against testdata regeneration."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = dedup.minhash_estimate_pairs(docs).collect()
+    assert rows, "no candidate pairs to measure"
+    errs = [r["err"] for r in rows]
+    mean_signed = sum(errs) / len(errs)
+    mean_abs = sum(abs(e) for e in errs) / len(errs)
+    assert mean_signed >= -0.05, f"selection bias should be upward, got {mean_signed:.3f}"
+    assert mean_abs <= 0.5, f"estimator error envelope blown: {mean_abs:.3f}"
+    # exact column must agree with the ground-truth jaccard relation
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.near_duplicates(docs, threshold=0.0).collect()
+    }
+    for r in rows:
+        assert exact[(r["doc_a"], r["doc_b"])] == r["jaccard"]

@@ -23,6 +23,7 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_dedup_lineage",
     "tx_mix_weights",
     "dd_embedding_neardup_exact",
+    "dd_minhash_est",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",

@@ -618,6 +618,34 @@ SELECT doc_id, CAST(j AS INT) AS sig_idx, CAST(mh[j+1] AS BIGINT) AS sig_val
 FROM mh, (SELECT unnest(range(0,16)) AS j) idx"""
 
 
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimate vs exact on LSH candidates, with the
+    per-pair signed error — the measured selection-bias argument for
+    exact candidate verification (operators/dedup.minhash_estimate_pairs)."""
+    return dedup.minhash_estimate_pairs(_docs(spark, sf_dir))
+
+
+MINHASH_EST_SQL = f"""
+WITH {_LSH_CTE},
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+    round(length(list_filter(range(1, {dedup.MINHASH_K} + 1),
+                             i -> ma.mh[i] = mb.mh[i]))
+          / {dedup.MINHASH_K}.0, 6) AS est_jaccard,
+    round(length(list_intersect(da.sh, db.sh)) * 1.0
+          / (length(da.sh) + length(db.sh)
+             - length(list_intersect(da.sh, db.sh))), 6) AS jaccard
+  FROM cands c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b
+  JOIN ds da ON da.doc_id = c.doc_a
+  JOIN ds db ON db.doc_id = c.doc_b)
+SELECT doc_a, doc_b, est_jaccard, jaccard,
+  round(est_jaccard - jaccard, 6) AS err
+FROM scored"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
 
@@ -1157,6 +1185,7 @@ QUERIES = {
     "tx_mix_weights": q_mix_weights,
     "dd_embedding_neardup_exact": q_embedding_neardup_exact,
     "dd_minhash_signatures": q_minhash_signatures,
+    "dd_minhash_est": q_minhash_est,
     "dd_ngram_jaccard": q_ngram_jaccard,
     "dd_lsh_candidates": q_lsh_candidates,
     "dd_near_duplicates": q_near_duplicates,
@@ -1186,6 +1215,7 @@ ORACLES = {
     "tx_mix_weights": MIX_WEIGHTS_SQL,
     "dd_embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
+    "dd_minhash_est": MINHASH_EST_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dd_lsh_candidates": LSH_CANDIDATES_SQL,
     "dd_near_duplicates": NEAR_DUPS_SQL,

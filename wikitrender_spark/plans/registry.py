@@ -60,6 +60,7 @@ GATE_WINDOW: list[str] = [
     "tx_dedup_lineage",
     "tx_mix_weights",
     "dd_embedding_neardup_exact",
+    "dd_minhash_est",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -104,7 +105,6 @@ GATE_WINDOW: list[str] = [
     "dd_editdist_pairs",
     "tx_token_stats",
     "rel_grouping_sets",
-    "rel_customers_without_orders",
     "rel_suppliers_with_shipments",
     "rel_asof_last_signup",
 ]
