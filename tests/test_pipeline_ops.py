@@ -457,3 +457,93 @@ def test_minhash_estimator_selection_bias_contract(spark):
     }
     for r in rows:
         assert exact[(r["doc_a"], r["doc_b"])] == r["jaccard"]
+
+
+# --- round-4 late additions: boilerplate / rarity / tf-idf / semantic dedup --
+
+
+def test_common_shingle_stats_hand_computed(spark):
+    """Boilerplate fraction: the shared trigram 'a b c' occurs in 3 docs
+    (>= BOILER_MIN_DOCS) so each carrier counts 1 common of 2 shingles;
+    the isolated doc counts 0; a 2-token doc has no shingles at all."""
+    d = docs_df(spark, ["a b c d", "a b c e", "a b c f", "x y z w", "a b"])
+    rows = {r["doc_id"]: r for r in dedup.common_shingle_stats(d).collect()}
+    assert len(rows) == 5
+    for i in (0, 1, 2):
+        assert (rows[i]["n_shingles"], rows[i]["n_common"]) == (2, 1)
+        assert rows[i]["common_frac"] == pytest.approx(0.5)
+    assert (rows[3]["n_shingles"], rows[3]["n_common"]) == (2, 0)
+    assert rows[3]["common_frac"] == 0.0
+    assert (rows[4]["n_shingles"], rows[4]["n_common"]) == (0, 0)
+    assert rows[4]["common_frac"] == 0.0
+
+
+def test_rarity_scores_hand_computed(spark):
+    """dense_rank ties share a rank: a and b both occur twice (rank 1),
+    c once (rank 2); doc0 = all rank-1 tokens, doc1 mixes 1 and 2."""
+    from wikitrender_spark.plans.pipeline_queries import rarity_scores
+
+    d = docs_df(spark, ["b a b", "a c"])
+    rows = {r["doc_id"]: r for r in rarity_scores(d).collect()}
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["mean_rank"] == pytest.approx(1.0)
+    assert rows[1]["mean_rank"] == pytest.approx(1.5)
+    # tiny vocab: nothing ranks beyond RARITY_COMMON_RANKS
+    assert rows[0]["rare_frac"] == 0.0 and rows[1]["rare_frac"] == 0.0
+
+
+def test_tfidf_terms_hand_computed(spark):
+    """Linear idf over N=2 docs: score = tf * N / df; score ties break
+    lexicographically by term."""
+    from wikitrender_spark.plans.pipeline_queries import tfidf_terms
+
+    d = docs_df(spark, ["a a b", "a c"])
+    rows = tfidf_terms(d).collect()
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["score"], r["rank"])
+        for r in rows
+    }
+    assert got[(0, "a")] == (2, 2, pytest.approx(2.0), 1)
+    assert got[(0, "b")] == (1, 1, pytest.approx(2.0), 2)
+    assert got[(1, "c")] == (1, 1, pytest.approx(2.0), 1)
+    assert got[(1, "a")] == (1, 2, pytest.approx(1.0), 2)
+
+
+def test_semantic_dedup_within_cell_keepers(spark):
+    """Two separable cells; the lower-id member of each close pair is the
+    keeper, kept rows are their own keeper."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.999, 0.01], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.01, 0.999], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in ann.semantic_dedup(emb).collect()}
+    assert {v: rows[v]["is_kept"] for v in rows} == {
+        0: True, 1: False, 2: True, 3: False,
+    }
+    assert {v: rows[v]["keeper_id"] for v in rows} == {0: 0, 1: 0, 2: 2, 3: 2}
+    assert rows[1]["cell"] == rows[0]["cell"]
+    assert rows[3]["cell"] == rows[2]["cell"]
+
+
+def test_kmeans_refine_converged_clusters_zero_shift(spark):
+    """When label-seeded cells are already the nearest-centroid
+    assignment, one Lloyd step reproduces the same centroids: shift 0."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["cell"]: r for r in ann.kmeans_refine(emb).collect()}
+    assert set(rows) == {0, 1}
+    for c in rows:
+        assert rows[c]["n_members"] == 2
+        assert rows[c]["shift"] == pytest.approx(0.0)

@@ -24,6 +24,11 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_mix_weights",
     "dd_embedding_neardup_exact",
     "dd_minhash_est",
+    "tx_rarity",
+    "tx_tfidf_terms",
+    "tx_boilerplate",
+    "dd_semantic_dedup",
+    "ann_kmeans_refine",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",

@@ -122,12 +122,19 @@ def ivf_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def ivf_cells(
+    emb: DataFrame, cents: DataFrame, keep_embedding: bool = False
+) -> DataFrame:
     """Cell assignment (nearest centroid by rounded cosine, lowest cell on
     ties) with ZERO shuffle on the corpus side: the centroid table is
     collapsed to one broadcast row of struct array sorted by cell, and the
     argmax is a per-row fold — no exchange of the (huge) vector relation,
-    unlike a window/groupBy argmax formulation."""
+    unlike a window/groupBy argmax formulation.
+
+    keep_embedding=True carries the vector through so consumers that need
+    (cell, embedding) — semantic_dedup's within-cell join, kmeans_refine's
+    per-cell means — avoid re-joining the corpus to itself on vec_id
+    (which would be a full shuffle of the vector relation)."""
     packed = cents.select(
         "cell", "centroid", S.l2_norm(F.col("centroid")).alias("c_nrm")
     )
@@ -162,7 +169,10 @@ def ivf_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
         ),
         step,
     )
-    return df.select("vec_id", best["cell"].alias("cell"))
+    cols = ["vec_id", best["cell"].alias("cell")]
+    if keep_embedding:
+        cols.append(F.col("embedding"))
+    return df.select(*cols)
 
 
 def _centroid_ranks(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -364,6 +374,114 @@ def embedding_near_duplicates_exact(
         ea.join(eb, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", _pair_sim().alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+#: SemDeDup within-cell cosine threshold. Deliberately BELOW the LSH
+#: near-dup threshold: the cell restriction already bounds the candidate
+#: set, so the verifier can afford a wider semantic net (on this corpus
+#: ~111 of ~12k within-cell pairs clear 0.3; see tests).
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with the
+    IVF coarse quantizer, compare vectors ONLY within their cell, and
+    drop every vector that has a lower-id within-cell neighbor at rounded
+    cosine >= threshold (keeper = the smallest such neighbor id; kept
+    rows are their own keeper). One row per input vector:
+    (vec_id, cell, keeper_id, is_kept).
+
+    This is the scale shape of the published SemDeDup recipe (cluster
+    with k-means, dedup inside clusters): the all-pairs comparison is
+    confined to cells, so cost is sum over cells of |cell|^2 instead of
+    n^2 — with n_cells grown ~sqrt(n) at corpus scale, per-cell work
+    stays bounded and the within-cell join is an equi-join on `cell`
+    (hash-partitioned, AQE-splittable if a cell skews). Assignment
+    itself is the zero-shuffle broadcast fold from ivf_cells. Like every
+    cell-restricted scheme it is approximate across cell boundaries:
+    cross-cell near-duplicates are invisible by construction
+    (embedding_near_duplicates_exact is the recall-1.0 ground truth)."""
+    cents = ivf_centroids(emb)
+    assigned = ivf_cells(emb, cents, keep_embedding=True)
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("q_emb"),
+        S.l2_norm(S.to_double(F.col("embedding"))).alias("q_nrm"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("n_emb"),
+        S.l2_norm(S.to_double(F.col("embedding"))).alias("n_nrm"),
+    )
+    drops = (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_b", "vec_a", _pair_sim().alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("dup_of"), F.col("vec_id")).alias("keeper_id"),
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )
+
+
+def kmeans_refine(emb: DataFrame) -> DataFrame:
+    """One Lloyd iteration over the IVF coarse quantizer, as a relation:
+    re-assign every vector to its nearest centroid (ivf_cells), recompute
+    each cell's mean, and report per cell the member count and the L2
+    shift between old and new centroid — the convergence signal an
+    iterative k-means driver loops on. Both centroid generations are
+    rounded to CENTROID_DP decimals BEFORE the distance, so the
+    (order-dependent) parallel means are engine-stable and the shift is
+    a deterministic sequential fold.
+
+    Scale shape per iteration: assignment is the zero-shuffle broadcast
+    fold; the update is one (cell, dim_idx) hash aggregation (map-side
+    partials do the work, n_cells*dim tiny groups); the old-centroid join
+    is broadcast. An iterative driver repeats this relation to a shift
+    tolerance — the same count-only-loop shape as dedup.duplicate_clusters
+    (nothing corpus-sized ever reaches the driver)."""
+    cents = ivf_centroids(emb)
+    assigned = ivf_cells(emb, cents, keep_embedding=True)
+    rows = assigned.select(
+        "cell", F.posexplode(S.to_double(F.col("embedding"))).alias("i", "x")
+    )
+    means = rows.groupBy("cell", "i").agg(
+        F.round(F.avg("x"), CENTROID_DP).alias("m")
+    )
+    new = means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("new_centroid")
+    )
+    members = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    shift = F.round(
+        S.l2_norm(
+            F.zip_with(
+                F.col("new_centroid"), F.col("centroid"), lambda a, b: a - b
+            )
+        ),
+        6,
+    )
+    return (
+        new.join(F.broadcast(cents), "cell")
+        .join(members, "cell")
+        .select("cell", "n_members", shift.alias("shift"))
     )
 
 

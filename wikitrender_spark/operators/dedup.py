@@ -435,6 +435,58 @@ def decontamination_flags(
     )
 
 
+#: a shingle is "boilerplate" when at least this many distinct docs
+#: contain it (RefinedWeb/CCNet-style cross-document repetition signal)
+BOILER_MIN_DOCS = 3
+
+
+def common_shingle_stats(
+    docs: DataFrame, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's DISTINCT
+    word-trigram shingles that also appear in >= min_docs distinct
+    documents — the cross-document repetition signal line/paragraph-level
+    dedup pipelines (CCNet, RefinedWeb) threshold on to strip navigation
+    chrome, license blocks, and template text before training.
+
+    Output: (doc_id, n_shingles, n_common, common_frac), one row per doc
+    (zero-shingle docs get 0/0/0.0).
+
+    Scale shape: the inverted index (doc_id, shingle) is built once; the
+    document frequency per shingle is a hash aggregation whose map-side
+    partials collapse each task to one row per distinct shingle, and the
+    join back is shingle-keyed (equi-join on the same key the aggregation
+    shuffled on — co-partitioned, no extra exchange). Nothing is ever
+    pairwise: cost is O(total shingles), not O(docs^2), which is why this
+    is the 100 TB-safe repetition signal while ngram_jaccard_pairs is the
+    oracle-only ground truth."""
+    ex = doc_shingles(docs)
+    df_counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = ex.join(df_counts, "shingle").select(
+        "doc_id", (F.col("n_docs") >= min_docs).cast("long").alias("is_common")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("is_common").alias("n_common"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            F.round(
+                F.when(F.col("n_shingles").isNull(), F.lit(0.0)).otherwise(
+                    F.col("n_common").cast("double")
+                    / F.col("n_shingles").cast("double")
+                ),
+                6,
+            ).alias("common_frac"),
+        )
+    )
+
+
 def dedup_lineage(docs: DataFrame) -> DataFrame:
     """(doc_id, keeper_doc_id, reason) audit relation for every document
     the dedup stages would DROP — the removal lineage downstream

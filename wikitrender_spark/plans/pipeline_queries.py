@@ -898,7 +898,7 @@ _DOT64 = (
     "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
 )
 
-_IVF_CTE = f"""
+_IVF_CELLS_CTE = f"""
 e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings),
 nrm AS (SELECT vec_id,
@@ -924,7 +924,9 @@ cells AS (
   SELECT vec_id, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
               ORDER BY csim DESC, cell ASC) AS rn FROM vs) t
-  WHERE rn = 1),
+  WHERE rn = 1)"""
+
+_IVF_CTE = f"""{_IVF_CELLS_CTE},
 probes AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1167,6 +1169,250 @@ SELECT doc_id AS media_id,
 FROM documents"""
 
 
+# --- corpus-statistics scoring (rarity / tf-idf / boilerplate) ---------------------
+#: ranks 1..RARITY_COMMON_RANKS count as "common" vocabulary; occurrences
+#: beyond them feed the rare-token fraction
+RARITY_COMMON_RANKS = 10
+
+
+def rarity_scores(d: DataFrame) -> DataFrame:
+    """Corpus-frequency rarity scoring — the engine-portable stand-in for
+    unigram-LM log-prob quality filtering: rank every vocabulary token by
+    corpus frequency (dense_rank, ties share a rank), then score each doc
+    by its occurrences' mean rank and the fraction of occurrences falling
+    outside the RARITY_COMMON_RANKS most common ranks. High mean_rank /
+    rare_frac = the doc leans on rare vocabulary, the same signal
+    -mean log p(token) carries. (Production would use ln(count/total);
+    the oracle contract pins rational integer arithmetic instead because
+    Java's Math.log and DuckDB's libm ln are not guaranteed ULP-identical
+    — a sum of ranks is, and the ordering of docs is preserved for any
+    monotone frequency-decreasing surprisal.)
+
+    Scale shape: one explode into a token hash-agg (map-side combine; one
+    row per vocab type), dense_rank over the O(vocab) relation (a
+    deliberate single-partition window over tiny data, same pattern as
+    tx_mix_weights), broadcast the ranked vocab back onto the occurrence
+    stream, one per-doc hash-agg. The corpus is scanned once; integer
+    sums shuffle, never floats."""
+    from pyspark.sql import Window
+
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    ranks = counts.select(
+        "token",
+        F.dense_rank().over(Window.orderBy(F.desc("n_occ"))).alias("frank"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(ranks), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("frank").alias("sum_rank"),
+            F.sum(
+                (F.col("frank") > RARITY_COMMON_RANKS).cast("long")
+            ).alias("n_rare"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.when(F.col("n_tokens").isNull(), F.lit(0.0)).otherwise(
+                    F.col("sum_rank").cast("double")
+                    / F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("mean_rank"),
+            F.round(
+                F.when(F.col("n_tokens").isNull(), F.lit(0.0)).otherwise(
+                    F.col("n_rare").cast("double")
+                    / F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("rare_frac"),
+        )
+    )
+
+
+def q_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rarity_scores(_docs(spark, sf_dir))
+
+
+RARITY_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS.format(t='text')}) AS token
+              FROM documents),
+counts AS (SELECT token, count(*) AS n_occ FROM toks GROUP BY 1),
+ranks AS (SELECT token, dense_rank() OVER (ORDER BY n_occ DESC) AS frank
+          FROM counts),
+per AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+    sum(r.frank) AS sum_rank,
+    sum(CASE WHEN r.frank > {RARITY_COMMON_RANKS} THEN 1 ELSE 0 END) AS n_rare
+  FROM toks t JOIN ranks r ON t.token = r.token
+  GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+  round(CASE WHEN per.n_tokens IS NULL THEN 0.0
+        ELSE CAST(per.sum_rank AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
+        END, 6) AS mean_rank,
+  round(CASE WHEN per.n_tokens IS NULL THEN 0.0
+        ELSE CAST(per.n_rare AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
+        END, 6) AS rare_frac
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+
+
+TFIDF_TOP_TERMS = 3
+
+
+def tfidf_terms(d: DataFrame) -> DataFrame:
+    """Per-document top-K salient terms by tf-idf, with the linear-idf
+    variant pinned for the oracle contract: score = tf * N / df (exact
+    integer product, one IEEE division — engine-portable). Linear idf is
+    declared as this operator's SEMANTICS, not an approximation of
+    log-idf: ln is not ULP-identical between Java's Math.log and DuckDB's
+    libm, so a log-idf oracle could hash-flicker on knife-edge rounding;
+    the linear form keeps every score a single deterministic fp op.
+    Output: (doc_id, term, tf, df, score, rank), K rows per doc with
+    >= 1 token.
+
+    Scale shape: one (doc, token) hash-agg for tf, one token hash-agg
+    for df (broadcast back — O(vocab) rows), the corpus doc count N as a
+    broadcast scalar, then a per-doc window for the top-K. The window
+    shuffles the (doc, token) relation once on doc_id — the same key the
+    tf aggregation produced, so AQE coalesces rather than re-exchanges."""
+    from pyspark.sql import Window
+
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_terms(_docs(spark, sf_dir))
+
+
+TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS.format(t='text')}) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    round(CAST(tf.tf * nd.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE), 6)
+      AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TFIDF_TOP_TERMS}"""
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repetition (boilerplate) fraction per doc; see
+    operators/dedup.common_shingle_stats for the inverted-index scale
+    shape."""
+    return dedup.common_shingle_stats(_docs(spark, sf_dir))
+
+
+BOILERPLATE_SQL = f"""
+WITH {_TOK_HASH_CTE},
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+dfc AS (SELECT shingle, count(*) AS n_docs FROM ex GROUP BY 1),
+per AS (
+  SELECT ex.doc_id, count(*) AS n_shingles,
+    sum(CASE WHEN dfc.n_docs >= {dedup.BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+      AS n_common
+  FROM ex JOIN dfc ON ex.shingle = dfc.shingle
+  GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(per.n_common, 0) AS BIGINT) AS n_common,
+  round(CASE WHEN per.n_shingles IS NULL THEN 0.0
+        ELSE CAST(per.n_common AS DOUBLE) / CAST(per.n_shingles AS DOUBLE)
+        END, 6) AS common_frac
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style within-cell cosine dedup over embeddings; see
+    operators/ann.semantic_dedup for the cell-bucketed scale shape."""
+    return ann.semantic_dedup(_emb(spark, sf_dir))
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH {_IVF_CELLS_CTE},
+drops AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+  WHERE round({_DOT64.format(a='ea.emb', b='eb.emb')} / (na.nrm * nb.nrm), 6)
+        >= {ann.SEMDEDUP_THRESHOLD}
+  GROUP BY 1)
+SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+  CAST(coalesce(p.dup_of, c.vec_id) AS BIGINT) AS keeper_id,
+  p.dup_of IS NULL AS is_kept
+FROM cells c LEFT JOIN drops p ON c.vec_id = p.vec_id"""
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the IVF quantizer as a relation (cell,
+    n_members, centroid shift); see operators/ann.kmeans_refine."""
+    return ann.kmeans_refine(_emb(spark, sf_dir))
+
+
+KMEANS_REFINE_SQL = f"""
+WITH {_IVF_CELLS_CTE},
+nm AS (SELECT c.cell, ii.i, round(avg(e.emb[ii.i]), {ann.CENTROID_DP}) AS m
+       FROM cells c
+       JOIN e ON e.vec_id = c.vec_id,
+       (SELECT unnest(range(1, 65)) AS i) ii
+       GROUP BY 1, 2),
+newc AS (SELECT cell, list(m ORDER BY i) AS nc FROM nm GROUP BY cell),
+mem AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+        FROM cells GROUP BY 1)
+SELECT CAST(mem.cell AS INT) AS cell, mem.n_members,
+  round(sqrt(list_reduce(list_prepend(0.0,
+    list_transform(range(1, 65),
+      i -> (newc.nc[i] - cent.centroid[i]) * (newc.nc[i] - cent.centroid[i]))),
+    (a, b) -> a + b)), 6) AS shift
+FROM mem
+JOIN newc ON mem.cell = newc.cell
+JOIN cent ON cent.cell = mem.cell"""
+
+
 #: Dict order is load-bearing (driver gates the first 50 registered
 #: queries; see registry._load). tx_fingerprint and tx_langid —
 #: hash-green in r01+r02 — are rotated out via QUERIES_ROTATED
@@ -1183,6 +1429,11 @@ QUERIES = {
     "tx_split": q_split,
     "tx_dedup_lineage": q_dedup_lineage,
     "tx_mix_weights": q_mix_weights,
+    "tx_rarity": q_rarity,
+    "tx_tfidf_terms": q_tfidf_terms,
+    "tx_boilerplate": q_boilerplate,
+    "dd_semantic_dedup": q_semantic_dedup,
+    "ann_kmeans_refine": q_kmeans_refine,
     "dd_embedding_neardup_exact": q_embedding_neardup_exact,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_minhash_est": q_minhash_est,
@@ -1213,6 +1464,11 @@ ORACLES = {
     "tx_split": SPLIT_SQL,
     "tx_dedup_lineage": DEDUP_LINEAGE_SQL,
     "tx_mix_weights": MIX_WEIGHTS_SQL,
+    "tx_rarity": RARITY_SQL,
+    "tx_tfidf_terms": TFIDF_SQL,
+    "tx_boilerplate": BOILERPLATE_SQL,
+    "dd_semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "ann_kmeans_refine": KMEANS_REFINE_SQL,
     "dd_embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_minhash_est": MINHASH_EST_SQL,
