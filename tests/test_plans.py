@@ -102,3 +102,34 @@ def test_recursive_and_lateral_scans_prune(plans):
         assert set(cols) <= {"o_orderkey", "o_orderdate", "o_totalprice"}
     for cols in _scan_columns(plans("rel_lateral_topk"), "customer"):
         assert set(cols) <= {"c_custkey", "c_nationkey", "c_acctbal"}
+
+
+def test_corpus_stats_queries_prune_and_broadcast(plans):
+    """tx_rarity / tx_tfidf_terms: the corpus scan reads only (doc_id,
+    text) and the tiny vocabulary relation comes back via an explicit
+    broadcast hash join, never a shuffle of the occurrence stream."""
+    for q in ("tx_rarity", "tx_tfidf_terms"):
+        plan = plans(q)
+        for cols in _scan_columns(plan, "documents"):
+            assert set(cols) <= {"doc_id", "text"}, (q, cols)
+        assert "BroadcastHashJoin" in plan, q
+
+
+def test_boilerplate_inverted_index_no_pairwise_join(plans):
+    """tx_boilerplate must stay an inverted-index aggregation: no
+    cartesian/nested-loop pair join anywhere, documents scan pruned."""
+    plan = plans("tx_boilerplate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_semantic_dedup_and_kmeans_scan_embeddings_bounded(plans):
+    """The localCheckpoint'd IVF assignment must keep the embeddings
+    parquet scan count at <= 2 (centroids + assignment) even though the
+    relation feeds 2-3 consumers — a regression here re-derives the
+    whole assignment subtree per consumer."""
+    for q in ("dd_semantic_dedup", "ann_kmeans_refine"):
+        n = plans(q).count("embeddings.parquet")
+        assert n <= 2, (q, n)
