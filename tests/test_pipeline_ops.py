@@ -547,3 +547,23 @@ def test_kmeans_refine_converged_clusters_zero_shift(spark):
     for c in rows:
         assert rows[c]["n_members"] == 2
         assert rows[c]["shift"] == pytest.approx(0.0)
+
+
+def test_filter_funnel_monotone_and_matches_clean_corpus(spark):
+    """The funnel must decrease monotonically and its last stage must
+    equal tx_clean_corpus's cardinality (same stages, same thresholds)."""
+    from wikitrender_spark.plans.pipeline_queries import (
+        q_clean_corpus,
+        q_filter_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        q_filter_funnel(spark, sf).collect(), key=lambda r: r["stage_idx"]
+    )
+    counts = [r["n_docs"] for r in rows]
+    assert len(counts) == 5
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert counts[0] == n_docs
+    assert counts[-1] == q_clean_corpus(spark, sf).count()

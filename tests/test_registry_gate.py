@@ -29,6 +29,7 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_boilerplate",
     "dd_semantic_dedup",
     "ann_kmeans_refine",
+    "tx_filter_funnel",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",

@@ -1076,6 +1076,129 @@ WHERE l.is_match AND q.quality >= {CLEAN_MIN_QUALITY}
   AND d.doc_id NOT IN (SELECT doc_id FROM losers)"""
 
 
+FUNNEL_STAGES = [
+    "input",
+    "lang_ok",
+    "quality_ok",
+    "exact_keeper",
+    "near_dup_survivor",
+]
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survival report for the cleaning pipeline: how many
+    docs remain after each successive filter (language consistency,
+    quality floor, exact-dedup keeper selection, near-dup cluster keeper
+    selection — the same stages, same thresholds, as tx_clean_corpus, so
+    the last row equals that query's cardinality). The funnel is the
+    first artifact a pipeline operator inspects after a run: one
+    over-aggressive stage shows up as a cliff between adjacent rows.
+
+    Scale shape: the per-doc flags are computed in ONE pass (the filter
+    stages are cumulative booleans, not five scans), the two dedup
+    relations join in with doc-keyed markers, and the output is a 5-row
+    stack over one global aggregate — O(stages) rows leave the cluster."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        (T.predict_lang(t) == F.col("lang")).alias("lang_ok"),
+        (F.round(T.quality_score(t), 6) >= CLEAN_MIN_QUALITY).alias("q_ok"),
+    )
+    keepers = dedup.exact_dedup_groups(d).select(
+        F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    losers = (
+        dedup.duplicate_clusters(d)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(True).alias("is_loser"))
+    )
+    flags = (
+        scored.join(keepers, "doc_id", "left")
+        .join(losers, "doc_id", "left")
+        .select(
+            "lang_ok",
+            "q_ok",
+            F.coalesce(F.col("is_keeper"), F.lit(False)).alias("ek"),
+            F.coalesce(F.col("is_loser"), F.lit(False)).alias("nl"),
+        )
+    )
+    s1 = F.col("lang_ok")
+    s2 = s1 & F.col("q_ok")
+    s3 = s2 & F.col("ek")
+    s4 = s3 & ~F.col("nl")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+        F.sum(s4.cast("long")).alias("n4"),
+    )
+    stack_args = ", ".join(
+        f"'{name}', {i}, n{i}" for i, name in enumerate(FUNNEL_STAGES)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(FUNNEL_STAGES)}, {stack_args})"
+            " as (stage, stage_idx, n_docs)"
+        )
+    )
+
+
+def _filter_funnel_sql() -> str:
+    langid = _langid_sql()
+    stages = ["f.lang_ok", "f.q_ok", "f.ek", "NOT f.nl"]
+    sels = [
+        f"SELECT '{FUNNEL_STAGES[0]}' AS stage, CAST(0 AS INT) AS stage_idx,"
+        " CAST(count(*) AS BIGINT) AS n_docs FROM flags f"
+    ]
+    for i, name in enumerate(FUNNEL_STAGES[1:], start=1):
+        cond = " AND ".join(stages[:i])
+        sels.append(
+            f"SELECT '{name}', CAST({i} AS INT),"
+            f" CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            " FROM flags f"
+        )
+    union = "\nUNION ALL\n".join(sels)
+    return f"""
+WITH RECURSIVE
+pairs AS (
+{NEAR_DUPS_SQL}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+losers AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a
+),
+exact_keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+langp AS (
+{langid}
+),
+qualp AS (
+{QUALITY_SQL}
+),
+flags AS (
+  SELECT d.doc_id,
+    l.is_match AS lang_ok,
+    q.quality >= {CLEAN_MIN_QUALITY} AS q_ok,
+    d.doc_id IN (SELECT doc_id FROM exact_keepers) AS ek,
+    d.doc_id IN (SELECT doc_id FROM losers) AS nl
+  FROM documents d
+  JOIN langp l ON l.doc_id = d.doc_id
+  JOIN qualp q ON q.doc_id = d.doc_id)
+{union}"""
+
+
 def q_dedup_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Removal-lineage audit for the dedup stages (see
     operators/dedup.dedup_lineage): one row per dropped doc per cause."""
@@ -1446,6 +1569,7 @@ QUERIES = {
     "dd_editdist_pairs": q_editdist_pairs,
     "tx_chunks": q_token_chunks,
     "tx_clean_corpus": q_clean_corpus,
+    "tx_filter_funnel": q_filter_funnel,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1481,6 +1605,7 @@ ORACLES = {
     "dd_editdist_pairs": EDITDIST_PAIRS_SQL,
     "tx_chunks": _token_chunks_sql(),
     "tx_clean_corpus": _clean_corpus_sql(),
+    "tx_filter_funnel": _filter_funnel_sql(),
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,

@@ -66,6 +66,7 @@ GATE_WINDOW: list[str] = [
     "tx_boilerplate",
     "dd_semantic_dedup",
     "ann_kmeans_refine",
+    "tx_filter_funnel",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -101,16 +102,16 @@ GATE_WINDOW: list[str] = [
     "rel_recursive_months",
     "rel_lateral_topk",
     "rel_order_gaps",
-    # (e) twice-green fill (5 more rotated out when the late round-4
+    # (e) twice-green fill (6 more rotated out when the late round-4
     # additions tx_rarity/tx_tfidf_terms/tx_boilerplate/dd_semantic_dedup/
-    # ann_kmeans_refine entered: dd_lsh_candidates, dd_near_duplicates,
-    # dd_dup_clusters, dd_editdist_pairs, rel_asof_last_signup — all
-    # r03-green on current testdata)
+    # ann_kmeans_refine/tx_filter_funnel entered: dd_lsh_candidates,
+    # dd_near_duplicates, dd_dup_clusters, dd_editdist_pairs,
+    # rel_asof_last_signup, rel_suppliers_with_shipments — all r03-green
+    # on current testdata)
     "dd_embedding_neardup",
     "dd_minhash_signatures",
     "tx_token_stats",
     "rel_grouping_sets",
-    "rel_suppliers_with_shipments",
 ]
 
 GATE_SIZE = 50
