@@ -567,3 +567,42 @@ def test_filter_funnel_monotone_and_matches_clean_corpus(spark):
     n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
     assert counts[0] == n_docs
     assert counts[-1] == q_clean_corpus(spark, sf).count()
+
+
+def test_range_search_matches_bruteforce_within_radius(spark):
+    """Range search returns exactly the brute-force pairs at or above the
+    radius, with bit-identical sims."""
+    emb = emb_df(spark, [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0]])
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ann.range_search(emb, [0], threshold=0.5).collect()
+    }
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ann.brute_force_topk(emb, [0], k=10).collect()
+        if r["sim"] >= 0.5
+    }
+    assert got == bf
+    assert set(got) == {(0, 1)}
+
+
+def test_mix_sample_applies_weights_deterministically(spark):
+    """Every keep decision must be recomputable from (doc_id,
+    sample_weight) alone, and a re-run reproduces the sample exactly."""
+    from wikitrender_spark.plans.pipeline_queries import (
+        MIX_SAMPLE_BASE,
+        MIX_SAMPLE_MULT,
+        MIX_SAMPLE_OFFSET,
+        q_mix_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_mix_sample(spark, sf).collect()
+    assert rows
+    for r in rows:
+        bucket = (r["doc_id"] * MIX_SAMPLE_MULT + MIX_SAMPLE_OFFSET) % 1000003 % 1000
+        assert r["bucket"] == bucket
+        expect = bucket / 1000.0 < min(r["sample_weight"] * MIX_SAMPLE_BASE, 1.0)
+        assert r["keep"] == expect, r
+    again = {r["doc_id"]: r["keep"] for r in q_mix_sample(spark, sf).collect()}
+    assert again == {r["doc_id"]: r["keep"] for r in rows}

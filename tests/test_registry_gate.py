@@ -30,6 +30,8 @@ NEVER_OR_STALE_ATTESTED = {
     "dd_semantic_dedup",
     "ann_kmeans_refine",
     "tx_filter_funnel",
+    "tx_mix_sample",
+    "ann_range_search",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",

@@ -88,6 +88,40 @@ def brute_force_topk(
     )
 
 
+#: cosine radius for range search (sized from the measured corpus pair
+#: distribution: ~20 hits for 5 queries at every SF — non-degenerate but
+#: far from all-pairs)
+RANGE_THRESHOLD = 0.3
+
+
+def range_search(
+    emb: DataFrame, query_ids: list[int], threshold: float = RANGE_THRESHOLD
+) -> DataFrame:
+    """Cosine RANGE search: every corpus vector within a similarity
+    radius of each query (no top-k truncation) — the retrieval mode
+    radius-based dedup audits and "all sufficiently-similar evidence"
+    queries need, complementing brute_force_topk's fixed-k contract.
+    Output: (query_id, neighbor_id, sim), self excluded.
+
+    Scale shape: identical to the brute-force scorer — the query set
+    broadcasts, the corpus stays partitioned, scoring is the sequential
+    JVM fold, and the radius predicate filters BEFORE any shuffle, so
+    output (not the n_queries x corpus score relation) is all that
+    moves. For large query sets swap in the banded-LSH candidate join
+    (embedding_near_duplicates' shape) at high radii."""
+    q = _with_norm(
+        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm"
+    )
+    c = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pair_sim().alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """Deterministic hyperplane bucket per vector."""
     return emb.select(

@@ -491,6 +491,69 @@ SELECT lang, source, n_docs, n_tokens,
 FROM dom, tot"""
 
 
+#: tx_mix_sample: global downsampling factor applied on top of the
+#: per-domain DoReMi weight; keep_prob = min(weight * BASE, 1) so
+#: over-represented domains thin out and rare domains keep everything.
+MIX_SAMPLE_BASE = 0.5
+MIX_SAMPLE_MULT = 48271
+MIX_SAMPLE_OFFSET = 101
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the training-mix reweighting (tx_mix_weights) as an actual
+    deterministic sampling decision — the step a data loader performs:
+    each doc draws a pinned pseudo-uniform bucket from its doc_id (no
+    RNG; re-runs reproduce the sample exactly) and survives iff
+    bucket/1000 < keep_prob, keep_prob = min(domain_weight * BASE, 1).
+    Over-represented domains are thinned toward the uniform target;
+    under-represented ones keep everything BASE allows. Output: one row
+    per doc with its domain weight, bucket, and the keep decision — the
+    relation downstream shuffles into training shards.
+
+    Engine-portable by construction: weight is the round(,6) double from
+    the mix relation, keep_prob is one multiply + min, the bucket test
+    is one division + strict compare — single IEEE ops only, no float
+    accumulation. Scale shape: the O(domains) weight relation broadcasts
+    onto the corpus scan; the decision is a narrow projection (zero
+    shuffle), usable directly as a filter predicate."""
+    d = _docs(spark, sf_dir)
+    weights = q_mix_weights(spark, sf_dir).select(
+        "lang", "source", "sample_weight"
+    )
+    bucket = (
+        F.col("doc_id") * MIX_SAMPLE_MULT + MIX_SAMPLE_OFFSET
+    ) % 1000003 % 1000
+    keep_prob = F.least(
+        F.col("sample_weight") * MIX_SAMPLE_BASE, F.lit(1.0)
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(F.broadcast(weights), ["lang", "source"])
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "sample_weight",
+            bucket.cast("int").alias("bucket"),
+            (bucket.cast("double") / F.lit(1000.0) < keep_prob).alias("keep"),
+        )
+    )
+
+
+MIX_SAMPLE_SQL = f"""
+WITH mixw AS (
+{MIX_WEIGHTS_SQL}
+)
+SELECT d.doc_id, d.lang, d.source, m.sample_weight,
+  CAST((d.doc_id * {MIX_SAMPLE_MULT} + {MIX_SAMPLE_OFFSET})
+       % 1000003 % 1000 AS INT) AS bucket,
+  CAST((d.doc_id * {MIX_SAMPLE_MULT} + {MIX_SAMPLE_OFFSET})
+       % 1000003 % 1000 AS DOUBLE) / 1000.0
+    < least(m.sample_weight * {MIX_SAMPLE_BASE}, 1.0) AS keep
+FROM documents d
+JOIN mixw m ON d.lang = m.lang AND d.source = m.source"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -887,6 +950,28 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
   FROM scored) t
 WHERE rank <= {ANN_K}"""
 )
+
+
+def q_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine radius search around the pinned query set; see
+    operators/ann.range_search for the broadcast/filter scale shape."""
+    return ann.range_search(_emb(spark, sf_dir), ANN_QUERY_IDS)
+
+
+ANN_RANGE_SQL = f"""
+WITH {_COSINE_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_reduce(list_prepend(0.0,
+            list_transform(range(1, 65), i -> q.emb[i] * c.emb[i])),
+            (a, b) -> a + b) / (nq.nrm * nc.nrm), 6) AS sim
+  FROM e q
+  JOIN e c ON q.vec_id <> c.vec_id
+  JOIN nrm nq ON nq.vec_id = q.vec_id
+  JOIN nrm nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id IN ({_QIDS}))
+SELECT query_id, neighbor_id, sim FROM scored
+WHERE sim >= {ann.RANGE_THRESHOLD}"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,8 +1640,10 @@ QUERIES = {
     "tx_rarity": q_rarity,
     "tx_tfidf_terms": q_tfidf_terms,
     "tx_boilerplate": q_boilerplate,
+    "tx_mix_sample": q_mix_sample,
     "dd_semantic_dedup": q_semantic_dedup,
     "ann_kmeans_refine": q_kmeans_refine,
+    "ann_range_search": q_ann_range,
     "dd_embedding_neardup_exact": q_embedding_neardup_exact,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_minhash_est": q_minhash_est,
@@ -1591,8 +1678,10 @@ ORACLES = {
     "tx_rarity": RARITY_SQL,
     "tx_tfidf_terms": TFIDF_SQL,
     "tx_boilerplate": BOILERPLATE_SQL,
+    "tx_mix_sample": MIX_SAMPLE_SQL,
     "dd_semantic_dedup": SEMANTIC_DEDUP_SQL,
     "ann_kmeans_refine": KMEANS_REFINE_SQL,
+    "ann_range_search": ANN_RANGE_SQL,
     "dd_embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_minhash_est": MINHASH_EST_SQL,

@@ -67,6 +67,8 @@ GATE_WINDOW: list[str] = [
     "dd_semantic_dedup",
     "ann_kmeans_refine",
     "tx_filter_funnel",
+    "tx_mix_sample",
+    "ann_range_search",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -102,16 +104,15 @@ GATE_WINDOW: list[str] = [
     "rel_recursive_months",
     "rel_lateral_topk",
     "rel_order_gaps",
-    # (e) twice-green fill (6 more rotated out when the late round-4
+    # (e) twice-green fill (8 more rotated out as the late round-4
     # additions tx_rarity/tx_tfidf_terms/tx_boilerplate/dd_semantic_dedup/
-    # ann_kmeans_refine/tx_filter_funnel entered: dd_lsh_candidates,
-    # dd_near_duplicates, dd_dup_clusters, dd_editdist_pairs,
-    # rel_asof_last_signup, rel_suppliers_with_shipments — all r03-green
-    # on current testdata)
+    # ann_kmeans_refine/tx_filter_funnel/tx_mix_sample/ann_range_search
+    # entered: dd_lsh_candidates, dd_near_duplicates, dd_dup_clusters,
+    # dd_editdist_pairs, rel_asof_last_signup,
+    # rel_suppliers_with_shipments, rel_grouping_sets, tx_token_stats —
+    # all r03-green on current testdata)
     "dd_embedding_neardup",
     "dd_minhash_signatures",
-    "tx_token_stats",
-    "rel_grouping_sets",
 ]
 
 GATE_SIZE = 50
