@@ -606,3 +606,95 @@ def test_mix_sample_applies_weights_deterministically(spark):
         assert r["keep"] == expect, r
     again = {r["doc_id"]: r["keep"] for r in q_mix_sample(spark, sf).collect()}
     assert again == {r["doc_id"]: r["keep"] for r in rows}
+
+
+# --- real netpbm decode / resize / feature kernels ---------------------------
+
+
+def _p6_2x2() -> bytes:
+    # red, green / blue, white
+    return (
+        b"P6\n2 2\n255\n"
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    )
+
+
+def test_decode_netpbm_p6_and_p5():
+    from wikitrender_spark.operators.multimodal import decode_netpbm
+
+    w, h, img = decode_netpbm(_p6_2x2())
+    assert (w, h) == (2, 2)
+    assert img.shape == (2, 2, 3)
+    assert list(img[0, 0]) == [255, 0, 0]
+    assert list(img[1, 1]) == [255, 255, 255]
+
+    # P5 grayscale with a header comment between tokens
+    p5 = b"P5\n# a comment\n2 1\n255\n" + bytes([0, 255])
+    w, h, img = decode_netpbm(p5)
+    assert (w, h, img.shape) == (2, 1, (1, 2, 1))
+    assert [int(img[0, 0, 0]), int(img[0, 1, 0])] == [0, 255]
+
+
+def test_decode_netpbm_rejects_bad_input():
+    from wikitrender_spark.operators.multimodal import decode_netpbm
+
+    with pytest.raises(ValueError):
+        decode_netpbm(b"JFIFnotppm")
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P6\n2 2\n255\n" + bytes([1, 2, 3]))  # truncated
+
+
+def test_resize_nearest_quadrants():
+    from wikitrender_spark.operators.multimodal import (
+        decode_netpbm,
+        resize_nearest,
+    )
+
+    _, _, img = decode_netpbm(_p6_2x2())
+    thumb = resize_nearest(img, 4, 4)
+    assert thumb.shape == (4, 4, 3)
+    assert list(thumb[0, 0]) == [255, 0, 0]      # top-left quadrant = red
+    assert list(thumb[0, 3]) == [0, 255, 0]      # top-right = green
+    assert list(thumb[3, 0]) == [0, 0, 255]      # bottom-left = blue
+    assert list(thumb[3, 3]) == [255, 255, 255]  # bottom-right = white
+
+
+def test_image_features_hand_computed():
+    from wikitrender_spark.operators.multimodal import (
+        decode_netpbm,
+        image_features,
+        resize_nearest,
+    )
+
+    _, _, img = decode_netpbm(_p6_2x2())
+    feats = image_features(resize_nearest(img, 16, 16))
+    # each channel averages (255+0+0+255)/4-ish = 127.5 -> 0.5
+    assert feats[0] == pytest.approx(0.5)
+    assert feats[1] == pytest.approx(0.5)
+    assert feats[2] == pytest.approx(0.5)
+    # luminance: three pixels at 85 (bin 1), one at 255 (bin 4)
+    assert feats[3:] == [
+        pytest.approx(0.0),
+        pytest.approx(0.75),
+        pytest.approx(0.0),
+        pytest.approx(0.0),
+        pytest.approx(0.25),
+    ]
+
+
+def test_extract_features_real_decode_path(spark):
+    """A netpbm payload in the media table flows through the REAL
+    decode -> resize -> feature pipeline inside mapInPandas; a text
+    payload in the same batch takes the fake path."""
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_p6_2x2()), (None, None, None, None)),
+            (2, "text", bytearray(b"hello"), (None, None, None, None)),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (2, 2)
+    assert rows[1]["feature"][0] == pytest.approx(0.5)
+    # fake path: width derived from payload length, not image content
+    assert rows[2]["width"] == 16 + 5 % 64

@@ -60,6 +60,12 @@ QUERIES = [
     "tx_pack_split",
     "tx_pack_sharded",
     "tx_mix_weights",
+    # round-4 corpus-stats additions — per-row / vocab-agg / broadcast
+    # shapes, not content-addressed, so 10x replication measures real
+    # scale (the dedup/ANN family stays off the list, see above)
+    "tx_rarity",
+    "tx_tfidf_terms",
+    "tx_mix_sample",
 ]
 
 
