@@ -78,6 +78,34 @@ def documents_as_video(docs: DataFrame) -> DataFrame:
     )
 
 
+#: fixed raster for the documents->PGM adapter (16x16 = 256 gray pixels)
+PGM_EDGE = 16
+
+
+def documents_as_pgm(docs: DataFrame) -> DataFrame:
+    """Adapter that makes documents into REAL images: each doc's first
+    256 bytes (space-padded) become the raster of a valid binary PGM
+    (P5, 16x16, maxval 255). Unlike documents_as_media's opaque-text
+    payloads, these decode through the genuine netpbm path in
+    extract_features — so the real decoder is exercised, and
+    oracle-checked, on driver-provided data. Pure column ops: header
+    concat + rpad + binary cast, zero shuffle."""
+    n = PGM_EDGE * PGM_EDGE
+    header = F.lit(f"P5\n{PGM_EDGE} {PGM_EDGE}\n255\n".encode())
+    raster = F.rpad(F.substring(F.col("text"), 1, n), n, " ").cast("binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, raster).alias("payload"),
+        F.struct(
+            F.lit(PGM_EDGE).cast("int").alias("width"),
+            F.lit(PGM_EDGE).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def _decode_image_real(payload: bytes) -> "object":
     """Decode kernel for COMPRESSED formats — requires a codec library
     that is not in this container. Uncompressed netpbm does not hit this

@@ -1364,6 +1364,66 @@ SELECT doc_id AS media_id, 'text' AS kind,
 FROM documents"""
 
 
+def q_pgm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image-decode path, oracle-checked on driver data:
+    documents are encoded as valid 16x16 binary PGMs
+    (multimodal.documents_as_pgm), flow through the genuine
+    decode_netpbm -> resize_nearest -> image_features kernel inside
+    mapInPandas, and the 8-dim feature vector is exploded to rows for
+    the hash comparison. The oracle twin reproduces every feature with
+    exact rational arithmetic over the same padded bytes (integer pixel
+    sums, two-step division in the same order), so the decoder's output
+    — not a stub's — is what hash-matches DuckDB."""
+    media = multimodal.documents_as_pgm(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.posexplode("feature").alias("feat_idx", "v"),
+    ).select(
+        "media_id", "width", "height", "feat_idx", F.round("v", 6).alias("value")
+    )
+
+
+#: DuckDB twin of decode_netpbm -> resize_nearest(16,16; identity here)
+#: -> image_features over the documents-as-PGM payloads: feature 0 is
+#: the gray mean (sum/256)/255 — same two divisions, same order, as the
+#: numpy kernel — features 1-2 are the absent channels, features 3-7 the
+#: 5-bin luminance histogram (np.histogram edges at multiples of 51,
+#: right-exclusive except the last bin: floor(code/51) capped at 4).
+PGM_FEATURES_SQL = f"""
+WITH pd AS (
+  SELECT doc_id, rpad(substring(text, 1, 256), 256, ' ') AS s
+  FROM documents),
+ch AS (
+  SELECT doc_id, unicode(s[i]) AS code
+  FROM pd, (SELECT unnest(range(1, 257)) AS i) ii),
+agg AS (
+  SELECT doc_id,
+    sum(code) AS total,
+    sum(CASE WHEN least(code // 51, 4) = 0 THEN 1 ELSE 0 END) AS h0,
+    sum(CASE WHEN least(code // 51, 4) = 1 THEN 1 ELSE 0 END) AS h1,
+    sum(CASE WHEN least(code // 51, 4) = 2 THEN 1 ELSE 0 END) AS h2,
+    sum(CASE WHEN least(code // 51, 4) = 3 THEN 1 ELSE 0 END) AS h3,
+    sum(CASE WHEN least(code // 51, 4) = 4 THEN 1 ELSE 0 END) AS h4
+  FROM ch GROUP BY 1)
+SELECT doc_id AS media_id,
+  CAST({multimodal.PGM_EDGE} AS INT) AS width,
+  CAST({multimodal.PGM_EDGE} AS INT) AS height,
+  CAST(j AS INT) AS feat_idx,
+  round(CASE j
+    WHEN 0 THEN (CAST(total AS DOUBLE) / 256.0) / 255.0
+    WHEN 1 THEN 0.0
+    WHEN 2 THEN 0.0
+    WHEN 3 THEN CAST(h0 AS DOUBLE) / 256.0
+    WHEN 4 THEN CAST(h1 AS DOUBLE) / 256.0
+    WHEN 5 THEN CAST(h2 AS DOUBLE) / 256.0
+    WHEN 6 THEN CAST(h3 AS DOUBLE) / 256.0
+    ELSE CAST(h4 AS DOUBLE) / 256.0 END, 6) AS value
+FROM agg, (SELECT unnest(range(0, 8)) AS j) jj"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: documents wrapped as video payloads with a
     deterministic frame count, one row per sampled frame index."""
@@ -1663,6 +1723,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "mm_media_features": q_media_features,
     "mm_frame_sample": q_frame_sample,
+    "mm_pgm_features": q_pgm_features,
 }
 
 ORACLES = {
@@ -1701,6 +1762,7 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "mm_media_features": MEDIA_FEATURES_SQL,
     "mm_frame_sample": FRAME_SAMPLE_SQL,
+    "mm_pgm_features": PGM_FEATURES_SQL,
 }
 
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);

@@ -69,6 +69,7 @@ GATE_WINDOW: list[str] = [
     "tx_filter_funnel",
     "tx_mix_sample",
     "ann_range_search",
+    "mm_pgm_features",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -110,9 +111,9 @@ GATE_WINDOW: list[str] = [
     # entered: dd_lsh_candidates, dd_near_duplicates, dd_dup_clusters,
     # dd_editdist_pairs, rel_asof_last_signup,
     # rel_suppliers_with_shipments, rel_grouping_sets, tx_token_stats —
-    # all r03-green on current testdata)
+    # all r03-green on current testdata; dd_minhash_signatures rotated
+    # out for mm_pgm_features)
     "dd_embedding_neardup",
-    "dd_minhash_signatures",
 ]
 
 GATE_SIZE = 50
