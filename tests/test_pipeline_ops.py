@@ -698,3 +698,27 @@ def test_extract_features_real_decode_path(spark):
     assert rows[1]["feature"][0] == pytest.approx(0.5)
     # fake path: width derived from payload length, not image content
     assert rows[2]["width"] == 16 + 5 % 64
+
+
+def test_decode_netpbm_rejects_zero_dimensions():
+    """Review finding: zero-dim headers must fail loudly in the decoder,
+    not crash later in resize/features with an unrelated numpy error."""
+    from wikitrender_spark.operators.multimodal import decode_netpbm
+
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P5\n0 0\n255\n")
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P6\n3 0\n255\n")
+
+
+def test_decode_any_respects_kind():
+    """Review finding: dispatch requires kind=='image' — a text payload
+    whose bytes happen to start with a netpbm magic must take the fake
+    path (mm_media_features' oracle assumes it)."""
+    from wikitrender_spark.operators.multimodal import decode_any, fake_decode
+
+    trap = b"P5 looks like a header but is text"
+    assert decode_any(trap, "text") == fake_decode(trap)
+    # and a real image-kind payload still decodes for real
+    w, h, _ = decode_any(_p6_2x2(), "image")
+    assert (w, h) == (2, 2)

@@ -424,9 +424,18 @@ def semantic_dedup(
     """SemDeDup-style semantic deduplication: cluster the corpus with the
     IVF coarse quantizer, compare vectors ONLY within their cell, and
     drop every vector that has a lower-id within-cell neighbor at rounded
-    cosine >= threshold (keeper = the smallest such neighbor id; kept
-    rows are their own keeper). One row per input vector:
+    cosine >= threshold. One row per input vector:
     (vec_id, cell, keeper_id, is_kept).
+
+    keeper_id SEMANTICS (greedy, per the published SemDeDup recipe):
+    for a dropped vector it is the SMALLEST lower-id near-neighbor — a
+    merge hint, NOT necessarily itself kept, because similarity is not
+    transitive (in a chain 1~2~3 with 1!~3, vec 2 drops with keeper 1
+    while vec 3 drops with keeper 2, itself dropped). Kept rows are
+    their own keeper. A consumer that needs a SURVIVING representative
+    must resolve chains transitively — dedup.duplicate_clusters is the
+    component-min pattern to follow; this relation deliberately reports
+    the raw greedy decision the epsilon-ball dedup actually makes.
 
     This is the scale shape of the published SemDeDup recipe (cluster
     with k-means, dedup inside clusters): the all-pairs comparison is
@@ -439,26 +448,29 @@ def semantic_dedup(
     cross-cell near-duplicates are invisible by construction
     (embedding_near_duplicates_exact is the recall-1.0 ground truth).
 
-    The assignment relation feeds three consumers (both join sides and
-    the final projection); localCheckpoint materializes it once so the
-    centroid scan + broadcast-fold doesn't run three times (same
+    The assignment relation — WITH the per-vector l2 norm precomputed —
+    feeds three consumers (both join sides and the final projection);
+    localCheckpoint materializes it once so neither the centroid scan +
+    broadcast-fold nor the n norm folds run per consumer (same
     reasoning as embedding_near_duplicates' band relation — measured
     6 parquet scans -> 2, ~2x wall on the sf0.1 corpus)."""
     cents = ivf_centroids(emb)
-    assigned = ivf_cells(emb, cents, keep_embedding=True).localCheckpoint(
-        eager=False
+    assigned = (
+        ivf_cells(emb, cents, keep_embedding=True)
+        .withColumn("nrm", S.l2_norm(S.to_double(F.col("embedding"))))
+        .localCheckpoint(eager=False)
     )
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("q_emb"),
-        S.l2_norm(S.to_double(F.col("embedding"))).alias("q_nrm"),
+        F.col("nrm").alias("q_nrm"),
     )
     b = assigned.select(
         "cell",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("n_emb"),
-        S.l2_norm(S.to_double(F.col("embedding"))).alias("n_nrm"),
+        F.col("nrm").alias("n_nrm"),
     )
     drops = (
         a.join(b, ["cell"])

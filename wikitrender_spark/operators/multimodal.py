@@ -150,6 +150,8 @@ def decode_netpbm(payload: bytes) -> tuple[int, int, "object"]:
             raise ValueError(f"bad header token: {tok!r}")
         fields.append(int(tok))
     width, height, maxval = fields
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height} (need >= 1)")
     if not (0 < maxval <= 255):
         raise ValueError(f"unsupported maxval {maxval} (need 1..255)")
     pos += 1  # exactly one whitespace byte separates header from raster
@@ -206,12 +208,15 @@ def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 THUMB_SIZE = 16
 
 
-def decode_any(payload: bytes) -> tuple[int, int, list[float]]:
-    """Dispatch on magic bytes: netpbm payloads run the REAL
-    decode -> resize -> feature pipeline; anything else (text adapters,
-    compressed formats) takes the deterministic fake with the same
-    interface."""
-    if payload[:2] in (b"P5", b"P6"):
+def decode_any(payload: bytes, kind: str) -> tuple[int, int, list[float]]:
+    """Dispatch on the row's declared kind AND the magic bytes: only
+    image-kind netpbm payloads run the REAL decode -> resize -> feature
+    pipeline. Everything else — text adapters (whatever their bytes
+    happen to start with), compressed image formats — takes the
+    deterministic fake with the same interface. Requiring kind=='image'
+    keeps text-payload queries (mm_media_features and its oracle, which
+    assume the fake path) independent of payload content."""
+    if kind == "image" and payload[:2] in (b"P5", b"P6"):
         width, height, img = decode_netpbm(payload)
         thumb = resize_nearest(img, THUMB_SIZE, THUMB_SIZE)
         return width, height, image_features(thumb)
@@ -227,7 +232,7 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             out = []
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload)
-                width, height, feature = decode_any(payload)
+                width, height, feature = decode_any(payload, row.kind)
                 out.append(
                     dict(
                         media_id=row.media_id,
