@@ -722,3 +722,45 @@ def test_decode_any_respects_kind():
     # and a real image-kind payload still decodes for real
     w, h, _ = decode_any(_p6_2x2(), "image")
     assert (w, h) == (2, 2)
+
+
+def test_wav_roundtrip_and_features_hand_computed(spark):
+    """documents_as_wav builds a real RIFF container; decode_wav parses
+    it back to the exact (code-80)*256 samples; audio_features' RMS /
+    crossings / peak match a direct recomputation."""
+    import math
+
+    from wikitrender_spark.operators.multimodal import (
+        WAV_CODE_PIVOT,
+        WAV_N_SAMPLES,
+        WAV_SAMPLE_RATE,
+        audio_features,
+        decode_wav,
+        documents_as_wav,
+    )
+
+    d = docs_df(spark, ["ab"])
+    media = documents_as_wav(d)
+    payload = bytes(media.collect()[0]["payload"])
+    rate, samples = decode_wav(payload)
+    assert rate == WAV_SAMPLE_RATE
+    assert len(samples) == WAV_N_SAMPLES
+    expect = [(ord(c) - WAV_CODE_PIVOT) * 256 for c in "ab".ljust(WAV_N_SAMPLES)]
+    assert list(samples) == expect
+
+    row = audio_features(media).collect()[0]
+    ss = sum(v * v for v in expect)
+    assert row["rms"] == pytest.approx(round(math.sqrt(ss / 128.0), 6))
+    # one sign change: 'b' (positive) -> first space (negative)
+    assert row["zero_crossings"] == 1
+    assert row["peak"] == 12288
+    assert row["n_samples"] == WAV_N_SAMPLES
+
+
+def test_decode_wav_rejects_bad_input():
+    from wikitrender_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OGGSnotawav" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk" + b"\x00" * 64)

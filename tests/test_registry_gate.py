@@ -33,6 +33,7 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_mix_sample",
     "ann_range_search",
     "mm_pgm_features",
+    "mm_wav_features",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",

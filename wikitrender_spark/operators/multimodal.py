@@ -204,6 +204,151 @@ def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+#: documents->WAV adapter raster: 128 mono PCM16 samples at a pinned rate
+WAV_N_SAMPLES = 128
+WAV_SAMPLE_RATE = 8000
+#: byte code -> signed sample mapping pivot: 'P' (80) maps to 0, spaces
+#: go negative, lowercase letters positive — word boundaries become zero
+#: crossings, so the synthesized audio has real structure to measure
+WAV_CODE_PIVOT = 80
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, rms double, "
+    "zero_crossings long, peak long"
+)
+
+
+def documents_as_wav(docs: DataFrame) -> DataFrame:
+    """Adapter that makes documents into REAL audio: each doc's first
+    128 bytes (space-padded) become signed PCM16 samples
+    ((code - 80) * 256) wrapped in a fully valid RIFF/WAVE container
+    built with struct.pack inside mapInPandas — a genuine encoder, so
+    decode_wav downstream parses real bytes, not a fixture."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                s = (row.text[: WAV_N_SAMPLES]).ljust(WAV_N_SAMPLES)
+                samples = np.array(
+                    [(ord(c) - WAV_CODE_PIVOT) * 256 for c in s],
+                    dtype=np.int16,
+                )
+                data = samples.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH",
+                        16, 1, 1, WAV_SAMPLE_RATE,
+                        WAV_SAMPLE_RATE * 2, 2, 16,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                out.append(
+                    dict(media_id=row.doc_id, kind="audio", payload=hdr + data)
+                )
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])
+
+    flat = docs.select("doc_id", "text").mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+    return flat.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(WAV_SAMPLE_RATE).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, "object"]:
+    """REAL audio decode for RIFF/WAVE PCM16 mono: parses the container
+    (RIFF magic, fmt chunk, data chunk) and returns (sample_rate,
+    int16 sample array). Pure struct/numpy — PCM is uncompressed, no
+    codec library involved. Raises ValueError loudly on anything that
+    is not canonical PCM16 mono (bad magic, compressed format tag,
+    truncated data), the same corrupt-input contract as decode_netpbm."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    fmt_size, audio_fmt, channels, rate = struct.unpack(
+        "<IHHI", payload[16:28]
+    )
+    bits = struct.unpack("<H", payload[34:36])[0]
+    if fmt_size != 16 or audio_fmt != 1:
+        raise ValueError(f"not canonical PCM (fmt_size={fmt_size}, tag={audio_fmt})")
+    if channels != 1 or bits != 16:
+        raise ValueError(f"need PCM16 mono, got {channels}ch {bits}-bit")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (n_bytes,) = struct.unpack("<I", payload[40:44])
+    data = payload[44 : 44 + n_bytes]
+    if len(data) != n_bytes or n_bytes % 2 != 0:
+        raise ValueError(f"truncated data chunk: {len(data)} of {n_bytes} bytes")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """decode -> feature-extract for audio payloads as one mapInPandas
+    stage: RMS level, zero-crossing count, and peak amplitude — the
+    standard cheap pre-filters (silence/clipping detection) an audio
+    training pipeline runs before expensive stages. All exact integer
+    arithmetic under the hood (sums of squares of int16 fit 2^53), one
+    division + one sqrt for RMS — engine-portable, so the DuckDB twin
+    hash-matches the DECODED values."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rate, v = decode_wav(bytes(row.payload))
+                v64 = v.astype(np.int64)
+                n = len(v64)
+                ss = int(np.sum(v64 * v64))
+                rms = round(math.sqrt(ss / float(n)), 6) if n else 0.0
+                zc = int(np.sum(v64[:-1] * v64[1:] < 0)) if n > 1 else 0
+                peak = int(np.max(np.abs(v64))) if n else 0
+                out.append(
+                    dict(
+                        media_id=row.media_id,
+                        sample_rate=rate,
+                        n_samples=n,
+                        rms=rms,
+                        zero_crossings=zc,
+                        peak=peak,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "rms",
+                    "zero_crossings", "peak",
+                ],
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 #: thumbnail edge for the decode -> resize -> feature pipeline
 THUMB_SIZE = 16
 

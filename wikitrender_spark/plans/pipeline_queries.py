@@ -1424,6 +1424,46 @@ SELECT doc_id AS media_id,
 FROM agg, (SELECT unnest(range(0, 8)) AS j) jj"""
 
 
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio path, oracle-checked on driver data: documents are
+    encoded as valid RIFF/WAVE PCM16 mono containers (a genuine
+    struct.pack encoder in mapInPandas), decoded back by the genuine
+    decode_wav parser, and scored with RMS / zero-crossing / peak
+    statistics whose integer arithmetic the DuckDB twin reproduces
+    exactly — the audio analogue of mm_pgm_features."""
+    media = multimodal.documents_as_wav(_docs(spark, sf_dir))
+    return multimodal.audio_features(media)
+
+
+WAV_FEATURES_SQL = f"""
+WITH pd AS (
+  SELECT doc_id,
+    rpad(substring(text, 1, {multimodal.WAV_N_SAMPLES}),
+         {multimodal.WAV_N_SAMPLES}, ' ') AS s
+  FROM documents),
+ch AS (
+  SELECT doc_id, i,
+    (unicode(s[i]) - {multimodal.WAV_CODE_PIVOT}) * 256 AS v
+  FROM pd, (SELECT unnest(range(1, {multimodal.WAV_N_SAMPLES} + 1)) AS i) ii),
+lagged AS (
+  SELECT doc_id, i, v,
+    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS lv
+  FROM ch),
+st AS (
+  SELECT doc_id,
+    sum(v * v) AS ss,
+    max(abs(v)) AS peak,
+    sum(CASE WHEN i > 1 AND v * lv < 0 THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY 1)
+SELECT doc_id AS media_id,
+  CAST({multimodal.WAV_SAMPLE_RATE} AS INT) AS sample_rate,
+  CAST({multimodal.WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+  round(sqrt(CAST(ss AS DOUBLE) / {multimodal.WAV_N_SAMPLES}.0), 6) AS rms,
+  CAST(zc AS BIGINT) AS zero_crossings,
+  CAST(peak AS BIGINT) AS peak
+FROM st"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: documents wrapped as video payloads with a
     deterministic frame count, one row per sampled frame index."""
@@ -1724,6 +1764,7 @@ QUERIES = {
     "mm_media_features": q_media_features,
     "mm_frame_sample": q_frame_sample,
     "mm_pgm_features": q_pgm_features,
+    "mm_wav_features": q_wav_features,
 }
 
 ORACLES = {
@@ -1763,6 +1804,7 @@ ORACLES = {
     "mm_media_features": MEDIA_FEATURES_SQL,
     "mm_frame_sample": FRAME_SAMPLE_SQL,
     "mm_pgm_features": PGM_FEATURES_SQL,
+    "mm_wav_features": WAV_FEATURES_SQL,
 }
 
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);

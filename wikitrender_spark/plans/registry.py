@@ -70,6 +70,7 @@ GATE_WINDOW: list[str] = [
     "tx_mix_sample",
     "ann_range_search",
     "mm_pgm_features",
+    "mm_wav_features",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -111,9 +112,10 @@ GATE_WINDOW: list[str] = [
     # entered: dd_lsh_candidates, dd_near_duplicates, dd_dup_clusters,
     # dd_editdist_pairs, rel_asof_last_signup,
     # rel_suppliers_with_shipments, rel_grouping_sets, tx_token_stats —
-    # all r03-green on current testdata; dd_minhash_signatures rotated
-    # out for mm_pgm_features)
-    "dd_embedding_neardup",
+    # all r03-green on current testdata; dd_minhash_signatures and
+    # dd_embedding_neardup rotated out for mm_pgm_features and
+    # mm_wav_features — every slot now holds a new or stale-attested
+    # row, the maximally-honest composition)
 ]
 
 GATE_SIZE = 50
