@@ -764,3 +764,49 @@ def test_decode_wav_rejects_bad_input():
         decode_wav(b"OGGSnotawav" + b"\x00" * 64)
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk" + b"\x00" * 64)
+
+
+def test_y4m_roundtrip_and_frame_features(spark):
+    """documents_as_y4m builds a real YUV4MPEG2 stream; decode_y4m
+    recovers the exact frame planes; per-frame checksum/mean match a
+    direct recomputation."""
+    from wikitrender_spark.operators.multimodal import (
+        Y4M_FRAMES,
+        Y4M_HEIGHT,
+        Y4M_WIDTH,
+        _checksum,
+        decode_y4m,
+        documents_as_y4m,
+        video_frame_features,
+    )
+
+    text = "abcdefghij"
+    d = docs_df(spark, [text])
+    media = documents_as_y4m(d)
+    payload = bytes(media.collect()[0]["payload"])
+    w, h, frames = decode_y4m(payload)
+    assert (w, h, len(frames)) == (Y4M_WIDTH, Y4M_HEIGHT, Y4M_FRAMES)
+    n = Y4M_WIDTH * Y4M_HEIGHT
+    padded = text.ljust(n * Y4M_FRAMES)
+    assert frames[0].tobytes() == padded[:n].encode()
+    assert frames[7].tobytes() == b" " * n  # tail frames are pure padding
+
+    rows = {r["frame_idx"]: r for r in video_frame_features(media).collect()}
+    assert len(rows) == Y4M_FRAMES
+    fb = padded[:n].encode()
+    assert rows[0]["checksum"] == _checksum(fb)
+    assert rows[0]["y_mean"] == pytest.approx(
+        round((sum(fb) / n) / 255.0, 6)
+    )
+    assert rows[7]["y_mean"] == pytest.approx(round((32.0 / 255.0), 6))
+
+
+def test_decode_y4m_rejects_bad_input():
+    from wikitrender_spark.operators.multimodal import decode_y4m
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"NOTY4M\nFRAME\n" + b"\x00" * 16)
+    with pytest.raises(ValueError):  # non-mono colorspace
+        decode_y4m(b"YUV4MPEG2 W4 H4 C420\nFRAME\n" + b"\x00" * 24)
+    with pytest.raises(ValueError):  # truncated plane
+        decode_y4m(b"YUV4MPEG2 W4 H4 Cmono\nFRAME\n" + b"\x00" * 7)

@@ -349,6 +349,130 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+#: documents->Y4M adapter raster: 8 monochrome 4x4 frames (128 bytes)
+Y4M_WIDTH = 4
+Y4M_HEIGHT = 4
+Y4M_FRAMES = 8
+
+
+def documents_as_y4m(docs: DataFrame) -> DataFrame:
+    """Adapter that makes documents into REAL video: each doc's first
+    128 bytes (space-padded) become 8 monochrome 4x4 frames in a fully
+    valid YUV4MPEG2 stream (plain-text header, FRAME markers, raw luma
+    planes — the uncompressed interchange format video tools consume).
+    Built in mapInPandas like documents_as_wav; decode_y4m downstream
+    parses real container bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = Y4M_WIDTH * Y4M_HEIGHT
+        header = (
+            f"YUV4MPEG2 W{Y4M_WIDTH} H{Y4M_HEIGHT} F25:1 Ip A1:1 Cmono\n"
+        ).encode()
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                s = (row.text[: n * Y4M_FRAMES]).ljust(n * Y4M_FRAMES)
+                body = b"".join(
+                    b"FRAME\n" + s[f * n : (f + 1) * n].encode()
+                    for f in range(Y4M_FRAMES)
+                )
+                out.append(
+                    dict(media_id=row.doc_id, kind="video", payload=header + body)
+                )
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])
+
+    flat = docs.select("doc_id", "text").mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+    return flat.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit(Y4M_WIDTH).cast("int").alias("width"),
+            F.lit(Y4M_HEIGHT).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(Y4M_FRAMES).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list["object"]]:
+    """REAL video decode for YUV4MPEG2 monochrome (Cmono): parses the
+    stream header (W/H/C parameters), walks the FRAME markers, and
+    returns (width, height, [frame ndarray (h, w) uint8, ...]). Pure
+    bytes/numpy — Y4M is uncompressed. Raises ValueError loudly on bad
+    magic, non-mono color space, malformed FRAME markers, or truncated
+    planes (same corrupt-input contract as decode_netpbm/decode_wav)."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl == -1 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"not a YUV4MPEG2 stream: {payload[:12]!r}")
+    width = height = None
+    colorspace = "C420jpeg"  # y4m default when the C tag is absent
+    for tok in payload[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok.decode()
+    if not width or not height or width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if colorspace != "Cmono":
+        raise ValueError(f"only Cmono supported, got {colorspace}")
+    n = width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        eol = payload.find(b"\n", pos)
+        if eol == -1 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        plane = payload[eol + 1 : eol + 1 + n]
+        if len(plane) != n:
+            raise ValueError(f"truncated frame: {len(plane)} of {n} bytes")
+        frames.append(
+            np.frombuffer(plane, dtype=np.uint8).reshape(height, width)
+        )
+        pos = eol + 1 + n
+    return width, height, frames
+
+
+def video_frame_features(media: DataFrame) -> DataFrame:
+    """decode -> per-frame feature extraction for video payloads in one
+    mapInPandas stage: one row per frame with a portable 31-polynomial
+    checksum of the frame bytes and the mean luminance — the per-frame
+    relation frame-sampling pipelines (dedup by frame hash, brightness
+    filters) consume. Exact integer arithmetic + two-step division for
+    the mean, so the DuckDB twin hash-matches the DECODED planes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h, frames = decode_y4m(bytes(row.payload))
+                for idx, fr in enumerate(frames):
+                    raw = fr.tobytes()
+                    out.append(
+                        dict(
+                            media_id=row.media_id,
+                            frame_idx=idx,
+                            checksum=_checksum(raw),
+                            y_mean=round(
+                                (float(int(fr.sum())) / (w * h)) / 255.0, 6
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "checksum", "y_mean"]
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, frame_idx int, checksum long, y_mean double"
+    )
+
+
 #: thumbnail edge for the decode -> resize -> feature pipeline
 THUMB_SIZE = 16
 

@@ -1464,6 +1464,34 @@ SELECT doc_id AS media_id,
 FROM st"""
 
 
+def q_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video path, oracle-checked on driver data: documents are
+    encoded as valid monochrome YUV4MPEG2 streams, the genuine
+    decode_y4m parser walks the FRAME markers and luma planes, and each
+    decoded frame is fingerprinted (portable checksum + mean luminance)
+    — the video analogue of mm_pgm_features / mm_wav_features."""
+    media = multimodal.documents_as_y4m(_docs(spark, sf_dir))
+    return multimodal.video_frame_features(media)
+
+
+_Y4M_N = multimodal.Y4M_WIDTH * multimodal.Y4M_HEIGHT
+Y4M_FRAMES_SQL = f"""
+WITH pd AS (
+  SELECT doc_id,
+    rpad(substring(text, 1, {_Y4M_N * multimodal.Y4M_FRAMES}),
+         {_Y4M_N * multimodal.Y4M_FRAMES}, ' ') AS s
+  FROM documents),
+fr AS (
+  SELECT doc_id, f, substring(s, f * {_Y4M_N} + 1, {_Y4M_N}) AS fs
+  FROM pd, (SELECT unnest(range(0, {multimodal.Y4M_FRAMES})) AS f) ff)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+  CAST({_WORD_HASH.format(w='fs')} AS BIGINT) AS checksum,
+  round((CAST(list_sum(list_transform(range(1, {_Y4M_N} + 1),
+              i -> unicode(fs[i]))) AS DOUBLE) / {_Y4M_N}.0) / 255.0, 6)
+    AS y_mean
+FROM fr"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: documents wrapped as video payloads with a
     deterministic frame count, one row per sampled frame index."""
@@ -1765,6 +1793,7 @@ QUERIES = {
     "mm_frame_sample": q_frame_sample,
     "mm_pgm_features": q_pgm_features,
     "mm_wav_features": q_wav_features,
+    "mm_y4m_frames": q_y4m_frames,
 }
 
 ORACLES = {
@@ -1805,6 +1834,7 @@ ORACLES = {
     "mm_frame_sample": FRAME_SAMPLE_SQL,
     "mm_pgm_features": PGM_FEATURES_SQL,
     "mm_wav_features": WAV_FEATURES_SQL,
+    "mm_y4m_frames": Y4M_FRAMES_SQL,
 }
 
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);

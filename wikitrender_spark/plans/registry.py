@@ -71,6 +71,7 @@ GATE_WINDOW: list[str] = [
     "ann_range_search",
     "mm_pgm_features",
     "mm_wav_features",
+    "mm_y4m_frames",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -105,7 +106,8 @@ GATE_WINDOW: list[str] = [
     "mm_frame_sample",
     "rel_recursive_months",
     "rel_lateral_topk",
-    "rel_order_gaps",
+    # rel_order_gaps (r03-green, second-attestation tier) rotated out
+    # for mm_y4m_frames — never-attested rows outrank re-attestation
     # (e) twice-green fill (8 more rotated out as the late round-4
     # additions tx_rarity/tx_tfidf_terms/tx_boilerplate/dd_semantic_dedup/
     # ann_kmeans_refine/tx_filter_funnel/tx_mix_sample/ann_range_search
