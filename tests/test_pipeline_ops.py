@@ -810,3 +810,40 @@ def test_decode_y4m_rejects_bad_input():
         decode_y4m(b"YUV4MPEG2 W4 H4 C420\nFRAME\n" + b"\x00" * 24)
     with pytest.raises(ValueError):  # truncated plane
         decode_y4m(b"YUV4MPEG2 W4 H4 Cmono\nFRAME\n" + b"\x00" * 7)
+
+
+def test_decode_wav_truncated_header_raises_valueerror():
+    """Review finding: truncated headers must raise the documented
+    ValueError, not let struct.error escape the corrupt-input contract."""
+    from wikitrender_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEfmt ")  # header cut short
+
+
+def test_wav_and_y4m_encoders_handle_non_ascii(spark):
+    """Review findings: byte-range non-ASCII saturates (WAV) / encodes
+    as latin-1 (Y4M) instead of wrapping or corrupting frame offsets;
+    codepoints above 255 fail loudly in both encoders."""
+    from wikitrender_spark.operators.multimodal import (
+        decode_wav,
+        decode_y4m,
+        documents_as_wav,
+        documents_as_y4m,
+    )
+
+    # 'Ð' = 208: (208-80)*256 = 32768 -> saturated to int16 max
+    d = docs_df(spark, ["Ðab"])
+    rate, samples = decode_wav(bytes(documents_as_wav(d).collect()[0]["payload"]))
+    assert samples[0] == 32767
+
+    w, h, frames = decode_y4m(
+        bytes(documents_as_y4m(d).collect()[0]["payload"])
+    )
+    assert frames[0].tobytes()[:3] == b"\xd0ab"  # one char = one luma byte
+
+    bad = docs_df(spark, ["Δelta"])  # Greek Delta, codepoint 916
+    with pytest.raises(Exception):
+        documents_as_wav(bad).collect()
+    with pytest.raises(Exception):
+        documents_as_y4m(bad).collect()

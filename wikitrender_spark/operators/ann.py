@@ -157,7 +157,10 @@ def ivf_centroids(emb: DataFrame) -> DataFrame:
 
 
 def ivf_cells(
-    emb: DataFrame, cents: DataFrame, keep_embedding: bool = False
+    emb: DataFrame,
+    cents: DataFrame,
+    keep_embedding: bool = False,
+    keep_norm: bool = False,
 ) -> DataFrame:
     """Cell assignment (nearest centroid by rounded cosine, lowest cell on
     ties) with ZERO shuffle on the corpus side: the centroid table is
@@ -168,7 +171,10 @@ def ivf_cells(
     keep_embedding=True carries the vector through so consumers that need
     (cell, embedding) — semantic_dedup's within-cell join, kmeans_refine's
     per-cell means — avoid re-joining the corpus to itself on vec_id
-    (which would be a full shuffle of the vector relation)."""
+    (which would be a full shuffle of the vector relation). keep_norm=True
+    additionally exposes the l2 norm the argmax already computed
+    (`v_nrm`) as `nrm`, so pair-scoring consumers reuse it instead of
+    re-folding the vector."""
     packed = cents.select(
         "cell", "centroid", S.l2_norm(F.col("centroid")).alias("c_nrm")
     )
@@ -206,6 +212,8 @@ def ivf_cells(
     cols = ["vec_id", best["cell"].alias("cell")]
     if keep_embedding:
         cols.append(F.col("embedding"))
+    if keep_norm:
+        cols.append(F.col("v_nrm").alias("nrm"))
     return df.select(*cols)
 
 
@@ -455,11 +463,9 @@ def semantic_dedup(
     reasoning as embedding_near_duplicates' band relation — measured
     6 parquet scans -> 2, ~2x wall on the sf0.1 corpus)."""
     cents = ivf_centroids(emb)
-    assigned = (
-        ivf_cells(emb, cents, keep_embedding=True)
-        .withColumn("nrm", S.l2_norm(S.to_double(F.col("embedding"))))
-        .localCheckpoint(eager=False)
-    )
+    assigned = ivf_cells(
+        emb, cents, keep_embedding=True, keep_norm=True
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("vec_a"),

@@ -89,10 +89,17 @@ def documents_as_pgm(docs: DataFrame) -> DataFrame:
     payloads, these decode through the genuine netpbm path in
     extract_features — so the real decoder is exercised, and
     oracle-checked, on driver-provided data. Pure column ops: header
-    concat + rpad + binary cast, zero shuffle."""
+    concat + rpad + ISO-8859-1 encode, zero shuffle. Latin-1 (not a
+    UTF-8 binary cast) pins one char = one raster byte, so the plane
+    can never expand past 256 bytes on non-ASCII text; codepoints above
+    255 become the charset's replacement byte — the per-value
+    divergence from the oracle's unicode() is confined to those chars
+    instead of shifting the whole raster."""
     n = PGM_EDGE * PGM_EDGE
     header = F.lit(f"P5\n{PGM_EDGE} {PGM_EDGE}\n255\n".encode())
-    raster = F.rpad(F.substring(F.col("text"), 1, n), n, " ").cast("binary")
+    raster = F.encode(
+        F.rpad(F.substring(F.col("text"), 1, n), n, " "), "ISO-8859-1"
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -221,9 +228,13 @@ AUDIO_FEATURE_SCHEMA = (
 def documents_as_wav(docs: DataFrame) -> DataFrame:
     """Adapter that makes documents into REAL audio: each doc's first
     128 bytes (space-padded) become signed PCM16 samples
-    ((code - 80) * 256) wrapped in a fully valid RIFF/WAVE container
-    built with struct.pack inside mapInPandas — a genuine encoder, so
-    decode_wav downstream parses real bytes, not a fixture."""
+    (saturating (code - 80) * 256 to the int16 range) wrapped in a fully
+    valid RIFF/WAVE container built with struct.pack inside mapInPandas
+    — a genuine encoder, so decode_wav downstream parses real bytes,
+    not a fixture. Codepoints above 255 cannot map to a byte-oriented
+    sample and raise ValueError loudly (silent int16 wraparound would
+    diverge from the oracle; NumPy 2 would turn it into an executor
+    OverflowError)."""
     import struct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,8 +244,17 @@ def documents_as_wav(docs: DataFrame) -> DataFrame:
             out = []
             for row in pdf.itertuples(index=False):
                 s = (row.text[: WAV_N_SAMPLES]).ljust(WAV_N_SAMPLES)
+                codes = [ord(c) for c in s]
+                if max(codes) > 255:
+                    raise ValueError(
+                        "documents_as_wav requires byte-range codepoints; "
+                        f"doc {row.doc_id} has U+{max(codes):04X}"
+                    )
                 samples = np.array(
-                    [(ord(c) - WAV_CODE_PIVOT) * 256 for c in s],
+                    [
+                        max(min((c - WAV_CODE_PIVOT) * 256, 32767), -32768)
+                        for c in codes
+                    ],
                     dtype=np.int16,
                 )
                 data = samples.tobytes()
@@ -283,6 +303,8 @@ def decode_wav(payload: bytes) -> tuple[int, "object"]:
 
     import numpy as np
 
+    if len(payload) < 44:
+        raise ValueError(f"truncated WAV header: {len(payload)} bytes (need 44)")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
     if payload[12:16] != b"fmt ":
@@ -361,7 +383,11 @@ def documents_as_y4m(docs: DataFrame) -> DataFrame:
     valid YUV4MPEG2 stream (plain-text header, FRAME markers, raw luma
     planes — the uncompressed interchange format video tools consume).
     Built in mapInPandas like documents_as_wav; decode_y4m downstream
-    parses real container bytes."""
+    parses real container bytes. Planes are sliced as LATIN-1 BYTES
+    (one char = one luma byte by construction); codepoints above 255
+    cannot be a luma byte and raise ValueError loudly — UTF-8 encoding
+    here would silently expand a plane past width*height and corrupt
+    every later frame offset."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = Y4M_WIDTH * Y4M_HEIGHT
@@ -371,9 +397,16 @@ def documents_as_y4m(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                s = (row.text[: n * Y4M_FRAMES]).ljust(n * Y4M_FRAMES)
+                try:
+                    raw = row.text.encode("latin-1")
+                except UnicodeEncodeError as e:
+                    raise ValueError(
+                        "documents_as_y4m requires byte-range codepoints; "
+                        f"doc {row.doc_id}: {e}"
+                    ) from e
+                s = raw[: n * Y4M_FRAMES].ljust(n * Y4M_FRAMES, b" ")
                 body = b"".join(
-                    b"FRAME\n" + s[f * n : (f + 1) * n].encode()
+                    b"FRAME\n" + s[f * n : (f + 1) * n]
                     for f in range(Y4M_FRAMES)
                 )
                 out.append(

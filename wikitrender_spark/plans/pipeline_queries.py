@@ -1443,7 +1443,8 @@ WITH pd AS (
   FROM documents),
 ch AS (
   SELECT doc_id, i,
-    (unicode(s[i]) - {multimodal.WAV_CODE_PIVOT}) * 256 AS v
+    greatest(least((unicode(s[i]) - {multimodal.WAV_CODE_PIVOT}) * 256,
+                   32767), -32768) AS v
   FROM pd, (SELECT unnest(range(1, {multimodal.WAV_N_SAMPLES} + 1)) AS i) ii),
 lagged AS (
   SELECT doc_id, i, v,
