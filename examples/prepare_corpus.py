@@ -7,6 +7,8 @@ chains them (SURVEY.md §2.8):
   3. eval-set decontamination       (broadcast shingle probe)
   4. sequence packing               (fixed token budget per pack)
   5. corpus vocabulary              (top-K token frequencies)
+  6. survival funnel + mix sampling (stage report; DoReMi keep decisions)
+  7. semantic dedup over embeddings (IVF cells -> within-cell cosine)
 
 Every step is a DataFrame transformation: at 100 TB the same composition
 runs with the same plans — bucketed joins, broadcast probes, map-combined
@@ -25,10 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from wikitrender_spark.functions import text as T
-from wikitrender_spark.operators import dedup
+from wikitrender_spark.operators import ann, dedup
 from wikitrender_spark.plans.pipeline_queries import (
     PACK_TOKEN_BUDGET,
     q_clean_corpus,
+    q_filter_funnel,
+    q_mix_sample,
     q_mix_weights,
     q_pack,
     q_pack_split,
@@ -115,6 +119,20 @@ def main() -> None:
 
     # the composed clean-corpus query (quality + cluster dedup in one plan)
     print(f"q_clean_corpus rows: {q_clean_corpus(spark, sf_dir).count()}")
+
+    # 6. the stage-survival funnel (per-stage counts) and the mix-weight
+    # sampling decision a data loader applies on top of the weights
+    for r in sorted(
+        q_filter_funnel(spark, sf_dir).collect(), key=lambda r: r["stage_idx"]
+    ):
+        print(f"funnel[{r['stage_idx']}] {r['stage']}: {r['n_docs']}")
+    kept = q_mix_sample(spark, sf_dir).filter("keep").count()
+    print(f"mix sample: {kept}/{n_docs} docs kept at the uniform target")
+
+    # 7. semantic dedup over the embedding corpus (SemDeDup shape)
+    sem = ann.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    n_dropped = sem.filter(~F.col("is_kept")).count()
+    print(f"semantic dedup: {n_dropped} vectors dropped within cells")
 
 
 if __name__ == "__main__":
