@@ -65,24 +65,35 @@ def _pair_sim() -> "F.Column":
     )
 
 
-def brute_force_topk(
-    emb: DataFrame, query_ids: list[int], k: int = 10
-) -> DataFrame:
-    """Exact cosine top-k per query (self excluded); rounded similarity is
-    the rank key so ordering is engine-portable."""
-    q = _with_norm(emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm")
+def _scored_pairs(emb: DataFrame, query_ids: list[int]) -> DataFrame:
+    """(query_id, neighbor_id, sim) for every query x corpus pair, self
+    excluded: queries broadcast, corpus stays partitioned, rounded
+    sequential dot fold. The single scoring pipeline shared by
+    brute_force_topk (window rank on top) and range_search (radius
+    filter on top) — one place for any future scoring/exclusion fix."""
+    q = _with_norm(
+        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm"
+    )
     c = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
-    scored = (
+    return (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _pair_sim().alias("sim"))
     )
+
+
+def brute_force_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k per query (self excluded); rounded similarity is
+    the rank key so ordering is engine-portable."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        _scored_pairs(emb, query_ids)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
@@ -109,17 +120,7 @@ def range_search(
     output (not the n_queries x corpus score relation) is all that
     moves. For large query sets swap in the banded-LSH candidate join
     (embedding_near_duplicates' shape) at high radii."""
-    q = _with_norm(
-        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm"
-    )
-    c = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
-    return (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _pair_sim().alias("sim"))
-        .filter(F.col("sim") >= threshold)
-    )
+    return _scored_pairs(emb, query_ids).filter(F.col("sim") >= threshold)
 
 
 def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
@@ -130,29 +131,34 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     )
 
 
+def _cell_means(assigned: DataFrame, key: str) -> DataFrame:
+    """(key, centroid): per-key mean embedding with every component
+    rounded to CENTROID_DP decimals BEFORE any similarity math, so the
+    parallel (order-dependent) mean is bit-stable across engines. The
+    ONE implementation of centroid determinism — ivf_centroids (seeded
+    by `label`) and kmeans_refine (re-assigned `cell`) both call it, so
+    the two centroid generations can never round differently. Cost at
+    scale: one (key, dim_idx) aggregation — n_cells*dim tiny groups,
+    map-side partials do almost all the work."""
+    rows = assigned.select(
+        key, F.posexplode(S.to_double(F.col("embedding"))).alias("i", "x")
+    )
+    means = rows.groupBy(key, "i").agg(
+        F.round(F.avg("x"), CENTROID_DP).alias("m")
+    )
+    return means.groupBy(key).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
 def ivf_centroids(emb: DataFrame) -> DataFrame:
     """Coarse quantizer for IVF: one k-means refinement step seeded by the
     corpus `label` column (cell = label, centroid = mean embedding of the
-    cell). Cost at scale: one (label, dim_idx) aggregation — n_cells*dim
-    tiny groups, map-side partials do almost all the work.
-
-    Components are rounded to CENTROID_DP decimals BEFORE any similarity
-    math so the parallel (order-dependent) mean is bit-stable across
-    engines; every downstream fold then runs on identical inputs."""
-    rows = emb.select(
-        "label", F.posexplode(S.to_double(F.col("embedding"))).alias("i", "x")
-    )
-    means = rows.groupBy("label", "i").agg(
-        F.round(F.avg("x"), CENTROID_DP).alias("m")
-    )
-    return (
-        means.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("cell"), "centroid")
+    cell); see _cell_means for the determinism and scale argument."""
+    return _cell_means(emb, "label").select(
+        F.col("label").alias("cell"), "centroid"
     )
 
 
@@ -523,16 +529,8 @@ def kmeans_refine(emb: DataFrame) -> DataFrame:
     assigned = ivf_cells(emb, cents, keep_embedding=True).localCheckpoint(
         eager=False
     )
-    rows = assigned.select(
-        "cell", F.posexplode(S.to_double(F.col("embedding"))).alias("i", "x")
-    )
-    means = rows.groupBy("cell", "i").agg(
-        F.round(F.avg("x"), CENTROID_DP).alias("m")
-    )
-    new = means.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
-        ).alias("new_centroid")
+    new = _cell_means(assigned, "cell").select(
+        "cell", F.col("centroid").alias("new_centroid")
     )
     members = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members")

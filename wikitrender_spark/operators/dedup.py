@@ -459,8 +459,11 @@ def common_shingle_stats(
     shuffled on — co-partitioned, no extra exchange). Nothing is ever
     pairwise: cost is O(total shingles), not O(docs^2), which is why this
     is the 100 TB-safe repetition signal while ngram_jaccard_pairs is the
-    oracle-only ground truth."""
-    ex = doc_shingles(docs)
+    oracle-only ground truth. The inverted index feeds two consumers
+    (the df aggregation and the flag join), so it is localCheckpoint'd —
+    (long, long) rows are compact and the tokenize+shingle fold is the
+    expensive part worth running once."""
+    ex = doc_shingles(docs).localCheckpoint(eager=False)
     df_counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     flagged = ex.join(df_counts, "shingle").select(
         "doc_id", (F.col("n_docs") >= min_docs).cast("long").alias("is_common")

@@ -91,10 +91,13 @@ def documents_as_pgm(docs: DataFrame) -> DataFrame:
     oracle-checked, on driver-provided data. Pure column ops: header
     concat + rpad + ISO-8859-1 encode, zero shuffle. Latin-1 (not a
     UTF-8 binary cast) pins one char = one raster byte, so the plane
-    can never expand past 256 bytes on non-ASCII text; codepoints above
-    255 become the charset's replacement byte — the per-value
-    divergence from the oracle's unicode() is confined to those chars
-    instead of shifting the whole raster."""
+    can never expand past 256 bytes on non-ASCII text; codepoints
+    256..65535 become the charset's replacement byte ('?', 63), which
+    the oracle twin mirrors exactly. Known contract limit:
+    supplementary-plane codepoints (above U+FFFF) are two UTF-16 units
+    and would encode to two replacement bytes, shifting the raster —
+    such docs are outside this adapter's contract (the sibling WAV/Y4M
+    encoders raise on any non-byte codepoint instead)."""
     n = PGM_EDGE * PGM_EDGE
     header = F.lit(f"P5\n{PGM_EDGE} {PGM_EDGE}\n255\n".encode())
     raster = F.encode(
@@ -397,14 +400,19 @@ def documents_as_y4m(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
+                # slice the raster window BEFORE encoding: a non-latin-1
+                # char beyond the window must not fail the doc (the
+                # oracle's substring() never sees it either), and
+                # megabyte docs shouldn't be encoded to extract 128 bytes
+                window = row.text[: n * Y4M_FRAMES]
                 try:
-                    raw = row.text.encode("latin-1")
+                    raw = window.encode("latin-1")
                 except UnicodeEncodeError as e:
                     raise ValueError(
-                        "documents_as_y4m requires byte-range codepoints; "
-                        f"doc {row.doc_id}: {e}"
+                        "documents_as_y4m requires byte-range codepoints "
+                        f"in the raster window; doc {row.doc_id}: {e}"
                     ) from e
-                s = raw[: n * Y4M_FRAMES].ljust(n * Y4M_FRAMES, b" ")
+                s = raw.ljust(n * Y4M_FRAMES, b" ")
                 body = b"".join(
                     b"FRAME\n" + s[f * n : (f + 1) * n]
                     for f in range(Y4M_FRAMES)

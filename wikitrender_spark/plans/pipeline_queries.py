@@ -1397,7 +1397,11 @@ WITH pd AS (
   SELECT doc_id, rpad(substring(text, 1, 256), 256, ' ') AS s
   FROM documents),
 ch AS (
-  SELECT doc_id, unicode(s[i]) AS code
+  -- mirror Spark's ISO-8859-1 encoder: codepoints above 255 become the
+  -- charset replacement byte '?' (63), so the twin tracks the actual
+  -- raster bytes instead of unreachable codepoints
+  SELECT doc_id,
+    CASE WHEN unicode(s[i]) > 255 THEN 63 ELSE unicode(s[i]) END AS code
   FROM pd, (SELECT unnest(range(1, 257)) AS i) ii),
 agg AS (
   SELECT doc_id,
@@ -1529,8 +1533,14 @@ def rarity_scores(d: DataFrame) -> DataFrame:
     row per vocab type), dense_rank over the O(vocab) relation (a
     deliberate single-partition window over tiny data, same pattern as
     tx_mix_weights), broadcast the ranked vocab back onto the occurrence
-    stream, one per-doc hash-agg. The corpus is scanned once; integer
-    sums shuffle, never floats."""
+    stream, one per-doc hash-agg. Integer sums shuffle, never floats.
+    The tokenization subtree feeds BOTH branches (vocab counts and the
+    per-doc probe), so the corpus is scanned and tokenized twice — a
+    deliberate trade: the alternative is materializing the per-OCCURRENCE
+    (doc_id, token-string) stream, which is corpus-sized; re-scanning a
+    two-column pruned projection is the safer default at 100 TB, and a
+    localCheckpoint on `toks` is the one-line swap where storage is
+    cheaper than the scan."""
     from pyspark.sql import Window
 
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
@@ -1619,11 +1629,20 @@ def tfidf_terms(d: DataFrame) -> DataFrame:
     for df (broadcast back — O(vocab) rows), the corpus doc count N as a
     broadcast scalar, then a per-doc window for the top-K. The window
     shuffles the (doc, token) relation once on doc_id — the same key the
-    tf aggregation produced, so AQE coalesces rather than re-exchanges."""
+    tf aggregation produced, so AQE coalesces rather than re-exchanges.
+    `tf` feeds two consumers (the df aggregation and the scored join);
+    it is localCheckpoint'd so the corpus is tokenized ONCE — unlike the
+    raw occurrence stream (see rarity_scores), the post-agg tf relation
+    is compact (distinct terms per doc), so materializing beats a second
+    scan."""
     from pyspark.sql import Window
 
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
