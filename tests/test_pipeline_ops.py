@@ -847,3 +847,103 @@ def test_wav_and_y4m_encoders_handle_non_ascii(spark):
         documents_as_wav(bad).collect()
     with pytest.raises(Exception):
         documents_as_y4m(bad).collect()
+
+
+def test_corpus_stats_random_crosscheck(spark):
+    """Third-implementation cross-check on a seeded random corpus:
+    rarity, tf-idf, and boilerplate recomputed in plain Python (an
+    implementation independent of both Spark and the DuckDB oracle) and
+    compared exactly, including empty and sub-shingle docs."""
+    import random
+
+    from wikitrender_spark.plans.pipeline_queries import (
+        RARITY_COMMON_RANKS,
+        TFIDF_TOP_TERMS,
+        rarity_scores,
+        tfidf_terms,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [""] + ["w0"] + ["w0 w1"] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 40)))
+        for _ in range(57)
+    ]
+    d = docs_df(spark, texts)
+    toks = [t.split() for t in texts]
+
+    # --- rarity ---
+    counts: dict[str, int] = {}
+    for ts in toks:
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    by_n = sorted(set(counts.values()), reverse=True)
+    rank_of_n = {n: i + 1 for i, n in enumerate(by_n)}
+    frank = {t: rank_of_n[n] for t, n in counts.items()}
+    got = {r["doc_id"]: r for r in rarity_scores(d).collect()}
+    for i, ts in enumerate(toks):
+        assert got[i]["n_tokens"] == len(ts)
+        if ts:
+            assert got[i]["mean_rank"] == round(
+                sum(frank[t] for t in ts) / len(ts), 6
+            )
+            assert got[i]["rare_frac"] == round(
+                sum(1 for t in ts if frank[t] > RARITY_COMMON_RANKS) / len(ts), 6
+            )
+        else:
+            assert got[i]["mean_rank"] == 0.0 and got[i]["rare_frac"] == 0.0
+
+    # --- tf-idf ---
+    n_docs = len(texts)
+    df_: dict[str, int] = {}
+    for ts in toks:
+        for t in set(ts):
+            df_[t] = df_.get(t, 0) + 1
+    rows = tfidf_terms(d).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, ts in enumerate(toks):
+        if not ts:
+            assert i not in by_doc
+            continue
+        tf = {t: ts.count(t) for t in set(ts)}
+        scored = sorted(
+            ((round(tf[t] * n_docs / df_[t], 6), t) for t in tf),
+            key=lambda p: (-p[0], p[1]),
+        )[:TFIDF_TOP_TERMS]
+        gotrows = sorted(by_doc[i], key=lambda r: r["rank"])
+        assert [(r["score"], r["term"]) for r in gotrows] == scored
+        for r in gotrows:
+            assert r["tf"] == tf[r["term"]] and r["df"] == df_[r["term"]]
+
+    # --- boilerplate ---
+    M, MULT = 1_000_003, 31
+
+    def ph(s):
+        h = 0
+        for c in s:
+            h = (h * MULT + ord(c)) % M
+        return h
+
+    def shingles(ts):
+        hs = [ph(t) for t in ts]
+        return {
+            ((hs[j] * MULT + hs[j + 1]) % M * MULT + hs[j + 2]) % M
+            for j in range(len(hs) - 2)
+        }
+
+    sh = {i: shingles(ts) for i, ts in enumerate(toks)}
+    docfreq: dict[int, int] = {}
+    for s in sh.values():
+        for x in s:
+            docfreq[x] = docfreq.get(x, 0) + 1
+    bp = {r["doc_id"]: r for r in dedup.common_shingle_stats(d).collect()}
+    for i in range(len(texts)):
+        n_sh = len(sh[i])
+        n_common = sum(1 for x in sh[i] if docfreq[x] >= dedup.BOILER_MIN_DOCS)
+        assert bp[i]["n_shingles"] == n_sh
+        assert bp[i]["n_common"] == n_common
+        assert bp[i]["common_frac"] == (
+            round(n_common / n_sh, 6) if n_sh else 0.0
+        )
