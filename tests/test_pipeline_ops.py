@@ -947,3 +947,27 @@ def test_corpus_stats_random_crosscheck(spark):
         assert bp[i]["common_frac"] == (
             round(n_common / n_sh, 6) if n_sh else 0.0
         )
+
+
+def test_kmeans_fit_recovers_planted_clusters_from_bad_seed(spark):
+    """Iterative Lloyd's loop: a mislabeled seed point pulls its seed
+    centroid off-cluster, but the assign/update loop converges and the
+    final centroids separate the two planted clusters."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.95, 0.05], 0),
+            (2, [0.9, 0.1], 1),     # mislabeled: belongs to the axis-0 cluster
+            (3, [0.0, 1.0], 1),
+            (4, [0.05, 0.95], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents, iters = ann.kmeans_fit(emb, max_iters=10, tol=1e-4)
+    assert 1 <= iters <= 10
+    cells = {
+        r["vec_id"]: r["cell"] for r in ann.ivf_cells(emb, cents).collect()
+    }
+    assert cells[0] == cells[1] == cells[2]
+    assert cells[3] == cells[4]
+    assert cells[0] != cells[3]

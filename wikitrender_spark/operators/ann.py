@@ -550,6 +550,55 @@ def kmeans_refine(emb: DataFrame) -> DataFrame:
     )
 
 
+KMEANS_MAX_ITERS = 20
+KMEANS_TOL = 1e-4
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    max_iters: int = KMEANS_MAX_ITERS,
+    tol: float = KMEANS_TOL,
+) -> tuple[DataFrame, int]:
+    """Full Lloyd's k-means over the IVF quantizer: iterate
+    assign-then-update until the max per-cell centroid shift drops below
+    `tol`, returning (final (cell, centroid) relation, iterations run).
+    The iterative-driver counterpart of the single-step kmeans_refine
+    relation, with the same count-only-loop contract as
+    dedup.duplicate_clusters: the ONLY thing the driver ever collects is
+    the O(n_cells) max-shift scalar per iteration — assignments and
+    centroids stay distributed; localCheckpoint cuts lineage so plan
+    depth stays constant across iterations. Raises RuntimeError loudly
+    if max_iters passes without convergence (silent partial convergence
+    would poison every downstream cell-bucketed consumer)."""
+    cents = ivf_centroids(emb).localCheckpoint(eager=False)
+    for it in range(1, max_iters + 1):
+        assigned = ivf_cells(emb, cents, keep_embedding=True)
+        new = _cell_means(assigned, "cell").localCheckpoint(eager=False)
+        shift = F.round(
+            S.l2_norm(
+                F.zip_with(
+                    F.col("new.centroid"),
+                    F.col("old.centroid"),
+                    lambda a, b: a - b,
+                )
+            ),
+            6,
+        )
+        max_shift_row = (
+            new.alias("new")
+            .join(F.broadcast(cents).alias("old"), "cell")
+            .agg(F.max(shift).alias("max_shift"))
+            .head()
+        )
+        cents = new
+        if max_shift_row["max_shift"] is None or max_shift_row["max_shift"] <= tol:
+            return cents, it
+    raise RuntimeError(
+        f"kmeans_fit did not converge within {max_iters} iterations "
+        f"(tol={tol}); raise max_iters or loosen tol"
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = N_PLANES
 ) -> DataFrame:
