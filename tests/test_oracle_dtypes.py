@@ -11,7 +11,7 @@ snapshot fails here with a message naming the column.
 
 If a drift is INTENTIONAL (new query, deliberate type change), regenerate
 the snapshot and re-run the full gate:
-  python tools/round_start_check.py  # 73/73 must stay green
+  python tools/round_start_check.py  # the full N/N gate must stay green
   python -c "..."                    # see tools/round_start_check.py docs
 """
 

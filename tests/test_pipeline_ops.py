@@ -971,3 +971,31 @@ def test_kmeans_fit_recovers_planted_clusters_from_bad_seed(spark):
     assert cells[0] == cells[1] == cells[2]
     assert cells[3] == cells[4]
     assert cells[0] != cells[3]
+
+
+def test_bpe_merges_hand_computed(spark):
+    """Adjacent char-pair counts: 'aaab' yields aa,aa,ab; 'ab x' yields
+    ab; single chars contribute nothing. Ties break lexicographically."""
+    from wikitrender_spark.plans.pipeline_queries import q_bpe_merges  # noqa: F401
+    from wikitrender_spark.plans import pipeline_queries as P
+    from pyspark.sql import Window
+
+    d = docs_df(spark, ["aaab ab", "x ab"])
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    pairs = toks.select(
+        F.explode(
+            F.when(F.length("tok") < 2, F.array().cast("array<string>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.substr(F.col("tok"), i, F.lit(2)),
+                )
+            )
+        ).alias("pair")
+    )
+    got = {
+        (r["pair"]): r["n"]
+        for r in pairs.groupBy("pair").agg(F.count("*").alias("n")).collect()
+    }
+    # aaab -> aa, aa, ab ; ab -> ab ; x -> (none) ; ab -> ab
+    assert got == {"aa": 2, "ab": 3}

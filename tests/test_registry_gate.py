@@ -35,6 +35,7 @@ NEVER_OR_STALE_ATTESTED = {
     "mm_pgm_features",
     "mm_wav_features",
     "mm_y4m_frames",
+    "tx_bpe_merges",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",

@@ -240,6 +240,68 @@ SELECT token, n_occurrences,
 FROM top"""
 
 
+BPE_TOP_PAIRS = 20
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (the tokenizer-training precursor
+    one step past tx_vocab's frequency list): the corpus's most frequent
+    ADJACENT CHARACTER PAIRS within words — exactly the relation a BPE
+    trainer ranks to pick its first merges. Output: top-K pairs with
+    occurrence counts and a deterministic merge_rank (count desc, pair
+    asc — the tie-break a reproducible trainer needs).
+
+    Scale shape: explode tokens, then a per-token narrow projection of
+    its adjacent 2-grams (substr over a sequence, JVM-side) into a
+    hash-agg — map-side combine collapses each task to one row per
+    distinct pair (a few hundred for natural text), TakeOrderedAndProject
+    for the top-K, window only over the K survivors. An iterative BPE
+    trainer re-runs this relation after applying each merge — the same
+    driver-loop shape as kmeans_fit/duplicate_clusters."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.length("tok") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.substr(F.col("tok"), i, F.lit(2)),
+                )
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(
+        BPE_TOP_PAIRS
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.select(
+        "pair", "n_occurrences", F.row_number().over(w).alias("merge_rank")
+    )
+
+
+BPE_MERGES_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKENS.format(t='text')}) AS tok
+              FROM documents),
+pairs AS (
+  SELECT unnest(CASE WHEN length(tok) < 2 THEN []
+                ELSE list_transform(range(1, length(tok)),
+                                    i -> tok[i] || tok[i+1]) END) AS pair
+  FROM toks),
+counts AS (SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY 1),
+top AS (SELECT pair, CAST(n_occurrences AS BIGINT) AS n_occurrences
+        FROM counts
+        ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOP_PAIRS})
+SELECT pair, n_occurrences,
+  CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INT)
+    AS merge_rank
+FROM top"""
+
+
 PACK_TOKEN_BUDGET = 512
 
 
@@ -1782,6 +1844,7 @@ QUERIES = {
     "tx_pack_split": q_pack_split,
     "tx_pack_sharded": q_pack_sharded,
     "tx_vocab": q_vocab,
+    "tx_bpe_merges": q_bpe_merges,
     "tx_split": q_split,
     "tx_dedup_lineage": q_dedup_lineage,
     "tx_mix_weights": q_mix_weights,
@@ -1823,6 +1886,7 @@ ORACLES = {
     "tx_pack_split": PACK_SPLIT_SQL,
     "tx_pack_sharded": PACK_SHARDED_SQL,
     "tx_vocab": VOCAB_SQL,
+    "tx_bpe_merges": BPE_MERGES_SQL,
     "tx_split": SPLIT_SQL,
     "tx_dedup_lineage": DEDUP_LINEAGE_SQL,
     "tx_mix_weights": MIX_WEIGHTS_SQL,

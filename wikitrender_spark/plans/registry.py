@@ -72,6 +72,7 @@ GATE_WINDOW: list[str] = [
     "mm_pgm_features",
     "mm_wav_features",
     "mm_y4m_frames",
+    "tx_bpe_merges",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -105,9 +106,9 @@ GATE_WINDOW: list[str] = [
     "mm_media_features",
     "mm_frame_sample",
     "rel_recursive_months",
-    "rel_lateral_topk",
-    # rel_order_gaps (r03-green, second-attestation tier) rotated out
-    # for mm_y4m_frames — never-attested rows outrank re-attestation
+    # rel_order_gaps and rel_lateral_topk (r03-green, second-attestation
+    # tier) rotated out for mm_y4m_frames and tx_bpe_merges —
+    # never-attested rows outrank re-attestation
     # (e) twice-green fill (8 more rotated out as the late round-4
     # additions tx_rarity/tx_tfidf_terms/tx_boilerplate/dd_semantic_dedup/
     # ann_kmeans_refine/tx_filter_funnel/tx_mix_sample/ann_range_search
