@@ -999,3 +999,150 @@ def test_bpe_merges_hand_computed(spark):
     }
     # aaab -> aa, aa, ab ; ab -> ab ; x -> (none) ; ab -> ab
     assert got == {"aa": 2, "ab": 3}
+
+
+def test_substring_run_stats_hand_computed(spark):
+    # run_len=8. doc0/doc1 share exactly the 8-token run "a..h" (their
+    # other runs diverge); doc2 is too short for any run; doc3 repeats a
+    # run WITHIN itself only — within-doc repeats are not duplication.
+    d = docs_df(
+        spark,
+        [
+            "a b c d e f g h x y",
+            "a b c d e f g h q r",
+            "z z z",
+            "p q r s t u v w p q r s t u v w",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dedup.substring_run_stats(d).collect()}
+    assert (rows[0]["n_runs"], rows[0]["n_dup_runs"]) == (3, 1)
+    assert rows[0]["dup_run_ratio"] == round(1 / 3, 6)
+    assert (rows[1]["n_runs"], rows[1]["n_dup_runs"]) == (3, 1)
+    assert (rows[2]["n_runs"], rows[2]["n_dup_runs"]) == (0, 0)
+    assert rows[2]["dup_run_ratio"] == 0.0
+    # 16 tokens -> 9 positions; the repeated run occurs only in doc3
+    assert (rows[3]["n_runs"], rows[3]["n_dup_runs"]) == (9, 0)
+
+
+def test_containment_pairs_identical_docs(spark):
+    base = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19"
+    d = docs_df(spark, [base, base, "unrelated words entirely here now"])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.containment_pairs(d).collect()
+    }
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    # identical docs: 18 distinct trigram shingles, containment 1.0 both ways
+    assert r["n_inter"] == 18
+    assert r["containment_a"] == 1.0
+    assert r["containment_b"] == 1.0
+    for r in pairs.values():
+        assert 0 < r["containment_a"] <= 1.0
+        assert 0 < r["containment_b"] <= 1.0
+
+
+def test_containment_asymmetry_subset_doc(spark):
+    # doc1 = doc0 plus a suffix: every doc0 shingle is in doc1, so
+    # containment_a (|inter|/|A|) = 1.0 while containment_b < 1.0 —
+    # the subset signal Jaccard dilutes.
+    base = ["w%d" % i for i in range(20)]
+    d = docs_df(spark, [" ".join(base), " ".join(base + ["extra", "tail"])])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.containment_pairs(d).collect()
+    }
+    if (0, 1) in pairs:  # LSH candidacy is deterministic but sketch-dependent
+        r = pairs[(0, 1)]
+        assert r["containment_a"] == 1.0
+        assert r["containment_b"] == round(18 / 20, 6)
+        assert r["n_inter"] == 18
+
+
+def test_length_histogram_hand_computed(spark):
+    from wikitrender_spark.plans import pipeline_queries as P
+
+    texts = [
+        " ".join(["w"] * 4),
+        " ".join(["w"] * 9),
+        " ".join(["w"] * 10),
+        " ".join(["w"] * 25),
+    ]
+    d = docs_df(spark, texts)
+    n = T.token_count(F.col("text"))
+    out = (
+        d.select(
+            (F.floor(n / P.HIST_BUCKET) * P.HIST_BUCKET)
+            .cast("long")
+            .alias("bucket_lo"),
+            n.alias("n_tokens"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+    rows = {r["bucket_lo"]: r for r in out.collect()}
+    assert (rows[0]["n_docs"], rows[0]["sum_tokens"]) == (2, 13)
+    assert (rows[0]["min_tokens"], rows[0]["max_tokens"]) == (4, 9)
+    assert (rows[10]["n_docs"], rows[10]["sum_tokens"]) == (1, 10)
+    assert (rows[20]["n_docs"], rows[20]["sum_tokens"]) == (1, 25)
+
+
+def _emb_df_64(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], "l") for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label string",
+    )
+
+
+def test_sq_codes_hand_computed(spark):
+    # dim0 constant (hi == lo -> code 0); dims 1..63 span [0, 1]
+    v0 = [3.0] + [0.0] * 63
+    v1 = [3.0] + [1.0] * 63
+    v2 = [3.0] + [0.5] * 63
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in ann.sq_codes(_emb_df_64(spark, [v0, v1, v2])).collect()
+    }
+    assert codes[0] == [0] * 64
+    assert codes[1] == [0] + [255] * 63
+    # 0.5 -> 127.5 -> HALF_UP -> 128 on both engines
+    assert codes[2] == [0] + [128] * 63
+
+
+def test_sq_topk_ranks_by_integer_dot_and_rescores_exactly(spark):
+    v0 = [3.0] + [0.0] * 63
+    v1 = [3.0] + [1.0] * 63
+    v2 = [3.0] + [0.5] * 63
+    v3 = [3.0] + [1.0 if i % 2 else 0.0 for i in range(1, 64)]
+    emb = _emb_df_64(spark, [v0, v1, v2, v3])
+    out = ann.sq_topk(emb, [1], k=3).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # integer code dots from query v1's code vector (255 on dims 1..63):
+    # v2: 63*255*128, v3: 32*255*255, v0: 0
+    d2, d3 = 63 * 255 * 128, 32 * 255 * 255
+    assert d3 > d2
+    assert by_rank[1]["neighbor_id"] == 3 and by_rank[1]["approx_score"] == d3
+    assert by_rank[2]["neighbor_id"] == 2 and by_rank[2]["approx_score"] == d2
+    assert by_rank[3]["neighbor_id"] == 0 and by_rank[3]["approx_score"] == 0
+    # exact rescoring: v2 is parallel to v1 on the varying dims? no —
+    # cosine includes the constant dim; verify against a direct compute
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return round(
+            dot
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            ),
+            6,
+        )
+
+    assert by_rank[2]["sim"] == pytest.approx(cos(v1, v2), abs=1e-6)
+    assert by_rank[1]["sim"] == pytest.approx(cos(v1, v3), abs=1e-6)

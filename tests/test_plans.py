@@ -133,3 +133,52 @@ def test_semantic_dedup_and_kmeans_scan_embeddings_bounded(plans):
     for q in ("dd_semantic_dedup", "ann_kmeans_refine"):
         n = plans(q).count("embeddings.parquet")
         assert n <= 2, (q, n)
+
+
+def test_substring_runs_inverted_index_no_pairwise_join(plans):
+    """dd_substring_runs must stay an inverted index on the run hash —
+    no cartesian/nested-loop join, documents scan pruned to the token
+    columns."""
+    plan = plans("dd_substring_runs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_sq_topk_broadcasts_codes_and_prunes(plans):
+    """ann_sq_topk: the quantizer stats row and the query-code side are
+    broadcast (corpus codes never shuffle for scoring); embeddings scan
+    reads only (vec_id, embedding)."""
+    plan = plans("ann_sq_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for cols in _scan_columns(plan, "embeddings"):
+        assert set(cols) <= {"vec_id", "embedding"}
+
+
+def test_window_rank_suite_single_exchange(plans):
+    """rel_window_rank_suite is one shuffle on the partition key + one
+    sort — any join or second exchange is a regression."""
+    plan = plans("rel_window_rank_suite")
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE reads)
+    assert "Join" not in plan
+
+
+def test_interval_coverage_has_no_range_join(plans):
+    """rel_interval_coverage re-expresses the range join as explode-to-
+    bins: exactly one equi-join (orderkey), no nested-loop/cartesian."""
+    plan = plans("rel_interval_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_event_funnel_joins_are_keyed(plans):
+    """rel_event_funnel: every stage join must carry the user equi-key
+    (SortMergeJoin/shuffled hash on user — never a pure theta join over
+    all events); events scan prunes props/value."""
+    plan = plans("rel_event_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in _scan_columns(plan, "events"):
+        assert set(cols) <= {"user_id", "event_type", "ts"}

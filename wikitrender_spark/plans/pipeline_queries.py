@@ -1831,6 +1831,133 @@ JOIN newc ON mem.cell = newc.cell
 JOIN cent ON cent.cell = mem.cell"""
 
 
+def q_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-run statistics; see
+    operators/dedup.substring_run_stats for the inverted-index shape."""
+    return dedup.substring_run_stats(_docs(spark, sf_dir))
+
+
+SUBSTRING_RUNS_SQL = f"""
+WITH {_TOK_HASH_CTE},
+rn AS (SELECT doc_id, CASE WHEN length(th) < {dedup.RUN_LEN} THEN [] ELSE
+         list_transform(range(1, length(th)-{dedup.RUN_LEN - 2}), i ->
+           list_reduce(list_prepend(0, list_slice(th, i, i+{dedup.RUN_LEN - 1})),
+                       (h, c) -> (h*31 + c) % 1000003)) END AS runs
+       FROM th),
+pos AS (SELECT doc_id, unnest(runs) AS run FROM rn),
+dup AS (SELECT run FROM pos GROUP BY run HAVING count(DISTINCT doc_id) >= 2),
+pd AS (SELECT p.doc_id, count(*) AS n_runs,
+         sum(CASE WHEN d.run IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+       FROM pos p LEFT JOIN dup d ON p.run = d.run GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(pd.n_runs, 0) AS BIGINT) AS n_runs,
+  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_runs,
+  round(CASE WHEN coalesce(pd.n_runs, 0) = 0 THEN 0.0
+        ELSE pd.n_dup * 1.0 / pd.n_runs END, 6) AS dup_run_ratio
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment on the LSH candidate pairs; see
+    operators/dedup.containment_pairs."""
+    return dedup.containment_pairs(_docs(spark, sf_dir))
+
+
+CONTAINMENT_SQL = f"""
+WITH {_LSH_CTE},
+ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+co AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(length(list_intersect(a.dsh, b.dsh)) AS BIGINT) AS n_inter,
+    length(a.dsh) AS na, length(b.dsh) AS nb
+  FROM cands c
+  JOIN ds a ON c.doc_a = a.doc_id
+  JOIN ds b ON c.doc_b = b.doc_id)
+SELECT doc_a, doc_b, n_inter,
+  round(n_inter * 1.0 / na, 6) AS containment_a,
+  round(n_inter * 1.0 / nb, 6) AS containment_b
+FROM co WHERE n_inter > 0"""
+
+
+#: token-length histogram bucket width (tokens)
+HIST_BUCKET = 10
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram: the
+    length-distribution report packing/batch-assembly planning reads
+    before choosing a sequence budget (width 10 tokens). Pure map-side bucketing + one
+    tiny hash aggregate (output is O(max_len / bucket) rows) — the
+    canonical 'histogram over 100 TB' plan: no sort, no window, integer
+    arithmetic only."""
+    d = _docs(spark, sf_dir)
+    n = T.token_count(F.col("text"))
+    return (
+        d.select(
+            (F.floor(n / HIST_BUCKET) * HIST_BUCKET)
+            .cast("long")
+            .alias("bucket_lo"),
+            n.alias("n_tokens"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+WITH tk AS (SELECT doc_id,
+              CAST(length({_TOKENS.format(t='text')}) AS BIGINT) AS n
+            FROM documents)
+SELECT CAST((n // {HIST_BUCKET}) * {HIST_BUCKET} AS BIGINT) AS bucket_lo,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS sum_tokens,
+  CAST(min(n) AS BIGINT) AS min_tokens,
+  CAST(max(n) AS BIGINT) AS max_tokens
+FROM tk GROUP BY 1"""
+
+
+def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-k with exact rescoring; see
+    operators/ann.sq_topk for the 4x-compression scale argument."""
+    return ann.sq_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+ANN_SQ_SQL = f"""
+WITH {_COSINE_CTE},
+mm AS (SELECT ii.i AS i, min(e.emb[ii.i]) AS lo, max(e.emb[ii.i]) AS hi
+       FROM e, (SELECT unnest(range(1, 65)) AS i) ii GROUP BY 1),
+st AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM mm),
+cd AS (SELECT e.vec_id,
+         list_transform(range(1, 65), i ->
+           CASE WHEN st.hi[i] = st.lo[i] THEN 0
+                ELSE CAST(round((e.emb[i] - st.lo[i])
+                                / (st.hi[i] - st.lo[i]) * {ann.SQ_LEVELS})
+                          AS BIGINT)
+           END) AS code
+       FROM e, st),
+sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_reduce(list_prepend(0, list_transform(range(1, 65),
+                i -> q.code[i] * c.code[i])), (a, b) -> a + b)
+              AS BIGINT) AS approx_score
+       FROM cd q JOIN cd c ON q.vec_id <> c.vec_id
+       WHERE q.vec_id IN ({_QIDS})),
+top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_score DESC, neighbor_id ASC) AS rank FROM sc)
+SELECT t.query_id, t.neighbor_id, CAST(t.rank AS INT) AS rank, t.approx_score,
+  round({_DOT64.format(a='eq.emb', b='ec.emb')} / (nq.nrm * nc.nrm), 6) AS sim
+FROM top t
+JOIN e eq ON eq.vec_id = t.query_id
+JOIN e ec ON ec.vec_id = t.neighbor_id
+JOIN nrm nq ON nq.vec_id = t.query_id
+JOIN nrm nc ON nc.vec_id = t.neighbor_id
+WHERE t.rank <= {ANN_K}"""
+
+
 #: Dict order is load-bearing (driver gates the first 50 registered
 #: queries; see registry._load). tx_fingerprint and tx_langid —
 #: hash-green in r01+r02 — are rotated out via QUERIES_ROTATED
@@ -1856,6 +1983,10 @@ QUERIES = {
     "ann_kmeans_refine": q_kmeans_refine,
     "ann_range_search": q_ann_range,
     "dd_embedding_neardup_exact": q_embedding_neardup_exact,
+    "dd_substring_runs": q_substring_runs,
+    "dd_containment": q_containment,
+    "tx_length_histogram": q_length_histogram,
+    "ann_sq_topk": q_ann_sq,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_minhash_est": q_minhash_est,
     "dd_ngram_jaccard": q_ngram_jaccard,
@@ -1898,6 +2029,10 @@ ORACLES = {
     "ann_kmeans_refine": KMEANS_REFINE_SQL,
     "ann_range_search": ANN_RANGE_SQL,
     "dd_embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
+    "dd_substring_runs": SUBSTRING_RUNS_SQL,
+    "dd_containment": CONTAINMENT_SQL,
+    "tx_length_histogram": LENGTH_HISTOGRAM_SQL,
+    "ann_sq_topk": ANN_SQ_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_minhash_est": MINHASH_EST_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,

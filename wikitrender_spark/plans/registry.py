@@ -73,6 +73,13 @@ GATE_WINDOW: list[str] = [
     "mm_wav_features",
     "mm_y4m_frames",
     "tx_bpe_merges",
+    "dd_substring_runs",
+    "dd_containment",
+    "tx_length_histogram",
+    "ann_sq_topk",
+    "rel_window_rank_suite",
+    "rel_interval_coverage",
+    "rel_event_funnel",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -92,16 +99,14 @@ GATE_WINDOW: list[str] = [
     "tx_fingerprint",
     "tx_langid",
     "dd_simhash",
-    # (d) first gated in r03 — second attestation
-    "tx_repetition",
-    "tx_vocab",
-    "tx_split",
+    # (d) first gated in r03 — second attestation (7 of the original 13
+    # rotated out, all r03-green on current testdata, as the late
+    # round-4 additions dd_substring_runs/dd_containment/
+    # tx_length_histogram/ann_sq_topk/rel_window_rank_suite/
+    # rel_interval_coverage/rel_event_funnel entered — never-attested
+    # rows outrank re-attestation)
     "dd_decontaminate",
-    "tx_chunks",
     "tx_clean_corpus",
-    "ann_bruteforce_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "mm_media_features",
     "mm_frame_sample",

@@ -887,6 +887,188 @@ FROM orders WHERE o_orderkey < 1000"""
 #: percentiles, corr_subquery). Every row past the cutoff was hash-green
 #: in BOTH r01 and r02 — rotated out to make room for never-attested
 #: queries, per the r02 verdict's rotation rule.
+# --- rank-function window suite (ntile / percent_rank / cume_dist) ---------
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function family the running/rolling windows don't cover:
+    ntile(4) quartile, percent_rank and cume_dist per market segment.
+    The ORDER BY carries a unique tiebreak (c_acctbal, c_custkey) so
+    every rank — including ntile's bucket assignment, which is
+    order-sensitive under ties — is engine-deterministic. One shuffle on
+    the partition key, one in-partition sort, zero joins; at 100 TB
+    this is the plain 'rank inside each shard' plan (percent_rank and
+    cume_dist need only the partition row count, which Spark computes
+    in the same window pass)."""
+    return window_rank_suite(load_table(spark, sf_dir, "customer"))
+
+
+def window_rank_suite(c: DataFrame) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+WINDOW_RANK_SUITE_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)"""
+
+
+# --- interval -> bin coverage (range join re-expressed as explode) ----------
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly coverage of order 'active intervals' ([o_orderdate, last
+    line shipment]): the interval-overlap range join against a month
+    calendar, re-expressed as explode-to-bins — each interval GENERATES
+    the month keys it overlaps (sequence + explode), so there is no
+    non-equi join and no range predicate left in the plan at all; what
+    remains is one equi-join on orderkey (to derive last_ship) and a
+    tiny month hash-aggregate. Explode factor = average months spanned
+    (~2 here), which is the right trade at 100 TB: a broadcast-
+    nested-loop range join would re-scan every fact row per bin.
+    greatest() pins rows whose synthetic last shipment precedes the
+    order date to a single month."""
+    return interval_coverage(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def interval_coverage(o: DataFrame, li: DataFrame) -> DataFrame:
+    last = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    iv = o.join(last, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.greatest("last_ship", "o_orderdate").alias("active_to"),
+    )
+    months = iv.select(
+        "o_custkey",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.col("active_to"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month"),
+    )
+    return months.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_active_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+
+
+INTERVAL_COVERAGE_SQL = """
+WITH last AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY 1),
+iv AS (SELECT o_orderkey, o_custkey, o_orderdate,
+         greatest(last_ship, o_orderdate) AS active_to
+       FROM orders JOIN last ON o_orderkey = l_orderkey),
+m AS (SELECT o_custkey,
+        unnest(generate_series(date_trunc('month', o_orderdate), active_to,
+                               INTERVAL 1 MONTH)) AS month
+      FROM iv)
+SELECT month,
+  CAST(count(*) AS BIGINT) AS n_active_orders,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM m GROUP BY 1"""
+
+
+# --- ordered-sequence funnel over the events stream -------------------------
+#: funnel chain must complete within this many hours (sized from the
+#: measured data: 11 of 150 users complete at 6 h at sf0.01 — selective
+#: but non-degenerate; at 24 h nearly everyone completes)
+FUNNEL_WINDOW_HOURS = 6
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: per user, stage counts plus whether a
+    view -> click -> purchase chain completed with strictly increasing
+    timestamps inside a 6-hour window. The stage joins are equi on
+    user_id with a time-band predicate — SortMergeJoin partitioned by
+    user, so per-user cost is bounded by that user's event count within
+    the band, never the global event count; the existence check
+    collapses to a distinct user set before the final left join
+    (semi-join shape). The idiomatic funnel plan for event logs at any
+    scale."""
+    return event_funnel(load_table(spark, sf_dir, "events"))
+
+
+def event_funnel(ev: DataFrame) -> DataFrame:
+    counts = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(c)
+            for t, c in [
+                ("view", "n_views"),
+                ("click", "n_clicks"),
+                ("purchase", "n_purchases"),
+            ]
+        ]
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    lim = F.col("v_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    chain = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= lim),
+        )
+        .join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= lim),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_done", F.lit(1))
+    )
+    return counts.join(chain, "user_id", "left").select(
+        "user_id",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        F.coalesce(F.col("_done"), F.lit(0)).cast("int").alias("funnel_complete"),
+    )
+
+
+EVENT_FUNNEL_SQL = f"""
+WITH cnt AS (SELECT user_id,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+  FROM events GROUP BY 1),
+chain AS (SELECT DISTINCT v.user_id
+  FROM events v
+  JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  WHERE v.event_type = 'view')
+SELECT cnt.user_id, n_views, n_clicks, n_purchases,
+  CAST(CASE WHEN chain.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+    AS funnel_complete
+FROM cnt LEFT JOIN chain ON cnt.user_id = chain.user_id"""
+
+
 QUERIES = {
     # --- gated (first 15) ---
     "rel_pricing_summary": q_pricing_summary,
@@ -904,6 +1086,9 @@ QUERIES = {
     "rel_percentiles": q_percentiles,
     "rel_approx_percentiles": q_approx_percentiles,
     "rel_corr_subquery": q_corr_subquery,
+    "rel_window_rank_suite": q_window_rank_suite,
+    "rel_interval_coverage": q_interval_coverage,
+    "rel_event_funnel": q_event_funnel,
     # --- rotated out of the gate (hash-green r01 + r02) ---
     "rel_nation_set_ops": q_nation_set_ops,
     "rel_acctbal_band_pairs": q_acctbal_band_pairs,
@@ -952,5 +1137,8 @@ ORACLES = {
     # bound columns; the raw sketch values themselves stay uncompared
     "rel_approx_percentiles": APPROX_PERCENTILES_SQL,
     "rel_corr_subquery": CORR_SUBQUERY_SQL,
+    "rel_window_rank_suite": WINDOW_RANK_SUITE_SQL,
+    "rel_interval_coverage": INTERVAL_COVERAGE_SQL,
+    "rel_event_funnel": EVENT_FUNNEL_SQL,
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
 }
