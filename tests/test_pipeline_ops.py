@@ -1052,11 +1052,14 @@ def test_containment_asymmetry_subset_doc(spark):
         (r["doc_a"], r["doc_b"]): r
         for r in dedup.containment_pairs(d).collect()
     }
-    if (0, 1) in pairs:  # LSH candidacy is deterministic but sketch-dependent
-        r = pairs[(0, 1)]
-        assert r["containment_a"] == 1.0
-        assert r["containment_b"] == round(18 / 20, 6)
-        assert r["n_inter"] == 18
+    # candidacy is deterministic for this fixture (the near-identical
+    # pair shares a MinHash band); it dropping out would itself be an
+    # LSH recall regression, so assert it
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    assert r["containment_a"] == 1.0
+    assert r["containment_b"] == round(18 / 20, 6)
+    assert r["n_inter"] == 18
 
 
 def test_length_histogram_hand_computed(spark):
@@ -1069,23 +1072,7 @@ def test_length_histogram_hand_computed(spark):
         " ".join(["w"] * 25),
     ]
     d = docs_df(spark, texts)
-    n = T.token_count(F.col("text"))
-    out = (
-        d.select(
-            (F.floor(n / P.HIST_BUCKET) * P.HIST_BUCKET)
-            .cast("long")
-            .alias("bucket_lo"),
-            n.alias("n_tokens"),
-        )
-        .groupBy("bucket_lo")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("sum_tokens"),
-            F.min("n_tokens").alias("min_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
-        )
-    )
-    rows = {r["bucket_lo"]: r for r in out.collect()}
+    rows = {r["bucket_lo"]: r for r in P.length_histogram(d).collect()}
     assert (rows[0]["n_docs"], rows[0]["sum_tokens"]) == (2, 13)
     assert (rows[0]["min_tokens"], rows[0]["max_tokens"]) == (4, 9)
     assert (rows[10]["n_docs"], rows[10]["sum_tokens"]) == (1, 10)

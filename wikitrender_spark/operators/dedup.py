@@ -200,6 +200,22 @@ def lsh_candidate_pairs(
     )
 
 
+def _candidates_with_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, sh_a, sh_b): the LSH candidate pairs joined with
+    each side's stored DISTINCT shingle array — the shared verification
+    scaffold for every candidate-restricted scorer (near_duplicates,
+    minhash_estimate_pairs, containment_pairs). Verification math stays
+    per-pair array arithmetic over rows already in hand; candidates,
+    never all pairs, are what the shingle arrays join onto."""
+    cands = lsh_candidate_pairs(docs)
+    sets = doc_token_hashes(docs).select(
+        "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return cands.join(a, "doc_a").join(b, "doc_b")
+
+
 def near_duplicates(
     docs: DataFrame, threshold: float = NEAR_DUP_THRESHOLD
 ) -> DataFrame:
@@ -213,16 +229,9 @@ def near_duplicates(
     separately as ngram_jaccard_pairs). Same jaccard arithmetic as the
     oracle: |a∩b| / (|a|+|b|-|a∩b|), rounded to 6; zero-intersection
     pairs (incl. sentinel-signature empty docs) fall out as NULL/0."""
-    cands = lsh_candidate_pairs(docs)
-    sets = doc_token_hashes(docs).select(
-        "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        _candidates_with_shingle_sets(docs)
         .select(
             "doc_a",
             "doc_b",
@@ -251,15 +260,9 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
     scores candidates with exact |a∩b|/|a∪b| (the `jaccard` column
     here), never with `est_jaccard`. Scale shape: signatures and shingle
     arrays join only onto candidate pairs, never all pairs."""
-    cands = lsh_candidate_pairs(docs)
     sig = minhash_signatures(docs)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
-    sets = doc_token_hashes(docs).select(
-        "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     agree = F.aggregate(
         F.zip_with(
             "sig_a",
@@ -271,10 +274,9 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
     )
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     scored = (
-        cands.join(sa, "doc_a")
+        _candidates_with_shingle_sets(docs)
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
-        .join(a, "doc_a")
-        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -613,16 +615,9 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     ONLY the banded candidate pairs (equi-join on the stored distinct
     shingle arrays, per-pair array_intersect); zero-intersection
     candidates are dropped."""
-    cands = lsh_candidate_pairs(docs)
-    sets = doc_token_hashes(docs).select(
-        "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        _candidates_with_shingle_sets(docs)
         .select(
             "doc_a",
             "doc_b",

@@ -1890,7 +1890,10 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny hash aggregate (output is O(max_len / bucket) rows) — the
     canonical 'histogram over 100 TB' plan: no sort, no window, integer
     arithmetic only."""
-    d = _docs(spark, sf_dir)
+    return length_histogram(_docs(spark, sf_dir))
+
+
+def length_histogram(d: DataFrame) -> DataFrame:
     n = T.token_count(F.col("text"))
     return (
         d.select(

@@ -1070,7 +1070,9 @@ FROM cnt LEFT JOIN chain ON cnt.user_id = chain.user_id"""
 
 
 QUERIES = {
-    # --- gated (first 15) ---
+    # NOTE: gating is governed solely by registry.GATE_WINDOW (which
+    # reorders registration); dict position here does NOT decide what
+    # the driver attests.
     "rel_pricing_summary": q_pricing_summary,
     "rel_asof_last_signup": q_asof_last_signup,
     "rel_customers_without_orders": q_customers_without_orders,
