@@ -1133,3 +1133,48 @@ def test_sq_topk_ranks_by_integer_dot_and_rescores_exactly(spark):
 
     assert by_rank[2]["sim"] == pytest.approx(cos(v1, v2), abs=1e-6)
     assert by_rank[1]["sim"] == pytest.approx(cos(v1, v3), abs=1e-6)
+
+
+def _emb_df_labeled(spark, vecs_labels):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(vecs_labels)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_pq_codes_hand_computed(spark):
+    # two pure clusters: every label-0 vector is 1.0^64, every label-1
+    # vector is 3.0^64 -> centroids are exactly those constants and each
+    # vector's code in every subspace is its own cell
+    emb = _emb_df_labeled(
+        spark,
+        [([1.0] * 64, 0), ([1.0] * 64, 0), ([3.0] * 64, 1), ([3.0] * 64, 1)],
+    )
+    from wikitrender_spark.operators.ann import ivf_centroids, pq_codes
+
+    cents = ivf_centroids(emb).localCheckpoint()
+    codes = {r["vec_id"]: r["codes"] for r in pq_codes(emb, cents).collect()}
+    assert codes[0] == [0] * 8
+    assert codes[1] == [0] * 8
+    assert codes[2] == [1] * 8
+    assert codes[3] == [1] * 8
+
+
+def test_pq_topk_adc_distances_hand_computed(spark):
+    emb = _emb_df_labeled(
+        spark,
+        [([1.0] * 64, 0), ([1.0] * 64, 0), ([3.0] * 64, 1), ([3.0] * 64, 1)],
+    )
+    out = ann.pq_topk(emb, [0], k=3).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # neighbor 1 shares query 0's cell in every subspace: ADC distance 0
+    assert by_rank[1]["neighbor_id"] == 1
+    assert by_rank[1]["approx_dist"] == 0.0
+    # label-1 vectors: per-subspace dist = 8 * (3-1)^2 = 32 -> 8 * 32 = 256;
+    # the tie breaks to the lower neighbor_id
+    assert by_rank[2]["neighbor_id"] == 2
+    assert by_rank[2]["approx_dist"] == 256.0
+    assert by_rank[3]["neighbor_id"] == 3
+    assert by_rank[3]["approx_dist"] == 256.0
+    # all vectors are parallel -> exact rescoring gives cosine 1.0
+    assert all(r["sim"] == 1.0 for r in out)

@@ -182,3 +182,15 @@ def test_event_funnel_joins_are_keyed(plans):
     assert "BroadcastNestedLoopJoin" not in plan
     for cols in _scan_columns(plan, "events"):
         assert set(cols) <= {"user_id", "event_type", "ts"}
+
+
+def test_pq_topk_scans_bounded_and_broadcast(plans):
+    """ann_pq_topk: the checkpointed codebook halves the embeddings
+    scans — encode + query-table + the two rescoring sides (<= 4);
+    the codebook/table joins are broadcast."""
+    plan = plans("ann_pq_topk")
+    n = plan.count("embeddings.parquet")
+    assert n <= 4, n
+    assert "Broadcast" in plan
+    for cols in _scan_columns(plan, "embeddings"):
+        assert set(cols) <= {"vec_id", "embedding", "label"}

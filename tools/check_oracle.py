@@ -125,7 +125,8 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"OK    {name}: rows={len(sdf)}, cols={len(sdf.columns)}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
+    n_ran = len([n for n in qs if not only or n in only])
+    print(f"\n{n_ran - len(failed)}/{n_ran} passed")
     return 1 if failed else 0
 
 

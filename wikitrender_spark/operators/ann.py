@@ -747,3 +747,168 @@ def sq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
             _pair_sim().alias("sim"),
         )
     )
+
+
+# product quantization: M subspaces of DSUB dims each (M * DSUB = EMB_DIM)
+PQ_M = 8
+PQ_DSUB = 8
+
+
+def _pq_subdist(v, cent, m: int) -> "F.Column":
+    """Squared L2 between subvector m of `v` and the same slice of
+    `cent`: the 8-term sum is UNROLLED left-associatively (PQ_DSUB is
+    static), matching the oracle's sequential list_reduce fold term for
+    term. Unrolling (vs an inner F.aggregate) also keeps this usable
+    inside another lambda — Spark cannot resolve a nested HOF whose
+    inner lambda body captures the outer lambda's variable."""
+    acc = F.lit(0.0)
+    for j in range(1, PQ_DSUB + 1):
+        d = F.element_at(v, m * PQ_DSUB + j) - F.element_at(
+            cent, m * PQ_DSUB + j
+        )
+        acc = acc + d * d
+    return F.round(acc, 6)
+
+
+def pq_codes(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Product-quantization codes (the IVF-PQ fine quantizer — Jégou et
+    al. 2011, "Product Quantization for Nearest Neighbor Search"): the
+    vector splits into M={PQ_M} subvectors of {PQ_DSUB} dims; each
+    subvector's code is its nearest codebook entry by squared L2
+    (rounded, ties to the lowest cell). The codebooks are the SLICES of
+    the shared deterministic centroid table (slice of a mean == mean of
+    a slice, so per-subspace training is free and engine-portable).
+
+    Scale shape: identical to ivf_cells — the centroid table collapses
+    to one broadcast row and every code is a per-row fold, so encoding
+    is map-side with ZERO shuffle of the corpus. Output: (vec_id,
+    codes array<int> of length M — the cell ids). At 100 TB the code relation (M
+    small ids per vector) is what you store hot; with K cells a code
+    costs M*log2(K) bits vs 64*32 for the raw floats."""
+    packed = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cs")
+    )
+    # the cast is a separate projection: an elementwise array cast inside
+    # a lambda body is itself an implicit lambda, which Spark's lambda
+    # resolver cannot nest (INVALID_LAMBDA_FUNCTION_CALL)
+    v = F.col("_emb_d")
+
+    def mk_step(m: int):
+        # closure, NOT a default argument: PySpark derives the lambda's
+        # arity from the python signature, so `def step(acc, c, m=m)`
+        # would build a 3-variable SQL lambda and fail HOF binding
+        def step(acc, c):
+            d = _pq_subdist(v, c["centroid"], m)
+            return F.when(
+                d < acc["dist"],
+                F.struct(d.alias("dist"), c["cell"].alias("cell")),
+            ).otherwise(acc)
+
+        return step
+
+    code_cols = []
+    for m in range(PQ_M):
+        step = mk_step(m)
+
+        best = F.aggregate(
+            F.col("cs"),
+            # same init shape as ivf_cells: cell is the corpus label (int)
+            F.struct(
+                F.lit(1e300).alias("dist"),
+                F.lit(-1).cast("int").alias("cell"),
+            ),
+            step,
+        )
+        code_cols.append(best["cell"])
+    return (
+        emb.select(
+            "vec_id", S.to_double(F.col("embedding")).alias("_emb_d")
+        )
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", F.array(*code_cols).alias("codes"))
+    )
+
+
+def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes with exact
+    rescoring: each query precomputes its (subspace, cell) -> squared-L2
+    table against the codebooks; a corpus vector's approximate distance
+    is the M-term sum of table lookups at its codes, folded in fixed
+    subspace order (engine-portable); the k best (ascending distance,
+    ties to the lowest neighbor_id) are rescored with the true cosine.
+
+    Scale shape: the per-query tables are tiny (n_queries * M * K rows)
+    and travel as ONE broadcast row each via crossJoin, so the ranking
+    scan reads only the code relation map-side — zero shuffle before
+    the per-query top-k window; exact cosine touches k rows per query.
+    Output: (query_id, neighbor_id, rank, approx_dist, sim).
+
+    The centroid table is localCheckpoint'd (semantic_dedup precedent):
+    it is a trained artifact — exactly what production persists — and
+    it feeds two consumers (corpus encode + per-query tables), so
+    materializing its n_cells rows once halves the embeddings scans."""
+    cents = ivf_centroids(emb).localCheckpoint()
+    codes = pq_codes(emb, cents)
+
+    # per-query lookup table, packed one row per query:
+    # (query_id, tab array<struct<m,cell,dist>>)
+    qv = S.to_double(F.col("embedding"))
+    dists = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col("cell").alias("cell"),
+                _pq_subdist(qv, F.col("centroid"), m).alias("dist"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    qtab = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", F.explode(dists).alias("d"))
+        .groupBy("query_id")
+        .agg(F.collect_list("d").alias("tab"))
+    )
+
+    def lookup(m: int) -> "F.Column":
+        hit = F.filter(
+            F.col("tab"),
+            lambda t: (t["m"] == F.lit(m))
+            & (t["cell"] == F.element_at(F.col("codes"), m + 1)),
+        )
+        return F.element_at(hit, 1)["dist"]
+
+    approx = F.lit(0.0)
+    for m in range(PQ_M):
+        approx = approx + lookup(m)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    top = (
+        codes.crossJoin(F.broadcast(qtab))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(approx, 6).alias("approx_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    qn = _with_norm(
+        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm"
+    )
+    cn = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
+    return (
+        top.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "approx_dist",
+            _pair_sim().alias("sim"),
+        )
+    )

@@ -77,6 +77,7 @@ GATE_WINDOW: list[str] = [
     "dd_containment",
     "tx_length_histogram",
     "ann_sq_topk",
+    "ann_pq_topk",
     "rel_window_rank_suite",
     "rel_interval_coverage",
     "rel_event_funnel",
@@ -110,7 +111,7 @@ GATE_WINDOW: list[str] = [
     "ann_ivf_topk",
     "mm_media_features",
     "mm_frame_sample",
-    "rel_recursive_months",
+    # rel_recursive_months (r03-green) rotated out for ann_pq_topk
     # rel_order_gaps and rel_lateral_topk (r03-green, second-attestation
     # tier) rotated out for mm_y4m_frames and tx_bpe_merges —
     # never-attested rows outrank re-attestation
