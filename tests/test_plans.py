@@ -194,3 +194,21 @@ def test_pq_topk_scans_bounded_and_broadcast(plans):
     assert "Broadcast" in plan
     for cols in _scan_columns(plan, "embeddings"):
         assert set(cols) <= {"vec_id", "embedding", "label"}
+
+
+def test_salted_revenue_sorts_on_salted_key(plans):
+    """rel_salted_revenue must exercise the salted SortMergeJoin (the
+    merge hint pins it) — a broadcast of the replicated orders side
+    would mean the salt pattern was silently optimized away."""
+    plan = plans("rel_salted_revenue")
+    assert "SortMergeJoin" in plan
+    assert "_salt" in plan
+
+
+def test_hourly_anomalies_broadcasts_stats(plans):
+    """rel_hourly_anomalies: the 5-row per-type stats relation comes
+    back via broadcast; events scan prunes to (event_type, ts)."""
+    plan = plans("rel_hourly_anomalies")
+    assert "BroadcastHashJoin" in plan
+    for cols in _scan_columns(plan, "events"):
+        assert set(cols) <= {"event_type", "ts"}

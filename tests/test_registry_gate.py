@@ -44,6 +44,8 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_window_rank_suite",
     "rel_interval_coverage",
     "rel_event_funnel",
+    "rel_salted_revenue",
+    "rel_hourly_anomalies",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",

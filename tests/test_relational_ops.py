@@ -105,3 +105,69 @@ def test_event_funnel_hand_computed(spark):
         1,
         1,
     )
+
+
+def test_salted_join_is_result_identical_to_plain_join(spark):
+    from wikitrender_spark.plans.relational_queries import salted_join
+
+    # hot key 1 carries 100 of 103 fact rows
+    fact = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(100)]
+        + [(2, 0, 5.0), (3, 0, 7.0), (3, 1, 9.0)],
+        "k long, line int, v double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b")], "k long, name string"
+    )
+    plain = fact.join(dim, "k").select("k", "line", "v", "name")
+    salted = salted_join(fact, dim, "k", ["k", "line"]).select(
+        "k", "line", "v", "name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot key's rows really do spread across salts (the point)
+    from pyspark.sql import functions as F
+
+    n_salts = (
+        fact.filter(F.col("k") == 1)
+        .select(F.pmod(F.xxhash64("k", "line"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+
+
+def test_hourly_anomalies_integer_sigma_hand_computed(spark):
+    from wikitrender_spark.plans.relational_queries import hourly_anomalies
+
+    # build events directly: type A has 1 event in each of 8 hours and
+    # 20 events in hour 9; type B is flat (never anomalous)
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h in range(8):
+        rows.append((eid, 1, t0 + dt.timedelta(hours=h), "A"))
+        eid += 1
+    for _ in range(20):
+        rows.append((eid, 1, t0 + dt.timedelta(hours=8, minutes=eid % 50), "A"))
+        eid += 1
+    for h in range(9):
+        rows.append((eid, 2, t0 + dt.timedelta(hours=h), "B"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = hourly_anomalies(ev)
+    got = {
+        (r["event_type"], r["hour"].hour): (r["n_events"], r["is_anomaly"])
+        for r in out.collect()
+    }
+    # type A: n=9 hours, sx=28, sxx=408 -> for x=20: (9*20-28)^2 = 23104
+    # > 4*(9*408 - 784) = 11552 -> anomaly; for x=1: (9-28)^2=361 < 11552
+    assert got[("A", 8)] == (20, True)
+    for h in range(8):
+        assert got[("A", h)] == (1, False)
+    # type B: zero variance, zero deviation -> strictly-greater is False
+    for h in range(9):
+        assert got[("B", h)][1] is False

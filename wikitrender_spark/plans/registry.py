@@ -81,6 +81,8 @@ GATE_WINDOW: list[str] = [
     "rel_window_rank_suite",
     "rel_interval_coverage",
     "rel_event_funnel",
+    "rel_salted_revenue",
+    "rel_hourly_anomalies",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -109,8 +111,9 @@ GATE_WINDOW: list[str] = [
     "dd_decontaminate",
     "tx_clean_corpus",
     "ann_ivf_topk",
-    "mm_media_features",
-    "mm_frame_sample",
+    # mm_media_features (r03-green) rotated out for rel_hourly_anomalies
+    # (never-attested rows outrank re-attestation)
+    # mm_frame_sample (r03-green) rotated out for rel_salted_revenue;
     # rel_recursive_months (r03-green) rotated out for ann_pq_topk
     # rel_order_gaps and rel_lateral_topk (r03-green, second-attestation
     # tier) rotated out for mm_y4m_frames and tx_bpe_merges —

@@ -1069,6 +1069,122 @@ SELECT cnt.user_id, n_views, n_clicks, n_purchases,
 FROM cnt LEFT JOIN chain ON cnt.user_id = chain.user_id"""
 
 
+# --- salted skew-safe join ---------------------------------------------------
+#: salt fan-out for the salted-join demonstration
+N_SALT = 8
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_cols: list[str],
+    n_salt: int = N_SALT,
+) -> DataFrame:
+    """Skew-safe equi-join, result-identical to the plain join: every
+    FACT row gets a deterministic per-ROW salt (xxhash64 of its unique
+    id columns mod n_salt — per-row, NOT per-key, which is what spreads
+    a hot key's rows across n_salt reducers), and the other side
+    replicates n_salt times; the join key becomes (key, salt). This is
+    the manual skew remedy for when AQE's skew-join split can't help
+    (e.g. a skewed key whose rows exceed one executor's memory even
+    after split) — replication costs n_salt x dim bytes, bounded and
+    chosen. The salt never appears in the output, so the plain join IS
+    the correctness oracle."""
+    f = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt)).cast(
+            "int"
+        ),
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salt)]))
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")
+
+
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue through the SALTED lineitem ⋈ orders join —
+    hash-checked against the plain-join oracle, proving the salt is
+    result-invisible. The merge hint pins SortMergeJoin so the plan
+    actually exercises the salted shuffle (orders x8 could otherwise
+    slip under the broadcast threshold at test SF; at the scale this
+    pattern exists for, neither side broadcasts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li.hint("merge"), o, "l_orderkey", ["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SALTED_REVENUE_SQL = """
+SELECT o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority"""
+
+
+# --- integer-arithmetic anomaly detection ------------------------------------
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomalies per event type, with the 2-sigma
+    test done ENTIRELY in integer arithmetic so the oracle compares
+    bit-exact: for observed hourly counts x with per-type sums
+    sx = Σx, sxx = Σx², over n observed hours,
+        |x - mean| > 2·stddev  ⇔  (n·x - sx)² > 4·(n·sxx - sx²)
+    (both sides multiplied by n² — no division, no sqrt, no float).
+    Scale shape: one (type, hour) hash-agg over the events scan, a
+    5-row per-type stats agg, broadcast back — the cheapest possible
+    anomaly sweep over an event log of any size. Hours with zero
+    events are absent from the scan and thus from the baseline; a
+    calendar densification (rel_recursive_months pattern) is the
+    documented extension when silence itself is the anomaly."""
+    return hourly_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def hourly_anomalies(ev: DataFrame) -> DataFrame:
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+    )
+    dev = F.col("n_hours") * F.col("n_events") - F.col("sx")
+    var_n2 = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return cells.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        (dev * dev > 4 * var_n2).alias("is_anomaly"),
+    )
+
+
+HOURLY_ANOMALIES_SQL = """
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_hours,
+    CAST(sum(n_events) AS BIGINT) AS sx,
+    CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+  FROM cells GROUP BY 1)
+SELECT c.event_type, c.hour, c.n_events,
+  (s.n_hours * c.n_events - s.sx) * (s.n_hours * c.n_events - s.sx)
+    > 4 * (s.n_hours * s.sxx - s.sx * s.sx) AS is_anomaly
+FROM cells c JOIN stats s ON c.event_type = s.event_type"""
+
+
 QUERIES = {
     # NOTE: gating is governed solely by registry.GATE_WINDOW (which
     # reorders registration); dict position here does NOT decide what
@@ -1091,6 +1207,8 @@ QUERIES = {
     "rel_window_rank_suite": q_window_rank_suite,
     "rel_interval_coverage": q_interval_coverage,
     "rel_event_funnel": q_event_funnel,
+    "rel_salted_revenue": q_salted_revenue,
+    "rel_hourly_anomalies": q_hourly_anomalies,
     # --- rotated out of the gate (hash-green r01 + r02) ---
     "rel_nation_set_ops": q_nation_set_ops,
     "rel_acctbal_band_pairs": q_acctbal_band_pairs,
@@ -1142,5 +1260,7 @@ ORACLES = {
     "rel_window_rank_suite": WINDOW_RANK_SUITE_SQL,
     "rel_interval_coverage": INTERVAL_COVERAGE_SQL,
     "rel_event_funnel": EVENT_FUNNEL_SQL,
+    "rel_salted_revenue": SALTED_REVENUE_SQL,
+    "rel_hourly_anomalies": HOURLY_ANOMALIES_SQL,
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
 }
