@@ -85,3 +85,24 @@ def test_jsonl_failfast_on_malformed_row(spark, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         TF.read_jsonl(spark, str(p), DOC_SCHEMA).collect()
+
+
+def test_csv_preserves_edge_whitespace(spark, tmp_path):
+    d = spark.createDataFrame([(1, "  padded text  ", "en")], DOC_SCHEMA)
+    TF.write_csv(d, str(tmp_path / "ws_csv"))
+    back = TF.read_csv(spark, str(tmp_path / "ws_csv"), DOC_SCHEMA)
+    assert back.collect()[0]["text"] == "  padded text  "
+
+
+def test_csv_rejects_reordered_schema(spark, tmp_path):
+    d = _docs(spark)
+    TF.write_csv(d, str(tmp_path / "order_csv"))
+    reordered = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),  # swapped with text
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    with pytest.raises(Exception, match="(?i)header|schema|csv"):
+        TF.read_csv(spark, str(tmp_path / "order_csv"), reordered).collect()

@@ -645,6 +645,24 @@ def lsh_bucketed_topk(
     )
 
 
+def _exact_rescore(top: DataFrame, emb: DataFrame, query_ids: list[int]) -> DataFrame:
+    """Join a ranked (query_id, neighbor_id, ...) relation with both
+    sides' vectors/norms and append the exact rounded cosine as `sim` —
+    the shared rescoring tail of every approximate ranker (sq_topk,
+    pq_topk): the expensive float fold runs only on rows that survived
+    ranking. Preserves all input columns."""
+    qn = _with_norm(
+        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm"
+    )
+    cn = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
+    cols = [F.col(c) for c in top.columns]
+    return (
+        top.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select(*cols, _pair_sim().alias("sim"))
+    )
+
+
 # scalar quantization: 8-bit codes per dimension (levels 0..255)
 SQ_LEVELS = 255
 
@@ -732,20 +750,10 @@ def sq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-    qn = _with_norm(
-        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm"
-    )
-    cn = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
-    return (
-        top.join(F.broadcast(qn), "query_id")
-        .join(cn, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            "approx_score",
-            _pair_sim().alias("sim"),
-        )
+    return _exact_rescore(
+        top.select("query_id", "neighbor_id", "rank", "approx_score"),
+        emb,
+        query_ids,
     )
 
 
@@ -897,18 +905,8 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-    qn = _with_norm(
-        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "q_emb", "q_nrm"
-    )
-    cn = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
-    return (
-        top.join(F.broadcast(qn), "query_id")
-        .join(cn, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            "approx_dist",
-            _pair_sim().alias("sim"),
-        )
+    return _exact_rescore(
+        top.select("query_id", "neighbor_id", "rank", "approx_dist"),
+        emb,
+        query_ids,
     )

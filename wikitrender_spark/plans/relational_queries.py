@@ -1158,8 +1158,19 @@ def hourly_anomalies(ev: DataFrame) -> DataFrame:
         F.sum("n_events").alias("sx"),
         F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
     )
-    dev = F.col("n_hours") * F.col("n_events") - F.col("sx")
-    var_n2 = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # the squared terms are computed in DECIMAL(38,0): BIGINT would wrap
+    # silently once a type's event total passes ~3e9 (sx*sx > 2^63);
+    # decimal(38) is exact to ~1e19 events per type — beyond any real
+    # log — and DuckDB's native HUGEINT promotion matches it exactly.
+    # The comparison result (boolean) is dtype-identical either way.
+    d38 = "decimal(38,0)"
+    dev = (
+        F.col("n_hours").cast(d38) * F.col("n_events").cast(d38)
+        - F.col("sx").cast(d38)
+    )
+    var_n2 = F.col("n_hours").cast(d38) * F.col("sxx").cast(d38) - F.col(
+        "sx"
+    ).cast(d38) * F.col("sx").cast(d38)
     return cells.join(F.broadcast(stats), "event_type").select(
         "event_type",
         "hour",

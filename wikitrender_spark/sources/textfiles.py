@@ -56,6 +56,10 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         df.write.mode(mode)
         .option("header", True)
         .option("escape", '"')
+        # the CSV writer trims value whitespace by default — corpus text
+        # must round-trip byte-identically
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path)
     )
 
@@ -70,5 +74,8 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         .option("escape", '"')
         .option("multiLine", True)
         .option("mode", "FAILFAST")
+        # validate header names against the pinned schema instead of
+        # binding columns by position (enforceSchema's silent default)
+        .option("enforceSchema", False)
         .csv(path)
     )
