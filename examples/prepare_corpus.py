@@ -134,6 +134,27 @@ def main() -> None:
     n_dropped = sem.filter(~F.col("is_kept")).count()
     print(f"semantic dedup: {n_dropped} vectors dropped within cells")
 
+    # 8. substring-run dedup report (ExactSubstr complement to MinHash)
+    from wikitrender_spark.operators.dedup import substring_run_stats
+
+    runs = substring_run_stats(load_table(spark, sf_dir, "documents"))
+    n_run_dup = runs.filter(F.col("n_dup_runs") > 0).count()
+    print(f"substring runs: {n_run_dup} docs share an 8-token run")
+
+    # 9. compressed retrieval tier: PQ codes + ADC top-k over the
+    # embedding corpus (what a retrieval-augmented loader would serve)
+    pq = ann.pq_topk(load_table(spark, sf_dir, "embeddings"), [0, 1], k=3)
+    print(f"pq retrieval: {pq.count()} (query, neighbor) rows at k=3")
+
+    # 10. length histogram (the packing-budget planning report)
+    from wikitrender_spark.plans.pipeline_queries import q_length_histogram
+
+    hist = q_length_histogram(spark, sf_dir).orderBy("bucket_lo")
+    buckets = ", ".join(
+        f"{r['bucket_lo']}:{r['n_docs']}" for r in hist.collect()
+    )
+    print(f"token-length histogram: {buckets}")
+
 
 if __name__ == "__main__":
     main()
