@@ -1178,3 +1178,30 @@ def test_pq_topk_adc_distances_hand_computed(spark):
     assert by_rank[3]["approx_dist"] == 256.0
     # all vectors are parallel -> exact rescoring gives cosine 1.0
     assert all(r["sim"] == 1.0 for r in out)
+
+
+def test_ivf_pq_topk_probes_restrict_candidates(spark):
+    # three directionally distinct clusters; query is in cluster 0,
+    # cluster 2 is at cos ~0.707 from it, cluster 1 at cos 0 -> with
+    # nprobe=2 cluster 1 is never probed and its members must be absent
+    c0 = [1.0, 0.0] * 32
+    c1 = [0.0, 1.0] * 32
+    c2 = [1.0] * 64
+    emb = _emb_df_labeled(
+        spark, [(c0, 0), (c0, 0), (c1, 1), (c1, 1), (c2, 2), (c2, 2)]
+    )
+    out = ann.ivf_pq_topk(emb, [0], k=5, nprobe=2).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    assert neighbors == {1, 4, 5}  # cluster-1 members (2, 3) excluded
+    by_rank = {r["rank"]: r for r in out}
+    # same-cluster member: identical codes -> ADC 0, exact cosine 1
+    assert by_rank[1]["neighbor_id"] == 1
+    assert by_rank[1]["approx_dist"] == 0.0
+    assert by_rank[1]["sim"] == 1.0
+    # cluster-2 members: per-subspace dist([1,0]x4 vs [1]x8) = 4 -> 32
+    assert by_rank[2]["approx_dist"] == 32.0
+    assert by_rank[3]["approx_dist"] == 32.0
+    # with nprobe = n_cells the candidate set equals pq_topk's
+    full = ann.ivf_pq_topk(emb, [0], k=5, nprobe=3).collect()
+    pq = ann.pq_topk(emb, [0], k=5).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, pq))

@@ -212,3 +212,15 @@ def test_hourly_anomalies_broadcasts_stats(plans):
     assert "BroadcastHashJoin" in plan
     for cols in _scan_columns(plan, "events"):
         assert set(cols) <= {"event_type", "ts"}
+
+
+def test_ivfpq_scans_bounded_and_broadcast(plans):
+    """ann_ivfpq_topk: the one-pass (assign + encode) index plus probe/
+    table/rescore sides keep embeddings scans <= 5; probe and table
+    joins are broadcast."""
+    plan = plans("ann_ivfpq_topk")
+    n = plan.count("embeddings.parquet")
+    assert n <= 5, n
+    assert "Broadcast" in plan
+    for cols in _scan_columns(plan, "embeddings"):
+        assert set(cols) <= {"vec_id", "embedding", "label"}

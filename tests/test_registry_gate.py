@@ -41,6 +41,7 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_length_histogram",
     "ann_sq_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "rel_window_rank_suite",
     "rel_interval_coverage",
     "rel_event_funnel",

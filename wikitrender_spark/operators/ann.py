@@ -778,7 +778,9 @@ def _pq_subdist(v, cent, m: int) -> "F.Column":
     return F.round(acc, 6)
 
 
-def pq_codes(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def pq_codes(
+    emb: DataFrame, cents: DataFrame, extra_cols: list[str] | None = None
+) -> DataFrame:
     """Product-quantization codes (the IVF-PQ fine quantizer — Jégou et
     al. 2011, "Product Quantization for Nearest Neighbor Search"): the
     vector splits into M={PQ_M} subvectors of {PQ_DSUB} dims; each
@@ -792,7 +794,10 @@ def pq_codes(emb: DataFrame, cents: DataFrame) -> DataFrame:
     is map-side with ZERO shuffle of the corpus. Output: (vec_id,
     codes array<int> of length M — the cell ids). At 100 TB the code relation (M
     small ids per vector) is what you store hot; with K cells a code
-    costs M*log2(K) bits vs 64*32 for the raw floats."""
+    costs M*log2(K) bits vs 64*32 for the raw floats. extra_cols
+    pass through untouched (e.g. `cell`, so IVF assignment and PQ
+    encode share one map-side pass)."""
+    extra_cols = extra_cols or []
     packed = cents.agg(
         F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cs")
     )
@@ -830,11 +835,59 @@ def pq_codes(emb: DataFrame, cents: DataFrame) -> DataFrame:
         code_cols.append(best["cell"])
     return (
         emb.select(
-            "vec_id", S.to_double(F.col("embedding")).alias("_emb_d")
+            "vec_id",
+            *extra_cols,
+            S.to_double(F.col("embedding")).alias("_emb_d"),
         )
         .crossJoin(F.broadcast(packed))
-        .select("vec_id", F.array(*code_cols).alias("codes"))
+        .select("vec_id", *extra_cols, F.array(*code_cols).alias("codes"))
     )
+
+
+def _pq_query_tables(
+    emb: DataFrame, query_ids: list[int], cents: DataFrame
+) -> DataFrame:
+    """One row per query: (query_id, tab array<struct<m,cell,dist>>) —
+    the query's squared-L2 distance to every codebook entry in every
+    subspace (n_queries * M * K values total, broadcast-sized)."""
+    qv = S.to_double(F.col("embedding"))
+    dists = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col("cell").alias("cell"),
+                _pq_subdist(qv, F.col("centroid"), m).alias("dist"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", F.explode(dists).alias("d"))
+        .groupBy("query_id")
+        .agg(F.collect_list("d").alias("tab"))
+    )
+
+
+def _adc_distance() -> "F.Column":
+    """ADC approximate distance for a row carrying `codes` and `tab`:
+    M table lookups summed left-associatively in subspace order (the
+    oracle's list(dist ORDER BY m) sequential fold), rounded to 6."""
+
+    def lookup(m: int) -> "F.Column":
+        hit = F.filter(
+            F.col("tab"),
+            lambda t: (t["m"] == F.lit(m))
+            & (t["cell"] == F.element_at(F.col("codes"), m + 1)),
+        )
+        return F.element_at(hit, 1)["dist"]
+
+    approx = F.lit(0.0)
+    for m in range(PQ_M):
+        approx = approx + lookup(m)
+    return F.round(approx, 6)
 
 
 def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
@@ -857,40 +910,7 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     materializing its n_cells rows once halves the embeddings scans."""
     cents = ivf_centroids(emb).localCheckpoint()
     codes = pq_codes(emb, cents)
-
-    # per-query lookup table, packed one row per query:
-    # (query_id, tab array<struct<m,cell,dist>>)
-    qv = S.to_double(F.col("embedding"))
-    dists = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.col("cell").alias("cell"),
-                _pq_subdist(qv, F.col("centroid"), m).alias("dist"),
-            )
-            for m in range(PQ_M)
-        ]
-    )
-    qtab = (
-        emb.filter(F.col("vec_id").isin(query_ids))
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-        .crossJoin(F.broadcast(cents))
-        .select("query_id", F.explode(dists).alias("d"))
-        .groupBy("query_id")
-        .agg(F.collect_list("d").alias("tab"))
-    )
-
-    def lookup(m: int) -> "F.Column":
-        hit = F.filter(
-            F.col("tab"),
-            lambda t: (t["m"] == F.lit(m))
-            & (t["cell"] == F.element_at(F.col("codes"), m + 1)),
-        )
-        return F.element_at(hit, 1)["dist"]
-
-    approx = F.lit(0.0)
-    for m in range(PQ_M):
-        approx = approx + lookup(m)
+    qtab = _pq_query_tables(emb, query_ids, cents)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc("neighbor_id")
     )
@@ -900,7 +920,57 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(approx, 6).alias("approx_dist"),
+            _adc_distance().alias("approx_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return _exact_rescore(
+        top.select("query_id", "neighbor_id", "rank", "approx_dist"),
+        emb,
+        query_ids,
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10, nprobe: int = N_PROBE
+) -> DataFrame:
+    """The full IVF-PQ retrieval stack (Jégou et al. 2011; the
+    architecture serving billion-vector search): the coarse quantizer
+    restricts each query to its `nprobe` nearest cells, the PQ codes of
+    ONLY those cells' members rank candidates by asymmetric distance,
+    and the k winners are rescored with the true cosine.
+
+    Scale shape: IVF assignment and PQ encode share ONE map-side pass
+    over the corpus (pq_codes carries `cell` through), so the index is
+    (vec_id, cell, codes) built with zero corpus shuffle; the probe
+    relation (n_queries * nprobe rows) broadcasts onto the index's
+    cell key, cutting the ADC scan to ~nprobe/n_cells of the corpus —
+    the compute saving PQ alone doesn't give. Recall is bounded by the
+    probed cells (same contract as ivf_topk; nprobe=n_cells recovers
+    pq_topk's candidate set exactly).
+    Output: (query_id, neighbor_id, rank, approx_dist, sim)."""
+    cents = ivf_centroids(emb).localCheckpoint()
+    assigned = ivf_cells(emb, cents, keep_embedding=True)
+    index = pq_codes(assigned, cents, extra_cols=["cell"])
+    probes = (
+        _centroid_ranks(emb.filter(F.col("vec_id").isin(query_ids)), cents)
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    qtab = _pq_query_tables(emb, query_ids, cents)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    top = (
+        F.broadcast(probes)
+        .join(index, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qtab), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_distance().alias("approx_dist"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -1961,6 +1961,35 @@ JOIN nrm nc ON nc.vec_id = t.neighbor_id
 WHERE t.rank <= {ANN_K}"""
 
 
+_PQ_SD_CTES = f"""sd AS (SELECT e.vec_id, c.cell, mm.m,
+         round(list_reduce(list_prepend(0.0,
+             list_transform(range(1, {ann.PQ_DSUB + 1}),
+               j -> (e.emb[mm.m*{ann.PQ_DSUB}+j] - c.centroid[mm.m*{ann.PQ_DSUB}+j])
+                  * (e.emb[mm.m*{ann.PQ_DSUB}+j] - c.centroid[mm.m*{ann.PQ_DSUB}+j]))),
+           (a, b) -> a + b), 6) AS dist
+       FROM e CROSS JOIN cent c
+       CROSS JOIN (SELECT unnest(range(0, {ann.PQ_M})) AS m) mm),
+pcodes AS (SELECT vec_id, m, cell AS code_cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                      ORDER BY dist ASC, cell ASC) AS rn FROM sd) t
+          WHERE rn = 1)"""
+
+_PQ_RANK_TAIL = f"""asum AS (SELECT query_id, neighbor_id,
+           round(list_reduce(list_prepend(0.0, list(dist ORDER BY m)),
+                             (a, b) -> a + b), 6) AS approx_dist
+         FROM adc GROUP BY 1, 2),
+top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_dist ASC, neighbor_id ASC) AS rank FROM asum)
+SELECT t.query_id, t.neighbor_id, CAST(t.rank AS INT) AS rank, t.approx_dist,
+  round({_DOT64.format(a='eq.emb', b='ec.emb')} / (nq.nrm * nc.nrm), 6) AS sim
+FROM top t
+JOIN e eq ON eq.vec_id = t.query_id
+JOIN e ec ON ec.vec_id = t.neighbor_id
+JOIN nrm nq ON nq.vec_id = t.query_id
+JOIN nrm nc ON nc.vec_id = t.neighbor_id
+WHERE t.rank <= {ANN_K}"""
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ fine quantizer + asymmetric-distance top-k with exact
     rescoring; see operators/ann.pq_codes / pq_topk for the
@@ -1980,36 +2009,33 @@ cm AS (SELECT label, i, round(avg(emb[i]), {ann.CENTROID_DP}) AS m
        FROM e, (SELECT unnest(range(1, 65)) AS i) ii GROUP BY label, i),
 cent AS (SELECT label AS cell, list(m ORDER BY i) AS centroid
          FROM cm GROUP BY label),
-sd AS (SELECT e.vec_id, c.cell, mm.m,
-         round(list_reduce(list_prepend(0.0,
-             list_transform(range(1, {ann.PQ_DSUB + 1}),
-               j -> (e.emb[mm.m*{ann.PQ_DSUB}+j] - c.centroid[mm.m*{ann.PQ_DSUB}+j])
-                  * (e.emb[mm.m*{ann.PQ_DSUB}+j] - c.centroid[mm.m*{ann.PQ_DSUB}+j]))),
-           (a, b) -> a + b), 6) AS dist
-       FROM e CROSS JOIN cent c
-       CROSS JOIN (SELECT unnest(range(0, {ann.PQ_M})) AS m) mm),
-codes AS (SELECT vec_id, m, cell AS code_cell FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                      ORDER BY dist ASC, cell ASC) AS rn FROM sd) t
-          WHERE rn = 1),
+{_PQ_SD_CTES},
 adc AS (SELECT qs.vec_id AS query_id, cx.vec_id AS neighbor_id, cx.m, qs.dist
-        FROM codes cx
+        FROM pcodes cx
         JOIN sd qs ON qs.m = cx.m AND qs.cell = cx.code_cell
         WHERE qs.vec_id IN ({_QIDS}) AND cx.vec_id <> qs.vec_id),
-asum AS (SELECT query_id, neighbor_id,
-           round(list_reduce(list_prepend(0.0, list(dist ORDER BY m)),
-                             (a, b) -> a + b), 6) AS approx_dist
-         FROM adc GROUP BY 1, 2),
-top AS (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY approx_dist ASC, neighbor_id ASC) AS rank FROM asum)
-SELECT t.query_id, t.neighbor_id, CAST(t.rank AS INT) AS rank, t.approx_dist,
-  round({_DOT64.format(a='eq.emb', b='ec.emb')} / (nq.nrm * nc.nrm), 6) AS sim
-FROM top t
-JOIN e eq ON eq.vec_id = t.query_id
-JOIN e ec ON ec.vec_id = t.neighbor_id
-JOIN nrm nq ON nq.vec_id = t.query_id
-JOIN nrm nc ON nc.vec_id = t.neighbor_id
-WHERE t.rank <= {ANN_K}"""
+{_PQ_RANK_TAIL}"""
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ stack: coarse probes restrict candidates, PQ/ADC
+    ranks them from codes, exact rescoring on the winners; see
+    operators/ann.ivf_pq_topk for the one-pass index scale shape."""
+    return ann.ivf_pq_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+ANN_IVFPQ_SQL = f"""
+WITH {_IVF_CTE},
+{_PQ_SD_CTES},
+cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+         FROM probes p JOIN cells cl ON p.cell = cl.cell
+         WHERE cl.vec_id <> p.query_id),
+adc AS (SELECT cd.query_id, cd.neighbor_id, cx.m, qs.dist
+        FROM cand cd
+        JOIN pcodes cx ON cx.vec_id = cd.neighbor_id
+        JOIN sd qs ON qs.m = cx.m AND qs.cell = cx.code_cell
+                   AND qs.vec_id = cd.query_id),
+{_PQ_RANK_TAIL}"""
 
 
 #: Dict order is load-bearing (driver gates the first 50 registered
@@ -2042,6 +2068,7 @@ QUERIES = {
     "tx_length_histogram": q_length_histogram,
     "ann_sq_topk": q_ann_sq,
     "ann_pq_topk": q_ann_pq,
+    "ann_ivfpq_topk": q_ann_ivfpq,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_minhash_est": q_minhash_est,
     "dd_ngram_jaccard": q_ngram_jaccard,
@@ -2089,6 +2116,7 @@ ORACLES = {
     "tx_length_histogram": LENGTH_HISTOGRAM_SQL,
     "ann_sq_topk": ANN_SQ_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
+    "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_minhash_est": MINHASH_EST_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,

@@ -78,6 +78,7 @@ GATE_WINDOW: list[str] = [
     "tx_length_histogram",
     "ann_sq_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "rel_window_rank_suite",
     "rel_interval_coverage",
     "rel_event_funnel",
@@ -108,7 +109,7 @@ GATE_WINDOW: list[str] = [
     # tx_length_histogram/ann_sq_topk/rel_window_rank_suite/
     # rel_interval_coverage/rel_event_funnel entered — never-attested
     # rows outrank re-attestation)
-    "dd_decontaminate",
+    # dd_decontaminate (r03-green) rotated out for ann_ivfpq_topk
     "tx_clean_corpus",
     "ann_ivf_topk",
     # mm_media_features (r03-green) rotated out for rel_hourly_anomalies
