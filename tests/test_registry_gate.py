@@ -47,6 +47,7 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_event_funnel",
     "rel_salted_revenue",
     "rel_hourly_anomalies",
+    "rel_hourly_ewma",
     # last attested r1/r2, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",

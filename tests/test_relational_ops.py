@@ -171,3 +171,22 @@ def test_hourly_anomalies_integer_sigma_hand_computed(spark):
     # type B: zero variance, zero deviation -> strictly-greater is False
     for h in range(9):
         assert got[("B", h)][1] is False
+
+
+def test_hourly_ewma_hand_computed(spark):
+    from wikitrender_spark.plans.relational_queries import hourly_ewma
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h, n in [(0, 4), (1, 8), (2, 2)]:
+        for _ in range(n):
+            rows.append((eid, 1, t0 + dt.timedelta(hours=h, minutes=eid % 55), "A"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = sorted(hourly_ewma(ev).collect(), key=lambda r: r["hour"])
+    assert [r["n_events"] for r in out] == [4, 8, 2]
+    # ewma_1 = 4; 0.25*8 + 0.75*4 = 5; 0.25*2 + 0.75*5 = 4.25
+    assert [r["ewma"] for r in out] == [4.0, 5.0, 4.25]

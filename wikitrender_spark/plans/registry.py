@@ -84,6 +84,7 @@ GATE_WINDOW: list[str] = [
     "rel_event_funnel",
     "rel_salted_revenue",
     "rel_hourly_anomalies",
+    "rel_hourly_ewma",
     # (c) last attested before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_acctbal_band_pairs",
@@ -111,7 +112,7 @@ GATE_WINDOW: list[str] = [
     # rows outrank re-attestation)
     # dd_decontaminate (r03-green) rotated out for ann_ivfpq_topk
     "tx_clean_corpus",
-    "ann_ivf_topk",
+    # ann_ivf_topk (r03-green) rotated out for rel_hourly_ewma
     # mm_media_features (r03-green) rotated out for rel_hourly_anomalies
     # (never-attested rows outrank re-attestation)
     # mm_frame_sample (r03-green) rotated out for rel_salted_revenue;

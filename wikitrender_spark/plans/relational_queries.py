@@ -1196,6 +1196,87 @@ SELECT c.event_type, c.hour, c.n_events,
 FROM cells c JOIN stats s ON c.event_type = s.event_type"""
 
 
+# --- exponentially weighted moving average over event-time ------------------
+#: EWMA smoothing factor — a dyadic rational (1/4), so every fold step
+#: (0.25*x + 0.75*acc) is exact IEEE arithmetic identical on any engine
+EWMA_ALPHA = 0.25
+
+
+def q_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type EWMA of hourly counts — the smoothed-baseline
+    primitive monitoring/trend pipelines run next to the anomaly sweep.
+    ewma_1 = x_1; ewma_t = alpha*x_t + (1-alpha)*ewma_{t-1}, folded in
+    hour order. Portability: the recurrence is sequential and alpha is
+    dyadic, so both engines produce bit-identical doubles (no rounding
+    needed until the output column).
+
+    Scale shape: the per-key history collapses to ONE ordered array per
+    event type (bounded by the time range, not the event count — the
+    same deliberate tiny-relation pattern as tx_mix_weights' totals);
+    the O(hours) fold runs inside the row. The corpus-sized work is
+    only the (type, hour) count aggregate."""
+    return hourly_ewma(load_table(spark, sf_dir, "events"))
+
+
+def hourly_ewma(ev: DataFrame) -> DataFrame:
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    per_type = cells.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "n_events"))).alias("seq")
+    )
+    xs = F.transform(F.col("seq"), lambda s: s["n_events"].cast("double"))
+    # O(n) running fold: append alpha*x + (1-alpha)*last to the acc array
+    ewmas = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.slice(xs, 1, 1),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.lit(EWMA_ALPHA) * x
+                + F.lit(1 - EWMA_ALPHA) * F.element_at(acc, -1)
+            ),
+        ),
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.posexplode(F.arrays_zip(F.col("seq"), ewmas.alias("e"))).alias(
+                "i", "z"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("z")["seq"]["hour"].alias("hour"),
+            F.col("z")["seq"]["n_events"].alias("n_events"),
+            F.round(F.col("z")["e"], 6).alias("ewma"),
+        )
+    )
+
+
+HOURLY_EWMA_SQL = """
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+pt AS (
+  SELECT event_type,
+    list(hour ORDER BY hour) AS hours,
+    list(CAST(n_events AS BIGINT) ORDER BY hour) AS ns,
+    list(CAST(n_events AS DOUBLE) ORDER BY hour) AS xs
+  FROM cells GROUP BY 1),
+ew AS (
+  SELECT event_type, hours, ns,
+    list_transform(range(1, length(xs) + 1), t ->
+      list_reduce(list_slice(xs, 1, t), (a, b) -> 0.25*b + 0.75*a)) AS es
+  FROM pt)
+SELECT event_type,
+  unnest(hours) AS hour,
+  unnest(ns) AS n_events,
+  round(unnest(es), 6) AS ewma
+FROM ew"""
+
+
 QUERIES = {
     # NOTE: gating is governed solely by registry.GATE_WINDOW (which
     # reorders registration); dict position here does NOT decide what
@@ -1220,6 +1301,7 @@ QUERIES = {
     "rel_event_funnel": q_event_funnel,
     "rel_salted_revenue": q_salted_revenue,
     "rel_hourly_anomalies": q_hourly_anomalies,
+    "rel_hourly_ewma": q_hourly_ewma,
     # --- rotated out of the gate (hash-green r01 + r02) ---
     "rel_nation_set_ops": q_nation_set_ops,
     "rel_acctbal_band_pairs": q_acctbal_band_pairs,
@@ -1273,5 +1355,6 @@ ORACLES = {
     "rel_event_funnel": EVENT_FUNNEL_SQL,
     "rel_salted_revenue": SALTED_REVENUE_SQL,
     "rel_hourly_anomalies": HOURLY_ANOMALIES_SQL,
+    "rel_hourly_ewma": HOURLY_EWMA_SQL,
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
 }
