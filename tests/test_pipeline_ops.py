@@ -1205,3 +1205,19 @@ def test_ivf_pq_topk_probes_restrict_candidates(spark):
     full = ann.ivf_pq_topk(emb, [0], k=5, nprobe=3).collect()
     pq = ann.pq_topk(emb, [0], k=5).collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, pq))
+
+
+def test_jaccard_histogram_buckets_candidates(spark):
+    base = ["w%d" % i for i in range(20)]
+    d = docs_df(
+        spark,
+        [
+            " ".join(base),
+            " ".join(base),  # identical pair -> jaccard 1.0 -> bucket 10
+            "totally different words here now yes",
+        ],
+    )
+    hist = {r["bucket"]: r["n_pairs"] for r in dedup.jaccard_histogram(d).collect()}
+    assert hist.get(10, 0) >= 1
+    # histogram total equals the unthresholded candidate_jaccard rows
+    assert sum(hist.values()) == dedup.candidate_jaccard(d).count()

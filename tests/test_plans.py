@@ -224,3 +224,25 @@ def test_ivfpq_scans_bounded_and_broadcast(plans):
     assert "Broadcast" in plan
     for cols in _scan_columns(plan, "embeddings"):
         assert set(cols) <= {"vec_id", "embedding", "label"}
+
+
+def test_hourly_ewma_single_pass(plans):
+    """rel_hourly_ewma: no join anywhere (the fold is in-row over the
+    per-type array); events scan prunes to (event_type, ts)."""
+    plan = plans("rel_hourly_ewma")
+    assert "Join" not in plan
+    for cols in _scan_columns(plan, "events"):
+        assert set(cols) <= {"event_type", "ts"}
+
+
+def test_value_pareto_and_jaccard_histogram_shapes(plans):
+    """rel_value_pareto: single global window, no join; events scan
+    prunes to (user_id, event_type, value). dd_jaccard_histogram: no
+    cartesian (candidate-only verification)."""
+    plan = plans("rel_value_pareto")
+    assert "Join" not in plan
+    for cols in _scan_columns(plan, "events"):
+        assert set(cols) <= {"user_id", "event_type", "value"}
+    plan = plans("dd_jaccard_histogram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -48,8 +48,11 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_salted_revenue",
     "rel_hourly_anomalies",
     "rel_hourly_ewma",
+    "rel_value_pareto",
+    "dd_jaccard_histogram",
     # last attested r1/r2, before the round-3 testdata regeneration
-    "rel_nation_set_ops",
+    # (rel_nation_set_ops yielded its slot to never-attested additions;
+    # it stays covered by the full local gate on current testdata)
     "rel_acctbal_band_pairs",
     "rel_topk_per_brand",
     "rel_top_customers",

@@ -190,3 +190,33 @@ def test_hourly_ewma_hand_computed(spark):
     assert [r["n_events"] for r in out] == [4, 8, 2]
     # ewma_1 = 4; 0.25*8 + 0.75*4 = 5; 0.25*2 + 0.75*5 = 4.25
     assert [r["ewma"] for r in out] == [4.0, 5.0, 4.25]
+
+
+def test_value_pareto_hand_computed(spark):
+    from wikitrender_spark.plans.relational_queries import q_value_pareto
+    import wikitrender_spark.plans.relational_queries as R
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, 10, t0, "purchase", 6.0),
+        (2, 10, t0, "purchase", 4.0),  # user 10: 10.00
+        (3, 20, t0, "purchase", 30.0),  # user 20: 30.00
+        (4, 30, t0, "view", 99.0),  # not a purchase
+        (5, 30, t0, "purchase", 10.0),  # user 30: 10.00 (ties user 10)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    orig = R.load_table
+    try:
+        R.load_table = lambda *a: ev
+        out = {r["user_rank"]: r for r in q_value_pareto(spark, "x").collect()}
+    finally:
+        R.load_table = orig
+    assert out[1]["user_id"] == 20 and out[1]["cum_value"] == 30.0
+    # tie at 10.0 breaks by user_id asc
+    assert out[2]["user_id"] == 10 and out[2]["cum_value"] == 40.0
+    assert out[3]["user_id"] == 30 and out[3]["cum_value"] == 50.0
+    assert out[1]["cum_share"] == 0.6
+    assert out[3]["cum_share"] == 1.0

@@ -229,17 +229,41 @@ def near_duplicates(
     separately as ngram_jaccard_pairs). Same jaccard arithmetic as the
     oracle: |a∩b| / (|a|+|b|-|a∩b|), rounded to 6; zero-intersection
     pairs (incl. sentinel-signature empty docs) fall out as NULL/0."""
+    return candidate_jaccard(docs).filter(F.col("jaccard") >= threshold)
+
+
+def candidate_jaccard(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every LSH candidate pair with a
+    non-empty shingle intersection — the unthresholded verification
+    relation near_duplicates filters and jaccard_histogram buckets.
+    Zero-intersection candidates (incl. empty docs) are dropped, mirroring
+    the oracle's inverted-index intersection (which never emits them)."""
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         _candidates_with_shingle_sets(docs)
         .select(
             "doc_a",
             "doc_b",
+            n_inter.alias("n_inter"),
             F.round(
                 n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("n_inter") > 0)
+        .drop("n_inter")
+    )
+
+
+def jaccard_histogram(docs: DataFrame) -> DataFrame:
+    """Candidate-pair Jaccard histogram (bucket = floor(jaccard*10)):
+    the threshold-tuning relation for the near-dup pipeline — how many
+    pairs each cutoff would keep. Same candidate-only scale shape as
+    near_duplicates with an O(11)-row output."""
+    return (
+        candidate_jaccard(docs)
+        .select(F.floor(F.col("jaccard") * 10).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 

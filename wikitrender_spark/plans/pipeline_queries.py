@@ -2038,6 +2038,33 @@ adc AS (SELECT cd.query_id, cd.neighbor_id, cx.m, qs.dist
 {_PQ_RANK_TAIL}"""
 
 
+def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair Jaccard histogram; see
+    operators/dedup.jaccard_histogram."""
+    return dedup.jaccard_histogram(_docs(spark, sf_dir))
+
+
+JACCARD_HISTOGRAM_SQL = f"""
+WITH {_LSH_CTE},
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+sz AS (SELECT doc_id, length(sh) AS n_shingles FROM ds),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b,
+    round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id)
+SELECT CAST(floor(j.jaccard * 10) AS INT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+GROUP BY 1"""
+
+
 #: Dict order is load-bearing (driver gates the first 50 registered
 #: queries; see registry._load). tx_fingerprint and tx_langid —
 #: hash-green in r01+r02 — are rotated out via QUERIES_ROTATED
@@ -2065,6 +2092,7 @@ QUERIES = {
     "dd_embedding_neardup_exact": q_embedding_neardup_exact,
     "dd_substring_runs": q_substring_runs,
     "dd_containment": q_containment,
+    "dd_jaccard_histogram": q_jaccard_histogram,
     "tx_length_histogram": q_length_histogram,
     "ann_sq_topk": q_ann_sq,
     "ann_pq_topk": q_ann_pq,
@@ -2113,6 +2141,7 @@ ORACLES = {
     "dd_embedding_neardup_exact": EMBEDDING_NEARDUP_EXACT_SQL,
     "dd_substring_runs": SUBSTRING_RUNS_SQL,
     "dd_containment": CONTAINMENT_SQL,
+    "dd_jaccard_histogram": JACCARD_HISTOGRAM_SQL,
     "tx_length_histogram": LENGTH_HISTOGRAM_SQL,
     "ann_sq_topk": ANN_SQ_SQL,
     "ann_pq_topk": ANN_PQ_SQL,

@@ -85,8 +85,13 @@ GATE_WINDOW: list[str] = [
     "rel_salted_revenue",
     "rel_hourly_anomalies",
     "rel_hourly_ewma",
-    # (c) last attested before the round-3 testdata regeneration
-    "rel_nation_set_ops",
+    "rel_value_pareto",
+    "dd_jaccard_histogram",
+    # (c) last attested before the round-3 testdata regeneration.
+    # rel_nation_set_ops (r1+r2-green, trivial set-op, locally green on
+    # current testdata every round) yielded its slot to the late
+    # additions: with 35 never-attested rows this round, not every
+    # stale row fits — never-attested outranks stale re-attestation.
     "rel_acctbal_band_pairs",
     "rel_topk_per_brand",
     "rel_top_customers",
@@ -111,7 +116,8 @@ GATE_WINDOW: list[str] = [
     # rel_interval_coverage/rel_event_funnel entered — never-attested
     # rows outrank re-attestation)
     # dd_decontaminate (r03-green) rotated out for ann_ivfpq_topk
-    "tx_clean_corpus",
+    # tx_clean_corpus and rel_recursive_months slots: tx_clean_corpus
+    # (r03-green) rotated out for rel_value_pareto/dd_jaccard_histogram
     # ann_ivf_topk (r03-green) rotated out for rel_hourly_ewma
     # mm_media_features (r03-green) rotated out for rel_hourly_anomalies
     # (never-attested rows outrank re-attestation)

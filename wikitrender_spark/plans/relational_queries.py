@@ -1277,6 +1277,83 @@ SELECT event_type,
 FROM ew"""
 
 
+# --- Lorenz / Pareto concentration report ------------------------------------
+def q_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-value concentration (Lorenz curve rows): users ranked by
+    total purchase value desc, with the running cumulative value and
+    cumulative share — the 'what fraction of revenue do the top-k users
+    carry' report. Portability: per-user totals are parallel double
+    sums rounded to 2 (module convention); the running accumulation is
+    then done in integer CENTS under a pinned total order — a double
+    window cumsum is not engine-portable at this partition size
+    (DuckDB associates large cumulative frames as a segment tree, not
+    a left fold), integers are; the share is one division rounded to 6.
+
+    Scale shape: one user aggregate, then ONE unpartitioned window over
+    the O(users) totals relation — deliberately single-partition, the
+    same documented tiny-relation trade as tx_mix_weights' totals (the
+    Lorenz curve is inherently a global ranking)."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("user_value"))
+    )
+    # accumulate in integer CENTS: a double running sum is NOT portable
+    # here — DuckDB evaluates large cumulative window sums with a
+    # segment tree (balanced association), not a left fold, so rounded
+    # doubles drift at the ULP. Integer cents make cum and share exact.
+    cents = totals.select(
+        "user_id",
+        "user_value",
+        F.round(F.col("user_value") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    w = Window.orderBy(F.desc("user_value"), F.asc("user_id"))
+    ranked = cents.select(
+        "user_id",
+        "user_value",
+        F.row_number().over(w).alias("user_rank"),
+        F.sum("_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cum_cents"),
+    )
+    total = F.last("_cum_cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ranked.select(
+        "user_id",
+        "user_value",
+        "user_rank",
+        (F.col("_cum_cents") / 100.0).alias("cum_value"),
+        F.round(F.col("_cum_cents") / total, 6).alias("cum_share"),
+    )
+
+
+VALUE_PARETO_SQL = """
+WITH totals AS (
+  SELECT user_id, round(sum(value), 2) AS user_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+cents AS (
+  SELECT user_id, user_value,
+    CAST(round(user_value * 100) AS BIGINT) AS c
+  FROM totals),
+ranked AS (
+  SELECT user_id, user_value,
+    CAST(row_number() OVER w AS INT) AS user_rank,
+    CAST(sum(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS cum_cents
+  FROM cents
+  WINDOW w AS (ORDER BY user_value DESC, user_id ASC))
+SELECT user_id, user_value, user_rank,
+  cum_cents / 100.0 AS cum_value,
+  round(cum_cents * 1.0 / last_value(cum_cents) OVER (
+    ORDER BY user_rank ROWS BETWEEN UNBOUNDED PRECEDING
+    AND UNBOUNDED FOLLOWING), 6) AS cum_share
+FROM ranked"""
+
+
 QUERIES = {
     # NOTE: gating is governed solely by registry.GATE_WINDOW (which
     # reorders registration); dict position here does NOT decide what
@@ -1302,6 +1379,7 @@ QUERIES = {
     "rel_salted_revenue": q_salted_revenue,
     "rel_hourly_anomalies": q_hourly_anomalies,
     "rel_hourly_ewma": q_hourly_ewma,
+    "rel_value_pareto": q_value_pareto,
     # --- rotated out of the gate (hash-green r01 + r02) ---
     "rel_nation_set_ops": q_nation_set_ops,
     "rel_acctbal_band_pairs": q_acctbal_band_pairs,
@@ -1356,5 +1434,6 @@ ORACLES = {
     "rel_salted_revenue": SALTED_REVENUE_SQL,
     "rel_hourly_anomalies": HOURLY_ANOMALIES_SQL,
     "rel_hourly_ewma": HOURLY_EWMA_SQL,
+    "rel_value_pareto": VALUE_PARETO_SQL,
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
 }
