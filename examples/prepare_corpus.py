@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from wikitrender_spark.functions import text as T
 from wikitrender_spark.operators import ann, dedup
 from wikitrender_spark.plans.pipeline_queries import (
+    q_length_histogram,
     PACK_TOKEN_BUDGET,
     q_clean_corpus,
     q_filter_funnel,
@@ -135,9 +136,7 @@ def main() -> None:
     print(f"semantic dedup: {n_dropped} vectors dropped within cells")
 
     # 8. substring-run dedup report (ExactSubstr complement to MinHash)
-    from wikitrender_spark.operators.dedup import substring_run_stats
-
-    runs = substring_run_stats(load_table(spark, sf_dir, "documents"))
+    runs = dedup.substring_run_stats(docs)
     n_run_dup = runs.filter(F.col("n_dup_runs") > 0).count()
     print(f"substring runs: {n_run_dup} docs share an 8-token run")
 
@@ -147,8 +146,6 @@ def main() -> None:
     print(f"pq retrieval: {pq.count()} (query, neighbor) rows at k=3")
 
     # 10. length histogram (the packing-budget planning report)
-    from wikitrender_spark.plans.pipeline_queries import q_length_histogram
-
     hist = q_length_histogram(spark, sf_dir).orderBy("bucket_lo")
     buckets = ", ".join(
         f"{r['bucket_lo']}:{r['n_docs']}" for r in hist.collect()

@@ -890,6 +890,32 @@ def _adc_distance() -> "F.Column":
     return F.round(approx, 6)
 
 
+def _adc_rank_and_rescore(
+    cand: DataFrame, emb: DataFrame, query_ids: list[int], k: int
+) -> DataFrame:
+    """Shared ADC tail for pq_topk / ivf_pq_topk: given candidate rows
+    carrying (query_id, vec_id, codes, tab), rank by the ADC distance
+    (ascending, neighbor-id tiebreak), keep k, rescore exactly."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    top = (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_distance().alias("approx_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return _exact_rescore(
+        top.select("query_id", "neighbor_id", "rank", "approx_dist"),
+        emb,
+        query_ids,
+    )
+
+
 def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes with exact
     rescoring: each query precomputes its (subspace, cell) -> squared-L2
@@ -911,24 +937,8 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     cents = ivf_centroids(emb).localCheckpoint()
     codes = pq_codes(emb, cents)
     qtab = _pq_query_tables(emb, query_ids, cents)
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_dist"), F.asc("neighbor_id")
-    )
-    top = (
-        codes.crossJoin(F.broadcast(qtab))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _adc_distance().alias("approx_dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-    return _exact_rescore(
-        top.select("query_id", "neighbor_id", "rank", "approx_dist"),
-        emb,
-        query_ids,
+    return _adc_rank_and_rescore(
+        codes.crossJoin(F.broadcast(qtab)), emb, query_ids, k
     )
 
 
@@ -959,24 +969,7 @@ def ivf_pq_topk(
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
     qtab = _pq_query_tables(emb, query_ids, cents)
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_dist"), F.asc("neighbor_id")
+    cand = F.broadcast(probes).join(index, "cell").join(
+        F.broadcast(qtab), "query_id"
     )
-    top = (
-        F.broadcast(probes)
-        .join(index, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(qtab), "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _adc_distance().alias("approx_dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-    return _exact_rescore(
-        top.select("query_id", "neighbor_id", "rank", "approx_dist"),
-        emb,
-        query_ids,
-    )
+    return _adc_rank_and_rescore(cand, emb, query_ids, k)

@@ -789,13 +789,7 @@ WITH {_LSH_CTE}
 SELECT doc_a, doc_b FROM cands"""
 
 
-def q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.near_duplicates(_docs(spark, sf_dir))
-
-
-NEAR_DUPS_SQL = f"""
-WITH {_LSH_CTE},
-ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+_JACCARD_VERIFY_CTES = """ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
 ex AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
 sz AS (SELECT doc_id, length(sh) AS n_shingles FROM ds),
 inter AS (
@@ -807,7 +801,16 @@ jac AS (
     round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
   FROM inter
   JOIN sz sa ON doc_a = sa.doc_id
-  JOIN sz sb ON doc_b = sb.doc_id)
+  JOIN sz sb ON doc_b = sb.doc_id)"""
+
+
+def q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_duplicates(_docs(spark, sf_dir))
+
+
+NEAR_DUPS_SQL = f"""
+WITH {_LSH_CTE},
+{_JACCARD_VERIFY_CTES}
 SELECT c.doc_a, c.doc_b, j.jaccard
 FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= {dedup.NEAR_DUP_THRESHOLD}"""
@@ -2046,19 +2049,7 @@ def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_HISTOGRAM_SQL = f"""
 WITH {_LSH_CTE},
-ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
-sz AS (SELECT doc_id, length(sh) AS n_shingles FROM ds),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-jac AS (
-  SELECT doc_a, doc_b,
-    round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
-  FROM inter
-  JOIN sz sa ON doc_a = sa.doc_id
-  JOIN sz sb ON doc_b = sb.doc_id)
+{_JACCARD_VERIFY_CTES}
 SELECT CAST(floor(j.jaccard * 10) AS INT) AS bucket,
   CAST(count(*) AS BIGINT) AS n_pairs
 FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b

@@ -1241,9 +1241,7 @@ def hourly_ewma(ev: DataFrame) -> DataFrame:
     return (
         per_type.select(
             "event_type",
-            F.posexplode(F.arrays_zip(F.col("seq"), ewmas.alias("e"))).alias(
-                "i", "z"
-            ),
+            F.explode(F.arrays_zip(F.col("seq"), ewmas.alias("e"))).alias("z"),
         )
         .select(
             "event_type",
@@ -1254,7 +1252,7 @@ def hourly_ewma(ev: DataFrame) -> DataFrame:
     )
 
 
-HOURLY_EWMA_SQL = """
+HOURLY_EWMA_SQL = f"""
 WITH cells AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
     CAST(count(*) AS BIGINT) AS n_events
@@ -1268,7 +1266,8 @@ pt AS (
 ew AS (
   SELECT event_type, hours, ns,
     list_transform(range(1, length(xs) + 1), t ->
-      list_reduce(list_slice(xs, 1, t), (a, b) -> 0.25*b + 0.75*a)) AS es
+      list_reduce(list_slice(xs, 1, t),
+                  (a, b) -> {EWMA_ALPHA}*b + {1 - EWMA_ALPHA}*a)) AS es
   FROM pt)
 SELECT event_type,
   unnest(hours) AS hour,
