@@ -1221,3 +1221,39 @@ def test_jaccard_histogram_buckets_candidates(spark):
     assert hist.get(10, 0) >= 1
     # histogram total equals the unthresholded candidate_jaccard rows
     assert sum(hist.values()) == dedup.candidate_jaccard(d).count()
+
+
+def test_substring_scrub_keeper_retains_copy(spark):
+    # doc0 and doc1 share the run "a..h"; doc0 (smaller id) is keeper
+    # and keeps everything; doc1 loses exactly the 8 covered tokens;
+    # doc3's WITHIN-doc repeat is untouched
+    d = docs_df(
+        spark,
+        [
+            "a b c d e f g h x y",
+            "a b c d e f g h q r",
+            "z z z",
+            "p q r s t u v w p q r s t u v w",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dedup.substring_scrub(d).collect()}
+    assert rows[0]["n_removed"] == 0
+    assert rows[0]["text_scrubbed"] == "a b c d e f g h x y"
+    assert rows[1]["n_removed"] == 8
+    assert rows[1]["text_scrubbed"] == "q r"
+    assert rows[2]["n_removed"] == 0
+    assert rows[3]["n_removed"] == 0
+    assert rows[3]["text_scrubbed"].startswith("p q r s t u v w")
+
+
+def test_substring_scrub_full_removal_is_empty_string(spark):
+    d = docs_df(
+        spark,
+        [
+            "a b c d e f g h",
+            "a b c d e f g h",  # fully covered, not keeper -> ""
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dedup.substring_scrub(d).collect()}
+    assert rows[0]["text_scrubbed"] == "a b c d e f g h"
+    assert (rows[1]["n_removed"], rows[1]["text_scrubbed"]) == (8, "")

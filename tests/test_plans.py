@@ -246,3 +246,13 @@ def test_value_pareto_and_jaccard_histogram_shapes(plans):
     plan = plans("dd_jaccard_histogram")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_scrub_no_pairwise_join(plans):
+    """tx_substring_scrub: same inverted-index shape as the stats op —
+    no cartesian/nested-loop join; documents scan pruned."""
+    plan = plans("tx_substring_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text"}

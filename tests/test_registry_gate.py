@@ -50,6 +50,7 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_hourly_ewma",
     "rel_value_pareto",
     "dd_jaccard_histogram",
+    "tx_substring_scrub",
     # last attested r1/r2, before the round-3 testdata regeneration
     # (rel_nation_set_ops yielded its slot to never-attested additions;
     # it stays covered by the full local gate on current testdata)
@@ -63,7 +64,7 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_signup_burst",
     "rel_small_quantity_revenue",
     "rel_rolling_revenue_window",
-    "rel_nation_presence",
+    # rel_nation_presence also yielded its slot (see registry comment)
     "rel_unpivot_presence",
     "dd_exact_groups",
     "tx_quality",

@@ -651,3 +651,75 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_inter") > 0)
     )
+
+
+def substring_scrub(docs: DataFrame, run_len: int = RUN_LEN) -> DataFrame:
+    """ExactSubstr REMOVAL (the action to substring_run_stats' report,
+    after Lee et al. 2022): every token position covered by a
+    cross-document duplicated run is removed, except in the run's
+    KEEPER document (the smallest doc_id containing the run), which
+    retains all its occurrences. Within-document repeats are not
+    duplication (consistent with the stats operator).
+
+    Output: (doc_id, n_tokens, n_removed, text_scrubbed) — the scrubbed
+    text is the kept tokens joined by single spaces (whitespace is
+    normalized; the tokenizer already erased the original runs of it).
+
+    Scale shape: the same run-hash inverted index as the stats op (one
+    hash-agg derives keeper + duplication per run key, an equi-join
+    returns removal starts to their docs), then per-row array surgery —
+    coverage is evaluated against the doc's own removal-start list, so
+    nothing pairwise ever materializes."""
+    toks = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    ths = doc_token_hashes(docs)
+    n = F.size(F.col("ths"))
+    runs = F.when(n < run_len, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (run_len - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("ths"), i, run_len),
+                F.lit(0).cast("long"),
+                lambda h, c: (h * T.HASH_MULT + c) % T.HASH_MOD,
+            ),
+        )
+    )
+    pos = ths.select("doc_id", F.posexplode(runs).alias("i", "run"))
+    dup = (
+        pos.groupBy("run")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("run", "keeper")
+    )
+    rem = (
+        pos.join(dup, "run")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("i")).alias("rem_starts"))
+    )
+    joined = toks.join(rem, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("rem_starts"), F.array().cast("array<int>")).alias(
+            "rem_starts"
+        ),
+    )
+    # posexplode's `i` and filter's positional lambda arg are BOTH
+    # 0-based: run starting at index i covers tokens [i, i + run_len - 1]
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, p: ~F.exists(
+            F.col("rem_starts"),
+            lambda i: (i <= p) & (p <= i + (run_len - 1)),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_scrubbed"),
+    )

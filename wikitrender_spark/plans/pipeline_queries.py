@@ -2056,6 +2056,41 @@ FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 GROUP BY 1"""
 
 
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (keeper doc retains its copy); see
+    operators/dedup.substring_scrub."""
+    return dedup.substring_scrub(_docs(spark, sf_dir))
+
+
+SUBSTRING_SCRUB_SQL = f"""
+WITH {_TOK_HASH_CTE},
+rn AS (SELECT doc_id, CASE WHEN length(th) < {dedup.RUN_LEN} THEN [] ELSE
+         list_transform(range(1, length(th)-{dedup.RUN_LEN - 2}), i ->
+           {{'s': i, 'r': list_reduce(list_prepend(0, list_slice(th, i, i+{dedup.RUN_LEN - 1})),
+                       (h, c) -> (h*31 + c) % 1000003)}}) END AS runs
+       FROM th),
+pos AS (SELECT doc_id, u.s AS s, u.r AS r
+        FROM (SELECT doc_id, unnest(runs) AS u FROM rn)),
+dup AS (SELECT r, min(doc_id) AS keeper FROM pos
+        GROUP BY r HAVING count(DISTINCT doc_id) >= 2),
+rem AS (SELECT p.doc_id, list_sort(list(DISTINCT p.s)) AS rem_starts
+        FROM pos p JOIN dup d ON p.r = d.r
+        WHERE p.doc_id <> d.keeper GROUP BY 1),
+base AS (SELECT t.doc_id, t.toks, coalesce(rem.rem_starts, []) AS rem_starts
+         FROM tk t LEFT JOIN rem ON t.doc_id = rem.doc_id),
+kp AS (SELECT doc_id, toks,
+         list_filter(toks, (x, i) ->
+           len(list_filter(rem_starts,
+               s -> s <= i AND i <= s + {dedup.RUN_LEN - 1})) = 0) AS kept
+       FROM base)
+SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+  CAST(length(toks) - length(kept) AS BIGINT) AS n_removed,
+  -- a fully-scrubbed doc is the EMPTY STRING (Spark array_join
+  -- semantics); DuckDB's array_to_string([]) is NULL, so pin it
+  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed
+FROM kp"""
+
+
 #: Dict order is load-bearing (driver gates the first 50 registered
 #: queries; see registry._load). tx_fingerprint and tx_langid —
 #: hash-green in r01+r02 — are rotated out via QUERIES_ROTATED
@@ -2084,6 +2119,7 @@ QUERIES = {
     "dd_substring_runs": q_substring_runs,
     "dd_containment": q_containment,
     "dd_jaccard_histogram": q_jaccard_histogram,
+    "tx_substring_scrub": q_substring_scrub,
     "tx_length_histogram": q_length_histogram,
     "ann_sq_topk": q_ann_sq,
     "ann_pq_topk": q_ann_pq,
@@ -2133,6 +2169,7 @@ ORACLES = {
     "dd_substring_runs": SUBSTRING_RUNS_SQL,
     "dd_containment": CONTAINMENT_SQL,
     "dd_jaccard_histogram": JACCARD_HISTOGRAM_SQL,
+    "tx_substring_scrub": SUBSTRING_SCRUB_SQL,
     "tx_length_histogram": LENGTH_HISTOGRAM_SQL,
     "ann_sq_topk": ANN_SQ_SQL,
     "ann_pq_topk": ANN_PQ_SQL,

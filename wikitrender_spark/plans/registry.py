@@ -87,11 +87,13 @@ GATE_WINDOW: list[str] = [
     "rel_hourly_ewma",
     "rel_value_pareto",
     "dd_jaccard_histogram",
+    "tx_substring_scrub",
     # (c) last attested before the round-3 testdata regeneration.
-    # rel_nation_set_ops (r1+r2-green, trivial set-op, locally green on
-    # current testdata every round) yielded its slot to the late
-    # additions: with 35 never-attested rows this round, not every
-    # stale row fits — never-attested outranks stale re-attestation.
+    # rel_nation_set_ops and rel_nation_presence (r1+r2-green, trivial
+    # set-op/agg rows, locally green on current testdata every round)
+    # yielded their slots to the late additions: with 36 never-attested
+    # rows this round, not every stale row fits — never-attested
+    # outranks stale re-attestation.
     "rel_acctbal_band_pairs",
     "rel_topk_per_brand",
     "rel_top_customers",
@@ -102,7 +104,6 @@ GATE_WINDOW: list[str] = [
     "rel_signup_burst",
     "rel_small_quantity_revenue",
     "rel_rolling_revenue_window",
-    "rel_nation_presence",
     "rel_unpivot_presence",
     "dd_exact_groups",
     "tx_quality",
