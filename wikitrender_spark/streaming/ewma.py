@@ -1,0 +1,112 @@
+"""Streaming EWMA over hourly event counts — the incremental form of
+plans/relational_queries.hourly_ewma (same recurrence, same dyadic
+alpha), keyed by event_type through ``applyInPandasWithState``.
+
+Spark disallows an arbitrary-stateful stage AFTER a streaming window
+aggregation, so the hour bucketing and the event-time finalization both
+live inside the one keyed stateful stage: state carries the OPEN hour
+buckets plus the last finalized EWMA; when the per-key event-time
+high-water mark passes ``hour_end + DELAY`` the hour finalizes IN HOUR
+ORDER, threading the recurrence across micro-batches, and its row is
+emitted exactly once (append semantics). Rows older than an already
+finalized hour are dropped — the same late-data contract as a
+watermarked window aggregation with the same delay.
+
+Scale shape: state per key is O(open hours) — bounded by the delay, not
+by the stream length; finalized rows leave the store immediately. The
+shuffle is one exchange on event_type (or any coarser key the caller
+pre-aggregates to).
+
+Batch-stream equivalence (tests/test_streaming_ewma.py): on an ordered
+replay the emitted rows equal the batch hourly_ewma relation restricted
+to finalizable hours — proving the state genuinely carries the EWMA
+recurrence across micro-batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: must match relational_queries.EWMA_ALPHA (asserted in the test)
+ALPHA = 0.25
+#: event-time finalization delay (the watermark analogue)
+DELAY_US = 3_600_000_000
+HOUR_US = 3_600_000_000
+
+OUT_SCHEMA = "event_type string, hour timestamp, n_events long, ewma double"
+_STATE_SCHEMA = (
+    "open_hours array<long>, open_counts array<long>, "
+    "last_ewma double, has_ewma boolean, max_seen_us long, frontier_us long"
+)
+
+
+def _process(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        (open_hours, open_counts, last_ewma, has_ewma, max_seen,
+         frontier) = state.get
+        buckets = dict(zip(open_hours, open_counts))
+    else:
+        buckets, last_ewma, has_ewma, max_seen, frontier = {}, 0.0, False, 0, 0
+
+    for pdf in pdfs:
+        # hour_us / ts_us are computed JVM-side (unix_micros), so the
+        # processor never guesses the Arrow timestamp unit
+        if len(pdf):
+            max_seen = max(max_seen, int(pdf["ts_us"].max()))
+        for h, c in pdf["hour_us"].value_counts().items():
+            h = int(h)
+            if h < frontier:
+                continue  # late past the finalization frontier: dropped
+            buckets[h] = buckets.get(h, 0) + int(c)
+
+    out_rows = []
+    horizon = max_seen - DELAY_US
+    for h in sorted(buckets):
+        if h + HOUR_US > horizon:
+            break  # hours finalize strictly in order
+        c = buckets.pop(h)
+        frontier = h + HOUR_US
+        last_ewma = (
+            ALPHA * c + (1 - ALPHA) * last_ewma if has_ewma else float(c)
+        )
+        has_ewma = True
+        out_rows.append(
+            (etype, pd.Timestamp(h, unit="us"), c, last_ewma)
+        )
+
+    hs = sorted(buckets)
+    state.update(
+        (hs, [buckets[h] for h in hs], last_ewma, has_ewma, max_seen, frontier)
+    )
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["event_type", "hour", "n_events", "ewma"]
+        )
+
+
+def streaming_hourly_ewma(events: DataFrame) -> DataFrame:
+    """events (with `event_type`, `ts`) -> append stream of finalized
+    (event_type, hour, n_events, ewma) rows."""
+    return (
+        events.select(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _process,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
