@@ -1257,3 +1257,21 @@ def test_substring_scrub_full_removal_is_empty_string(spark):
     rows = {r["doc_id"]: r for r in dedup.substring_scrub(d).collect()}
     assert rows[0]["text_scrubbed"] == "a b c d e f g h"
     assert (rows[1]["n_removed"], rows[1]["text_scrubbed"]) == (8, "")
+
+
+def test_substring_runs_are_exact_not_hash_collisions(spark):
+    # two docs share NO 8-token run, but under the old mod-1e6 poly fold
+    # distinct runs could collide; with exact string keys, disjoint
+    # token streams can never count as duplicated
+    d = docs_df(
+        spark,
+        [
+            " ".join("a%d" % i for i in range(30)),
+            " ".join("b%d" % i for i in range(30)),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dedup.substring_run_stats(d).collect()}
+    assert rows[0]["n_dup_runs"] == 0
+    assert rows[1]["n_dup_runs"] == 0
+    scrub = {r["doc_id"]: r for r in dedup.substring_scrub(d).collect()}
+    assert scrub[0]["n_removed"] == 0 and scrub[1]["n_removed"] == 0

@@ -560,6 +560,28 @@ RUN_LEN = 8  # tokens per run; at this corpus' vocab (~35 words) a chance
 # 8-gram repeat has probability ~(1/35)^8 — duplicated runs are real reuse
 
 
+def _run_keys(toks, run_len: int):
+    """EXACT run keys: the run's 8 tokens joined by a single space
+    (tokens are whitespace-split, so the join is unambiguous). The key
+    is deliberately NOT a hash: the 31-poly mod-1e6 space saturates at
+    corpus scale (~270k run positions at sf0.1 against a 1e6 keyspace),
+    and a collision here is not a statistic — for the scrub it deletes
+    real text. Measured before the fix: 50.2% of sf0.1 tokens scrubbed
+    vs 4.7% true verbatim duplication. At 100 TB the equi-join key can
+    be a WIDE hash (128-bit) of this string; mod-1e6 folds stay
+    reserved for the set-sketch operators where collisions only
+    perturb estimates."""
+    n = F.size(toks)
+    return F.when(
+        n < run_len, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (run_len - 1)),
+            lambda i: F.array_join(F.slice(toks, i, run_len), " "),
+        )
+    )
+
+
 def substring_run_stats(docs: DataFrame, run_len: int = RUN_LEN) -> DataFrame:
     """ExactSubstr-style duplicated-run statistics — the substring-level
     complement of the set-level MinHash family (after Lee et al. 2022,
@@ -579,21 +601,10 @@ def substring_run_stats(docs: DataFrame, run_len: int = RUN_LEN) -> DataFrame:
     flag returns via an equi-join on the run key. Same inverted-index
     shape as the shingle index — no pairwise join anywhere, and a
     suffix array's O(corpus) memory never materializes on one node."""
-    ths = doc_token_hashes(docs)
-    n = F.size(F.col("ths"))
-    runs = F.when(
-        n < run_len, F.array().cast("array<long>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (run_len - 1)),
-            lambda i: F.aggregate(
-                F.slice(F.col("ths"), i, run_len),
-                F.lit(0).cast("long"),
-                lambda h, c: (h * T.HASH_MULT + c) % T.HASH_MOD,
-            ),
-        )
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    pos = toks.select(
+        "doc_id", F.explode(_run_keys(F.col("toks"), run_len)).alias("run")
     )
-    pos = ths.select("doc_id", F.explode(runs).alias("run"))
     dup = (
         pos.groupBy("run")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -673,19 +684,10 @@ def substring_scrub(docs: DataFrame, run_len: int = RUN_LEN) -> DataFrame:
     toks = docs.select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )
-    ths = doc_token_hashes(docs)
-    n = F.size(F.col("ths"))
-    runs = F.when(n < run_len, F.array().cast("array<long>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (run_len - 1)),
-            lambda i: F.aggregate(
-                F.slice(F.col("ths"), i, run_len),
-                F.lit(0).cast("long"),
-                lambda h, c: (h * T.HASH_MULT + c) % T.HASH_MOD,
-            ),
-        )
+    pos = toks.select(
+        "doc_id",
+        F.posexplode(_run_keys(F.col("toks"), run_len)).alias("i", "run"),
     )
-    pos = ths.select("doc_id", F.posexplode(runs).alias("i", "run"))
     dup = (
         pos.groupBy("run")
         .agg(

@@ -1840,14 +1840,24 @@ def q_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_run_stats(_docs(spark, sf_dir))
 
 
+#: EXACT run keys (the run's tokens space-joined) shared by the stats
+#: and scrub oracles — the 31-poly mod-1e6 fold saturates at corpus
+#: scale (measured pre-fix: 50.2% of sf0.1 tokens flagged vs 4.7% true
+#: verbatim duplication) and both engines would share the collision, so
+#: the gate could never see it.
+_RUN_KEYS_CTE = f"""rn AS (SELECT doc_id,
+         CASE WHEN length(toks) < {dedup.RUN_LEN} THEN [] ELSE
+           list_transform(range(1, length(toks)-{dedup.RUN_LEN - 2}), i ->
+             {{'s': i, 'r': array_to_string(
+                 list_slice(toks, i, i+{dedup.RUN_LEN - 1}), ' ')}})
+         END AS runs
+       FROM tk)"""
+
 SUBSTRING_RUNS_SQL = f"""
 WITH {_TOK_HASH_CTE},
-rn AS (SELECT doc_id, CASE WHEN length(th) < {dedup.RUN_LEN} THEN [] ELSE
-         list_transform(range(1, length(th)-{dedup.RUN_LEN - 2}), i ->
-           list_reduce(list_prepend(0, list_slice(th, i, i+{dedup.RUN_LEN - 1})),
-                       (h, c) -> (h*31 + c) % 1000003)) END AS runs
-       FROM th),
-pos AS (SELECT doc_id, unnest(runs) AS run FROM rn),
+{_RUN_KEYS_CTE},
+pos AS (SELECT doc_id, u.r AS run
+        FROM (SELECT doc_id, unnest(runs) AS u FROM rn)),
 dup AS (SELECT run FROM pos GROUP BY run HAVING count(DISTINCT doc_id) >= 2),
 pd AS (SELECT p.doc_id, count(*) AS n_runs,
          sum(CASE WHEN d.run IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
@@ -2064,11 +2074,7 @@ def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTRING_SCRUB_SQL = f"""
 WITH {_TOK_HASH_CTE},
-rn AS (SELECT doc_id, CASE WHEN length(th) < {dedup.RUN_LEN} THEN [] ELSE
-         list_transform(range(1, length(th)-{dedup.RUN_LEN - 2}), i ->
-           {{'s': i, 'r': list_reduce(list_prepend(0, list_slice(th, i, i+{dedup.RUN_LEN - 1})),
-                       (h, c) -> (h*31 + c) % 1000003)}}) END AS runs
-       FROM th),
+{_RUN_KEYS_CTE},
 pos AS (SELECT doc_id, u.s AS s, u.r AS r
         FROM (SELECT doc_id, unnest(runs) AS u FROM rn)),
 dup AS (SELECT r, min(doc_id) AS keeper FROM pos

@@ -9,8 +9,16 @@ buckets plus the last finalized EWMA; when the per-key event-time
 high-water mark passes ``hour_end + DELAY`` the hour finalizes IN HOUR
 ORDER, threading the recurrence across micro-batches, and its row is
 emitted exactly once (append semantics). Rows older than an already
-finalized hour are dropped — the same late-data contract as a
-watermarked window aggregation with the same delay.
+finalized hour are dropped.
+
+The frontier is deliberately per KEY, which is stricter than a global
+watermark in one way and weaker in another: a key never finalizes on
+other keys' progress (no cross-key reordering risk), but a key that
+goes QUIET keeps its open hours in state, unemitted, until it speaks
+again — unlike a global watermark, which closes every key's windows as
+any data advances it. Callers needing quiet-key flushing should add an
+EventTimeTimeout pass or per-key heartbeats; the equivalence test
+covers streams whose keys end together.
 
 Scale shape: state per key is O(open hours) — bounded by the delay, not
 by the stream length; finalized rows leave the store immediately. The
