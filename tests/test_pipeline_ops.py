@@ -1259,6 +1259,42 @@ def test_substring_scrub_full_removal_is_empty_string(spark):
     assert (rows[1]["n_removed"], rows[1]["text_scrubbed"]) == (8, "")
 
 
+def test_substring_scrub_interior_coverage_keeps_both_flanks(spark):
+    # the duplicated run sits in the MIDDLE of doc1: the gap fold must
+    # emit both the interior gap (before the removal) and the final gap
+    # (after coverage ends), preserving flank order
+    d = docs_df(
+        spark,
+        [
+            "a b c d e f g h",
+            "x1 x2 x3 x4 a b c d e f g h y1 y2 y3 y4",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dedup.substring_scrub(d).collect()}
+    assert rows[1]["n_removed"] == 8
+    assert rows[1]["text_scrubbed"] == "x1 x2 x3 x4 y1 y2 y3 y4"
+
+
+def test_substring_scrub_long_fully_duplicated_doc_is_linear(spark):
+    # perf regression guard (round-4 shape was O(n_tokens x n_starts)
+    # per row: an exists() over every removal start at every token
+    # position — a 20k-token fully-duplicated doc ran ~4e8 interpreted
+    # lambda steps). The gap-fold shape is O(n): this must finish fast.
+    import time as _time
+
+    n = 20_000
+    text = " ".join(f"t{i}" for i in range(n))
+    d = docs_df(spark, [text, text])
+    t0 = _time.perf_counter()
+    rows = {r["doc_id"]: r for r in dedup.substring_scrub(d).collect()}
+    elapsed = _time.perf_counter() - t0
+    assert rows[0]["n_removed"] == 0
+    assert (rows[1]["n_removed"], rows[1]["text_scrubbed"]) == (n, "")
+    # generous bound: linear shape runs this in a few seconds; the old
+    # quadratic shape took minutes
+    assert elapsed < 60, f"substring_scrub took {elapsed:.1f}s on a 20k-token doc"
+
+
 def test_substring_runs_are_exact_not_hash_collisions(spark):
     # two docs share NO 8-token run, but under the old mod-1e6 poly fold
     # distinct runs could collide; with exact string keys, disjoint

@@ -591,12 +591,15 @@ def substring_run_stats(docs: DataFrame, run_len: int = RUN_LEN) -> DataFrame:
 
     Per document: ``n_runs`` (number of ``run_len``-token positions),
     ``n_dup_runs`` (positions whose run also occurs in ANOTHER document),
-    ``dup_run_ratio`` = n_dup_runs / n_runs. A run's key is the pinned
-    31-polynomial fold over the stored per-token hashes, so the oracle
-    twin reproduces it with integer arithmetic.
+    ``dup_run_ratio`` = n_dup_runs / n_runs. A run's key is the EXACT
+    space-joined token string (see ``_run_keys`` — a small-mod hash
+    saturates at corpus scale and fabricates duplicates), so the oracle
+    twin reproduces it verbatim with string concatenation.
 
     Scale shape: positions explode to (doc_id, run_key) rows — O(total
-    tokens) rows of one BIGINT each, never document bytes; duplicated
+    tokens) rows of one run-sized string each (at 100 TB, a 128-bit
+    hash of the string keeps the shuffle narrow), never document bytes;
+    duplicated
     keys come from one hash-aggregate (count distinct docs >= 2); the
     flag returns via an equi-join on the run key. Same inverted-index
     shape as the shingle index — no pairwise join anywhere, and a
@@ -676,11 +679,18 @@ def substring_scrub(docs: DataFrame, run_len: int = RUN_LEN) -> DataFrame:
     text is the kept tokens joined by single spaces (whitespace is
     normalized; the tokenizer already erased the original runs of it).
 
-    Scale shape: the same run-hash inverted index as the stats op (one
+    Scale shape: the same run-key inverted index as the stats op (one
     hash-agg derives keeper + duplication per run key, an equi-join
     returns removal starts to their docs), then per-row array surgery —
     coverage is evaluated against the doc's own removal-start list, so
-    nothing pairwise ever materializes."""
+    nothing pairwise ever materializes. The per-row surgery is LINEAR
+    in the token count: one fold over the sorted removal starts merges
+    them into kept-gap intervals (each O(1) per start; a start at i
+    covers [i, i+run_len-1], so consecutive overlapping starts just
+    advance the coverage frontier), then the kept text is the
+    concatenation of one ``slice`` per gap. The previous shape — an
+    ``exists`` over all removal starts per token position — degraded to
+    O(n²) per row on a long fully-duplicated document."""
     toks = docs.select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )
@@ -710,14 +720,53 @@ def substring_scrub(docs: DataFrame, run_len: int = RUN_LEN) -> DataFrame:
             "rem_starts"
         ),
     )
-    # posexplode's `i` and filter's positional lambda arg are BOTH
-    # 0-based: run starting at index i covers tokens [i, i + run_len - 1]
-    kept = F.filter(
-        F.col("toks"),
-        lambda t, p: ~F.exists(
-            F.col("rem_starts"),
-            lambda i: (i <= p) & (p <= i + (run_len - 1)),
+    # posexplode's `i` is 0-based: a run starting at index i covers
+    # tokens [i, i + run_len - 1]. Fold the SORTED start list into the
+    # complementary kept-gap intervals — `ce` is the exclusive coverage
+    # frontier; a start beyond it opens a gap [ce, start-1]. Starts are
+    # strictly increasing, so each new start's coverage end (start +
+    # run_len) always advances the frontier: O(1) per start.
+    gap = "struct<s:int,e:int>"
+
+    def _merge(acc, i):
+        new_gaps = F.when(
+            i > acc["ce"],
+            F.concat(
+                acc["gaps"],
+                F.array(F.struct(acc["ce"].alias("s"), (i - 1).alias("e"))),
+            ),
+        ).otherwise(acc["gaps"])
+        return F.struct(
+            (i + F.lit(run_len)).cast("int").alias("ce"),
+            new_gaps.alias("gaps"),
+        )
+
+    def _finish(acc):
+        n = F.size("toks")
+        return F.when(
+            acc["ce"] < n,
+            F.concat(
+                acc["gaps"],
+                F.array(F.struct(acc["ce"].alias("s"), (n - 1).alias("e"))),
+            ),
+        ).otherwise(acc["gaps"])
+
+    gaps = F.aggregate(
+        F.col("rem_starts"),
+        F.struct(
+            F.lit(0).cast("int").alias("ce"),
+            F.array().cast(f"array<{gap}>").alias("gaps"),
         ),
+        _merge,
+        _finish,
+    )
+    # kept text: one slice per gap (slice is 1-based), concatenated in
+    # order — O(token count) total work, no per-position scans
+    kept = F.flatten(
+        F.transform(
+            gaps,
+            lambda g: F.slice(F.col("toks"), g["s"] + 1, g["e"] - g["s"] + 1),
+        )
     )
     return joined.select(
         "doc_id",
