@@ -147,3 +147,37 @@ def test_apply_safe_list_latest_command_wins(spark):
     )
     got = {r["id"]: r["safe"] for r in apply_safe_list(state, control).collect()}
     assert got == {"A": True, "B": False, "C": False}
+
+
+def test_purge_with_safe_list_clause_matrix(spark):
+    # A7 through P2 (the wt_purge_safe_list query path): safe pages dodge
+    # the speed/inactivity clause but NOT the max-lifespan override
+    import datetime as dt
+
+    from wikitrender_spark.operators.lifecycle import apply_safe_list
+    from wikitrender_spark.operators.topk import purge_survivors
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # (id, age_min, last_updated_min, edits_per_minute)
+    state = spark.createDataFrame(
+        [
+            ("slow_unsafe", 100.0, 10.0, 0.1),   # epm < min_speed -> purged
+            ("slow_safe", 100.0, 10.0, 0.1),     # same metrics, safe -> kept
+            ("old_safe", 5000.0, 10.0, 9.0),     # age > max_lifespan -> purged even safe
+            ("active", 100.0, 10.0, 9.0),        # healthy -> kept
+            ("young", 2.0, 1.0, 0.0),            # age < min_purge_time -> kept
+        ],
+        "id string, age_min double, last_updated_min double, edits_per_minute double",
+    )
+    control = spark.createDataFrame(
+        [("slow_safe", "markSafe", t0, 1), ("old_safe", "markSafe", t0, 1)],
+        "id string, command string, ts timestamp, seq long",
+    )
+    surv = purge_survivors(
+        apply_safe_list(state, control),
+        max_lifespan=1440.0, max_inactivity=60.0, min_speed=3.0,
+        min_purge_time=5.0, safe_col="safe",
+    )
+    assert sorted(r["id"] for r in surv.collect()) == [
+        "active", "slow_safe", "young"
+    ]

@@ -146,3 +146,47 @@ def test_project_filter(spark):
         )
     )
     assert kept.count() == 1
+
+
+# --- D3 variant flags (/root/reference/index.js:80-88) ----------------------
+
+def _epm_row(spark, edits, reverts, anons, age_min):
+    from wikitrender_spark.functions import metrics
+
+    df = spark.createDataFrame(
+        [(edits, reverts, anons, age_min)],
+        "edits long, reverts long, anonEdits long, age_min double",
+    )
+    combos = {
+        "d": (False, False), "r": (True, False),
+        "a": (False, True), "ra": (True, True),
+    }
+    row = df.select(
+        *[
+            metrics.edits_per_minute(
+                F.col("edits"), F.col("reverts"), F.col("anonEdits"),
+                F.col("age_min"), ir, ia,
+            ).alias(k)
+            for k, (ir, ia) in combos.items()
+        ]
+    ).collect()[0]
+    return row
+
+
+def test_epm_variant_flags_add_into_numerator(spark):
+    row = _epm_row(spark, edits=4, reverts=2, anons=1, age_min=2.0)
+    assert (row["d"], row["r"], row["a"], row["ra"]) == (2.0, 3.0, 2.5, 3.5)
+
+
+def test_epm_variant_age_guard_returns_variant_count(spark):
+    # age < 1 minute: the reference returns the raw count — the VARIANT's
+    # count, including the flagged-in reverts/anons
+    row = _epm_row(spark, edits=4, reverts=2, anons=1, age_min=0.5)
+    assert (row["d"], row["r"], row["a"], row["ra"]) == (4.0, 6.0, 5.0, 7.0)
+
+
+def test_epm_variant_zero_count_guard_is_per_variant(spark):
+    # edits=0 but anons>0: the default short-circuits on count==0, the
+    # include_anons variant divides
+    row = _epm_row(spark, edits=0, reverts=0, anons=3, age_min=2.0)
+    assert (row["d"], row["r"], row["a"], row["ra"]) == (0.0, 0.0, 1.5, 1.5)

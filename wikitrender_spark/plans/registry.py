@@ -43,100 +43,74 @@ _loaded = False
 #: order. tests/test_registry_gate.py pins the composition — editing a
 #: QUERIES dict can no longer silently change what the driver attests.
 #:
-#: Round-4 composition policy (rotate coverage IN, never protect a red
-#: row): (a) tx_pack — red in r03 (HUGEINT oracle dtype), fixed this
-#: round, must re-gate; (b) the round-4 additions, never attested;
-#: (c) the 18 rows whose last driver attestation predates the round-3
-#: testdata regeneration (events.ts vintage change) — r1/r2 evidence is
-#: stale; (d) rows first gated in r03, kept for a second attestation;
-#: (e) remaining slots filled with twice-green rows. Rotated OUT (all
-#: green in r03 on CURRENT testdata, most multi-round green): the 14
-#: wt_* rows and 7 rel_* rows.
+#: Round-5 composition policy (CORRECTNESS_r04.json attested all 50
+#: round-4 window rows green, so the whole window rotates): (a) the
+#: round-5 additions, never attested; (b) rows whose CODE changed this
+#: round after their last attestation (tx_substring_scrub's coverage
+#: surgery was rewritten; duplicate_clusters' propagation loop was
+#:  restructured, feeding tx_dedup_lineage / tx_clean_corpus /
+#: dd_dup_clusters) — a green r04 row for old code is not evidence for
+#: new code; (c) the two r02-stale rows (pre-testdata-regeneration
+#: evidence); (d) the remaining slots take the 51-row r03 cohort —
+#: every wt_* reference-parity row re-gates. Left for the r06 window
+#: (r03-green, multi-round-green, stable code): rel_scalar_functions,
+#: rel_pivot_status, rel_json_props, rel_approx_segments,
+#: rel_grouping_sets.
 GATE_WINDOW: list[str] = [
-    # (a) fixed red row + (b) round-4 additions
-    "tx_pack",
-    "tx_pack_split",
-    "tx_pack_sharded",
-    "tx_dedup_lineage",
-    "tx_mix_weights",
-    "dd_embedding_neardup_exact",
-    "dd_minhash_est",
-    "tx_rarity",
-    "tx_tfidf_terms",
-    "tx_boilerplate",
-    "dd_semantic_dedup",
-    "ann_kmeans_refine",
-    "tx_filter_funnel",
-    "tx_mix_sample",
-    "ann_range_search",
-    "mm_pgm_features",
-    "mm_wav_features",
-    "mm_y4m_frames",
-    "tx_bpe_merges",
-    "dd_substring_runs",
-    "dd_containment",
-    "tx_length_histogram",
-    "ann_sq_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "rel_window_rank_suite",
-    "rel_interval_coverage",
-    "rel_event_funnel",
-    "rel_salted_revenue",
-    "rel_hourly_anomalies",
-    "rel_hourly_ewma",
-    "rel_value_pareto",
-    "dd_jaccard_histogram",
+    # (a) round-5 additions, never attested
+    "wt_epm_variants",
+    "wt_purge_safe_list",
+    # (b) code changed after last attestation — must re-gate
     "tx_substring_scrub",
-    # (c) last attested before the round-3 testdata regeneration.
-    # rel_nation_set_ops and rel_nation_presence (r1+r2-green, trivial
-    # set-op/agg rows, locally green on current testdata every round)
-    # yielded their slots to the late additions: with 36 never-attested
-    # rows this round, not every stale row fits — never-attested
-    # outranks stale re-attestation.
-    "rel_acctbal_band_pairs",
-    "rel_topk_per_brand",
-    "rel_top_customers",
-    "rel_regional_revenue",
-    "rel_running_revenue",
-    "rel_rollup_orders",
-    "rel_cube_summary",
-    "rel_signup_burst",
-    "rel_small_quantity_revenue",
-    "rel_rolling_revenue_window",
-    "rel_unpivot_presence",
-    "dd_exact_groups",
-    "tx_quality",
-    "tx_fingerprint",
-    "tx_langid",
-    "dd_simhash",
-    # (d) first gated in r03 — second attestation (7 of the original 13
-    # rotated out, all r03-green on current testdata, as the late
-    # round-4 additions dd_substring_runs/dd_containment/
-    # tx_length_histogram/ann_sq_topk/rel_window_rank_suite/
-    # rel_interval_coverage/rel_event_funnel entered — never-attested
-    # rows outrank re-attestation)
-    # dd_decontaminate (r03-green) rotated out for ann_ivfpq_topk
-    # tx_clean_corpus and rel_recursive_months slots: tx_clean_corpus
-    # (r03-green) rotated out for rel_value_pareto/dd_jaccard_histogram
-    # ann_ivf_topk (r03-green) rotated out for rel_hourly_ewma
-    # mm_media_features (r03-green) rotated out for rel_hourly_anomalies
-    # (never-attested rows outrank re-attestation)
-    # mm_frame_sample (r03-green) rotated out for rel_salted_revenue;
-    # rel_recursive_months (r03-green) rotated out for ann_pq_topk
-    # rel_order_gaps and rel_lateral_topk (r03-green, second-attestation
-    # tier) rotated out for mm_y4m_frames and tx_bpe_merges —
-    # never-attested rows outrank re-attestation
-    # (e) twice-green fill (8 more rotated out as the late round-4
-    # additions tx_rarity/tx_tfidf_terms/tx_boilerplate/dd_semantic_dedup/
-    # ann_kmeans_refine/tx_filter_funnel/tx_mix_sample/ann_range_search
-    # entered: dd_lsh_candidates, dd_near_duplicates, dd_dup_clusters,
-    # dd_editdist_pairs, rel_asof_last_signup,
-    # rel_suppliers_with_shipments, rel_grouping_sets, tx_token_stats —
-    # all r03-green on current testdata; dd_minhash_signatures and
-    # dd_embedding_neardup rotated out for mm_pgm_features and
-    # mm_wav_features — every slot now holds a new or stale-attested
-    # row, the maximally-honest composition)
+    "tx_dedup_lineage",
+    "tx_clean_corpus",
+    "dd_dup_clusters",
+    # (c) r02-stale (pre-regeneration evidence)
+    "rel_nation_set_ops",
+    "rel_nation_presence",
+    # (d) the r03 cohort: 14 wt_* reference-parity rows first
+    "wt_page_state",
+    "wt_most_edited",
+    "wt_biggest_movers",
+    "wt_most_vibrant",
+    "wt_top_pages_per_wiki",
+    "wt_purge_survivors",
+    "wt_classify_counts",
+    "wt_windowed_activity",
+    "wt_session_activity",
+    "wt_delete_targets",
+    "wt_protect_followups",
+    "wt_page_state_lifecycle",
+    "wt_lifecycle_replay",
+    "wt_stream_replay",
+    "tx_token_stats",
+    "tx_repetition",
+    "tx_vocab",
+    "tx_split",
+    "dd_minhash_signatures",
+    "dd_ngram_jaccard",
+    "dd_lsh_candidates",
+    "dd_near_duplicates",
+    "dd_embedding_neardup",
+    "dd_decontaminate",
+    "dd_editdist_pairs",
+    "tx_chunks",
+    "ann_bruteforce_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "mm_media_features",
+    "mm_frame_sample",
+    "rel_pricing_summary",
+    "rel_asof_last_signup",
+    "rel_customers_without_orders",
+    "rel_suppliers_with_shipments",
+    "rel_order_gaps",
+    "rel_recursive_months",
+    "rel_lateral_topk",
+    "rel_percentiles",
+    "rel_approx_percentiles",
+    "rel_corr_subquery",
 ]
 
 GATE_SIZE = 50

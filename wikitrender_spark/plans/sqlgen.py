@@ -190,6 +190,66 @@ WHERE NOT (
 )"""
 
 
+def _epm_variant_sql(count_expr: str) -> str:
+    """One D3 variant: the guard tests the VARIANT's own count (the
+    reference adds the flags into `count` before the age check,
+    /root/reference/index.js:80-88), mirroring
+    functions/metrics.edits_per_minute."""
+    c = f"CAST({count_expr} AS DOUBLE)"
+    return f"CASE WHEN age_min < 1.0 OR {c} = 0.0 THEN {c} ELSE {c} / age_min END"
+
+
+def epm_variants_oracle() -> str:
+    """D3 flag matrix: editsPerMinute with every (includeReverts,
+    includeAnons) combination side by side — pins the variant arithmetic
+    the default-flag queries never exercise."""
+    return f"""WITH {metrics_cte()}
+SELECT id, edits, reverts, anonEdits,
+  edits_per_minute AS epm_default,
+  {_epm_variant_sql("edits + reverts")} AS epm_reverts,
+  {_epm_variant_sql("edits + anonEdits")} AS epm_anons,
+  {_epm_variant_sql("edits + reverts + anonEdits")} AS epm_all
+FROM m"""
+
+
+def purge_safe_list_oracle(max_lifespan: float, max_inactivity: float,
+                           min_speed: float, min_purge_time: float) -> str:
+    """P2 with the A7 markSafe control surface: a deterministic
+    data-derived control stream (markSafe for notable pages, a later
+    clearSafe for volatile ones — latest (ts, seq) wins, mirroring
+    lifecycle.apply_safe_list), then the eviction predicate where safe
+    pages dodge the speed/inactivity clause but NOT the max-lifespan
+    override (/root/reference/index.js:362-398)."""
+    return f"""WITH {metrics_cte()},
+ctl AS (
+  SELECT id, 'markSafe' AS command, updated AS ts, 0 AS seq
+  FROM state WHERE notabilityFlags > 0
+  UNION ALL
+  SELECT id, 'clearSafe' AS command, updated AS ts, 1 AS seq
+  FROM state WHERE volatileFlags > 0
+),
+latest AS (
+  SELECT id, command FROM (
+    SELECT id, command,
+           row_number() OVER (PARTITION BY id ORDER BY ts DESC, seq DESC) AS rn
+    FROM ctl) t
+  WHERE rn = 1
+),
+sm AS (
+  SELECT m.*, coalesce(latest.command = 'markSafe', FALSE) AS safe
+  FROM m LEFT JOIN latest USING (id)
+)
+SELECT id, title, edits, safe, age_min, last_updated_min, edits_per_minute
+FROM sm
+WHERE NOT (
+  age_min > {min_purge_time} AND (
+    (NOT safe AND (edits_per_minute < {min_speed}
+                   OR last_updated_min > {max_inactivity}))
+    OR age_min > {max_lifespan}
+  )
+)"""
+
+
 def classify_counts_oracle() -> str:
     """Classifier cross-tab over edit events (F5/F8/F9/F10 in isolation)."""
     return f"""WITH {classified_events_cte()}

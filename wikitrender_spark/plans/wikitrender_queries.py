@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import classify
+from ..functions import classify, metrics
 from ..operators import lifecycle, topk
 from ..operators.derive import rc_events
 from ..operators.page_state import (
@@ -103,6 +103,57 @@ def q_purge_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = topk.purge_survivors(_metrics(spark, sf_dir), **PURGE_PARAMS)
     return surv.select(
         "id", "title", "edits", "reverts", "age_min", "last_updated_min",
+        "edits_per_minute",
+    )
+
+
+def q_epm_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 flag matrix (/root/reference/index.js:80-88): editsPerMinute with
+    every (includeReverts, includeAnons) combination side by side. The
+    default-flag queries (Q1, purge) never exercise the variant counts;
+    this row pins that the flags add into the numerator AND the
+    zero-count guard before the division."""
+    m = _metrics(spark, sf_dir)
+
+    def epm(include_reverts: bool, include_anons: bool):
+        return metrics.edits_per_minute(
+            F.col("edits"), F.col("reverts"), F.col("anonEdits"),
+            F.col("age_min"), include_reverts, include_anons,
+        )
+
+    return m.select(
+        "id", "edits", "reverts", "anonEdits",
+        F.col("edits_per_minute").alias("epm_default"),
+        epm(True, False).alias("epm_reverts"),
+        epm(False, True).alias("epm_anons"),
+        epm(True, True).alias("epm_all"),
+    )
+
+
+def q_purge_safe_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 markSafe through the batch purge path: a deterministic control
+    stream derived from the data itself (markSafe for notabilityFlags>0
+    pages at their last update; a later-seq clearSafe for
+    volatileFlags>0 pages, so both-flag pages exercise the latest-wins
+    tie-break), applied via lifecycle.apply_safe_list, then P2 with
+    safe_col — safe pages dodge the speed/inactivity clause but not the
+    max-lifespan override (/root/reference/index.js:362-398,
+    markSafe index.js:186-191)."""
+    rc = rc_events(spark, sf_dir)
+    st = page_state(rc, with_collections=False)
+    m = with_snapshot_metrics(st, rc, grace_minutes=sqlgen.GRACE_MINUTES)
+    mark = st.filter(F.col("notabilityFlags") > 0).select(
+        "id", F.lit("markSafe").alias("command"),
+        F.col("updated").alias("ts"), F.lit(0).alias("seq"),
+    )
+    clear = st.filter(F.col("volatileFlags") > 0).select(
+        "id", F.lit("clearSafe").alias("command"),
+        F.col("updated").alias("ts"), F.lit(1).alias("seq"),
+    )
+    safe_m = lifecycle.apply_safe_list(m, mark.unionByName(clear))
+    surv = topk.purge_survivors(safe_m, **PURGE_PARAMS, safe_col="safe")
+    return surv.select(
+        "id", "title", "edits", "safe", "age_min", "last_updated_min",
         "edits_per_minute",
     )
 
@@ -225,6 +276,8 @@ QUERIES = {
     "wt_most_vibrant": q_most_vibrant,
     "wt_top_pages_per_wiki": q_top_pages_per_wiki,
     "wt_purge_survivors": q_purge_survivors,
+    "wt_epm_variants": q_epm_variants,
+    "wt_purge_safe_list": q_purge_safe_list,
     "wt_classify_counts": q_classify_counts,
     "wt_windowed_activity": q_windowed_activity,
     "wt_session_activity": q_session_activity,
@@ -242,6 +295,8 @@ ORACLES = {
     "wt_most_vibrant": sqlgen.q3_oracle(),
     "wt_top_pages_per_wiki": sqlgen.topk_per_wiki_oracle(TOPK_PER_WIKI),
     "wt_purge_survivors": sqlgen.purge_oracle(**PURGE_PARAMS),
+    "wt_epm_variants": sqlgen.epm_variants_oracle(),
+    "wt_purge_safe_list": sqlgen.purge_safe_list_oracle(**PURGE_PARAMS),
     "wt_classify_counts": sqlgen.classify_counts_oracle(),
     "wt_windowed_activity": sqlgen.windowed_activity_oracle(),
     "wt_session_activity": sqlgen.session_activity_oracle(SESSION_GAP_HOURS),
