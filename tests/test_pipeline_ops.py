@@ -1311,3 +1311,42 @@ def test_substring_runs_are_exact_not_hash_collisions(spark):
     assert rows[1]["n_dup_runs"] == 0
     scrub = {r["doc_id"]: r for r in dedup.substring_scrub(d).collect()}
     assert scrub[0]["n_removed"] == 0 and scrub[1]["n_removed"] == 0
+
+
+def test_score_documents_matches_column_forms(spark):
+    # the single-tokenization operator must be bit-identical to the
+    # Column-library trio it replaces (quality_score / token_count /
+    # predict_lang) — including empty docs, punctuation-heavy docs,
+    # multi-language stopword mixes, and ties
+    from wikitrender_spark.operators.scoring import score_documents
+
+    texts = [
+        "",
+        "   ",
+        "the of and a to in is the of and",            # en-heavy
+        "der die das und ist nicht ein",               # de-heavy
+        "the der",                                     # tie en/de -> 'de' (lexicographic)
+        "!!! ??? ;;; ::: !!!",                         # punct-heavy, no stopwords
+        "xyzzy plugh quux",                            # zero hits -> 'und'
+        "the " * 100,                                  # long, high stopword ratio
+    ]
+    d = docs_df(spark, texts)
+    t = F.col("text")
+    old = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            F.round(T.quality_score(t), 6).alias("quality"),
+            T.token_count(t).alias("n_tokens"),
+            T.predict_lang(t).alias("pred_lang"),
+        ).collect()
+    }
+    new = {
+        r["doc_id"]: r
+        for r in score_documents(d)
+        .select("doc_id", "quality", "n_tokens", "pred_lang")
+        .collect()
+    }
+    assert set(old) == set(new)
+    for k in old:
+        assert tuple(old[k]) == tuple(new[k]), (k, old[k], new[k])

@@ -1158,15 +1158,15 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame plan (filters and anti-joins; the only wide steps are the
     dedup aggregations and the near-dup candidate join)."""
     from ..operators import dedup
+    from ..operators.scoring import score_documents
 
     d = _docs(spark, sf_dir)
-    t = F.col("text")
-    scored = d.select(
+    scored = score_documents(d).select(
         "doc_id",
         "lang",
-        F.round(T.quality_score(t), 6).alias("quality"),
-        T.token_count(t).alias("n_tokens"),
-        (T.predict_lang(t) == F.col("lang")).alias("lang_ok"),
+        F.round(F.col("quality"), 6).alias("quality"),
+        "n_tokens",
+        (F.col("pred_lang") == F.col("lang")).alias("lang_ok"),
     )
     exact_keepers = dedup.exact_dedup_groups(d).select(
         F.col("keeper_doc_id").alias("doc_id")
@@ -1248,12 +1248,13 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages are cumulative booleans, not five scans), the two dedup
     relations join in with doc-keyed markers, and the output is a 5-row
     stack over one global aggregate — O(stages) rows leave the cluster."""
+    from ..operators.scoring import score_documents
+
     d = _docs(spark, sf_dir)
-    t = F.col("text")
-    scored = d.select(
+    scored = score_documents(d).select(
         "doc_id",
-        (T.predict_lang(t) == F.col("lang")).alias("lang_ok"),
-        (F.round(T.quality_score(t), 6) >= CLEAN_MIN_QUALITY).alias("q_ok"),
+        (F.col("pred_lang") == F.col("lang")).alias("lang_ok"),
+        (F.round(F.col("quality"), 6) >= CLEAN_MIN_QUALITY).alias("q_ok"),
     )
     keepers = dedup.exact_dedup_groups(d).select(
         F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
