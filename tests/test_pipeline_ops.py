@@ -1350,3 +1350,23 @@ def test_score_documents_matches_column_forms(spark):
     assert set(old) == set(new)
     for k in old:
         assert tuple(old[k]) == tuple(new[k]), (k, old[k], new[k])
+
+
+def test_documents_as_pgm_rejects_non_latin1(spark):
+    # any codepoint above 255 in the first-256-char window is
+    # unmappable: Spark's ISO-8859-1 encode raises per row (fail-loud,
+    # matching the sibling WAV/Y4M encoder contract) — no silent
+    # replacement bytes, no shifted rasters
+    from pyspark.errors import PySparkException
+
+    ok = docs_df(spark, ["plain ascii text", "latin-1 café ÿ ok"])
+    rows = multimodal.documents_as_pgm(ok).collect()
+    assert all(len(r["payload"]) == len(b"P5\n16 16\n255\n") + 256 for r in rows)
+
+    for bad_text in ["bmp codepoint: 中", "emoji \U0001f600 in window"]:
+        with pytest.raises(PySparkException):
+            multimodal.documents_as_pgm(docs_df(spark, [bad_text])).collect()
+
+    # out-of-range codepoint AFTER the 256-char window never encodes
+    late = docs_df(spark, ["x" * 256 + "\U0001f600"])
+    assert len(multimodal.documents_as_pgm(late).collect()) == 1

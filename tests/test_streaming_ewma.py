@@ -103,3 +103,70 @@ def test_streaming_ewma_equals_batch_on_finalizable_hours(spark, tmp_path):
     for (t, h) in sorted(got):
         by_type.setdefault(t, []).append(h)
     assert all(len(v) > 10 for v in by_type.values())
+
+
+def test_flush_quiet_keys_finalizes_on_global_watermark(spark, tmp_path):
+    # key "quiet" speaks only in the first chunk (hours 0-2); key "busy"
+    # keeps advancing the global watermark. With flush_quiet_keys=True,
+    # quiet's open hours finalize via EventTimeTimeout even though the
+    # key never receives data again; without it they would sit in state.
+    import datetime as dt
+    import os
+    import time
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(etype, hours, per_hour=3):
+        out = []
+        for h in hours:
+            for m in range(per_hour):
+                out.append(
+                    (len(out), t0 + dt.timedelta(hours=h, minutes=m * 7 + 1),
+                     1, etype, 0.0, "{}")
+                )
+        return out
+
+    chunk_dir = os.path.join(str(tmp_path), "flush_chunks")
+    chunks = [
+        rows("quiet", [0, 1, 2]) + rows("busy", [0, 1]),
+        rows("busy", [2, 3, 4]),
+        rows("busy", [5, 6, 7]),
+        rows("busy", [8, 9, 10]),
+    ]
+    for i, ch in enumerate(chunks):
+        df = spark.createDataFrame(ch, EV_SCHEMA)
+        path = os.path.join(chunk_dir, f"chunk_{i:04d}")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        ts = time.time() + i
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    q = (
+        sewma.streaming_hourly_ewma(stream, flush_quiet_keys=True)
+        .writeStream.format("memory")
+        .queryName("ewma_flush_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "flush_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["ewma"])
+        for r in spark.sql("select * from ewma_flush_out").collect()
+    }
+    quiet_hours = sorted(h for (t, h) in got if t == "quiet")
+    # quiet's own frontier (max_seen - delay) finalizes nothing (its
+    # last event is in hour 2); every emitted quiet hour is watermark
+    # (busy-driven) flushing — all three must appear
+    assert len(quiet_hours) == 3, got
+    # the recurrence over constant counts: 3, then 0.25*3+0.75*3 = 3 ...
+    for k in [("quiet", h) for h in quiet_hours]:
+        n, e = got[k]
+        assert n == 3 and e == 3.0

@@ -91,13 +91,14 @@ def documents_as_pgm(docs: DataFrame) -> DataFrame:
     oracle-checked, on driver-provided data. Pure column ops: header
     concat + rpad + ISO-8859-1 encode, zero shuffle. Latin-1 (not a
     UTF-8 binary cast) pins one char = one raster byte, so the plane
-    can never expand past 256 bytes on non-ASCII text; codepoints
-    256..65535 become the charset's replacement byte ('?', 63), which
-    the oracle twin mirrors exactly. Known contract limit:
-    supplementary-plane codepoints (above U+FFFF) are two UTF-16 units
-    and would encode to two replacement bytes, shifting the raster —
-    such docs are outside this adapter's contract (the sibling WAV/Y4M
-    encoders raise on any non-byte codepoint instead)."""
+    can never expand past 256 bytes on non-ASCII text. Any codepoint
+    above 255 in the first-256-char window is unmappable and makes
+    Spark's ``encode`` raise MALFORMED_CHARACTER_CODING per row — the
+    same fail-loud contract as the sibling WAV/Y4M encoders (no silent
+    replacement bytes, no shifted rasters; tested in
+    test_documents_as_pgm_rejects_non_latin1). The oracle twin is
+    therefore only defined on latin-1-clean text, which the driver
+    corpus (pure ASCII) always satisfies."""
     n = PGM_EDGE * PGM_EDGE
     header = F.lit(f"P5\n{PGM_EDGE} {PGM_EDGE}\n255\n".encode())
     raster = F.encode(

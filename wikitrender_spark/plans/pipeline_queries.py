@@ -1463,11 +1463,11 @@ WITH pd AS (
   SELECT doc_id, rpad(substring(text, 1, 256), 256, ' ') AS s
   FROM documents),
 ch AS (
-  -- mirror Spark's ISO-8859-1 encoder: codepoints above 255 become the
-  -- charset replacement byte '?' (63), so the twin tracks the actual
-  -- raster bytes instead of unreachable codepoints
-  SELECT doc_id,
-    CASE WHEN unicode(s[i]) > 255 THEN 63 ELSE unicode(s[i]) END AS code
+  -- one raster byte per codepoint; codepoints above 255 are OUTSIDE the
+  -- adapter's contract (Spark's ISO-8859-1 encode raises
+  -- MALFORMED_CHARACTER_CODING per row — no silent replacement), so the
+  -- twin is only defined on latin-1-clean text like the driver corpus
+  SELECT doc_id, unicode(s[i]) AS code
   FROM pd, (SELECT unnest(range(1, 257)) AS i) ii),
 agg AS (
   SELECT doc_id,

@@ -1161,7 +1161,9 @@ def hourly_anomalies(ev: DataFrame) -> DataFrame:
     # the squared terms are computed in DECIMAL(38,0): BIGINT would wrap
     # silently once a type's event total passes ~3e9 (sx*sx > 2^63);
     # decimal(38) is exact to ~1e19 events per type — beyond any real
-    # log — and DuckDB's native HUGEINT promotion matches it exactly.
+    # log. The oracle twin casts its products to HUGEINT explicitly
+    # (DuckDB does NOT promote binary BIGINT ops — it raises on
+    # overflow), so both engines stay exact at any scale.
     # The comparison result (boolean) is dtype-identical either way.
     d38 = "decimal(38,0)"
     dev = (
@@ -1191,8 +1193,10 @@ stats AS (
     CAST(sum(n_events * n_events) AS BIGINT) AS sxx
   FROM cells GROUP BY 1)
 SELECT c.event_type, c.hour, c.n_events,
-  (s.n_hours * c.n_events - s.sx) * (s.n_hours * c.n_events - s.sx)
-    > 4 * (s.n_hours * s.sxx - s.sx * s.sx) AS is_anomaly
+  (CAST(s.n_hours AS HUGEINT) * c.n_events - s.sx)
+    * (CAST(s.n_hours AS HUGEINT) * c.n_events - s.sx)
+    > 4 * (CAST(s.n_hours AS HUGEINT) * s.sxx
+           - CAST(s.sx AS HUGEINT) * s.sx) AS is_anomaly
 FROM cells c JOIN stats s ON c.event_type = s.event_type"""
 
 

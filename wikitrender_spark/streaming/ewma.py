@@ -16,9 +16,14 @@ watermark in one way and weaker in another: a key never finalizes on
 other keys' progress (no cross-key reordering risk), but a key that
 goes QUIET keeps its open hours in state, unemitted, until it speaks
 again — unlike a global watermark, which closes every key's windows as
-any data advances it. Callers needing quiet-key flushing should add an
-EventTimeTimeout pass or per-key heartbeats; the equivalence test
-covers streams whose keys end together.
+any data advances it. Pass ``flush_quiet_keys=True`` (requires a
+``withWatermark`` on ``ts``) to ALSO finalize on the global watermark:
+each key arms an EventTimeTimeout at its earliest open hour's
+finalization point, and the timed-out invocation closes every hour the
+watermark has passed — quiet keys emit without further data of their
+own, at the cost of other keys' progress driving their clock. The
+default (False) keeps the pure per-key frontier the equivalence test
+pins.
 
 Scale shape: state per key is O(open hours) — bounded by the delay, not
 by the stream length; finalized rows leave the store immediately. The
@@ -53,68 +58,102 @@ _STATE_SCHEMA = (
 )
 
 
-def _process(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (etype,) = key
-    if state.exists:
-        (open_hours, open_counts, last_ewma, has_ewma, max_seen,
-         frontier) = state.get
-        buckets = dict(zip(open_hours, open_counts))
-    else:
-        buckets, last_ewma, has_ewma, max_seen, frontier = {}, 0.0, False, 0, 0
+def _mk_process(flush: bool):
+    def _process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            (open_hours, open_counts, last_ewma, has_ewma, max_seen,
+             frontier) = state.get
+            buckets = dict(zip(open_hours, open_counts))
+        else:
+            buckets, last_ewma, has_ewma, max_seen, frontier = (
+                {}, 0.0, False, 0, 0
+            )
 
-    for pdf in pdfs:
-        # hour_us / ts_us are computed JVM-side (unix_micros), so the
-        # processor never guesses the Arrow timestamp unit
-        if len(pdf):
-            max_seen = max(max_seen, int(pdf["ts_us"].max()))
-        for h, c in pdf["hour_us"].value_counts().items():
-            h = int(h)
-            if h < frontier:
-                continue  # late past the finalization frontier: dropped
-            buckets[h] = buckets.get(h, 0) + int(c)
+        for pdf in pdfs:
+            # hour_us / ts_us are computed JVM-side (unix_micros), so the
+            # processor never guesses the Arrow timestamp unit
+            if len(pdf):
+                max_seen = max(max_seen, int(pdf["ts_us"].max()))
+            for h, c in pdf["hour_us"].value_counts().items():
+                h = int(h)
+                if h < frontier:
+                    continue  # late past the finalization frontier: dropped
+                buckets[h] = buckets.get(h, 0) + int(c)
 
-    out_rows = []
-    horizon = max_seen - DELAY_US
-    for h in sorted(buckets):
-        if h + HOUR_US > horizon:
-            break  # hours finalize strictly in order
-        c = buckets.pop(h)
-        frontier = h + HOUR_US
-        last_ewma = (
-            ALPHA * c + (1 - ALPHA) * last_ewma if has_ewma else float(c)
+        out_rows = []
+        horizon = max_seen - DELAY_US
+        if flush:
+            # quiet-key flush: the GLOBAL watermark also advances this
+            # key's horizon (a timed-out invocation arrives with no data,
+            # so max_seen alone would never move again)
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            horizon = max(horizon, wm_us - DELAY_US)
+        for h in sorted(buckets):
+            if h + HOUR_US > horizon:
+                break  # hours finalize strictly in order
+            c = buckets.pop(h)
+            frontier = h + HOUR_US
+            last_ewma = (
+                ALPHA * c + (1 - ALPHA) * last_ewma if has_ewma else float(c)
+            )
+            has_ewma = True
+            out_rows.append(
+                (etype, pd.Timestamp(h, unit="us"), c, last_ewma)
+            )
+
+        hs = sorted(buckets)
+        state.update(
+            (hs, [buckets[h] for h in hs], last_ewma, has_ewma, max_seen,
+             frontier)
         )
-        has_ewma = True
-        out_rows.append(
-            (etype, pd.Timestamp(h, unit="us"), c, last_ewma)
-        )
+        if flush and hs:
+            # arm the timeout at the earliest open hour's finalization
+            # point; EventTimeTimeout requires a timestamp strictly
+            # beyond the current watermark
+            due_ms = (hs[0] + HOUR_US + DELAY_US) // 1000
+            state.setTimeoutTimestamp(
+                max(due_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["event_type", "hour", "n_events", "ewma"]
+            )
 
-    hs = sorted(buckets)
-    state.update(
-        (hs, [buckets[h] for h in hs], last_ewma, has_ewma, max_seen, frontier)
-    )
-    if out_rows:
-        yield pd.DataFrame(
-            out_rows, columns=["event_type", "hour", "n_events", "ewma"]
-        )
+    return _process
 
 
-def streaming_hourly_ewma(events: DataFrame) -> DataFrame:
+def streaming_hourly_ewma(
+    events: DataFrame, flush_quiet_keys: bool = False
+) -> DataFrame:
     """events (with `event_type`, `ts`) -> append stream of finalized
-    (event_type, hour, n_events, ewma) rows."""
-    return (
-        events.select(
-            "event_type",
-            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
-            F.unix_micros(F.col("ts")).alias("ts_us"),
-        )
-        .groupBy("event_type")
-        .applyInPandasWithState(
-            _process,
-            outputStructType=OUT_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    (event_type, hour, n_events, ewma) rows.
+
+    ``flush_quiet_keys=True`` additionally finalizes open hours when the
+    GLOBAL watermark passes them (EventTimeTimeout) — the input must
+    carry ``withWatermark("ts", ...)``; this function applies one if the
+    plan has none."""
+    src = events
+    if flush_quiet_keys:
+        src = src.withWatermark("ts", "1 hour")
+    cols = src.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        # the watermark rides on ts; keep it in the projection so the
+        # stateful operator sees an event-time column
+        *(["ts"] if flush_quiet_keys else []),
+    )
+    return cols.groupBy("event_type").applyInPandasWithState(
+        _mk_process(flush_quiet_keys),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if flush_quiet_keys
+            else GroupStateTimeout.NoTimeout
+        ),
     )
