@@ -88,3 +88,21 @@ def test_ivf_exact_when_nprobe_covers_all_cells(clustered):
         ann.ivf_topk(clustered, QUERY_IDS, K, nprobe=N_CLUSTERS)
     )
     assert ivf_all == bf
+
+
+def test_ivfpq_shortlist_reranking_restores_recall(clustered):
+    """IVF-PQ contract pair: the codebooks are cluster-mean slices, so
+    same-cluster members share codes and the plain ADC cut ranks within
+    a cell near-arbitrarily; shortlist re-ranking (Jégou et al. 2011 §V,
+    R > k) exact-rescores the ADC shortlist and restores recall. Pinned
+    at sf1 scale in tools/ann_recall_probe.py; this is the small planted
+    fixture version."""
+    bf = _pairs(ann.brute_force_topk(clustered, QUERY_IDS, K))
+    adc = _pairs(ann.ivf_pq_topk(clustered, QUERY_IDS, K))
+    sl = _pairs(
+        ann.ivf_pq_topk(clustered, QUERY_IDS, K, shortlist=2 * PER_CLUSTER)
+    )
+    r_adc = len(adc & bf) / len(bf)
+    r_sl = len(sl & bf) / len(bf)
+    assert r_sl >= 0.9, f"shortlist recall {r_sl:.3f} < 0.9"
+    assert r_sl >= r_adc, (r_sl, r_adc)

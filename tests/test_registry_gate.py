@@ -19,6 +19,7 @@ NEVER_OR_STALE_ATTESTED = {
     # round-5 additions, never driver-gated
     "wt_epm_variants",
     "wt_purge_safe_list",
+    "ann_ivfpq_rerank",
     # code rewritten in round 5 after the r04 attestation: the scrub's
     # coverage surgery (gap-interval fold) and the duplicate_clusters
     # propagation loop feeding the lineage/clean-corpus/cluster rows

@@ -1,0 +1,137 @@
+"""IVF / IVF-PQ recall contract at sf1 scale (VERDICT r4 #7).
+
+The pinned recall tests (tests/test_ann_topk_recall.py) run on a
+240-vector planted fixture; this probe replays the same contract at the
+sf1-equivalent corpus size (50k vectors = 10x the sf0.1 embeddings
+table) to guard nprobe / codebook drift that only shows up when cells
+hold hundreds of members: deterministic planted clusters (seed 7),
+label-seeded cells, recall of ivf_topk and ivf_pq_topk against the
+brute-force ground truth on one query per sampled cluster.
+
+Contracts:
+- IVF >= 0.95 (cluster-seeded cells put true neighbors in the probed
+  cell by construction).
+- IVF-PQ with the default ADC-rank-then-cut sits in a LOW band
+  [0.05, 0.5]: the codebooks are cluster-mean slices, so every member
+  of a cluster quantizes to (nearly) the same codes and ADC cannot
+  order within a cell — cutting at k is then near-arbitrary (measured
+  ~0.2 on 200-member clusters). The band is pinned so silent drift in
+  either direction (a codebook change, a tie-break change) is caught.
+- IVF-PQ with shortlist re-ranking (Jégou et al. 2011 §V, R > k) >=
+  0.95: ADC pulls the whole cluster into the shortlist, the exact
+  rescore orders it — the configuration a serving deployment runs.
+
+Usage: python tools/ann_recall_probe.py [n_vectors]
+Prints one JSON line; exits 1 if a contract is violated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from wikitrender_spark.operators import ann
+from wikitrender_spark.session import get_spark
+
+N_VECTORS = 50_000
+PER_CLUSTER = 200
+K = 10
+N_QUERIES = 20
+SHORTLIST = PER_CLUSTER  # R > k re-ranking depth for the serving config
+IVF_FLOOR = 0.95
+IVFPQ_ADC_BAND = (0.05, 0.5)
+IVFPQ_SHORTLIST_FLOOR = 0.95
+
+
+def planted(spark, n_vectors: int):
+    n_clusters = n_vectors // PER_CLUSTER
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((n_clusters, ann.EMB_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        noise = rng.standard_normal((PER_CLUSTER, ann.EMB_DIM)) * 0.12
+        for v in centers[c] + noise:
+            rows.append((i, [float(x) for x in v], c))
+            i += 1
+    return (
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ),
+        n_clusters,
+    )
+
+
+def pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def main() -> None:
+    n_vectors = int(sys.argv[1]) if len(sys.argv) > 1 else N_VECTORS
+    spark = get_spark("ann-recall-probe", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb, n_clusters = planted(spark, n_vectors)
+    emb = emb.localCheckpoint()  # generation cost out of the timings
+    query_ids = [c * PER_CLUSTER for c in range(N_QUERIES)]
+
+    t0 = time.perf_counter()
+    bf = pairs(ann.brute_force_topk(emb, query_ids, K))
+    t_bf = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    ivf = pairs(ann.ivf_topk(emb, query_ids, K))
+    t_ivf = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    ivfpq = pairs(ann.ivf_pq_topk(emb, query_ids, K))
+    t_ivfpq = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    ivfpq_sl = pairs(
+        ann.ivf_pq_topk(emb, query_ids, K, shortlist=SHORTLIST)
+    )
+    t_ivfpq_sl = round(time.perf_counter() - t0, 2)
+
+    r_ivf = len(ivf & bf) / len(bf)
+    r_ivfpq = len(ivfpq & bf) / len(bf)
+    r_ivfpq_sl = len(ivfpq_sl & bf) / len(bf)
+    print(
+        json.dumps(
+            {
+                "n_vectors": n_vectors,
+                "n_clusters": n_clusters,
+                "k": K,
+                "n_queries": N_QUERIES,
+                "shortlist": SHORTLIST,
+                "recall_ivf": round(r_ivf, 4),
+                "recall_ivfpq_adc": round(r_ivfpq, 4),
+                "recall_ivfpq_shortlist": round(r_ivfpq_sl, 4),
+                "floor_ivf": IVF_FLOOR,
+                "band_ivfpq_adc": IVFPQ_ADC_BAND,
+                "floor_ivfpq_shortlist": IVFPQ_SHORTLIST_FLOOR,
+                "sec_bruteforce": t_bf,
+                "sec_ivf": t_ivf,
+                "sec_ivfpq_adc": t_ivfpq,
+                "sec_ivfpq_shortlist": t_ivfpq_sl,
+            }
+        )
+    )
+    lo, hi = IVFPQ_ADC_BAND
+    ok = (
+        r_ivf >= IVF_FLOOR
+        and lo <= r_ivfpq <= hi
+        and r_ivfpq_sl >= IVFPQ_SHORTLIST_FLOOR
+    )
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -891,14 +891,31 @@ def _adc_distance() -> "F.Column":
 
 
 def _adc_rank_and_rescore(
-    cand: DataFrame, emb: DataFrame, query_ids: list[int], k: int
+    cand: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """Shared ADC tail for pq_topk / ivf_pq_topk: given candidate rows
     carrying (query_id, vec_id, codes, tab), rank by the ADC distance
-    (ascending, neighbor-id tiebreak), keep k, rescore exactly."""
+    (ascending, neighbor-id tiebreak), keep k, rescore exactly.
+
+    ``shortlist`` (Jégou et al. 2011 §V re-ranking, the R > k serving
+    configuration): keep `shortlist` ADC candidates instead of k,
+    exact-rescore all of them, and RE-RANK by true cosine before
+    cutting to k. This is what buys back within-cell recall: these
+    codebooks are cluster-mean slices, so every member of a cluster
+    quantizes to (nearly) the same codes and ADC cannot order them —
+    measured on 200-member planted clusters, ADC-rank-then-cut recall
+    is ~0.2 while shortlist=cluster-size recall is ~1.0
+    (tools/ann_recall_probe.py). Cost: `shortlist` exact folds per
+    query instead of k. Default None preserves the pinned
+    rank-by-ADC output shape exactly."""
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc("neighbor_id")
     )
+    keep = shortlist if shortlist is not None else k
     top = (
         cand.filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -907,16 +924,31 @@ def _adc_rank_and_rescore(
             _adc_distance().alias("approx_dist"),
         )
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= keep)
     )
-    return _exact_rescore(
+    scored = _exact_rescore(
         top.select("query_id", "neighbor_id", "rank", "approx_dist"),
         emb,
         query_ids,
     )
+    if shortlist is None:
+        return scored
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist", "sim")
+    )
 
 
-def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int | None = None,
+) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes with exact
     rescoring: each query precomputes its (subspace, cell) -> squared-L2
     table against the codebooks; a corpus vector's approximate distance
@@ -938,12 +970,16 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     codes = pq_codes(emb, cents)
     qtab = _pq_query_tables(emb, query_ids, cents)
     return _adc_rank_and_rescore(
-        codes.crossJoin(F.broadcast(qtab)), emb, query_ids, k
+        codes.crossJoin(F.broadcast(qtab)), emb, query_ids, k, shortlist
     )
 
 
 def ivf_pq_topk(
-    emb: DataFrame, query_ids: list[int], k: int = 10, nprobe: int = N_PROBE
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = N_PROBE,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """The full IVF-PQ retrieval stack (Jégou et al. 2011; the
     architecture serving billion-vector search): the coarse quantizer
@@ -958,7 +994,12 @@ def ivf_pq_topk(
     cell key, cutting the ADC scan to ~nprobe/n_cells of the corpus —
     the compute saving PQ alone doesn't give. Recall is bounded by the
     probed cells (same contract as ivf_topk; nprobe=n_cells recovers
-    pq_topk's candidate set exactly).
+    pq_topk's candidate set exactly) AND by the ADC cut: with
+    cluster-mean codebooks, same-cluster members share codes, so
+    cutting at k by ADC alone ranks within a cell near-arbitrarily —
+    serve with ``shortlist`` (R > k re-ranking, see
+    _adc_rank_and_rescore) to restore within-cell recall; measured
+    contracts in tools/ann_recall_probe.py.
     Output: (query_id, neighbor_id, rank, approx_dist, sim)."""
     cents = ivf_centroids(emb).localCheckpoint()
     assigned = ivf_cells(emb, cents, keep_embedding=True)
@@ -972,4 +1013,4 @@ def ivf_pq_topk(
     cand = F.broadcast(probes).join(index, "cell").join(
         F.broadcast(qtab), "query_id"
     )
-    return _adc_rank_and_rescore(cand, emb, query_ids, k)
+    return _adc_rank_and_rescore(cand, emb, query_ids, k, shortlist)

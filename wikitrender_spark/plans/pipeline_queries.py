@@ -2052,6 +2052,61 @@ adc AS (SELECT cd.query_id, cd.neighbor_id, cx.m, qs.dist
 {_PQ_RANK_TAIL}"""
 
 
+#: ADC shortlist depth for the re-ranked serving configuration: the
+#: corpus cells hold ~50 members (10 labels over 500 vectors at sf0.01),
+#: so 50 covers a full cell — the R > k depth that restores within-cell
+#: recall (tools/ann_recall_probe.py)
+ANN_RERANK_SHORTLIST = 50
+
+
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with shortlist re-ranking (Jégou et al. 2011 §V): the ADC
+    scan keeps a shortlist of R={ANN_RERANK_SHORTLIST} candidates per
+    query, ALL of them are exactly rescored, and the final rank is by
+    true cosine — the serving configuration, since cluster-mean
+    codebooks give same-cell members identical codes and the plain ADC
+    cut cannot order within a cell (measured ~0.2 recall on planted
+    clusters vs ~1.0 re-ranked; operators/ann._adc_rank_and_rescore)."""
+    return ann.ivf_pq_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K,
+        shortlist=ANN_RERANK_SHORTLIST,
+    )
+
+
+ANN_IVFPQ_RERANK_SQL = f"""
+WITH {_IVF_CTE},
+{_PQ_SD_CTES},
+cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+         FROM probes p JOIN cells cl ON p.cell = cl.cell
+         WHERE cl.vec_id <> p.query_id),
+adc AS (SELECT cd.query_id, cd.neighbor_id, cx.m, qs.dist
+        FROM cand cd
+        JOIN pcodes cx ON cx.vec_id = cd.neighbor_id
+        JOIN sd qs ON qs.m = cx.m AND qs.cell = cx.code_cell
+                   AND qs.vec_id = cd.query_id),
+asum AS (SELECT query_id, neighbor_id,
+           round(list_reduce(list_prepend(0.0, list(dist ORDER BY m)),
+                             (a, b) -> a + b), 6) AS approx_dist
+         FROM adc GROUP BY 1, 2),
+sl AS (SELECT * FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist ASC, neighbor_id ASC) AS adc_rank
+         FROM asum) t
+       WHERE adc_rank <= {ANN_RERANK_SHORTLIST}),
+scored AS (SELECT s.query_id, s.neighbor_id, s.approx_dist,
+    round({_DOT64.format(a='eq.emb', b='ec.emb')} / (nq.nrm * nc.nrm), 6) AS sim
+  FROM sl s
+  JOIN e eq ON eq.vec_id = s.query_id
+  JOIN e ec ON ec.vec_id = s.neighbor_id
+  JOIN nrm nq ON nq.vec_id = s.query_id
+  JOIN nrm nc ON nc.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, approx_dist, sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored) f
+WHERE rank <= {ANN_K}"""
+
+
 def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-pair Jaccard histogram; see
     operators/dedup.jaccard_histogram."""
@@ -2131,6 +2186,7 @@ QUERIES = {
     "ann_sq_topk": q_ann_sq,
     "ann_pq_topk": q_ann_pq,
     "ann_ivfpq_topk": q_ann_ivfpq,
+    "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
     "dd_minhash_signatures": q_minhash_signatures,
     "dd_minhash_est": q_minhash_est,
     "dd_ngram_jaccard": q_ngram_jaccard,
@@ -2181,6 +2237,7 @@ ORACLES = {
     "ann_sq_topk": ANN_SQ_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
+    "ann_ivfpq_rerank": ANN_IVFPQ_RERANK_SQL,
     "dd_minhash_signatures": MINHASH_SIG_SQL,
     "dd_minhash_est": MINHASH_EST_SQL,
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,

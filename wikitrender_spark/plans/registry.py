@@ -55,11 +55,12 @@ _loaded = False
 #: every wt_* reference-parity row re-gates. Left for the r06 window
 #: (r03-green, multi-round-green, stable code): rel_scalar_functions,
 #: rel_pivot_status, rel_json_props, rel_approx_segments,
-#: rel_grouping_sets.
+#: rel_grouping_sets, rel_percentiles.
 GATE_WINDOW: list[str] = [
     # (a) round-5 additions, never attested
     "wt_epm_variants",
     "wt_purge_safe_list",
+    "ann_ivfpq_rerank",
     # (b) code changed after last attestation — must re-gate
     "tx_substring_scrub",
     "tx_dedup_lineage",
@@ -108,7 +109,6 @@ GATE_WINDOW: list[str] = [
     "rel_order_gaps",
     "rel_recursive_months",
     "rel_lateral_topk",
-    "rel_percentiles",
     "rel_approx_percentiles",
     "rel_corr_subquery",
 ]
