@@ -74,7 +74,7 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # 3 timed passes, round-robin over the suite (not 3x back-to-back per
+    # 5 timed passes, round-robin over the suite (not 5x back-to-back per
     # query) so one transient system stall cannot poison every sample of a
     # query; report the per-query MEDIAN and keep the raw samples in the
     # JSON so a noisy pass is visible instead of silently rewriting the

@@ -21,15 +21,34 @@ NEVER_OR_STALE_ATTESTED = {
     "wt_purge_safe_list",
     "ann_ivfpq_rerank",
     # code rewritten in round 5 after the r04 attestation: the scrub's
-    # coverage surgery (gap-interval fold) and the duplicate_clusters
-    # propagation loop feeding the lineage/clean-corpus/cluster rows
+    # coverage surgery (gap-interval fold), the duplicate_clusters
+    # propagation loop and score_documents swap feeding the
+    # lineage/clean-corpus/cluster/funnel rows, and the PGM oracle
+    # rewrite
     "tx_substring_scrub",
     "tx_dedup_lineage",
     "tx_clean_corpus",
     "dd_dup_clusters",
+    "tx_filter_funnel",
+    "mm_pgm_features",
     # last attested r02, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_nation_presence",
+}
+
+#: The 8 rows displaced from the r05 window (all green at their last
+#: attestation on current testdata, code untouched this round). They are
+#: PROMISED the r06 window: next round, move them into GATE_WINDOW (and
+#: into NEVER_OR_STALE_ATTESTED as stale) before anything else.
+R06_DEFERRED = {
+    "rel_scalar_functions",
+    "rel_pivot_status",
+    "rel_json_props",
+    "rel_approx_segments",
+    "rel_grouping_sets",
+    "rel_percentiles",
+    "rel_corr_subquery",
+    "rel_suppliers_with_shipments",
 }
 
 
@@ -52,3 +71,10 @@ def test_every_query_has_an_oracle():
 def test_window_names_unique_and_registered():
     assert len(set(registry.GATE_WINDOW)) == len(registry.GATE_WINDOW)
     assert set(registry.GATE_WINDOW) <= set(registry.all_queries())
+
+
+def test_deferred_rows_are_registered_and_disjoint_from_window():
+    # the r06 promise list must stay real queries, and a deferred row
+    # sitting inside the window would mean the accounting is stale
+    assert R06_DEFERRED <= set(registry.all_queries())
+    assert not (R06_DEFERRED & set(registry.GATE_WINDOW))

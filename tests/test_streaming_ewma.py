@@ -162,9 +162,10 @@ def test_flush_quiet_keys_finalizes_on_global_watermark(spark, tmp_path):
         for r in spark.sql("select * from ewma_flush_out").collect()
     }
     quiet_hours = sorted(h for (t, h) in got if t == "quiet")
-    # quiet's own frontier (max_seen - delay) finalizes nothing (its
-    # last event is in hour 2); every emitted quiet hour is watermark
-    # (busy-driven) flushing — all three must appear
+    # quiet's OWN frontier (max_seen 02:15 - 1h delay = 01:15) can
+    # finalize hour 0 only; hours 1 and 2 can ONLY come from the
+    # busy-driven watermark flush (EventTimeTimeout) — all three must
+    # appear, and the last two prove the flush path
     assert len(quiet_hours) == 3, got
     # the recurrence over constant counts: 3, then 0.25*3+0.75*3 = 3 ...
     for k in [("quiet", h) for h in quiet_hours]:

@@ -75,11 +75,14 @@ def pairs(df):
 
 def main() -> None:
     n_vectors = int(sys.argv[1]) if len(sys.argv) > 1 else N_VECTORS
+    if n_vectors < 2 * PER_CLUSTER:
+        sys.exit(f"n_vectors must be >= {2 * PER_CLUSTER} (2 full clusters)")
     spark = get_spark("ann-recall-probe", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
     emb, n_clusters = planted(spark, n_vectors)
     emb = emb.localCheckpoint()  # generation cost out of the timings
-    query_ids = [c * PER_CLUSTER for c in range(N_QUERIES)]
+    n_queries = min(N_QUERIES, n_clusters)
+    query_ids = [c * PER_CLUSTER for c in range(n_queries)]
 
     t0 = time.perf_counter()
     bf = pairs(ann.brute_force_topk(emb, query_ids, K))
@@ -108,7 +111,7 @@ def main() -> None:
                 "n_vectors": n_vectors,
                 "n_clusters": n_clusters,
                 "k": K,
-                "n_queries": N_QUERIES,
+                "n_queries": n_queries,
                 "shortlist": SHORTLIST,
                 "recall_ivf": round(r_ivf, 4),
                 "recall_ivfpq_adc": round(r_ivfpq, 4),

@@ -53,19 +53,28 @@ _loaded = False
 #: new code; (c) the two r02-stale rows (pre-testdata-regeneration
 #: evidence); (d) the remaining slots take the 51-row r03 cohort —
 #: every wt_* reference-parity row re-gates. Left for the r06 window
-#: (r03-green, multi-round-green, stable code): rel_scalar_functions,
-#: rel_pivot_status, rel_json_props, rel_approx_segments,
-#: rel_grouping_sets, rel_percentiles.
+#: (r03-green or better, multi-round-green, stable code):
+#: rel_scalar_functions, rel_pivot_status, rel_json_props,
+#: rel_approx_segments, rel_grouping_sets, rel_percentiles,
+#: rel_corr_subquery, rel_suppliers_with_shipments — 8 rows, ALL
+#: promised an r06 slot (tests/test_registry_gate.py R06_DEFERRED
+#: pins the list).
 GATE_WINDOW: list[str] = [
     # (a) round-5 additions, never attested
     "wt_epm_variants",
     "wt_purge_safe_list",
     "ann_ivfpq_rerank",
-    # (b) code changed after last attestation — must re-gate
+    # (b) code changed after last attestation — must re-gate:
+    # the scrub surgery rewrite; the duplicate_clusters restructure
+    # (feeds lineage/clean-corpus/clusters AND the funnel); the
+    # score_documents swap (clean-corpus + funnel); the PGM oracle
+    # rewrite (replacement-byte CASE removed)
     "tx_substring_scrub",
     "tx_dedup_lineage",
     "tx_clean_corpus",
     "dd_dup_clusters",
+    "tx_filter_funnel",
+    "mm_pgm_features",
     # (c) r02-stale (pre-regeneration evidence)
     "rel_nation_set_ops",
     "rel_nation_presence",
@@ -105,12 +114,10 @@ GATE_WINDOW: list[str] = [
     "rel_pricing_summary",
     "rel_asof_last_signup",
     "rel_customers_without_orders",
-    "rel_suppliers_with_shipments",
     "rel_order_gaps",
     "rel_recursive_months",
     "rel_lateral_topk",
     "rel_approx_percentiles",
-    "rel_corr_subquery",
 ]
 
 GATE_SIZE = 50

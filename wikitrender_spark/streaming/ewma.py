@@ -88,9 +88,13 @@ def _mk_process(flush: bool):
         if flush:
             # quiet-key flush: the GLOBAL watermark also advances this
             # key's horizon (a timed-out invocation arrives with no data,
-            # so max_seen alone would never move again)
+            # so max_seen alone would never move again). The watermark
+            # ALREADY encodes the configured lateness allowance — no
+            # event older than it will arrive — so hours ending at or
+            # before it are safe to finalize as-is; subtracting DELAY_US
+            # again would double-delay quiet keys by an extra hour.
             wm_us = state.getCurrentWatermarkMs() * 1000
-            horizon = max(horizon, wm_us - DELAY_US)
+            horizon = max(horizon, wm_us)
         for h in sorted(buckets):
             if h + HOUR_US > horizon:
                 break  # hours finalize strictly in order
@@ -110,10 +114,11 @@ def _mk_process(flush: bool):
              frontier)
         )
         if flush and hs:
-            # arm the timeout at the earliest open hour's finalization
-            # point; EventTimeTimeout requires a timestamp strictly
-            # beyond the current watermark
-            due_ms = (hs[0] + HOUR_US + DELAY_US) // 1000
+            # arm the timeout at the earliest open hour's end: once the
+            # watermark (which already carries the lateness allowance)
+            # passes it, the hour is finalizable. EventTimeTimeout
+            # requires a timestamp strictly beyond the current watermark
+            due_ms = (hs[0] + HOUR_US) // 1000
             state.setTimeoutTimestamp(
                 max(due_ms, state.getCurrentWatermarkMs() + 1)
             )
@@ -126,18 +131,22 @@ def _mk_process(flush: bool):
 
 
 def streaming_hourly_ewma(
-    events: DataFrame, flush_quiet_keys: bool = False
+    events: DataFrame,
+    flush_quiet_keys: bool = False,
+    watermark_delay: str | None = "1 hour",
 ) -> DataFrame:
     """events (with `event_type`, `ts`) -> append stream of finalized
     (event_type, hour, n_events, ewma) rows.
 
     ``flush_quiet_keys=True`` additionally finalizes open hours when the
-    GLOBAL watermark passes them (EventTimeTimeout) — the input must
-    carry ``withWatermark("ts", ...)``; this function applies one if the
-    plan has none."""
+    GLOBAL watermark passes them (EventTimeTimeout). The watermark is
+    applied HERE with ``watermark_delay`` (default "1 hour"); a caller
+    that already put ``withWatermark("ts", ...)`` on the input must pass
+    ``watermark_delay=None`` so its own (possibly longer) lateness
+    allowance is not overridden by a nearer watermark node."""
     src = events
-    if flush_quiet_keys:
-        src = src.withWatermark("ts", "1 hour")
+    if flush_quiet_keys and watermark_delay is not None:
+        src = src.withWatermark("ts", watermark_delay)
     cols = src.select(
         "event_type",
         F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
