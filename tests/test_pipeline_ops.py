@@ -1370,3 +1370,87 @@ def test_documents_as_pgm_rejects_non_latin1(spark):
     # out-of-range codepoint AFTER the 256-char window never encodes
     late = docs_df(spark, ["x" * 256 + "\U0001f600"])
     assert len(multimodal.documents_as_pgm(late).collect()) == 1
+
+
+def _py_poly(s):
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1_000_003
+    return h
+
+
+def test_cms_matches_pure_python_mirror(spark):
+    # independent pure-python CMS over the same constants must agree
+    # cell-for-cell and estimate-for-estimate with the Spark operator
+    from wikitrender_spark.operators import sketches
+
+    words = [f"w{i}" for i in range(12)]
+    texts = [" ".join(words[: i + 1]) for i in range(12)]  # triangular counts
+    d = docs_df(spark, texts)
+
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    cells = {}
+    for w, c in counts.items():
+        th = _py_poly(w)
+        for j, (a, b) in enumerate(sketches.CMS_ROWS):
+            cell = ((th * a + b) % 1_000_003) % sketches.CMS_W
+            cells[(j, cell)] = cells.get((j, cell), 0) + c
+    def est(w):
+        th = _py_poly(w)
+        return min(
+            cells[(j, ((th * a + b) % 1_000_003) % sketches.CMS_W)]
+            for j, (a, b) in enumerate(sketches.CMS_ROWS)
+        )
+
+    rows = {r["term"]: r for r in sketches.cms_top_terms(d, k=12).collect()}
+    assert set(rows) == set(words)
+    for w in words:
+        assert rows[w]["exact_count"] == counts[w], w
+        assert rows[w]["cms_est"] == est(w), w
+        assert rows[w]["margin"] == est(w) - counts[w], w
+        assert rows[w]["margin"] >= 0, w
+
+
+def test_cms_never_underestimates(spark):
+    from wikitrender_spark.operators import sketches
+
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"v{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(50)) for _ in range(40)]
+    rows = sketches.cms_top_terms(docs_df(spark, texts), k=20).collect()
+    assert len(rows) == 20
+    assert all(r["margin"] >= 0 for r in rows)
+    # with 30 terms in 16 cells, collisions must actually occur
+    assert any(r["margin"] > 0 for r in rows)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    # doc 0 is the eval slice (0 % 97 == 0); doc 97 would be too but we
+    # keep ids small. A training doc identical to eval must bloom-hit
+    # on every shingle (no false negatives); a disjoint doc's exact
+    # hits are 0 and any bloom hits are measured false positives.
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    d = spark.createDataFrame(
+        [
+            (0, eval_text, "en", "src", len(eval_text)),
+            (1, eval_text, "en", "src", len(eval_text)),
+            (2, "one two three four five six seven", "en", "src", 33),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r["doc_id"]: r for r in dedup.bloom_decontamination_flags(d).collect()
+    }
+    assert set(rows) == {1, 2}  # doc 0 is eval, not scored
+    assert rows[1]["n_exact_hits"] == rows[1]["n_shingles"] > 0
+    assert rows[1]["n_bloom_hits"] == rows[1]["n_shingles"]
+    assert rows[2]["n_exact_hits"] == 0
+    for r in rows.values():
+        assert r["n_bloom_hits"] >= r["n_exact_hits"]
+        assert r["fp_shingles"] == r["n_bloom_hits"] - r["n_exact_hits"]
+        assert r["fp_shingles"] >= 0

@@ -471,6 +471,124 @@ def decontamination_flags(
     )
 
 
+#: PARTITIONED Bloom filter for the bounded-size decontamination probe:
+#: BLOOM_K independent rows, each its OWN BLOOM_M-bit array (the (j,
+#: bit) relation keys on the row index). With |eval shingles| = n
+#: inserted, per-row fill is 1 - e^(-n/M) and the false-positive rate
+#: is (1 - e^(-n/M))^K. M is sized to the GATE corpus so the
+#: false-positive path is actually exercised (not a degenerate all-zero
+#: column): sf0.01 has n = 270 distinct eval shingles ->
+#: (1 - e^(-270/1024))^3 ~ 1.2% per probed shingle — measured 318 FP
+#: shingles over 25,865 probes (1.23%), emitted per doc as
+#: fp_shingles. Production sizes M ~ 1.44 * n to its own eval corpus.
+BLOOM_M = 1_024
+BLOOM_K = 3
+#: per-row affine hash constants (odd multipliers, distinct offsets)
+#: over the already-computed 31-poly shingle hash: row j's bit is
+#: (A_j * shingle + B_j) mod 1000003 mod BLOOM_M — pure integer
+#: arithmetic both engines reproduce exactly
+BLOOM_ROWS = ((389, 101), (631, 271), (919, 577))
+
+
+def _bloom_bit(shingle, j: int):
+    a, b = BLOOM_ROWS[j]
+    return ((shingle * a + b) % T.HASH_MOD) % BLOOM_M
+
+
+def bloom_decontamination_flags(docs: DataFrame) -> DataFrame:
+    """Bloom-filter variant of decontamination_flags: the eval shingle
+    set is folded into a BLOOM_M-bit / BLOOM_K-row Bloom filter and
+    every TRAINING shingle probes it — a shingle "bloom-hits" iff ALL
+    its rows' bits are set. Per doc: (doc_id, n_shingles, n_exact_hits,
+    n_bloom_hits, fp_shingles = bloom - exact).
+
+    Why it exists next to the exact broadcast probe: the exact path
+    broadcasts the eval shingle set ITSELF, which works while eval
+    benchmarks are tiny but grows with them; the Bloom side is bounded
+    at M bits (here a <= K*M-row (row, bit) relation standing in for
+    the bitset) NO MATTER how large the eval set grows — the standard
+    trade at 100 TB when the "eval" side is itself a corpus. Contract:
+    no false negatives (n_bloom_hits >= n_exact_hits always, by
+    construction — pinned in tests); false positives are measured, not
+    assumed, via the exact twin.
+
+    Scale shape: eval side collapses to <= K*M distinct (row, bit) rows
+    broadcast once; the corpus side is one projection per shingle into
+    K (row, bit) probes, a broadcast join, and a per-(doc, shingle)
+    all-rows-matched count — no corpus shuffle beyond the per-doc
+    aggregate it already shares with the exact path."""
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev_sh = doc_shingles(docs.filter(is_eval)).select("shingle").distinct()
+    # the filter: distinct (row j, bit) pairs — the relational stand-in
+    # for the M-bit array (bounded by K*M rows regardless of eval size)
+    ev_bits = ev_sh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bloom_bit(F.col("shingle"), j).alias("bit"),
+                    )
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.bit").distinct()
+
+    train = docs.filter(~is_eval)
+    tr_sh = doc_shingles(train)
+    probes = tr_sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bloom_bit(F.col("shingle"), j).alias("bit"),
+                    )
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("jb"),
+    ).select("doc_id", "shingle", "jb.j", "jb.bit")
+    bloom_hits = (
+        probes.join(F.broadcast(ev_bits), ["j", "bit"])
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_rows_set"))
+        .filter(F.col("n_rows_set") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    exact_hits = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    sizes = tr_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        train.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(exact_hits, "doc_id", "left")
+        .join(bloom_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_exact_hits", F.lit(0))
+            .cast("long")
+            .alias("n_exact_hits"),
+            F.coalesce("n_bloom_hits", F.lit(0))
+            .cast("long")
+            .alias("n_bloom_hits"),
+        )
+        .withColumn(
+            "fp_shingles", (F.col("n_bloom_hits") - F.col("n_exact_hits"))
+        )
+    )
+
+
 #: a shingle is "boilerplate" when at least this many distinct docs
 #: contain it (RefinedWeb/CCNet-style cross-document repetition signal)
 BOILER_MIN_DOCS = 3

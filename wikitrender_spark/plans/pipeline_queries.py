@@ -721,6 +721,98 @@ SELECT tr.doc_id,
 FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id"""
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe vs the exact eval-shingle join,
+    side by side per doc — the bounded-memory decontamination path with
+    its false positives MEASURED (operators/dedup.
+    bloom_decontamination_flags; no false negatives by construction)."""
+    return dedup.bloom_decontamination_flags(_docs(spark, sf_dir))
+
+
+def _bloom_rows_values() -> str:
+    return ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(dedup.BLOOM_ROWS)
+    )
+
+
+BLOOM_DECONTAM_SQL = f"""
+WITH {_TOK_HASH_CTE},
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM ds
+       WHERE doc_id % {dedup.EVAL_MOD} = 0),
+br(j, a, b) AS (VALUES {_bloom_rows_values()}),
+evbits AS (SELECT DISTINCT br.j,
+             ((ev.shingle * br.a + br.b) % 1000003) % {dedup.BLOOM_M} AS bit
+           FROM ev CROSS JOIN br),
+tr AS (SELECT doc_id, sh FROM ds WHERE doc_id % {dedup.EVAL_MOD} <> 0),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM tr),
+probes AS (SELECT ex.doc_id, ex.shingle, br.j,
+             ((ex.shingle * br.a + br.b) % 1000003) % {dedup.BLOOM_M} AS bit
+           FROM ex CROSS JOIN br),
+bhit AS (SELECT doc_id, shingle FROM probes p
+         JOIN evbits e ON e.j = p.j AND e.bit = p.bit
+         GROUP BY doc_id, shingle
+         HAVING count(*) = {dedup.BLOOM_K}),
+bcnt AS (SELECT doc_id, count(*) AS n_bloom_hits FROM bhit GROUP BY 1),
+ecnt AS (SELECT ex.doc_id, count(*) AS n_exact_hits
+         FROM ex JOIN ev ON ex.shingle = ev.shingle GROUP BY 1)
+SELECT tr.doc_id,
+  CAST(length(tr.sh) AS BIGINT) AS n_shingles,
+  CAST(coalesce(ecnt.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+  CAST(coalesce(bcnt.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+  CAST(coalesce(bcnt.n_bloom_hits, 0) - coalesce(ecnt.n_exact_hits, 0)
+       AS BIGINT) AS fp_shingles
+FROM tr
+LEFT JOIN ecnt ON tr.doc_id = ecnt.doc_id
+LEFT JOIN bcnt ON tr.doc_id = bcnt.doc_id"""
+
+
+def q_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the exact top-20 terms,
+    with the measured overestimate margin (operators/sketches;
+    est >= exact is structural — min over D rows each containing every
+    occurrence of the term)."""
+    from ..operators import sketches
+
+    return sketches.cms_top_terms(_docs(spark, sf_dir))
+
+
+def _cms_rows_values() -> str:
+    from ..operators import sketches
+
+    return ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(sketches.CMS_ROWS)
+    )
+
+
+def _cms_sql() -> str:
+    from ..operators import sketches
+
+    w = sketches.CMS_W
+    return f"""
+WITH toks AS (SELECT unnest({_TOKENS.format(t='text')}) AS tok
+              FROM documents),
+th AS (SELECT tok, {_WORD_HASH.format(w='tok')} AS th FROM toks),
+cr(j, a, b) AS (VALUES {_cms_rows_values()}),
+cells AS (SELECT cr.j, ((t.th * cr.a + cr.b) % 1000003) % {w} AS cell,
+            count(*) AS n
+          FROM th t CROSS JOIN cr GROUP BY 1, 2),
+exact AS (SELECT tok AS term, count(*) AS exact_count FROM th
+          GROUP BY tok ORDER BY exact_count DESC, term ASC LIMIT 20),
+eh AS (SELECT term, exact_count, {_WORD_HASH.format(w='term')} AS th
+       FROM exact),
+probes AS (SELECT e.term, e.exact_count, cr.j,
+             ((e.th * cr.a + cr.b) % 1000003) % {w} AS cell
+           FROM eh e CROSS JOIN cr),
+est AS (SELECT p.term, p.exact_count, min(c.n) AS cms_est
+        FROM probes p JOIN cells c ON c.j = p.j AND c.cell = p.cell
+        GROUP BY 1, 2)
+SELECT term, CAST(exact_count AS BIGINT) AS exact_count,
+  CAST(cms_est AS BIGINT) AS cms_est,
+  CAST(cms_est - exact_count AS BIGINT) AS margin
+FROM est"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -2194,6 +2286,8 @@ QUERIES = {
     "dd_near_duplicates": q_near_duplicates,
     "dd_embedding_neardup": q_embedding_neardup,
     "dd_decontaminate": q_decontaminate,
+    "dd_bloom_decontaminate": q_bloom_decontaminate,
+    "tx_cms_terms": q_cms_terms,
     "dd_dup_clusters": q_dup_clusters,
     "dd_editdist_pairs": q_editdist_pairs,
     "tx_chunks": q_token_chunks,
@@ -2245,6 +2339,8 @@ ORACLES = {
     "dd_near_duplicates": NEAR_DUPS_SQL,
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "dd_decontaminate": DECONTAM_SQL,
+    "dd_bloom_decontaminate": BLOOM_DECONTAM_SQL,
+    "tx_cms_terms": _cms_sql(),
     "dd_dup_clusters": DUP_CLUSTERS_SQL,
     "dd_editdist_pairs": EDITDIST_PAIRS_SQL,
     "tx_chunks": _token_chunks_sql(),

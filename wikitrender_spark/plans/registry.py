@@ -56,7 +56,8 @@ _loaded = False
 #: (r03-green or better, multi-round-green, stable code):
 #: rel_scalar_functions, rel_pivot_status, rel_json_props,
 #: rel_approx_segments, rel_grouping_sets, rel_percentiles,
-#: rel_corr_subquery, rel_suppliers_with_shipments — 8 rows, ALL
+#: rel_corr_subquery, rel_suppliers_with_shipments,
+#: rel_recursive_months, rel_approx_percentiles — 10 rows, ALL
 #: promised an r06 slot (tests/test_registry_gate.py R06_DEFERRED
 #: pins the list).
 GATE_WINDOW: list[str] = [
@@ -64,6 +65,8 @@ GATE_WINDOW: list[str] = [
     "wt_epm_variants",
     "wt_purge_safe_list",
     "ann_ivfpq_rerank",
+    "dd_bloom_decontaminate",
+    "tx_cms_terms",
     # (b) code changed after last attestation — must re-gate:
     # the scrub surgery rewrite; the duplicate_clusters restructure
     # (feeds lineage/clean-corpus/clusters AND the funnel); the
@@ -115,9 +118,7 @@ GATE_WINDOW: list[str] = [
     "rel_asof_last_signup",
     "rel_customers_without_orders",
     "rel_order_gaps",
-    "rel_recursive_months",
     "rel_lateral_topk",
-    "rel_approx_percentiles",
 ]
 
 GATE_SIZE = 50
