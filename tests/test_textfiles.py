@@ -106,3 +106,38 @@ def test_csv_rejects_reordered_schema(spark, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)header|schema|csv"):
         TF.read_csv(spark, str(tmp_path / "order_csv"), reordered).collect()
+
+
+def test_orc_roundtrip_exact(spark, tmp_path):
+    d = _docs(spark)
+    TF.write_orc(d, str(tmp_path / "orc"))
+    back = TF.read_orc(spark, str(tmp_path / "orc"), DOC_SCHEMA)
+    assert back.schema == DOC_SCHEMA
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_orc_pins_reject_missing_and_retyped_columns(spark, tmp_path):
+    d = _docs(spark)
+    TF.write_orc(d, str(tmp_path / "orc2"))
+    extra = T.StructType(
+        DOC_SCHEMA.fields + [T.StructField("absent", T.LongType())]
+    )
+    with pytest.raises(ValueError, match="lacks pinned columns"):
+        TF.read_orc(spark, str(tmp_path / "orc2"), extra)
+    retyped = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),  # file has long
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="diverge"):
+        TF.read_orc(spark, str(tmp_path / "orc2"), retyped)
+
+
+def test_orc_prunes_extra_file_columns(spark, tmp_path):
+    d = _docs(spark).selectExpr("doc_id", "text", "lang", "doc_id * 2 AS extra")
+    TF.write_orc(d, str(tmp_path / "orc3"))
+    back = TF.read_orc(spark, str(tmp_path / "orc3"), DOC_SCHEMA)
+    assert back.columns == ["doc_id", "text", "lang"]
+    assert back.count() == 5

@@ -345,10 +345,16 @@ def duplicate_clusters(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     )
+    # label init FUSED with the first propagation round: instead of a
+    # distinct (one shuffle) followed by iteration 1's join+agg, one
+    # aggregation over the symmetric edges yields
+    # label = min(doc_id, min(neighbors)) directly — the same relation
+    # iteration 1 would have produced from identity labels, one shuffle
+    # round cheaper. The loop below then only confirms/propagates
+    # deeper chains (diameter >= 2 components).
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.least(F.min("doc_a"), F.min("doc_b")).alias("label"))
         .localCheckpoint()
     )
     changed = -1

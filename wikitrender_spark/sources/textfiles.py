@@ -1,4 +1,5 @@
-"""Batch text-format connectors (JSON Lines / CSV) with PINNED schemas.
+"""Batch corpus-interchange connectors (JSON Lines / CSV / ORC) with
+PINNED schemas.
 
 Training-data pipelines exchange corpora as JSONL shards at least as
 often as parquet; these readers/writers make that a first-class,
@@ -79,3 +80,39 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         .option("enforceSchema", False)
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write as ORC (columnar, predicate-pushdown-capable — the
+    interchange format when the consumer is Hive/Trino rather than a
+    parquet shop). Nested types are fine; compression is Spark's
+    default (zstd in 4.x)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Read ORC against a pinned schema. ORC files are self-describing,
+    so the pin here is a CONTRACT CHECK, not inference avoidance: every
+    pinned column must exist in the file with EXACTLY the pinned type
+    (a missing or retyped column raises — no silent cast, which would
+    null out unconvertible values). Extra file columns are pruned by
+    the by-name projection, which also feeds ORC's column pruning."""
+    df = spark.read.orc(path)
+    file_types = {f.name: f.dataType for f in df.schema.fields}
+    missing = [f.name for f in schema.fields if f.name not in file_types]
+    if missing:
+        raise ValueError(
+            f"ORC file at {path} lacks pinned columns {missing}; "
+            f"file has {sorted(file_types)}"
+        )
+    retyped = [
+        f"{f.name}: file={file_types[f.name].simpleString()} "
+        f"pinned={f.dataType.simpleString()}"
+        for f in schema.fields
+        if file_types[f.name] != f.dataType
+    ]
+    if retyped:
+        raise ValueError(
+            f"ORC file at {path} column types diverge from the pin: {retyped}"
+        )
+    return df.select(*[f.name for f in schema.fields])
