@@ -9,6 +9,9 @@ chains them (SURVEY.md §2.8):
   5. corpus vocabulary              (top-K token frequencies)
   6. survival funnel + mix sampling (stage report; DoReMi keep decisions)
   7. semantic dedup over embeddings (IVF cells -> within-cell cosine)
+  8-15. substring-run stats + scrub, PQ/IVF-PQ retrieval (plain and
+        shortlist-re-ranked), length histogram, Bloom decontamination
+        with measured false positives, Count-Min top terms, ORC export
 
 Every step is a DataFrame transformation: at 100 TB the same composition
 runs with the same plans — bucketed joins, broadcast probes, map-combined
@@ -151,6 +154,53 @@ def main() -> None:
         f"{r['bucket_lo']}:{r['n_docs']}" for r in hist.collect()
     )
     print(f"token-length histogram: {buckets}")
+
+    # 11. bounded-memory decontamination: the Bloom probe beside the
+    # exact one, with its false positives measured per doc
+    bl = dedup.bloom_decontamination_flags(docs).agg(
+        F.sum("n_exact_hits").alias("exact"),
+        F.sum("n_bloom_hits").alias("bloom"),
+        F.sum("fp_shingles").alias("fp"),
+    ).head()
+    print(
+        f"bloom decontamination: {bl['exact']} exact hits, "
+        f"{bl['bloom']} bloom hits ({bl['fp']} measured false positives)"
+    )
+
+    # 12. Count-Min frequency sketch: top terms with overestimate margin
+    from wikitrender_spark.operators import sketches
+
+    cms = sketches.cms_top_terms(docs, k=5).orderBy(F.desc("exact_count"))
+    head = ", ".join(
+        f"{r['term']}({r['exact_count']}+{r['margin']})" for r in cms.collect()
+    )
+    print(f"cms top terms (exact+margin): {head}")
+
+    # 13. substring scrub (the ExactSubstr ACTION): covered positions
+    # removed outside each run's keeper doc
+    scrub = dedup.substring_scrub(docs)
+    sc = scrub.agg(
+        F.sum("n_tokens").alias("toks"), F.sum("n_removed").alias("rm")
+    ).head()
+    print(f"substring scrub: {sc['rm']}/{sc['toks']} tokens removed")
+
+    # 14. re-ranked compressed retrieval (the serving configuration:
+    # ADC shortlist -> exact rescore -> re-rank)
+    rr = ann.ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"), [0, 1], k=3, shortlist=30
+    )
+    print(f"ivfpq re-ranked retrieval: {rr.count()} rows at k=3, R=30")
+
+    # 15. export the final corpus as ORC (pinned-schema interchange)
+    import tempfile
+
+    from wikitrender_spark.sources import textfiles
+
+    out = tempfile.mkdtemp(prefix="corpus_orc_")
+    final_docs = docs.join(final, "doc_id")
+    textfiles.write_orc(final_docs, out)
+    back = textfiles.read_orc(spark, out, final_docs.schema)
+    print(f"orc export: {back.count()} docs round-tripped at {out}")
 
 
 if __name__ == "__main__":

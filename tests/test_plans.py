@@ -256,3 +256,48 @@ def test_substring_scrub_no_pairwise_join(plans):
     assert "BroadcastNestedLoopJoin" not in plan
     for cols in _scan_columns(plan, "documents"):
         assert set(cols) <= {"doc_id", "text"}
+
+
+def test_bloom_decontaminate_broadcasts_bitset(plans):
+    """dd_bloom_decontaminate: the (row, bit) filter relation and the
+    exact eval set are broadcast; the corpus side never cartesians, and
+    the documents scan prunes to (doc_id, text)."""
+    plan = plans("dd_bloom_decontaminate")
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_cms_terms_sketch_shapes(plans):
+    """tx_cms_terms: the sketch aggregation partial-aggregates map-side
+    (HashAggregate below the exchange), the top-k is
+    TakeOrderedAndProject (no global sort), the cells relation joins
+    broadcast, and no cartesian appears."""
+    plan = plans("tx_cms_terms")
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_ivfpq_rerank_same_bounded_shape(plans):
+    """ann_ivfpq_rerank: the shortlist re-rank adds one window pass, not
+    extra corpus scans — same scan bound and broadcast shape as the
+    plain ivfpq query."""
+    plan = plans("ann_ivfpq_rerank")
+    assert plan.count("embeddings.parquet") <= 5
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epm_variants_and_safe_list_shapes(plans):
+    """wt_epm_variants: one events scan chain, no extra joins beyond the
+    page_state aggregation's own; wt_purge_safe_list: the control
+    relation joins broadcast (human-scale side)."""
+    plan = plans("wt_epm_variants")
+    for cols in _scan_columns(plan, "events"):
+        assert "props" not in cols
+    plan = plans("wt_purge_safe_list")
+    assert "Broadcast" in plan
