@@ -57,9 +57,9 @@ _loaded = False
 #: rel_scalar_functions, rel_pivot_status, rel_json_props,
 #: rel_approx_segments, rel_grouping_sets, rel_percentiles,
 #: rel_corr_subquery, rel_suppliers_with_shipments,
-#: rel_recursive_months, rel_approx_percentiles — 10 rows, ALL
-#: promised an r06 slot (tests/test_registry_gate.py R06_DEFERRED
-#: pins the list).
+#: rel_recursive_months, rel_approx_percentiles,
+#: rel_customers_without_orders — 11 rows, ALL promised an r06 slot
+#: (tests/test_registry_gate.py R06_DEFERRED pins the list).
 GATE_WINDOW: list[str] = [
     # (a) round-5 additions, never attested
     "wt_epm_variants",
@@ -67,6 +67,7 @@ GATE_WINDOW: list[str] = [
     "ann_ivfpq_rerank",
     "dd_bloom_decontaminate",
     "tx_cms_terms",
+    "wt_stream_heavy_hitters",
     # (b) code changed after last attestation — must re-gate:
     # the scrub surgery rewrite; the duplicate_clusters restructure
     # (feeds lineage/clean-corpus/clusters AND the funnel); the
@@ -116,7 +117,6 @@ GATE_WINDOW: list[str] = [
     "mm_frame_sample",
     "rel_pricing_summary",
     "rel_asof_last_signup",
-    "rel_customers_without_orders",
     "rel_order_gaps",
     "rel_lateral_topk",
 ]

@@ -250,6 +250,19 @@ WHERE NOT (
 )"""
 
 
+def heavy_hitters_oracle(k: int) -> str:
+    """Top-k titles per wiki by raw rc event count — the exact relation
+    the streaming SpaceSaving summary reproduces when its capacity
+    exceeds the distinct-title count (streaming/heavyhitters.py)."""
+    return f"""WITH rc AS ({duckdb_rc_cte()}),
+cnt AS (SELECT wiki, title, count(*) AS n_events FROM rc GROUP BY 1, 2)
+SELECT wiki, title, CAST(n_events AS BIGINT) AS n_events,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY wiki
+            ORDER BY n_events DESC, title ASC) AS rnk FROM cnt) t
+WHERE rnk <= {k}"""
+
+
 def classify_counts_oracle() -> str:
     """Classifier cross-tab over edit events (F5/F8/F9/F10 in isolation)."""
     return f"""WITH {classified_events_cte()}

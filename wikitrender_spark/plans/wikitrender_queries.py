@@ -269,6 +269,48 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lifecycle_select(processor.final_state(changelog))
 
 
+#: SpaceSaving capacity for the gated streaming heavy-hitter query —
+#: far above the distinct titles per wiki at every test SF, so the
+#: summary is EXACT (err = 0) and shares a plain top-k oracle; the
+#: bounded-capacity approximation path is pinned separately in
+#: tests/test_heavyhitters.py
+HH_CAPACITY = 32_768
+HH_TOPK = 3
+
+
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-{HH_TOPK} pages per wiki by raw event count via the
+    per-key SpaceSaving summary (streaming/heavyhitters.py), replayed
+    with availableNow and collapsed to each wiki's latest summary. At
+    HH_CAPACITY >= distinct titles the summary is exact, so this checks
+    against the same DuckDB oracle a batch GROUP BY + row_number would —
+    the wt_stream_replay agreement pattern for the frequency family."""
+    import tempfile
+    import uuid
+
+    from ..sources.replay import rc_event_stream
+    from ..streaming import heavyhitters as hh
+
+    stream = rc_event_stream(spark, sf_dir).select(
+        F.col("wiki").alias("key"), F.col("title").alias("item")
+    )
+    name = "wt_stream_hh_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="wt_stream_hh_ckpt_")
+    emissions = hh.run_to_memory(
+        spark, hh.heavy_hitter_stream(stream, hh_capacity()), name, ckpt
+    )
+    return hh.final_topk(emissions, HH_TOPK).select(
+        F.col("key").alias("wiki"),
+        F.col("item").alias("title"),
+        F.col("est").alias("n_events"),
+        F.col("rnk"),
+    )
+
+
+def hh_capacity() -> int:
+    return HH_CAPACITY
+
+
 QUERIES = {
     "wt_page_state": q_page_state,
     "wt_most_edited": q_most_edited,
@@ -286,6 +328,7 @@ QUERIES = {
     "wt_page_state_lifecycle": q_page_state_lifecycle,
     "wt_lifecycle_replay": q_lifecycle_replay,
     "wt_stream_replay": q_stream_replay,
+    "wt_stream_heavy_hitters": q_stream_heavy_hitters,
 }
 
 ORACLES = {
@@ -305,4 +348,5 @@ ORACLES = {
     "wt_page_state_lifecycle": sqlgen.lifecycle_oracle(),
     "wt_lifecycle_replay": sqlgen.lifecycle_oracle(),
     "wt_stream_replay": sqlgen.lifecycle_oracle(),
+    "wt_stream_heavy_hitters": sqlgen.heavy_hitters_oracle(HH_TOPK),
 }
