@@ -43,7 +43,6 @@ def _chunked_items(spark, work_dir, rows, n_chunks=3):
 def _run(spark, tmp_path, rows, capacity, name):
     stream = _chunked_items(spark, str(tmp_path), rows)
     emissions = hh.run_to_memory(
-        spark,
         hh.heavy_hitter_stream(stream, capacity),
         name,
         str(tmp_path / f"{name}_ckpt"),

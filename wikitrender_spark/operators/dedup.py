@@ -519,8 +519,12 @@ def bloom_decontamination_flags(docs: DataFrame) -> DataFrame:
     assumed, via the exact twin.
 
     Scale shape: eval side collapses to <= K*M distinct (row, bit) rows
-    broadcast once; the corpus side is one projection per shingle into
-    K (row, bit) probes, a broadcast join, and a per-(doc, shingle)
+    broadcast once; the corpus side tokenizes/shingles ONCE — the
+    training shingle relation is localCheckpoint'd and feeds all three
+    consumers (probes, exact hits, per-doc sizes); without the barrier
+    each branch would re-run the HOF tokenization (the round's
+    clean-corpus lesson). Then one projection per shingle into K
+    (row, bit) probes, a broadcast join, and a per-(doc, shingle)
     all-rows-matched count — no corpus shuffle beyond the per-doc
     aggregate it already shares with the exact path."""
     is_eval = F.col("doc_id") % EVAL_MOD == 0
@@ -542,7 +546,7 @@ def bloom_decontamination_flags(docs: DataFrame) -> DataFrame:
     ).select("jb.j", "jb.bit").distinct()
 
     train = docs.filter(~is_eval)
-    tr_sh = doc_shingles(train)
+    tr_sh = doc_shingles(train).localCheckpoint()
     probes = tr_sh.select(
         "doc_id",
         "shingle",

@@ -78,18 +78,42 @@ def cms_top_terms(docs: DataFrame, k: int = 20) -> DataFrame:
     margin >= 0 is a structural invariant — pinned in tests and checked
     per row by the oracle comparison.
 
-    Scale shape: the sketch is D*W cells regardless of corpus size; the
-    exact side (for the contract) is one term-keyed aggregate limited
-    to k rows via TakeOrderedAndProject; the estimate join probes D
+    Scale shape: ONE tokenization — the contract query necessarily pays
+    the exact term-keyed aggregate anyway (that is what the estimates
+    are checked against), so the sketch cells are summed FROM the
+    per-term counts instead of re-exploding the corpus (same cell
+    values: addition is associative over the per-term partition of the
+    stream). The standalone ``cms_cells`` keeps the vocabulary-free
+    one-pass shape for production use where no exact side exists. The
+    top-k is TakeOrderedAndProject; the estimate join probes D
     broadcast-sized cells per term."""
-    toks = _token_stream(docs)
-    exact = (
-        toks.groupBy("tok")
+    term_counts = (
+        _token_stream(docs)
+        .groupBy("tok", "th")
         .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    exact = (
+        term_counts.select("tok", "exact_count")
         .orderBy(F.desc("exact_count"), F.asc("tok"))
         .limit(k)
     )
-    cells = cms_cells(docs)
+    cell_rows = term_counts.select(
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_cell(F.col("th"), j).alias("cell"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jc"),
+    ).select("exact_count", "jc.j", "jc.cell")
+    cells = cell_rows.groupBy("j", "cell").agg(
+        F.sum("exact_count").alias("n")
+    )
     probes = exact.select(
         "tok",
         "exact_count",

@@ -279,12 +279,13 @@ HH_TOPK = 3
 
 
 def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming top-{HH_TOPK} pages per wiki by raw event count via the
-    per-key SpaceSaving summary (streaming/heavyhitters.py), replayed
-    with availableNow and collapsed to each wiki's latest summary. At
-    HH_CAPACITY >= distinct titles the summary is exact, so this checks
-    against the same DuckDB oracle a batch GROUP BY + row_number would —
-    the wt_stream_replay agreement pattern for the frequency family."""
+    """Streaming top-3 (HH_TOPK) pages per wiki by raw event count via
+    the per-key SpaceSaving summary (streaming/heavyhitters.py),
+    replayed with availableNow and collapsed to each wiki's latest
+    summary. At HH_CAPACITY >= distinct titles the summary is exact, so
+    this checks against the same DuckDB oracle a batch GROUP BY +
+    row_number would — the wt_stream_replay agreement pattern for the
+    frequency family."""
     import tempfile
     import uuid
 
@@ -297,7 +298,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "wt_stream_hh_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="wt_stream_hh_ckpt_")
     emissions = hh.run_to_memory(
-        spark, hh.heavy_hitter_stream(stream, hh_capacity()), name, ckpt
+        hh.heavy_hitter_stream(stream, HH_CAPACITY), name, ckpt
     )
     return hh.final_topk(emissions, HH_TOPK).select(
         F.col("key").alias("wiki"),
@@ -305,10 +306,6 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("n_events"),
         F.col("rnk"),
     )
-
-
-def hh_capacity() -> int:
-    return HH_CAPACITY
 
 
 QUERIES = {

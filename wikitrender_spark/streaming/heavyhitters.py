@@ -31,7 +31,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -114,18 +114,10 @@ def final_topk(emissions: DataFrame, k: int) -> DataFrame:
     )
 
 
-def run_to_memory(
-    spark: SparkSession, summaries: DataFrame, name: str, ckpt: str
-) -> DataFrame:
+def run_to_memory(summaries: DataFrame, name: str, ckpt: str) -> DataFrame:
     """Drive the summary stream to a memory sink (availableNow) and
-    return the emissions table."""
-    q = (
-        summaries.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return the emissions table — the shared update-mode driver in
+    streaming/processor.py (one implementation to maintain)."""
+    from .processor import run_changelog_to_memory
+
+    return run_changelog_to_memory(summaries, name, ckpt)
