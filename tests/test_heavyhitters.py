@@ -116,3 +116,58 @@ def test_replay_determinism(spark, tmp_path):
     a = _run(spark, tmp_path / "a", rows, capacity=4, name="hh_det_a")
     b = _run(spark, tmp_path / "b", rows, capacity=4, name="hh_det_b")
     assert a == b
+
+
+# --- pure-algorithm property tests (no Spark session) -----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    capacity=st.integers(min_value=1, max_value=12),
+    split=st.integers(min_value=0, max_value=400),
+)
+def test_spacesaving_invariants_hold_for_any_stream(stream, capacity, split):
+    # fold in two chunks (the micro-batch boundary) — invariants must
+    # hold regardless of where the state crosses a trigger
+    summary = {}
+    items = [f"i{x}" for x in stream]
+    hh.spacesaving_update(summary, items[:split], capacity)
+    hh.spacesaving_update(summary, items[split:], capacity)
+    true = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+    n = len(items)
+    assert len(summary) <= capacity
+    # total estimate mass equals the stream length exactly (SpaceSaving
+    # conserves counts: every arrival nets +1 est, evictions included)
+    assert sum(est for est, _ in summary.values()) == n
+    for it, (est, err) in summary.items():
+        t = true[it]
+        assert est >= t, (it, est, t)            # upper bound
+        assert est - err <= t, (it, est, err, t)  # lower bound
+        assert 0 <= err < est or (err == 0 and est >= 1)
+    # guaranteed tracking above N/capacity
+    for it, t in true.items():
+        if t > n / capacity:
+            assert it in summary, (it, t, n / capacity)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=10), max_size=200),
+    capacity=st.integers(min_value=1, max_value=8),
+)
+def test_spacesaving_batch_split_invariance(stream, capacity):
+    # folding the same stream with different micro-batch boundaries
+    # yields the SAME summary (the state carries everything)
+    items = [f"i{x}" for x in stream]
+    one = {}
+    hh.spacesaving_update(one, items, capacity)
+    many = {}
+    for i in range(0, len(items), 7):
+        hh.spacesaving_update(many, items[i : i + 7], capacity)
+    assert one == many

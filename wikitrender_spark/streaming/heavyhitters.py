@@ -44,6 +44,28 @@ _STATE_SCHEMA = (
 )
 
 
+def spacesaving_update(
+    summary: dict[str, list[int]], items, capacity: int
+) -> None:
+    """Fold ``items`` into a SpaceSaving ``summary`` {item: [est, err]}
+    in place — the pure algorithm, extracted so its invariants are
+    hypothesis-testable without a Spark session
+    (tests/test_heavyhitters.py)."""
+    for it in items:
+        it = str(it)
+        if it in summary:
+            summary[it][0] += 1
+        elif len(summary) < capacity:
+            summary[it] = [1, 0]
+        else:
+            evict = min(summary, key=lambda x: (summary[x][0], x))
+            m = summary.pop(evict)[0]
+            # the newcomer inherits the evicted count as its error
+            # bound: est is an upper bound, est - err a lower bound on
+            # the true count
+            summary[it] = [m + 1, m]
+
+
 def _mk_process(capacity: int):
     def _process(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -55,19 +77,7 @@ def _mk_process(capacity: int):
         else:
             summary, n_up = {}, 0
         for pdf in pdfs:
-            for it in pdf["item"]:
-                it = str(it)
-                if it in summary:
-                    summary[it][0] += 1
-                elif len(summary) < capacity:
-                    summary[it] = [1, 0]
-                else:
-                    evict = min(summary, key=lambda x: (summary[x][0], x))
-                    m = summary.pop(evict)[0]
-                    # the newcomer inherits the evicted count as its
-                    # error bound: est is an upper bound, est - err a
-                    # lower bound on the true count
-                    summary[it] = [m + 1, m]
+            spacesaving_update(summary, pdf["item"], capacity)
         n_up += 1
         ordered = sorted(summary)
         state.update(
