@@ -190,3 +190,33 @@ def test_epm_variant_zero_count_guard_is_per_variant(spark):
     # include_anons variant divides
     row = _epm_row(spark, edits=0, reverts=0, anons=3, age_min=2.0)
     assert (row["d"], row["r"], row["a"], row["ra"]) == (0.0, 0.0, 1.5, 1.5)
+
+
+def test_state_diff_change_matrix(spark):
+    # seq 0..7, cut = 7 DIV 4 = 1: page A edits at seq 0 and 5 ->
+    # 'changed'; page B's single edit at seq 1 -> identical early/full
+    # state -> 'unchanged', EXCLUDED; page C first appears at seq 6 ->
+    # 'added'
+    from wikitrender_spark.plans.wikitrender_queries import state_diff
+
+    rows = [
+        {**RAW_EDIT, "title": "A", "seq": 0, "length_new": 5, "length_old": 1},
+        {**RAW_EDIT, "title": "B", "seq": 1},
+        {**RAW_EDIT, "title": "Pad1", "seq": 2},
+        {**RAW_EDIT, "title": "Pad1", "seq": 3},
+        {**RAW_EDIT, "title": "Pad1", "seq": 4},
+        {**RAW_EDIT, "title": "A", "seq": 5, "length_new": 9, "length_old": 2},
+        {**RAW_EDIT, "title": "C", "seq": 6},
+        {**RAW_EDIT, "title": "Pad1", "seq": 7},
+    ]
+    rc = make_events(spark, rows)
+    got = {r["id"]: r for r in state_diff(rc).collect()}
+    assert "B" not in got, got
+    assert got["A"]["change_type"] == "changed"
+    assert (got["A"]["edits_early"], got["A"]["edits_full"]) == (1, 2)
+    assert got["A"]["bytes_delta"] == 7  # (9-2) added after the cut
+    assert got["C"]["change_type"] == "added"
+    assert (got["C"]["edits_early"], got["C"]["edits_full"]) == (0, 1)
+    # Pad1's first event (seq 2) is already past the cut -> added too
+    assert got["Pad1"]["change_type"] == "added"
+    assert got["Pad1"]["edits_full"] == 4

@@ -23,6 +23,8 @@ NEVER_OR_STALE_ATTESTED = {
     "dd_bloom_decontaminate",
     "tx_cms_terms",
     "wt_stream_heavy_hitters",
+    "wt_state_diff",
+    "rel_dq_audit",
     # code rewritten in round 5 after the r04 attestation: the scrub's
     # coverage surgery (gap-interval fold), the duplicate_clusters
     # propagation loop and score_documents swap feeding the
@@ -39,7 +41,7 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_nation_presence",
 }
 
-#: The 11 rows displaced from the r05 window (all green at their last
+#: The 13 rows displaced from the r05 window (all green at their last
 #: attestation on current testdata, code untouched this round). They are
 #: PROMISED the r06 window: next round, move them into GATE_WINDOW (and
 #: into NEVER_OR_STALE_ATTESTED as stale) before anything else.
@@ -55,6 +57,8 @@ R06_DEFERRED = {
     "rel_recursive_months",
     "rel_approx_percentiles",
     "rel_customers_without_orders",
+    "rel_order_gaps",
+    "rel_lateral_topk",
 }
 
 

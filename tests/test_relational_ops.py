@@ -220,3 +220,60 @@ def test_value_pareto_hand_computed(spark):
     assert out[3]["user_id"] == 30 and out[3]["cum_value"] == 50.0
     assert out[1]["cum_share"] == 0.6
     assert out[3]["cum_share"] == 1.0
+
+
+def test_dq_audit_counts_injected_defects(spark):
+    # tiny tables with one defect of each class: a duplicate order key,
+    # a NULL custkey, a bad status, an over-cap price, an out-of-range
+    # quantity, an over-cap discount, a NULL shipdate, an orphan
+    # lineitem, and an orphan order — every violation counter must
+    # observe exactly its planted defects, and only those checks fail
+    import datetime as dt
+
+    from wikitrender_spark.plans.relational_queries import dq_audit
+
+    t = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, t, "1-URGENT"),
+            (1, 10, "F", 200.0, t, "1-URGENT"),      # dup key
+            (2, None, "P", 300.0, t, "2-HIGH"),      # null custkey
+            (3, 10, "X", 400.0, t, "2-HIGH"),        # bad status
+            (4, 10, "O", 999_999.0, t, "2-HIGH"),    # over price cap
+            (5, 99, "O", 500.0, t, "2-HIGH"),        # orphan order (cust 99)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 5.0, 0.01, t),
+            (1, 2, 99.0, 0.02, t),                   # qty out of range
+            (2, 1, 5.0, 0.09, t),                    # discount over cap
+            (3, 1, 5.0, 0.01, None),                 # null shipdate
+            (777, 1, 5.0, 0.01, t),                  # orphan lineitem
+        ],
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_discount double, l_shipdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(10, "c10")], "c_custkey long, c_name string"
+    )
+    rows = {r["check_id"]: r for r in dq_audit(orders, li, customer).collect()}
+    expected = {
+        "orders_row_count": (6.0, True),
+        "orders_key_unique": (1.0, False),
+        "orders_custkey_complete": (1.0, False),
+        "orders_status_domain": (1.0, False),
+        "orders_price_cap": (1.0, False),
+        "lineitem_row_count": (5.0, True),
+        "lineitem_qty_range": (1.0, False),
+        "lineitem_discount_cap": (1.0, False),
+        "lineitem_shipdate_complete": (1.0, False),
+        "lineitem_order_fk": (1.0, False),
+        "orders_customer_fk": (2.0, False),  # null custkey is an orphan too
+    }
+    assert set(rows) == set(expected)
+    for cid, (obs, passed) in expected.items():
+        assert rows[cid]["observed"] == obs, (cid, rows[cid])
+        assert rows[cid]["passed"] == passed, (cid, rows[cid])

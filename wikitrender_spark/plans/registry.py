@@ -58,8 +58,9 @@ _loaded = False
 #: rel_approx_segments, rel_grouping_sets, rel_percentiles,
 #: rel_corr_subquery, rel_suppliers_with_shipments,
 #: rel_recursive_months, rel_approx_percentiles,
-#: rel_customers_without_orders — 11 rows, ALL promised an r06 slot
-#: (tests/test_registry_gate.py R06_DEFERRED pins the list).
+#: rel_customers_without_orders, rel_order_gaps, rel_lateral_topk —
+#: 13 rows, ALL promised an r06 slot (tests/test_registry_gate.py
+#: R06_DEFERRED pins the list).
 GATE_WINDOW: list[str] = [
     # (a) round-5 additions, never attested
     "wt_epm_variants",
@@ -68,6 +69,8 @@ GATE_WINDOW: list[str] = [
     "dd_bloom_decontaminate",
     "tx_cms_terms",
     "wt_stream_heavy_hitters",
+    "wt_state_diff",
+    "rel_dq_audit",
     # (b) code changed after last attestation — must re-gate:
     # the scrub surgery rewrite; the duplicate_clusters restructure
     # (feeds lineage/clean-corpus/clusters AND the funnel); the
@@ -117,8 +120,6 @@ GATE_WINDOW: list[str] = [
     "mm_frame_sample",
     "rel_pricing_summary",
     "rel_asof_last_signup",
-    "rel_order_gaps",
-    "rel_lateral_topk",
 ]
 
 GATE_SIZE = 50

@@ -1357,6 +1357,176 @@ SELECT user_id, user_value, user_rank,
 FROM ranked"""
 
 
+# --- data-quality audit -----------------------------------------------------
+#: caps chosen so the audit has REAL failing rows on driver data (sf0.01:
+#: 6,033 orders above the price cap, 26,857 lineitems above the discount
+#: cap) — a constraint relation whose `passed` column is constant-true
+#: would never prove the violation-counting path works
+DQ_PRICE_CAP = 300_000.0
+DQ_DISCOUNT_CAP = 0.05
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality audit (the Deequ-style constraint relation a
+    pipeline runs before trusting a drop): per check —
+    (check_id, target, observed, passed). Completeness, key uniqueness,
+    value-domain, range caps, and referential integrity over
+    orders/lineitem/customer.
+
+    Scale shape: ONE aggregation pass per table carries every metric of
+    that table (no per-check scans); the two referential checks are
+    broadcast-able anti-joins collapsed to a count. Observed values are
+    DOUBLE on both engines (counts are exact in a double far beyond any
+    table here)."""
+    return dq_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def dq_audit(
+    orders: DataFrame, li: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Core of q_dq_audit over any three relations — violation counting
+    is hand-checked on injected-defect tables in
+    tests/test_relational_ops.py."""
+    oa = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("nd"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nulls"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("dom"),
+        F.sum((F.col("o_totalprice") > DQ_PRICE_CAP).cast("long")).alias(
+            "cap"
+        ),
+    )
+    o_checks = oa.select(
+        F.expr(
+            """stack(5,
+  'orders_row_count', 'orders', CAST(n AS DOUBLE), n > 0,
+  'orders_key_unique', 'orders', CAST(n - nd AS DOUBLE), n = nd,
+  'orders_custkey_complete', 'orders', CAST(nulls AS DOUBLE), nulls = 0,
+  'orders_status_domain', 'orders', CAST(dom AS DOUBLE), dom = 0,
+  'orders_price_cap', 'orders', CAST(cap AS DOUBLE), cap = 0
+) AS (check_id, target, observed, passed)"""
+        )
+    )
+    la = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "long"
+            )
+        ).alias("qty"),
+        F.sum((F.col("l_discount") > DQ_DISCOUNT_CAP).cast("long")).alias(
+            "disc"
+        ),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("nulldt"),
+    )
+    l_checks = la.select(
+        F.expr(
+            """stack(4,
+  'lineitem_row_count', 'lineitem', CAST(n AS DOUBLE), n > 0,
+  'lineitem_qty_range', 'lineitem', CAST(qty AS DOUBLE), qty = 0,
+  'lineitem_discount_cap', 'lineitem', CAST(disc AS DOUBLE), disc = 0,
+  'lineitem_shipdate_complete', 'lineitem', CAST(nulldt AS DOUBLE), nulldt = 0
+) AS (check_id, target, observed, passed)"""
+        )
+    )
+
+    def _orphans(child, child_key, parent, parent_key, check_id, target):
+        cnt = (
+            child.join(
+                parent.select(parent_key),
+                F.col(child_key) == F.col(parent_key),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("orph"))
+        )
+        return cnt.select(
+            F.lit(check_id).alias("check_id"),
+            F.lit(target).alias("target"),
+            F.col("orph").cast("double").alias("observed"),
+            (F.col("orph") == 0).alias("passed"),
+        )
+
+    ref_checks = _orphans(
+        li, "l_orderkey", orders, "o_orderkey",
+        "lineitem_order_fk", "lineitem",
+    ).unionByName(
+        _orphans(
+            orders, "o_custkey", customer, "c_custkey",
+            "orders_customer_fk", "orders",
+        )
+    )
+    return o_checks.unionByName(l_checks).unionByName(ref_checks)
+
+
+DQ_AUDIT_SQL = f"""
+SELECT * FROM (
+  SELECT 'orders_row_count' AS check_id, 'orders' AS target,
+         CAST(count(*) AS DOUBLE) AS observed, count(*) > 0 AS passed
+  FROM orders
+  UNION ALL
+  SELECT 'orders_key_unique', 'orders',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE),
+         count(*) = count(DISTINCT o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_custkey_complete', 'orders',
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'orders_status_domain', 'orders',
+         CAST(sum(CASE WHEN NOT o_orderstatus IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS DOUBLE),
+         sum(CASE WHEN NOT o_orderstatus IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'orders_price_cap', 'orders',
+         CAST(sum(CASE WHEN o_totalprice > {DQ_PRICE_CAP}
+                  THEN 1 ELSE 0 END) AS DOUBLE),
+         sum(CASE WHEN o_totalprice > {DQ_PRICE_CAP} THEN 1 ELSE 0 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_row_count', 'lineitem',
+         CAST(count(*) AS DOUBLE), count(*) > 0
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_qty_range', 'lineitem',
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) AS DOUBLE),
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             THEN 1 ELSE 0 END) = 0
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_cap', 'lineitem',
+         CAST(sum(CASE WHEN l_discount > {DQ_DISCOUNT_CAP}
+                  THEN 1 ELSE 0 END) AS DOUBLE),
+         sum(CASE WHEN l_discount > {DQ_DISCOUNT_CAP} THEN 1 ELSE 0 END) = 0
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_shipdate_complete', 'lineitem',
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_order_fk', 'lineitem',
+         CAST(count(*) AS DOUBLE), count(*) = 0
+  FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'orders_customer_fk', 'orders',
+         CAST(count(*) AS DOUBLE), count(*) = 0
+  FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+) t"""
+
+
 QUERIES = {
     # NOTE: gating is governed solely by registry.GATE_WINDOW (which
     # reorders registration); dict position here does NOT decide what
@@ -1381,6 +1551,7 @@ QUERIES = {
     "rel_event_funnel": q_event_funnel,
     "rel_salted_revenue": q_salted_revenue,
     "rel_hourly_anomalies": q_hourly_anomalies,
+    "rel_dq_audit": q_dq_audit,
     "rel_hourly_ewma": q_hourly_ewma,
     "rel_value_pareto": q_value_pareto,
     # --- rotated out of the gate (hash-green r01 + r02) ---
@@ -1436,6 +1607,7 @@ ORACLES = {
     "rel_event_funnel": EVENT_FUNNEL_SQL,
     "rel_salted_revenue": SALTED_REVENUE_SQL,
     "rel_hourly_anomalies": HOURLY_ANOMALIES_SQL,
+    "rel_dq_audit": DQ_AUDIT_SQL,
     "rel_hourly_ewma": HOURLY_EWMA_SQL,
     "rel_value_pareto": VALUE_PARETO_SQL,
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,

@@ -250,6 +250,30 @@ WHERE NOT (
 )"""
 
 
+def state_diff_oracle() -> str:
+    """Snapshot diff twin: early state (events with seq <= max(seq)
+    integer-divided by 4 — `//` here, `DIV` on the Spark side; both
+    exact integer division, never a rounding double cast) full-outer
+    against the final state; unchanged rows excluded."""
+    return f"""WITH {classified_events_cte()},
+mid AS (SELECT max(seq) // 4 AS mid FROM rc),
+e2e AS (SELECT e2.* FROM e2, mid WHERE e2.seq <= mid.mid),
+{state_agg_sql("e2e", "lvl1e", "state_e")},
+{state_agg_sql("e2", "lvl1f", "state_f")}
+SELECT coalesce(f.id, e.id) AS id,
+  CASE WHEN e.id IS NULL THEN 'added'
+       WHEN f.id IS NULL THEN 'removed'
+       ELSE 'changed' END AS change_type,
+  CAST(coalesce(e.edits, 0) AS BIGINT) AS edits_early,
+  CAST(coalesce(f.edits, 0) AS BIGINT) AS edits_full,
+  CAST(coalesce(f.bytesChanged, 0) - coalesce(e.bytesChanged, 0)
+       AS BIGINT) AS bytes_delta
+FROM state_e e FULL OUTER JOIN state_f f ON e.id = f.id
+WHERE NOT (e.id IS NOT NULL AND f.id IS NOT NULL
+  AND e.edits = f.edits AND e.anonEdits = f.anonEdits
+  AND e.reverts = f.reverts AND e.bytesChanged = f.bytesChanged)"""
+
+
 def heavy_hitters_oracle(k: int) -> str:
     """Top-k titles per wiki by raw rc event count — the exact relation
     the streaming SpaceSaving summary reproduces when its capacity

@@ -308,6 +308,76 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIFF_COLS = ["edits", "anonEdits", "reverts", "bytesChanged"]
+
+
+def q_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: page_state at the stream quarter-point (seq <=
+    max(seq) div 4 — integer division, pinned identically in the
+    oracle; the quarter cut leaves late-created pages on the far side,
+    so the 'added' branch is exercised on driver data — at div 2 every
+    page already existed) full-outer-joined with the final state, emitting every page
+    whose scalar state changed ('added' when absent early, 'changed'
+    otherwise; 'removed' is structurally impossible for the pure
+    accumulation but handled for the lifecycle variant). The
+    incremental-view-maintenance primitive: what a downstream consumer
+    must re-read after the second half of the stream.
+
+    Scale shape: two runs of the same two-level aggregation plus one
+    full-outer join on the page key — the diff never materializes
+    unchanged rows downstream."""
+    return state_diff(rc_events(spark, sf_dir))
+
+
+def state_diff(rc: DataFrame, divisor: int = 4) -> DataFrame:
+    """Core of q_state_diff over any rc relation (hand-computed change
+    matrix covered in tests/test_reference_parity.py)."""
+    mid = rc.agg(
+        F.expr(f"CAST(max(seq) AS BIGINT) DIV {divisor}").alias("mid")
+    )
+    early_rc = (
+        rc.crossJoin(F.broadcast(mid))
+        .filter(F.col("seq") <= F.col("mid"))
+        .drop("mid")
+    )
+    ea = page_state(early_rc, with_collections=False).select(
+        "id",
+        F.lit(1).alias("_e"),
+        *[F.col(c).alias(f"{c}_early") for c in _DIFF_COLS],
+    )
+    fu = page_state(rc, with_collections=False).select(
+        "id",
+        F.lit(1).alias("_f"),
+        *[F.col(c).alias(f"{c}_full") for c in _DIFF_COLS],
+    )
+    j = ea.join(fu, "id", "full_outer")
+    same = None
+    for c in _DIFF_COLS:
+        eq = F.col(f"{c}_early") == F.col(f"{c}_full")
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_e").isNull(), F.lit("added"))
+        .when(F.col("_f").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type") != "unchanged")
+        .select(
+            "id",
+            "change_type",
+            F.coalesce("edits_early", zero).alias("edits_early"),
+            F.coalesce("edits_full", zero).alias("edits_full"),
+            (
+                F.coalesce("bytesChanged_full", zero)
+                - F.coalesce("bytesChanged_early", zero)
+            ).alias("bytes_delta"),
+        )
+    )
+
+
 QUERIES = {
     "wt_page_state": q_page_state,
     "wt_most_edited": q_most_edited,
@@ -326,6 +396,7 @@ QUERIES = {
     "wt_lifecycle_replay": q_lifecycle_replay,
     "wt_stream_replay": q_stream_replay,
     "wt_stream_heavy_hitters": q_stream_heavy_hitters,
+    "wt_state_diff": q_state_diff,
 }
 
 ORACLES = {
@@ -346,4 +417,5 @@ ORACLES = {
     "wt_lifecycle_replay": sqlgen.lifecycle_oracle(),
     "wt_stream_replay": sqlgen.lifecycle_oracle(),
     "wt_stream_heavy_hitters": sqlgen.heavy_hitters_oracle(HH_TOPK),
+    "wt_state_diff": sqlgen.state_diff_oracle(),
 }
