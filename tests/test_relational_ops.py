@@ -277,3 +277,29 @@ def test_dq_audit_counts_injected_defects(spark):
     for cid, (obs, passed) in expected.items():
         assert rows[cid]["observed"] == obs, (cid, rows[cid])
         assert rows[cid]["passed"] == passed, (cid, rows[cid])
+
+
+def test_dq_audit_empty_tables_still_report_verdicts(spark):
+    # an empty table is the case an audit most needs to flag: every
+    # check must still produce a non-NULL verdict (sum over zero rows
+    # is NULL without the coalesce)
+    from wikitrender_spark.plans.relational_queries import dq_audit
+
+    orders = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [],
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_discount double, l_shipdate timestamp",
+    )
+    customer = spark.createDataFrame([], "c_custkey long, c_name string")
+    rows = {r["check_id"]: r for r in dq_audit(orders, li, customer).collect()}
+    assert len(rows) == 11
+    for cid, r in rows.items():
+        assert r["observed"] is not None, cid
+        assert r["passed"] is not None, cid
+    assert rows["orders_row_count"]["passed"] is False  # empty fails rowcount
+    assert rows["orders_custkey_complete"]["passed"] is True

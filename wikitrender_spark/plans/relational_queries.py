@@ -1391,16 +1391,23 @@ def dq_audit(
     """Core of q_dq_audit over any three relations — violation counting
     is hand-checked on injected-defect tables in
     tests/test_relational_ops.py."""
+    # sums coalesce to 0 so an EMPTY table still yields a verdict for
+    # every check (sum over zero rows is NULL, which would surface as a
+    # NULL `passed` — the one case a data-quality audit must not shrug)
+    zero = F.lit(0).cast("long")
     oa = orders.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("o_orderkey").alias("nd"),
-        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nulls"),
-        F.sum(
-            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        F.coalesce(
+            F.sum(F.col("o_custkey").isNull().cast("long")), zero
+        ).alias("nulls"),
+        F.coalesce(
+            F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")),
+            zero,
         ).alias("dom"),
-        F.sum((F.col("o_totalprice") > DQ_PRICE_CAP).cast("long")).alias(
-            "cap"
-        ),
+        F.coalesce(
+            F.sum((F.col("o_totalprice") > DQ_PRICE_CAP).cast("long")), zero
+        ).alias("cap"),
     )
     o_checks = oa.select(
         F.expr(
@@ -1415,15 +1422,20 @@ def dq_audit(
     )
     la = li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(
-            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
-                "long"
-            )
+        F.coalesce(
+            F.sum(
+                ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                    "long"
+                )
+            ),
+            zero,
         ).alias("qty"),
-        F.sum((F.col("l_discount") > DQ_DISCOUNT_CAP).cast("long")).alias(
-            "disc"
-        ),
-        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("nulldt"),
+        F.coalesce(
+            F.sum((F.col("l_discount") > DQ_DISCOUNT_CAP).cast("long")), zero
+        ).alias("disc"),
+        F.coalesce(
+            F.sum(F.col("l_shipdate").isNull().cast("long")), zero
+        ).alias("nulldt"),
     )
     l_checks = la.select(
         F.expr(
@@ -1476,21 +1488,22 @@ SELECT * FROM (
   FROM orders
   UNION ALL
   SELECT 'orders_custkey_complete', 'orders',
-         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
-         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+         CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS DOUBLE),
+         coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0
   FROM orders
   UNION ALL
   SELECT 'orders_status_domain', 'orders',
-         CAST(sum(CASE WHEN NOT o_orderstatus IN ('O', 'F', 'P')
-                  THEN 1 ELSE 0 END) AS DOUBLE),
-         sum(CASE WHEN NOT o_orderstatus IN ('O', 'F', 'P')
-             THEN 1 ELSE 0 END) = 0
+         CAST(coalesce(sum(CASE WHEN NOT o_orderstatus IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END), 0) AS DOUBLE),
+         coalesce(sum(CASE WHEN NOT o_orderstatus IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END), 0) = 0
   FROM orders
   UNION ALL
   SELECT 'orders_price_cap', 'orders',
-         CAST(sum(CASE WHEN o_totalprice > {DQ_PRICE_CAP}
-                  THEN 1 ELSE 0 END) AS DOUBLE),
-         sum(CASE WHEN o_totalprice > {DQ_PRICE_CAP} THEN 1 ELSE 0 END) = 0
+         CAST(coalesce(sum(CASE WHEN o_totalprice > {DQ_PRICE_CAP}
+                  THEN 1 ELSE 0 END), 0) AS DOUBLE),
+         coalesce(sum(CASE WHEN o_totalprice > {DQ_PRICE_CAP}
+             THEN 1 ELSE 0 END), 0) = 0
   FROM orders
   UNION ALL
   SELECT 'lineitem_row_count', 'lineitem',
@@ -1498,21 +1511,22 @@ SELECT * FROM (
   FROM lineitem
   UNION ALL
   SELECT 'lineitem_qty_range', 'lineitem',
-         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                  THEN 1 ELSE 0 END) AS DOUBLE),
-         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-             THEN 1 ELSE 0 END) = 0
+         CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END), 0) AS DOUBLE),
+         coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             THEN 1 ELSE 0 END), 0) = 0
   FROM lineitem
   UNION ALL
   SELECT 'lineitem_discount_cap', 'lineitem',
-         CAST(sum(CASE WHEN l_discount > {DQ_DISCOUNT_CAP}
-                  THEN 1 ELSE 0 END) AS DOUBLE),
-         sum(CASE WHEN l_discount > {DQ_DISCOUNT_CAP} THEN 1 ELSE 0 END) = 0
+         CAST(coalesce(sum(CASE WHEN l_discount > {DQ_DISCOUNT_CAP}
+                  THEN 1 ELSE 0 END), 0) AS DOUBLE),
+         coalesce(sum(CASE WHEN l_discount > {DQ_DISCOUNT_CAP}
+             THEN 1 ELSE 0 END), 0) = 0
   FROM lineitem
   UNION ALL
   SELECT 'lineitem_shipdate_complete', 'lineitem',
-         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
-         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+         CAST(coalesce(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) AS DOUBLE),
+         coalesce(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) = 0
   FROM lineitem
   UNION ALL
   SELECT 'lineitem_order_fk', 'lineitem',

@@ -250,13 +250,15 @@ WHERE NOT (
 )"""
 
 
-def state_diff_oracle() -> str:
+def state_diff_oracle(divisor: int = 4) -> str:
     """Snapshot diff twin: early state (events with seq <= max(seq)
-    integer-divided by 4 — `//` here, `DIV` on the Spark side; both
-    exact integer division, never a rounding double cast) full-outer
-    against the final state; unchanged rows excluded."""
+    integer-divided by ``divisor`` — `//` here, `DIV` on the Spark
+    side; both exact integer division, never a rounding double cast)
+    full-outer against the final state; unchanged rows excluded with
+    NULL-SAFE comparisons (IS NOT DISTINCT FROM, mirroring Spark's
+    eqNullSafe — a metric NULL in both snapshots is unchanged)."""
     return f"""WITH {classified_events_cte()},
-mid AS (SELECT max(seq) // 4 AS mid FROM rc),
+mid AS (SELECT max(seq) // {divisor} AS mid FROM rc),
 e2e AS (SELECT e2.* FROM e2, mid WHERE e2.seq <= mid.mid),
 {state_agg_sql("e2e", "lvl1e", "state_e")},
 {state_agg_sql("e2", "lvl1f", "state_f")}
@@ -270,8 +272,10 @@ SELECT coalesce(f.id, e.id) AS id,
        AS BIGINT) AS bytes_delta
 FROM state_e e FULL OUTER JOIN state_f f ON e.id = f.id
 WHERE NOT (e.id IS NOT NULL AND f.id IS NOT NULL
-  AND e.edits = f.edits AND e.anonEdits = f.anonEdits
-  AND e.reverts = f.reverts AND e.bytesChanged = f.bytesChanged)"""
+  AND e.edits IS NOT DISTINCT FROM f.edits
+  AND e.anonEdits IS NOT DISTINCT FROM f.anonEdits
+  AND e.reverts IS NOT DISTINCT FROM f.reverts
+  AND e.bytesChanged IS NOT DISTINCT FROM f.bytesChanged)"""
 
 
 def heavy_hitters_oracle(k: int) -> str:

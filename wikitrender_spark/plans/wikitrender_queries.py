@@ -331,7 +331,9 @@ def q_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def state_diff(rc: DataFrame, divisor: int = 4) -> DataFrame:
     """Core of q_state_diff over any rc relation (hand-computed change
-    matrix covered in tests/test_reference_parity.py)."""
+    matrix covered in tests/test_reference_parity.py). A non-default
+    ``divisor`` must pair with ``sqlgen.state_diff_oracle(divisor)`` —
+    the registered query/oracle pair uses the shared default."""
     mid = rc.agg(
         F.expr(f"CAST(max(seq) AS BIGINT) DIV {divisor}").alias("mid")
     )
@@ -351,9 +353,13 @@ def state_diff(rc: DataFrame, divisor: int = 4) -> DataFrame:
         *[F.col(c).alias(f"{c}_full") for c in _DIFF_COLS],
     )
     j = ea.join(fu, "id", "full_outer")
+    # NULL-SAFE equality (eqNullSafe / IS NOT DISTINCT FROM in the
+    # oracle): a metric that is NULL in both snapshots (e.g.
+    # bytesChanged from events without lengths) is UNCHANGED, not
+    # 'changed' on one engine and dropped on the other
     same = None
     for c in _DIFF_COLS:
-        eq = F.col(f"{c}_early") == F.col(f"{c}_full")
+        eq = F.col(f"{c}_early").eqNullSafe(F.col(f"{c}_full"))
         same = eq if same is None else (same & eq)
     change = (
         F.when(F.col("_e").isNull(), F.lit("added"))
