@@ -36,12 +36,15 @@ NEVER_OR_STALE_ATTESTED = {
     "dd_dup_clusters",
     "tx_filter_funnel",
     "mm_pgm_features",
+    "dd_minhash_est",
+    "dd_jaccard_histogram",
+    "dd_containment",
     # last attested r02, before the round-3 testdata regeneration
     "rel_nation_set_ops",
     "rel_nation_presence",
 }
 
-#: The 13 rows displaced from the r05 window (all green at their last
+#: The 16 rows displaced from the r05 window (all green at their last
 #: attestation on current testdata, code untouched this round). They are
 #: PROMISED the r06 window: next round, move them into GATE_WINDOW (and
 #: into NEVER_OR_STALE_ATTESTED as stale) before anything else.
@@ -59,6 +62,9 @@ R06_DEFERRED = {
     "rel_customers_without_orders",
     "rel_order_gaps",
     "rel_lateral_topk",
+    "rel_pricing_summary",
+    "rel_asof_last_signup",
+    "tx_chunks",
 }
 
 

@@ -136,10 +136,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, dth: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, signature array<long> of length k): k permutation minima
     over the stored shingle array. Docs with no shingles (< 3 tokens) get
-    the sentinel signature."""
+    the sentinel signature. ``dth`` lets a caller that already
+    materialized doc_token_hashes share it (the executed-plan audit this
+    round showed separate plan branches re-run the whole tokenization —
+    Spark's ReuseExchange does NOT fire across them under AQE)."""
     sentinel = F.array(*[F.lit(S.EMPTY_SIG).cast("long")] * k)
     mins = F.array(
         *[
@@ -153,7 +158,7 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
         ]
     )
     return (
-        doc_token_hashes(docs)
+        (dth if dth is not None else doc_token_hashes(docs))
         .select("doc_id", _shingles(F.col("ths")).alias("_sh"))
         .select(
             "doc_id",
@@ -165,7 +170,11 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    dth: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
 
@@ -174,8 +183,13 @@ def lsh_candidate_pairs(
     generate an all-pairs candidate set over every short doc — an O(n^2)
     shuffle at corpus scale — only for verification to drop each pair as
     NULL jaccard. A permuted hash is always < HASH_MOD, so sig[0] ==
-    EMPTY_SIG identifies exactly the sentinel docs."""
-    sig = minhash_signatures(docs, k).filter(
+    EMPTY_SIG identifies exactly the sentinel docs.
+
+    The banded relation is localCheckpoint'd before the self-join: the
+    join's two sides are separate plan branches, and without the
+    barrier EACH re-runs tokenization + signatures + banding (verified
+    on the executed plan — 4 documents scans, zero ReusedExchange)."""
+    sig = minhash_signatures(docs, k, dth=dth).filter(
         F.element_at("signature", 1) != S.EMPTY_SIG
     )
     banded = sig.select(
@@ -183,7 +197,7 @@ def lsh_candidate_pairs(
         F.posexplode(S.lsh_bands(F.col("signature"), bands, rows)).alias(
             "band_idx", "band_key"
         ),
-    )
+    ).localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -207,8 +221,13 @@ def _candidates_with_shingle_sets(docs: DataFrame) -> DataFrame:
     minhash_estimate_pairs, containment_pairs). Verification math stays
     per-pair array arithmetic over rows already in hand; candidates,
     never all pairs, are what the shingle arrays join onto."""
-    cands = lsh_candidate_pairs(docs)
-    sets = doc_token_hashes(docs).select(
+    # ONE token-hash materialization feeds the signature path AND both
+    # verification sides — the module docstring's shared-materialization
+    # promise made physically true (plan audit: 8 documents scans per
+    # near_duplicates run without this, 1 with it)
+    dth = doc_token_hashes(docs).localCheckpoint()
+    cands = lsh_candidate_pairs(docs, dth=dth)
+    sets = dth.select(
         "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -58,9 +58,10 @@ _loaded = False
 #: rel_approx_segments, rel_grouping_sets, rel_percentiles,
 #: rel_corr_subquery, rel_suppliers_with_shipments,
 #: rel_recursive_months, rel_approx_percentiles,
-#: rel_customers_without_orders, rel_order_gaps, rel_lateral_topk —
-#: 13 rows, ALL promised an r06 slot (tests/test_registry_gate.py
-#: R06_DEFERRED pins the list).
+#: rel_customers_without_orders, rel_order_gaps, rel_lateral_topk,
+#: rel_pricing_summary, rel_asof_last_signup, tx_chunks — 16 rows, ALL
+#: promised an r06 slot (tests/test_registry_gate.py R06_DEFERRED pins
+#: the list).
 GATE_WINDOW: list[str] = [
     # (a) round-5 additions, never attested
     "wt_epm_variants",
@@ -111,15 +112,17 @@ GATE_WINDOW: list[str] = [
     "dd_embedding_neardup",
     "dd_decontaminate",
     "dd_editdist_pairs",
-    "tx_chunks",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "mm_media_features",
     "mm_frame_sample",
-    "rel_pricing_summary",
-    "rel_asof_last_signup",
+    # late round-5 LSH-scaffold change (shared dth checkpoint) — these
+    # three consumers of _candidates_with_shingle_sets re-gate too
+    "dd_minhash_est",
+    "dd_jaccard_histogram",
+    "dd_containment",
 ]
 
 GATE_SIZE = 50
