@@ -93,8 +93,15 @@ def main() -> None:
     warm_pass: dict[str, float] = {}
     for pass_i in range(n_samples + 1):
         for name in HEADLINE:
-            df = queries[name](spark, sf_dir)
+            # time CONSTRUCTION + EXECUTION together: several queries do
+            # eager work at construction (localCheckpoint
+            # materializations, the connected-components driver loop),
+            # and timing only the final save would silently exclude it
+            # — the round-5 LSH checkpoint change made that hole visible
+            # (dd_lsh_candidates "dropped" 1.4s -> 0.35s while its real
+            # cost merely moved before t0)
             t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             dt = round(time.perf_counter() - t0, 3)
             if pass_i == 0:

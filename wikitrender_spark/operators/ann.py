@@ -304,41 +304,56 @@ def embedding_band_keys(
     from 0.0, so values are bit-identical to the naive per-plane fold and
     to the DuckDB list_reduce twin. The posexplode below is a Generate
     node, so the dots struct is evaluated once per row — never inlined
-    per band-key reference."""
+    per band-key reference.
+
+    The expression is BUILT as one SQL string parsed by F.expr, not as
+    ~bands*planes*dim Column objects: every PySpark Column operation is
+    a py4j round-trip, and the 64x64 literal plane table cost a MEASURED
+    ~15 s of driver time per query CONSTRUCTION (invisible until the
+    round-5 bench started timing construction). Literals are embedded
+    via repr() + CAST(... AS DOUBLE): repr is the shortest
+    round-tripping decimal, and Java's correctly-rounded parser returns
+    the identical IEEE double F.lit would have shipped — values are
+    bit-for-bit the same, ~2 py4j calls instead of ~10,000."""
     n_planes = bands * planes_per_band
+
+    def dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
     ws = [S.hyperplane(j, EMB_DIM) for j in range(n_planes)]
-    warr = F.array(
-        *[
-            F.struct(*[F.lit(ws[j][i]).alias(f"w{j}") for j in range(n_planes)])
-            for i in range(EMB_DIM)
-        ]
+    warr = ", ".join(
+        "struct("
+        + ", ".join(f"{dlit(ws[j][i])} AS w{j}" for j in range(n_planes))
+        + ")"
+        for i in range(EMB_DIM)
     )
-    init = F.struct(*[F.lit(0.0).alias(f"s{j}") for j in range(n_planes)])
-    prods = F.zip_with(
-        F.col("embedding"),
-        warr,
-        lambda x, w: F.struct(
-            *[(x.cast("double") * w[f"w{j}"]).alias(f"s{j}") for j in range(n_planes)]
-        ),
+    prod_fields = ", ".join(
+        f"CAST(x AS DOUBLE) * w.w{j} AS s{j}" for j in range(n_planes)
     )
-    dots = F.aggregate(
-        prods,
-        init,
-        lambda acc, p: F.struct(
-            *[(acc[f"s{j}"] + p[f"s{j}"]).alias(f"s{j}") for j in range(n_planes)]
-        ),
+    init_fields = ", ".join(
+        f"CAST(0.0 AS DOUBLE) AS s{j}" for j in range(n_planes)
     )
-    d = emb.select("vec_id", dots.alias("d"))
-    band_cols = []
-    for k in range(bands):
-        key = F.lit(0).cast("long")
-        for r in range(planes_per_band):
-            key = key + F.when(
-                F.col("d")[f"s{k * planes_per_band + r}"] > 0, F.lit(2**r)
-            ).otherwise(F.lit(0)).cast("long")
-        band_cols.append(key)
+    acc_fields = ", ".join(f"acc.s{j} + p.s{j} AS s{j}" for j in range(n_planes))
+    dots_sql = (
+        f"aggregate(zip_with(embedding, array({warr}), "
+        f"(x, w) -> struct({prod_fields})), struct({init_fields}), "
+        f"(acc, p) -> struct({acc_fields}))"
+    )
+    d = emb.select("vec_id", F.expr(dots_sql).alias("d"))
+    band_keys = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"IF(d.s{k * planes_per_band + r} > 0, {2 ** r}L, 0L)"
+            for r in range(planes_per_band)
+        )
+        + " AS BIGINT)"
+        for k in range(bands)
+    )
     return d.select(
-        "vec_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+        "vec_id",
+        F.expr(f"posexplode(array({band_keys}))").alias(
+            "band_idx", "band_key"
+        ),
     )
 
 
