@@ -36,6 +36,8 @@ NEVER_OR_STALE_ATTESTED = {
     "dd_dup_clusters",
     "tx_filter_funnel",
     "mm_pgm_features",
+    # late round-5 LSH-scaffold change (shared dth checkpoint through
+    # _candidates_with_shingle_sets) — these three consumers re-gate
     "dd_minhash_est",
     "dd_jaccard_histogram",
     "dd_containment",

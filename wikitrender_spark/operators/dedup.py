@@ -214,7 +214,9 @@ def lsh_candidate_pairs(
     )
 
 
-def _candidates_with_shingle_sets(docs: DataFrame) -> DataFrame:
+def _candidates_with_shingle_sets(
+    docs: DataFrame, dth: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, sh_a, sh_b): the LSH candidate pairs joined with
     each side's stored DISTINCT shingle array — the shared verification
     scaffold for every candidate-restricted scorer (near_duplicates,
@@ -224,8 +226,10 @@ def _candidates_with_shingle_sets(docs: DataFrame) -> DataFrame:
     # ONE token-hash materialization feeds the signature path AND both
     # verification sides — the module docstring's shared-materialization
     # promise made physically true (plan audit: 8 documents scans per
-    # near_duplicates run without this, 1 with it)
-    dth = doc_token_hashes(docs).localCheckpoint()
+    # near_duplicates run without this, 0 with it). A caller that
+    # already checkpointed dth passes it through.
+    if dth is None:
+        dth = doc_token_hashes(docs).localCheckpoint()
     cands = lsh_candidate_pairs(docs, dth=dth)
     sets = dth.select(
         "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
@@ -302,8 +306,14 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
     envelope, and the architecture consequence is that near_duplicates
     scores candidates with exact |a∩b|/|a∪b| (the `jaccard` column
     here), never with `est_jaccard`. Scale shape: signatures and shingle
-    arrays join only onto candidate pairs, never all pairs."""
-    sig = minhash_signatures(docs)
+    arrays join only onto candidate pairs, never all pairs; ONE shared
+    token-hash checkpoint feeds candidates and both signature sides,
+    and the signature relation is itself checkpointed so its sa/sb
+    branches don't re-run the 16-permutation fold (the plan audit
+    showed 4 documents scans here before this — same redundancy class
+    the near_duplicates fix removed)."""
+    dth = doc_token_hashes(docs).localCheckpoint()
+    sig = minhash_signatures(docs, dth=dth).localCheckpoint()
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
     agree = F.aggregate(
@@ -317,7 +327,7 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
     )
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     scored = (
-        _candidates_with_shingle_sets(docs)
+        _candidates_with_shingle_sets(docs, dth=dth)
         .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
