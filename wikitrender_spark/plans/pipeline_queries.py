@@ -1849,6 +1849,215 @@ SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM (
 WHERE rank <= {TFIDF_TOP_TERMS}"""
 
 
+BM25_TOPK = 20
+#: df-rank window for the self-derived query terms (rank 1 is skipped —
+#: the single most common term has the least discriminating power)
+BM25_QTERM_RANKS = (2, 4)
+
+
+def bm25_topk(d: DataFrame) -> DataFrame:
+    """BM25 retrieval: top-K documents for a deterministic 3-term query
+    (the corpus's df-ranks 2-4 terms, tie-broken alphabetically — derived
+    in-query so the operator is non-degenerate at every SF without
+    hardcoded vocabulary). k1=1.2, b=0.75 (Robertson/Sparck Jones
+    defaults).
+
+    Oracle-portable arithmetic (see tfidf_terms): the idf is the RATIONAL
+    variant (n_docs - df + 0.5) / (df + 0.5) — declared as this
+    operator's semantics, not an approximation of the log form, because
+    ln is not ULP-identical across engines. Every factor is a single
+    IEEE op in pinned order, the per-term score is rounded to micros
+    (BIGINT) and SUMMED AS INTEGERS, so the cross-term total is
+    order-free (the rel_value_pareto cents precedent).
+
+    Scale shape: one (doc, term) hash-agg for tf (checkpointed — it
+    feeds df, dl and the scored join, so the corpus tokenizes once);
+    df and the 3-row query-term relation are O(vocab) -> broadcast;
+    the semi-ish join on term prunes to matching docs BEFORE the dl
+    join shuffles on doc_id; the final top-K is TakeOrderedAndProject
+    (no global sort)."""
+    from pyspark.sql import Window
+
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tf.agg(F.sum("tf").alias("total_tokens"))
+    )
+    wq = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        df_.withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank").between(*BM25_QTERM_RANKS))
+        .select("term", "df")
+    )
+    tfd = F.col("tf").cast("double")
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    norm = tfd + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = idf * ((tfd * F.lit(2.2)) / norm)
+    per = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            F.round(score * F.lit(1000000.0), 0).cast("long").alias("micros"),
+        )
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("micros").alias("score_micros"),
+        F.count(F.lit(1)).alias("n_hit"),
+    )
+    top = agg.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(BM25_TOPK)
+    wr = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "doc_id", "n_hit", "score_micros", "rank"
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_docs(spark, sf_dir))
+
+
+BM25_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS.format(t='text')}) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+              CAST((SELECT sum(tf) FROM tf) AS BIGINT) AS total_tokens),
+qt AS (SELECT term, df FROM (
+         SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS qrank
+         FROM df) t
+       WHERE qrank BETWEEN {BM25_QTERM_RANKS[0]} AND {BM25_QTERM_RANKS[1]}),
+per AS (
+  SELECT tf.doc_id,
+    CAST(round(
+      ((CAST(sc.n_docs - qt.df AS DOUBLE) + 0.5) / (CAST(qt.df AS DOUBLE) + 0.5))
+      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+         / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+             (CAST(dl.dl AS DOUBLE)
+              / (CAST(sc.total_tokens AS DOUBLE) / CAST(sc.n_docs AS DOUBLE))))))
+      * 1000000.0, 0) AS BIGINT) AS micros
+  FROM tf JOIN qt ON tf.term = qt.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN sc),
+agg AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS score_micros,
+               CAST(count(*) AS BIGINT) AS n_hit
+        FROM per GROUP BY 1)
+SELECT doc_id, n_hit, score_micros, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS rank
+  FROM agg) t
+WHERE rank <= {BM25_TOPK}"""
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 25
+
+
+def collocations(d: DataFrame) -> DataFrame:
+    """Top-K word collocations (adjacent bigrams) by LIFT — the rational
+    PMI core P(ab)/(P(a)P(b)) = (c_ab * n_tokens^2) / (c_a * c_b *
+    n_bigrams) without the log wrapper (ln never crosses the oracle
+    boundary): exact BIGINT products, ONE fp division, round(6).
+
+    Scale shape: bigrams come from a single projection (transform over
+    the token array — no posexplode self-join), one (w1, w2) hash-agg;
+    unigram counts are O(vocab) -> broadcast back twice; corpus scalars
+    ride one broadcast crossJoin; the final top-K is
+    TakeOrderedAndProject. Unigram counts / n_tokens are over the FULL
+    token stream; bigrams only exist for docs with >= 2 tokens."""
+    from pyspark.sql import Window
+
+    # tk feeds BOTH the unigram and bigram branches: checkpoint so the
+    # corpus is tokenized once (r05 review finding: repeated HOF
+    # tokenization across plan branches)
+    tk = d.select(T.tokens(F.col("text")).alias("ts")).localCheckpoint(eager=False)
+    uni = (
+        tk.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # O(vocab); feeds 3 consumers
+    )
+    bg = (
+        tk.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 1, size(ts)-1),"
+                    " (x, i) -> struct(x AS w1, ts[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)  # O(vocab^2); feeds scalars + scored
+    )
+    scalars = uni.agg(F.sum("c").alias("n_tokens")).crossJoin(
+        bgc.agg(F.sum("c_ab").alias("n_bigrams"))
+    )
+    lift = F.round(
+        ((F.col("c_ab") * F.col("n_tokens")) * F.col("n_tokens")).cast("double")
+        / ((F.col("c_a") * F.col("c_b")) * F.col("n_bigrams")).cast("double"),
+        6,
+    )
+    scored = (
+        bgc.filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))), "w2")
+        .crossJoin(F.broadcast(scalars))
+        .select("w1", "w2", "c_ab", lift.alias("lift"))
+    )
+    top = scored.orderBy(
+        F.desc("lift"), F.asc("w1"), F.asc("w2")
+    ).limit(COLLOC_TOPK)
+    wr = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "w1", "w2", "c_ab", "lift", "rank"
+    )
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return collocations(_docs(spark, sf_dir))
+
+
+COLLOC_SQL = f"""
+WITH tk AS (SELECT {_TOKENS.format(t='text')} AS ts FROM documents),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY 1),
+bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+       FROM tk, unnest(range(1, len(ts))) AS t(i)
+       WHERE len(ts) >= 2),
+bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+sc AS (SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS n_tokens,
+              CAST((SELECT sum(c_ab) FROM bgc) AS BIGINT) AS n_bigrams),
+scored AS (
+  SELECT bgc.w1, bgc.w2, bgc.c_ab,
+    round(CAST((bgc.c_ab * sc.n_tokens) * sc.n_tokens AS DOUBLE)
+          / CAST((a.c * b.c) * sc.n_bigrams AS DOUBLE), 6) AS lift
+  FROM bgc JOIN uni a ON bgc.w1 = a.w JOIN uni b ON bgc.w2 = b.w
+  CROSS JOIN sc
+  WHERE bgc.c_ab >= {COLLOC_MIN_COUNT})
+SELECT w1, w2, c_ab, lift, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC) AS rank
+  FROM scored) t
+WHERE rank <= {COLLOC_TOPK}"""
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repetition (boilerplate) fraction per doc; see
     operators/dedup.common_shingle_stats for the inverted-index scale
@@ -2264,6 +2473,8 @@ QUERIES = {
     "tx_mix_weights": q_mix_weights,
     "tx_rarity": q_rarity,
     "tx_tfidf_terms": q_tfidf_terms,
+    "tx_bm25_topk": q_bm25_topk,
+    "tx_collocations": q_collocations,
     "tx_boilerplate": q_boilerplate,
     "tx_mix_sample": q_mix_sample,
     "dd_semantic_dedup": q_semantic_dedup,
@@ -2317,6 +2528,8 @@ ORACLES = {
     "tx_mix_weights": MIX_WEIGHTS_SQL,
     "tx_rarity": RARITY_SQL,
     "tx_tfidf_terms": TFIDF_SQL,
+    "tx_bm25_topk": BM25_SQL,
+    "tx_collocations": COLLOC_SQL,
     "tx_boilerplate": BOILERPLATE_SQL,
     "tx_mix_sample": MIX_SAMPLE_SQL,
     "dd_semantic_dedup": SEMANTIC_DEDUP_SQL,
