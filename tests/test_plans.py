@@ -301,3 +301,30 @@ def test_epm_variants_and_safe_list_shapes(plans):
         assert "props" not in cols
     plan = plans("wt_purge_safe_list")
     assert "Broadcast" in plan
+
+
+def test_bm25_qterm_cut_is_take_ordered(plans):
+    """tx_bm25_topk (r06 verdict fix): the query-term selection must cut
+    the O(vocab) df relation with orderBy().limit() — visible as a
+    SECOND TakeOrderedAndProject beside the final top-K — never a
+    vocab-wide single-partition row_number window. The only windows left
+    operate on <= 4-row / <= 20-row limited relations."""
+    plan = plans("tx_bm25_topk")
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 2, plan
+
+
+def test_text_vocab_joins_carry_no_forced_broadcast(spark):
+    """tx_collocations / tx_tfidf_terms (r06 verdict fix): the unigram /
+    df vocabulary relations are unbounded at corpus scale, so the joins
+    must carry NO broadcast hint — AQE picks broadcast only when the
+    measured size is small. Pinned at the analyzed-logical level (the
+    executed plan can't distinguish a hint from an AQE decision). The
+    only hints allowed are the single-row scalar relations."""
+    qs = registry.all_queries()
+    for name, max_hints in (("tx_collocations", 1), ("tx_tfidf_terms", 1),
+                            ("tx_bm25_topk", 2)):
+        logical = (
+            qs[name](spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+        )
+        n = len(re.findall(r"ResolvedHint", logical))
+        assert n <= max_hints, (name, n, logical)

@@ -1784,7 +1784,9 @@ def tfidf_terms(d: DataFrame) -> DataFrame:
     >= 1 token.
 
     Scale shape: one (doc, token) hash-agg for tf, one token hash-agg
-    for df (broadcast back — O(vocab) rows), the corpus doc count N as a
+    for df (joined back WITHOUT a broadcast hint — the vocab relation is
+    unbounded at web-corpus scale, so AQE decides; the shuffle key, term,
+    is one the df agg already produced), the corpus doc count N as a
     broadcast scalar, then a per-doc window for the top-K. The window
     shuffles the (doc, token) relation once on doc_id — the same key the
     tf aggregation produced, so AQE coalesces rather than re-exchanges.
@@ -1804,7 +1806,10 @@ def tfidf_terms(d: DataFrame) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # no broadcast hint on df_: the vocab relation is unbounded at
+        # corpus scale — AQE broadcasts it when it measures small, else
+        # shuffle-joins on term, the key tf/df_ are already shuffled on
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -1872,10 +1877,12 @@ def bm25_topk(d: DataFrame) -> DataFrame:
 
     Scale shape: one (doc, term) hash-agg for tf (checkpointed — it
     feeds df, dl and the scored join, so the corpus tokenizes once);
-    df and the 3-row query-term relation are O(vocab) -> broadcast;
-    the semi-ish join on term prunes to matching docs BEFORE the dl
-    join shuffles on doc_id; the final top-K is TakeOrderedAndProject
-    (no global sort)."""
+    the query terms are cut from the O(vocab) df relation with
+    orderBy().limit() — TakeOrderedAndProject, per-partition heaps, no
+    vocab-wide single-partition window — and only the resulting <= 4-row
+    relation is windowed for ranks, then broadcast; the semi-ish join on
+    term prunes to matching docs BEFORE the dl join shuffles on doc_id;
+    the final top-K is TakeOrderedAndProject (no global sort)."""
     from pyspark.sql import Window
 
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
@@ -1889,9 +1896,17 @@ def bm25_topk(d: DataFrame) -> DataFrame:
     scalars = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         tf.agg(F.sum("tf").alias("total_tokens"))
     )
+    # Cut the vocabulary to the top-(max rank) terms FIRST with a
+    # limit — orderBy().limit(k) plans as TakeOrderedAndProject (per-
+    # partition heaps + a k-row driver merge), so no single task ever
+    # sorts the full vocab. Only the tiny limited relation is windowed
+    # to assign ranks (r06 verdict: the previous vocab-wide row_number
+    # window funneled every distinct term through one partition).
     wq = Window.orderBy(F.desc("df"), F.asc("term"))
     qterms = (
-        df_.withColumn("qrank", F.row_number().over(wq))
+        df_.orderBy(F.desc("df"), F.asc("term"))
+        .limit(BM25_QTERM_RANKS[1])
+        .withColumn("qrank", F.row_number().over(wq))
         .filter(F.col("qrank").between(*BM25_QTERM_RANKS))
         .select("term", "df")
     )
@@ -1970,14 +1985,24 @@ def collocations(d: DataFrame) -> DataFrame:
     """Top-K word collocations (adjacent bigrams) by LIFT — the rational
     PMI core P(ab)/(P(a)P(b)) = (c_ab * n_tokens^2) / (c_a * c_b *
     n_bigrams) without the log wrapper (ln never crosses the oracle
-    boundary): exact BIGINT products, ONE fp division, round(6).
+    boundary). Each factor is cast to DOUBLE and multiplied in PINNED
+    order before the one division: IEEE multiplication is engine-
+    deterministic, so oracle parity holds at every SF, and unlike the
+    previous exact-BIGINT products (which scale ~SF^3 and would wrap
+    int64 around sf 5-10, silently in non-ANSI Spark but loudly in
+    DuckDB) the double form degrades gracefully — below 2^53 (~sf 0.7)
+    the products are still exact, above it the ~1e-16 relative error is
+    invisible after round(6) on O(1..1e3) lift values.
 
     Scale shape: bigrams come from a single projection (transform over
     the token array — no posexplode self-join), one (w1, w2) hash-agg;
-    unigram counts are O(vocab) -> broadcast back twice; corpus scalars
-    ride one broadcast crossJoin; the final top-K is
-    TakeOrderedAndProject. Unigram counts / n_tokens are over the FULL
-    token stream; bigrams only exist for docs with >= 2 tokens."""
+    the unigram-count joins carry NO broadcast hint — the vocab relation
+    is unbounded at corpus scale (10^8-10^9 terms on a web corpus), so
+    AQE broadcasts it only when it measures small, else shuffle-joins on
+    w1/w2 (keys the bigram agg already shuffled on); corpus scalars ride
+    one broadcast crossJoin; the final top-K is TakeOrderedAndProject.
+    Unigram counts / n_tokens are over the FULL token stream; bigrams
+    only exist for docs with >= 2 tokens."""
     from pyspark.sql import Window
 
     # tk feeds BOTH the unigram and bigram branches: checkpoint so the
@@ -2010,15 +2035,25 @@ def collocations(d: DataFrame) -> DataFrame:
     scalars = uni.agg(F.sum("c").alias("n_tokens")).crossJoin(
         bgc.agg(F.sum("c_ab").alias("n_bigrams"))
     )
+    # factors cast to double FIRST, multiplied left-to-right (pinned
+    # order on both engines) — see docstring for the overflow rationale
     lift = F.round(
-        ((F.col("c_ab") * F.col("n_tokens")) * F.col("n_tokens")).cast("double")
-        / ((F.col("c_a") * F.col("c_b")) * F.col("n_bigrams")).cast("double"),
+        (
+            F.col("c_ab").cast("double")
+            * F.col("n_tokens").cast("double")
+            * F.col("n_tokens").cast("double")
+        )
+        / (
+            F.col("c_a").cast("double")
+            * F.col("c_b").cast("double")
+            * F.col("n_bigrams").cast("double")
+        ),
         6,
     )
     scored = (
         bgc.filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
-        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))), "w1")
-        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))), "w2")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
         .crossJoin(F.broadcast(scalars))
         .select("w1", "w2", "c_ab", lift.alias("lift"))
     )
@@ -2047,8 +2082,10 @@ sc AS (SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS n_tokens,
               CAST((SELECT sum(c_ab) FROM bgc) AS BIGINT) AS n_bigrams),
 scored AS (
   SELECT bgc.w1, bgc.w2, bgc.c_ab,
-    round(CAST((bgc.c_ab * sc.n_tokens) * sc.n_tokens AS DOUBLE)
-          / CAST((a.c * b.c) * sc.n_bigrams AS DOUBLE), 6) AS lift
+    round(((CAST(bgc.c_ab AS DOUBLE) * CAST(sc.n_tokens AS DOUBLE))
+           * CAST(sc.n_tokens AS DOUBLE))
+          / ((CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))
+             * CAST(sc.n_bigrams AS DOUBLE)), 6) AS lift
   FROM bgc JOIN uni a ON bgc.w1 = a.w JOIN uni b ON bgc.w2 = b.w
   CROSS JOIN sc
   WHERE bgc.c_ab >= {COLLOC_MIN_COUNT})
