@@ -13,44 +13,18 @@ from wikitrender_spark.plans import registry
 
 #: Queries whose most recent driver attestation is missing or stale
 #: (new this round, code changed after their last green attestation, or
-#: last gated before the round-3 testdata regeneration). Update each
-#: round as CORRECTNESS_r{N}.json lands.
+#: driver evidence more than two rounds old). Update each round as
+#: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # round-5 additions, never driver-gated
-    "wt_epm_variants",
-    "wt_purge_safe_list",
-    "ann_ivfpq_rerank",
-    "dd_bloom_decontaminate",
-    "tx_cms_terms",
-    "wt_stream_heavy_hitters",
-    "wt_state_diff",
-    "rel_dq_audit",
-    # code rewritten in round 5 after the r04 attestation: the scrub's
-    # coverage surgery (gap-interval fold), the duplicate_clusters
-    # propagation loop and score_documents swap feeding the
-    # lineage/clean-corpus/cluster/funnel rows, and the PGM oracle
-    # rewrite
-    "tx_substring_scrub",
-    "tx_dedup_lineage",
-    "tx_clean_corpus",
-    "dd_dup_clusters",
-    "tx_filter_funnel",
-    "mm_pgm_features",
-    # late round-5 LSH-scaffold change (shared dth checkpoint through
-    # _candidates_with_shingle_sets) — these three consumers re-gate
-    "dd_minhash_est",
-    "dd_jaccard_histogram",
-    "dd_containment",
-    # last attested r02, before the round-3 testdata regeneration
-    "rel_nation_set_ops",
-    "rel_nation_presence",
-}
-
-#: The 16 rows displaced from the r05 window (all green at their last
-#: attestation on current testdata, code untouched this round). They are
-#: PROMISED the r06 window: next round, move them into GATE_WINDOW (and
-#: into NEVER_OR_STALE_ATTESTED as stale) before anything else.
-R06_DEFERRED = {
+    # never driver-gated: the round-6 additions (committed outside the
+    # un-rotated r06 window) and the round-7 addition
+    "tx_bm25_topk",
+    "tx_collocations",
+    "wt_ingest_dedup",
+    # code changed in round 7 after the r04 attestation (forced
+    # vocab-broadcast hint removed)
+    "tx_tfidf_terms",
+    # last green r03 — three rounds stale, twice promised a slot
     "rel_scalar_functions",
     "rel_pivot_status",
     "rel_json_props",
@@ -67,6 +41,26 @@ R06_DEFERRED = {
     "rel_pricing_summary",
     "rel_asof_last_signup",
     "tx_chunks",
+}
+
+#: The 12 rows displaced from the r07 window (every one green at r04 on
+#: current testdata AND at r01+r02 before it — the deepest attestation
+#: history in the registry — with code untouched since). They are
+#: PROMISED the r08 window: next round, move them into GATE_WINDOW (and
+#: into NEVER_OR_STALE_ATTESTED as stale) before anything else.
+R08_DEFERRED = {
+    "dd_exact_groups",
+    "dd_simhash",
+    "rel_acctbal_band_pairs",
+    "rel_cube_summary",
+    "rel_regional_revenue",
+    "rel_rolling_revenue_window",
+    "rel_rollup_orders",
+    "rel_running_revenue",
+    "rel_signup_burst",
+    "rel_small_quantity_revenue",
+    "rel_top_customers",
+    "rel_topk_per_brand",
 }
 
 
@@ -92,7 +86,7 @@ def test_window_names_unique_and_registered():
 
 
 def test_deferred_rows_are_registered_and_disjoint_from_window():
-    # the r06 promise list must stay real queries, and a deferred row
+    # the r08 promise list must stay real queries, and a deferred row
     # sitting inside the window would mean the accounting is stale
-    assert R06_DEFERRED <= set(registry.all_queries())
-    assert not (R06_DEFERRED & set(registry.GATE_WINDOW))
+    assert R08_DEFERRED <= set(registry.all_queries())
+    assert not (R08_DEFERRED & set(registry.GATE_WINDOW))

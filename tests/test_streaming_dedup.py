@@ -127,3 +127,31 @@ def test_stream_dedup_within_watermark(spark, batch_digests):
             r["digest"] for r in spark.table("t_sdedup_wm").select("digest").collect()
         ]
     assert len(digests) == len(set(digests)) == len(batch_digests)
+
+
+def test_ingest_dedup_replay_collapses_injected_dupes(spark):
+    """wt_ingest_dedup core: the two-micro-batch injected-dupe replay
+    (full table, then every event_id % INGEST_DUP_MOD == 0 re-emitted)
+    must collapse to exactly one survivor per source event — and the
+    injection itself must be non-degenerate (batch 2 is non-empty), so
+    the dedup state is provably exercised ACROSS micro-batches."""
+    import uuid
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_src = src.count()
+    n_dupes = src.filter(F.col("event_id") % sdedup.INGEST_DUP_MOD == 0).count()
+    assert n_dupes > 0, "degenerate injection: no event_id divisible"
+
+    work = tempfile.mkdtemp(prefix="ingest_dedup_test_")
+    ckpt = tempfile.mkdtemp(prefix="ingest_dedup_test_ckpt_")
+    name = "ingest_dedup_test_" + uuid.uuid4().hex[:8]
+    survivors = sdedup.ingest_dedup_to_memory(spark, SF_DIR, work, name, ckpt)
+    assert survivors.count() == n_src
+    assert survivors.select("event_id").distinct().count() == n_src
+
+    # the replay really delivered the duplicates (dedup had work to do):
+    # the raw chunk dir holds source + injected rows
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(work, "ingest_chunks")
+    )
+    assert raw.count() == n_src + n_dupes

@@ -43,86 +43,81 @@ _loaded = False
 #: order. tests/test_registry_gate.py pins the composition — editing a
 #: QUERIES dict can no longer silently change what the driver attests.
 #:
-#: Round-5 composition policy (CORRECTNESS_r04.json attested all 50
-#: round-4 window rows green, so the whole window rotates): (a) the
-#: round-5 additions, never attested; (b) rows whose CODE changed this
-#: round after their last attestation (tx_substring_scrub's coverage
-#: surgery was rewritten; duplicate_clusters' propagation loop was
-#:  restructured, feeding tx_dedup_lineage / tx_clean_corpus /
-#: dd_dup_clusters) — a green r04 row for old code is not evidence for
-#: new code; (c) the two r02-stale rows (pre-testdata-regeneration
-#: evidence); (d) the remaining slots take the 51-row r03 cohort —
-#: every wt_* reference-parity row re-gates. Left for the r06 window
-#: (r03-green or better, multi-round-green, stable code):
-#: rel_scalar_functions, rel_pivot_status, rel_json_props,
-#: rel_approx_segments, rel_grouping_sets, rel_percentiles,
-#: rel_corr_subquery, rel_suppliers_with_shipments,
-#: rel_recursive_months, rel_approx_percentiles,
-#: rel_customers_without_orders, rel_order_gaps, rel_lateral_topk,
-#: rel_pricing_summary, rel_asof_last_signup, tx_chunks — 16 rows, ALL
-#: promised an r06 slot (tests/test_registry_gate.py R06_DEFERRED pins
-#: the list).
+#: Round-7 composition policy (the r06 window went 50/50 green, and the
+#: r06-promised rotation was NOT delivered — r07 pays that debt first):
+#: (a) the never-driver-attested rows — the round-6 additions
+#: tx_bm25_topk / tx_collocations and this round's wt_ingest_dedup;
+#: (b) rows whose CODE changed this round after their last attestation —
+#: tx_tfidf_terms (forced vocab-broadcast hint removed; bm25 and
+#: collocations also changed but already sit in (a)) — a green r04 row
+#: for old code is not evidence for new code;
+#: (c) the 16 rows twice promised a slot (R06_DEFERRED in
+#: tests/test_registry_gate.py), driver evidence now three rounds old;
+#: (d) 30 of the 42 remaining r04-attested rows. The 12 NOT taken —
+#: dd_exact_groups, dd_simhash, rel_acctbal_band_pairs,
+#: rel_cube_summary, rel_regional_revenue, rel_rolling_revenue_window,
+#: rel_rollup_orders, rel_running_revenue, rel_signup_burst,
+#: rel_small_quantity_revenue, rel_top_customers, rel_topk_per_brand —
+#: are exactly the rows with the deepest multi-round green history
+#: (r01+r02+r04) and untouched code; they are PROMISED the r08 window
+#: (tests/test_registry_gate.py R08_DEFERRED pins the list). Adding a
+#: query mid-round means adding it HERE too, displacing another (d) row
+#: into R08_DEFERRED.
 GATE_WINDOW: list[str] = [
-    # (a) round-5 additions, never attested
-    "wt_epm_variants",
-    "wt_purge_safe_list",
-    "ann_ivfpq_rerank",
-    "dd_bloom_decontaminate",
-    "tx_cms_terms",
-    "wt_stream_heavy_hitters",
-    "wt_state_diff",
-    "rel_dq_audit",
-    # (b) code changed after last attestation — must re-gate:
-    # the scrub surgery rewrite; the duplicate_clusters restructure
-    # (feeds lineage/clean-corpus/clusters AND the funnel); the
-    # score_documents swap (clean-corpus + funnel); the PGM oracle
-    # rewrite (replacement-byte CASE removed)
-    "tx_substring_scrub",
-    "tx_dedup_lineage",
-    "tx_clean_corpus",
-    "dd_dup_clusters",
-    "tx_filter_funnel",
-    "mm_pgm_features",
-    # (c) r02-stale (pre-regeneration evidence)
-    "rel_nation_set_ops",
-    "rel_nation_presence",
-    # (d) the r03 cohort: 14 wt_* reference-parity rows first
-    "wt_page_state",
-    "wt_most_edited",
-    "wt_biggest_movers",
-    "wt_most_vibrant",
-    "wt_top_pages_per_wiki",
-    "wt_purge_survivors",
-    "wt_classify_counts",
-    "wt_windowed_activity",
-    "wt_session_activity",
-    "wt_delete_targets",
-    "wt_protect_followups",
-    "wt_page_state_lifecycle",
-    "wt_lifecycle_replay",
-    "wt_stream_replay",
-    "tx_token_stats",
-    "tx_repetition",
-    "tx_vocab",
-    "tx_split",
-    "dd_minhash_signatures",
-    "dd_ngram_jaccard",
-    "dd_lsh_candidates",
-    "dd_near_duplicates",
-    "dd_embedding_neardup",
-    "dd_decontaminate",
-    "dd_editdist_pairs",
-    "ann_bruteforce_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "mm_media_features",
-    "mm_frame_sample",
-    # late round-5 LSH-scaffold change (shared dth checkpoint) — these
-    # three consumers of _candidates_with_shingle_sets re-gate too
-    "dd_minhash_est",
-    "dd_jaccard_histogram",
-    "dd_containment",
+    # (a) never driver-attested
+    "wt_ingest_dedup",
+    "tx_bm25_topk",
+    "tx_collocations",
+    # (b) code changed this round after the r04 attestation
+    "tx_tfidf_terms",
+    # (c) the twice-promised R06_DEFERRED cohort (last green r03)
+    "rel_scalar_functions",
+    "rel_pivot_status",
+    "rel_json_props",
+    "rel_approx_segments",
+    "rel_grouping_sets",
+    "rel_percentiles",
+    "rel_corr_subquery",
+    "rel_suppliers_with_shipments",
+    "rel_recursive_months",
+    "rel_approx_percentiles",
+    "rel_customers_without_orders",
+    "rel_order_gaps",
+    "rel_lateral_topk",
+    "rel_pricing_summary",
+    "rel_asof_last_signup",
+    "tx_chunks",
+    # (d) the r04 cohort (two rounds stale), minus the 12 deferred
+    "ann_ivfpq_topk",
+    "ann_kmeans_refine",
+    "ann_pq_topk",
+    "ann_range_search",
+    "ann_sq_topk",
+    "dd_embedding_neardup_exact",
+    "dd_semantic_dedup",
+    "dd_substring_runs",
+    "mm_wav_features",
+    "mm_y4m_frames",
+    "rel_event_funnel",
+    "rel_hourly_anomalies",
+    "rel_hourly_ewma",
+    "rel_interval_coverage",
+    "rel_salted_revenue",
+    "rel_value_pareto",
+    "rel_window_rank_suite",
+    "rel_unpivot_presence",
+    "tx_boilerplate",
+    "tx_bpe_merges",
+    "tx_fingerprint",
+    "tx_langid",
+    "tx_length_histogram",
+    "tx_mix_sample",
+    "tx_mix_weights",
+    "tx_pack",
+    "tx_pack_sharded",
+    "tx_pack_split",
+    "tx_quality",
+    "tx_rarity",
 ]
 
 GATE_SIZE = 50

@@ -490,3 +490,19 @@ SELECT id, wiki, title, edits, anonEdits, isNew, notabilityFlags,
        epoch_us(updated) AS updated_us, bytesChanged, n_contributors,
        n_anons, max_user_edits, total_user_edits, isProtected
 FROM adopted"""
+
+
+def ingest_dedup_oracle() -> str:
+    """Survivor aggregate after exact ingest dedup: the injected-dupe
+    replay (streaming/dedup.replay_events_with_dupes) must collapse back
+    to exactly the source table — one survivor per distinct event_id —
+    so the oracle is a plain GROUP BY over events. count + an order-free
+    BIGINT id-sum make any surviving duplicate (or over-dropped row)
+    flip both metrics."""
+    return """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""

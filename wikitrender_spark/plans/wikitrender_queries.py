@@ -308,6 +308,35 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time exact dedup end-to-end (r05 ask #5): the
+    events table replayed as TWO ordered micro-batches — the full table,
+    then a deterministic ~14% re-emission (streaming/dedup.py
+    INGEST_DUP_MOD) — through streaming ``dropDuplicates`` on event_id
+    into a memory sink, then a batch survivor aggregate. The oracle is a
+    plain GROUP BY over the source table: dedup must collapse the
+    injected duplicates back to exactly one survivor per event_id, and
+    the cross-micro-batch state is what's exercised (batch 2's dupes
+    arrive after batch 1's state is committed)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.dedup import ingest_dedup_to_memory
+
+    name = "wt_ingest_dedup_" + uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix="wt_ingest_dedup_")
+    ckpt = tempfile.mkdtemp(prefix="wt_ingest_dedup_ckpt_")
+    survivors = ingest_dedup_to_memory(spark, sf_dir, work, name, ckpt)
+    return (
+        survivors.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _DIFF_COLS = ["edits", "anonEdits", "reverts", "bytesChanged"]
 
 
@@ -403,6 +432,7 @@ QUERIES = {
     "wt_stream_replay": q_stream_replay,
     "wt_stream_heavy_hitters": q_stream_heavy_hitters,
     "wt_state_diff": q_state_diff,
+    "wt_ingest_dedup": q_ingest_dedup,
 }
 
 ORACLES = {
@@ -424,4 +454,5 @@ ORACLES = {
     "wt_stream_replay": sqlgen.lifecycle_oracle(),
     "wt_stream_heavy_hitters": sqlgen.heavy_hitters_oracle(HH_TOPK),
     "wt_state_diff": sqlgen.state_diff_oracle(),
+    "wt_ingest_dedup": sqlgen.ingest_dedup_oracle(),
 }

@@ -25,8 +25,74 @@ distinct digest — the same digest set as the batch dedup relation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: every event whose id is divisible by this is re-emitted in the second
+#: micro-batch of the ingest-dedup replay — a deterministic ~14% dupe
+#: rate at every SF, so the dedup check is never degenerate
+INGEST_DUP_MOD = 7
+
+#: narrow replay schema: ingest dedup needs only the identity key and
+#: the grouping column; the stream never carries the wide row
+_INGEST_SCHEMA = "event_id long, event_type string"
+
+
+def replay_events_with_dupes(
+    spark: SparkSession, sf_dir: str, work_dir: str, dup_mod: int = INGEST_DUP_MOD
+) -> DataFrame:
+    """Two-micro-batch file-source replay of the events table with
+    injected duplicates: batch 1 is the full table, batch 2 re-emits
+    every event with ``event_id % dup_mod == 0``. Mirrors
+    sources/replay.chunked_event_stream's mtime-ordered chunk layout so
+    Trigger.AvailableNow processes the batches in order and the dedup
+    state is exercised ACROSS micro-batches, not within one."""
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "event_type")
+    )
+    chunk_dir = os.path.join(work_dir, "ingest_chunks")
+    for i, part in enumerate((src, src.filter(F.col("event_id") % dup_mod == 0))):
+        path = os.path.join(chunk_dir, f"chunk_{i:04d}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        ts = time.time() + i  # strictly increasing mtimes -> replay order
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    return (
+        spark.readStream.schema(_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+
+
+def ingest_dedup_to_memory(
+    spark: SparkSession, sf_dir: str, work_dir: str, name: str, ckpt: str
+) -> DataFrame:
+    """Run the injected-dupe replay through streaming ``dropDuplicates``
+    on the event identity key into a memory sink (append mode — dedup
+    emits each surviving row exactly once); returns the survivor
+    relation. State is one row per distinct event_id — the engine's
+    native streaming-dedup state, checkpoint-recoverable; production
+    ingest with an unbounded firehose uses the watermark-bounded variant
+    (dedup_stream_within_watermark) instead."""
+    deduped = replay_events_with_dupes(spark, sf_dir, work_dir).dropDuplicates(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def with_digest(docs: DataFrame) -> DataFrame:
