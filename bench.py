@@ -124,6 +124,13 @@ def main() -> None:
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                # self-describing timing basis (r05 ask #2): each query's
+                # number covers plan CONSTRUCTION + EXECUTION, sampled
+                # median-of-5 after an excluded warm pass. Compare against
+                # the BASELINE.md band, not any single prior value — r05
+                # vs r06 showed identical code drifting 30.0 -> 36.8s
+                # under host contention alone.
+                "methodology": "construction+execution, median-of-5, warm pass excluded",
                 "queries": timings,
                 "sf": sf,
             },
