@@ -84,3 +84,37 @@ def test_snapshot_promote_keeps_previous_version(spark, tmp_path):
     sinks._promote_snapshot(base, v3, v2)
     assert not os.path.isdir(v1)                   # reaped after grace
     assert os.path.isdir(v2)
+
+
+def test_foreach_edit_distributed_executor_side(spark, tmp_path):
+    """The distributed S7 variant must deliver the same per-batch changed
+    pages as the driver-side path, with the callback running in executor
+    workers (no driver funnel). Delivery is observed through the
+    filesystem — one file per delivered row — because the callback
+    cannot mutate driver state by design."""
+    import glob
+    import os
+    import uuid
+
+    out = tmp_path / "delivered"
+    out.mkdir()
+    out_dir = str(out)
+
+    def deliver(row):
+        # executor-side: self-contained, picklable, no driver state
+        fn = f"{row['id'].replace('/', '_').replace('#', '_')}-{uuid.uuid4().hex}"
+        with open(os.path.join(out_dir, fn), "w", encoding="utf-8") as f:
+            f.write(str(row["edits"]))
+
+    cl = processor.page_state_changelog(
+        chunked_event_stream(spark, SF_DIR, str(tmp_path / "src"), n_chunks=2),
+        _group(),
+    )
+    q = sinks.foreach_edit_distributed(cl, deliver, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    files = glob.glob(os.path.join(out_dir, "*"))
+    assert len(files) > 400  # every changed page per batch fires once
+    assert any(os.path.basename(f).startswith("enwiki_") or "Page" in f
+               for f in files)

@@ -295,6 +295,66 @@ def test_transform_with_state_equals_apply_in_pandas(spark, batch_state):
     assert got == batch_state
 
 
+def test_transform_with_state_purge_parity(spark):
+    """PurgeParams-enabled equivalence (r05 ask #6): the TWS processor
+    with the P2 cleaner active must produce the same final state AND the
+    same tombstone count as the applyInPandasWithState processor under
+    identical purge thresholds — the purge branch of processor_tws
+    (batch-boundary purge off the event-time clock) gets the same parity
+    guarantee the pure fold already has.
+
+    Requires google.protobuf (the TWS Python worker speaks a protobuf
+    state protocol) — skipped where it isn't installed."""
+    pytest.importorskip("google.protobuf")
+    from wikitrender_spark.streaming import processor_tws
+
+    params = fold.PurgeParams(
+        max_lifespan=40000.0, max_inactivity=6000.0,
+        min_speed=0.00015, min_purge_time=5.0,
+    )
+
+    def run(make_changelog, provider=None, tag=""):
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                              None)
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            with tempfile.TemporaryDirectory() as d:
+                cl = make_changelog(
+                    chunked_event_stream(spark, SF_DIR, d, n_chunks=4)
+                )
+                t = _run(cl, "t_tws_purge" + tag, d + "/ckpt")
+                state = sorted(map(tuple, processor.final_state(t).collect()))
+                tombstones = t.filter(F.col("_deleted")).count()
+                return state, tombstones
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", prev
+                    )
+
+    tws_state, tws_tombs = run(
+        lambda rc: processor_tws.page_state_changelog_tws(
+            rc, _group(), purge=params
+        ),
+        provider=processor_tws.ROCKSDB_PROVIDER, tag="_t",
+    )
+    aip_state, aip_tombs = run(
+        lambda rc: processor.page_state_changelog(rc, _group(), purge=params),
+        tag="_a",
+    )
+    assert tws_tombs > 0  # the thresholds actually evict something
+    assert tws_tombs == aip_tombs
+    assert tws_state == aip_state
+
+
 def test_streaming_dedup_drops_replayed_events(spark):
     """dropDuplicatesWithinWatermark admission layer: replaying whole
     chunks (at-least-once delivery after a socket rebuild, S3) yields
