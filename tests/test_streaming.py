@@ -355,6 +355,94 @@ def test_transform_with_state_purge_parity(spark):
     assert tws_state == aip_state
 
 
+def test_tws_purge_branch_inprocess_parity(spark):
+    """The TWS purge branch, attested WITHOUT protobuf: PageStateProcessor
+    is plain Python over pandas, so drive handleInputRows directly with a
+    fake value-state handle over the same chunked groups the streaming
+    tests replay — final state must equal the fold+purge recipe that
+    test_stream_purge_matches_inprocess_fold already proved equal to the
+    applyInPandasWithState streaming run. This closes the chain
+    TWS == in-process fold == streaming on hosts where the full TWS
+    worker (google.protobuf) can't run; the end-to-end streaming parity
+    test above still runs where it can."""
+    from wikitrender_spark.streaming import processor_tws
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _FakeValueState())
+
+    params = fold.PurgeParams(
+        max_lifespan=40000.0, max_inactivity=6000.0,
+        min_speed=0.00015, min_purge_time=5.0,
+    )
+    n_chunks = 4
+
+    # chunk boundaries replicate the replay source's (ts, event_id)
+    # row-ranges over the RAW table — same recipe as the purge test above
+    from wikitrender_spark.operators.derive import read_events_raw
+
+    raw = (read_events_raw(spark, SF_DIR).select("event_id", "ts")
+           .toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True))
+    step = (len(raw) + n_chunks - 1) // n_chunks
+    chunk_of = {eid: i // step for i, eid in enumerate(raw["event_id"])}
+
+    rc = rc_events(spark, SF_DIR).withColumn("_grp", _group())
+    pdf = rc.toPandas().sort_values(["ts", "seq"]).reset_index(drop=True)
+
+    # drive the TWS processor per (chunk, group) exactly as the engine
+    # would hand it micro-batch groups
+    handles: dict[str, tuple] = {}
+    for i in range(n_chunks):
+        chunk = pdf[pdf["seq"].map(chunk_of) == i]
+        for grp, gpdf in chunk.groupby("_grp"):
+            if grp not in handles:
+                proc = processor_tws.PageStateProcessor(purge=params)
+                h = _FakeHandle()
+                proc.init(h)
+                handles[grp] = (proc, h)
+            proc, _h = handles[grp]
+            list(proc.handleInputRows(grp, iter([gpdf]), None))
+
+    got = []
+    for proc, h in handles.values():
+        blob = h.states["fold"].get()
+        for p in fold.deserialize_titles(blob[0]).values():
+            got.append(tuple(fold.page_record(p).values()))
+
+    # expected: the in-process fold+purge (already proved equal to the
+    # streaming applyInPandasWithState run by the purge test above)
+    state_by_grp: dict[str, dict] = {}
+    for i in range(n_chunks):
+        chunk = pdf[pdf["seq"].map(chunk_of) == i]
+        for grp, gpdf in chunk.groupby("_grp"):
+            titles = state_by_grp.setdefault(grp, {})
+            fold.fold_pdf(titles, gpdf.drop(columns=["_grp"]))
+            fold.purge_titles(titles, gpdf["ts"].max(), params)
+    exp = []
+    for titles in state_by_grp.values():
+        for p in titles.values():
+            exp.append(tuple(fold.page_record(p).values()))
+
+    assert len(exp) > 0
+    assert sorted(map(repr, got)) == sorted(map(repr, exp))
+
+
 def test_streaming_dedup_drops_replayed_events(spark):
     """dropDuplicatesWithinWatermark admission layer: replaying whole
     chunks (at-least-once delivery after a socket rebuild, S3) yields

@@ -129,7 +129,7 @@ def test_stream_dedup_within_watermark(spark, batch_digests):
     assert len(digests) == len(set(digests)) == len(batch_digests)
 
 
-def test_ingest_dedup_replay_collapses_injected_dupes(spark):
+def test_ingest_dedup_replay_collapses_injected_dupes(spark, tmp_path):
     """wt_ingest_dedup core: the two-micro-batch injected-dupe replay
     (full table, then every event_id % INGEST_DUP_MOD == 0 re-emitted)
     must collapse to exactly one survivor per source event — and the
@@ -142,8 +142,8 @@ def test_ingest_dedup_replay_collapses_injected_dupes(spark):
     n_dupes = src.filter(F.col("event_id") % sdedup.INGEST_DUP_MOD == 0).count()
     assert n_dupes > 0, "degenerate injection: no event_id divisible"
 
-    work = tempfile.mkdtemp(prefix="ingest_dedup_test_")
-    ckpt = tempfile.mkdtemp(prefix="ingest_dedup_test_ckpt_")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
     name = "ingest_dedup_test_" + uuid.uuid4().hex[:8]
     survivors = sdedup.ingest_dedup_to_memory(spark, SF_DIR, work, name, ckpt)
     assert survivors.count() == n_src

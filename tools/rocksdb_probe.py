@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from wikitrender_spark.operators.derive import move_closed_group, read_events_raw
 from wikitrender_spark.session import get_spark
+from wikitrender_spark.sources import replay
 from wikitrender_spark.sources.replay import chunked_event_stream
 from wikitrender_spark.streaming import ewma, heavyhitters, processor
 from wikitrender_spark.streaming.processor_tws import ROCKSDB_PROVIDER
@@ -60,14 +61,17 @@ def run_pipelines(spark, sf_dir: str, n_chunks: int) -> dict:
             move_closed_group(),
         )
         out["page_state"] = _drain(cl, d + "/ckpt", "update")
+    # reuse the replay module's schema pair + footer probe so the legacy
+    # INT64-nanos events vintage keeps working here too
+    legacy = replay._events_ts_is_legacy(sf_dir)
+    schema = replay.EVENTS_SCHEMA_LEGACY_NANOS if legacy else replay.EVENTS_SCHEMA
     raw = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string"
-        )
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if legacy:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     with tempfile.TemporaryDirectory() as d:
         hh = heavyhitters.heavy_hitter_stream(
             raw.select(

@@ -51,8 +51,9 @@ _loaded = False
 #: tx_tfidf_terms (forced vocab-broadcast hint removed; bm25 and
 #: collocations also changed but already sit in (a)) — a green r04 row
 #: for old code is not evidence for new code;
-#: (c) the 16 rows twice promised a slot (R06_DEFERRED in
-#: tests/test_registry_gate.py), driver evidence now three rounds old;
+#: (c) the 16 rows twice promised a slot (the r05/r06 deferral cohort:
+#: rel_scalar_functions .. tx_chunks below), driver evidence three
+#: rounds old at rotation time;
 #: (d) 30 of the 42 remaining r04-attested rows. The 12 NOT taken —
 #: dd_exact_groups, dd_simhash, rel_acctbal_band_pairs,
 #: rel_cube_summary, rel_regional_revenue, rel_rolling_revenue_window,

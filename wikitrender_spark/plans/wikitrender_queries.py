@@ -318,15 +318,28 @@ def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected duplicates back to exactly one survivor per event_id, and
     the cross-micro-batch state is what's exercised (batch 2's dupes
     arrive after batch 1's state is committed)."""
+    import shutil
     import tempfile
     import uuid
 
     from ..streaming.dedup import ingest_dedup_to_memory
 
+    # a memory-sink table lives for the session; cap the leak at one
+    # table per process by dropping earlier invocations' sinks first
+    for t in spark.catalog.listTables():
+        if t.name.startswith("wt_ingest_dedup_"):
+            spark.catalog.dropTempView(t.name)
     name = "wt_ingest_dedup_" + uuid.uuid4().hex[:8]
     work = tempfile.mkdtemp(prefix="wt_ingest_dedup_")
     ckpt = tempfile.mkdtemp(prefix="wt_ingest_dedup_ckpt_")
-    survivors = ingest_dedup_to_memory(spark, sf_dir, work, name, ckpt)
+    try:
+        survivors = ingest_dedup_to_memory(spark, sf_dir, work, name, ckpt)
+    finally:
+        # the memory sink holds the rows in driver memory once the
+        # availableNow run terminates; the replay chunks and checkpoint
+        # on disk are dead weight — reclaim them even on failure
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         survivors.groupBy("event_type")
         .agg(

@@ -64,6 +64,26 @@ def rc_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derive(spark, raw, "wtr_events_stream")
 
 
+def write_ordered_chunks(parts, chunk_dir: str) -> None:
+    """Write each DataFrame in ``parts`` as one single-file parquet chunk
+    under ``chunk_dir`` with strictly increasing mtimes, so a file stream
+    with ``maxFilesPerTrigger=1`` replays them as ordered micro-batches.
+    The ONE home of the fragile mtime-ordering recipe — and of the
+    stale-chunk guard: a previous run's leftover chunk_NNNN dirs would
+    replay as extra (duplicate) micro-batches, so the dir starts clean."""
+    if os.path.isdir(chunk_dir):
+        import shutil
+
+        shutil.rmtree(chunk_dir)
+    for i, part in enumerate(parts):
+        path = os.path.join(chunk_dir, f"chunk_{i:04d}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        ts = time.time() + i  # strictly increasing mtimes -> replay order
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+
+
 def chunked_event_stream(spark: SparkSession, sf_dir: str, work_dir: str,
                          n_chunks: int = 4) -> DataFrame:
     """Split the events table into ``n_chunks`` seq-ranged parquet files
@@ -83,22 +103,15 @@ def chunked_event_stream(spark: SparkSession, sf_dir: str, work_dir: str,
     n_rows = src.count()
     step = max(1, (n_rows + n_chunks - 1) // n_chunks)
     chunk_dir = os.path.join(work_dir, "chunks")
-    # a previous run with more chunks leaves stale chunk_NNNN dirs that
-    # would replay as extra (duplicate) micro-batches — start clean
-    if os.path.isdir(chunk_dir):
-        import shutil
-
-        shutil.rmtree(chunk_dir)
-    for i in range(n_chunks):
-        part = src.filter(
-            (F.col("_rn") >= i * step) & (F.col("_rn") < (i + 1) * step)
-        ).drop("_rn")
-        path = os.path.join(chunk_dir, f"chunk_{i:04d}")
-        part.coalesce(1).write.mode("overwrite").parquet(path)
-        ts = time.time() + i  # strictly increasing mtimes -> replay order
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                os.utime(os.path.join(root, f), (ts, ts))
+    write_ordered_chunks(
+        (
+            src.filter(
+                (F.col("_rn") >= i * step) & (F.col("_rn") < (i + 1) * step)
+            ).drop("_rn")
+            for i in range(n_chunks)
+        ),
+        chunk_dir,
+    )
     raw = (spark.readStream.schema(EVENTS_SCHEMA)
            .option("maxFilesPerTrigger", 1)
            .option("recursiveFileLookup", "true")

@@ -26,7 +26,6 @@ distinct digest — the same digest set as the batch dedup relation.
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,18 +49,16 @@ def replay_events_with_dupes(
     sources/replay.chunked_event_stream's mtime-ordered chunk layout so
     Trigger.AvailableNow processes the batches in order and the dedup
     state is exercised ACROSS micro-batches, not within one."""
+    from ..sources.replay import write_ordered_chunks
+
     src = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         .select("event_id", "event_type")
     )
     chunk_dir = os.path.join(work_dir, "ingest_chunks")
-    for i, part in enumerate((src, src.filter(F.col("event_id") % dup_mod == 0))):
-        path = os.path.join(chunk_dir, f"chunk_{i:04d}")
-        part.coalesce(1).write.mode("overwrite").parquet(path)
-        ts = time.time() + i  # strictly increasing mtimes -> replay order
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                os.utime(os.path.join(root, f), (ts, ts))
+    write_ordered_chunks(
+        (src, src.filter(F.col("event_id") % dup_mod == 0)), chunk_dir
+    )
     return (
         spark.readStream.schema(_INGEST_SCHEMA)
         .option("maxFilesPerTrigger", 1)
