@@ -1454,3 +1454,52 @@ def test_bloom_decontaminate_no_false_negatives(spark):
         assert r["n_bloom_hits"] >= r["n_exact_hits"]
         assert r["fp_shingles"] == r["n_bloom_hits"] - r["n_exact_hits"]
         assert r["fp_shingles"] >= 0
+
+
+# --- round-7 additions: novelty / cross-source dup matrix --------------------
+
+
+def test_novelty_stats_hand_computed(spark):
+    """First-seen novelty under doc_id order: doc0 coins 'a b c' and
+    'b c d'; doc1 repeats 'a b c' (seen) but coins 'b c e'; doc2 repeats
+    both of doc0's shingles (novelty 0); a 2-token doc has no shingles."""
+    d = docs_df(spark, ["a b c d", "a b c e", "a b c d", "x y"])
+    rows = {r["doc_id"]: r for r in dedup.novelty_stats(d).collect()}
+    assert len(rows) == 4
+    assert (rows[0]["n_shingles"], rows[0]["n_novel"]) == (2, 2)
+    assert rows[0]["novelty_frac"] == pytest.approx(1.0)
+    assert (rows[1]["n_shingles"], rows[1]["n_novel"]) == (2, 1)
+    assert rows[1]["novelty_frac"] == pytest.approx(0.5)
+    assert (rows[2]["n_shingles"], rows[2]["n_novel"]) == (2, 0)
+    assert rows[2]["novelty_frac"] == 0.0
+    assert (rows[3]["n_shingles"], rows[3]["n_novel"]) == (0, 0)
+    assert rows[3]["novelty_frac"] == 0.0
+
+
+def test_cross_source_dup_matrix_hand_computed(spark):
+    """Two near-identical doc pairs: one crossing sources (folded to the
+    least/greatest-normalized pair regardless of doc order), one within a
+    source; unrelated docs contribute nothing."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    rows_in = [
+        (0, base, "en", "srcB", 1),
+        (1, base + " tail", "en", "srcA", 1),       # cross: srcA-srcB
+        (2, base + " zz", "en", "srcC", 1),          # near-dup of 0 and 1 too
+        (3, "q r s t u v w x y z aa bb cc dd ee ff", "en", "srcD", 1),
+    ]
+    d = spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup.cross_source_dup_matrix(d).collect()
+    }
+    nd = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+          for r in dedup.near_duplicates(d).collect()}
+    # every verified pair lands in exactly one normalized source cell
+    assert sum(r["n_pairs"] for r in got.values()) == len(nd)
+    assert len(nd) >= 1 and ("srcA", "srcB") in got
+    for (sa, sb), r in got.items():
+        assert sa <= sb
+        assert r["max_jaccard"] <= 1.0 and r["n_pairs"] >= 1

@@ -328,3 +328,20 @@ def test_text_vocab_joins_carry_no_forced_broadcast(spark):
         )
         n = len(re.findall(r"ResolvedHint", logical))
         assert n <= max_hints, (name, n, logical)
+
+
+def test_novelty_and_cross_source_shapes(plans):
+    """tx_novelty must stay an inverted-index aggregation (no pairwise
+    join) with a pruned documents scan; dd_cross_source_dups must add no
+    cartesian on top of the bucketed near-dup relation and carry no
+    forced broadcast of the corpus-sized (doc_id, source) projection."""
+    plan = plans("tx_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text"}
+
+    plan = plans("dd_cross_source_dups")
+    assert "CartesianProduct" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text", "source"}

@@ -21,6 +21,8 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_bm25_topk",
     "tx_collocations",
     "wt_ingest_dedup",
+    "tx_novelty",
+    "dd_cross_source_dups",
     # code changed in round 7 after the r04 attestation (forced
     # vocab-broadcast hint removed)
     "tx_tfidf_terms",
@@ -61,6 +63,8 @@ R08_DEFERRED = {
     "rel_small_quantity_revenue",
     "rel_top_customers",
     "rel_topk_per_brand",
+    "rel_unpivot_presence",
+    "tx_fingerprint",
 }
 
 

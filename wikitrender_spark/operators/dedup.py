@@ -683,6 +683,100 @@ def common_shingle_stats(
     )
 
 
+def novelty_stats(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram NOVELTY under doc_id arrival order: the share
+    of a doc's DISTINCT word-trigram shingles whose FIRST corpus
+    occurrence (min doc_id over containing docs) is the doc itself — the
+    marginal-contribution signal curation pipelines plot as a novelty
+    curve to decide where additional crawl data stops adding content.
+    The order-aware complement of common_shingle_stats: that one asks
+    "how often is this repeated", this one asks "who said it first".
+
+    Output: (doc_id, n_shingles, n_novel, novelty_frac), one row per doc
+    (zero-shingle docs get 0/0/0.0; the corpus's lowest-id doc with
+    shingles scores 1.0 by construction).
+
+    Shingle identity is the shared mod-1e6 trigram hash: a collision
+    attributes first-seen to an earlier doc and UNDERestimates novelty —
+    acceptable for a REPORTED SCORE (this relation never drives a
+    keep/drop decision; exact-key rules apply the moment one does — see
+    common_shingle_stats' collision-width argument).
+
+    Scale shape: identical to common_shingle_stats — the inverted index
+    is built once (localCheckpoint'd; it feeds the first-seen
+    aggregation and the flag join), first-seen is a map-combinable min()
+    per shingle, the join back is shingle-keyed on the aggregation's own
+    shuffle key, and the final rollup shuffles on doc_id. Nothing is
+    pairwise: O(total shingles), not O(docs^2)."""
+    ex = doc_shingles(docs).localCheckpoint(eager=False)
+    first = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    flagged = ex.join(first, "shingle").select(
+        "doc_id",
+        (F.col("first_doc") == F.col("doc_id")).cast("long").alias("is_novel"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("is_novel").alias("n_novel"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.when(F.col("n_shingles").isNull(), F.lit(0.0)).otherwise(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_shingles").cast("double")
+                ),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+def cross_source_dup_matrix(docs: DataFrame) -> DataFrame:
+    """Dedup governance: how many verified near-duplicate pairs CROSS
+    source boundaries, per unordered source pair — the contamination
+    matrix that tells a curation pipeline which feeds are re-hosting
+    each other's content (a provenance/licensing question exact within-
+    source dedup never surfaces).
+
+    Output: (source_a, source_b, n_pairs, max_jaccard) with source_a <=
+    source_b (least/greatest normalization folds the symmetric pair),
+    ordered by n_pairs desc then sources. max_jaccard is a max over
+    already-rounded(6) per-pair values — deterministic across engines.
+
+    Scale shape: the expensive part (LSH -> verify) is the shared
+    near_duplicates relation, already bucketed and candidates-only; this
+    adds two doc_id-keyed equi-joins to a (doc_id, source) projection —
+    NO broadcast hint, the projection is corpus-sized, AQE decides — and
+    one small hash-agg over source pairs (output is bounded by
+    |sources|^2 rows)."""
+    nd = near_duplicates(docs)
+    src = docs.select("doc_id", "source")
+    j = (
+        nd.join(src.select(F.col("doc_id").alias("doc_a"),
+                           F.col("source").alias("sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("sb")), "doc_b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )
+
+
 def dedup_lineage(docs: DataFrame) -> DataFrame:
     """(doc_id, keeper_doc_id, reason) audit relation for every document
     the dedup stages would DROP — the removal lineage downstream

@@ -2122,6 +2122,51 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
 
 
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen n-gram novelty per doc under doc_id arrival order; see
+    operators/dedup.novelty_stats for the inverted-index scale shape and
+    the score-only collision argument."""
+    return dedup.novelty_stats(_docs(spark, sf_dir))
+
+
+NOVELTY_SQL = f"""
+WITH {_TOK_HASH_CTE},
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+fs AS (SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+per AS (
+  SELECT ex.doc_id, count(*) AS n_shingles,
+    sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM ex JOIN fs ON ex.shingle = fs.shingle
+  GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+  round(CASE WHEN per.n_shingles IS NULL THEN 0.0
+        ELSE CAST(per.n_novel AS DOUBLE) / CAST(per.n_shingles AS DOUBLE)
+        END, 6) AS novelty_frac
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix; see
+    operators/dedup.cross_source_dup_matrix for the governance rationale
+    and the candidates-only scale shape."""
+    return dedup.cross_source_dup_matrix(_docs(spark, sf_dir))
+
+
+CROSS_SOURCE_SQL = f"""
+WITH nd AS ({NEAR_DUPS_SQL})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(nd.jaccard) AS max_jaccard
+FROM nd JOIN documents da ON nd.doc_a = da.doc_id
+        JOIN documents db ON nd.doc_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, source_a, source_b"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style within-cell cosine dedup over embeddings; see
     operators/ann.semantic_dedup for the cell-bucketed scale shape."""
@@ -2532,6 +2577,8 @@ QUERIES = {
     "dd_ngram_jaccard": q_ngram_jaccard,
     "dd_lsh_candidates": q_lsh_candidates,
     "dd_near_duplicates": q_near_duplicates,
+    "tx_novelty": q_novelty,
+    "dd_cross_source_dups": q_cross_source_dups,
     "dd_embedding_neardup": q_embedding_neardup,
     "dd_decontaminate": q_decontaminate,
     "dd_bloom_decontaminate": q_bloom_decontaminate,
@@ -2587,6 +2634,8 @@ ORACLES = {
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dd_lsh_candidates": LSH_CANDIDATES_SQL,
     "dd_near_duplicates": NEAR_DUPS_SQL,
+    "tx_novelty": NOVELTY_SQL,
+    "dd_cross_source_dups": CROSS_SOURCE_SQL,
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "dd_decontaminate": DECONTAM_SQL,
     "dd_bloom_decontaminate": BLOOM_DECONTAM_SQL,

@@ -54,21 +54,25 @@ _loaded = False
 #: (c) the 16 rows twice promised a slot (the r05/r06 deferral cohort:
 #: rel_scalar_functions .. tx_chunks below), driver evidence three
 #: rounds old at rotation time;
-#: (d) 30 of the 42 remaining r04-attested rows. The 12 NOT taken —
+#: (d) 28 of the 42 remaining r04-attested rows. The 14 NOT taken —
 #: dd_exact_groups, dd_simhash, rel_acctbal_band_pairs,
 #: rel_cube_summary, rel_regional_revenue, rel_rolling_revenue_window,
 #: rel_rollup_orders, rel_running_revenue, rel_signup_burst,
-#: rel_small_quantity_revenue, rel_top_customers, rel_topk_per_brand —
+#: rel_small_quantity_revenue, rel_top_customers, rel_topk_per_brand,
+#: rel_unpivot_presence, tx_fingerprint (the last two displaced by the
+#: round-7 additions tx_novelty / dd_cross_source_dups) —
 #: are exactly the rows with the deepest multi-round green history
 #: (r01+r02+r04) and untouched code; they are PROMISED the r08 window
 #: (tests/test_registry_gate.py R08_DEFERRED pins the list). Adding a
 #: query mid-round means adding it HERE too, displacing another (d) row
 #: into R08_DEFERRED.
 GATE_WINDOW: list[str] = [
-    # (a) never driver-attested
+    # (a) never driver-attested (incl. the round-7 additions)
     "wt_ingest_dedup",
     "tx_bm25_topk",
     "tx_collocations",
+    "tx_novelty",
+    "dd_cross_source_dups",
     # (b) code changed this round after the r04 attestation
     "tx_tfidf_terms",
     # (c) the twice-promised R06_DEFERRED cohort (last green r03)
@@ -88,7 +92,7 @@ GATE_WINDOW: list[str] = [
     "rel_pricing_summary",
     "rel_asof_last_signup",
     "tx_chunks",
-    # (d) the r04 cohort (two rounds stale), minus the 12 deferred
+    # (d) the r04 cohort (two rounds stale), minus the 14 deferred
     "ann_ivfpq_topk",
     "ann_kmeans_refine",
     "ann_pq_topk",
@@ -106,10 +110,8 @@ GATE_WINDOW: list[str] = [
     "rel_salted_revenue",
     "rel_value_pareto",
     "rel_window_rank_suite",
-    "rel_unpivot_presence",
     "tx_boilerplate",
     "tx_bpe_merges",
-    "tx_fingerprint",
     "tx_langid",
     "tx_length_histogram",
     "tx_mix_sample",
