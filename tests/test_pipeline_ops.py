@@ -1503,3 +1503,53 @@ def test_cross_source_dup_matrix_hand_computed(spark):
     for (sa, sb), r in got.items():
         assert sa <= sb
         assert r["max_jaccard"] <= 1.0 and r["n_pairs"] >= 1
+
+
+def test_rp_sign_matrix_properties():
+    """The deterministic JL sign matrix must stay balanced and
+    decorrelated: a regression to any linear-form hash collapses to a
+    parity checkerboard whose columns are ±copies of each other (every
+    projection carries the same information). Pins the measured bounds."""
+    import numpy as np
+
+    S = np.array([
+        [ann._rp_sign(i, j) for j in range(1, ann.RP_DIM + 1)]
+        for i in range(1, ann.EMB_DIM + 1)
+    ])
+    assert set(np.unique(S)) == {-1.0, 1.0}
+    col_means = S.mean(axis=0)
+    assert np.abs(col_means).max() <= 0.125
+    corr = (S.T @ S) / ann.EMB_DIM - np.outer(col_means, col_means)
+    off = np.abs(corr - np.diag(np.diag(corr))).max()
+    assert off <= 0.35, off  # a checkerboard scores 1.0 here
+
+
+def test_rp_topk_hand_computed(spark):
+    """Projection and ranking verified against a NumPy mirror on a tiny
+    deterministic corpus: proj = round(E @ S, 4); scores = round(proj
+    q . proj n, 6); top-k by (score desc, id asc) with exact cosine
+    rescoring on the winners."""
+    import numpy as np
+
+    rng = [[((v * 37 + d * 11 + 5) % 19) - 9.0 for d in range(ann.EMB_DIM)]
+           for v in range(8)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row], 0) for i, row in enumerate(rng)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    S = np.array([
+        [ann._rp_sign(i, j) for j in range(1, ann.RP_DIM + 1)]
+        for i in range(1, ann.EMB_DIM + 1)
+    ])
+    E = np.array(rng)
+    P = np.round(E @ S, 4)
+    got = ann.rp_topk(emb, [0], k=3).collect()
+    scores = {n: round(float(P[0] @ P[n]), 6) for n in range(1, 8)}
+    exp_order = sorted(scores, key=lambda n: (-scores[n], n))[:3]
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] \
+        == exp_order
+    for r in got:
+        assert r["approx_score"] == scores[r["neighbor_id"]]
+        ev, qv = E[r["neighbor_id"]], E[0]
+        sim = round(float(qv @ ev / (np.linalg.norm(qv) * np.linalg.norm(ev))), 6)
+        assert r["sim"] == pytest.approx(sim, abs=2e-6)

@@ -345,3 +345,14 @@ def test_novelty_and_cross_source_shapes(plans):
     assert "CartesianProduct" not in plan
     for cols in _scan_columns(plan, "documents"):
         assert set(cols) <= {"doc_id", "text", "source"}
+
+
+def test_rp_topk_projection_stays_codegen(plans):
+    """ann_rp_topk: the JL projection must stay a map-side codegen
+    expression (query side broadcast, no cartesian beyond the intended
+    per-query scan), and the embeddings parquet scan count stays bounded
+    (projection + rescore sides)."""
+    plan = plans("ann_rp_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+    n_scans = len(_scan_columns(plan, "embeddings"))
+    assert n_scans <= 4, n_scans

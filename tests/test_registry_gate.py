@@ -23,6 +23,7 @@ NEVER_OR_STALE_ATTESTED = {
     "wt_ingest_dedup",
     "tx_novelty",
     "dd_cross_source_dups",
+    "ann_rp_topk",
     # code changed in round 7 after the r04 attestation (forced
     # vocab-broadcast hint removed)
     "tx_tfidf_terms",
@@ -65,6 +66,7 @@ R08_DEFERRED = {
     "rel_topk_per_brand",
     "rel_unpivot_presence",
     "tx_fingerprint",
+    "tx_quality",
 }
 
 

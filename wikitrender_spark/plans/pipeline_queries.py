@@ -2327,6 +2327,45 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.sq_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
 
+def q_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-projection top-k with exact rescoring; see
+    operators/ann.rp_project / rp_topk for the sign-matrix construction
+    and the map-side 4x-compression scale shape."""
+    return ann.rp_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+_RP_SIGN_SQL = (
+    "(CASE WHEN ((i*j*7919 + i*104729 + j*48271) % 389) % 2 = 0"
+    " THEN 1.0 ELSE -1.0 END)"
+)
+
+ANN_RP_SQL = f"""
+WITH {_COSINE_CTE},
+pj AS (SELECT vec_id,
+         list_transform(range(1, {ann.RP_DIM + 1}), j ->
+           round(list_reduce(list_prepend(0.0,
+             list_transform(range(1, {ann.EMB_DIM + 1}),
+               i -> emb[i] * {_RP_SIGN_SQL})), (a, b) -> a + b), 4)) AS proj
+       FROM e),
+sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_reduce(list_prepend(0.0,
+             list_transform(range(1, {ann.RP_DIM + 1}),
+               i -> q.proj[i] * c.proj[i])), (a, b) -> a + b), 6)
+           AS approx_score
+       FROM pj q JOIN pj c ON q.vec_id <> c.vec_id
+       WHERE q.vec_id IN ({_QIDS})),
+top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_score DESC, neighbor_id ASC) AS rank FROM sc)
+SELECT t.query_id, t.neighbor_id, CAST(t.rank AS INT) AS rank, t.approx_score,
+  round({_DOT64.format(a='eq.emb', b='ec.emb')} / (nq.nrm * nc.nrm), 6) AS sim
+FROM top t
+JOIN e eq ON eq.vec_id = t.query_id
+JOIN e ec ON ec.vec_id = t.neighbor_id
+JOIN nrm nq ON nq.vec_id = t.query_id
+JOIN nrm nc ON nc.vec_id = t.neighbor_id
+WHERE t.rank <= {ANN_K}"""
+
+
 ANN_SQ_SQL = f"""
 WITH {_COSINE_CTE},
 mm AS (SELECT ii.i AS i, min(e.emb[ii.i]) AS lo, max(e.emb[ii.i]) AS hi
@@ -2569,6 +2608,7 @@ QUERIES = {
     "tx_substring_scrub": q_substring_scrub,
     "tx_length_histogram": q_length_histogram,
     "ann_sq_topk": q_ann_sq,
+    "ann_rp_topk": q_rp_topk,
     "ann_pq_topk": q_ann_pq,
     "ann_ivfpq_topk": q_ann_ivfpq,
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
@@ -2626,6 +2666,7 @@ ORACLES = {
     "tx_substring_scrub": SUBSTRING_SCRUB_SQL,
     "tx_length_histogram": LENGTH_HISTOGRAM_SQL,
     "ann_sq_topk": ANN_SQ_SQL,
+    "ann_rp_topk": ANN_RP_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "ann_ivfpq_rerank": ANN_IVFPQ_RERANK_SQL,
