@@ -330,11 +330,29 @@ def test_text_vocab_joins_carry_no_forced_broadcast(spark):
         assert n <= max_hints, (name, n, logical)
 
 
-def test_novelty_and_cross_source_shapes(plans):
+def test_novelty_and_cross_source_shapes(plans, spark):
     """tx_novelty must stay an inverted-index aggregation (no pairwise
     join) with a pruned documents scan; dd_cross_source_dups must add no
     cartesian on top of the bucketed near-dup relation and carry no
-    forced broadcast of the corpus-sized (doc_id, source) projection."""
+    forced broadcast of the corpus-sized (doc_id, source) projection.
+
+    The outer plans hide the tokenize/shingle subtree behind the
+    inverted index's localCheckpoint (Scan ExistingRDD), so the pruned-
+    scan and no-pairwise claims are ALSO asserted on the pre-checkpoint
+    doc_shingles relation itself — the subtree the checkpoint swallows."""
+    from wikitrender_spark.operators import dedup as _dedup
+    from wikitrender_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    inner = (
+        _dedup.doc_shingles(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in inner
+    assert "BroadcastNestedLoopJoin" not in inner
+    for cols in _scan_columns(inner, "documents"):
+        assert set(cols) <= {"doc_id", "text"}
+
     plan = plans("tx_novelty")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -347,12 +365,27 @@ def test_novelty_and_cross_source_shapes(plans):
         assert set(cols) <= {"doc_id", "text", "source"}
 
 
-def test_rp_topk_projection_stays_codegen(plans):
-    """ann_rp_topk: the JL projection must stay a map-side codegen
-    expression (query side broadcast, no cartesian beyond the intended
-    per-query scan), and the embeddings parquet scan count stays bounded
-    (projection + rescore sides)."""
-    plan = plans("ann_rp_topk")
-    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+def test_rp_topk_projection_stays_codegen(spark):
+    """ann_rp_topk's real plan properties, pinned individually: (a) the
+    JL projection is the UNROLLED codegen expression — hundreds of
+    element_at terms in the plan, NOT a transform(...) HOF lambda over
+    the embedding array; (b) the query side of the ranking scan is the
+    broadcast build side with its vec_id IN-filter pushed to the scan;
+    (c) embeddings parquet scan count stays bounded."""
+    from wikitrender_spark.plans import registry
+
+    qs = registry.all_queries()
+    plan = (
+        qs["ann_rp_topk"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # (a) unrolled projection: 16 projections x 64 element_at terms per
+    # side; a regression to an interpreted HOF would collapse these to a
+    # single transform(...) lambda
+    assert plan.count("element_at") >= 512, plan.count("element_at")
+    # (b) query side broadcast + pushed id filter
+    assert "BuildLeft" in plan or "BuildRight" in plan
+    assert re.search(r"PushedFilters: \[.*In\(vec_id", plan), "no pushed IN filter"
+    # (c) bounded scan count (projection + rescore sides)
     n_scans = len(_scan_columns(plan, "embeddings"))
     assert n_scans <= 4, n_scans

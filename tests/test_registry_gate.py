@@ -46,9 +46,10 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_chunks",
 }
 
-#: The 12 rows displaced from the r07 window (every one green at r04 on
+#: The 15 rows displaced from the r07 window (every one green at r04 on
 #: current testdata AND at r01+r02 before it — the deepest attestation
-#: history in the registry — with code untouched since). They are
+#: history in the registry — with code untouched since; the last three
+#: were displaced mid-round by the r07 additions). They are
 #: PROMISED the r08 window: next round, move them into GATE_WINDOW (and
 #: into NEVER_OR_STALE_ATTESTED as stale) before anything else.
 R08_DEFERRED = {

@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from wikitrender_spark.operators.derive import move_closed_group, read_events_raw
 from wikitrender_spark.session import get_spark
 from wikitrender_spark.sources import replay
-from wikitrender_spark.sources.replay import chunked_event_stream
 from wikitrender_spark.streaming import ewma, heavyhitters, processor
 from wikitrender_spark.streaming.processor_tws import ROCKSDB_PROVIDER
 
@@ -57,7 +56,7 @@ def run_pipelines(spark, sf_dir: str, n_chunks: int) -> dict:
     out = {}
     with tempfile.TemporaryDirectory() as d:
         cl = processor.page_state_changelog(
-            chunked_event_stream(spark, sf_dir, d + "/src", n_chunks=n_chunks),
+            replay.chunked_event_stream(spark, sf_dir, d + "/src", n_chunks=n_chunks),
             move_closed_group(),
         )
         out["page_state"] = _drain(cl, d + "/ckpt", "update")

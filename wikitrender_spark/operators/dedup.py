@@ -656,31 +656,15 @@ def common_shingle_stats(
     (the df aggregation and the flag join), so it is localCheckpoint'd —
     (long, long) rows are compact and the tokenize+shingle fold is the
     expensive part worth running once."""
-    ex = doc_shingles(docs).localCheckpoint(eager=False)
-    df_counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
-    flagged = ex.join(df_counts, "shingle").select(
-        "doc_id", (F.col("n_docs") >= min_docs).cast("long").alias("is_common")
-    )
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum("is_common").alias("n_common"),
-    )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
-            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
-            F.round(
-                F.when(F.col("n_shingles").isNull(), F.lit(0.0)).otherwise(
-                    F.col("n_common").cast("double")
-                    / F.col("n_shingles").cast("double")
-                ),
-                6,
-            ).alias("common_frac"),
+    def flag(ex: DataFrame) -> DataFrame:
+        df_counts = ex.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("n_docs")
         )
-    )
+        return ex.join(df_counts, "shingle").select(
+            "doc_id", (F.col("n_docs") >= min_docs).cast("long").alias("flag")
+        )
+
+    return _flagged_shingle_fraction(docs, flag, "n_common", "common_frac")
 
 
 def novelty_stats(docs: DataFrame) -> DataFrame:
@@ -708,15 +692,30 @@ def novelty_stats(docs: DataFrame) -> DataFrame:
     per shingle, the join back is shingle-keyed on the aggregation's own
     shuffle key, and the final rollup shuffles on doc_id. Nothing is
     pairwise: O(total shingles), not O(docs^2)."""
+    def flag(ex: DataFrame) -> DataFrame:
+        first = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+        return ex.join(first, "shingle").select(
+            "doc_id",
+            (F.col("first_doc") == F.col("doc_id")).cast("long").alias("flag"),
+        )
+
+    return _flagged_shingle_fraction(docs, flag, "n_novel", "novelty_frac")
+
+
+def _flagged_shingle_fraction(
+    docs: DataFrame, flag_join, n_name: str, frac_name: str
+) -> DataFrame:
+    """Shared skeleton of the per-doc shingle-fraction reports
+    (common_shingle_stats, novelty_stats): build the inverted index ONCE
+    (localCheckpoint'd — it feeds the per-shingle aggregation inside
+    ``flag_join`` and the flag join itself), let ``flag_join`` turn it
+    into (doc_id, flag 0/1) rows, then roll up count/sum per doc and
+    left-join every document back in with 0/0/0.0 for the shingle-less.
+    The fraction is one exact IEEE division of two ints, rounded to 6."""
     ex = doc_shingles(docs).localCheckpoint(eager=False)
-    first = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    flagged = ex.join(first, "shingle").select(
-        "doc_id",
-        (F.col("first_doc") == F.col("doc_id")).cast("long").alias("is_novel"),
-    )
-    per_doc = flagged.groupBy("doc_id").agg(
+    per_doc = flag_join(ex).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
-        F.sum("is_novel").alias("n_novel"),
+        F.sum("flag").alias(n_name),
     )
     return (
         docs.select("doc_id")
@@ -724,14 +723,14 @@ def novelty_stats(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
-            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.coalesce(F.col(n_name), F.lit(0)).alias(n_name),
             F.round(
                 F.when(F.col("n_shingles").isNull(), F.lit(0.0)).otherwise(
-                    F.col("n_novel").cast("double")
+                    F.col(n_name).cast("double")
                     / F.col("n_shingles").cast("double")
                 ),
                 6,
-            ).alias("novelty_frac"),
+            ).alias(frac_name),
         )
     )
 

@@ -324,20 +324,16 @@ def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.dedup import ingest_dedup_to_memory
 
-    # a memory-sink table lives for the session; cap the leak at one
-    # table per process by dropping earlier invocations' sinks first
-    for t in spark.catalog.listTables():
-        if t.name.startswith("wt_ingest_dedup_"):
-            spark.catalog.dropTempView(t.name)
     name = "wt_ingest_dedup_" + uuid.uuid4().hex[:8]
     work = tempfile.mkdtemp(prefix="wt_ingest_dedup_")
     ckpt = tempfile.mkdtemp(prefix="wt_ingest_dedup_ckpt_")
     try:
         survivors = ingest_dedup_to_memory(spark, sf_dir, work, name, ckpt)
     finally:
-        # the memory sink holds the rows in driver memory once the
-        # availableNow run terminates; the replay chunks and checkpoint
-        # on disk are dead weight — reclaim them even on failure
+        # survivors are materialized off the memory sink (eager local
+        # checkpoint inside ingest_dedup_to_memory); the replay chunks
+        # and stream checkpoint on disk are dead weight — reclaim them
+        # even on failure
         shutil.rmtree(work, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return (

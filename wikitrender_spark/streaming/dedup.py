@@ -89,7 +89,14 @@ def ingest_dedup_to_memory(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # materialize the survivors OFF the memory-sink view (eager local
+    # checkpoint), then drop the view immediately: the returned relation
+    # stays valid for the caller's lifetime with no per-run temp view
+    # accumulating in the session catalog — and no trap where a later
+    # invocation's cleanup invalidates an earlier invocation's result
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def with_digest(docs: DataFrame) -> DataFrame:
