@@ -171,3 +171,45 @@ def test_spacesaving_batch_split_invariance(stream, capacity):
     for i in range(0, len(items), 7):
         hh.spacesaving_update(many, items[i : i + 7], capacity)
     assert one == many
+
+
+def _reference_scan_update(summary, items, capacity):
+    """The original O(capacity)-per-eviction formulation — kept as the
+    semantic reference the lazy-deletion-heap implementation must match
+    byte for byte (same evict choice: min (count, item))."""
+    for it in items:
+        it = str(it)
+        if it in summary:
+            summary[it][0] += 1
+        elif len(summary) < capacity:
+            summary[it] = [1, 0]
+        else:
+            evict = min(summary, key=lambda x: (summary[x][0], x))
+            m = summary.pop(evict)[0]
+            summary[it] = [m + 1, m]
+
+
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=25), max_size=300),
+    capacity=st.integers(min_value=1, max_value=8),
+    chunks=st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+                    max_size=12),
+)
+@settings(max_examples=150, deadline=None)
+def test_spacesaving_heap_matches_scan_reference(stream, capacity, chunks):
+    """The heap-evicting fold must produce EXACTLY the reference scan's
+    summary (est AND err) for any stream, any capacity, any chunking —
+    the regression guard for the 71x eviction-path speedup (135 s ->
+    1.9 s over 1M rows at the sf1 probe regime)."""
+    a: dict = {}
+    b: dict = {}
+    i = 0
+    ci = 0
+    items = [str(x) for x in stream]
+    while i < len(items):
+        step = chunks[ci % len(chunks)]
+        hh.spacesaving_update(a, items[i:i + step], capacity)
+        _reference_scan_update(b, items[i:i + step], capacity)
+        i += step
+        ci += 1
+    assert a == b
