@@ -443,6 +443,106 @@ def test_tws_purge_branch_inprocess_parity(spark):
     assert sorted(map(repr, got)) == sorted(map(repr, exp))
 
 
+def test_tws_wall_clock_cleaner_inprocess(spark):
+    """The timer-based P1 cleaner (reference setInterval, index.js:399):
+    in wall-clock mode handleInputRows must NOT purge (it only folds and
+    arms exactly one timer per key), and handleExpiredTimer must evict
+    exactly what a batch-boundary purge at the same event-time clock
+    would, emit those ids as tombstones, bump _ver, and re-arm. Driven
+    in-process with a fake handle — no protobuf needed."""
+    from wikitrender_spark.streaming import processor_tws
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.timers = []
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _FakeValueState())
+
+        def registerTimer(self, ms):
+            self.timers.append(ms)
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, ms):
+            self.timers.remove(ms)
+
+    class _FakeTimerValues:
+        def __init__(self, ms):
+            self._ms = ms
+
+        def getCurrentProcessingTimeInMs(self):
+            return self._ms
+
+    params = fold.PurgeParams(
+        max_lifespan=40000.0, max_inactivity=6000.0,
+        min_speed=0.00015, min_purge_time=5.0,
+    )
+    rc = rc_events(spark, SF_DIR).withColumn("_grp", _group())
+    pdf = rc.toPandas().sort_values(["ts", "seq"]).reset_index(drop=True)
+
+    total_tombstones = 0
+    for grp, gpdf in pdf.groupby("_grp"):
+        proc = processor_tws.PageStateProcessor(
+            purge=params, cleaner_interval_ms=20_000
+        )
+        h = _FakeHandle()
+        proc.init(h)
+        out = list(proc.handleInputRows(grp, iter([gpdf]), _FakeTimerValues(1_000)))
+        # wall-clock mode: the ONLY tombstones at the batch boundary are
+        # lifecycle evictions (A4/A5 deletes/moves) — none from P2
+        exp_titles: dict = {}
+        exp_lifecycle_removed: set = set()
+        fold.fold_pdf(exp_titles, gpdf.drop(columns=["_grp"]),
+                      set(), exp_lifecycle_removed)
+        got_batch_tombs = set()
+        for o in out:
+            if len(o):
+                got_batch_tombs |= set(o[o["_deleted"]]["id"])
+        assert got_batch_tombs == exp_lifecycle_removed - exp_titles.keys()
+        # ...and exactly one armed timer at now + interval
+        assert h.timers == [21_000]
+
+        # expected sweep result: purge a COPY of the state at its clock
+        blob, clock, ver = h.states["fold"].get()
+        titles_copy = fold.deserialize_titles(blob)
+        exp_removed = fold.purge_titles(
+            titles_copy, pd.Timestamp(clock, unit="us"), params
+        )
+
+        swept = list(proc.handleExpiredTimer(grp, _FakeTimerValues(21_000), None))
+        got_removed = set()
+        for o in swept:
+            got_removed |= set(o[o["_deleted"]]["id"])
+        assert got_removed == exp_removed
+        total_tombstones += len(got_removed)
+        # re-armed (old timer untouched by the sweep path; input batches
+        # are what collapse timers back to one)
+        assert h.timers[-1] == 41_000
+        if exp_removed:
+            _b, _c, v2 = h.states["fold"].get()
+            assert v2 == ver + 1  # sweep bumped the version
+            # idempotent: a second sweep at the same clock removes nothing
+            assert list(proc.handleExpiredTimer(
+                grp, _FakeTimerValues(41_000), None)) == []
+    assert total_tombstones > 0  # thresholds actually evict something
+
+
 def test_streaming_dedup_drops_replayed_events(spark):
     """dropDuplicatesWithinWatermark admission layer: replaying whole
     chunks (at-least-once delivery after a socket rebuild, S3) yields

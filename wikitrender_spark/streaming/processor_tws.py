@@ -40,10 +40,31 @@ ROCKSDB_PROVIDER = (
 
 
 class PageStateProcessor(StatefulProcessor):
-    def __init__(self, purge: fold.PurgeParams | None = None):
+    """Two cleaner modes (P1/P2, /root/reference/index.js:362-400):
+
+    - ``cleaner_interval_ms=None`` (default): DETERMINISTIC batch-
+      boundary purge — P2 runs inside handleInputRows at each micro-
+      batch with now = the key's event-time clock. Replay-stable; what
+      the oracle-gated queries and the equivalence tests use.
+    - ``cleaner_interval_ms=N``: WALL-CLOCK cleaner — the reference's
+      20 s ``setInterval(cleaner)`` (index.js:399-400) in its Spark-4
+      home, processing-time timers. handleInputRows only folds and
+      (re)arms one timer per key; the sweep runs in handleExpiredTimer,
+      which purges, emits tombstones, and re-arms — so quiet keys keep
+      getting swept without new input, exactly like the event-loop
+      interval. Clock pin §2.9-1 still holds: WALL time schedules WHEN
+      the sweep runs, EVENT time decides WHAT is old (the purge's `now`
+      is the key's persisted event-time clock, so a sweep never evicts
+      more than a batch-boundary purge at the same clock would).
+    """
+
+    def __init__(self, purge: fold.PurgeParams | None = None,
+                 cleaner_interval_ms: int | None = None):
         self._purge = purge
+        self._interval = cleaner_interval_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
         self._state = handle.getValueState("fold", _STATE_SCHEMA)
 
     def handleInputRows(
@@ -71,8 +92,18 @@ class PageStateProcessor(StatefulProcessor):
                 batch_max_ts = ev["ts"].max()
                 clock = max(clock, fold._ts_us(batch_max_ts))
 
-        if self._purge is not None and batch_max_ts is not None:
-            removed |= fold.purge_titles(titles, batch_max_ts, self._purge)
+        if self._interval is None:
+            # deterministic mode: P2 at the batch boundary
+            if self._purge is not None and batch_max_ts is not None:
+                removed |= fold.purge_titles(titles, batch_max_ts, self._purge)
+        else:
+            # wall-clock mode: defer the sweep to the timer; keep exactly
+            # one live timer per key (re-arm on every input batch)
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() + self._interval
+            )
 
         # ver stays monotone for the group's lifetime (see processor.py)
         self._state.update((fold.serialize_titles(titles), clock, ver))
@@ -81,22 +112,51 @@ class PageStateProcessor(StatefulProcessor):
         if len(out):
             yield out
 
+    def handleExpiredTimer(
+        self, key, timer_values, expired_timer_info
+    ) -> Iterator[pd.DataFrame]:
+        """The periodic sweep: purge with now = the key's persisted
+        event-time clock, emit tombstones for evictions, re-arm."""
+        if self._interval is not None:
+            self._handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() + self._interval
+            )
+        existing = self._state.get() if self._state.exists() else None
+        if existing is None or self._purge is None:
+            return
+        titles = fold.deserialize_titles(existing[0])
+        clock = existing[1]
+        if clock == 0:
+            return  # no event has ever set this key's clock
+        removed = fold.purge_titles(
+            titles, pd.Timestamp(clock, unit="us"), self._purge
+        )
+        if not removed:
+            return
+        ver = existing[2] + 1
+        self._state.update((fold.serialize_titles(titles), clock, ver))
+        yield _changelog_rows(titles, set(), removed, clock, ver)
+
     def close(self) -> None:
         pass
 
 
 def page_state_changelog_tws(
-    rc: DataFrame, group_col: Column, purge: fold.PurgeParams | None = None
+    rc: DataFrame, group_col: Column, purge: fold.PurgeParams | None = None,
+    cleaner_interval_ms: int | None = None,
 ) -> DataFrame:
-    """Changelog stream via transformWithStateInPandas (update mode, no
-    timers — the deterministic batch-boundary purge variant)."""
+    """Changelog stream via transformWithStateInPandas. Default is the
+    deterministic batch-boundary purge (timeMode None); passing
+    ``cleaner_interval_ms`` switches to the wall-clock periodic cleaner
+    (timeMode ProcessingTime, one timer per key — see
+    PageStateProcessor)."""
     return (
         rc.withColumn("_grp", group_col)
         .groupBy("_grp")
         .transformWithStateInPandas(
-            statefulProcessor=PageStateProcessor(purge),
+            statefulProcessor=PageStateProcessor(purge, cleaner_interval_ms),
             outputStructType=CHANGELOG_SCHEMA,
             outputMode="Update",
-            timeMode="None",
+            timeMode="None" if cleaner_interval_ms is None else "ProcessingTime",
         )
     )
