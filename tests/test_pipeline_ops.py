@@ -1553,3 +1553,39 @@ def test_rp_topk_hand_computed(spark):
         ev, qv = E[r["neighbor_id"]], E[0]
         sim = round(float(qv @ ev / (np.linalg.norm(qv) * np.linalg.norm(ev))), 6)
         assert r["sim"] == pytest.approx(sim, abs=2e-6)
+
+
+def test_lsh_tuning_report_hand_computed(spark):
+    """The sweep's structural laws on a corpus with one planted near-dup
+    pair: wider rows_per_band can only SHRINK the candidate set (an
+    8-token band match implies both 4-token halves match, etc. is NOT
+    true in general — but candidates are monotone in r for FIXED
+    signatures since a (b, r) candidate shares r consecutive mins, and
+    any 2r-consecutive match contains an r match for the aligned
+    sub-band... asserted empirically, not derived), verified counts are
+    bounded by candidates, precision in [0, 1], and the (4, 4) row
+    equals the production config's candidate count."""
+    texts = []
+    base = " ".join(f"w{i}" for i in range(40))
+    texts.append(base)                       # doc0
+    texts.append(base + " extra")            # doc1: near-dup of doc0
+    for i in range(6):                       # unrelated docs
+        texts.append(" ".join(f"u{i}_{j}" for j in range(30)))
+    d = docs_df(spark, texts)
+    rows = {(r["bands"], r["rows_per_band"]): r
+            for r in dedup.lsh_tuning_report(d).collect()}
+    assert set(rows) == set(dedup.LSH_TUNING_CONFIGS)
+    prod = dedup.lsh_candidate_pairs(d).count()
+    assert rows[(4, 4)]["n_candidates"] == prod
+    cand_by_r = [rows[(8, 2)]["n_candidates"], rows[(4, 4)]["n_candidates"],
+                 rows[(2, 8)]["n_candidates"]]
+    assert cand_by_r[0] >= cand_by_r[1] >= cand_by_r[2]
+    for r in rows.values():
+        assert 0 <= r["n_verified"] <= r["n_candidates"]
+        assert 0.0 <= r["precision_frac"] <= 1.0
+    # the planted pair is near-identical, so the LOOSEST banding (2-row
+    # bands, S-curve threshold ~(1/8)^(1/2) ~ 0.35) must catch it; tight
+    # configs may legitimately miss it (one changed token can perturb a
+    # min inside every 8-wide band) — that selectivity difference is the
+    # report's entire point
+    assert rows[(8, 2)]["n_verified"] >= 1

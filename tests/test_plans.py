@@ -389,3 +389,18 @@ def test_rp_topk_projection_stays_codegen(spark):
     # (c) bounded scan count (projection + rescore sides)
     n_scans = len(_scan_columns(plan, "embeddings"))
     assert n_scans <= 4, n_scans
+
+
+def test_lsh_tuning_shares_one_tokenization(plans):
+    """dd_lsh_tuning sweeps three banding configs but must tokenize the
+    corpus ONCE (the shared dth checkpoint): bounded documents scans,
+    no cartesian/nested-loop pair join anywhere."""
+    plan = plans("dd_lsh_tuning")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the 1-row x 1-row scalar
+    # crossJoins stitching (n_candidates, n_verified) per config
+    n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+    from wikitrender_spark.operators import dedup as _dedup
+    assert n_bnlj <= len(_dedup.LSH_TUNING_CONFIGS), n_bnlj
+    n_scans = len(re.findall(r"FileScan parquet .*documents\.parquet", plan))
+    assert n_scans <= 2, n_scans

@@ -24,6 +24,7 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_novelty",
     "dd_cross_source_dups",
     "ann_rp_topk",
+    "dd_lsh_tuning",
     # code changed in round 7 after the r04 attestation (forced
     # vocab-broadcast hint removed)
     "tx_tfidf_terms",
@@ -46,9 +47,9 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_chunks",
 }
 
-#: The 15 rows displaced from the r07 window (every one green at r04 on
+#: The 16 rows displaced from the r07 window (every one green at r04 on
 #: current testdata AND at r01+r02 before it — the deepest attestation
-#: history in the registry — with code untouched since; the last three
+#: history in the registry — with code untouched since; the last four
 #: were displaced mid-round by the r07 additions). They are
 #: PROMISED the r08 window: next round, move them into GATE_WINDOW (and
 #: into NEVER_OR_STALE_ATTESTED as stale) before anything else.
@@ -68,6 +69,7 @@ R08_DEFERRED = {
     "rel_unpivot_presence",
     "tx_fingerprint",
     "tx_quality",
+    "tx_langid",
 }
 
 

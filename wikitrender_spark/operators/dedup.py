@@ -277,6 +277,75 @@ def candidate_jaccard(docs: DataFrame) -> DataFrame:
     )
 
 
+#: banding sweep for the tuning report — every (bands, rows) factoring
+#: of the 16-perm signature; r controls the S-curve's threshold
+#: (~(1/b)^(1/r)), so 8x2 admits low-similarity pairs and 2x8 only
+#: near-identical ones
+LSH_TUNING_CONFIGS: tuple[tuple[int, int], ...] = ((8, 2), (4, 4), (2, 8))
+
+
+def lsh_tuning_report(
+    docs: DataFrame,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    configs: tuple[tuple[int, int], ...] = LSH_TUNING_CONFIGS,
+) -> DataFrame:
+    """Banding-configuration sweep: for each (bands, rows_per_band)
+    factoring of the minhash signature, the measured candidate-pair
+    count, how many candidates verify at ``threshold``, and the
+    precision — the relation that picks the banding for a target
+    threshold from DATA instead of the (1-s^r)^b formula alone (which
+    assumes independent permutations the 16-perm reality only
+    approximates).
+
+    Scale shape: ONE token-hash materialization feeds the signature
+    path and both verification sides across ALL configs (the shared-dth
+    checkpoint pattern); each config adds one banding pass over the
+    compact signature relation and a candidates-only verification. At
+    100 TB, tuning runs on a corpus sample — the report's cost is
+    candidates, never all pairs, under every config.
+
+    Output: (bands, rows_per_band, n_candidates, n_verified,
+    precision_frac), one row per config, ordered bands desc. Counts are
+    exact BIGINTs; the precision is one division of two ints, rounded —
+    engine-portable."""
+    dth = doc_token_hashes(docs).localCheckpoint()
+    sets = dth.select(
+        "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = F.round(n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6)
+    out = None
+    for bands, rows in configs:
+        cands = lsh_candidate_pairs(docs, bands=bands, rows=rows, dth=dth)
+        verified = (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(n_inter.alias("n_inter"), jacc.alias("jaccard"))
+            .filter((F.col("n_inter") > 0) & (F.col("jaccard") >= threshold))
+        )
+        row = (
+            cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                F.round(
+                    F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+                        F.col("n_verified").cast("double")
+                        / F.col("n_candidates").cast("double")
+                    ),
+                    6,
+                ).alias("precision_frac"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.desc("bands"))
+
+
 def jaccard_histogram(docs: DataFrame) -> DataFrame:
     """Candidate-pair Jaccard histogram (bucket = floor(jaccard*10)):
     the threshold-tuning relation for the near-dup pipeline — how many

@@ -908,6 +908,54 @@ FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= {dedup.NEAR_DUP_THRESHOLD}"""
 
 
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-config sweep (candidates / verified / precision per
+    (bands, rows) factoring of the 16-perm signature); see
+    operators/dedup.lsh_tuning_report for the shared-materialization
+    scale shape."""
+    return dedup.lsh_tuning_report(_docs(spark, sf_dir))
+
+
+def _lsh_tuning_config_ctes(bands: int, rows: int) -> str:
+    """Per-config banding + candidate CTEs (band-key format is internal
+    to each engine — only the COUNTS cross the oracle boundary)."""
+    return f"""bd{bands} AS (
+  SELECT doc_id, j AS band_idx,
+    array_to_string(list_transform(list_slice(mh, j*{rows}+1, j*{rows}+{rows}),
+                                   x -> CAST(x AS STRING)), '-') AS band_key
+  FROM mh, (SELECT unnest(range(0,{bands})) AS j) bands
+  WHERE mh[1] <> 1000003),
+cd{bands} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bd{bands} a
+  JOIN bd{bands} b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+st{bands} AS (
+  SELECT CAST((SELECT count(*) FROM cd{bands}) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM cd{bands} c
+               JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+               WHERE j.jaccard >= {dedup.NEAR_DUP_THRESHOLD}) AS BIGINT)
+           AS n_verified)"""
+
+
+LSH_TUNING_SQL = (
+    f"WITH {_MINHASH_CTE},\n{_JACCARD_VERIFY_CTES},\n"
+    + ",\n".join(
+        _lsh_tuning_config_ctes(b, r) for b, r in dedup.LSH_TUNING_CONFIGS
+    )
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+  n_candidates, n_verified,
+  round(CASE WHEN n_candidates = 0 THEN 0.0
+        ELSE n_verified * 1.0 / n_candidates END, 6) AS precision_frac
+FROM st{b}"""
+        for b, r in dedup.LSH_TUNING_CONFIGS
+    )
+    + "\n) ORDER BY bands DESC"
+)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(_docs(spark, sf_dir))
 
@@ -2617,6 +2665,7 @@ QUERIES = {
     "dd_ngram_jaccard": q_ngram_jaccard,
     "dd_lsh_candidates": q_lsh_candidates,
     "dd_near_duplicates": q_near_duplicates,
+    "dd_lsh_tuning": q_lsh_tuning,
     "tx_novelty": q_novelty,
     "dd_cross_source_dups": q_cross_source_dups,
     "dd_embedding_neardup": q_embedding_neardup,
@@ -2675,6 +2724,7 @@ ORACLES = {
     "dd_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dd_lsh_candidates": LSH_CANDIDATES_SQL,
     "dd_near_duplicates": NEAR_DUPS_SQL,
+    "dd_lsh_tuning": LSH_TUNING_SQL,
     "tx_novelty": NOVELTY_SQL,
     "dd_cross_source_dups": CROSS_SOURCE_SQL,
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,

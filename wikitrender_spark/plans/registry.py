@@ -47,7 +47,7 @@ _loaded = False
 #: r06-promised rotation was NOT delivered — r07 pays that debt first):
 #: (a) the never-driver-attested rows — the round-6 additions
 #: tx_bm25_topk / tx_collocations and this round's wt_ingest_dedup,
-#: tx_novelty, dd_cross_source_dups, ann_rp_topk;
+#: tx_novelty, dd_cross_source_dups, ann_rp_topk, dd_lsh_tuning;
 #: (b) rows whose CODE changed this round after their last attestation —
 #: tx_tfidf_terms (forced vocab-broadcast hint removed; bm25 and
 #: collocations also changed but already sit in (a)) — a green r04 row
@@ -55,14 +55,14 @@ _loaded = False
 #: (c) the 16 rows twice promised a slot (the r05/r06 deferral cohort:
 #: rel_scalar_functions .. tx_chunks below), driver evidence three
 #: rounds old at rotation time;
-#: (d) 27 of the 42 remaining r04-attested rows. The 15 NOT taken —
+#: (d) 26 of the 42 remaining r04-attested rows. The 16 NOT taken —
 #: dd_exact_groups, dd_simhash, rel_acctbal_band_pairs,
 #: rel_cube_summary, rel_regional_revenue, rel_rolling_revenue_window,
 #: rel_rollup_orders, rel_running_revenue, rel_signup_burst,
 #: rel_small_quantity_revenue, rel_top_customers, rel_topk_per_brand,
-#: rel_unpivot_presence, tx_fingerprint, tx_quality (the last three
-#: displaced by the round-7 additions tx_novelty / dd_cross_source_dups
-#: / ann_rp_topk) —
+#: rel_unpivot_presence, tx_fingerprint, tx_quality, tx_langid (the
+#: last four displaced by the round-7 additions tx_novelty /
+#: dd_cross_source_dups / ann_rp_topk / dd_lsh_tuning) —
 #: are exactly the rows with the deepest multi-round green history
 #: (r01+r02+r04) and untouched code; they are PROMISED the r08 window
 #: (tests/test_registry_gate.py R08_DEFERRED pins the list). Adding a
@@ -76,6 +76,7 @@ GATE_WINDOW: list[str] = [
     "tx_novelty",
     "dd_cross_source_dups",
     "ann_rp_topk",
+    "dd_lsh_tuning",
     # (b) code changed this round after the r04 attestation
     "tx_tfidf_terms",
     # (c) the twice-promised R06_DEFERRED cohort (last green r03)
@@ -95,7 +96,7 @@ GATE_WINDOW: list[str] = [
     "rel_pricing_summary",
     "rel_asof_last_signup",
     "tx_chunks",
-    # (d) the r04 cohort (two rounds stale), minus the 15 deferred
+    # (d) the r04 cohort (two rounds stale), minus the 16 deferred
     "ann_ivfpq_topk",
     "ann_kmeans_refine",
     "ann_pq_topk",
@@ -115,7 +116,6 @@ GATE_WINDOW: list[str] = [
     "rel_window_rank_suite",
     "tx_boilerplate",
     "tx_bpe_merges",
-    "tx_langid",
     "tx_length_histogram",
     "tx_mix_sample",
     "tx_mix_weights",
