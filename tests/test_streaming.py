@@ -518,6 +518,13 @@ def test_tws_wall_clock_cleaner_inprocess(spark):
         # ...and exactly one armed timer at now + interval
         assert h.timers == [21_000]
 
+        # a second input batch must NOT re-arm or postpone the pending
+        # timer (fixed-period setInterval, not an idle-debounce — the
+        # r07 review caught the unconditional re-arm variant)
+        list(proc.handleInputRows(grp, iter([gpdf.iloc[0:0]]),
+                                  _FakeTimerValues(5_000)))
+        assert h.timers == [21_000]
+
         # expected sweep result: purge a COPY of the state at its clock
         blob, clock, ver = h.states["fold"].get()
         titles_copy = fold.deserialize_titles(blob)
@@ -525,21 +532,33 @@ def test_tws_wall_clock_cleaner_inprocess(spark):
             titles_copy, pd.Timestamp(clock, unit="us"), params
         )
 
-        swept = list(proc.handleExpiredTimer(grp, _FakeTimerValues(21_000), None))
+        def fire(ms):
+            """Mimic the framework: keyword-arg callback (PySpark calls
+            handleExpiredTimer(key=..., timerValues=...,
+            expiredTimerInfo=...) — positional-only fakes masked a
+            snake_case crash), then auto-delete the expired timer."""
+            out = list(proc.handleExpiredTimer(
+                grp, timerValues=_FakeTimerValues(ms),
+                expiredTimerInfo=None,
+            ))
+            h.timers.remove(ms)
+            return out
+
+        swept = fire(21_000)
         got_removed = set()
         for o in swept:
             got_removed |= set(o[o["_deleted"]]["id"])
         assert got_removed == exp_removed
         total_tombstones += len(got_removed)
-        # re-armed (old timer untouched by the sweep path; input batches
-        # are what collapse timers back to one)
-        assert h.timers[-1] == 41_000
+        # the sweep re-armed BEFORE the framework deleted the expired
+        # timer, so exactly the next period's timer remains
+        assert h.timers == [41_000]
         if exp_removed:
             _b, _c, v2 = h.states["fold"].get()
             assert v2 == ver + 1  # sweep bumped the version
             # idempotent: a second sweep at the same clock removes nothing
-            assert list(proc.handleExpiredTimer(
-                grp, _FakeTimerValues(41_000), None)) == []
+            assert fire(41_000) == []
+            assert h.timers == [61_000]
     assert total_tombstones > 0  # thresholds actually evict something
 
 

@@ -175,6 +175,7 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     dth: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
 
@@ -188,10 +189,13 @@ def lsh_candidate_pairs(
     The banded relation is localCheckpoint'd before the self-join: the
     join's two sides are separate plan branches, and without the
     barrier EACH re-runs tokenization + signatures + banding (verified
-    on the executed plan — 4 documents scans, zero ReusedExchange)."""
-    sig = minhash_signatures(docs, k, dth=dth).filter(
-        F.element_at("signature", 1) != S.EMPTY_SIG
-    )
+    on the executed plan — 4 documents scans, zero ReusedExchange).
+    ``sig`` lets a caller that banded the SAME signatures under several
+    configs (lsh_tuning_report) materialize them once; the sentinel
+    filter is applied here either way."""
+    if sig is None:
+        sig = minhash_signatures(docs, k, dth=dth)
+    sig = sig.filter(F.element_at("signature", 1) != S.EMPTY_SIG)
     banded = sig.select(
         "doc_id",
         F.posexplode(S.lsh_bands(F.col("signature"), bands, rows)).alias(
@@ -255,16 +259,15 @@ def near_duplicates(
     return candidate_jaccard(docs).filter(F.col("jaccard") >= threshold)
 
 
-def candidate_jaccard(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for every LSH candidate pair with a
-    non-empty shingle intersection — the unthresholded verification
-    relation near_duplicates filters and jaccard_histogram buckets.
-    Zero-intersection candidates (incl. empty docs) are dropped, mirroring
-    the oracle's inverted-index intersection (which never emits them)."""
+def _verified_jaccard(with_sets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) from a (doc_a, doc_b, sh_a, sh_b)
+    relation, dropping zero-intersection pairs — THE jaccard arithmetic
+    (one home: near_duplicates, jaccard_histogram, and the tuning
+    report's n_verified must never drift apart). Mirrors the oracle's
+    inverted-index intersection, which never emits disjoint pairs."""
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        _candidates_with_shingle_sets(docs)
-        .select(
+        with_sets.select(
             "doc_a",
             "doc_b",
             n_inter.alias("n_inter"),
@@ -275,6 +278,13 @@ def candidate_jaccard(docs: DataFrame) -> DataFrame:
         .filter(F.col("n_inter") > 0)
         .drop("n_inter")
     )
+
+
+def candidate_jaccard(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every LSH candidate pair with a
+    non-empty shingle intersection — the unthresholded verification
+    relation near_duplicates filters and jaccard_histogram buckets."""
+    return _verified_jaccard(_candidates_with_shingle_sets(docs))
 
 
 #: banding sweep for the tuning report — every (bands, rows) factoring
@@ -307,24 +317,32 @@ def lsh_tuning_report(
     Output: (bands, rows_per_band, n_candidates, n_verified,
     precision_frac), one row per config, ordered bands desc. Counts are
     exact BIGINTs; the precision is one division of two ints, rounded —
-    engine-portable."""
+    engine-portable.
+
+    Materialization (the multi-consumer recomputation class the r07
+    review flagged): dth is checkpointed once for everything; the
+    config-independent SIGNATURES are checkpointed once and passed into
+    every banding pass; each config's CANDIDATE relation is
+    checkpointed before its two consumers (the count aggregation and
+    the verify join), so per invocation there is exactly one
+    tokenization, one signature computation, and one banded self-join
+    per config. Verification shares _verified_jaccard — the same
+    arithmetic near_duplicates uses, one home."""
     dth = doc_token_hashes(docs).localCheckpoint()
+    sig = minhash_signatures(docs, dth=dth).localCheckpoint(eager=False)
     sets = dth.select(
         "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jacc = F.round(n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6)
     out = None
     for bands, rows in configs:
-        cands = lsh_candidate_pairs(docs, bands=bands, rows=rows, dth=dth)
-        verified = (
-            cands.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select(n_inter.alias("n_inter"), jacc.alias("jaccard"))
-            .filter((F.col("n_inter") > 0) & (F.col("jaccard") >= threshold))
-        )
+        cands = lsh_candidate_pairs(
+            docs, bands=bands, rows=rows, dth=dth, sig=sig
+        ).localCheckpoint(eager=False)
+        verified = _verified_jaccard(
+            cands.join(a, "doc_a").join(b, "doc_b")
+        ).filter(F.col("jaccard") >= threshold)
         row = (
             cands.agg(F.count(F.lit(1)).alias("n_candidates"))
             .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))

@@ -48,11 +48,13 @@ class PageStateProcessor(StatefulProcessor):
       the oracle-gated queries and the equivalence tests use.
     - ``cleaner_interval_ms=N``: WALL-CLOCK cleaner — the reference's
       20 s ``setInterval(cleaner)`` (index.js:399-400) in its Spark-4
-      home, processing-time timers. handleInputRows only folds and
-      (re)arms one timer per key; the sweep runs in handleExpiredTimer,
-      which purges, emits tombstones, and re-arms — so quiet keys keep
-      getting swept without new input, exactly like the event-loop
-      interval. Clock pin §2.9-1 still holds: WALL time schedules WHEN
+      home, processing-time timers. handleInputRows only folds and arms
+      a timer IF NONE IS PENDING (arming unconditionally would debounce
+      the sweep away for steadily-fed keys); the sweep runs in
+      handleExpiredTimer, which purges, emits tombstones, and re-arms
+      (the framework deletes the expired timer after the callback) — so
+      both quiet and busy keys are swept every interval, exactly like
+      the event-loop setInterval. Clock pin §2.9-1 still holds: WALL time schedules WHEN
       the sweep runs, EVENT time decides WHAT is old (the purge's `now`
       is the key's persisted event-time clock, so a sweep never evicts
       more than a batch-boundary purge at the same clock would).
@@ -96,14 +98,18 @@ class PageStateProcessor(StatefulProcessor):
             # deterministic mode: P2 at the batch boundary
             if self._purge is not None and batch_max_ts is not None:
                 removed |= fold.purge_titles(titles, batch_max_ts, self._purge)
-        else:
-            # wall-clock mode: defer the sweep to the timer; keep exactly
-            # one live timer per key (re-arm on every input batch)
-            for t in self._handle.listTimers():
-                self._handle.deleteTimer(t)
-            self._handle.registerTimer(
-                timer_values.getCurrentProcessingTimeInMs() + self._interval
-            )
+        elif self._purge is not None:
+            # wall-clock mode: defer the sweep to the timer. Arm ONLY
+            # when no timer is pending — re-arming on every batch would
+            # turn the fixed-period setInterval into an idle-debounce
+            # that a steadily-fed key postpones forever (r07 review
+            # finding). listTimers() is materialized before any mutation
+            # (it is a lazy JVM-backed iterator).
+            if not list(self._handle.listTimers()):
+                self._handle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs()
+                    + self._interval
+                )
 
         # ver stays monotone for the group's lifetime (see processor.py)
         self._state.update((fold.serialize_titles(titles), clock, ver))
@@ -113,13 +119,23 @@ class PageStateProcessor(StatefulProcessor):
             yield out
 
     def handleExpiredTimer(
-        self, key, timer_values, expired_timer_info
+        self, key, timerValues, expiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
         """The periodic sweep: purge with now = the key's persisted
-        event-time clock, emit tombstones for evictions, re-arm."""
-        if self._interval is not None:
+        event-time clock, emit tombstones for evictions, re-arm (the
+        framework auto-deletes the expired timer after this callback, so
+        the re-registration is what makes the sweep periodic).
+
+        Parameter names MUST be ``timerValues`` / ``expiredTimerInfo``:
+        PySpark invokes this callback with KEYWORD arguments
+        (stateful_processor_util's handleExpiredTimer(key=...,
+        timerValues=..., expiredTimerInfo=...)), so snake_case names
+        crash every real expiry with an unexpected-keyword TypeError —
+        the r07 review caught this; test_tws_wall_clock_cleaner_inprocess
+        now calls with keywords to pin it."""
+        if self._interval is not None and self._purge is not None:
             self._handle.registerTimer(
-                timer_values.getCurrentProcessingTimeInMs() + self._interval
+                timerValues.getCurrentProcessingTimeInMs() + self._interval
             )
         existing = self._state.get() if self._state.exists() else None
         if existing is None or self._purge is None:
