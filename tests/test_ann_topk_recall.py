@@ -106,3 +106,21 @@ def test_ivfpq_shortlist_reranking_restores_recall(clustered):
     r_sl = len(sl & bf) / len(bf)
     assert r_sl >= 0.9, f"shortlist recall {r_sl:.3f} < 0.9"
     assert r_sl >= r_adc, (r_sl, r_adc)
+
+
+def test_rp_shortlist_reranking_restores_recall(clustered):
+    """RP contract pair (the JL analogue of the IVF-PQ pair): the
+    projection preserves cluster membership but not intra-cluster
+    micro-distances, so plain projected-rank-then-cut recall is low;
+    shortlist re-ranking with R scaled to the corpus (a GLOBAL projected
+    scan has no cell restriction, so fixed R leaks as N grows — the
+    corpus-scaled contract lives in tools/ann_recall_probe.py) restores
+    it. On 240 vectors R = N/3 suffices."""
+    n = N_CLUSTERS * PER_CLUSTER
+    bf = _pairs(ann.brute_force_topk(clustered, QUERY_IDS, K))
+    plain = _pairs(ann.rp_topk(clustered, QUERY_IDS, K))
+    sl = _pairs(ann.rp_topk(clustered, QUERY_IDS, K, shortlist=n // 3))
+    r_plain = len(plain & bf) / len(bf)
+    r_sl = len(sl & bf) / len(bf)
+    assert r_sl >= 0.9, f"RP shortlist recall {r_sl:.3f} < 0.9"
+    assert r_sl >= r_plain, (r_sl, r_plain)

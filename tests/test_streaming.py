@@ -295,6 +295,50 @@ def test_transform_with_state_equals_apply_in_pandas(spark, batch_state):
     assert got == batch_state
 
 
+def test_tws_wall_clock_cleaner_end_to_end(spark):
+    """The ProcessingTime-timer cleaner through a REAL streaming query
+    (timeMode wiring + the framework's keyword-arg callback invocation —
+    the contract the in-process fake can only model). A long interval
+    keeps the run deterministic: no timer fires during the short
+    availableNow drain, so the final state must equal the no-purge
+    batch replay; what this pins is that the timer registration path
+    executes without error under the real protocol.
+
+    Requires google.protobuf — skipped where it isn't installed; the
+    in-process test above covers the sweep logic everywhere."""
+    pytest.importorskip("google.protobuf")
+    from wikitrender_spark.streaming import processor_tws
+
+    params = fold.PurgeParams(
+        max_lifespan=40000.0, max_inactivity=6000.0,
+        min_speed=0.00015, min_purge_time=5.0,
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        processor_tws.ROCKSDB_PROVIDER,
+    )
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            cl = processor_tws.page_state_changelog_tws(
+                chunked_event_stream(spark, SF_DIR, d, n_chunks=2),
+                _group(), purge=params,
+                cleaner_interval_ms=3_600_000,  # never fires in-run
+            )
+            t = _run(cl, "t_tws_wallclock", d + "/ckpt")
+            got = sorted(map(tuple, processor.final_state(t).collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    exp = sorted(map(tuple, lifecycle.replay_lifecycle(
+        rc_events(spark, SF_DIR), _group()).collect()))
+    assert got == exp
+
+
 def test_transform_with_state_purge_parity(spark):
     """PurgeParams-enabled equivalence (r05 ask #6): the TWS processor
     with the P2 cleaner active must produce the same final state AND the

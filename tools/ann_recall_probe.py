@@ -47,6 +47,22 @@ SHORTLIST = PER_CLUSTER  # R > k re-ranking depth for the serving config
 IVF_FLOOR = 0.95
 IVFPQ_ADC_BAND = (0.05, 0.5)
 IVFPQ_SHORTLIST_FLOOR = 0.95
+#: JL random projection 64->16: the projection preserves COARSE
+#: geometry (cluster membership) but not intra-cluster micro-distances,
+#: so plain projected-rank-then-cut sits in a LOW band for the same
+#: reason ADC does (the true top-k are same-cluster members whose tiny
+#: distance differences drown in the 4x-reduction distortion; measured
+#: ~0.16-0.17 at 2k-10k vectors). Shortlist re-ranking restores it,
+#: but unlike IVF-PQ — whose cell restriction bounds the shortlist at
+#: cluster size — a GLOBAL projected scan leaks other clusters' members
+#: into any fixed-R shortlist as the corpus grows (measured: R=200
+#: recall 0.89 at 2k vectors, 0.745 at 10k), so R must scale with N:
+#: R = N * RP_SHORTLIST_FRACTION (measured at 10k: R=N/5 -> 0.99,
+#: R=N/10 -> 0.94, R=N/20 -> 0.855). This is exactly why production
+#: stacks compose RP WITH a coarse quantizer instead of standalone.
+RP_BAND = (0.05, 0.6)
+RP_SHORTLIST_FRACTION = 5  # R = n_vectors // RP_SHORTLIST_FRACTION
+RP_SHORTLIST_FLOOR = 0.95
 
 
 def planted(spark, n_vectors: int):
@@ -97,12 +113,24 @@ def main() -> None:
     t_ivfpq = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
+    rp = pairs(ann.rp_topk(emb, query_ids, K))
+    t_rp = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rp_sl = pairs(ann.rp_topk(
+        emb, query_ids, K, shortlist=n_vectors // RP_SHORTLIST_FRACTION
+    ))
+    t_rp_sl = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
     ivfpq_sl = pairs(
         ann.ivf_pq_topk(emb, query_ids, K, shortlist=SHORTLIST)
     )
     t_ivfpq_sl = round(time.perf_counter() - t0, 2)
 
     r_ivf = len(ivf & bf) / len(bf)
+    r_rp = len(rp & bf) / len(bf)
+    r_rp_sl = len(rp_sl & bf) / len(bf)
     r_ivfpq = len(ivfpq & bf) / len(bf)
     r_ivfpq_sl = len(ivfpq_sl & bf) / len(bf)
     print(
@@ -116,13 +144,20 @@ def main() -> None:
                 "recall_ivf": round(r_ivf, 4),
                 "recall_ivfpq_adc": round(r_ivfpq, 4),
                 "recall_ivfpq_shortlist": round(r_ivfpq_sl, 4),
+                "recall_rp": round(r_rp, 4),
+                "recall_rp_shortlist": round(r_rp_sl, 4),
+                "rp_shortlist": n_vectors // RP_SHORTLIST_FRACTION,
                 "floor_ivf": IVF_FLOOR,
                 "band_ivfpq_adc": IVFPQ_ADC_BAND,
                 "floor_ivfpq_shortlist": IVFPQ_SHORTLIST_FLOOR,
+                "band_rp": RP_BAND,
+                "floor_rp_shortlist": RP_SHORTLIST_FLOOR,
                 "sec_bruteforce": t_bf,
                 "sec_ivf": t_ivf,
                 "sec_ivfpq_adc": t_ivfpq,
                 "sec_ivfpq_shortlist": t_ivfpq_sl,
+                "sec_rp": t_rp,
+                "sec_rp_shortlist": t_rp_sl,
             }
         )
     )
@@ -131,6 +166,8 @@ def main() -> None:
         r_ivf >= IVF_FLOOR
         and lo <= r_ivfpq <= hi
         and r_ivfpq_sl >= IVFPQ_SHORTLIST_FLOOR
+        and RP_BAND[0] <= r_rp <= RP_BAND[1]
+        and r_rp_sl >= RP_SHORTLIST_FLOOR
     )
     if not ok:
         sys.exit(1)

@@ -817,17 +817,29 @@ def rp_project(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.array(*cols).alias("proj"))
 
 
-def rp_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+def rp_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10,
+    shortlist: int | None = None,
+) -> DataFrame:
     """Approximate top-k over JL projections with exact rescoring: rank
     every corpus vector per query by the 16-dim projected inner product
     (sequential fold, rounded to 6 — engine-portable), keep the top k
     (ties by neighbor_id), then rescore exactly those winners with the
     true 64-dim cosine.
 
+    ``shortlist`` (the same Jégou §V R > k re-ranking the PQ tiers
+    carry): keep R projected candidates, exact-rescore all of them, and
+    RE-RANK by true cosine before cutting to k. Needed for the same
+    reason as ADC: JL preserves COARSE geometry (cluster membership
+    survives the 4x reduction) but not intra-cluster micro-distances —
+    on 200-member planted clusters, projected-rank-then-cut recall is
+    ~0.2 while shortlist re-ranked recall is ~1.0
+    (tools/ann_recall_probe.py pins both as contracts).
+
     The ranking scan reads 16 doubles per row instead of 64 — the
     bandwidth-bound complement to sq_topk's integer-code scan; the
-    expensive exact fold runs on k rows per query. Output: (query_id,
-    neighbor_id, rank, approx_score, sim)."""
+    expensive exact fold runs on k (or R) rows per query. Output:
+    (query_id, neighbor_id, rank, approx_score, sim)."""
     proj = rp_project(emb)
     q = proj.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("proj").alias("q_proj")
@@ -846,18 +858,29 @@ def rp_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_score"), F.asc("neighbor_id")
     )
+    keep = shortlist if shortlist is not None else k
     top = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", score.alias("approx_score"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= keep)
     )
-    return _exact_rescore(
+    scored = _exact_rescore(
         top.select("query_id", "neighbor_id", "rank", "approx_score"),
         emb,
         query_ids,
+    )
+    if shortlist is None:
+        return scored
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_score", "sim")
     )
 
 
