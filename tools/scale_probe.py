@@ -137,8 +137,13 @@ def main() -> None:
         samples: dict[str, list[float]] = {n: [] for n in names}
         for _ in range(3):
             for n in names:
-                df = qs[n](spark, sf_dir)
+                # CONSTRUCTION + EXECUTION, like bench.py (r05 fix):
+                # several queries do eager work at construction
+                # (localCheckpoint materializations, streaming replays —
+                # wt_ingest_dedup runs its whole availableNow drain
+                # there), and execution-only timing silently excludes it
                 t0 = time.perf_counter()
+                df = qs[n](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 samples[n].append(time.perf_counter() - t0)
         return {n: round(statistics.median(v), 3) for n, v in samples.items()}
