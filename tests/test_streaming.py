@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 import tempfile
+from contextlib import contextmanager
 
 import pandas as pd
 import pytest
@@ -27,6 +28,26 @@ def _group():
 
 def _run(cl, name, ckpt):
     return processor.run_changelog_to_memory(cl, name, ckpt)
+
+
+@contextmanager
+def rocksdb_provider(spark):
+    """Set the RocksDB state-store provider for one test, restoring the
+    previous value (or unsetting) afterwards — one home for the
+    save/set/restore dance the TWS tests all need, so a missed restore
+    branch can't leak the provider into the shared session."""
+    from wikitrender_spark.streaming.processor_tws import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 @pytest.fixture(scope="module")
@@ -272,12 +293,7 @@ def test_transform_with_state_equals_apply_in_pandas(spark, batch_state):
     pytest.importorskip("google.protobuf")
     from wikitrender_spark.streaming import processor_tws
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        processor_tws.ROCKSDB_PROVIDER,
-    )
-    try:
+    with rocksdb_provider(spark):
         with tempfile.TemporaryDirectory() as d:
             cl = processor_tws.page_state_changelog_tws(
                 chunked_event_stream(spark, SF_DIR, d, n_chunks=3), _group()
@@ -285,58 +301,39 @@ def test_transform_with_state_equals_apply_in_pandas(spark, batch_state):
             t = _run(cl, "t_tws", d + "/ckpt")
             assert t.agg(F.max("_ver")).first()[0] > 1  # really incremental
             got = sorted(map(tuple, processor.final_state(t).collect()))
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     assert got == batch_state
 
 
-def test_tws_wall_clock_cleaner_end_to_end(spark):
-    """The ProcessingTime-timer cleaner through a REAL streaming query
-    (timeMode wiring + the framework's keyword-arg callback invocation —
-    the contract the in-process fake can only model). A long interval
-    keeps the run deterministic: no timer fires during the short
-    availableNow drain, so the final state must equal the no-purge
-    batch replay; what this pins is that the timer registration path
-    executes without error under the real protocol.
+def test_tws_wall_clock_cleaner_end_to_end(spark, batch_state):
+    """The ProcessingTime-timer cleaner through a REAL streaming query:
+    a 1 ms interval makes the timer armed in micro-batch 1 expire before
+    the later batches, so the framework actually invokes
+    handleExpiredTimer under its real protocol (keyword arguments — the
+    r07 review found snake_case names crash exactly here, which an
+    in-process positional fake cannot catch). The purge thresholds are
+    chosen to evict NOTHING, so however many sweeps fire, the final
+    state must equal the no-purge batch replay; a crash in the timer
+    path fails the query instead.
 
     Requires google.protobuf — skipped where it isn't installed; the
-    in-process test above covers the sweep logic everywhere."""
+    in-process test below covers the sweep logic everywhere."""
     pytest.importorskip("google.protobuf")
     from wikitrender_spark.streaming import processor_tws
 
-    params = fold.PurgeParams(
-        max_lifespan=40000.0, max_inactivity=6000.0,
-        min_speed=0.00015, min_purge_time=5.0,
+    never_evict = fold.PurgeParams(
+        max_lifespan=1e9, max_inactivity=1e9,
+        min_speed=0.0, min_purge_time=0.0,
     )
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        processor_tws.ROCKSDB_PROVIDER,
-    )
-    try:
+    with rocksdb_provider(spark):
         with tempfile.TemporaryDirectory() as d:
             cl = processor_tws.page_state_changelog_tws(
-                chunked_event_stream(spark, SF_DIR, d, n_chunks=2),
-                _group(), purge=params,
-                cleaner_interval_ms=3_600_000,  # never fires in-run
+                chunked_event_stream(spark, SF_DIR, d, n_chunks=3),
+                _group(), purge=never_evict,
+                cleaner_interval_ms=1,
             )
             t = _run(cl, "t_tws_wallclock", d + "/ckpt")
             got = sorted(map(tuple, processor.final_state(t).collect()))
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
-    exp = sorted(map(tuple, lifecycle.replay_lifecycle(
-        rc_events(spark, SF_DIR), _group()).collect()))
-    assert got == exp
+    assert got == batch_state
 
 
 def test_transform_with_state_purge_parity(spark):
@@ -357,14 +354,10 @@ def test_transform_with_state_purge_parity(spark):
         min_speed=0.00015, min_purge_time=5.0,
     )
 
-    def run(make_changelog, provider=None, tag=""):
-        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
-                              None)
-        if provider:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", provider
-            )
-        try:
+    from contextlib import nullcontext
+
+    def run(make_changelog, use_rocksdb=False, tag=""):
+        with rocksdb_provider(spark) if use_rocksdb else nullcontext():
             with tempfile.TemporaryDirectory() as d:
                 cl = make_changelog(
                     chunked_event_stream(spark, SF_DIR, d, n_chunks=4)
@@ -373,22 +366,12 @@ def test_transform_with_state_purge_parity(spark):
                 state = sorted(map(tuple, processor.final_state(t).collect()))
                 tombstones = t.filter(F.col("_deleted")).count()
                 return state, tombstones
-        finally:
-            if provider:
-                if prev is None:
-                    spark.conf.unset(
-                        "spark.sql.streaming.stateStore.providerClass"
-                    )
-                else:
-                    spark.conf.set(
-                        "spark.sql.streaming.stateStore.providerClass", prev
-                    )
 
     tws_state, tws_tombs = run(
         lambda rc: processor_tws.page_state_changelog_tws(
             rc, _group(), purge=params
         ),
-        provider=processor_tws.ROCKSDB_PROVIDER, tag="_t",
+        use_rocksdb=True, tag="_t",
     )
     aip_state, aip_tombs = run(
         lambda rc: processor.page_state_changelog(rc, _group(), purge=params),

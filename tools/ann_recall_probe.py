@@ -1,4 +1,4 @@
-"""IVF / IVF-PQ recall contract at sf1 scale (VERDICT r4 #7).
+"""IVF / IVF-PQ / RP recall contracts at sf1 scale (VERDICT r4 #7).
 
 The pinned recall tests (tests/test_ann_topk_recall.py) run on a
 240-vector planted fixture; this probe replays the same contract at the
@@ -20,6 +20,14 @@ Contracts:
 - IVF-PQ with shortlist re-ranking (Jégou et al. 2011 §V, R > k) >=
   0.95: ADC pulls the whole cluster into the shortlist, the exact
   rescore orders it — the configuration a serving deployment runs.
+- RP (JL random projection, 64->16) plain rank-then-cut in the LOW band
+  [0.05, 0.6] — same degeneracy class as plain ADC (cluster membership
+  survives the projection; intra-cluster micro-distances don't).
+- RP with a CORPUS-SCALED shortlist (R = N // RP_SHORTLIST_DIVISOR —
+  a global projected scan has no cell restriction, so fixed R leaks as
+  N grows) >= 0.95.
+
+Any violated contract exits 1.
 
 Usage: python tools/ann_recall_probe.py [n_vectors]
 Prints one JSON line; exits 1 if a contract is violated.
@@ -57,11 +65,11 @@ IVFPQ_SHORTLIST_FLOOR = 0.95
 #: cluster size — a GLOBAL projected scan leaks other clusters' members
 #: into any fixed-R shortlist as the corpus grows (measured: R=200
 #: recall 0.89 at 2k vectors, 0.745 at 10k), so R must scale with N:
-#: R = N * RP_SHORTLIST_FRACTION (measured at 10k: R=N/5 -> 0.99,
+#: R = N // RP_SHORTLIST_DIVISOR (measured at 10k: R=N/5 -> 0.99,
 #: R=N/10 -> 0.94, R=N/20 -> 0.855). This is exactly why production
 #: stacks compose RP WITH a coarse quantizer instead of standalone.
 RP_BAND = (0.05, 0.6)
-RP_SHORTLIST_FRACTION = 5  # R = n_vectors // RP_SHORTLIST_FRACTION
+RP_SHORTLIST_DIVISOR = 5  # R = n_vectors // RP_SHORTLIST_DIVISOR
 RP_SHORTLIST_FLOOR = 0.95
 
 
@@ -118,7 +126,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     rp_sl = pairs(ann.rp_topk(
-        emb, query_ids, K, shortlist=n_vectors // RP_SHORTLIST_FRACTION
+        emb, query_ids, K, shortlist=n_vectors // RP_SHORTLIST_DIVISOR
     ))
     t_rp_sl = round(time.perf_counter() - t0, 2)
 
@@ -146,7 +154,7 @@ def main() -> None:
                 "recall_ivfpq_shortlist": round(r_ivfpq_sl, 4),
                 "recall_rp": round(r_rp, 4),
                 "recall_rp_shortlist": round(r_rp_sl, 4),
-                "rp_shortlist": n_vectors // RP_SHORTLIST_FRACTION,
+                "rp_shortlist": n_vectors // RP_SHORTLIST_DIVISOR,
                 "floor_ivf": IVF_FLOOR,
                 "band_ivfpq_adc": IVFPQ_ADC_BAND,
                 "floor_ivfpq_shortlist": IVFPQ_SHORTLIST_FLOOR,

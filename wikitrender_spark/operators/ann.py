@@ -678,6 +678,21 @@ def _exact_rescore(top: DataFrame, emb: DataFrame, query_ids: list[int]) -> Data
     )
 
 
+def _rerank_by_sim(scored: DataFrame, k: int, approx_col: str) -> DataFrame:
+    """Shared Jégou §V re-rank tail (rp_topk and _adc_rank_and_rescore —
+    one home, so a tie-break or rounding change cannot diverge the RP
+    and PQ serving configs): re-rank an exact-rescored shortlist by true
+    cosine (neighbor-id tiebreak) and cut to k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", approx_col, "sim")
+    )
+
+
 # scalar quantization: 8-bit codes per dimension (levels 0..255)
 SQ_LEVELS = 255
 
@@ -874,14 +889,7 @@ def rp_topk(
     )
     if shortlist is None:
         return scored
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "approx_score", "sim")
-    )
+    return _rerank_by_sim(scored, k, "approx_score")
 
 
 # product quantization: M subspaces of DSUB dims each (M * DSUB = EMB_DIM)
@@ -1060,14 +1068,7 @@ def _adc_rank_and_rescore(
     )
     if shortlist is None:
         return scored
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "approx_dist", "sim")
-    )
+    return _rerank_by_sim(scored, k, "approx_dist")
 
 
 def pq_topk(
