@@ -1,0 +1,146 @@
+"""Hand-computed tests for the edit-transition graph operators
+(operators/graph.py): transition extraction, Markov row context, and the
+fixed-point integer PageRank recurrence (every expected value below is
+derived by hand in the comments)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from wikitrender_spark.operators import graph
+from wikitrender_spark.plans.relational_queries import (
+    AUTOCORR_LAGS,
+    hourly_autocorr,
+)
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    # (user, minutes, seq, id)
+    return spark.createDataFrame(
+        [(u, T0 + dt.timedelta(minutes=m), s, i) for u, m, s, i in rows],
+        "user string, ts timestamp, seq long, id string",
+    )
+
+
+def test_edit_transitions_drops_self_loops_and_counts(spark):
+    ev = _events(spark, [
+        # user A: P1, P1 (self-loop, dropped), P2, P3
+        ("A", 0, 1, "P1"), ("A", 1, 2, "P1"),
+        ("A", 2, 3, "P2"), ("A", 3, 4, "P3"),
+        # user B: P2, P1, P2
+        ("B", 0, 5, "P2"), ("B", 1, 6, "P1"), ("B", 2, 7, "P2"),
+    ])
+    got = sorted(map(tuple, graph.edit_transitions(ev).collect()))
+    assert got == [
+        ("P1", "P2", 2),  # A once, B once
+        ("P2", "P1", 1),
+        ("P2", "P3", 1),
+    ]
+
+
+def test_transition_order_uses_seq_tiebreak(spark):
+    # same timestamp, seq decides: P9 (seq 1) then P8 (seq 2)
+    ev = _events(spark, [("A", 0, 2, "P8"), ("A", 0, 1, "P9")])
+    got = sorted(map(tuple, graph.edit_transitions(ev).collect()))
+    assert got == [("P9", "P8", 1)]
+
+
+def test_markov_top_transitions_row_context_and_tiebreak(spark):
+    ev = _events(spark, [
+        ("A", 0, 1, "P1"), ("A", 1, 2, "P2"),
+        ("B", 0, 3, "P1"), ("B", 1, 4, "P2"),
+        ("C", 0, 5, "P2"), ("C", 1, 6, "P1"),
+        ("D", 0, 7, "P2"), ("D", 1, 8, "P3"),
+    ])
+    trans = graph.edit_transitions(ev)
+    got = [tuple(r) for r in graph.markov_top_transitions(trans, k=3).collect()]
+    # weights: P1->P2 w=2; P2->P1 w=1; P2->P3 w=1. out_w: P1=2, P2=2.
+    # order: w desc, then (src, dst) asc for the tie.
+    assert got == [
+        ("P1", "P2", 2, 2),
+        ("P2", "P1", 1, 2),
+        ("P2", "P3", 1, 2),
+    ]
+
+
+def _pagerank_dict(trans, iters):
+    return {
+        r["node"]: r["score"]
+        for r in graph.pagerank(trans, iters=iters).collect()
+    }
+
+
+def test_pagerank_two_node_cycle_is_stationary(spark):
+    # A<->B, w=1 each: mass passed = floor(1e6*1/1) = 1e6;
+    # score = 150000 + floor(85*1e6/100) = 1_000_000 every iteration.
+    trans = spark.createDataFrame(
+        [("A", "B", 1), ("B", "A", 1)], "src string, dst string, w long"
+    )
+    assert _pagerank_dict(trans, graph.PAGERANK_ITERS) == {
+        "A": 1_000_000, "B": 1_000_000,
+    }
+
+
+def test_pagerank_fan_out_floor_division_by_hand(spark):
+    # A->B (w=2), A->C (w=1); out_w(A)=3; A has no in-edges.
+    # iter1: score(A) = 150000 (teleport only)
+    #   mass(B) = floor(1e6*2/3) = 666666
+    #     score(B) = 150000 + floor(85*666666/100)
+    #              = 150000 + 566666 = 716666
+    #   mass(C) = floor(1e6*1/3) = 333333
+    #     score(C) = 150000 + floor(85*333333/100)
+    #              = 150000 + 283333 = 433333
+    # iter2 (A now 150000, stationary):
+    #   mass(B) = floor(150000*2/3) = 100000 -> 150000 + 85000 = 235000
+    #   mass(C) = floor(150000/3)   =  50000 -> 150000 + 42500 = 192500
+    # iters >= 2 are fixed because A's score no longer changes.
+    trans = spark.createDataFrame(
+        [("A", "B", 2), ("A", "C", 1)], "src string, dst string, w long"
+    )
+    assert _pagerank_dict(trans, 1) == {
+        "A": 150_000, "B": 716_666, "C": 433_333,
+    }
+    assert _pagerank_dict(trans, graph.PAGERANK_ITERS) == {
+        "A": 150_000, "B": 235_000, "C": 192_500,
+    }
+
+
+def test_pagerank_topk_orders_and_breaks_ties_on_node(spark):
+    # B and C end at the same score (192500 each: A->B w=1, A->C w=1);
+    # tie broken by node id ascending.
+    trans = spark.createDataFrame(
+        [("A", "B", 1), ("A", "C", 1)], "src string, dst string, w long"
+    )
+    rows = [tuple(r) for r in graph.pagerank_topk(trans, k=3).collect()]
+    # hand: iter>=2 -> A=150000; B=C=150000+floor(85*floor(150000/2)/100)
+    #             = 150000 + floor(85*75000/100) = 150000+63750 = 213750
+    assert rows == [("B", 213_750), ("C", 213_750), ("A", 150_000)]
+
+
+def test_hourly_autocorr_hand_computed(spark):
+    # one event_type, hourly counts [1, 2, 3, 5] over 4 consecutive hours
+    rows = []
+    counts = [1, 2, 3, 5]
+    seq = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(("click", T0 + dt.timedelta(hours=h, minutes=seq % 60)))
+            seq += 1
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r["lag"]: (r["n_pairs"], r["num"], r["den_x"], r["den_y"])
+        for r in hourly_autocorr(ev).collect()
+    }
+    # lag 1: x=[2,3,5] y=[1,2,3]: n=3 sx=10 sy=6 sxy=2+6+15=23
+    #   sxx=4+9+25=38 syy=1+4+9=14
+    #   num=3*23-10*6=9; den_x=3*38-100=14; den_y=3*14-36=6
+    # lag 2: x=[3,5] y=[1,2]: n=2 sx=8 sy=3 sxy=3+10=13 sxx=34 syy=5
+    #   num=2*13-24=2; den_x=2*34-64=4; den_y=2*5-9=1
+    # lag 3: x=[5] y=[1]: n=1 -> num=5-5=0; den_x=25-25=0; den_y=0
+    # lags 4..6: no pairs -> no rows
+    assert got == {1: (3, 9, 14, 6), 2: (2, 2, 4, 1), 3: (1, 0, 0, 0)}
+    assert set(got) <= set(AUTOCORR_LAGS)

@@ -404,3 +404,51 @@ def test_lsh_tuning_shares_one_tokenization(plans):
     assert n_bnlj <= len(_dedup.LSH_TUNING_CONFIGS), n_bnlj
     n_scans = len(re.findall(r"FileScan parquet .*documents\.parquet", plan))
     assert n_scans <= 2, n_scans
+
+
+def test_markov_and_pagerank_cut_without_global_sort(plans):
+    """wt_markov_transitions / wt_pagerank: the top-k cut must compile
+    to TakeOrderedAndProject (per-partition heaps + k-row driver merge),
+    never a global sort — the tx_bm25_topk lesson applied to the graph
+    queries."""
+    plan = plans("wt_markov_transitions")
+    assert "TakeOrderedAndProject(limit=25" in plan
+    # the lag window that builds transitions partitions by user — a
+    # window with an empty partition spec would funnel every event
+    # through one task
+    assert "windowspecdefinition(user#" in plan
+    plan2 = plans("wt_pagerank")
+    assert "TakeOrderedAndProject(limit=20" in plan2
+
+
+def test_transition_graph_pre_checkpoint_shape(spark):
+    """pagerank's localCheckpoints hide the iteration subtrees behind
+    Scan ExistingRDD in the final plan (the r07 vacuous-plan-test
+    lesson), so assert the scale properties on the PRE-checkpoint
+    transition relation: per-user lag window, (src, dst) hash
+    aggregation, and an events scan that never reads `props`."""
+    from wikitrender_spark.operators import graph
+    from wikitrender_spark.operators.derive import rc_events
+    from wikitrender_spark.operators.page_state import classified_edit_events
+
+    ev = classified_edit_events(rc_events(spark, SF_DIR))
+    plan = (
+        graph.edit_transitions(ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(user#" in plan
+    assert "HashAggregate" in plan
+    for cols in _scan_columns(plan, "events"):
+        assert "props" not in cols
+
+
+def test_hourly_autocorr_window_above_aggregation_no_join(plans):
+    """rel_hourly_autocorr: events scan prunes to (event_type, ts); the
+    lag window partitions by event_type and runs over the POST-
+    aggregation hourly relation (bounded by the time range); the whole
+    query is join-free (explode + window + one re-aggregation)."""
+    plan = plans("rel_hourly_autocorr")
+    for cols in _scan_columns(plan, "events"):
+        assert set(cols) <= {"event_type", "ts"}
+    assert "windowspecdefinition(event_type#" in plan
+    assert "Join" not in plan

@@ -17,7 +17,10 @@ from wikitrender_spark.plans import registry
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
     # never driver-gated: the round-6 additions (committed outside the
-    # un-rotated r06 window) and the round-7 addition
+    # un-rotated r06 window) and the round-7 additions
+    "wt_pagerank",
+    "wt_markov_transitions",
+    "rel_hourly_autocorr",
     "tx_bm25_topk",
     "tx_collocations",
     "wt_ingest_dedup",
@@ -47,13 +50,18 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_chunks",
 }
 
-#: The 16 rows displaced from the r07 window (every one green at r04 on
-#: current testdata AND at r01+r02 before it — the deepest attestation
-#: history in the registry — with code untouched since; the last four
-#: were displaced mid-round by the r07 additions). They are
+#: The 19 rows displaced from the r07 window (every one green at r04 on
+#: current testdata — the deepest attestation history in the registry —
+#: with code untouched since; the last seven were displaced mid-round by
+#: the r07 additions, the final three — tx_pack, tx_pack_split,
+#: ann_pq_topk — by the late-r07 graph/autocorr batch, each with an
+#: in-window sibling exercising the same operator module). They are
 #: PROMISED the r08 window: next round, move them into GATE_WINDOW (and
 #: into NEVER_OR_STALE_ATTESTED as stale) before anything else.
 R08_DEFERRED = {
+    "tx_pack",
+    "tx_pack_split",
+    "ann_pq_topk",
     "dd_exact_groups",
     "dd_simhash",
     "rel_acctbal_band_pairs",

@@ -69,7 +69,16 @@ _loaded = False
 #: query mid-round means adding it HERE too, displacing another (d) row
 #: into R08_DEFERRED.
 GATE_WINDOW: list[str] = [
-    # (a) never driver-attested (incl. the round-7 additions)
+    # (a) never driver-attested (incl. the round-7 additions; the
+    # late-round-7 additions wt_pagerank / wt_markov_transitions /
+    # rel_hourly_autocorr displaced tx_pack, tx_pack_split and
+    # ann_pq_topk from (d) into R08_DEFERRED — each displaced row has an
+    # in-window sibling exercising the same operator module
+    # (tx_pack_sharded for the packing fold, ann_ivfpq_topk for the ADC
+    # path), so no operator code path leaves the window)
+    "wt_pagerank",
+    "wt_markov_transitions",
+    "rel_hourly_autocorr",
     "wt_ingest_dedup",
     "tx_bm25_topk",
     "tx_collocations",
@@ -99,7 +108,6 @@ GATE_WINDOW: list[str] = [
     # (d) the r04 cohort (two rounds stale), minus the 16 deferred
     "ann_ivfpq_topk",
     "ann_kmeans_refine",
-    "ann_pq_topk",
     "ann_range_search",
     "ann_sq_topk",
     "dd_embedding_neardup_exact",
@@ -119,9 +127,7 @@ GATE_WINDOW: list[str] = [
     "tx_length_histogram",
     "tx_mix_sample",
     "tx_mix_weights",
-    "tx_pack",
     "tx_pack_sharded",
-    "tx_pack_split",
     "tx_rarity",
 ]
 

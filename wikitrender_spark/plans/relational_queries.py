@@ -1280,6 +1280,117 @@ SELECT event_type,
 FROM ew"""
 
 
+# --- lag autocorrelation of the hourly series --------------------------------
+#: lags (in observed hours) the autocorrelation report covers.
+AUTOCORR_LAGS = (1, 2, 3, 4, 5, 6)
+
+
+def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of per-type hourly event counts, k=1..6 —
+    the periodicity probe a monitoring pipeline runs next to the EWMA
+    baseline. EXACT-RATIONAL output (oracle portability rule: no
+    sqrt/division crosses the boundary): for the n_k observed pairs
+    (x_t, y_t=x_{t-k}) the Pearson numerator and the two denominator
+    factors are emitted as integers,
+
+        num   = n_k*Σxy - Σx*Σy
+        den_x = n_k*Σx² - (Σx)²,  den_y analogously
+
+    so r_k = num / sqrt(den_x*den_y) is reconstructable but never
+    computed engine-side. Semantics: the OBSERVED-hour series (hours
+    with zero events are absent, same baseline choice as
+    rel_hourly_anomalies; calendar densification via the
+    rel_recursive_months pattern is the documented extension).
+
+    Scale shape: the corpus-sized work is one (type, hour) hash-agg;
+    the lag window runs over the POST-AGGREGATION relation, bounded by
+    the time range (8760 rows/type/year), not the event count — so the
+    per-type window partition is small by construction, never a
+    single-partition funnel over raw data. Products are computed in
+    DECIMAL(38,0) (the rel_hourly_anomalies idiom: BIGINT would wrap
+    silently once a type's hourly counts pass ~3e9-events-per-hour
+    territory; the oracle casts to HUGEINT, which DuckDB checks loudly)
+    and the final columns cast to BIGINT — exact while the true values
+    fit int64, i.e. hourly counts up to ~1e7 at a year of hours."""
+    return hourly_autocorr(load_table(spark, sf_dir, "events"))
+
+
+def hourly_autocorr(ev: DataFrame) -> DataFrame:
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = cells.select(
+        "event_type",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"y{k}") for k in AUTOCORR_LAGS],
+    )
+    pairs = (
+        lagged.select(
+            "event_type",
+            F.col("c").alias("x"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"y{k}").alias("y")
+                    )
+                    for k in AUTOCORR_LAGS
+                ])
+            ).alias("z"),
+        )
+        .select("event_type", F.col("z.lag").alias("lag"),
+                "x", F.col("z.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    d38 = "decimal(38,0)"
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = [F.col(c).cast(d38) for c in ("n_pairs", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast(d38) for c in ("sxy", "sxx", "syy")]
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        (n * sxy - sx * sy).cast("bigint").alias("num"),
+        (n * sxx - sx * sx).cast("bigint").alias("den_x"),
+        (n * syy - sy * sy).cast("bigint").alias("den_y"),
+    )
+
+
+def _autocorr_lag_sql(k: int) -> str:
+    return f"""
+  SELECT event_type, {k} AS lag, c AS x,
+         lag(c, {k}) OVER (PARTITION BY event_type ORDER BY hour) AS y
+  FROM cells"""
+
+
+HOURLY_AUTOCORR_SQL = f"""
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+stacked AS ({" UNION ALL ".join(_autocorr_lag_sql(k) for k in AUTOCORR_LAGS)}),
+agg AS (
+  SELECT event_type, lag,
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(x*y) AS HUGEINT) AS sxy,
+    CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy
+  FROM stacked WHERE y IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+  CAST(n*sxy - sx*sy AS BIGINT) AS num,
+  CAST(n*sxx - sx*sx AS BIGINT) AS den_x,
+  CAST(n*syy - sy*sy AS BIGINT) AS den_y
+FROM agg"""
+
+
 # --- Lorenz / Pareto concentration report ------------------------------------
 def q_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase-value concentration (Lorenz curve rows): users ranked by
@@ -1567,6 +1678,7 @@ QUERIES = {
     "rel_hourly_anomalies": q_hourly_anomalies,
     "rel_dq_audit": q_dq_audit,
     "rel_hourly_ewma": q_hourly_ewma,
+    "rel_hourly_autocorr": q_hourly_autocorr,
     "rel_value_pareto": q_value_pareto,
     # --- rotated out of the gate (hash-green r01 + r02) ---
     "rel_nation_set_ops": q_nation_set_ops,
@@ -1623,6 +1735,7 @@ ORACLES = {
     "rel_hourly_anomalies": HOURLY_ANOMALIES_SQL,
     "rel_dq_audit": DQ_AUDIT_SQL,
     "rel_hourly_ewma": HOURLY_EWMA_SQL,
+    "rel_hourly_autocorr": HOURLY_AUTOCORR_SQL,
     "rel_value_pareto": VALUE_PARETO_SQL,
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
 }

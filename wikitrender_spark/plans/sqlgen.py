@@ -506,3 +506,60 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 ORDER BY event_type"""
+
+
+def transitions_cte() -> str:
+    """CTE chain for the edit-transition graph (mirrors
+    operators/graph.edit_transitions level-for-level): classified edit
+    events -> per-user lag sequence -> (src, dst, w) distinct-page
+    transition counts -> per-source out-weights."""
+    return f"""{classified_events_cte()},
+seqd AS (
+  SELECT "user", ts, seq, id,
+         lag(id) OVER (PARTITION BY "user" ORDER BY ts, seq) AS src
+  FROM e2
+),
+trans AS (
+  SELECT src, id AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seqd WHERE src IS NOT NULL AND src <> id
+  GROUP BY src, id
+),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM trans GROUP BY src)"""
+
+
+def markov_transitions_oracle(k: int = 25) -> str:
+    """Top-k transitions with rational row probability (w, out_w) —
+    twin of operators/graph.markov_top_transitions."""
+    return f"""
+WITH {transitions_cte()}
+SELECT t.src, t.dst, t.w, o.out_w
+FROM trans t JOIN outw o USING (src)
+ORDER BY t.w DESC, t.src, t.dst LIMIT {k}"""
+
+
+def pagerank_oracle(iters: int, k: int = 20,
+                    scale: int = 1_000_000, teleport: int = 150_000,
+                    damp_num: int = 85, damp_den: int = 100) -> str:
+    """Fixed-point integer PageRank, unrolled to exactly `iters` CTE
+    stages (twin of operators/graph.pagerank_topk — the fixed iteration
+    count is the declared semantics, which is what makes the unrolled
+    oracle exact). `//` here and Spark's `DIV` agree: every operand is
+    non-negative, so truncation == floor. SUM over BIGINT is HUGEINT in
+    DuckDB — exact; the damping expression casts back to BIGINT."""
+    stages = []
+    for i in range(1, iters + 1):
+        stages.append(f"""
+s{i} AS (
+  SELECT n.node,
+         CAST({teleport} + ({damp_num} * COALESCE(SUM((s.score * e.w) // e.out_w), 0)) // {damp_den} AS BIGINT) AS score
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN s{i - 1} s ON s.node = e.src
+  GROUP BY n.node
+)""")
+    return f"""
+WITH {transitions_cte()},
+edges AS (SELECT t.src, t.dst, t.w, o.out_w FROM trans t JOIN outw o USING (src)),
+nodes AS (SELECT src AS node FROM trans UNION SELECT dst FROM trans),
+s0 AS (SELECT node, CAST({scale} AS BIGINT) AS score FROM nodes),{",".join(stages)}
+SELECT node, score FROM s{iters} ORDER BY score DESC, node LIMIT {k}"""

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import classify, metrics
-from ..operators import lifecycle, topk
+from ..operators import graph, lifecycle, topk
 from ..operators.derive import rc_events
 from ..operators.page_state import (
     classified_edit_events,
@@ -422,6 +422,32 @@ def state_diff(rc: DataFrame, divisor: int = 4) -> DataFrame:
     )
 
 
+MARKOV_TOPK = 25
+PAGERANK_TOPK = 20
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 page-to-page edit transitions with their Markov row
+    context (operators/graph.py — the clickstream layer the reference's
+    per-page counters never see). Probability src->dst is the rational
+    pair (w, out_w); no float crosses the oracle boundary."""
+    ev = classified_edit_events(rc_events(spark, sf_dir))
+    return graph.markov_top_transitions(graph.edit_transitions(ev),
+                                        k=MARKOV_TOPK)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 pages by fixed-point integer PageRank (5 synchronous
+    iterations) over the edit-transition graph — iterative graph
+    centrality as a driver-gated query. The DuckDB twin unrolls the
+    exact iteration count as chained CTE stages; every quantity is
+    BIGINT, so the match is bit-exact (see operators/graph.py for the
+    determinism and overflow analysis)."""
+    ev = classified_edit_events(rc_events(spark, sf_dir))
+    return graph.pagerank_topk(graph.edit_transitions(ev),
+                               k=PAGERANK_TOPK)
+
+
 QUERIES = {
     "wt_page_state": q_page_state,
     "wt_most_edited": q_most_edited,
@@ -442,6 +468,8 @@ QUERIES = {
     "wt_stream_heavy_hitters": q_stream_heavy_hitters,
     "wt_state_diff": q_state_diff,
     "wt_ingest_dedup": q_ingest_dedup,
+    "wt_markov_transitions": q_markov_transitions,
+    "wt_pagerank": q_pagerank,
 }
 
 ORACLES = {
@@ -464,4 +492,12 @@ ORACLES = {
     "wt_stream_heavy_hitters": sqlgen.heavy_hitters_oracle(HH_TOPK),
     "wt_state_diff": sqlgen.state_diff_oracle(),
     "wt_ingest_dedup": sqlgen.ingest_dedup_oracle(),
+    "wt_markov_transitions": sqlgen.markov_transitions_oracle(MARKOV_TOPK),
+    # constants come FROM the operator module so the Spark loop and the
+    # unrolled oracle stages cannot drift
+    "wt_pagerank": sqlgen.pagerank_oracle(
+        iters=graph.PAGERANK_ITERS, k=PAGERANK_TOPK, scale=graph.SCALE,
+        teleport=graph.TELEPORT, damp_num=graph.DAMP_NUM,
+        damp_den=graph.DAMP_DEN,
+    ),
 }
