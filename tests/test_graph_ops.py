@@ -144,3 +144,42 @@ def test_hourly_autocorr_hand_computed(spark):
     # lags 4..6: no pairs -> no rows
     assert got == {1: (3, 9, 14, 6), 2: (2, 2, 4, 1), 3: (1, 0, 0, 0)}
     assert set(got) <= set(AUTOCORR_LAGS)
+
+
+# --- co-edit pairs -----------------------------------------------------------
+def _coedit_events(spark, rows):
+    # (user, is_bot, id) — one row per edit
+    return spark.createDataFrame(
+        [(u, b, i) for u, b, i in rows],
+        "user string, is_bot boolean, id string",
+    )
+
+
+def test_coedit_pairs_counts_shared_editors_and_drops_bots(spark):
+    ev = _coedit_events(spark, [
+        # A: P1 x3, P2 x1, P3 x1 — cap=2 keeps P1 (3 edits) then the
+        # (P2, P3) tie at 1 edit breaks by id asc -> P2
+        ("A", False, "P1"), ("A", False, "P1"), ("A", False, "P1"),
+        ("A", False, "P2"), ("A", False, "P3"),
+        ("B", False, "P1"), ("B", False, "P2"),
+        ("C", False, "P2"), ("C", False, "P3"),
+        # bot co-edits P1+P2 — must NOT raise (P1,P2) to 3
+        ("Z", True, "P1"), ("Z", True, "P2"),
+    ])
+    got = [tuple(r) for r in graph.coedit_pairs(ev, cap=2, k=25).collect()]
+    # capped sets: A {P1,P2}, B {P1,P2}, C {P2,P3}
+    # pairs: (P1,P2) shared by A,B = 2; (P2,P3) by C = 1
+    assert got == [
+        ("P1", "P2", 2, 1),
+        ("P2", "P3", 1, 2),
+    ]
+
+
+def test_coedit_pairs_topk_tiebreak_is_lexicographic(spark):
+    ev = _coedit_events(spark, [
+        ("A", False, "P1"), ("A", False, "P2"),
+        ("B", False, "P3"), ("B", False, "P4"),
+    ])
+    # both pairs have 1 shared editor; k=1 must keep (P1,P2) by id order
+    got = [tuple(r) for r in graph.coedit_pairs(ev, cap=5, k=1).collect()]
+    assert got == [("P1", "P2", 1, 1)]

@@ -28,6 +28,10 @@ NEVER_OR_STALE_ATTESTED = {
     "dd_cross_source_dups",
     "ann_rp_topk",
     "dd_lsh_tuning",
+    "rel_sessionize",
+    "wt_coedit_pairs",
+    "tx_stratified_sample",
+    "tx_leakage_split",
     # code changed in round 7 after the r04 attestation (forced
     # vocab-broadcast hint removed)
     "tx_tfidf_terms",
@@ -50,15 +54,21 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_chunks",
 }
 
-#: The 19 rows displaced from the r07 window (every one green at r04 on
+#: The 23 rows displaced from the r07 window (every one green at r04 on
 #: current testdata — the deepest attestation history in the registry —
-#: with code untouched since; the last seven were displaced mid-round by
-#: the r07 additions, the final three — tx_pack, tx_pack_split,
-#: ann_pq_topk — by the late-r07 graph/autocorr batch, each with an
-#: in-window sibling exercising the same operator module). They are
-#: PROMISED the r08 window: next round, move them into GATE_WINDOW (and
-#: into NEVER_OR_STALE_ATTESTED as stale) before anything else.
+#: with code untouched since; the last eleven were displaced mid-round
+#: by the r07 additions — tx_pack, tx_pack_split, ann_pq_topk by the
+#: graph/autocorr batch; ann_sq_topk, rel_event_funnel,
+#: tx_length_histogram, dd_substring_runs by the sessionize/coedit/
+#: sampling/leakage-split batch — each with an in-window sibling
+#: exercising the same operator module). They are PROMISED the r08
+#: window: next round, move them into GATE_WINDOW (and into
+#: NEVER_OR_STALE_ATTESTED as stale) before anything else.
 R08_DEFERRED = {
+    "ann_sq_topk",
+    "rel_event_funnel",
+    "tx_length_histogram",
+    "dd_substring_runs",
     "tx_pack",
     "tx_pack_split",
     "ann_pq_topk",

@@ -166,3 +166,64 @@ def pagerank_topk(trans: DataFrame, k: int = 20,
         .orderBy(F.desc("score"), F.asc("node"))
         .limit(k)
     )
+
+
+#: co-edit fanout cap: each user contributes at most this many pages
+#: (their most-edited) to pair generation. Sized from the driver data
+#: where per-user distinct-page counts are ~45 median / ~90 max at
+#: every SF (user count scales with SF, per-user activity does not),
+#: so the cap genuinely binds for above-median users at all test SFs.
+COEDIT_CAP = 40
+COEDIT_TOPK = 25
+
+
+def coedit_pairs(
+    edit_events: DataFrame, cap: int = COEDIT_CAP, k: int = COEDIT_TOPK
+) -> DataFrame:
+    """Top-k co-edited page pairs: pairs of pages whose HUMAN editor
+    sets overlap, scored by the number of shared editors — the
+    market-basket / "editors also edit" co-occurrence layer next to the
+    transition graph (a pair can co-occur without ever being edited
+    back-to-back, which is what edit_transitions measures).
+
+    Scale shape (the canonical bounded co-occurrence plan):
+    - per-(user, page) pre-aggregation FIRST (one shuffle on the pair
+      key) bounds the window payload below by construction — the
+      two-level idiom from page_state;
+    - the per-user rank window then carries at most that user's
+      distinct-page count, and the cap keeps each user's contribution
+      to pair generation at C(cap, 2) pairs REGARDLESS of how
+      promiscuous the key is — hot users are truncated to their cap
+      most-edited pages (deterministic: edits desc, id asc), not
+      exploded quadratically and not dropped entirely;
+    - the self-join on user is an equi-join of two cap-bounded
+      relations sharing one partitioning; the pair aggregation is a
+      hash-agg on (page_a, page_b);
+    - final cut: orderBy + limit = TakeOrderedAndProject; the rank
+      column is windowed over the k-row relation only (the
+      tx_bm25_topk lesson)."""
+    ue = (
+        edit_events.filter(~F.col("is_bot"))
+        .groupBy("user", "id")
+        .agg(F.count(F.lit(1)).alias("n_edits"))
+    )
+    w = Window.partitionBy("user").orderBy(F.desc("n_edits"), F.asc("id"))
+    top_pages = (
+        ue.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= cap)
+        .select("user", "id")
+    )
+    pairs = (
+        top_pages.alias("a")
+        .join(top_pages.alias("b"), "user")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("page_a"), F.col("b.id").alias("page_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_coeditors"))
+    )
+    top = pairs.orderBy(
+        F.desc("n_coeditors"), F.asc("page_a"), F.asc("page_b")
+    ).limit(k)
+    wr = Window.orderBy(F.desc("n_coeditors"), F.asc("page_a"), F.asc("page_b"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))

@@ -2623,6 +2623,167 @@ SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
 FROM kp"""
 
 
+# --- stratified sampling -----------------------------------------------------
+#: per-stratum quota. Strata are (lang, source) — 1..16 docs each at
+#: sf0.01, so K=5 exercises both the "stratum smaller than K" and the
+#: "cut at K" branches on driver data.
+SAMPLE_K = 5
+#: salt-cell fanout for the two-phase exact top-K (phase-1 cells).
+SAMPLE_CELLS = 16
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the K lowest-md5 docs per
+    (lang, source) stratum — reproducible eval-set carving with exact
+    per-stratum quotas (hash order is a fixed pseudo-random permutation,
+    so rerunning the pipeline reproduces the byte-identical sample).
+
+    Scale shape: stratum cardinality is FIXED (langs x sources), so a
+    single rank window per stratum would funnel each stratum's full
+    partition through one task — the tx_bm25_topk failure mode. Instead
+    the exact two-phase cut: phase 1 ranks within (stratum, doc_id mod
+    SAMPLE_CELLS) salt cells (SAMPLE_CELLS x more parallelism, each
+    window payload 1/SAMPLE_CELLS of the stratum) and keeps K per cell;
+    phase 2 ranks the <= K*SAMPLE_CELLS survivors per stratum — a
+    relation bounded by construction, not by data. Exact because every
+    stratum-global top-K row is also top-K within its own cell. md5 is
+    lowercase hex in both engines, so the order crosses the oracle
+    boundary byte-identically."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id", "n_chars"
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    cand = d.withColumn("h", h).withColumn(
+        "cell", F.pmod(F.col("doc_id"), F.lit(SAMPLE_CELLS))
+    )
+    w1 = Window.partitionBy("lang", "source", "cell").orderBy("h", "doc_id")
+    w2 = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+    return (
+        cand.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SAMPLE_K)
+        .withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("lang", "source", "rk", "doc_id", "n_chars")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, source,
+  CAST(row_number() OVER (PARTITION BY lang, source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+       AS INT) AS rk,
+  doc_id, n_chars
+FROM documents
+QUALIFY rk <= {SAMPLE_K}"""
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: tx_split's pinned affine
+    bucket rule applied to each doc's near-duplicate CLUSTER
+    representative (connected components over the LSH near-dup graph,
+    operators/dedup.duplicate_clusters) instead of the doc itself, so a
+    near-dup pair can never straddle the train/test boundary — the
+    contamination a doc-level split provably allows. Per split:
+    doc/group/clustered-doc counts, how many docs the DOC-level rule
+    would have routed to a different split (n_moved — the leakage this
+    operator removes, measured), byte mass, and an order-free integer
+    checksum.
+
+    Scale shape: the cluster relation holds only docs that appear in a
+    near-dup pair (a small fraction of the corpus at web scale —
+    bounded by the LSH candidate volume, never all-pairs); the left
+    join back to the corpus is equi on doc_id with AQE free to
+    broadcast the cluster side when it fits (no forced hint — the
+    tx_collocations lesson); everything after is a 3-group hash-agg of
+    integer partials. Bucket arithmetic stays in the same
+    (x * MULT + OFF) % 1000003 % 100 form as tx_split — exact while
+    max(doc_id) * {SPLIT_MULT} < 2^63, i.e. doc_id < ~2.3e14."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    cl = dedup.duplicate_clusters(_docs(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+    g = docs.join(cl, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("gid"),
+        F.col("cluster_id").isNotNull().alias("clustered"),
+    )
+
+    def _bucket(col: F.Column) -> F.Column:
+        return (col * SPLIT_MULT + SPLIT_OFFSET) % 1000003 % 100
+
+    def _split(b: F.Column) -> F.Column:
+        return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+
+    assigned = g.select(
+        "doc_id",
+        "n_chars",
+        "gid",
+        "clustered",
+        _split(_bucket(F.col("gid"))).alias("split"),
+        (
+            _split(_bucket(F.col("gid"))) != _split(_bucket(F.col("doc_id")))
+        ).alias("moved"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("gid").alias("n_groups"),
+            F.sum(F.when(F.col("clustered"), 1).otherwise(0)).alias(
+                "n_clustered"
+            ),
+            F.sum(F.when(F.col("moved"), 1).otherwise(0)).alias("n_moved"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.col("doc_id") % 1000003).alias("checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+_LEAKAGE_BUCKET = f"(({{x}}) * {SPLIT_MULT} + {SPLIT_OFFSET}) % 1000003 % 100"
+_LEAKAGE_CASE = (
+    f"CASE WHEN {_LEAKAGE_BUCKET} < 90 THEN 'train' "
+    f"WHEN {_LEAKAGE_BUCKET} < 95 THEN 'val' ELSE 'test' END"
+)
+
+LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS (
+{NEAR_DUPS_SQL}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cl AS (
+  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a),
+assigned AS (
+  SELECT d.doc_id, d.n_chars,
+    coalesce(cl.cluster_id, d.doc_id) AS gid,
+    cl.cluster_id IS NOT NULL AS clustered,
+    {_LEAKAGE_CASE.format(x="coalesce(cl.cluster_id, d.doc_id)")} AS split,
+    {_LEAKAGE_CASE.format(x="coalesce(cl.cluster_id, d.doc_id)")}
+      <> {_LEAKAGE_CASE.format(x="d.doc_id")} AS moved
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+SELECT split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+  CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id % 1000003) AS BIGINT) AS checksum
+FROM assigned GROUP BY split ORDER BY split"""
+
+
 #: Dict order is load-bearing (driver gates the first 50 registered
 #: queries; see registry._load). tx_fingerprint and tx_langid —
 #: hash-green in r01+r02 — are rotated out via QUERIES_ROTATED
@@ -2667,6 +2828,8 @@ QUERIES = {
     "dd_near_duplicates": q_near_duplicates,
     "dd_lsh_tuning": q_lsh_tuning,
     "tx_novelty": q_novelty,
+    "tx_stratified_sample": q_stratified_sample,
+    "tx_leakage_split": q_leakage_split,
     "dd_cross_source_dups": q_cross_source_dups,
     "dd_embedding_neardup": q_embedding_neardup,
     "dd_decontaminate": q_decontaminate,
@@ -2726,6 +2889,8 @@ ORACLES = {
     "dd_near_duplicates": NEAR_DUPS_SQL,
     "dd_lsh_tuning": LSH_TUNING_SQL,
     "tx_novelty": NOVELTY_SQL,
+    "tx_stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "tx_leakage_split": LEAKAGE_SPLIT_SQL,
     "dd_cross_source_dups": CROSS_SOURCE_SQL,
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "dd_decontaminate": DECONTAM_SQL,

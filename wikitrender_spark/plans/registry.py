@@ -76,6 +76,17 @@ GATE_WINDOW: list[str] = [
     # in-window sibling exercising the same operator module
     # (tx_pack_sharded for the packing fold, ann_ivfpq_topk for the ADC
     # path), so no operator code path leaves the window)
+    # (the continuation batch rel_sessionize / wt_coedit_pairs /
+    # tx_stratified_sample / tx_leakage_split displaced ann_sq_topk,
+    # rel_event_funnel, tx_length_histogram and dd_substring_runs from
+    # (d) into R08_DEFERRED — ann_ivfpq_topk keeps the quantized-ANN
+    # path in-window, the rel events family keeps hourly_anomalies/
+    # ewma/autocorr, tx keeps a dozen siblings, and dd_substring_runs'
+    # scrub sibling was attested r06)
+    "rel_sessionize",
+    "wt_coedit_pairs",
+    "tx_stratified_sample",
+    "tx_leakage_split",
     "wt_pagerank",
     "wt_markov_transitions",
     "rel_hourly_autocorr",
@@ -109,13 +120,10 @@ GATE_WINDOW: list[str] = [
     "ann_ivfpq_topk",
     "ann_kmeans_refine",
     "ann_range_search",
-    "ann_sq_topk",
     "dd_embedding_neardup_exact",
     "dd_semantic_dedup",
-    "dd_substring_runs",
     "mm_wav_features",
     "mm_y4m_frames",
-    "rel_event_funnel",
     "rel_hourly_anomalies",
     "rel_hourly_ewma",
     "rel_interval_coverage",
@@ -124,7 +132,6 @@ GATE_WINDOW: list[str] = [
     "rel_window_rank_suite",
     "tx_boilerplate",
     "tx_bpe_merges",
-    "tx_length_histogram",
     "tx_mix_sample",
     "tx_mix_weights",
     "tx_pack_sharded",

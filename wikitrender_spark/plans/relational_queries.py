@@ -1652,6 +1652,111 @@ SELECT * FROM (
 ) t"""
 
 
+# --- gap-based sessionization ------------------------------------------------
+#: a new session starts after this much inactivity (8h, in micros) —
+#: sized from the driver events table where the median per-user
+#: inter-event gap is ~7.3h, so the threshold genuinely splits (4,766
+#: sessions / 10k events at sf0.01, mean 2.1 events, max 15).
+SESSION_GAP_US = 8 * 3600 * 1_000_000
+SESSION_TOPK = 50
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the batch lag/flag/cumsum idiom — the
+    manual form of what wt_session_activity does with the session_window
+    built-in (different table, different key: per-USER activity sessions
+    here, per-page edit sessions there; having both pins the two
+    standard Spark shapes for the same semantics). A session is a
+    maximal run of one user's events with inter-event gaps <=
+    SESSION_GAP_US; the output is the top-50 sessions by size with
+    their spans.
+
+    Scale shape: both windows partition by user_id and carry only that
+    user's own event sequence (per-key payload bounded by per-user
+    activity, never the global event count) — one shuffle on user_id
+    serves the lag, the cumulative session counter, AND the session
+    aggregation (same partitioning reused across all three). The final
+    cut is orderBy+limit = TakeOrderedAndProject (per-partition heaps,
+    k-row driver merge), never a global sort. All emitted quantities
+    are exact integers (unix micros / counts); the cumulative window
+    sum is over 0/1 ints, outside the float-cumsum ULP trap."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0),
+    )
+    sid = F.sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        flagged.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "start_us",
+            "end_us",
+            "n_events",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )
+    top = sess.orderBy(
+        F.desc("n_events"),
+        F.desc("duration_us"),
+        F.asc("user_id"),
+        F.asc("start_us"),
+    ).limit(SESSION_TOPK)
+    wr = Window.orderBy(
+        F.desc("n_events"),
+        F.desc("duration_us"),
+        F.asc("user_id"),
+        F.asc("start_us"),
+    )
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events),
+g AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (
+  SELECT user_id, ts_us,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+sess AS (
+  SELECT user_id,
+    CAST(min(ts_us) AS BIGINT) AS start_us,
+    CAST(max(ts_us) AS BIGINT) AS end_us,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+  FROM s GROUP BY user_id, sid),
+top AS (
+  SELECT * FROM sess
+  ORDER BY n_events DESC, duration_us DESC, user_id, start_us
+  LIMIT {SESSION_TOPK})
+SELECT user_id, start_us, end_us, n_events, duration_us,
+  CAST(row_number() OVER (ORDER BY n_events DESC, duration_us DESC,
+                          user_id, start_us) AS INT) AS rank
+FROM top"""
+
+
 QUERIES = {
     # NOTE: gating is governed solely by registry.GATE_WINDOW (which
     # reorders registration); dict position here does NOT decide what
@@ -1680,6 +1785,7 @@ QUERIES = {
     "rel_hourly_ewma": q_hourly_ewma,
     "rel_hourly_autocorr": q_hourly_autocorr,
     "rel_value_pareto": q_value_pareto,
+    "rel_sessionize": q_sessionize,
     # --- rotated out of the gate (hash-green r01 + r02) ---
     "rel_nation_set_ops": q_nation_set_ops,
     "rel_acctbal_band_pairs": q_acctbal_band_pairs,
@@ -1737,5 +1843,6 @@ ORACLES = {
     "rel_hourly_ewma": HOURLY_EWMA_SQL,
     "rel_hourly_autocorr": HOURLY_AUTOCORR_SQL,
     "rel_value_pareto": VALUE_PARETO_SQL,
+    "rel_sessionize": SESSIONIZE_SQL,
     "rel_scalar_functions": SCALAR_FUNCTIONS_SQL,
 }

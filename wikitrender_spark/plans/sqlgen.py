@@ -537,6 +537,32 @@ FROM trans t JOIN outw o USING (src)
 ORDER BY t.w DESC, t.src, t.dst LIMIT {k}"""
 
 
+def coedit_pairs_oracle(cap: int, k: int) -> str:
+    """Top-k co-edited page pairs by shared human editors — twin of
+    operators/graph.coedit_pairs (per-user cap on most-edited pages,
+    then pair counts over the capped sets)."""
+    return f"""
+WITH {classified_events_cte()},
+ue AS (
+  SELECT "user", id, CAST(count(*) AS BIGINT) AS n_edits
+  FROM e2 WHERE NOT is_bot GROUP BY "user", id),
+tp AS (
+  SELECT "user", id FROM ue
+  QUALIFY row_number() OVER (PARTITION BY "user"
+                             ORDER BY n_edits DESC, id) <= {cap}),
+p AS (
+  SELECT a.id AS page_a, b.id AS page_b, CAST(count(*) AS BIGINT) AS n_coeditors
+  FROM tp a JOIN tp b ON a."user" = b."user" AND a.id < b.id
+  GROUP BY a.id, b.id),
+top AS (
+  SELECT * FROM p
+  ORDER BY n_coeditors DESC, page_a, page_b LIMIT {k})
+SELECT page_a, page_b, n_coeditors,
+  CAST(row_number() OVER (ORDER BY n_coeditors DESC, page_a, page_b)
+       AS INT) AS rank
+FROM top"""
+
+
 def pagerank_oracle(iters: int, k: int = 20,
                     scale: int = 1_000_000, teleport: int = 150_000,
                     damp_num: int = 85, damp_den: int = 100) -> str:

@@ -448,6 +448,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=PAGERANK_TOPK)
 
 
+def q_coedit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 co-edited page pairs by shared human editors — the
+    market-basket co-occurrence layer over the same classified edit
+    relation the transition graph reads (operators/graph.coedit_pairs:
+    per-user cap on most-edited pages bounds pair fanout at C(cap, 2)
+    per user at any scale)."""
+    ev = classified_edit_events(rc_events(spark, sf_dir))
+    return graph.coedit_pairs(ev)
+
+
 QUERIES = {
     "wt_page_state": q_page_state,
     "wt_most_edited": q_most_edited,
@@ -470,6 +480,7 @@ QUERIES = {
     "wt_ingest_dedup": q_ingest_dedup,
     "wt_markov_transitions": q_markov_transitions,
     "wt_pagerank": q_pagerank,
+    "wt_coedit_pairs": q_coedit_pairs,
 }
 
 ORACLES = {
@@ -493,6 +504,9 @@ ORACLES = {
     "wt_state_diff": sqlgen.state_diff_oracle(),
     "wt_ingest_dedup": sqlgen.ingest_dedup_oracle(),
     "wt_markov_transitions": sqlgen.markov_transitions_oracle(MARKOV_TOPK),
+    "wt_coedit_pairs": sqlgen.coedit_pairs_oracle(
+        cap=graph.COEDIT_CAP, k=graph.COEDIT_TOPK
+    ),
     # constants come FROM the operator module so the Spark loop and the
     # unrolled oracle stages cannot drift
     "wt_pagerank": sqlgen.pagerank_oracle(
