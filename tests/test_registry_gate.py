@@ -16,55 +16,10 @@ from wikitrender_spark.plans import registry
 #: driver evidence more than two rounds old). Update each round as
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # never driver-gated: the round-6 additions (committed outside the
-    # un-rotated r06 window) and the round-7 additions
-    "wt_pagerank",
-    "wt_markov_transitions",
-    "rel_hourly_autocorr",
-    "tx_bm25_topk",
-    "tx_collocations",
-    "wt_ingest_dedup",
-    "tx_novelty",
-    "dd_cross_source_dups",
-    "ann_rp_topk",
-    "dd_lsh_tuning",
-    "rel_sessionize",
-    "wt_coedit_pairs",
-    "tx_stratified_sample",
-    "tx_leakage_split",
-    # code changed in round 7 after the r04 attestation (forced
-    # vocab-broadcast hint removed)
-    "tx_tfidf_terms",
-    # last green r03 — three rounds stale, twice promised a slot
-    "rel_scalar_functions",
-    "rel_pivot_status",
-    "rel_json_props",
-    "rel_approx_segments",
-    "rel_grouping_sets",
-    "rel_percentiles",
-    "rel_corr_subquery",
-    "rel_suppliers_with_shipments",
-    "rel_recursive_months",
-    "rel_approx_percentiles",
-    "rel_customers_without_orders",
-    "rel_order_gaps",
-    "rel_lateral_topk",
-    "rel_pricing_summary",
-    "rel_asof_last_signup",
-    "tx_chunks",
-}
-
-#: The 23 rows displaced from the r07 window (every one green at r04 on
-#: current testdata — the deepest attestation history in the registry —
-#: with code untouched since; the last eleven were displaced mid-round
-#: by the r07 additions — tx_pack, tx_pack_split, ann_pq_topk by the
-#: graph/autocorr batch; ann_sq_topk, rel_event_funnel,
-#: tx_length_histogram, dd_substring_runs by the sessionize/coedit/
-#: sampling/leakage-split batch — each with an in-window sibling
-#: exercising the same operator module). They are PROMISED the r08
-#: window: next round, move them into GATE_WINDOW (and into
-#: NEVER_OR_STALE_ATTESTED as stale) before anything else.
-R08_DEFERRED = {
+    # the R08_DEFERRED promise — last green r04, three-plus rounds
+    # stale at rotation time (VERDICT r07 ask #1: these 23 rotate in
+    # FIRST; after r08 no registry row's driver evidence is older than
+    # two rounds)
     "ann_sq_topk",
     "rel_event_funnel",
     "tx_length_histogram",
@@ -90,6 +45,40 @@ R08_DEFERRED = {
     "tx_langid",
 }
 
+#: The 23 r06-attested rows NOT taken into the r08 window (the other 27
+#: r06 rows rotated in, wt_* parity family first). Their code is
+#: untouched and each has an in-window sibling exercising the same
+#: module; they are PROMISED the r09 window — next round, move them
+#: into GATE_WINDOW (and into NEVER_OR_STALE_ATTESTED as stale) before
+#: anything else. Round-8 additions displace rows from the window's (c)
+#: cohort into this set, newest-displacement-first, per the established
+#: rule.
+R09_DEFERRED = {
+    "ann_bruteforce_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dd_minhash_signatures",
+    "dd_minhash_est",
+    "dd_ngram_jaccard",
+    "dd_lsh_candidates",
+    "dd_near_duplicates",
+    "dd_embedding_neardup",
+    "dd_decontaminate",
+    "dd_bloom_decontaminate",
+    "dd_dup_clusters",
+    "dd_editdist_pairs",
+    "tx_cms_terms",
+    "tx_clean_corpus",
+    "tx_filter_funnel",
+    "mm_media_features",
+    "mm_frame_sample",
+    "mm_pgm_features",
+    "rel_dq_audit",
+    "rel_nation_set_ops",
+    "rel_nation_presence",
+}
+
 
 def test_gate_window_is_exactly_first_50():
     names = list(registry.all_queries())
@@ -113,7 +102,7 @@ def test_window_names_unique_and_registered():
 
 
 def test_deferred_rows_are_registered_and_disjoint_from_window():
-    # the r08 promise list must stay real queries, and a deferred row
+    # the r09 promise list must stay real queries, and a deferred row
     # sitting inside the window would mean the accounting is stale
-    assert R08_DEFERRED <= set(registry.all_queries())
-    assert not (R08_DEFERRED & set(registry.GATE_WINDOW))
+    assert R09_DEFERRED <= set(registry.all_queries())
+    assert not (R09_DEFERRED & set(registry.GATE_WINDOW))

@@ -43,101 +43,76 @@ _loaded = False
 #: order. tests/test_registry_gate.py pins the composition — editing a
 #: QUERIES dict can no longer silently change what the driver attests.
 #:
-#: Round-7 composition policy (the r06 window went 50/50 green, and the
-#: r06-promised rotation was NOT delivered — r07 pays that debt first):
-#: (a) the never-driver-attested rows — the round-6 additions
-#: tx_bm25_topk / tx_collocations and this round's wt_ingest_dedup,
-#: tx_novelty, dd_cross_source_dups, ann_rp_topk, dd_lsh_tuning;
-#: (b) rows whose CODE changed this round after their last attestation —
-#: tx_tfidf_terms (forced vocab-broadcast hint removed; bm25 and
-#: collocations also changed but already sit in (a)) — a green r04 row
-#: for old code is not evidence for new code;
-#: (c) the 16 rows twice promised a slot (the r05/r06 deferral cohort:
-#: rel_scalar_functions .. tx_chunks below), driver evidence three
-#: rounds old at rotation time;
-#: (d) 26 of the 42 remaining r04-attested rows. The 16 NOT taken —
-#: dd_exact_groups, dd_simhash, rel_acctbal_band_pairs,
-#: rel_cube_summary, rel_regional_revenue, rel_rolling_revenue_window,
-#: rel_rollup_orders, rel_running_revenue, rel_signup_burst,
-#: rel_small_quantity_revenue, rel_top_customers, rel_topk_per_brand,
-#: rel_unpivot_presence, tx_fingerprint, tx_quality, tx_langid (the
-#: last four displaced by the round-7 additions tx_novelty /
-#: dd_cross_source_dups / ann_rp_topk / dd_lsh_tuning) —
-#: are exactly the rows with the deepest multi-round green history
-#: (r01+r02+r04) and untouched code; they are PROMISED the r08 window
-#: (tests/test_registry_gate.py R08_DEFERRED pins the list). Adding a
-#: query mid-round means adding it HERE too, displacing another (d) row
-#: into R08_DEFERRED.
+#: Round-8 composition policy (the r07 window went 50/50 green; r07's
+#: R08_DEFERRED promise is paid FIRST, per VERDICT r07 ask #1):
+#: (a) the 23 R08_DEFERRED rows (last green r04 — the stalest evidence
+#: in the registry; after this rotation no row's driver evidence is
+#: older than two rounds, for the first time since r03);
+#: (b) the round-8 additions (never driver-attested) — see the top of
+#: the list; each displaces a (c) row into R09_DEFERRED
+#: (tests/test_registry_gate.py pins that list);
+#: (c) 27 − |new| of the 50 r06-attested rows, chosen module-order-first
+#: so the wt_* reference-parity family re-attests on the freshest
+#: testdata. The r06 rows NOT taken are PROMISED the r09 window
+#: (they would be three rounds stale by r09 — same debt class the
+#: R08_DEFERRED set was).
 GATE_WINDOW: list[str] = [
-    # (a) never driver-attested (incl. the round-7 additions; the
-    # late-round-7 additions wt_pagerank / wt_markov_transitions /
-    # rel_hourly_autocorr displaced tx_pack, tx_pack_split and
-    # ann_pq_topk from (d) into R08_DEFERRED — each displaced row has an
-    # in-window sibling exercising the same operator module
-    # (tx_pack_sharded for the packing fold, ann_ivfpq_topk for the ADC
-    # path), so no operator code path leaves the window)
-    # (the continuation batch rel_sessionize / wt_coedit_pairs /
-    # tx_stratified_sample / tx_leakage_split displaced ann_sq_topk,
-    # rel_event_funnel, tx_length_histogram and dd_substring_runs from
-    # (d) into R08_DEFERRED — ann_ivfpq_topk keeps the quantized-ANN
-    # path in-window, the rel events family keeps hourly_anomalies/
-    # ewma/autocorr, tx keeps a dozen siblings, and dd_substring_runs'
-    # scrub sibling was attested r06)
-    "rel_sessionize",
-    "wt_coedit_pairs",
-    "tx_stratified_sample",
-    "tx_leakage_split",
-    "wt_pagerank",
-    "wt_markov_transitions",
-    "rel_hourly_autocorr",
-    "wt_ingest_dedup",
-    "tx_bm25_topk",
-    "tx_collocations",
-    "tx_novelty",
-    "dd_cross_source_dups",
-    "ann_rp_topk",
-    "dd_lsh_tuning",
-    # (b) code changed this round after the r04 attestation
-    "tx_tfidf_terms",
-    # (c) the twice-promised R06_DEFERRED cohort (last green r03)
-    "rel_scalar_functions",
-    "rel_pivot_status",
-    "rel_json_props",
-    "rel_approx_segments",
-    "rel_grouping_sets",
-    "rel_percentiles",
-    "rel_corr_subquery",
-    "rel_suppliers_with_shipments",
-    "rel_recursive_months",
-    "rel_approx_percentiles",
-    "rel_customers_without_orders",
-    "rel_order_gaps",
-    "rel_lateral_topk",
-    "rel_pricing_summary",
-    "rel_asof_last_signup",
-    "tx_chunks",
-    # (d) the r04 cohort (two rounds stale), minus the 16 deferred
-    "ann_ivfpq_topk",
-    "ann_kmeans_refine",
-    "ann_range_search",
-    "dd_embedding_neardup_exact",
-    "dd_semantic_dedup",
-    "mm_wav_features",
-    "mm_y4m_frames",
-    "rel_hourly_anomalies",
-    "rel_hourly_ewma",
-    "rel_interval_coverage",
-    "rel_salted_revenue",
-    "rel_value_pareto",
-    "rel_window_rank_suite",
-    "tx_boilerplate",
-    "tx_bpe_merges",
-    "tx_mix_sample",
-    "tx_mix_weights",
-    "tx_pack_sharded",
-    "tx_rarity",
+    # (b) round-8 additions, never driver-attested (each displaced one
+    # (c) row into R09_DEFERRED — see tests/test_registry_gate.py)
+    # (a) the R08_DEFERRED cohort, last green r04 — the promise
+    "ann_sq_topk",
+    "rel_event_funnel",
+    "tx_length_histogram",
+    "dd_substring_runs",
+    "tx_pack",
+    "tx_pack_split",
+    "ann_pq_topk",
+    "dd_exact_groups",
+    "dd_simhash",
+    "rel_acctbal_band_pairs",
+    "rel_cube_summary",
+    "rel_regional_revenue",
+    "rel_rolling_revenue_window",
+    "rel_rollup_orders",
+    "rel_running_revenue",
+    "rel_signup_burst",
+    "rel_small_quantity_revenue",
+    "rel_top_customers",
+    "rel_topk_per_brand",
+    "rel_unpivot_presence",
+    "tx_fingerprint",
+    "tx_quality",
+    "tx_langid",
+    # (c) r06-attested rows, module-order-first (wt_* parity family
+    # first), re-attesting on current testdata
+    "wt_page_state",
+    "wt_most_edited",
+    "wt_biggest_movers",
+    "wt_most_vibrant",
+    "wt_top_pages_per_wiki",
+    "wt_purge_survivors",
+    "wt_epm_variants",
+    "wt_purge_safe_list",
+    "wt_classify_counts",
+    "wt_windowed_activity",
+    "wt_session_activity",
+    "wt_delete_targets",
+    "wt_protect_followups",
+    "wt_page_state_lifecycle",
+    "wt_lifecycle_replay",
+    "wt_stream_replay",
+    "wt_stream_heavy_hitters",
+    "wt_state_diff",
+    "tx_token_stats",
+    "tx_repetition",
+    "tx_vocab",
+    "tx_split",
+    "tx_dedup_lineage",
+    "dd_containment",
+    "dd_jaccard_histogram",
+    "tx_substring_scrub",
+    "ann_ivfpq_rerank",
 ]
-
 GATE_SIZE = 50
 
 
