@@ -413,10 +413,11 @@ def test_markov_and_pagerank_cut_without_global_sort(plans):
     queries."""
     plan = plans("wt_markov_transitions")
     assert "TakeOrderedAndProject(limit=25" in plan
-    # the lag window that builds transitions partitions by user — a
-    # window with an empty partition spec would funnel every event
-    # through one task
-    assert "windowspecdefinition(user#" in plan
+    # the per-user lag window sits BEHIND the trans localCheckpoint
+    # since ADVICE r7 (multi-consumer barrier), so it no longer appears
+    # in this plan — test_transition_graph_pre_checkpoint_shape pins it
+    # on the pre-checkpoint relation instead
+    assert "Scan ExistingRDD" in plan
     plan2 = plans("wt_pagerank")
     assert "TakeOrderedAndProject(limit=20" in plan2
 

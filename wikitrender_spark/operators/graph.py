@@ -87,7 +87,13 @@ def markov_top_transitions(trans: DataFrame, k: int = 25) -> DataFrame:
     empirical transition probability src->dst is the RATIONAL pair
     (w, out_w) — never materialized as a float, per the oracle
     portability rule. Deterministic cut: (w desc, src, dst) is a total
-    order. TakeOrderedAndProject shape (no global sort)."""
+    order. TakeOrderedAndProject shape (no global sort).
+
+    trans is localCheckpoint'd before the join with its own
+    re-aggregation: both join branches consume it, and without the
+    barrier the whole classified-events lag-window pipeline would be
+    recomputed per branch (the pagerank/lsh precedent; ADVICE r7)."""
+    trans = trans.localCheckpoint()
     return (
         trans.join(out_weights(trans), "src")
         .orderBy(F.desc("w"), F.asc("src"), F.asc("dst"))
@@ -114,6 +120,11 @@ def pagerank(
     The edges relation (trans + out-weights) is checkpointed once and
     re-read every iteration; scores are checkpointed per iteration to
     cut lineage (see module docstring for the full scale shape)."""
+    # barrier before the self-referential join: both branches (trans
+    # itself and its out-weight re-aggregation) would otherwise
+    # recompute the upstream lag-window pipeline while materializing
+    # the edges checkpoint
+    trans = trans.localCheckpoint()
     edges = (
         trans.join(out_weights(trans), "src")
         .select("src", "dst", "w", "out_w")
@@ -197,8 +208,9 @@ def coedit_pairs(
       most-edited pages (deterministic: edits desc, id asc), not
       exploded quadratically and not dropped entirely;
     - the self-join on user is an equi-join of two cap-bounded
-      relations sharing one partitioning; the pair aggregation is a
-      hash-agg on (page_a, page_b);
+      relations sharing one partitioning; top_pages is
+      localCheckpoint'd first so the pre-agg + rank pipeline is
+      computed once, not once per join branch (ADVICE r7);
     - final cut: orderBy + limit = TakeOrderedAndProject; the rank
       column is windowed over the k-row relation only (the
       tx_bm25_topk lesson)."""
@@ -212,6 +224,7 @@ def coedit_pairs(
         ue.withColumn("pr", F.row_number().over(w))
         .filter(F.col("pr") <= cap)
         .select("user", "id")
+        .localCheckpoint()
     )
     pairs = (
         top_pages.alias("a")

@@ -1343,16 +1343,23 @@ def hourly_autocorr(ev: DataFrame) -> DataFrame:
         .filter(F.col("y").isNotNull())
     )
     d38 = "decimal(38,0)"
+    # cast x/y to DECIMAL(38,0) BEFORE the products: a BIGINT x*y inner
+    # sum wraps silently (non-ANSI Spark) around hourly counts of ~3e7
+    # over a year of cells, while the oracle sums into HUGEINT exactly —
+    # the decimal boundary must sit where the accumulation happens, not
+    # after it (ADVICE r7)
+    xd, yd = F.col("x").cast(d38), F.col("y").cast(d38)
     agg = pairs.groupBy("event_type", "lag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
-    n, sx, sy = [F.col(c).cast(d38) for c in ("n_pairs", "sx", "sy")]
-    sxy, sxx, syy = [F.col(c).cast(d38) for c in ("sxy", "sxx", "syy")]
+    n = F.col("n_pairs").cast(d38)
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     return agg.select(
         "event_type",
         "lag",
