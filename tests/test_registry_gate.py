@@ -43,6 +43,8 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_fingerprint",
     "tx_quality",
     "tx_langid",
+    # round-8 additions, never driver-attested
+    "wt_ingest_dedup_watermark",
 }
 
 #: The 23 r06-attested rows NOT taken into the r08 window (the other 27
@@ -54,6 +56,9 @@ NEVER_OR_STALE_ATTESTED = {
 #: cohort into this set, newest-displacement-first, per the established
 #: rule.
 R09_DEFERRED = {
+    # displaced by wt_ingest_dedup_watermark (ADC re-rank module keeps
+    # pytest coverage; the whole ann cohort re-attests r09)
+    "ann_ivfpq_rerank",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

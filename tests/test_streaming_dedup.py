@@ -155,3 +155,50 @@ def test_ingest_dedup_replay_collapses_injected_dupes(spark, tmp_path):
         os.path.join(work, "ingest_chunks")
     )
     assert raw.count() == n_src + n_dupes
+
+
+def test_watermark_dedup_readmits_exactly_the_expired_dupes(spark, tmp_path):
+    """wt_ingest_dedup_watermark core: the three-batch late-dupe replay
+    through dropDuplicatesWithinWatermark re-admits EXACTLY the mod-7
+    events whose event time falls at least the guard band below
+    max_ts - 2H (their state expired before the sentinel batch's
+    eviction sweep) — and drops every other re-emission. Both tails must
+    be non-empty on the sf corpus or the check is degenerate."""
+    import uuid
+
+    from wikitrender_spark.operators.derive import read_events_raw
+
+    src = read_events_raw(spark, SF_DIR).select("event_id", "ts")
+    lo, hi = src.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    h_us = ((hi - lo) // 4 // 1_000_000) * 1_000_000
+    cutoff = hi - 2 * h_us
+    us = F.unix_micros("ts")
+    mod7 = src.filter(F.col("event_id") % sdedup.INGEST_DUP_MOD == 0)
+    expected_survive = {
+        r.event_id
+        for r in mod7.filter(
+            us <= cutoff - sdedup.WATERMARK_GUARD_US
+        ).collect()
+    }
+    expected_dropped = {
+        r.event_id
+        for r in mod7.filter(us >= cutoff + sdedup.WATERMARK_GUARD_US).collect()
+    }
+    assert expected_survive and expected_dropped, "degenerate split"
+
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    name = "ingest_wm_test_" + uuid.uuid4().hex[:8]
+    out = sdedup.ingest_dedup_watermark_to_memory(spark, SF_DIR, work, name, ckpt)
+    from collections import Counter
+
+    counts = Counter(r.event_id for r in out.select("event_id").collect())
+    assert counts.pop(-1) == 1  # the sentinel, exactly once
+    twice = {k for k, c in counts.items() if c == 2}
+    assert twice == expected_survive
+    assert max(counts.values()) == 2
+    # every source event survives at least once, incl. the dropped-dupe keys
+    assert set(counts) == {r.event_id for r in src.select("event_id").collect()}
+    assert expected_dropped <= {k for k, c in counts.items() if c == 1}

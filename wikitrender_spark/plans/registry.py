@@ -58,7 +58,10 @@ _loaded = False
 #: R08_DEFERRED set was).
 GATE_WINDOW: list[str] = [
     # (b) round-8 additions, never driver-attested (each displaced one
-    # (c) row into R09_DEFERRED — see tests/test_registry_gate.py)
+    # (c) row into R09_DEFERRED — see tests/test_registry_gate.py;
+    # wt_ingest_dedup_watermark displaced ann_ivfpq_rerank, whose ADC
+    # re-rank module stays exercised via the r09-promised ann cohort)
+    "wt_ingest_dedup_watermark",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -111,7 +114,6 @@ GATE_WINDOW: list[str] = [
     "dd_containment",
     "dd_jaccard_histogram",
     "tx_substring_scrub",
-    "ann_ivfpq_rerank",
 ]
 GATE_SIZE = 50
 

@@ -508,6 +508,42 @@ GROUP BY event_type
 ORDER BY event_type"""
 
 
+def ingest_dedup_watermark_oracle() -> str:
+    """Survivor aggregate after WATERMARK-BOUNDED ingest dedup. The
+    replay (streaming/dedup.replay_events_with_late_dupes) pins the
+    engine outcome to pure arithmetic: every source event survives once,
+    plus one extra copy of each mod-7 event whose event time falls at
+    least the guard band below ``max_ts - 2*H`` (H = span/4 in whole
+    seconds) — the dupes whose state the horizon already reclaimed.
+    Identical integer µs arithmetic on both sides (DuckDB // == Spark
+    DIV for the non-negative operands)."""
+    from ..streaming.dedup import INGEST_DUP_MOD, WATERMARK_GUARD_US
+
+    return f"""
+WITH b AS (
+  SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS hius,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS lous
+  FROM events),
+p AS (
+  SELECT hius - 2 * (((hius - lous) // 4 // 1000000) * 1000000) AS cutoff
+  FROM b),
+surviving_dupes AS (
+  SELECT e.event_type, e.event_id
+  FROM events e, p
+  WHERE e.event_id % {INGEST_DUP_MOD} = 0
+    AND epoch_us(e.ts) <= p.cutoff - {WATERMARK_GUARD_US}),
+all_rows AS (
+  SELECT event_type, event_id FROM events
+  UNION ALL
+  SELECT event_type, event_id FROM surviving_dupes)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM all_rows
+GROUP BY event_type
+ORDER BY event_type"""
+
+
 def transitions_cte() -> str:
     """CTE chain for the edit-transition graph (mirrors
     operators/graph.edit_transitions level-for-level): classified edit

@@ -346,6 +346,46 @@ def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingest_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION ingest dedup end-to-end (r07 ask #4): the
+    watermark-bounded ``dropDuplicatesWithinWatermark`` variant, whose
+    state is reclaimed at the event-time horizon instead of growing with
+    distinct keys forever. The replay
+    (streaming/dedup.replay_events_with_late_dupes) re-emits the mod-7
+    events at max_ts AFTER a sentinel batch lets the engine evict
+    expired state, so exactly the dupes whose originals fell more than
+    2*horizon before max_ts are re-admitted — deterministic survivors
+    the oracle states as a pure filter (``ts <= max_ts - 2H - guard``).
+    Unlike wt_ingest_dedup (whose oracle is "the source table, dupes
+    all collapsed"), this one's oracle carries the DECLARED
+    tail-duplicate loss of bounded state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.dedup import ingest_dedup_watermark_to_memory
+
+    name = "wt_ingest_wm_" + uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix="wt_ingest_wm_")
+    ckpt = tempfile.mkdtemp(prefix="wt_ingest_wm_ckpt_")
+    try:
+        survivors = ingest_dedup_watermark_to_memory(
+            spark, sf_dir, work, name, ckpt
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        survivors.filter(F.col("event_id") >= 0)  # drop the sentinel
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _DIFF_COLS = ["edits", "anonEdits", "reverts", "bytesChanged"]
 
 
@@ -478,6 +518,7 @@ QUERIES = {
     "wt_stream_heavy_hitters": q_stream_heavy_hitters,
     "wt_state_diff": q_state_diff,
     "wt_ingest_dedup": q_ingest_dedup,
+    "wt_ingest_dedup_watermark": q_ingest_dedup_watermark,
     "wt_markov_transitions": q_markov_transitions,
     "wt_pagerank": q_pagerank,
     "wt_coedit_pairs": q_coedit_pairs,
@@ -503,6 +544,7 @@ ORACLES = {
     "wt_stream_heavy_hitters": sqlgen.heavy_hitters_oracle(HH_TOPK),
     "wt_state_diff": sqlgen.state_diff_oracle(),
     "wt_ingest_dedup": sqlgen.ingest_dedup_oracle(),
+    "wt_ingest_dedup_watermark": sqlgen.ingest_dedup_watermark_oracle(),
     "wt_markov_transitions": sqlgen.markov_transitions_oracle(MARKOV_TOPK),
     "wt_coedit_pairs": sqlgen.coedit_pairs_oracle(
         cap=graph.COEDIT_CAP, k=graph.COEDIT_TOPK

@@ -39,6 +39,14 @@ INGEST_DUP_MOD = 7
 #: the grouping column; the stream never carries the wide row
 _INGEST_SCHEMA = "event_id long, event_type string"
 
+#: guard band (µs) around the watermark-survival cutoff: rows whose
+#: event time is within this band of `max_ts - 2*horizon` are excluded
+#: from the late-dupe re-emission, so the replay outcome never rides on
+#: the engine's eviction boundary strictness (measured: eviction fires
+#: at expiry <= watermark) or on Spark's ms-precision watermark
+#: truncation against µs event times
+WATERMARK_GUARD_US = 1_000_000
+
 
 def replay_events_with_dupes(
     spark: SparkSession, sf_dir: str, work_dir: str, dup_mod: int = INGEST_DUP_MOD
@@ -94,6 +102,99 @@ def ingest_dedup_to_memory(
     # stays valid for the caller's lifetime with no per-run temp view
     # accumulating in the session catalog — and no trap where a later
     # invocation's cleanup invalidates an earlier invocation's result
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def replay_events_with_late_dupes(
+    spark: SparkSession, sf_dir: str, work_dir: str, dup_mod: int = INGEST_DUP_MOD
+) -> tuple[DataFrame, str]:
+    """Three-micro-batch replay that makes the WATERMARK-BOUNDED dedup
+    outcome fully deterministic (and so oracle-expressible). With
+    horizon H = span/4 (whole seconds):
+
+    - batch 1: the full events table at its real event times;
+    - batch 2: one sentinel row (event_id = -1) at max_ts — its only
+      job is the batch boundary: streaming-dedup state is evicted at
+      the END of a batch with that batch's watermark (measured — a
+      dupe arriving in the very next batch after the watermark passes
+      its key's expiry still sees live state), so the engine needs one
+      batch at watermark ``max_ts - H`` before the late dupes arrive;
+    - batch 3: every event with ``event_id % dup_mod == 0`` re-emitted
+      at max_ts (never late), EXCLUDING rows within WATERMARK_GUARD_US
+      of the survival cutoff.
+
+    A batch-3 dupe survives iff its original's state expired before the
+    batch-2 eviction sweep: ``ts + H <= max_ts - H``, i.e.
+    ``ts <= max_ts - 2H``. The guard band keeps boundary rows out of
+    the replay entirely, so the survivor set is exactly
+    ``{ts <= cutoff - guard}`` — a pure filter the DuckDB twin states
+    verbatim (sqlgen.ingest_dedup_watermark_oracle).
+
+    Returns (stream, horizon_string). The min/max scan is replay
+    CONSTRUCTION (one 2-value first()), not operator work."""
+    from ..operators.derive import read_events_raw
+    from ..sources.replay import write_ordered_chunks
+
+    src = read_events_raw(spark, sf_dir).select("event_id", "event_type", "ts")
+    lo, hi = src.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    h_s = (hi - lo) // 4 // 1_000_000
+    h_us = h_s * 1_000_000
+    cutoff = hi - 2 * h_us
+    max_ts = F.timestamp_micros(F.lit(hi))
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit("sentinel").alias("event_type"),
+        max_ts.alias("ts"),
+    )
+    us = F.unix_micros("ts")
+    late_dupes = src.filter(
+        (F.col("event_id") % dup_mod == 0)
+        & (
+            (us <= F.lit(cutoff - WATERMARK_GUARD_US))
+            | (us >= F.lit(cutoff + WATERMARK_GUARD_US))
+        )
+    ).select("event_id", "event_type", max_ts.alias("ts"))
+    chunk_dir = os.path.join(work_dir, "ingest_wm_chunks")
+    write_ordered_chunks((src, sentinel, late_dupes), chunk_dir)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    return stream, f"{h_s} seconds"
+
+
+def ingest_dedup_watermark_to_memory(
+    spark: SparkSession, sf_dir: str, work_dir: str, name: str, ckpt: str
+) -> DataFrame:
+    """Run the late-dupe replay through ``dropDuplicatesWithinWatermark``
+    on the event identity key into a memory sink; returns the survivor
+    relation (sentinel included — callers filter ``event_id >= 0``).
+    This is the PRODUCTION ingest-dedup variant: state bounded by the
+    event-time horizon instead of growing with distinct keys forever,
+    at the declared cost that a duplicate arriving after its original's
+    horizon expires is re-admitted — which the replay pins as exact,
+    deterministic survivors."""
+    stream, horizon = replay_events_with_late_dupes(spark, sf_dir, work_dir)
+    deduped = stream.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # same memory-sink hygiene as ingest_dedup_to_memory: materialize,
+    # then drop the temp view immediately
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
