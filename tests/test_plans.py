@@ -453,3 +453,20 @@ def test_hourly_autocorr_window_above_aggregation_no_join(plans):
         assert set(cols) <= {"event_type", "ts"}
     assert "windowspecdefinition(event_type#" in plan
     assert "Join" not in plan
+
+
+def test_stratified_sample_keeps_two_phase_salted_windows(plans):
+    """tx_stratified_sample: the exact top-K per stratum must stay the
+    TWO-phase salted cut — phase 1 ranks inside (lang, source, cell)
+    salt cells, phase 2 re-ranks only the <= K*SAMPLE_CELLS survivors
+    per (lang, source). A future edit that collapses it back to one
+    stratum-wide window would funnel each stratum's full partition
+    through one task (the tx_bm25_topk failure mode) while staying
+    value-identical, so only a plan pin catches it."""
+    plan = plans("tx_stratified_sample")
+    assert re.search(
+        r"windowspecdefinition\(lang#\d+, source#\d+, cell#", plan
+    ), "phase-1 salt-cell window missing"
+    assert re.search(
+        r"windowspecdefinition\(lang#\d+, source#\d+, h#", plan
+    ), "phase-2 per-stratum window missing"
