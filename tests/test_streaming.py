@@ -906,3 +906,157 @@ def test_stream_static_enrichment_join(spark):
         q.awaitTermination()
         got = {r["tier"]: r["n"] for r in spark.table("t_stream_static").collect()}
     assert got == batch and len(got) == 2
+
+
+def test_tws_timer_sweeps_compose_with_moves_inprocess(spark):
+    """SURVEY §7's two hard parts COMPOSED (r07 ask #5): A4 renames
+    interleaved with P1/P2 timer sweeps through the TWS wall-clock
+    cleaner. The replay is chunked; after every chunk's fold a timer
+    sweep fires, so later chunks' moves run against swept state (and
+    some moves re-key pages the sweep already evicted — the
+    tombstone+adopt protocol over a purged source). Parity target: the
+    in-process fold with a purge-at-clock after each chunk — the same
+    recipe the batch/streaming purge tests pin — must match the
+    processor's final state AND its per-sweep tombstone sets."""
+    from wikitrender_spark.operators.derive import read_events_raw
+    from wikitrender_spark.streaming import processor_tws
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.timers = []
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _FakeValueState())
+
+        def registerTimer(self, ms):
+            self.timers.append(ms)
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, ms):
+            self.timers.remove(ms)
+
+    class _FakeTimerValues:
+        def __init__(self, ms):
+            self._ms = ms
+
+        def getCurrentProcessingTimeInMs(self):
+            return self._ms
+
+    params = fold.PurgeParams(
+        max_lifespan=40000.0, max_inactivity=6000.0,
+        min_speed=0.00015, min_purge_time=5.0,
+    )
+    n_chunks = 4
+
+    raw = (read_events_raw(spark, SF_DIR).select("event_id", "ts")
+           .toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True))
+    step = (len(raw) + n_chunks - 1) // n_chunks
+    chunk_of = {eid: i // step for i, eid in enumerate(raw["event_id"])}
+
+    rc = rc_events(spark, SF_DIR).withColumn("_grp", _group())
+    pdf = rc.toPandas().sort_values(["ts", "seq"]).reset_index(drop=True)
+
+    handles: dict[str, tuple] = {}
+    got_sweep_removed: list[set] = [set() for _ in range(n_chunks)]
+    clock_ms = 0
+    for i in range(n_chunks):
+        chunk = pdf[pdf["seq"].map(chunk_of) == i]
+        clock_ms += 20_000
+        for grp, gpdf in chunk.groupby("_grp"):
+            if grp not in handles:
+                proc = processor_tws.PageStateProcessor(
+                    purge=params, cleaner_interval_ms=20_000
+                )
+                h = _FakeHandle()
+                proc.init(h)
+                handles[grp] = (proc, h)
+            proc, h = handles[grp]
+            list(proc.handleInputRows(grp, iter([gpdf]),
+                                      _FakeTimerValues(clock_ms)))
+        # the periodic sweep: fire EVERY key's pending timer (quiet keys
+        # are swept too, like the reference's setInterval over the whole
+        # collection), framework-style keyword call + auto-delete
+        for grp, (proc, h) in handles.items():
+            for ms in list(h.timers):
+                if ms <= clock_ms + 20_000:
+                    out = list(proc.handleExpiredTimer(
+                        grp, timerValues=_FakeTimerValues(ms),
+                        expiredTimerInfo=None,
+                    ))
+                    h.timers.remove(ms)
+                    for o in out:
+                        got_sweep_removed[i] |= set(o[o["_deleted"]]["id"])
+
+    got = []
+    for proc, h in handles.values():
+        blob = h.states["fold"].get()
+        for p in fold.deserialize_titles(blob[0]).values():
+            got.append(tuple(fold.page_record(p).values()))
+
+    # expected: fold each chunk, then purge at each group's event-time
+    # clock — the recipe already proved equal to the streaming runs
+    state_by_grp: dict[str, dict] = {}
+    clock_by_grp: dict[str, int] = {}
+    exp_sweep_removed: list[set] = [set() for _ in range(n_chunks)]
+    n_moves_after_evicting_sweep = 0
+    n_moves_of_swept_source = 0
+    evicted_so_far: set = set()
+    any_eviction_yet = False
+    for i in range(n_chunks):
+        chunk = pdf[pdf["seq"].map(chunk_of) == i]
+        # non-degeneracy accounting BEFORE folding this chunk
+        moves = chunk[(chunk["log_type"] == "log")
+                      & (chunk["log_action"] == "move")]
+        if any_eviction_yet and len(moves):
+            n_moves_after_evicting_sweep += len(moves)
+        for _, mrow in moves.iterrows():
+            if fold.page_id(mrow["wiki"], mrow["title"]) in evicted_so_far:
+                n_moves_of_swept_source += 1
+        for grp, gpdf in chunk.groupby("_grp"):
+            titles = state_by_grp.setdefault(grp, {})
+            fold.fold_pdf(titles, gpdf.drop(columns=["_grp"]))
+            ev = gpdf[gpdf["log_type"] != "control"]
+            if len(ev):
+                clock_by_grp[grp] = max(
+                    clock_by_grp.get(grp, 0), fold._ts_us(ev["ts"].max())
+                )
+        for grp, titles in state_by_grp.items():
+            clock = clock_by_grp.get(grp, 0)
+            if clock == 0:
+                continue
+            removed = fold.purge_titles(
+                titles, pd.Timestamp(clock, unit="us"), params
+            )
+            exp_sweep_removed[i] |= removed
+            evicted_so_far |= removed
+        if exp_sweep_removed[i]:
+            any_eviction_yet = True
+    exp = []
+    for titles in state_by_grp.values():
+        for p in titles.values():
+            exp.append(tuple(fold.page_record(p).values()))
+
+    assert sorted(map(repr, got)) == sorted(map(repr, exp))
+    assert got_sweep_removed == exp_sweep_removed
+    # composition is non-degenerate: sweeps evicted before the replay
+    # ended, moves ran after an evicting sweep, and at least one move
+    # re-keyed a page an earlier sweep had purged
+    assert any(exp_sweep_removed[:-1])
+    assert n_moves_after_evicting_sweep > 0
+    assert n_moves_of_swept_source > 0
