@@ -12,6 +12,14 @@ Queries are materialized via the noop sink (full computation, no driver
 collect). The headline set spans every engine subsystem: keyed stateful
 aggregation + metrics + top-k (wikitrender core), exact lifecycle replay,
 relational joins/aggs, dedup sketching, ANN, text analysis.
+
+Two fixed suites (r07 ask #2): HEADLINE is frozen for cross-round
+comparability (metric/value on the stdout line stay headline-only);
+EXTENDED covers the round-6/7/8 additions that postdate the headline
+freeze. A default run times both and emits the extended results under
+the "extended" key of the same JSON line; `bench.py --extended` runs
+only the extended suite (local iteration), `--headline` only the
+headline one.
 """
 
 from __future__ import annotations
@@ -57,6 +65,34 @@ HEADLINE = [
     "mm_frame_sample",
 ]
 
+# The round-6/7/8 additions, frozen as their own suite with its own
+# BASELINE.md band. Order follows the registry.
+EXTENDED = [
+    "rel_sessionize",
+    "wt_coedit_pairs",
+    "tx_stratified_sample",
+    "tx_leakage_split",
+    "wt_pagerank",
+    "wt_markov_transitions",
+    "rel_hourly_autocorr",
+    "wt_ingest_dedup",
+    "wt_ingest_dedup_watermark",
+    "tx_bm25_topk",
+    "tx_collocations",
+    "tx_novelty",
+    "dd_cross_source_dups",
+    "ann_rp_topk",
+    "dd_lsh_tuning",
+]
+
+
+def _suites() -> list[str]:
+    if "--extended" in sys.argv[1:]:
+        return ["extended"]
+    if "--headline" in sys.argv[1:]:
+        return ["headline"]
+    return ["headline", "extended"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,10 +104,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = registry.all_queries()
+    suites = _suites()
+    names = (HEADLINE if "headline" in suites else []) + (
+        EXTENDED if "extended" in suites else []
+    )
     # warmup pass: executor spin-up, codegen, parquet footers — we report
     # steady-state times (second execution)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
+    for name in names:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     # 5 timed passes, round-robin over the suite (not 5x back-to-back per
@@ -89,10 +129,10 @@ def main() -> None:
     # host-level contention outside Spark; median-of-5 keeps one or two
     # co-tenant stalls from moving the reported number.
     n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5"))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in names}
     warm_pass: dict[str, float] = {}
     for pass_i in range(n_samples + 1):
-        for name in HEADLINE:
+        for name in names:
             # time CONSTRUCTION + EXECUTION together: several queries do
             # eager work at construction (localCheckpoint
             # materializations, the connected-components driver loop),
@@ -112,31 +152,34 @@ def main() -> None:
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()
     }
-    total = round(sum(timings.values()), 3)
+    head = {n: timings[n] for n in HEADLINE if n in timings}
+    ext = {n: timings[n] for n in EXTENDED if n in timings}
+    total = round(sum(head.values()), 3)
     # Raw samples go to a side file so the stdout JSON line stays compact
     # (r04: the driver truncated the fat line and lost the headline).
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json")
     with open(side, "w") as f:
         json.dump({"samples": samples, "warm_pass": warm_pass, "sf": sf}, f)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                # self-describing timing basis (r05 ask #2): each query's
-                # number covers plan CONSTRUCTION + EXECUTION, sampled
-                # median-of-5 after an excluded warm pass. Compare against
-                # the BASELINE.md band, not any single prior value — r05
-                # vs r06 showed identical code drifting 30.0 -> 36.8s
-                # under host contention alone.
-                "methodology": "construction+execution, median-of-5, warm pass excluded",
-                "queries": timings,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    out = {
+        # metric/value stay HEADLINE-ONLY even when both suites run, so
+        # the cross-round trend never mixes suite compositions
+        "metric": "headline_suite_wall_seconds" if head
+        else "extended_suite_wall_seconds",
+        "value": total if head else round(sum(ext.values()), 3),
+        "unit": "sec",
+        # self-describing timing basis (r05 ask #2): each query's
+        # number covers plan CONSTRUCTION + EXECUTION, sampled
+        # median-of-5 after an excluded warm pass. Compare against
+        # the BASELINE.md band, not any single prior value — r05
+        # vs r06 showed identical code drifting 30.0 -> 36.8s
+        # under host contention alone.
+        "methodology": "construction+execution, median-of-5, warm pass excluded",
+        "queries": head if head else ext,
+        "sf": sf,
+    }
+    if head and ext:
+        out["extended"] = {"value": round(sum(ext.values()), 3), "queries": ext}
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -5,6 +5,12 @@ over the same sf dir; compare row count, column names/types, and values
 then 1e-9-relative fallback reporting for doubles).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --non-gated
+
+--non-gated runs exactly the registry rows OUTSIDE registry.GATE_WINDOW
+(the driver attests only the first 50, so this is the round ritual's
+complement sweep — record its pass count in NOTES.md each round, r07
+ask #6).
 """
 
 from __future__ import annotations
@@ -86,8 +92,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    non_gated = "--non-gated" in args
+    args = [a for a in args if a != "--non-gated"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if non_gated:
+        from wikitrender_spark.plans import registry
+
+        only = set(registry.all_queries()) - set(registry.GATE_WINDOW)
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
