@@ -124,3 +124,17 @@ def test_rp_shortlist_reranking_restores_recall(clustered):
     r_sl = len(sl & bf) / len(bf)
     assert r_sl >= 0.9, f"RP shortlist recall {r_sl:.3f} < 0.9"
     assert r_sl >= r_plain, (r_sl, r_plain)
+
+
+def test_ivf_rp_composed_recall_with_fixed_shortlist(clustered):
+    """Composed IVF+RP (r07 ask #7): the coarse quantizer bounds the
+    candidate pool at nprobe x cell size, so a FIXED re-rank depth of
+    1.5x the cell size suffices — the corpus-scaled R the standalone RP
+    contract needs is exactly what the composition removes (the 50k
+    measurement lives in tools/ann_recall_probe.py)."""
+    bf = _pairs(ann.brute_force_topk(clustered, QUERY_IDS, K))
+    composed = _pairs(ann.ivf_rp_topk(
+        clustered, QUERY_IDS, K, shortlist=PER_CLUSTER * 3 // 2
+    ))
+    recall = len(composed & bf) / len(bf)
+    assert recall >= 0.9, f"IVF+RP recall {recall:.3f} < 0.9"

@@ -45,6 +45,7 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_langid",
     # round-8 additions, never driver-attested
     "wt_ingest_dedup_watermark",
+    "ann_ivf_rp_topk",
 }
 
 #: The 23 r06-attested rows NOT taken into the r08 window (the other 27
@@ -56,9 +57,9 @@ NEVER_OR_STALE_ATTESTED = {
 #: cohort into this set, newest-displacement-first, per the established
 #: rule.
 R09_DEFERRED = {
-    # displaced by wt_ingest_dedup_watermark (ADC re-rank module keeps
-    # pytest coverage; the whole ann cohort re-attests r09)
+    # displaced by wt_ingest_dedup_watermark / ann_ivf_rp_topk
     "ann_ivfpq_rerank",
+    "tx_substring_scrub",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

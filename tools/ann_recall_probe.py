@@ -26,6 +26,12 @@ Contracts:
 - RP with a CORPUS-SCALED shortlist (R = N // RP_SHORTLIST_DIVISOR —
   a global projected scan has no cell restriction, so fixed R leaks as
   N grows) >= 0.95.
+- COMPOSED IVF+RP (ann.ivf_rp_topk, r07 ask #7) >= 0.95 with a FIXED
+  shortlist (R = the cell size, NOT scaled to N): the coarse quantizer
+  bounds the candidate pool at nprobe x cell size, so the corpus-growth
+  leak that forces standalone RP's R = N/5 never happens — the measured
+  argument for composing RP behind a quantizer instead of running it
+  standalone.
 
 Any violated contract exits 1.
 
@@ -71,6 +77,15 @@ IVFPQ_SHORTLIST_FLOOR = 0.95
 RP_BAND = (0.05, 0.6)
 RP_SHORTLIST_DIVISOR = 5  # R = n_vectors // RP_SHORTLIST_DIVISOR
 RP_SHORTLIST_FLOOR = 0.95
+IVF_RP_FLOOR = 0.95  # composed tier, FIXED R (below)
+#: composed-tier re-rank depth: 1.5x the cell size. R must cover the
+#: query's own cell PLUS margin for the second probed cell's members
+#: whose projected scores edge out tail true neighbors (R = cell size
+#: exactly measured 0.95 at 2k but 0.935 at 10k — the distortion loss
+#: is a fixed fraction of the SECOND cell's intrusions, not of N). The
+#: point of the contract is that R stays FIXED as the corpus grows —
+#: vs standalone RP's R = N/5 — not that R equals the cell size.
+IVF_RP_SHORTLIST = PER_CLUSTER * 3 // 2
 
 
 def planted(spark, n_vectors: int):
@@ -136,11 +151,16 @@ def main() -> None:
     )
     t_ivfpq_sl = round(time.perf_counter() - t0, 2)
 
+    t0 = time.perf_counter()
+    ivf_rp = pairs(ann.ivf_rp_topk(emb, query_ids, K, shortlist=IVF_RP_SHORTLIST))
+    t_ivf_rp = round(time.perf_counter() - t0, 2)
+
     r_ivf = len(ivf & bf) / len(bf)
     r_rp = len(rp & bf) / len(bf)
     r_rp_sl = len(rp_sl & bf) / len(bf)
     r_ivfpq = len(ivfpq & bf) / len(bf)
     r_ivfpq_sl = len(ivfpq_sl & bf) / len(bf)
+    r_ivf_rp = len(ivf_rp & bf) / len(bf)
     print(
         json.dumps(
             {
@@ -154,18 +174,22 @@ def main() -> None:
                 "recall_ivfpq_shortlist": round(r_ivfpq_sl, 4),
                 "recall_rp": round(r_rp, 4),
                 "recall_rp_shortlist": round(r_rp_sl, 4),
+                "recall_ivf_rp": round(r_ivf_rp, 4),
+                "ivf_rp_shortlist": IVF_RP_SHORTLIST,
                 "rp_shortlist": n_vectors // RP_SHORTLIST_DIVISOR,
                 "floor_ivf": IVF_FLOOR,
                 "band_ivfpq_adc": IVFPQ_ADC_BAND,
                 "floor_ivfpq_shortlist": IVFPQ_SHORTLIST_FLOOR,
                 "band_rp": RP_BAND,
                 "floor_rp_shortlist": RP_SHORTLIST_FLOOR,
+                "floor_ivf_rp": IVF_RP_FLOOR,
                 "sec_bruteforce": t_bf,
                 "sec_ivf": t_ivf,
                 "sec_ivfpq_adc": t_ivfpq,
                 "sec_ivfpq_shortlist": t_ivfpq_sl,
                 "sec_rp": t_rp,
                 "sec_rp_shortlist": t_rp_sl,
+                "sec_ivf_rp": t_ivf_rp,
             }
         )
     )
@@ -176,6 +200,7 @@ def main() -> None:
         and r_ivfpq_sl >= IVFPQ_SHORTLIST_FLOOR
         and RP_BAND[0] <= r_rp <= RP_BAND[1]
         and r_rp_sl >= RP_SHORTLIST_FLOOR
+        and r_ivf_rp >= IVF_RP_FLOOR
     )
     if not ok:
         sys.exit(1)

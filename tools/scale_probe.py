@@ -66,6 +66,14 @@ QUERIES = [
     "tx_rarity",
     "tx_tfidf_terms",
     "tx_mix_sample",
+    # round-8 (r07 ask #3): the graph layer — event-table queries
+    # (replication applies: user/event ids offset per replica, so user
+    # diversity and the transition edge set genuinely scale ~10x) and
+    # pagerank is the one iterative plan whose constant factors
+    # (localCheckpoints per iteration x K) deserve a measured ratio
+    "wt_markov_transitions",
+    "wt_pagerank",
+    "wt_coedit_pairs",
 ]
 
 

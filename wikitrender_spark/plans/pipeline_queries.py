@@ -2414,6 +2414,65 @@ JOIN nrm nc ON nc.vec_id = t.neighbor_id
 WHERE t.rank <= {ANN_K}"""
 
 
+#: fixed shortlist for the registered composed query: the sf corpora are
+#: near-random (no cluster structure), so the interesting gate property
+#: is bit-exact agreement of the composed plan, not recall; the recall
+#: contract lives in tools/ann_recall_probe.py on planted clusters.
+IVF_RP_QUERY_SHORTLIST = 40
+
+
+def q_ann_ivf_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF coarse quantizer + JL-projected candidate ranking +
+    exact shortlist re-rank (operators/ann.ivf_rp_topk) — the serving
+    composition whose FIXED re-rank depth the cell restriction makes
+    sufficient (standalone RP needs R = N/5; see the ann_recall_probe
+    contracts)."""
+    return ann.ivf_rp_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K,
+        shortlist=IVF_RP_QUERY_SHORTLIST,
+    )
+
+
+ANN_IVF_RP_SQL = f"""
+WITH {_IVF_CTE},
+pj AS (SELECT vec_id,
+         list_transform(range(1, {ann.RP_DIM + 1}), j ->
+           round(list_reduce(list_prepend(0.0,
+             list_transform(range(1, {ann.EMB_DIM + 1}),
+               i -> e.emb[i] * {_RP_SIGN_SQL})), (a, b) -> a + b), 4)) AS proj
+       FROM e),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id),
+sc AS (SELECT cd.query_id, cd.neighbor_id,
+         round(list_reduce(list_prepend(0.0,
+             list_transform(range(1, {ann.RP_DIM + 1}),
+               i -> q.proj[i] * n.proj[i])), (a, b) -> a + b), 6)
+           AS approx_score
+       FROM cand cd
+       JOIN pj q ON q.vec_id = cd.query_id
+       JOIN pj n ON n.vec_id = cd.neighbor_id),
+sl AS (SELECT query_id, neighbor_id, approx_score FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx_score DESC, neighbor_id ASC) AS rk
+         FROM sc) t
+       WHERE rk <= {IVF_RP_QUERY_SHORTLIST}),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id, s.approx_score,
+    round({_DOT64.format(a='eq.emb', b='ec.emb')} / (nq.nrm * nc.nrm), 6) AS sim
+  FROM sl s
+  JOIN e eq ON eq.vec_id = s.query_id
+  JOIN e ec ON ec.vec_id = s.neighbor_id
+  JOIN nrm nq ON nq.vec_id = s.query_id
+  JOIN nrm nc ON nc.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, approx_score, sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM rescored) t
+WHERE rank <= {ANN_K}"""
+
+
 ANN_SQ_SQL = f"""
 WITH {_COSINE_CTE},
 mm AS (SELECT ii.i AS i, min(e.emb[ii.i]) AS lo, max(e.emb[ii.i]) AS hi
@@ -2818,6 +2877,7 @@ QUERIES = {
     "tx_length_histogram": q_length_histogram,
     "ann_sq_topk": q_ann_sq,
     "ann_rp_topk": q_rp_topk,
+    "ann_ivf_rp_topk": q_ann_ivf_rp,
     "ann_pq_topk": q_ann_pq,
     "ann_ivfpq_topk": q_ann_ivfpq,
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
@@ -2879,6 +2939,7 @@ ORACLES = {
     "tx_length_histogram": LENGTH_HISTOGRAM_SQL,
     "ann_sq_topk": ANN_SQ_SQL,
     "ann_rp_topk": ANN_RP_SQL,
+    "ann_ivf_rp_topk": ANN_IVF_RP_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "ann_ivfpq_rerank": ANN_IVFPQ_RERANK_SQL,

@@ -62,6 +62,9 @@ GATE_WINDOW: list[str] = [
     # wt_ingest_dedup_watermark displaced ann_ivfpq_rerank, whose ADC
     # re-rank module stays exercised via the r09-promised ann cohort)
     "wt_ingest_dedup_watermark",
+    # ann_ivf_rp_topk displaced tx_substring_scrub (its run-hash module
+    # stays in-window via dd_substring_runs)
+    "ann_ivf_rp_topk",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -113,7 +116,6 @@ GATE_WINDOW: list[str] = [
     "tx_dedup_lineage",
     "dd_containment",
     "dd_jaccard_histogram",
-    "tx_substring_scrub",
 ]
 GATE_SIZE = 50
 
