@@ -183,3 +183,77 @@ def test_coedit_pairs_topk_tiebreak_is_lexicographic(spark):
     # both pairs have 1 shared editor; k=1 must keep (P1,P2) by id order
     got = [tuple(r) for r in graph.coedit_pairs(ev, cap=5, k=1).collect()]
     assert got == [("P1", "P2", 1, 1)]
+
+
+# --- degree top-k ------------------------------------------------------------
+def test_degree_topk_by_hand(spark):
+    ev = _events(spark, [
+        # A: P1 -> P2 -> P1; B: P1 -> P2; C: P3 -> P1
+        ("A", 0, 1, "P1"), ("A", 1, 2, "P2"), ("A", 2, 3, "P1"),
+        ("B", 0, 4, "P1"), ("B", 1, 5, "P2"),
+        ("C", 0, 6, "P3"), ("C", 1, 7, "P1"),
+    ])
+    # trans: P1->P2 w=2, P2->P1 w=1, P3->P1 w=1
+    got = [tuple(r) for r in
+           graph.degree_topk(graph.edit_transitions(ev), k=5).collect()]
+    # node, in_deg, out_deg, in_w, out_w, rank (total-degree desc, id asc)
+    assert got == [
+        ("P1", 2, 1, 2, 2, 1),  # in from P2,P3; out to P2 (w=2)
+        ("P2", 1, 1, 2, 1, 2),
+        ("P3", 0, 1, 0, 1, 3),  # pure source: in side coalesced to 0
+    ]
+
+
+# --- co-edit triangles -------------------------------------------------------
+def test_coedit_triangles_by_hand(spark):
+    # editor sets: P1&P2 share {A,B}; P1&P3 share {A,C}; P2&P3 share
+    # {A,D}; P4 pairs with P1 only via E (w=1, cut by min_w=2)
+    ev = _coedit_events(spark, [
+        ("A", False, "P1"), ("A", False, "P2"), ("A", False, "P3"),
+        ("B", False, "P1"), ("B", False, "P2"),
+        ("C", False, "P1"), ("C", False, "P3"),
+        ("D", False, "P2"), ("D", False, "P3"),
+        ("E", False, "P1"), ("E", False, "P4"),
+        ("F", False, "P1"), ("F", False, "P2"),  # (P1,P2) -> w=3
+    ])
+    got = [tuple(r) for r in
+           graph.coedit_triangles(ev, cap=10, min_w=2, k=5).collect()]
+    # one triangle: (P1,P2,P3) with w_ab=3 (P1P2), w_ac=2 (P1P3),
+    # w_bc=2 (P2P3)
+    assert got == [("P1", "P2", "P3", 3, 2, 2, 1)]
+
+
+def test_coedit_triangles_count_matches_naive(spark):
+    """Degree-ordered enumeration finds each triangle EXACTLY once:
+    compare against a brute-force closure over the same thresholded
+    pair relation on a denser random-ish (but deterministic) fixture."""
+    import itertools
+
+    rows = []
+    # 8 pages, 12 users, deterministic membership: user u edits page p
+    # iff (u*3 + p*p) % 4 < 2 — dense enough for several triangles
+    for u in range(12):
+        for p in range(8):
+            if (u * 3 + p * p) % 4 < 2:
+                rows.append((f"U{u}", False, f"P{p}"))
+    ev = _coedit_events(spark, rows)
+    pairs = {
+        (r["page_a"], r["page_b"]): r["n_coeditors"]
+        for r in graph.coedit_pair_weights(ev, cap=40).collect()
+        if r["n_coeditors"] >= 2
+    }
+    naive = set()
+    verts = sorted({v for p in pairs for v in p})
+    for t in itertools.combinations(verts, 3):
+        a, b, c = t
+        if ((a, b) in pairs and (a, c) in pairs and (b, c) in pairs):
+            naive.add(t)
+    got = [tuple(r) for r in
+           graph.coedit_triangles(ev, cap=40, min_w=2, k=1000).collect()]
+    assert len(got) == len(naive) > 0
+    assert {(r[0], r[1], r[2]) for r in got} == naive
+    # weights on each triangle row match the pair relation
+    for pa, pb, pc, wab, wac, wbc, _rank in got:
+        assert (wab, wac, wbc) == (
+            pairs[(pa, pb)], pairs[(pa, pc)], pairs[(pb, pc)]
+        )

@@ -46,6 +46,8 @@ NEVER_OR_STALE_ATTESTED = {
     # round-8 additions, never driver-attested
     "wt_ingest_dedup_watermark",
     "ann_ivf_rp_topk",
+    "wt_graph_degrees",
+    "wt_coedit_triangles",
 }
 
 #: The 23 r06-attested rows NOT taken into the r08 window (the other 27
@@ -57,9 +59,12 @@ NEVER_OR_STALE_ATTESTED = {
 #: cohort into this set, newest-displacement-first, per the established
 #: rule.
 R09_DEFERRED = {
-    # displaced by wt_ingest_dedup_watermark / ann_ivf_rp_topk
+    # displaced by the round-8 additions (wt_ingest_dedup_watermark,
+    # ann_ivf_rp_topk, wt_graph_degrees, wt_coedit_triangles)
     "ann_ivfpq_rerank",
     "tx_substring_scrub",
+    "dd_containment",
+    "dd_jaccard_histogram",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

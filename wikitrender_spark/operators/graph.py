@@ -188,6 +188,38 @@ COEDIT_CAP = 40
 COEDIT_TOPK = 25
 
 
+def coedit_pair_weights(
+    edit_events: DataFrame, cap: int = COEDIT_CAP
+) -> DataFrame:
+    """(page_a, page_b, n_coeditors), page_a < page_b: the UNCUT
+    undirected co-edit pair relation — the shared body of coedit_pairs
+    (top-k cut) and coedit_triangles (closure join). See coedit_pairs
+    for the bounded-co-occurrence scale argument; the cap keeps this
+    relation's size at sum-over-users C(cap, 2) regardless of key
+    heat."""
+    ue = (
+        edit_events.filter(~F.col("is_bot"))
+        .groupBy("user", "id")
+        .agg(F.count(F.lit(1)).alias("n_edits"))
+    )
+    w = Window.partitionBy("user").orderBy(F.desc("n_edits"), F.asc("id"))
+    top_pages = (
+        ue.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= cap)
+        .select("user", "id")
+        .localCheckpoint()
+    )
+    return (
+        top_pages.alias("a")
+        .join(top_pages.alias("b"), "user")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("page_a"), F.col("b.id").alias("page_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_coeditors"))
+    )
+
+
 def coedit_pairs(
     edit_events: DataFrame, cap: int = COEDIT_CAP, k: int = COEDIT_TOPK
 ) -> DataFrame:
@@ -214,29 +246,163 @@ def coedit_pairs(
     - final cut: orderBy + limit = TakeOrderedAndProject; the rank
       column is windowed over the k-row relation only (the
       tx_bm25_topk lesson)."""
-    ue = (
-        edit_events.filter(~F.col("is_bot"))
-        .groupBy("user", "id")
-        .agg(F.count(F.lit(1)).alias("n_edits"))
-    )
-    w = Window.partitionBy("user").orderBy(F.desc("n_edits"), F.asc("id"))
-    top_pages = (
-        ue.withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= cap)
-        .select("user", "id")
-        .localCheckpoint()
-    )
-    pairs = (
-        top_pages.alias("a")
-        .join(top_pages.alias("b"), "user")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(
-            F.col("a.id").alias("page_a"), F.col("b.id").alias("page_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_coeditors"))
-    )
+    pairs = coedit_pair_weights(edit_events, cap)
     top = pairs.orderBy(
         F.desc("n_coeditors"), F.asc("page_a"), F.asc("page_b")
     ).limit(k)
     wr = Window.orderBy(F.desc("n_coeditors"), F.asc("page_a"), F.asc("page_b"))
     return top.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+DEGREE_TOPK = 25
+
+
+def degree_topk(trans: DataFrame, k: int = DEGREE_TOPK) -> DataFrame:
+    """(node, in_deg, out_deg, in_w, out_w, rank): the k most connected
+    pages of the transition graph by total degree — the degree layer of
+    the centrality report (PageRank weights by mass; degree counts
+    distinct neighbors, so a page fed thinly by many pages and one fed
+    heavily by one separate cleanly).
+
+    Scale shape: two hash-aggs over the edge relation (one per
+    direction), a full outer equi-join of the two O(nodes) relations
+    (no broadcast hint — the tx_collocations lesson), and a
+    TakeOrderedAndProject cut. trans is localCheckpoint'd before the
+    two-consumer fan-out (the markov/pagerank precedent)."""
+    trans = trans.localCheckpoint()
+    out_d = trans.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"), F.sum("w").alias("out_w")
+    )
+    in_d = trans.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg"), F.sum("w").alias("in_w")
+    )
+    nodes = (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_w", F.lit(0)).alias("in_w"),
+            F.coalesce("out_w", F.lit(0)).alias("out_w"),
+        )
+    )
+    top = nodes.orderBy(
+        F.desc(F.col("in_deg") + F.col("out_deg")), F.asc("node")
+    ).limit(k)
+    w = Window.orderBy(F.desc(F.col("in_deg") + F.col("out_deg")), F.asc("node"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+#: minimum shared-editor weight for an edge to enter the triangle
+#: closure: w >= 2 cuts the single-coincidence noise floor AND the edge
+#: volume (sf0.01: 21.5k edges vs 33k; the thresholded graph still
+#: closes ~1.2M triangles, so the check is never degenerate).
+TRIANGLE_MIN_W = 2
+TRIANGLE_TOPK = 10
+
+
+def coedit_triangles(
+    edit_events: DataFrame, cap: int = COEDIT_CAP,
+    min_w: int = TRIANGLE_MIN_W, k: int = TRIANGLE_TOPK,
+) -> DataFrame:
+    """Top-k triangles of the co-edit graph by total edge weight — the
+    community-structure probe one hop past coedit_pairs (a heavy
+    triangle is three pages with three pairwise-overlapping editor
+    sets: a topic cluster, not a coincidence).
+
+    Scale shape — DEGREE-ORDERED triangle enumeration (the classic
+    bounded closure; e.g. Suri & Vassilvitskii, WWW'11):
+    - the undirected edge relation is the cap-bounded co-edit pair set,
+      thresholded at min_w, localCheckpoint'd once (three consumers);
+    - each edge is ORIENTED from its lower-(degree, id) endpoint to the
+      higher one: out-fanout per node is then O(sqrt(m)) regardless of
+      how hot a page is — an id-ordered orientation would give hub
+      pages unbounded fanout in the wedge join (the same hot-key class
+      the per-user cap bounds one level down);
+    - wedges: oriented e1(u->v) join e2(v->x) on the shared middle
+      vertex; closure: semi-check that undirected edge (min(u,x),
+      max(u,x)) exists. Each triangle is found EXACTLY once (its
+      orientation-minimal vertex opens it);
+    - output canonicalized to id order a < b < c with per-edge weights
+      mapped onto the sorted pairs, cut by TakeOrderedAndProject.
+    """
+    pairs = (
+        coedit_pair_weights(edit_events, cap)
+        .filter(F.col("n_coeditors") >= min_w)
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("page_a").alias("node"))
+        .unionByName(pairs.select(F.col("page_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        pairs.join(deg.withColumnRenamed("node", "page_a")
+                      .withColumnRenamed("deg", "deg_a"), "page_a")
+        .join(deg.withColumnRenamed("node", "page_b")
+                 .withColumnRenamed("deg", "deg_b"), "page_b")
+    )
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("page_a") < F.col("page_b"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("page_a")).otherwise(F.col("page_b")).alias("u"),
+        F.when(lower_first, F.col("page_b")).otherwise(F.col("page_a")).alias("v"),
+        F.col("n_coeditors").alias("w"),
+    ).localCheckpoint()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("u"),
+            F.col("e1.v").alias("v"),
+            F.col("e2.v").alias("x"),
+            F.col("e1.w").alias("w_uv"),
+            F.col("e2.w").alias("w_vx"),
+        )
+    )
+    closed = wedges.join(
+        pairs.select(
+            F.col("page_a").alias("cu"), F.col("page_b").alias("cx"),
+            F.col("n_coeditors").alias("w_ux"),
+        ),
+        (F.least("u", "x") == F.col("cu")) & (F.greatest("u", "x") == F.col("cx")),
+    )
+    a = F.least("u", "v", "x")
+    c = F.greatest("u", "v", "x")
+    # ids are STRINGS: the mid vertex is the one that is neither the
+    # least nor the greatest (the three are distinct by construction —
+    # u != v and v != x are edges, u != x closes one)
+    b = (
+        F.when((F.col("u") != a) & (F.col("u") != c), F.col("u"))
+        .when((F.col("v") != a) & (F.col("v") != c), F.col("v"))
+        .otherwise(F.col("x"))
+    )
+
+    def w_of(lo, hi):
+        # the weight of the triangle edge whose sorted endpoints are
+        # (lo, hi): exactly one of the three known edges matches
+        return (
+            F.when((F.least("u", "v") == lo) & (F.greatest("u", "v") == hi),
+                   F.col("w_uv"))
+            .when((F.least("v", "x") == lo) & (F.greatest("v", "x") == hi),
+                  F.col("w_vx"))
+            .otherwise(F.col("w_ux"))
+        )
+
+    tri = closed.select(
+        a.alias("page_a"), b.alias("page_b"), c.alias("page_c"),
+        w_of(a, b).alias("w_ab"),
+        w_of(a, c).alias("w_ac"),
+        w_of(b, c).alias("w_bc"),
+    )
+    total = F.col("w_ab") + F.col("w_ac") + F.col("w_bc")
+    top = tri.orderBy(
+        total.desc(), F.asc("page_a"), F.asc("page_b"), F.asc("page_c")
+    ).limit(k)
+    w = Window.orderBy(
+        (F.col("w_ab") + F.col("w_ac") + F.col("w_bc")).desc(),
+        F.asc("page_a"), F.asc("page_b"), F.asc("page_c"),
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -63,8 +63,13 @@ GATE_WINDOW: list[str] = [
     # re-rank module stays exercised via the r09-promised ann cohort)
     "wt_ingest_dedup_watermark",
     # ann_ivf_rp_topk displaced tx_substring_scrub (its run-hash module
-    # stays in-window via dd_substring_runs)
+    # stays in-window via dd_substring_runs); wt_graph_degrees and
+    # wt_coedit_triangles displaced dd_containment and
+    # dd_jaccard_histogram (both shingle-family rows with the whole dd
+    # cohort promised r09)
     "ann_ivf_rp_topk",
+    "wt_graph_degrees",
+    "wt_coedit_triangles",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -114,8 +119,6 @@ GATE_WINDOW: list[str] = [
     "tx_vocab",
     "tx_split",
     "tx_dedup_lineage",
-    "dd_containment",
-    "dd_jaccard_histogram",
 ]
 GATE_SIZE = 50
 

@@ -599,6 +599,98 @@ SELECT page_a, page_b, n_coeditors,
 FROM top"""
 
 
+def degree_topk_oracle(k: int) -> str:
+    """Top-k transition-graph nodes by total degree — twin of
+    operators/graph.degree_topk."""
+    return f"""
+WITH {transitions_cte()},
+outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg,
+                CAST(sum(w) AS BIGINT) AS out_w
+         FROM trans GROUP BY 1),
+ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg,
+               CAST(sum(w) AS BIGINT) AS in_w
+        FROM trans GROUP BY 1),
+nodes AS (
+  SELECT coalesce(o.node, i.node) AS node,
+    coalesce(i.in_deg, 0) AS in_deg, coalesce(o.out_deg, 0) AS out_deg,
+    coalesce(i.in_w, 0) AS in_w, coalesce(o.out_w, 0) AS out_w
+  FROM outd o FULL OUTER JOIN ind i ON o.node = i.node),
+top AS (SELECT * FROM nodes ORDER BY in_deg + out_deg DESC, node LIMIT {k})
+SELECT node, in_deg, out_deg, in_w, out_w,
+  CAST(row_number() OVER (ORDER BY in_deg + out_deg DESC, node) AS INT)
+    AS rank
+FROM top"""
+
+
+def coedit_triangles_oracle(cap: int, min_w: int, k: int) -> str:
+    """Top-k co-edit triangles by total edge weight — twin of
+    operators/graph.coedit_triangles (same capped pair relation, same
+    degree-ordered orientation, same canonicalized output)."""
+    return f"""
+WITH {classified_events_cte()},
+ue AS (
+  SELECT "user", id, CAST(count(*) AS BIGINT) AS n_edits
+  FROM e2 WHERE NOT is_bot GROUP BY "user", id),
+tp AS (
+  SELECT "user", id FROM ue
+  QUALIFY row_number() OVER (PARTITION BY "user"
+                             ORDER BY n_edits DESC, id) <= {cap}),
+p AS (
+  SELECT a.id AS page_a, b.id AS page_b, CAST(count(*) AS BIGINT) AS w
+  FROM tp a JOIN tp b ON a."user" = b."user" AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= {min_w}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT page_a AS node FROM p UNION ALL SELECT page_b AS node FROM p)
+  GROUP BY 1),
+o AS (
+  SELECT
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.page_a < p.page_b)
+         THEN p.page_a ELSE p.page_b END AS u,
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.page_a < p.page_b)
+         THEN p.page_b ELSE p.page_a END AS v,
+    p.w
+  FROM p
+  JOIN deg da ON da.node = p.page_a
+  JOIN deg db ON db.node = p.page_b),
+wed AS (
+  SELECT e1.u, e1.v, e2.v AS x, e1.w AS w_uv, e2.w AS w_vx
+  FROM o e1 JOIN o e2 ON e1.v = e2.u),
+tri0 AS (
+  SELECT wed.*, p.w AS w_ux
+  FROM wed
+  JOIN p ON p.page_a = least(wed.u, wed.x)
+        AND p.page_b = greatest(wed.u, wed.x)),
+tri AS (
+  SELECT
+    least(u, v, x) AS page_a,
+    CASE WHEN u <> least(u, v, x) AND u <> greatest(u, v, x) THEN u
+         WHEN v <> least(u, v, x) AND v <> greatest(u, v, x) THEN v
+         ELSE x END AS page_b,
+    greatest(u, v, x) AS page_c,
+    u, v, x, w_uv, w_vx, w_ux
+  FROM tri0),
+trc AS (
+  SELECT page_a, page_b, page_c,
+    CASE WHEN least(u, v) = page_a AND greatest(u, v) = page_b THEN w_uv
+         WHEN least(v, x) = page_a AND greatest(v, x) = page_b THEN w_vx
+         ELSE w_ux END AS w_ab,
+    CASE WHEN least(u, v) = page_a AND greatest(u, v) = page_c THEN w_uv
+         WHEN least(v, x) = page_a AND greatest(v, x) = page_c THEN w_vx
+         ELSE w_ux END AS w_ac,
+    CASE WHEN least(u, v) = page_b AND greatest(u, v) = page_c THEN w_uv
+         WHEN least(v, x) = page_b AND greatest(v, x) = page_c THEN w_vx
+         ELSE w_ux END AS w_bc
+  FROM tri),
+top AS (
+  SELECT * FROM trc
+  ORDER BY w_ab + w_ac + w_bc DESC, page_a, page_b, page_c LIMIT {k})
+SELECT page_a, page_b, page_c, w_ab, w_ac, w_bc,
+  CAST(row_number() OVER (ORDER BY w_ab + w_ac + w_bc DESC,
+                          page_a, page_b, page_c) AS INT) AS rank
+FROM top"""
+
+
 def pagerank_oracle(iters: int, k: int = 20,
                     scale: int = 1_000_000, teleport: int = 150_000,
                     damp_num: int = 85, damp_den: int = 100) -> str:

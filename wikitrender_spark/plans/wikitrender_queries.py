@@ -488,6 +488,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=PAGERANK_TOPK)
 
 
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 transition-graph pages by total degree with per-direction
+    degree and weight (operators/graph.degree_topk) — the degree layer
+    of the centrality report next to wt_pagerank (mass) and
+    wt_markov_transitions (hot edges)."""
+    ev = classified_edit_events(rc_events(spark, sf_dir))
+    return graph.degree_topk(graph.edit_transitions(ev))
+
+
+def q_coedit_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 co-edit triangles by total edge weight
+    (operators/graph.coedit_triangles): degree-ordered triangle
+    enumeration over the cap-bounded co-edit pair graph — the
+    community-structure probe one hop past wt_coedit_pairs. The
+    orientation bounds per-node wedge fanout at O(sqrt(m)) no matter
+    how hot a page is; the DuckDB twin replicates orientation, wedge
+    join, and closure exactly."""
+    ev = classified_edit_events(rc_events(spark, sf_dir))
+    return graph.coedit_triangles(ev)
+
+
 def q_coedit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 co-edited page pairs by shared human editors — the
     market-basket co-occurrence layer over the same classified edit
@@ -522,6 +543,8 @@ QUERIES = {
     "wt_markov_transitions": q_markov_transitions,
     "wt_pagerank": q_pagerank,
     "wt_coedit_pairs": q_coedit_pairs,
+    "wt_graph_degrees": q_graph_degrees,
+    "wt_coedit_triangles": q_coedit_triangles,
 }
 
 ORACLES = {
@@ -548,6 +571,11 @@ ORACLES = {
     "wt_markov_transitions": sqlgen.markov_transitions_oracle(MARKOV_TOPK),
     "wt_coedit_pairs": sqlgen.coedit_pairs_oracle(
         cap=graph.COEDIT_CAP, k=graph.COEDIT_TOPK
+    ),
+    "wt_graph_degrees": sqlgen.degree_topk_oracle(graph.DEGREE_TOPK),
+    "wt_coedit_triangles": sqlgen.coedit_triangles_oracle(
+        cap=graph.COEDIT_CAP, min_w=graph.TRIANGLE_MIN_W,
+        k=graph.TRIANGLE_TOPK,
     ),
     # constants come FROM the operator module so the Spark loop and the
     # unrolled oracle stages cannot drift
