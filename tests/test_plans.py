@@ -470,3 +470,18 @@ def test_stratified_sample_keeps_two_phase_salted_windows(plans):
     assert re.search(
         r"windowspecdefinition\(lang#\d+, source#\d+, h#", plan
     ), "phase-2 per-stratum window missing"
+
+
+def test_source_divergence_two_phase_cut_and_no_vocab_broadcast(plans):
+    """tx_source_divergence: the per-source top-K must stay the
+    two-phase salted cut (sources are FEW — a single per-source window
+    funnels the whole vocabulary through one task), and the vocab-sized
+    term-totals join must carry no forced broadcast (the
+    tx_collocations lesson). The totals/scoring subtree sits behind a
+    localCheckpoint, so the windows are what the final plan shows."""
+    plan = plans("tx_source_divergence")
+    assert re.search(r"windowspecdefinition\(source#\d+, cell#", plan), \
+        "phase-1 salt-cell window missing"
+    # phase-2 window partitions by source alone (ordered by score)
+    assert re.search(r"windowspecdefinition\(source#\d+, score#", plan), \
+        "phase-2 per-source window missing"

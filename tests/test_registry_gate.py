@@ -48,6 +48,7 @@ NEVER_OR_STALE_ATTESTED = {
     "ann_ivf_rp_topk",
     "wt_graph_degrees",
     "wt_coedit_triangles",
+    "tx_source_divergence",
 }
 
 #: The 23 r06-attested rows NOT taken into the r08 window (the other 27
@@ -65,6 +66,7 @@ R09_DEFERRED = {
     "tx_substring_scrub",
     "dd_containment",
     "dd_jaccard_histogram",
+    "tx_dedup_lineage",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

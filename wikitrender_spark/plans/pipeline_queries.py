@@ -240,6 +240,134 @@ SELECT token, n_occurrences,
 FROM top"""
 
 
+#: per-source report rows (top over-represented terms per source).
+SOURCE_DIV_TOPK = 3
+#: salt-cell fanout for the per-source top-K (the stratified-sample
+#: two-phase idiom — sources are FEW, so a single per-source window
+#: would funnel each source's full vocabulary through one task).
+SOURCE_DIV_CELLS = 16
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift report — the training-mix analytic a
+    data pipeline runs before weighting sources (does source X's token
+    distribution diverge from the corpus, and on which terms?). All
+    EXACT INTEGER arithmetic (the oracle-portability rule: no division
+    or log crosses the boundary):
+
+    - over_score(s, t) = n_ts * N - n_t * N_s — the cross-multiplied
+      difference between term t's share in source s and in the corpus
+      (positive = over-represented in s); the rational pair's numerator
+      with denominator N_s * N implied.
+    - l1_num(s) = sum_t |over_score(s, t)| over ALL vocabulary terms —
+      the L1 distance numerator between the source and corpus unigram
+      distributions (scaled by N_s * N). Terms ABSENT from s contribute
+      n_t * N_s each; summed in closed form as
+      N_s * (N - sum_{t present in s} n_t), so the aggregation only
+      ever touches PRESENT (source, term) pairs — never the
+      |sources| x |vocab| cross product.
+
+    Scale shape: one (source, term) hash-agg over the exploded token
+    stream (map-side combine); the vocab-sized term-total join carries
+    NO broadcast hint (the tx_collocations lesson), while the
+    |sources|-sized totals ARE broadcast (a bounded dimension, like
+    nation); products run in DECIMAL(38,0) (BIGINT n_ts * N wraps
+    silently once N passes ~2e9 tokens at web scale — the
+    hourly_autocorr lesson: the decimal boundary sits where the
+    multiplication happens); the per-source top-K is the two-phase
+    salted cut (phase-1 cells bound every window payload by
+    construction — the tx_bm25_topk lesson; the cell hash never crosses
+    the oracle boundary because ANY partitioning yields the same exact
+    top-K). Output BIGINT, exact while true values fit int64."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    st = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n_ts"))
+        .localCheckpoint()  # three consumers: totals x2 + scoring
+    )
+    s_tot = st.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
+    t_tot = st.groupBy("term").agg(F.sum("n_ts").alias("n_t"))
+    n_tot = s_tot.agg(F.sum("n_s").alias("n_corpus"))
+    scored = (
+        st.join(t_tot, "term")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "score",
+            F.col("n_ts").cast(d38) * F.col("n_corpus").cast(d38)
+            - F.col("n_t").cast(d38) * F.col("n_s").cast(d38),
+        )
+        .localCheckpoint()  # two consumers: L1 aggregate + top-K cut
+    )
+    l1 = scored.groupBy("source").agg(
+        (
+            F.sum(F.abs(F.col("score")))
+            + F.max("n_s").cast(d38)
+            * (F.max("n_corpus").cast(d38) - F.sum("n_t").cast(d38))
+        )
+        .cast("bigint")
+        .alias("l1_num"),
+        F.max("n_s").alias("n_source_tokens"),
+    )
+    w1 = Window.partitionBy("source", "cell").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    top = (
+        scored.withColumn(
+            "cell", F.pmod(F.hash("term"), F.lit(SOURCE_DIV_CELLS))
+        )
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SOURCE_DIV_TOPK)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= SOURCE_DIV_TOPK)
+    )
+    return top.join(F.broadcast(l1), "source").select(
+        "source",
+        "term",
+        F.col("score").cast("bigint").alias("over_score"),
+        "rank",
+        "l1_num",
+        "n_source_tokens",
+    )
+
+
+SOURCE_DIVERGENCE_SQL = f"""
+WITH toks AS (SELECT source, unnest({_TOKENS.format(t='text')}) AS term
+              FROM documents),
+st AS (SELECT source, term, CAST(count(*) AS HUGEINT) AS n_ts
+       FROM toks GROUP BY 1, 2),
+s_tot AS (SELECT source, CAST(sum(n_ts) AS HUGEINT) AS n_s
+          FROM st GROUP BY 1),
+t_tot AS (SELECT term, CAST(sum(n_ts) AS HUGEINT) AS n_t FROM st GROUP BY 1),
+n_tot AS (SELECT CAST(sum(n_s) AS HUGEINT) AS n_corpus FROM s_tot),
+scored AS (
+  SELECT st.source, st.term,
+    st.n_ts * n_tot.n_corpus - t_tot.n_t * s_tot.n_s AS score,
+    t_tot.n_t, s_tot.n_s, n_tot.n_corpus
+  FROM st
+  JOIN t_tot USING (term)
+  JOIN s_tot USING (source), n_tot),
+l1 AS (
+  SELECT source,
+    CAST(sum(abs(score))
+         + max(n_s) * (max(n_corpus) - sum(n_t)) AS BIGINT) AS l1_num,
+    CAST(max(n_s) AS BIGINT) AS n_source_tokens
+  FROM scored GROUP BY source),
+top AS (
+  SELECT source, term, CAST(score AS BIGINT) AS over_score,
+    CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, term) AS INT) AS rank
+  FROM scored
+  QUALIFY rank <= {SOURCE_DIV_TOPK})
+SELECT t.source, t.term, t.over_score, t.rank, l.l1_num, l.n_source_tokens
+FROM top t JOIN l1 l USING (source)"""
+
+
 BPE_TOP_PAIRS = 20
 
 
@@ -2856,6 +2984,7 @@ QUERIES = {
     "tx_pack_split": q_pack_split,
     "tx_pack_sharded": q_pack_sharded,
     "tx_vocab": q_vocab,
+    "tx_source_divergence": q_source_divergence,
     "tx_bpe_merges": q_bpe_merges,
     "tx_split": q_split,
     "tx_dedup_lineage": q_dedup_lineage,
@@ -2918,6 +3047,7 @@ ORACLES = {
     "tx_pack_split": PACK_SPLIT_SQL,
     "tx_pack_sharded": PACK_SHARDED_SQL,
     "tx_vocab": VOCAB_SQL,
+    "tx_source_divergence": SOURCE_DIVERGENCE_SQL,
     "tx_bpe_merges": BPE_MERGES_SQL,
     "tx_split": SPLIT_SQL,
     "tx_dedup_lineage": DEDUP_LINEAGE_SQL,

@@ -70,6 +70,9 @@ GATE_WINDOW: list[str] = [
     "ann_ivf_rp_topk",
     "wt_graph_degrees",
     "wt_coedit_triangles",
+    # tx_source_divergence displaced tx_dedup_lineage (lineage packing
+    # keeps tx_pack/tx_pack_split in-window from the (a) cohort)
+    "tx_source_divergence",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -118,7 +121,6 @@ GATE_WINDOW: list[str] = [
     "tx_repetition",
     "tx_vocab",
     "tx_split",
-    "tx_dedup_lineage",
 ]
 GATE_SIZE = 50
 
