@@ -485,3 +485,13 @@ def test_source_divergence_two_phase_cut_and_no_vocab_broadcast(plans):
     # phase-2 window partitions by source alone (ordered by score)
     assert re.search(r"windowspecdefinition\(source#\d+, score#", plan), \
         "phase-2 per-source window missing"
+
+
+def test_coedit_triangles_closure_is_equi_join(plans):
+    """wt_coedit_triangles: the wedge and closure joins must stay keyed
+    equi-joins (the closure's least/greatest endpoints are derived join
+    KEYS) — a cartesian or nested-loop here is the all-pairs shape the
+    degree-ordered enumeration exists to avoid."""
+    plan = plans("wt_coedit_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
