@@ -1153,10 +1153,15 @@ def hourly_anomalies(ev: DataFrame) -> DataFrame:
     cells = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    # x is decimal-cast BEFORE the x*x product (the hourly_autocorr
+    # lesson, ADVICE r7): a BIGINT inner product wraps silently at
+    # hourly counts ~3e9 while the HUGEINT oracle stays exact — the
+    # decimal boundary must sit where the accumulation happens
+    xd = F.col("n_events").cast("decimal(38,0)")
     stats = cells.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
         F.sum("n_events").alias("sx"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+        F.sum(xd * xd).alias("sxx"),
     )
     # the squared terms are computed in DECIMAL(38,0): BIGINT would wrap
     # silently once a type's event total passes ~3e9 (sx*sx > 2^63);
