@@ -49,6 +49,7 @@ NEVER_OR_STALE_ATTESTED = {
     "wt_graph_degrees",
     "wt_coedit_triangles",
     "tx_source_divergence",
+    "rel_weekday_profile",
 }
 
 #: The 23 r06-attested rows NOT taken into the r08 window (the other 27
@@ -67,6 +68,7 @@ R09_DEFERRED = {
     "dd_containment",
     "dd_jaccard_histogram",
     "tx_dedup_lineage",
+    "tx_split",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

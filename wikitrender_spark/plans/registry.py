@@ -71,8 +71,11 @@ GATE_WINDOW: list[str] = [
     "wt_graph_degrees",
     "wt_coedit_triangles",
     # tx_source_divergence displaced tx_dedup_lineage (lineage packing
-    # keeps tx_pack/tx_pack_split in-window from the (a) cohort)
+    # keeps tx_pack/tx_pack_split in-window from the (a) cohort);
+    # rel_weekday_profile displaced tx_split (its affine bucket rule
+    # stays attested via tx_leakage_split, green r07)
     "tx_source_divergence",
+    "rel_weekday_profile",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -120,7 +123,6 @@ GATE_WINDOW: list[str] = [
     "tx_token_stats",
     "tx_repetition",
     "tx_vocab",
-    "tx_split",
 ]
 GATE_SIZE = 50
 

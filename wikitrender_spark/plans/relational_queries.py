@@ -1205,6 +1205,73 @@ SELECT c.event_type, c.hour, c.n_events,
 FROM cells c JOIN stats s ON c.event_type = s.event_type"""
 
 
+# --- weekday-hour seasonality profile ----------------------------------------
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-hour seasonality profile per event type — the calendar
+    periodicity view next to rel_hourly_autocorr's lag view (autocorr
+    detects THAT the series repeats; this profile shows WHERE the mass
+    sits: which weekday-hour buckets run hot). EXACT-RATIONAL deviation
+    (the anomalies idiom): for each of a type's observed (dow, hod)
+    buckets with count x, over n_cells buckets totalling sx events,
+
+        dev_num = n_cells * x - sx
+
+    is the deviation from the type's uniform bucket expectation, scaled
+    by n_cells — positive = hot bucket; (dev_num, n_cells) is the
+    rational pair. Day-of-week is ISO Monday=0..Sunday=6 on both
+    engines (Spark weekday() == DuckDB isodow()-1; Spark dayofweek()
+    and DuckDB dayofweek() disagree on the origin, so neither is used).
+
+    Scale shape: one (type, dow, hod) hash-agg over the events scan
+    (map-side combine; output bounded at 168 rows per type regardless
+    of event volume), a per-type stats agg over those <= 168 rows,
+    broadcast back. The cheapest possible seasonality sweep at any
+    log size."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_events").alias("sx"),
+    )
+    d38 = "decimal(38,0)"
+    return cells.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n_events",
+        (
+            F.col("n_cells").cast(d38) * F.col("n_events").cast(d38)
+            - F.col("sx").cast(d38)
+        )
+        .cast("bigint")
+        .alias("dev_num"),
+        "n_cells",
+        "sx",
+    )
+
+
+WEEKDAY_PROFILE_SQL = """
+WITH cells AS (
+  SELECT event_type,
+    CAST(isodow(ts) - 1 AS INT) AS dow,
+    CAST(extract(hour FROM ts) AS INT) AS hod,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2, 3),
+stats AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_cells,
+    CAST(sum(n_events) AS BIGINT) AS sx
+  FROM cells GROUP BY 1)
+SELECT c.event_type, c.dow, c.hod, c.n_events,
+  CAST(CAST(s.n_cells AS HUGEINT) * c.n_events - s.sx AS BIGINT) AS dev_num,
+  s.n_cells, s.sx
+FROM cells c JOIN stats s ON c.event_type = s.event_type"""
+
+
 # --- exponentially weighted moving average over event-time ------------------
 #: EWMA smoothing factor — a dyadic rational (1/4), so every fold step
 #: (0.25*x + 0.75*acc) is exact IEEE arithmetic identical on any engine
@@ -1793,6 +1860,7 @@ QUERIES = {
     "rel_event_funnel": q_event_funnel,
     "rel_salted_revenue": q_salted_revenue,
     "rel_hourly_anomalies": q_hourly_anomalies,
+    "rel_weekday_profile": q_weekday_profile,
     "rel_dq_audit": q_dq_audit,
     "rel_hourly_ewma": q_hourly_ewma,
     "rel_hourly_autocorr": q_hourly_autocorr,
@@ -1851,6 +1919,7 @@ ORACLES = {
     "rel_event_funnel": EVENT_FUNNEL_SQL,
     "rel_salted_revenue": SALTED_REVENUE_SQL,
     "rel_hourly_anomalies": HOURLY_ANOMALIES_SQL,
+    "rel_weekday_profile": WEEKDAY_PROFILE_SQL,
     "rel_dq_audit": DQ_AUDIT_SQL,
     "rel_hourly_ewma": HOURLY_EWMA_SQL,
     "rel_hourly_autocorr": HOURLY_AUTOCORR_SQL,
