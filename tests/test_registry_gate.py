@@ -50,6 +50,7 @@ NEVER_OR_STALE_ATTESTED = {
     "wt_coedit_triangles",
     "tx_source_divergence",
     "rel_weekday_profile",
+    "mm_video_motion",
 }
 
 #: The 23 r06-attested rows NOT taken into the r08 window (the other 27
@@ -69,6 +70,7 @@ R09_DEFERRED = {
     "dd_jaccard_histogram",
     "tx_dedup_lineage",
     "tx_split",
+    "tx_vocab",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",

@@ -515,6 +515,45 @@ def video_frame_features(media: DataFrame) -> DataFrame:
     )
 
 
+def video_motion(media: DataFrame) -> DataFrame:
+    """Per-video motion metric over the REAL decoded frames: the sum and
+    peak of |per-frame luma-byte-sum deltas| between consecutive frames
+    — the cheap temporal-activity score a video curation pipeline cuts
+    on (static slates score ~0, scene changes spike). EXACT INTEGERS
+    end to end (frame sums are byte sums; deltas and their sum/max stay
+    BIGINT), so the DuckDB twin — which re-derives the frames from the
+    source text exactly like the mm_y4m_frames oracle — hash-matches
+    the decoded planes.
+
+    Scale shape: one mapInPandas stage (decode + fold per row, no
+    shuffle at all); output is one row per video regardless of frame
+    count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _w, _h, frames = decode_y4m(bytes(row.payload))
+                sums = [int(fr.sum(dtype="int64")) for fr in frames]
+                deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+                out.append(
+                    dict(
+                        media_id=row.media_id,
+                        n_frames=len(frames),
+                        motion_num=int(sum(deltas)),
+                        peak_delta=int(max(deltas)) if deltas else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_frames", "motion_num", "peak_delta"],
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, n_frames int, motion_num long, peak_delta long"
+    )
+
+
 #: thumbnail edge for the decode -> resize -> feature pipeline
 THUMB_SIZE = 16
 

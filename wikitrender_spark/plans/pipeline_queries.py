@@ -1831,6 +1831,39 @@ SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
 FROM fr"""
 
 
+def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-activity score over the real decoded Y4M frames
+    (operators/multimodal.video_motion): per video, the exact-integer
+    sum and peak of consecutive-frame luma-sum deltas — the motion
+    filter one stage past mm_y4m_frames' per-frame fingerprints."""
+    media = multimodal.documents_as_y4m(_docs(spark, sf_dir))
+    return multimodal.video_motion(media)
+
+
+VIDEO_MOTION_SQL = f"""
+WITH pd AS (
+  SELECT doc_id,
+    rpad(substring(text, 1, {_Y4M_N * multimodal.Y4M_FRAMES}),
+         {_Y4M_N * multimodal.Y4M_FRAMES}, ' ') AS s
+  FROM documents),
+fr AS (
+  SELECT doc_id, f,
+    CAST(list_sum(list_transform(range(1, {_Y4M_N} + 1),
+         i -> unicode(substring(s, f * {_Y4M_N} + 1, {_Y4M_N})[i])))
+      AS BIGINT) AS fsum
+  FROM pd, (SELECT unnest(range(0, {multimodal.Y4M_FRAMES})) AS f) ff),
+dl AS (
+  SELECT doc_id,
+    abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY f)) AS d
+  FROM fr)
+SELECT doc_id AS media_id,
+  CAST({multimodal.Y4M_FRAMES} AS INT) AS n_frames,
+  CAST(sum(d) AS BIGINT) AS motion_num,
+  CAST(max(d) AS BIGINT) AS peak_delta
+FROM dl WHERE d IS NOT NULL
+GROUP BY doc_id"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: documents wrapped as video payloads with a
     deterministic frame count, one row per sampled frame index."""
@@ -3038,6 +3071,7 @@ QUERIES = {
     "mm_pgm_features": q_pgm_features,
     "mm_wav_features": q_wav_features,
     "mm_y4m_frames": q_y4m_frames,
+    "mm_video_motion": q_video_motion,
 }
 
 ORACLES = {
@@ -3101,6 +3135,7 @@ ORACLES = {
     "mm_pgm_features": PGM_FEATURES_SQL,
     "mm_wav_features": WAV_FEATURES_SQL,
     "mm_y4m_frames": Y4M_FRAMES_SQL,
+    "mm_video_motion": VIDEO_MOTION_SQL,
 }
 
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);

@@ -76,6 +76,9 @@ GATE_WINDOW: list[str] = [
     # stays attested via tx_leakage_split, green r07)
     "tx_source_divergence",
     "rel_weekday_profile",
+    # mm_video_motion displaced tx_vocab (the vocab family keeps
+    # tx_bpe_merges, green r07)
+    "mm_video_motion",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -122,7 +125,6 @@ GATE_WINDOW: list[str] = [
     "wt_state_diff",
     "tx_token_stats",
     "tx_repetition",
-    "tx_vocab",
 ]
 GATE_SIZE = 50
 
