@@ -83,6 +83,13 @@ EXTENDED = [
     "dd_cross_source_dups",
     "ann_rp_topk",
     "dd_lsh_tuning",
+    # round-8 additions — every registered query now has a bench row
+    "ann_ivf_rp_topk",
+    "wt_graph_degrees",
+    "wt_coedit_triangles",
+    "tx_source_divergence",
+    "rel_weekday_profile",
+    "mm_video_motion",
 ]
 
 

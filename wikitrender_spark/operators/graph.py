@@ -336,6 +336,9 @@ def coedit_triangles(
         .unionByName(pairs.select(F.col("page_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        # two join branches (deg_a, deg_b) consume it — barrier, per the
+        # multi-consumer checkpoint rule (ADVICE r7)
+        .localCheckpoint()
     )
     e = (
         pairs.join(deg.withColumnRenamed("node", "page_a")
