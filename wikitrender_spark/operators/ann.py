@@ -819,17 +819,27 @@ def rp_project(emb: DataFrame) -> DataFrame:
     stays in whole-stage codegen — no interpreted HOF lambda per row —
     while matching the oracle's list_reduce fold term for term.
 
+    The expression is BUILT as one SQL string parsed by selectExpr, not
+    as ~RP_DIM*EMB_DIM Column objects (the embedding_band_keys lesson:
+    every PySpark Column operation is a py4j round-trip — the
+    Column-loop form of this projection cost a MEASURED 8.6 s of
+    driver time per query CONSTRUCTION at sf0.1, vs 4.2 s for the
+    whole execution). Values are bit-identical: the `+` chain parses
+    left-associative exactly like the old sequential fold (0.0 + t1
+    == t1 in IEEE), and sign -1 becomes unary negation (x * -1.0 ==
+    -x for finite floats).
+
     Scale shape: pure map-side (zero shuffle); at 100 TB the projected
     relation is 4x smaller than the input and feeds any downstream
     ranker one pass later. Returns (vec_id, proj array<double>)."""
-    e = F.col("embedding")
     cols = []
     for j in range(1, RP_DIM + 1):
-        acc = F.lit(0.0)
+        terms = []
         for i in range(1, EMB_DIM + 1):
-            acc = acc + F.element_at(e, i).cast("double") * F.lit(_rp_sign(i, j))
-        cols.append(F.round(acc, 4))
-    return emb.select("vec_id", F.array(*cols).alias("proj"))
+            t = f"CAST(element_at(embedding, {i}) AS DOUBLE)"
+            terms.append(t if _rp_sign(i, j) > 0 else f"(- {t})")
+        cols.append(f"round({' + '.join(terms)}, 4)")
+    return emb.selectExpr("vec_id", f"array({', '.join(cols)}) AS proj")
 
 
 def rp_topk(
