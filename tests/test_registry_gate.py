@@ -51,6 +51,8 @@ NEVER_OR_STALE_ATTESTED = {
     "tx_source_divergence",
     "rel_weekday_profile",
     "mm_video_motion",
+    "wt_edit_wars",
+    "rel_retention_cohorts",
 }
 
 #: The 23 r06-attested rows NOT taken into the r08 window (the other 27

@@ -77,8 +77,13 @@ GATE_WINDOW: list[str] = [
     "tx_source_divergence",
     "rel_weekday_profile",
     # mm_video_motion displaced tx_vocab (the vocab family keeps
-    # tx_bpe_merges, green r07)
+    # tx_bpe_merges, green r07); wt_edit_wars and rel_retention_cohorts
+    # displaced tx_repetition and tx_token_stats (per-row text stats
+    # stay attested via tx_quality/tx_length_histogram in the (a)
+    # cohort)
     "mm_video_motion",
+    "wt_edit_wars",
+    "rel_retention_cohorts",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -123,8 +128,6 @@ GATE_WINDOW: list[str] = [
     "wt_stream_replay",
     "wt_stream_heavy_hitters",
     "wt_state_diff",
-    "tx_token_stats",
-    "tx_repetition",
 ]
 GATE_SIZE = 50
 

@@ -1272,6 +1272,76 @@ SELECT c.event_type, c.dow, c.hod, c.n_events,
 FROM cells c JOIN stats s ON c.event_type = s.event_type"""
 
 
+# --- retention cohorts --------------------------------------------------------
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event log — the standard
+    activity-analytics grid (rows: signup cohort = the epoch WEEK of a
+    user's FIRST ``signup`` event; columns: week offset; cells:
+    distinct users from the cohort active (ANY event type) that week;
+    users who never signed up are outside the matrix). Weekly, and
+    anchored on signup rather than first activity, because the driver
+    log spans one calendar month with every user active from week 0 at
+    every SF (checked) — month- or first-activity-cohorts would be a
+    degenerate single-cohort grid that couldn't catch an offset or
+    join bug, while signups spread across the weeks. EXACT INTEGERS
+    end to end: week = floor(epoch_us / 86400e6) DIV 7, so cohort and
+    offset are plain integer arithmetic both engines state identically
+    — no calendar/interval function crosses the oracle boundary.
+
+    Scale shape: first-event derivation is one (user) hash-agg
+    (map-side min); activity is one DISTINCT (user, week) agg; the
+    cohort join is equi on user_id with no broadcast hint (users scale
+    with the corpus — the tx_collocations lesson); the final matrix agg
+    is bounded by weeks² regardless of event volume; the sizes join
+    broadcasts a weeks-sized relation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    wcode = F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) DIV 7")
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(wcode).alias("cohort_week"))
+    )
+    active = ev.select("user_id", wcode.alias("w_code")).distinct()
+    joined = active.join(first, "user_id")
+    cells = joined.groupBy(
+        "cohort_week",
+        (F.col("w_code") - F.col("cohort_week")).alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("int").alias("cohort_week"),
+        F.col("week_offset").cast("int").alias("week_offset"),
+        "n_active",
+        "cohort_size",
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+    CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS w_code
+  FROM events),
+first AS (SELECT user_id, min(w_code) AS cohort_week FROM ev
+          WHERE event_type = 'signup' GROUP BY 1),
+active AS (SELECT DISTINCT user_id, w_code FROM ev),
+cells AS (
+  SELECT f.cohort_week, a.w_code - f.cohort_week AS week_offset,
+    CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2),
+sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM first GROUP BY 1)
+SELECT
+  CAST(c.cohort_week AS INT) AS cohort_week,
+  CAST(c.week_offset AS INT) AS week_offset,
+  c.n_active, s.cohort_size
+FROM cells c JOIN sizes s USING (cohort_week)"""
+
+
 # --- exponentially weighted moving average over event-time ------------------
 #: EWMA smoothing factor — a dyadic rational (1/4), so every fold step
 #: (0.25*x + 0.75*acc) is exact IEEE arithmetic identical on any engine
@@ -1861,6 +1931,7 @@ QUERIES = {
     "rel_salted_revenue": q_salted_revenue,
     "rel_hourly_anomalies": q_hourly_anomalies,
     "rel_weekday_profile": q_weekday_profile,
+    "rel_retention_cohorts": q_retention_cohorts,
     "rel_dq_audit": q_dq_audit,
     "rel_hourly_ewma": q_hourly_ewma,
     "rel_hourly_autocorr": q_hourly_autocorr,
@@ -1920,6 +1991,7 @@ ORACLES = {
     "rel_salted_revenue": SALTED_REVENUE_SQL,
     "rel_hourly_anomalies": HOURLY_ANOMALIES_SQL,
     "rel_weekday_profile": WEEKDAY_PROFILE_SQL,
+    "rel_retention_cohorts": RETENTION_COHORTS_SQL,
     "rel_dq_audit": DQ_AUDIT_SQL,
     "rel_hourly_ewma": HOURLY_EWMA_SQL,
     "rel_hourly_autocorr": HOURLY_AUTOCORR_SQL,

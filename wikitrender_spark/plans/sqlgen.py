@@ -599,6 +599,30 @@ SELECT page_a, page_b, n_coeditors,
 FROM top"""
 
 
+def edit_wars_oracle(k: int) -> str:
+    """Pages ranked by adjacent different-editor revert pairs — twin of
+    wikitrender_queries.q_edit_wars (same per-page lag sequence)."""
+    return f"""
+WITH {classified_events_cte()},
+seqd AS (
+  SELECT id, "user", is_revert,
+    lag("user") OVER (PARTITION BY id ORDER BY ts, seq) AS prev_user,
+    lag(is_revert) OVER (PARTITION BY id ORDER BY ts, seq) AS prev_revert
+  FROM e2),
+agg AS (
+  SELECT id,
+    CAST(sum(CASE WHEN prev_user IS NOT NULL AND prev_user <> "user"
+                   AND (is_revert OR prev_revert) THEN 1 ELSE 0 END)
+      AS BIGINT) AS war_pairs,
+    CAST(count(*) AS BIGINT) AS n_edits,
+    CAST(sum(CASE WHEN is_revert THEN 1 ELSE 0 END) AS BIGINT) AS n_reverts
+  FROM seqd GROUP BY id),
+top AS (SELECT * FROM agg ORDER BY war_pairs DESC, id LIMIT {k})
+SELECT id, war_pairs, n_edits, n_reverts,
+  CAST(row_number() OVER (ORDER BY war_pairs DESC, id) AS INT) AS rank
+FROM top"""
+
+
 def degree_topk_oracle(k: int) -> str:
     """Top-k transition-graph nodes by total degree — twin of
     operators/graph.degree_topk."""

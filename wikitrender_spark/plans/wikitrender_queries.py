@@ -488,6 +488,47 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=PAGERANK_TOPK)
 
 
+EDIT_WAR_TOPK = 15
+
+
+def q_edit_wars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-war detector: pages ranked by ADJACENT edit pairs where the
+    editor changed AND at least one side is a revert — the
+    back-and-forth signature the reference's volatility flag (F7) only
+    approximates by comment keywords. Per page: war pairs, total edits,
+    reverts; top-15 by (war_pairs desc, id asc).
+
+    Scale shape: one lag window partitioned by page id (payload bounded
+    by a page's own edit history — the edit_transitions shape on the
+    other axis), one hash-agg per id, TakeOrderedAndProject cut."""
+    from pyspark.sql import Window
+
+    ev = classified_edit_events(rc_events(spark, sf_dir))
+    w = Window.partitionBy("id").orderBy("ts", "seq")
+    seq = ev.select(
+        "id", "ts", "seq", "user", "is_revert",
+        F.lag("user").over(w).alias("prev_user"),
+        F.lag("is_revert").over(w).alias("prev_revert"),
+    )
+    flagged = seq.select(
+        "id",
+        "is_revert",
+        (
+            F.col("prev_user").isNotNull()
+            & (F.col("prev_user") != F.col("user"))
+            & (F.col("is_revert") | F.col("prev_revert"))
+        ).cast("int").alias("is_war_pair"),
+    )
+    agg = flagged.groupBy("id").agg(
+        F.sum("is_war_pair").alias("war_pairs"),
+        F.count(F.lit(1)).alias("n_edits"),
+        F.sum(F.col("is_revert").cast("int")).alias("n_reverts"),
+    )
+    top = agg.orderBy(F.desc("war_pairs"), F.asc("id")).limit(EDIT_WAR_TOPK)
+    w2 = Window.orderBy(F.desc("war_pairs"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w2).cast("int"))
+
+
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 transition-graph pages by total degree with per-direction
     degree and weight (operators/graph.degree_topk) — the degree layer
@@ -544,6 +585,7 @@ QUERIES = {
     "wt_pagerank": q_pagerank,
     "wt_coedit_pairs": q_coedit_pairs,
     "wt_graph_degrees": q_graph_degrees,
+    "wt_edit_wars": q_edit_wars,
     "wt_coedit_triangles": q_coedit_triangles,
 }
 
@@ -573,6 +615,7 @@ ORACLES = {
         cap=graph.COEDIT_CAP, k=graph.COEDIT_TOPK
     ),
     "wt_graph_degrees": sqlgen.degree_topk_oracle(graph.DEGREE_TOPK),
+    "wt_edit_wars": sqlgen.edit_wars_oracle(EDIT_WAR_TOPK),
     "wt_coedit_triangles": sqlgen.coedit_triangles_oracle(
         cap=graph.COEDIT_CAP, min_w=graph.TRIANGLE_MIN_W,
         k=graph.TRIANGLE_TOPK,
