@@ -90,6 +90,8 @@ EXTENDED = [
     "tx_source_divergence",
     "rel_weekday_profile",
     "mm_video_motion",
+    "wt_edit_wars",
+    "rel_retention_cohorts",
 ]
 
 
