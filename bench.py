@@ -141,10 +141,12 @@ def main() -> None:
     # combined run toward any harness timeout; the headline trend keeps
     # its established 5. The suites run as SEPARATE PHASES — headline
     # passes complete before any extended query runs — so the headline
-    # number is measured under exactly the r01-r07 process state
-    # (interleaving them measured a uniform ~1.6x headline inflation:
-    # the extended replays/checkpoints pin executor memory that py4j
-    # only releases lazily, contaminating the cross-round trend).
+    # number is measured under exactly the r01-r07 process state and
+    # can never depend on what the extended replays/checkpoints pin in
+    # executor memory. (An r08 A/B of interleaved vs phased measured
+    # the SAME headline both ways — that day's inflation was host
+    # drift — but the isolation stays: it removes a whole class of
+    # future cross-suite contamination from the trend.)
     n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5"))
     n_ext = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES_EXT", "3"))
     samples: dict[str, list[float]] = {name: [] for name in names}
