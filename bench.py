@@ -95,6 +95,12 @@ EXTENDED = [
 ]
 
 
+def _meth(n: int) -> str:
+    # the methodology stamp must describe what actually ran, including
+    # env-var sample overrides (r08 review finding)
+    return f"construction+execution, median-of-{n}, warm pass excluded"
+
+
 def _suites() -> list[str]:
     if "--extended" in sys.argv[1:]:
         return ["extended"]
@@ -206,16 +212,14 @@ def main() -> None:
         # the BASELINE.md band, not any single prior value — r05
         # vs r06 showed identical code drifting 30.0 -> 36.8s
         # under host contention alone.
-        "methodology": "construction+execution, median-of-5, warm pass excluded"
-        if head else
-        "construction+execution, median-of-3, warm pass excluded",
+        "methodology": _meth(n_samples if head else n_ext),
         "queries": head if head else ext,
         "sf": sf,
     }
     if head and ext:
         out["extended"] = {
             "value": round(sum(ext.values()), 3),
-            "methodology": "construction+execution, median-of-3, warm pass excluded",
+            "methodology": _meth(n_ext),
             "queries": ext,
         }
     print(json.dumps(out, separators=(",", ":")))

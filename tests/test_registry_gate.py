@@ -55,14 +55,12 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_retention_cohorts",
 }
 
-#: The 23 r06-attested rows NOT taken into the r08 window (the other 27
-#: r06 rows rotated in, wt_* parity family first). Their code is
-#: untouched and each has an in-window sibling exercising the same
-#: module; they are PROMISED the r09 window — next round, move them
-#: into GATE_WINDOW (and into NEVER_OR_STALE_ATTESTED as stale) before
-#: anything else. Round-8 additions displace rows from the window's (c)
-#: cohort into this set, newest-displacement-first, per the established
-#: rule.
+#: The r06-attested rows NOT in the r08 window: the 23 left out at
+#: rotation time plus the nine (c) rows the round-8 additions displaced
+#: mid-round (32 total). Their code is untouched and each has an
+#: in-window sibling exercising the same module; they are PROMISED the
+#: r09 window — next round, move them into GATE_WINDOW (and into
+#: NEVER_OR_STALE_ATTESTED as stale) before anything else.
 R09_DEFERRED = {
     # displaced by the round-8 additions (wt_ingest_dedup_watermark,
     # ann_ivf_rp_topk, wt_graph_degrees, wt_coedit_triangles)

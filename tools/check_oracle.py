@@ -100,7 +100,10 @@ def main() -> int:
     if non_gated:
         from wikitrender_spark.plans import registry
 
-        only = set(registry.all_queries()) - set(registry.GATE_WINDOW)
+        complement = set(registry.all_queries()) - set(registry.GATE_WINDOW)
+        # explicit names narrow the complement rather than being
+        # silently discarded
+        only = (only & complement) if only else complement
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:

@@ -66,11 +66,18 @@ QUERIES = [
     "tx_rarity",
     "tx_tfidf_terms",
     "tx_mix_sample",
-    # round-8 (r07 ask #3): the graph layer — event-table queries
-    # (replication applies: user/event ids offset per replica, so user
-    # diversity and the transition edge set genuinely scale ~10x) and
-    # pagerank is the one iterative plan whose constant factors
-    # (localCheckpoints per iteration x K) deserve a measured ratio
+    # round-8 (r07 ask #3): the graph layer — event-table queries where
+    # replication scales the per-user lag-window volume (user ids offset
+    # per replica -> 10x real window/shuffle work) and pagerank is the
+    # one iterative plan whose constant factors (localCheckpoints per
+    # iteration x K) deserve a measured ratio. CAVEAT (r08 review): page
+    # titles derive as event_id % 211 (derive.py N_PAGES), so the NODE
+    # set is capped at ~211 per wiki at every SF — replication grows
+    # edge WEIGHTS, users, and event volume, not the graph's node/edge
+    # count. These ratios measure the event-volume scaling of the
+    # extraction + iteration plumbing; node-count scaling is argued by
+    # plan shape (hash-aggs and equi-joins on the node id), not by this
+    # probe.
     "wt_markov_transitions",
     "wt_pagerank",
     "wt_coedit_pairs",

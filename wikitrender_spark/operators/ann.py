@@ -260,7 +260,10 @@ def ivf_topk(
     barely above the noise floor and recall is ~the fraction of the
     corpus probed — raise nprobe to trade cost for recall (linearly),
     or accept that unstructured data has no sub-linear ANN path."""
-    cents = ivf_centroids(emb)
+    # cents feeds two consumers (assignment + probe ranking): barrier,
+    # like semantic_dedup/kmeans_refine, so the centroid aggregation
+    # runs once per query instead of once per branch (r08 review)
+    cents = ivf_centroids(emb).localCheckpoint(eager=False)
     cells = ivf_cells(emb, cents)
     q = emb.filter(F.col("vec_id").isin(query_ids))
     probes = (
@@ -940,7 +943,8 @@ def ivf_rp_topk(
     the standalone contract at the same recall). At 100 TB the projected
     candidate scan is the I/O win: 4x fewer bytes per candidate in the
     hot ranking pass, exact math only on R rows per query."""
-    cents = ivf_centroids(emb)
+    # same two-consumer barrier as ivf_topk (r08 review)
+    cents = ivf_centroids(emb).localCheckpoint(eager=False)
     cells = ivf_cells(emb, cents)
     proj = rp_project(emb)
     q = emb.filter(F.col("vec_id").isin(query_ids))
