@@ -92,6 +92,8 @@ EXTENDED = [
     "mm_video_motion",
     "wt_edit_wars",
     "rel_retention_cohorts",
+    "rel_copurchase_pairs",
+    "mm_audio_energy",
 ]
 
 

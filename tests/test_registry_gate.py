@@ -53,6 +53,8 @@ NEVER_OR_STALE_ATTESTED = {
     "mm_video_motion",
     "wt_edit_wars",
     "rel_retention_cohorts",
+    "rel_copurchase_pairs",
+    "mm_audio_energy",
 }
 
 #: The r06-attested rows NOT in the r08 window: the 23 left out at

@@ -515,6 +515,57 @@ def video_frame_features(media: DataFrame) -> DataFrame:
     )
 
 
+#: fixed segment count for the windowed audio-energy relation
+#: (WAV_N_SAMPLES divides evenly: 128 / 8 = 16-sample windows).
+AUDIO_SEGMENTS = 8
+
+
+def audio_energy_segments(media: DataFrame, n_segments: int = AUDIO_SEGMENTS) -> DataFrame:
+    """Windowed audio energy over the REAL decoded PCM16 samples: each
+    clip split into fixed equal windows, one row per (clip, segment)
+    with the EXACT INTEGER energy (sum of squared samples — int64-safe:
+    16 samples x 32768² < 2^35) and peak amplitude — the segmentation
+    relation a voice-activity / silence-trim pipeline cuts on, the
+    audio analogue of video_motion's frame deltas.
+
+    Scale shape: one mapInPandas stage (decode + per-window integer
+    folds), output n_segments rows per clip regardless of sample
+    count; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _sr, samples = decode_wav(bytes(row.payload))
+                n = len(samples)
+                if n % n_segments:
+                    raise ValueError(
+                        f"clip {row.media_id}: {n} samples not divisible "
+                        f"by {n_segments} segments"
+                    )
+                win = n // n_segments
+                s64 = samples.astype(np.int64)
+                for seg in range(n_segments):
+                    w = s64[seg * win : (seg + 1) * win]
+                    out.append(
+                        dict(
+                            media_id=row.media_id,
+                            seg_idx=seg,
+                            energy=int((w * w).sum()),
+                            peak=int(np.abs(w).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "seg_idx", "energy", "peak"]
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, seg_idx int, energy long, peak long"
+    )
+
+
 def video_motion(media: DataFrame) -> DataFrame:
     """Per-video motion metric over the REAL decoded frames: the sum and
     peak of |per-frame luma-byte-sum deltas| between consecutive frames

@@ -1803,6 +1803,34 @@ SELECT doc_id AS media_id,
 FROM st"""
 
 
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy segmentation over the real decoded PCM16
+    clips (operators/multimodal.audio_energy_segments): per (clip,
+    segment) exact-integer energy and peak — the silence-trim / VAD
+    precursor relation, the audio analogue of mm_video_motion."""
+    media = multimodal.documents_as_wav(_docs(spark, sf_dir))
+    return multimodal.audio_energy_segments(media)
+
+
+_AUDIO_WIN = multimodal.WAV_N_SAMPLES // multimodal.AUDIO_SEGMENTS
+
+AUDIO_ENERGY_SQL = f"""
+WITH pd AS (
+  SELECT doc_id,
+    rpad(substring(text, 1, {multimodal.WAV_N_SAMPLES}),
+         {multimodal.WAV_N_SAMPLES}, ' ') AS s
+  FROM documents),
+ch AS (
+  SELECT doc_id, (i - 1) // {_AUDIO_WIN} AS seg_idx,
+    CAST(greatest(least((unicode(s[i]) - {multimodal.WAV_CODE_PIVOT}) * 256,
+                        32767), -32768) AS BIGINT) AS v
+  FROM pd, (SELECT unnest(range(1, {multimodal.WAV_N_SAMPLES} + 1)) AS i) ii)
+SELECT doc_id AS media_id, CAST(seg_idx AS INT) AS seg_idx,
+  CAST(sum(v * v) AS BIGINT) AS energy,
+  CAST(max(abs(v)) AS BIGINT) AS peak
+FROM ch GROUP BY 1, 2"""
+
+
 def q_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL video path, oracle-checked on driver data: documents are
     encoded as valid monochrome YUV4MPEG2 streams, the genuine
@@ -3072,6 +3100,7 @@ QUERIES = {
     "mm_wav_features": q_wav_features,
     "mm_y4m_frames": q_y4m_frames,
     "mm_video_motion": q_video_motion,
+    "mm_audio_energy": q_audio_energy,
 }
 
 ORACLES = {
@@ -3136,6 +3165,7 @@ ORACLES = {
     "mm_wav_features": WAV_FEATURES_SQL,
     "mm_y4m_frames": Y4M_FRAMES_SQL,
     "mm_video_motion": VIDEO_MOTION_SQL,
+    "mm_audio_energy": AUDIO_ENERGY_SQL,
 }
 
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);

@@ -84,6 +84,11 @@ GATE_WINDOW: list[str] = [
     "mm_video_motion",
     "wt_edit_wars",
     "rel_retention_cohorts",
+    # rel_copurchase_pairs and mm_audio_energy displaced
+    # wt_stream_heavy_hitters and wt_state_diff (both r06-green with
+    # heavy pytest coverage; the whole wt cohort re-attests r09)
+    "rel_copurchase_pairs",
+    "mm_audio_energy",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -126,8 +131,6 @@ GATE_WINDOW: list[str] = [
     "wt_page_state_lifecycle",
     "wt_lifecycle_replay",
     "wt_stream_replay",
-    "wt_stream_heavy_hitters",
-    "wt_state_diff",
 ]
 GATE_SIZE = 50
 

@@ -1342,6 +1342,64 @@ SELECT
 FROM cells c JOIN sizes s USING (cohort_week)"""
 
 
+# --- market-basket co-purchase pairs ------------------------------------------
+COPURCHASE_TOPK = 20
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by the number of orders containing both — the
+    market-basket layer on the TPC-H side (the wt_coedit_pairs pattern
+    with the bound coming from the DATA MODEL instead of a cap: an
+    order has at most a handful of lineitems — 13 max on driver data —
+    so pair fanout per order is C(n_items, 2), small by construction;
+    no per-key cap needed and none applied).
+
+    Scale shape: DISTINCT (order, part) pre-agg first (an order can
+    hold the same part on two lineitems — without the distinct the
+    self-join would double-count such orders), then a self-equi-join on
+    the order key of two identically-partitioned relations, one
+    (part_a, part_b) hash-agg, TakeOrderedAndProject cut."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()  # both self-join branches consume it
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    top = pairs.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(COPURCHASE_TOPK)
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+COPURCHASE_PAIRS_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    CAST(count(*) AS BIGINT) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+top AS (SELECT * FROM p
+        ORDER BY n_orders DESC, part_a, part_b LIMIT {COPURCHASE_TOPK})
+SELECT part_a, part_b, n_orders,
+  CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS INT)
+    AS rank
+FROM top"""
+
+
 # --- exponentially weighted moving average over event-time ------------------
 #: EWMA smoothing factor — a dyadic rational (1/4), so every fold step
 #: (0.25*x + 0.75*acc) is exact IEEE arithmetic identical on any engine
@@ -1932,6 +1990,7 @@ QUERIES = {
     "rel_hourly_anomalies": q_hourly_anomalies,
     "rel_weekday_profile": q_weekday_profile,
     "rel_retention_cohorts": q_retention_cohorts,
+    "rel_copurchase_pairs": q_copurchase_pairs,
     "rel_dq_audit": q_dq_audit,
     "rel_hourly_ewma": q_hourly_ewma,
     "rel_hourly_autocorr": q_hourly_autocorr,
@@ -1992,6 +2051,7 @@ ORACLES = {
     "rel_hourly_anomalies": HOURLY_ANOMALIES_SQL,
     "rel_weekday_profile": WEEKDAY_PROFILE_SQL,
     "rel_retention_cohorts": RETENTION_COHORTS_SQL,
+    "rel_copurchase_pairs": COPURCHASE_PAIRS_SQL,
     "rel_dq_audit": DQ_AUDIT_SQL,
     "rel_hourly_ewma": HOURLY_EWMA_SQL,
     "rel_hourly_autocorr": HOURLY_AUTOCORR_SQL,
