@@ -94,6 +94,7 @@ EXTENDED = [
     "rel_retention_cohorts",
     "rel_copurchase_pairs",
     "mm_audio_energy",
+    "ann_filtered_topk",
 ]
 
 

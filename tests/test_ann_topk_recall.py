@@ -138,3 +138,41 @@ def test_ivf_rp_composed_recall_with_fixed_shortlist(clustered):
     ))
     recall = len(composed & bf) / len(bf)
     assert recall >= 0.9, f"IVF+RP recall {recall:.3f} < 0.9"
+
+
+def test_filtered_ivf_exact_when_all_cells_probed(clustered, spark):
+    """ann_filtered_topk contract: with nprobe covering every cell, the
+    predicate-pushdown IVF search equals the exact filtered ranking
+    (every pred-passing corpus vector scored per query) — and every
+    returned neighbor satisfies the predicate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    pred = F.col("label") % 2 == 0
+    got = ann.filtered_ivf_topk(
+        clustered, QUERY_IDS, pred, K, nprobe=N_CLUSTERS
+    )
+    got_pairs = _pairs(got)
+
+    qdf = spark.createDataFrame([(q,) for q in QUERY_IDS], "query_id long")
+    cand = (
+        clustered.filter(pred)
+        .select(F.col("vec_id").alias("neighbor_id"))
+        .crossJoin(qdf)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = ann._exact_rescore(cand, clustered, QUERY_IDS)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    exp = _pairs(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+    )
+    assert got_pairs == exp
+    # the predicate genuinely bites: some unfiltered top-k pairs are gone
+    bf = _pairs(ann.brute_force_topk(clustered, QUERY_IDS, K))
+    assert bf - got_pairs
+    # and every neighbor satisfies it
+    even = {r["vec_id"] for r in clustered.filter(pred).collect()}
+    assert {n for _q, n in got_pairs} <= even

@@ -55,6 +55,7 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_retention_cohorts",
     "rel_copurchase_pairs",
     "mm_audio_energy",
+    "ann_filtered_topk",
 }
 
 #: The r06-attested rows NOT in the r08 window: the 23 left out at

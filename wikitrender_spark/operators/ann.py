@@ -99,6 +99,51 @@ def brute_force_topk(
     )
 
 
+def filtered_ivf_topk(
+    emb: DataFrame, query_ids: list[int], predicate,
+    k: int = 10, nprobe: int = N_PROBE,
+) -> DataFrame:
+    """FILTERED ANN (the serving feature every vector store grew:
+    metadata predicate + similarity search in one query): IVF cell
+    probing with the predicate pushed INTO candidate generation, so
+    filtered-out vectors never reach the scoring join — not post-filter
+    (which silently returns < k when the filter bites inside the top-k)
+    and not pre-filter-then-brute-force (which abandons the index).
+
+    ``predicate`` is a Column over the corpus row (e.g.
+    ``F.col("label") % 2 == 0``). Pushdown point: the cell-assignment
+    relation keeps (vec_id, cell) for PREDICATE-PASSING vectors only —
+    the filter rides the same corpus scan as assignment (Catalyst
+    merges it into the parquet scan), so candidates per query are
+    bounded by the FILTERED cell population. Exactness contract: equal
+    to brute-force-over-the-filtered-corpus within probed cells (the
+    usual IVF recall caveat applies on top; centroids stay trained on
+    the FULL corpus so the filter cannot shift cell geometry)."""
+    cents = ivf_centroids(emb).localCheckpoint(eager=False)
+    cells = ivf_cells(emb.filter(predicate), cents)
+    q = emb.filter(F.col("vec_id").isin(query_ids))
+    probes = (
+        _centroid_ranks(q, cents)
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = _exact_rescore(cand, emb, query_ids)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 #: cosine radius for range search (sized from the measured corpus pair
 #: distribution: ~20 hits for 5 queries at every SF — non-degenerate but
 #: far from all-pairs)

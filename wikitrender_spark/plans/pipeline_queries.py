@@ -2662,6 +2662,40 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= {ANN_K}"""
 
 
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (operators/ann.filtered_ivf_topk): IVF probing with
+    a metadata predicate (even label) pushed into candidate generation
+    — filtered-out vectors never reach the scoring join, and the result
+    still carries k rows per query (a post-filter would silently return
+    fewer whenever the predicate bites inside the unfiltered top-k)."""
+    return ann.filtered_ivf_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS,
+        F.col("label") % 2 == 0, ANN_K,
+    )
+
+
+ANN_FILTERED_SQL = f"""
+WITH {_IVF_CTE},
+cellsf AS (
+  SELECT c.vec_id, c.cell
+  FROM cells c JOIN e ON e.vec_id = c.vec_id
+  WHERE e.label % 2 = 0),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+    round({_DOT64.format(a='q.emb', b='n.emb')} / (nq.nrm * nn.nrm), 6) AS sim
+  FROM probes p
+  JOIN cellsf c ON c.cell = p.cell AND c.vec_id <> p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e n ON n.vec_id = c.vec_id
+  JOIN nrm nq ON nq.vec_id = p.query_id
+  JOIN nrm nn ON nn.vec_id = c.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {ANN_K}"""
+
+
 ANN_SQ_SQL = f"""
 WITH {_COSINE_CTE},
 mm AS (SELECT ii.i AS i, min(e.emb[ii.i]) AS lo, max(e.emb[ii.i]) AS hi
@@ -3068,6 +3102,7 @@ QUERIES = {
     "ann_sq_topk": q_ann_sq,
     "ann_rp_topk": q_rp_topk,
     "ann_ivf_rp_topk": q_ann_ivf_rp,
+    "ann_filtered_topk": q_ann_filtered,
     "ann_pq_topk": q_ann_pq,
     "ann_ivfpq_topk": q_ann_ivfpq,
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
@@ -3133,6 +3168,7 @@ ORACLES = {
     "ann_sq_topk": ANN_SQ_SQL,
     "ann_rp_topk": ANN_RP_SQL,
     "ann_ivf_rp_topk": ANN_IVF_RP_SQL,
+    "ann_filtered_topk": ANN_FILTERED_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "ann_ivfpq_rerank": ANN_IVFPQ_RERANK_SQL,

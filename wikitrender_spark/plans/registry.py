@@ -89,6 +89,9 @@ GATE_WINDOW: list[str] = [
     # heavy pytest coverage; the whole wt cohort re-attests r09)
     "rel_copurchase_pairs",
     "mm_audio_energy",
+    # ann_filtered_topk displaced wt_lifecycle_replay (the lifecycle
+    # fold keeps wt_page_state_lifecycle + wt_stream_replay in-window)
+    "ann_filtered_topk",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -129,7 +132,6 @@ GATE_WINDOW: list[str] = [
     "wt_delete_targets",
     "wt_protect_followups",
     "wt_page_state_lifecycle",
-    "wt_lifecycle_replay",
     "wt_stream_replay",
 ]
 GATE_SIZE = 50
