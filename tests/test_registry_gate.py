@@ -58,46 +58,89 @@ NEVER_OR_STALE_ATTESTED = {
     "ann_filtered_topk",
 }
 
-#: The r06-attested rows NOT in the r08 window: the 23 left out at
-#: rotation time plus the nine (c) rows the round-8 additions displaced
-#: mid-round (32 total). Their code is untouched and each has an
-#: in-window sibling exercising the same module; they are PROMISED the
-#: r09 window — next round, move them into GATE_WINDOW (and into
-#: NEVER_OR_STALE_ATTESTED as stale) before anything else.
+#: Every row of the 50-name r06-attested cohort (fixed at r08 rotation
+#: time — see R06_COHORT below) that is NOT in the r08 window: the 23
+#: left out at rotation plus every (c) row a round-8 addition displaced
+#: mid-round. Their code is untouched and each has an in-window sibling
+#: exercising the same module; they are PROMISED the r09 window — next
+#: round, move them into GATE_WINDOW (and into NEVER_OR_STALE_ATTESTED
+#: as stale) before anything else.
+#: COMPLETENESS IS TESTED, not hand-maintained:
+#: test_every_r06_row_is_windowed_or_deferred derives the required set
+#: from R06_COHORT − GATE_WINDOW, so a displaced row can no longer fall
+#: out of the accounting silently (two r08 review passes each caught
+#: hand-maintenance omissions here).
 R09_DEFERRED = {
-    # displaced by the round-8 additions (wt_ingest_dedup_watermark,
-    # ann_ivf_rp_topk, wt_graph_degrees, wt_coedit_triangles)
-    "ann_ivfpq_rerank",
-    "tx_substring_scrub",
-    "dd_containment",
-    "dd_jaccard_histogram",
-    "tx_dedup_lineage",
-    "tx_split",
-    "tx_vocab",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_rerank",
     "ann_lsh_buckets",
     "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dd_minhash_signatures",
-    "dd_minhash_est",
-    "dd_ngram_jaccard",
-    "dd_lsh_candidates",
-    "dd_near_duplicates",
-    "dd_embedding_neardup",
-    "dd_decontaminate",
     "dd_bloom_decontaminate",
+    "dd_containment",
+    "dd_decontaminate",
     "dd_dup_clusters",
     "dd_editdist_pairs",
-    "tx_cms_terms",
-    "tx_clean_corpus",
-    "tx_filter_funnel",
-    "mm_media_features",
+    "dd_embedding_neardup",
+    "dd_jaccard_histogram",
+    "dd_lsh_candidates",
+    "dd_minhash_est",
+    "dd_minhash_signatures",
+    "dd_near_duplicates",
+    "dd_ngram_jaccard",
     "mm_frame_sample",
+    "mm_media_features",
     "mm_pgm_features",
     "rel_dq_audit",
-    "rel_nation_set_ops",
     "rel_nation_presence",
+    "rel_nation_set_ops",
+    "tx_clean_corpus",
+    "tx_cms_terms",
+    "tx_dedup_lineage",
+    "tx_filter_funnel",
+    "tx_repetition",
+    "tx_split",
+    "tx_substring_scrub",
+    "tx_token_stats",
+    "tx_vocab",
+    "wt_lifecycle_replay",
+    "wt_state_diff",
+    "wt_stream_heavy_hitters",
 }
+
+
+#: The 50 rows whose latest driver attestation was r06 when the r08
+#: window was composed — the FIXED population the R09 promise covers.
+R06_COHORT = {
+    "wt_page_state", "wt_most_edited", "wt_biggest_movers",
+    "wt_most_vibrant", "wt_top_pages_per_wiki", "wt_purge_survivors",
+    "wt_epm_variants", "wt_purge_safe_list", "wt_classify_counts",
+    "wt_windowed_activity", "wt_session_activity", "wt_delete_targets",
+    "wt_protect_followups", "wt_page_state_lifecycle",
+    "wt_lifecycle_replay", "wt_stream_replay", "wt_stream_heavy_hitters",
+    "wt_state_diff", "tx_token_stats", "tx_repetition", "tx_vocab",
+    "tx_split", "tx_dedup_lineage", "dd_containment",
+    "dd_jaccard_histogram", "tx_substring_scrub", "ann_ivfpq_rerank",
+    "dd_minhash_signatures", "dd_minhash_est", "dd_ngram_jaccard",
+    "dd_lsh_candidates", "dd_near_duplicates", "dd_embedding_neardup",
+    "dd_decontaminate", "dd_bloom_decontaminate", "tx_cms_terms",
+    "dd_dup_clusters", "dd_editdist_pairs", "tx_clean_corpus",
+    "tx_filter_funnel", "ann_bruteforce_topk", "ann_lsh_buckets",
+    "ann_lsh_topk", "ann_ivf_topk", "mm_media_features",
+    "mm_frame_sample", "mm_pgm_features", "rel_dq_audit",
+    "rel_nation_set_ops", "rel_nation_presence",
+}
+
+
+def test_every_r06_row_is_windowed_or_deferred():
+    """The R09 promise must be complete by construction: every
+    r06-attested row is either re-attesting in the r08 window or
+    explicitly deferred — and the deferred set contains nothing else."""
+    from wikitrender_spark.plans import registry
+
+    expected = R06_COHORT - set(registry.GATE_WINDOW)
+    assert R09_DEFERRED == expected, (
+        sorted(expected - R09_DEFERRED), sorted(R09_DEFERRED - expected))
 
 
 def test_gate_window_is_exactly_first_50():

@@ -101,9 +101,16 @@ def main() -> int:
         from wikitrender_spark.plans import registry
 
         complement = set(registry.all_queries()) - set(registry.GATE_WINDOW)
-        # explicit names narrow the complement rather than being
-        # silently discarded
-        only = (only & complement) if only else complement
+        # explicit names narrow the complement; a name outside it (gated
+        # or typo'd) is an error, not something to silently drop — and
+        # an empty intersection must not fall through to a full sweep
+        if only:
+            bad = only - complement
+            if bad:
+                sys.exit(f"--non-gated: not in the non-gated set: {sorted(bad)}")
+            only = only & complement
+        else:
+            only = complement
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:

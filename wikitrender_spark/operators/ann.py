@@ -118,7 +118,12 @@ def filtered_ivf_topk(
     bounded by the FILTERED cell population. Exactness contract: equal
     to brute-force-over-the-filtered-corpus within probed cells (the
     usual IVF recall caveat applies on top; centroids stay trained on
-    the FULL corpus so the filter cannot shift cell geometry)."""
+    the FULL corpus so the filter cannot shift cell geometry). A query
+    returns k rows only while the probed cells hold >= k filtered
+    vectors — a selective predicate over few probed cells can
+    under-fill (r08 review); the production extension is probe
+    expansion until k filtered candidates accumulate (raise nprobe),
+    which this fixed-nprobe form leaves to the caller."""
     cents = ivf_centroids(emb).localCheckpoint(eager=False)
     cells = ivf_cells(emb.filter(predicate), cents)
     q = emb.filter(F.col("vec_id").isin(query_ids))
@@ -304,35 +309,15 @@ def ivf_topk(
     nprobe=2: with no cluster structure, neighbors at cosine ~0.4 sit
     barely above the noise floor and recall is ~the fraction of the
     corpus probed — raise nprobe to trade cost for recall (linearly),
-    or accept that unstructured data has no sub-linear ANN path."""
-    # cents feeds two consumers (assignment + probe ranking): barrier,
-    # like semantic_dedup/kmeans_refine, so the centroid aggregation
-    # runs once per query instead of once per branch (r08 review)
-    cents = ivf_centroids(emb).localCheckpoint(eager=False)
-    cells = ivf_cells(emb, cents)
-    q = emb.filter(F.col("vec_id").isin(query_ids))
-    probes = (
-        _centroid_ranks(q, cents)
-        .filter(F.col("crank") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
-    cand = F.broadcast(probes).join(cells, "cell").select(
-        "query_id", F.col("vec_id").alias("neighbor_id")
-    )
-    qe = _with_norm(q, "query_id", "q_emb", "q_nrm")
-    ne = _with_norm(emb, "neighbor_id", "n_emb", "n_nrm")
-    scored = (
-        cand.filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(ne, "neighbor_id")
-        .join(F.broadcast(qe), "query_id")
-        .select("query_id", "neighbor_id", _pair_sim().alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    or accept that unstructured data has no sub-linear ANN path.
+
+    Delegates to filtered_ivf_topk with an always-true predicate — ONE
+    IVF probe pipeline in the module (r08 review: the two bodies
+    differed only by the filter, and a tie-break or rounding change
+    must not be applicable to one serving path but not the other;
+    Catalyst folds the TRUE literal away, so the candidate plan is
+    unchanged and the scoring join is the shared _exact_rescore)."""
+    return filtered_ivf_topk(emb, query_ids, F.lit(True), k, nprobe)
 
 
 def embedding_band_keys(

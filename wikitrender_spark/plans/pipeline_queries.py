@@ -2665,9 +2665,12 @@ WHERE rank <= {ANN_K}"""
 def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN (operators/ann.filtered_ivf_topk): IVF probing with
     a metadata predicate (even label) pushed into candidate generation
-    — filtered-out vectors never reach the scoring join, and the result
-    still carries k rows per query (a post-filter would silently return
-    fewer whenever the predicate bites inside the unfiltered top-k)."""
+    — filtered-out vectors never reach the scoring join, unlike a
+    post-filter (which returns < k whenever the predicate bites inside
+    the unfiltered top-k). k rows per query are guaranteed only while
+    the probed cells hold >= k filtered vectors (they do at every
+    driver SF); the production form expands nprobe until k filtered
+    candidates accumulate (see operators/ann.filtered_ivf_topk)."""
     return ann.filtered_ivf_topk(
         _emb(spark, sf_dir), ANN_QUERY_IDS,
         F.col("label") % 2 == 0, ANN_K,
