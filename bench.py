@@ -95,6 +95,7 @@ EXTENDED = [
     "rel_copurchase_pairs",
     "mm_audio_energy",
     "ann_filtered_topk",
+    "wt_stream_trending",
 ]
 
 

@@ -56,6 +56,7 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_copurchase_pairs",
     "mm_audio_energy",
     "ann_filtered_topk",
+    "wt_stream_trending",
 }
 
 #: Every row of the 50-name r06-attested cohort (fixed at r08 rotation
@@ -106,6 +107,7 @@ R09_DEFERRED = {
     "wt_lifecycle_replay",
     "wt_state_diff",
     "wt_stream_heavy_hitters",
+    "wt_top_pages_per_wiki",
 }
 
 

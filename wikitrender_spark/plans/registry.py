@@ -90,8 +90,11 @@ GATE_WINDOW: list[str] = [
     "rel_copurchase_pairs",
     "mm_audio_energy",
     # ann_filtered_topk displaced wt_lifecycle_replay (the lifecycle
-    # fold keeps wt_page_state_lifecycle + wt_stream_replay in-window)
+    # fold keeps wt_page_state_lifecycle + wt_stream_replay in-window);
+    # wt_stream_trending displaced wt_top_pages_per_wiki (per-key rank
+    # stays attested via rel_topk_per_brand in the (a) cohort)
     "ann_filtered_topk",
+    "wt_stream_trending",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -122,7 +125,6 @@ GATE_WINDOW: list[str] = [
     "wt_most_edited",
     "wt_biggest_movers",
     "wt_most_vibrant",
-    "wt_top_pages_per_wiki",
     "wt_purge_survivors",
     "wt_epm_variants",
     "wt_purge_safe_list",

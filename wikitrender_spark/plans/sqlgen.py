@@ -599,6 +599,24 @@ SELECT page_a, page_b, n_coeditors,
 FROM top"""
 
 
+def stream_trending_oracle(k: int) -> str:
+    """Per-hour top-k pages by classified edit events — twin of
+    wikitrender_queries.q_stream_trending (the sentinel construction
+    makes the streaming emitted set exactly this batch relation)."""
+    return f"""
+WITH {classified_events_cte()},
+c AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+           AS window_start_us,
+         id, CAST(count(*) AS BIGINT) AS n_events
+  FROM e2 GROUP BY 1, 2)
+SELECT window_start_us, id, n_events,
+  CAST(row_number() OVER (PARTITION BY window_start_us
+       ORDER BY n_events DESC, id) AS INT) AS rank
+FROM c
+QUALIFY rank <= {k}"""
+
+
 def edit_wars_oracle(k: int) -> str:
     """Pages ranked by adjacent different-editor revert pairs — twin of
     wikitrender_queries.q_edit_wars (same per-page lag sequence)."""

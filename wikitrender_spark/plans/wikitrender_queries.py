@@ -488,6 +488,47 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=PAGERANK_TOPK)
 
 
+def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING trending report end-to-end: the events replay runs
+    through the watermarked per-(hour-window, page) aggregation (append
+    mode — each window emits exactly once, when the watermark closes
+    it), with two far-future sentinel batches forcing every real window
+    to finalize (the measured one-batch eviction lag, same pin as
+    wt_ingest_dedup_watermark); the finalized relation is then ranked
+    top-3 per window. This is the reference's periodic trending render
+    (examples/index.js:19,71) recast as an exactly-once event-time
+    stream instead of a wall-clock poll — and unlike the equivalence
+    tests' slack-bounded assertions, the sentinel construction makes
+    the emitted set EXACTLY the batch relation, so it driver-gates."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.windows import TRENDING_TOPK, trending_replay_to_memory
+
+    name = "wt_stream_trending_" + uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix="wt_trend_")
+    ckpt = tempfile.mkdtemp(prefix="wt_trend_ckpt_")
+    try:
+        survivors, cut_us = trending_replay_to_memory(
+            spark, sf_dir, work, name, ckpt
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    real = survivors.filter(F.col("window_start_us") < cut_us)
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.desc("n_events"), F.asc("id")
+    )
+    return (
+        real.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TRENDING_TOPK)
+        .select("window_start_us", "id", "n_events", "rank")
+    )
+
+
 EDIT_WAR_TOPK = 15
 
 
@@ -586,6 +627,7 @@ QUERIES = {
     "wt_coedit_pairs": q_coedit_pairs,
     "wt_graph_degrees": q_graph_degrees,
     "wt_edit_wars": q_edit_wars,
+    "wt_stream_trending": q_stream_trending,
     "wt_coedit_triangles": q_coedit_triangles,
 }
 
@@ -616,6 +658,7 @@ ORACLES = {
     ),
     "wt_graph_degrees": sqlgen.degree_topk_oracle(graph.DEGREE_TOPK),
     "wt_edit_wars": sqlgen.edit_wars_oracle(EDIT_WAR_TOPK),
+    "wt_stream_trending": sqlgen.stream_trending_oracle(3),
     "wt_coedit_triangles": sqlgen.coedit_triangles_oracle(
         cap=graph.COEDIT_CAP, min_w=graph.TRIANGLE_MIN_W,
         k=graph.TRIANGLE_TOPK,

@@ -148,3 +148,91 @@ def run_windowed_to_memory(
     )
     q.awaitTermination()
     return windowed.sparkSession.table(name)
+
+
+#: per-window trending cut for the streaming trending query.
+TRENDING_TOPK = 3
+#: far-future shift for the finalization sentinels (must exceed every
+#: real window end + the watermark delay by a wide margin).
+TRENDING_SENTINEL_DAYS = 30
+
+
+def trending_replay_to_memory(
+    spark, sf_dir: str, work_dir: str, name: str, ckpt: str,
+    n_chunks: int = 2,
+):
+    """Replay the events table as ordered micro-batches through the
+    WATERMARKED per-(hour-window, page) streaming aggregation, with TWO
+    far-future sentinel batches appended so the watermark finalizes
+    EVERY real window (append mode emits a window only once the
+    watermark passes it, and state eviction lags the watermark by one
+    batch — the measured semantics the ingest-dedup replay pinned; the
+    second sentinel batch is the boundary at which the jumped watermark
+    actually sweeps). Returns (survivors DataFrame, sentinel_cut_us):
+    survivors hold every REAL window exactly once; rows at or beyond
+    sentinel_cut_us are the sentinels' own (never-finalized or
+    irrelevant) windows and must be filtered by the caller."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators.derive import read_events_raw
+    from ..operators.page_state import classified_edit_events
+    from ..sources.replay import EVENTS_SCHEMA, _derive, write_ordered_chunks
+
+    src = read_events_raw(spark, sf_dir).withColumn(
+        "_rn", F.row_number().over(W.orderBy("ts", "event_id")) - 1
+    )
+    n_rows = src.count()
+    max_us = src.agg(F.max(F.unix_micros("ts"))).first()[0]
+    cut_us = max_us + 24 * 3600 * 1_000_000
+    step = max(1, (n_rows + n_chunks - 1) // n_chunks)
+    shift_us = TRENDING_SENTINEL_DAYS * 24 * 3600 * 1_000_000
+    # the sentinel must SURVIVE the rc derivation filter or it never
+    # reaches the watermarked operator and the watermark never jumps
+    # (measured: the raw max-ts row passes the F1-F3 filters at sf0.001
+    # but not sf0.01 — the last delay-window hours then silently never
+    # finalize). Pick the latest row the derivation provably keeps.
+    from ..operators.derive import rc_events
+
+    keep_id = (
+        rc_events(spark, sf_dir)
+        .orderBy(F.desc("ts"), F.desc("seq"))
+        .select("seq")
+        .first()[0]
+    )
+    sentinel = (
+        src.filter(F.col("event_id") == keep_id).drop("_rn")
+        .withColumn(
+            "ts", F.timestamp_micros(F.unix_micros("ts") + F.lit(shift_us))
+        )
+    )
+    chunk_dir = os.path.join(work_dir, "trend_chunks")
+    parts = [
+        src.filter(
+            (F.col("_rn") >= i * step) & (F.col("_rn") < (i + 1) * step)
+        ).drop("_rn")
+        for i in range(n_chunks)
+    ]
+    write_ordered_chunks((*parts, sentinel, sentinel), chunk_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    rc = _derive(spark, raw, "wtr_trending_stream")
+    e = classified_edit_events(rc).withWatermark("ts", "2 hours")
+    counts = (
+        e.groupBy(F.window("ts", WINDOW_DURATION), "id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "id",
+            "n_events",
+        )
+    )
+    out = run_windowed_to_memory(counts, name, ckpt, mode="append")
+    survivors = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return survivors, cut_us
