@@ -96,6 +96,7 @@ EXTENDED = [
     "mm_audio_energy",
     "ann_filtered_topk",
     "wt_stream_trending",
+    "wt_revert_chains",
 ]
 
 

@@ -57,6 +57,7 @@ NEVER_OR_STALE_ATTESTED = {
     "mm_audio_energy",
     "ann_filtered_topk",
     "wt_stream_trending",
+    "wt_revert_chains",
 }
 
 #: Every row of the 50-name r06-attested cohort (fixed at r08 rotation
@@ -108,6 +109,7 @@ R09_DEFERRED = {
     "wt_state_diff",
     "wt_stream_heavy_hitters",
     "wt_top_pages_per_wiki",
+    "wt_biggest_movers",
 }
 
 

@@ -95,6 +95,9 @@ GATE_WINDOW: list[str] = [
     # stays attested via rel_topk_per_brand in the (a) cohort)
     "ann_filtered_topk",
     "wt_stream_trending",
+    # wt_revert_chains displaced wt_biggest_movers (Q2's delta ranking
+    # stays attested via the rel window/rank family in the (a) cohort)
+    "wt_revert_chains",
     # (a) the R08_DEFERRED cohort, last green r04 — the promise
     "ann_sq_topk",
     "rel_event_funnel",
@@ -123,7 +126,6 @@ GATE_WINDOW: list[str] = [
     # first), re-attesting on current testdata
     "wt_page_state",
     "wt_most_edited",
-    "wt_biggest_movers",
     "wt_most_vibrant",
     "wt_purge_survivors",
     "wt_epm_variants",

@@ -617,6 +617,38 @@ FROM c
 QUALIFY rank <= {k}"""
 
 
+def revert_chains_oracle(k: int) -> str:
+    """Longest consecutive-revert chain per page — twin of
+    wikitrender_queries.q_revert_chains (same two-row_number
+    gaps-and-islands over the per-page edit sequence)."""
+    return f"""
+WITH {classified_events_cte()},
+seqd AS (
+  SELECT id, is_revert,
+    row_number() OVER (PARTITION BY id ORDER BY ts, seq) AS rn
+  FROM e2),
+rev AS (
+  SELECT id, rn,
+    row_number() OVER (PARTITION BY id ORDER BY rn) AS rr
+  FROM seqd WHERE is_revert),
+chains AS (
+  SELECT id, rn - rr AS grp, CAST(count(*) AS BIGINT) AS chain_len
+  FROM rev GROUP BY 1, 2),
+agg AS (
+  SELECT id,
+    max(chain_len) AS max_chain,
+    CAST(sum(CASE WHEN chain_len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_chains,
+    CAST(sum(chain_len) AS BIGINT) AS n_reverts
+  FROM chains GROUP BY id),
+top AS (SELECT * FROM agg
+        ORDER BY max_chain DESC, n_chains DESC, id LIMIT {k})
+SELECT id, max_chain, n_chains, n_reverts,
+  CAST(row_number() OVER (ORDER BY max_chain DESC, n_chains DESC, id)
+       AS INT) AS rank
+FROM top"""
+
+
 def edit_wars_oracle(k: int) -> str:
     """Pages ranked by adjacent different-editor revert pairs — twin of
     wikitrender_queries.q_edit_wars (same per-page lag sequence)."""

@@ -529,6 +529,48 @@ def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REVERT_CHAIN_TOPK = 15
+
+
+def q_revert_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-revert chain per page (gaps-and-islands over
+    the page's EDIT SEQUENCE — position-based, so the synthetic data's
+    regular calendar spacing can't degenerate it the way hour-based
+    streaks would): a chain of k reverts with no intervening normal
+    edit is the sustained-conflict signature one step past
+    wt_edit_wars' pairwise flips. Per page: longest chain, number of
+    chains of length >= 2, total reverts; top-15 by (longest desc,
+    chains desc, id asc).
+
+    Scale shape: two windows per page partition (sequence position,
+    then revert position — both bounded by a page's own history), one
+    (id, grp) hash-agg, one per-id hash-agg, TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    ev = classified_edit_events(rc_events(spark, sf_dir))
+    w = Window.partitionBy("id").orderBy("ts", "seq")
+    wr = Window.partitionBy("id").orderBy("rn")
+    chains = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("is_revert"))
+        .withColumn("rr", F.row_number().over(wr))
+        .groupBy("id", (F.col("rn") - F.col("rr")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("chain_len"))
+    )
+    agg = chains.groupBy("id").agg(
+        F.max("chain_len").alias("max_chain"),
+        F.sum(F.when(F.col("chain_len") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_chains"),
+        F.sum("chain_len").alias("n_reverts"),
+    )
+    top = agg.orderBy(
+        F.desc("max_chain"), F.desc("n_chains"), F.asc("id")
+    ).limit(REVERT_CHAIN_TOPK)
+    w2 = Window.orderBy(F.desc("max_chain"), F.desc("n_chains"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w2).cast("int"))
+
+
 EDIT_WAR_TOPK = 15
 
 
@@ -628,6 +670,7 @@ QUERIES = {
     "wt_graph_degrees": q_graph_degrees,
     "wt_edit_wars": q_edit_wars,
     "wt_stream_trending": q_stream_trending,
+    "wt_revert_chains": q_revert_chains,
     "wt_coedit_triangles": q_coedit_triangles,
 }
 
@@ -659,6 +702,7 @@ ORACLES = {
     "wt_graph_degrees": sqlgen.degree_topk_oracle(graph.DEGREE_TOPK),
     "wt_edit_wars": sqlgen.edit_wars_oracle(EDIT_WAR_TOPK),
     "wt_stream_trending": sqlgen.stream_trending_oracle(3),
+    "wt_revert_chains": sqlgen.revert_chains_oracle(REVERT_CHAIN_TOPK),
     "wt_coedit_triangles": sqlgen.coedit_triangles_oracle(
         cap=graph.COEDIT_CAP, min_w=graph.TRIANGLE_MIN_W,
         k=graph.TRIANGLE_TOPK,
