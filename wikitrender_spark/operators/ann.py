@@ -871,7 +871,12 @@ def rp_project(emb: DataFrame) -> DataFrame:
         for i in range(1, EMB_DIM + 1):
             t = f"CAST(element_at(embedding, {i}) AS DOUBLE)"
             terms.append(t if _rp_sign(i, j) > 0 else f"(- {t})")
-        cols.append(f"round({' + '.join(terms)}, 4)")
+        # the leading literal 0.0 keeps the oracle's seeded
+        # list_reduce(list_prepend(0.0, ...)) fold bit-for-bit: without
+        # it, a coordinate whose terms are all (negated) zeros yields
+        # -0.0 here but +0.0 there — numerically equal, hash-divergent
+        # (ADVICE r8)
+        cols.append(f"round(0.0 + {' + '.join(terms)}, 4)")
     return emb.selectExpr("vec_id", f"array({', '.join(cols)}) AS proj")
 
 

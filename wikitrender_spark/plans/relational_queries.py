@@ -1195,7 +1195,7 @@ stats AS (
   SELECT event_type,
     CAST(count(*) AS BIGINT) AS n_hours,
     CAST(sum(n_events) AS BIGINT) AS sx,
-    CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+    sum(CAST(n_events AS HUGEINT) * n_events) AS sxx
   FROM cells GROUP BY 1)
 SELECT c.event_type, c.hour, c.n_events,
   (CAST(s.n_hours AS HUGEINT) * c.n_events - s.sx)

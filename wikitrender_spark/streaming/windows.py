@@ -195,8 +195,17 @@ def trending_replay_to_memory(
     # finalize). Pick the latest row the derivation provably keeps.
     from ..operators.derive import rc_events
 
+    # ... and the watermark operator sits downstream of classified_edit_
+    # events' log-branch filter too (ADVICE r8): rc_events still carries
+    # log rows, and if the latest rc row were a log row both sentinel
+    # batches would be dropped BEFORE the EventTimeWatermark node — the
+    # watermark would never jump and the trailing delay-window hours
+    # would silently never finalize. Pick the latest EDIT-branch row so
+    # the sentinel provably survives every filter upstream of the
+    # watermark.
     keep_id = (
         rc_events(spark, sf_dir)
+        .filter(F.col("log_type").isNull())
         .orderBy(F.desc("ts"), F.desc("seq"))
         .select("seq")
         .first()[0]
