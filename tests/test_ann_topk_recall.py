@@ -176,3 +176,54 @@ def test_filtered_ivf_exact_when_all_cells_probed(clustered, spark):
     # and every neighbor satisfies it
     even = {r["vec_id"] for r in clustered.filter(pred).collect()}
     assert {n for _q, n in got_pairs} <= even
+
+
+def test_filtered_expand_fills_k_where_fixed_nprobe_underfills(
+    clustered, spark
+):
+    """ann_filtered_expand contract (VERDICT r8 ask #3): under a
+    high-selectivity predicate (one far cluster, 15 of 240 vectors) the
+    fixed-nprobe form under-fills — some query returns < K rows — while
+    the adaptive form probes cells in centroid-rank order until >= K
+    filtered candidates accumulate and returns EXACTLY K rows per query,
+    matching exact filtered brute force (the 15 survivors share one
+    cluster-seeded cell, so the expanded probe set contains them all)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pred = F.col("label") == 12  # no query belongs to cluster 12
+    fixed = ann.filtered_ivf_topk(clustered, QUERY_IDS, pred, K)
+    fixed_counts = {
+        r["query_id"]: r["count"]
+        for r in fixed.groupBy("query_id").count().collect()
+    }
+    assert any(fixed_counts.get(q, 0) < K for q in QUERY_IDS), (
+        "fixture drifted: fixed nprobe no longer under-fills", fixed_counts
+    )
+
+    got = ann.filtered_ivf_expand_topk(clustered, QUERY_IDS, pred, K)
+    counts = {
+        r["query_id"]: r["count"]
+        for r in got.groupBy("query_id").count().collect()
+    }
+    assert counts == {q: K for q in QUERY_IDS}, counts
+
+    # exactness floor: equal to brute force over the filtered corpus
+    qdf = spark.createDataFrame([(q,) for q in QUERY_IDS], "query_id long")
+    cand = (
+        clustered.filter(pred)
+        .select(F.col("vec_id").alias("neighbor_id"))
+        .crossJoin(qdf)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = ann._exact_rescore(cand, clustered, QUERY_IDS)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    exp = _pairs(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+    )
+    got_pairs = _pairs(got)
+    recall = len(got_pairs & exp) / len(exp)
+    assert recall >= 0.9, f"expanded filtered recall {recall:.3f} < 0.9"

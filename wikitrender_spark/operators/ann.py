@@ -149,6 +149,91 @@ def filtered_ivf_topk(
     )
 
 
+def filtered_ivf_expand_topk(
+    emb: DataFrame, query_ids: list[int], predicate, k: int = 10
+) -> DataFrame:
+    """Filtered ANN with ADAPTIVE probe expansion — the production form
+    of filtered_ivf_topk's documented under-fill gap (VERDICT r8 ask #3):
+    instead of a fixed nprobe (which returns < k rows whenever the
+    probed cells hold fewer than k predicate-passing vectors), each
+    query probes its centroid-ranked cells in order until at least k
+    filtered candidates are AVAILABLE, then rescoring proceeds exactly
+    as in the fixed form.
+
+    Probe-set rule (deterministic, engine-portable): rank ALL cells per
+    query by rounded centroid cosine (cell-asc ties); a cell is probed
+    iff the cumulative filtered population of strictly-better-ranked
+    cells is < k — i.e. cells are taken through the first rank at which
+    >= k candidates accumulate. The query's own row never counts toward
+    the fill (it is excluded from scoring), so k rows are guaranteed
+    whenever the filtered corpus minus self holds >= k vectors — the
+    contract the fixed-nprobe form cannot give.
+
+    Scale shape: the expansion decision runs on CELL POPULATIONS, not
+    vectors — a (cell, count) relation of n_cells rows (driver-tiny at
+    any corpus size) broadcast-joined to the per-query centroid ranking
+    (n_queries x n_cells rows). No extra pass over the corpus vs the
+    fixed form: assignment-with-filter once, probe equi-join once. A
+    selective predicate costs more probed cells per query — exactly the
+    adaptive behavior a serving stack wants (matches the "increase
+    nprobe until the filtered candidate set fills" guidance in public
+    IVF serving literature, e.g. FAISS's metadata-filtering discussion)."""
+    cents = ivf_centroids(emb).localCheckpoint(eager=False)
+    cellsf = ivf_cells(emb.filter(predicate), cents)
+    pops = cellsf.groupBy("cell").agg(F.count(F.lit(1)).alias("pop"))
+    q = emb.filter(F.col("vec_id").isin(query_ids))
+    ranks = _centroid_ranks(q, cents).select(
+        F.col("vec_id").alias("query_id"), "cell", "crank"
+    )
+    own = cellsf.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("own_cell")
+    )
+    # NULL own_cell (query fails the predicate) compares NULL == cell ->
+    # no self-adjustment, matching the oracle's CASE WHEN NULL semantics
+    avail = (
+        ranks.join(F.broadcast(pops), "cell", "left")
+        .join(F.broadcast(own), "query_id", "left")
+        .select(
+            "query_id",
+            "cell",
+            "crank",
+            (
+                F.coalesce(F.col("pop"), F.lit(0))
+                - F.when(F.col("own_cell") == F.col("cell"), 1).otherwise(0)
+            ).alias("avail"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("crank")
+    probes = (
+        avail.withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("avail").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("cum_before") < k)
+        .select("query_id", "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cellsf, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = _exact_rescore(cand, emb, query_ids)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 #: cosine radius for range search (sized from the measured corpus pair
 #: distribution: ~20 hits for 5 queries at every SF — non-degenerate but
 #: far from all-pairs)

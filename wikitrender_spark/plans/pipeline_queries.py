@@ -2699,6 +2699,71 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
 WHERE rank <= {ANN_K}"""
 
 
+#: selective predicate for the expansion query: one label ≈ 10-12% of
+#: the corpus, concentrated in (at most a few) cells after the k-means
+#: step — fixed nprobe=2 under-fills for queries whose top cells miss
+#: it, so the registered query exercises REAL expansion, not a no-op.
+ANN_EXPAND_LABEL = 3
+
+
+def q_ann_filtered_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN with adaptive probe expansion
+    (operators/ann.filtered_ivf_expand_topk): cells are probed in
+    centroid-rank order until >= k predicate-passing candidates
+    accumulate, so every query returns exactly k rows even under a
+    selective predicate — the production fix for the fixed-nprobe
+    under-fill contract (VERDICT r8 ask #3)."""
+    return ann.filtered_ivf_expand_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS,
+        F.col("label") == ANN_EXPAND_LABEL, ANN_K,
+    )
+
+
+ANN_FILTERED_EXPAND_SQL = f"""
+WITH {_IVF_CELLS_CTE},
+cellsf AS (
+  SELECT c.vec_id, c.cell
+  FROM cells c JOIN e ON e.vec_id = c.vec_id
+  WHERE e.label = {ANN_EXPAND_LABEL}),
+pops AS (SELECT cell, count(*) AS pop FROM cellsf GROUP BY 1),
+ranked AS (
+  SELECT vec_id AS query_id, cell,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY csim DESC, cell ASC) AS crank
+  FROM vs WHERE vec_id IN ({_QIDS})),
+own AS (SELECT vec_id AS query_id, cell AS own_cell FROM cellsf
+        WHERE vec_id IN ({_QIDS})),
+avail AS (
+  SELECT r.query_id, r.cell, r.crank,
+    COALESCE(p.pop, 0)
+      - CASE WHEN o.own_cell = r.cell THEN 1 ELSE 0 END AS avail
+  FROM ranked r
+  LEFT JOIN pops p ON p.cell = r.cell
+  LEFT JOIN own o ON o.query_id = r.query_id),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT *, COALESCE(sum(avail) OVER (PARTITION BY query_id
+              ORDER BY crank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+    FROM avail) t
+  WHERE cum_before < {ANN_K}),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+    round({_DOT64.format(a='q.emb', b='n.emb')} / (nq.nrm * nn.nrm), 6) AS sim
+  FROM probes p
+  JOIN cellsf c ON c.cell = p.cell AND c.vec_id <> p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e n ON n.vec_id = c.vec_id
+  JOIN nrm nq ON nq.vec_id = p.query_id
+  JOIN nrm nn ON nn.vec_id = c.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {ANN_K}"""
+
+
 ANN_SQ_SQL = f"""
 WITH {_COSINE_CTE},
 mm AS (SELECT ii.i AS i, min(e.emb[ii.i]) AS lo, max(e.emb[ii.i]) AS hi
@@ -3106,6 +3171,7 @@ QUERIES = {
     "ann_rp_topk": q_rp_topk,
     "ann_ivf_rp_topk": q_ann_ivf_rp,
     "ann_filtered_topk": q_ann_filtered,
+    "ann_filtered_expand": q_ann_filtered_expand,
     "ann_pq_topk": q_ann_pq,
     "ann_ivfpq_topk": q_ann_ivfpq,
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
@@ -3172,6 +3238,7 @@ ORACLES = {
     "ann_rp_topk": ANN_RP_SQL,
     "ann_ivf_rp_topk": ANN_IVF_RP_SQL,
     "ann_filtered_topk": ANN_FILTERED_SQL,
+    "ann_filtered_expand": ANN_FILTERED_EXPAND_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "ann_ivfpq_rerank": ANN_IVFPQ_RERANK_SQL,
