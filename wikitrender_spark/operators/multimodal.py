@@ -605,6 +605,117 @@ def video_motion(media: DataFrame) -> DataFrame:
     )
 
 
+#: a frame is a scene cut when its luma delta exceeds CUT_FACTOR x the
+#: video's mean delta (compared as exact integers: d * n_deltas >
+#: CUT_FACTOR * sum_deltas — no float division crosses the oracle)
+KEYFRAME_CUT_FACTOR = 2
+
+
+def video_keyframes(media: DataFrame) -> DataFrame:
+    """Scene-change keyframe selection over the REAL decoded frames —
+    the sampling stage past video_motion's per-video score: frame f
+    (f >= 1) is a CUT when its |luma-sum delta| exceeds
+    KEYFRAME_CUT_FACTOR x the video's mean delta, under exact integer
+    cross-multiplication (d * n_deltas > factor * total), so the DuckDB
+    twin hash-matches the decoded planes. Frame 0 is always a keyframe
+    (every sampler emits the first frame). Output one row per video:
+    n_frames, n_keyframes (1 + cuts), first/last cut index (-1 when no
+    cut) and the cut-index sum as a cheap selection checksum.
+
+    Scale shape: one mapInPandas stage, decode + integer folds per row,
+    one output row per video, no shuffle — a 100 TB video corpus maps
+    straight through."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _w, _h, frames = decode_y4m(bytes(row.payload))
+                sums = [int(fr.sum(dtype="int64")) for fr in frames]
+                deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+                total = sum(deltas)
+                n_d = len(deltas)
+                cuts = [
+                    f + 1
+                    for f, d in enumerate(deltas)
+                    if d * n_d > KEYFRAME_CUT_FACTOR * total
+                ]
+                out.append(
+                    dict(
+                        media_id=row.media_id,
+                        n_frames=len(frames),
+                        n_keyframes=1 + len(cuts),
+                        first_cut=cuts[0] if cuts else -1,
+                        last_cut=cuts[-1] if cuts else -1,
+                        cut_sum=sum(cuts),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_frames", "n_keyframes",
+                    "first_cut", "last_cut", "cut_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, n_frames int, n_keyframes int, "
+        "first_cut int, last_cut int, cut_sum long",
+    )
+
+
+def audio_vad_segments(energy: DataFrame) -> DataFrame:
+    """Voice-activity summary composed ON TOP of the windowed energy
+    relation (audio_energy_segments' output) with plain DataFrame ops —
+    the VAD step the energy relation was built for: a window is ACTIVE
+    when its energy exceeds the clip mean (exact integer
+    cross-multiplication: energy * n_windows > clip_total), runs of
+    consecutive active windows are merged gaps-and-islands style, and
+    each clip reports its activity profile (active windows, number of
+    runs, longest run, first active index; -1 when silent).
+
+    Scale shape: one broadcast-sized window pair per clip partition
+    (a clip's segments are AUDIO_SEGMENTS rows), two hash-aggs; state
+    bounded per clip — composition stays in whole-stage codegen, no
+    second decode pass over the audio bytes."""
+    from pyspark.sql import Window as W
+
+    tot = W.partitionBy("media_id")
+    act = energy.withColumn(
+        "n_win", F.count(F.lit(1)).over(tot)
+    ).withColumn("clip_total", F.sum("energy").over(tot)).withColumn(
+        "active",
+        F.col("energy") * F.col("n_win") > F.col("clip_total"),
+    )
+    seq = W.partitionBy("media_id").orderBy("seg_idx")
+    seq_a = W.partitionBy("media_id", "active").orderBy("seg_idx")
+    runs = (
+        act.withColumn("rn", F.row_number().over(seq))
+        .withColumn("ra", F.row_number().over(seq_a))
+        .filter(F.col("active"))
+        .groupBy("media_id", (F.col("rn") - F.col("ra")).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("seg_idx").alias("run_start"),
+        )
+    )
+    per_clip = runs.groupBy("media_id").agg(
+        F.sum("run_len").cast("long").alias("n_active"),
+        F.count(F.lit(1)).cast("int").alias("n_runs"),
+        F.max("run_len").cast("int").alias("longest_run"),
+        F.min("run_start").cast("int").alias("first_active"),
+    )
+    base = energy.select("media_id").distinct()
+    return base.join(per_clip, "media_id", "left").select(
+        "media_id",
+        F.coalesce(F.col("n_active"), F.lit(0)).alias("n_active"),
+        F.coalesce(F.col("n_runs"), F.lit(0)).alias("n_runs"),
+        F.coalesce(F.col("longest_run"), F.lit(0)).alias("longest_run"),
+        F.coalesce(F.col("first_active"), F.lit(-1)).alias("first_active"),
+    )
+
+
 #: thumbnail edge for the decode -> resize -> feature pipeline
 THUMB_SIZE = 16
 

@@ -819,6 +819,244 @@ SELECT doc_id, CAST({_WORD_HASH.format(w='text')} AS BIGINT) AS fingerprint
 FROM documents"""
 
 
+#: winnowing window (w consecutive k-gram hashes per selection window)
+WINNOW_W = 4
+#: positions and 31-poly hashes both fit in 20 bits, so one BIGINT key
+#: encodes (hash asc, position desc): minimizing it picks the smallest
+#: hash with the RIGHTMOST position on ties — the robust-winnowing rule.
+_WINNOW_POS_BITS = 20
+_WINNOW_MAXN = 1 << _WINNOW_POS_BITS
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    the MOSS algorithm): slide a w-window over the doc's word-trigram
+    k-gram hashes and select each window's minimum (rightmost on ties);
+    the distinct selected hashes are the doc's fingerprint sketch, with
+    the guarantee that any shared run of >= w+k-1 tokens yields a shared
+    fingerprint — the positional dedup sketch MinHash (set-based,
+    position-blind) cannot give. Rightmost-tie argmin is engine-portable
+    via one BIGINT key per position: hash * 2^20 + (2^20 - 1 - pos);
+    list-min of the key window IS the selection rule.
+
+    Output one row per doc: n_kgrams, n_fps (selected count), fp_sum /
+    fp_min / fp_max over the selected hashes (the sketch checksum the
+    oracle hashes; -1/-1 sentinel for docs under k tokens). Density
+    contract: n_fps <= n_windows and ~2/(w+1) of n_kgrams in expectation
+    (the paper's bound).
+
+    Scale shape: pure per-row array arithmetic (transform / slice /
+    aggregate folds) — zero shuffle, whole-stage codegen; the fingerprint
+    relation, not the token rows, is all that would feed a downstream
+    band join at 100 TB."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", T.shingle_hashes(F.col("text")).alias("sh"))
+    m = F.size("sh")
+    sh = F.col("sh")
+    keys = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.element_at(sh, i) * _WINNOW_MAXN
+        + (F.lit(_WINNOW_MAXN - 1) - i),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (WINNOW_W - 1), F.lit(1))),
+        lambda s: F.array_min(F.slice(keys, s, WINNOW_W)),
+    )
+    fps = F.transform(
+        F.array_distinct(mins),
+        lambda k: F.shiftright(k, _WINNOW_POS_BITS),
+    )
+    # every fps consumer sits under the m == 0 guard: the keys/mins
+    # expressions index into the empty array on token-starved docs and
+    # must never evaluate there (conditional branches are per-row lazy)
+    return base.select(
+        "doc_id",
+        m.cast("long").alias("n_kgrams"),
+        F.when(m == 0, F.lit(0).cast("long"))
+        .otherwise(F.size(fps).cast("long"))
+        .alias("n_fps"),
+        F.when(m == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x)
+        )
+        .alias("fp_sum"),
+        F.when(m == 0, F.lit(-1).cast("long"))
+        .otherwise(F.array_min(fps).cast("long"))
+        .alias("fp_min"),
+        F.when(m == 0, F.lit(-1).cast("long"))
+        .otherwise(F.array_max(fps).cast("long"))
+        .alias("fp_max"),
+    )
+
+
+WINNOWING_SQL = f"""
+WITH {_TOK_HASH_CTE},
+ky AS (SELECT doc_id, length(sh) AS m,
+         list_transform(range(1, length(sh) + 1),
+           i -> CAST(sh[i] AS BIGINT) * {_WINNOW_MAXN}
+                + ({_WINNOW_MAXN - 1} - i)) AS keys
+       FROM sh),
+mn AS (SELECT doc_id, m,
+         list_distinct(list_transform(
+           range(1, greatest(m - {WINNOW_W - 1}, 1) + 1),
+           s -> list_min(list_slice(keys, s, s + {WINNOW_W - 1})))) AS sel
+       FROM ky),
+fp AS (SELECT doc_id, m,
+         list_transform(sel, k -> k >> {_WINNOW_POS_BITS}) AS fps
+       FROM mn)
+SELECT doc_id, CAST(m AS BIGINT) AS n_kgrams,
+  CAST(CASE WHEN m = 0 THEN 0 ELSE length(fps) END AS BIGINT) AS n_fps,
+  CAST(CASE WHEN m = 0 THEN 0
+       ELSE list_reduce(list_prepend(0, fps), (a, b) -> a + b)
+       END AS BIGINT) AS fp_sum,
+  CAST(CASE WHEN m = 0 THEN -1 ELSE list_min(fps) END AS BIGINT) AS fp_min,
+  CAST(CASE WHEN m = 0 THEN -1 ELSE list_max(fps) END AS BIGINT) AS fp_max
+FROM fp"""
+
+
+#: CDC boundary rule: a token whose 31-poly hash is 0 mod CDC_MOD ends a
+#: chunk — expected chunk length CDC_MOD tokens, boundaries determined by
+#: CONTENT (so an insertion only reshapes its own chunk, the rsync/LBFS
+#: property fixed-size chunking lacks).
+CDC_MOD = 16
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync / LBFS primitive — see
+    Muthitacharoen et al., SOSP'01): split each doc at content-derived
+    token boundaries (hash % CDC_MOD == 0 ends a chunk), hash each chunk
+    with the same 31-poly fold, and report PER-SOURCE block-level
+    duplication: chunk instances, distinct chunks, instances whose
+    (hash, len) recurs in more than one doc corpus-wide, and the
+    dup/total token mass as an exact-integer pair — the storage-savings
+    estimate block-level dedup exists to answer, at sub-document
+    granularity where exact dedup (dd_exact_groups) sees nothing.
+
+    Scale shape: chunking is per-row array arithmetic (zero shuffle);
+    the duplicate probe is one hash-agg on (chunk_hash, chunk_len) —
+    map-side combined, keys bounded by distinct content blocks — plus a
+    per-source rollup bounded by |sources|. No token rows ever
+    shuffle."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", "source", T.token_hashes(F.col("text")).alias("th")
+    )
+    n = F.size("th")
+    th = F.col("th")
+    bps = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(th, i) % CDC_MOD == 0,
+    )
+    nb = F.size(bps)
+    has_tail = (n > 0) & ((nb == 0) | (F.element_at(bps, -1) < n))
+    n_chunks = nb + has_tail.cast("int")
+
+    def chunk(j):
+        cstart = F.when(j == 1, F.lit(1)).otherwise(
+            F.element_at(bps, j - 1) + 1
+        )
+        cend = F.when(j <= nb, F.element_at(bps, j)).otherwise(n)
+        clen = cend - cstart + 1
+        chash = F.aggregate(
+            F.slice(th, cstart, clen),
+            F.lit(0).cast("long"),
+            lambda h, x: (h * T.HASH_MULT + x) % T.HASH_MOD,
+        )
+        return F.struct(
+            clen.cast("int").alias("chunk_len"), chash.alias("chunk_hash")
+        )
+
+    empty = F.array().cast("array<struct<chunk_len:int,chunk_hash:bigint>>")
+    chunks = F.when(n_chunks == 0, empty).otherwise(
+        F.transform(F.sequence(F.lit(1), n_chunks), chunk)
+    )
+    ch = base.select(
+        "doc_id", "source", F.explode(chunks).alias("c")
+    ).select("doc_id", "source", "c.chunk_len", "c.chunk_hash")
+    dup = ch.groupBy("chunk_hash", "chunk_len").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_src = (
+        ch.join(dup, ["chunk_hash", "chunk_len"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("chunk_hash", "chunk_len").alias(
+                "n_distinct_chunks"
+            ),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.sum(
+                F.when(F.col("n_docs") > 1, F.col("chunk_len")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dup_tokens"),
+            F.sum("chunk_len").cast("long").alias("total_tokens"),
+        )
+    )
+    srcs = d.select("source").distinct()
+    return srcs.join(per_src, "source", "left").select(
+        "source",
+        F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+        F.coalesce(F.col("n_distinct_chunks"), F.lit(0)).alias(
+            "n_distinct_chunks"
+        ),
+        F.coalesce(F.col("n_dup_chunks"), F.lit(0)).alias("n_dup_chunks"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.coalesce(F.col("total_tokens"), F.lit(0)).alias("total_tokens"),
+    )
+
+
+CDC_CHUNKS_SQL = f"""
+WITH {_TOK_HASH_CTE},
+ck AS (SELECT t.doc_id, d.source, t.th, length(t.th) AS n,
+         list_filter(range(1, length(t.th) + 1),
+                     i -> t.th[i] % {CDC_MOD} = 0) AS bps
+       FROM th t JOIN documents d ON d.doc_id = t.doc_id),
+nch AS (SELECT *, length(bps) AS nb,
+          length(bps) + CASE WHEN n > 0 AND (length(bps) = 0
+                                             OR bps[length(bps)] < n)
+                        THEN 1 ELSE 0 END AS n_chunks
+        FROM ck),
+jx AS (SELECT doc_id, source, th, n, bps, nb,
+         unnest(range(1, n_chunks + 1)) AS j
+       FROM nch),
+bounds AS (SELECT doc_id, source, th,
+    CASE WHEN j = 1 THEN 1 ELSE bps[CAST(j - 1 AS INT)] + 1 END AS cstart,
+    CASE WHEN j <= nb THEN bps[CAST(j AS INT)] ELSE n END AS cend
+  FROM jx),
+hashed AS (SELECT doc_id, source,
+    CAST(cend - cstart + 1 AS INT) AS chunk_len,
+    CAST(list_reduce(list_prepend(0, list_slice(th, cstart, cend)),
+                     (h, x) -> (h * 31 + x) % 1000003) AS BIGINT)
+      AS chunk_hash
+  FROM bounds),
+dup AS (SELECT chunk_hash, chunk_len, count(DISTINCT doc_id) AS n_docs
+        FROM hashed GROUP BY 1, 2),
+per_src AS (
+  SELECT h.source,
+    CAST(count(*) AS BIGINT) AS n_chunks,
+    CAST(count(DISTINCT (h.chunk_hash, h.chunk_len)) AS BIGINT)
+      AS n_distinct_chunks,
+    CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dup_chunks,
+    CAST(sum(CASE WHEN d.n_docs > 1 THEN h.chunk_len ELSE 0 END) AS BIGINT)
+      AS dup_tokens,
+    CAST(sum(h.chunk_len) AS BIGINT) AS total_tokens
+  FROM hashed h
+  JOIN dup d ON d.chunk_hash = h.chunk_hash AND d.chunk_len = h.chunk_len
+  GROUP BY 1)
+SELECT s.source,
+  CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+  CAST(COALESCE(p.n_distinct_chunks, 0) AS BIGINT) AS n_distinct_chunks,
+  CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(COALESCE(p.total_tokens, 0) AS BIGINT) AS total_tokens
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN per_src p ON p.source = s.source"""
+
+
 # --- dedup ---------------------------------------------------------------------
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination flags over the documents corpus (eval
@@ -1890,6 +2128,108 @@ SELECT doc_id AS media_id,
   CAST(max(d) AS BIGINT) AS peak_delta
 FROM dl WHERE d IS NOT NULL
 GROUP BY doc_id"""
+
+
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change keyframe selection over the real decoded Y4M frames
+    (operators/multimodal.video_keyframes): frame f is a cut when its
+    luma delta exceeds KEYFRAME_CUT_FACTOR x the video's mean delta
+    under exact integer cross-multiplication — the frame-sampling stage
+    a video curation pipeline feeds to the expensive encoder, one step
+    past mm_video_motion's per-video activity score."""
+    media = multimodal.documents_as_y4m(_docs(spark, sf_dir))
+    return multimodal.video_keyframes(media)
+
+
+VIDEO_KEYFRAMES_SQL = f"""
+WITH pd AS (
+  SELECT doc_id,
+    rpad(substring(text, 1, {_Y4M_N * multimodal.Y4M_FRAMES}),
+         {_Y4M_N * multimodal.Y4M_FRAMES}, ' ') AS s
+  FROM documents),
+fr AS (
+  SELECT doc_id, f,
+    CAST(list_sum(list_transform(range(1, {_Y4M_N} + 1),
+         i -> unicode(substring(s, f * {_Y4M_N} + 1, {_Y4M_N})[i])))
+      AS BIGINT) AS fsum
+  FROM pd, (SELECT unnest(range(0, {multimodal.Y4M_FRAMES})) AS f) ff),
+dl AS (
+  SELECT doc_id, f,
+    abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY f)) AS d
+  FROM fr),
+st AS (SELECT doc_id, CAST(count(d) AS BIGINT) AS n_d,
+         CAST(sum(d) AS BIGINT) AS total
+       FROM dl WHERE d IS NOT NULL GROUP BY 1),
+cuts AS (
+  SELECT dl.doc_id, CAST(count(*) AS INT) AS n_cuts,
+    CAST(min(dl.f) AS INT) AS first_cut, CAST(max(dl.f) AS INT) AS last_cut,
+    CAST(sum(dl.f) AS BIGINT) AS cut_sum
+  FROM dl JOIN st ON dl.doc_id = st.doc_id
+  WHERE dl.d IS NOT NULL
+    AND dl.d * st.n_d > {multimodal.KEYFRAME_CUT_FACTOR} * st.total
+  GROUP BY 1)
+SELECT p.doc_id AS media_id,
+  CAST({multimodal.Y4M_FRAMES} AS INT) AS n_frames,
+  CAST(1 + COALESCE(c.n_cuts, 0) AS INT) AS n_keyframes,
+  CAST(COALESCE(c.first_cut, -1) AS INT) AS first_cut,
+  CAST(COALESCE(c.last_cut, -1) AS INT) AS last_cut,
+  CAST(COALESCE(c.cut_sum, 0) AS BIGINT) AS cut_sum
+FROM pd p LEFT JOIN cuts c ON c.doc_id = p.doc_id"""
+
+
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection composed on the windowed energy relation
+    (operators/multimodal.audio_vad_segments over audio_energy_segments'
+    real decoded PCM16 windows): active = energy above the clip mean
+    (exact integer cross-multiplication), runs merged gaps-and-islands
+    style — the silence-trim cut the energy relation (mm_audio_energy,
+    'the VAD precursor') was built for."""
+    media = multimodal.documents_as_wav(_docs(spark, sf_dir))
+    return multimodal.audio_vad_segments(
+        multimodal.audio_energy_segments(media)
+    )
+
+
+AUDIO_VAD_SQL = f"""
+WITH pd AS (
+  SELECT doc_id,
+    rpad(substring(text, 1, {multimodal.WAV_N_SAMPLES}),
+         {multimodal.WAV_N_SAMPLES}, ' ') AS s
+  FROM documents),
+ch AS (
+  SELECT doc_id, (i - 1) // {_AUDIO_WIN} AS seg_idx,
+    CAST(greatest(least((unicode(s[i]) - {multimodal.WAV_CODE_PIVOT}) * 256,
+                        32767), -32768) AS BIGINT) AS v
+  FROM pd, (SELECT unnest(range(1, {multimodal.WAV_N_SAMPLES} + 1)) AS i) ii),
+en AS (SELECT doc_id AS media_id, seg_idx,
+         CAST(sum(v * v) AS BIGINT) AS energy
+       FROM ch GROUP BY 1, 2),
+st AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_win,
+         CAST(sum(energy) AS BIGINT) AS clip_total
+       FROM en GROUP BY 1),
+act AS (
+  SELECT e.media_id, e.seg_idx,
+    row_number() OVER (PARTITION BY e.media_id ORDER BY e.seg_idx) AS rn,
+    (e.energy * s.n_win > s.clip_total) AS active
+  FROM en e JOIN st s ON e.media_id = s.media_id),
+aruns AS (
+  SELECT media_id, seg_idx, rn,
+    row_number() OVER (PARTITION BY media_id ORDER BY seg_idx) AS ra
+  FROM act WHERE active),
+runs AS (SELECT media_id, rn - ra AS grp,
+           count(*) AS run_len, min(seg_idx) AS run_start
+         FROM aruns GROUP BY 1, 2),
+pc AS (SELECT media_id, CAST(sum(run_len) AS BIGINT) AS n_active,
+         CAST(count(*) AS INT) AS n_runs,
+         CAST(max(run_len) AS INT) AS longest_run,
+         CAST(min(run_start) AS INT) AS first_active
+       FROM runs GROUP BY 1)
+SELECT d.doc_id AS media_id,
+  CAST(COALESCE(pc.n_active, 0) AS BIGINT) AS n_active,
+  CAST(COALESCE(pc.n_runs, 0) AS INT) AS n_runs,
+  CAST(COALESCE(pc.longest_run, 0) AS INT) AS longest_run,
+  CAST(COALESCE(pc.first_active, -1) AS INT) AS first_active
+FROM documents d LEFT JOIN pc ON pc.media_id = d.doc_id"""
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3205,6 +3545,8 @@ QUERIES = {
     "mm_y4m_frames": q_y4m_frames,
     "mm_video_motion": q_video_motion,
     "mm_audio_energy": q_audio_energy,
+    "mm_video_keyframes": q_video_keyframes,
+    "mm_audio_vad": q_audio_vad,
 }
 
 ORACLES = {
@@ -3272,6 +3614,8 @@ ORACLES = {
     "mm_y4m_frames": Y4M_FRAMES_SQL,
     "mm_video_motion": VIDEO_MOTION_SQL,
     "mm_audio_energy": AUDIO_ENERGY_SQL,
+    "mm_video_keyframes": VIDEO_KEYFRAMES_SQL,
+    "mm_audio_vad": AUDIO_VAD_SQL,
 }
 
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);
@@ -3280,6 +3624,8 @@ QUERIES_ROTATED = {
     "dd_exact_groups": q_exact_dedup,
     "tx_quality": q_quality,
     "tx_fingerprint": q_fingerprint,
+    "tx_winnowing": q_winnowing,
+    "dd_cdc_chunks": q_cdc_chunks,
     "tx_langid": q_langid,
     "dd_simhash": q_simhash,
 }
@@ -3288,6 +3634,8 @@ ORACLES_ROTATED = {
     "dd_exact_groups": EXACT_DEDUP_SQL,
     "tx_quality": QUALITY_SQL,
     "tx_fingerprint": FINGERPRINT_SQL,
+    "tx_winnowing": WINNOWING_SQL,
+    "dd_cdc_chunks": CDC_CHUNKS_SQL,
     "tx_langid": _langid_sql(),
     "dd_simhash": SIMHASH_SQL,
 }
