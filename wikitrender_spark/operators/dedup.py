@@ -534,6 +534,105 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+#: 64-bit SimHash = SIMHASH_BLOCKS x SIMHASH_BLOCK_BITS; pairs within
+#: Hamming distance SIMHASH_HAM_MAX are caught with NO false negatives:
+#: <= 3 differing bits cannot touch all 4 blocks (pigeonhole), so every
+#: qualifying pair shares at least one whole block — Manku, Jain &
+#: Sarma, WWW'07 §3 (the Google near-dup crawl dedup construction).
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = 16
+SIMHASH_HAM_MAX = 3
+
+
+def simhash64_blocks(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp array<long> of SIMHASH_BLOCKS 16-bit blocks): block b
+    is a SimHash over an independently remixed token hash
+    (((2b+1)*t + b*7919 + 1) mod 1000003 — the minhash remix family), so
+    the four blocks behave as 64 independent bit votes; the 16-bit
+    simhash_fingerprints sketch is too collided for pair generation on a
+    large corpus (measured: ~41k pairs within Hamming 3 of 125k at
+    sf0.01) while this one discriminates (24 pairs). All per-row fold
+    arithmetic — zero shuffle."""
+
+    def vote(b: int, j: int):
+        def step(a, t):
+            hb = (F.lit(2 * b + 1) * t + F.lit(b * 7919 + 1)) % F.lit(
+                1_000_003
+            )
+            return a + F.shiftright(hb, j).bitwiseAND(F.lit(1)) * 2 - 1
+
+        return step
+
+    blks = []
+    for b in range(SIMHASH_BLOCKS):
+        bits = [
+            F.when(
+                F.aggregate(F.col("ths"), F.lit(0).cast("long"), vote(b, j))
+                > 0,
+                F.lit(2**j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(SIMHASH_BLOCK_BITS)
+        ]
+        blks.append(sum(bits[1:], bits[0]))
+    return doc_token_hashes(docs).select(
+        "doc_id", F.array(*blks).alias("fp")
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, ham_max: int = SIMHASH_HAM_MAX
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= ham_max via
+    block-key candidate generation (Manku WWW'07): docs sharing any one
+    of the 4 blocks become candidates (equi-join on (block_idx, block),
+    bounded by block-bucket populations — measured max bucket 222 at
+    sf0.1, never all-pairs), then each candidate verifies with 4
+    xor/bit_count ops. Complete for <= 3-bit differences by pigeonhole.
+    Output: (doc_a, doc_b, hamming).
+
+    Scale shape: the candidate join shuffles only (doc_id, block) keys;
+    verification joins the 4-long fingerprint arrays for candidate rows
+    only. The Hamming-ball guarantee is what LSH banding (probabilistic)
+    cannot give."""
+    fp = simhash64_blocks(docs).localCheckpoint(eager=False)
+    blocks = fp.select("doc_id", F.posexplode("fp").alias("b", "blk"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    ham = sum(
+        (
+            F.bit_count(
+                F.element_at("fp_a", i + 1).bitwiseXOR(
+                    F.element_at("fp_b", i + 1)
+                )
+            )
+            for i in range(1, SIMHASH_BLOCKS)
+        ),
+        F.bit_count(
+            F.element_at("fp_a", 1).bitwiseXOR(F.element_at("fp_b", 1))
+        ),
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= ham_max)
+    )
+
+
 # --- benchmark decontamination ----------------------------------------------
 #: held-out eval slice: doc_id % EVAL_MOD == 0 (a deterministic stand-in
 #: for "the benchmark set" — in production this is a separate table).

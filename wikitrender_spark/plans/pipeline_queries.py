@@ -1424,6 +1424,38 @@ SELECT doc_id,
 FROM th"""
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-dup pairs over a 64-bit block SimHash
+    (operators/dedup.simhash_hamming_pairs — Manku WWW'07 block-key
+    candidates, complete for <= 3-bit differences by pigeonhole)."""
+    return dedup.simhash_hamming_pairs(_docs(spark, sf_dir))
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_TOK_HASH_CTE},
+blocks AS (
+  SELECT doc_id, b,
+    CAST(coalesce(list_sum(list_transform(range(0, {dedup.SIMHASH_BLOCK_BITS}), j ->
+      CASE WHEN list_sum(list_transform(th, t ->
+        ((((2*b+1)*t + b*7919 + 1) % 1000003
+          // CAST(pow(2, j) AS BIGINT)) % 2)*2 - 1)) > 0
+      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS blk
+  FROM th, (SELECT unnest(range(0, {dedup.SIMHASH_BLOCKS})) AS b) bb),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a
+  JOIN blocks b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(sum(bit_count(CAST(xor(x.blk, y.blk) AS BIT))) AS INT) AS hamming
+  FROM cand c
+  JOIN blocks x ON x.doc_id = c.doc_a
+  JOIN blocks y ON y.doc_id = c.doc_b AND y.b = x.b
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, hamming FROM ham
+WHERE hamming <= {dedup.SIMHASH_HAM_MAX}"""
+
+
 # --- similarity search -----------------------------------------------------------
 _QIDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
@@ -3628,6 +3660,7 @@ QUERIES_ROTATED = {
     "dd_cdc_chunks": q_cdc_chunks,
     "tx_langid": q_langid,
     "dd_simhash": q_simhash,
+    "dd_simhash_pairs": q_simhash_pairs,
 }
 
 ORACLES_ROTATED = {
@@ -3638,4 +3671,5 @@ ORACLES_ROTATED = {
     "dd_cdc_chunks": CDC_CHUNKS_SQL,
     "tx_langid": _langid_sql(),
     "dd_simhash": SIMHASH_SQL,
+    "dd_simhash_pairs": SIMHASH_PAIRS_SQL,
 }

@@ -1205,6 +1205,297 @@ SELECT c.event_type, c.hour, c.n_events,
 FROM cells c JOIN stats s ON c.event_type = s.event_type"""
 
 
+# --- robust (median/MAD) hourly anomaly thresholds ---------------------------------
+#: robust-z cut: a cell is anomalous when |x - median| > MAD_FACTOR * MAD
+MAD_FACTOR = 3
+
+
+def q_hourly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly thresholds: LOWER MEDIAN and MAD (median
+    absolute deviation) of the hourly event counts, and how many hours
+    breach median + MAD_FACTOR x MAD — the outlier-resistant counterpart
+    to rel_hourly_anomalies' mean/variance rule (one stuck client
+    inflates a mean and its variance; it moves a median by at most one
+    rank). EXACT INTEGER semantics: the lower median (element at rank
+    (n+1)/2, ties broken by hour for a pinned scan order) is an observed
+    count, never an interpolated float, so both engines agree bit-exact
+    — the declared contract (percentile_approx/interpolating medians are
+    engine-specific).
+
+    Scale shape: the hourly-cell relation is bounded by types x hours
+    (24*365 rows/type/year regardless of event volume); both median
+    selections are windows over that bounded relation, and the verdict
+    roll-up is one hash-agg. Event rows fold into cells map-side."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    byv = W.partitionBy("event_type").orderBy("n_events", "hour")
+    per = W.partitionBy("event_type")
+    med = (
+        cells.withColumn("rn", F.row_number().over(byv))
+        .withColumn("cnt", F.count(F.lit(1)).over(per))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("event_type", F.col("n_events").alias("med_events"))
+    )
+    dev = cells.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n_events") - F.col("med_events"))
+    )
+    bydev = W.partitionBy("event_type").orderBy("dev", "hour")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(bydev))
+        .withColumn("cnt", F.count(F.lit(1)).over(per))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.first("med_events").alias("med_events"),
+            F.first("mad").alias("mad"),
+            F.sum((F.col("dev") > MAD_FACTOR * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+HOURLY_MAD_SQL = f"""
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, n_events AS med_events FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY n_events, hour) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM cells) t
+  WHERE rn = (cnt + 1) // 2),
+dev AS (
+  SELECT c.event_type, c.hour,
+    abs(c.n_events - m.med_events) AS dev, m.med_events
+  FROM cells c JOIN med m ON c.event_type = m.event_type),
+mad AS (
+  SELECT event_type, dev AS mad FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY dev, hour) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM dev) t
+  WHERE rn = (cnt + 1) // 2)
+SELECT d.event_type,
+  CAST(count(*) AS BIGINT) AS n_hours,
+  CAST(min(d.med_events) AS BIGINT) AS med_events,
+  CAST(min(a.mad) AS BIGINT) AS mad,
+  CAST(sum(CASE WHEN d.dev > {MAD_FACTOR} * a.mad THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_anomalies
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY 1"""
+
+
+# --- SCD2 dimension + point-in-time attribution ------------------------------------
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) construction + POINT-IN-
+    TIME attribution — the temporal-correctness primitive feature stores
+    and training pipelines need to avoid label leakage: each 'purchase'
+    event VERSIONS the user (level = props.k, validity [ts, next change
+    ts)), and each 'error' event is attributed to the version in effect
+    at its timestamp — never a later one. Errors before a user's first
+    version carry no attribution and are dropped (documented; the oracle
+    drops them identically).
+
+    The as-of lookup is the UNION + running-last trick, not a range
+    join: change rows and error rows interleave in one per-user ordered
+    window (ts, kind, event_id — change-before-error on timestamp ties,
+    so a same-instant error sees the new version), and last_value over
+    the preceding frame carries the effective version id. Scale shape:
+    one shuffle on user_id for the window, one hash-agg on version id,
+    one join back to the interval relation — no interval range join,
+    state bounded per user partition.
+
+    Output one row per version: (user_id, version, level, valid_from_us,
+    valid_to_us (-1 while current), n_errors)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.derive import read_events_raw
+
+    ev = read_events_raw(spark, sf_dir)
+    ch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        "ts",
+        F.from_json("props", "k long").getField("k").alias("level"),
+    )
+    nxt = W.partitionBy("user_id").orderBy("ts", "version")
+    intervals = ch.select(
+        "user_id",
+        "version",
+        "level",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.coalesce(F.unix_micros(F.lead("ts").over(nxt)), F.lit(-1)).alias(
+            "valid_to_us"
+        ),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("eid")
+    )
+    unioned = ch.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("version").alias("order_id"),
+        F.col("version"),
+    ).unionByName(
+        err.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            F.col("eid").alias("order_id"),
+            F.lit(None).cast("long").alias("version"),
+        )
+    )
+    seq = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "order_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    attributed = (
+        unioned.withColumn(
+            "eff_version", F.last("version", ignorenulls=True).over(seq)
+        )
+        .filter((F.col("kind") == 1) & F.col("eff_version").isNotNull())
+        .groupBy(F.col("eff_version").alias("version"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return intervals.join(attributed, "version", "left").select(
+        "user_id",
+        "version",
+        "level",
+        "valid_from_us",
+        "valid_to_us",
+        F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+    )
+
+
+SCD2_INTERVALS_SQL = """
+WITH ch AS (
+  SELECT user_id, event_id AS version, ts,
+    CAST(props->>'k' AS BIGINT) AS level
+  FROM events WHERE event_type = 'purchase'),
+intervals AS (
+  SELECT user_id, version, level,
+    CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+    CAST(COALESCE(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, version)), -1) AS BIGINT) AS valid_to_us
+  FROM ch),
+unioned AS (
+  SELECT user_id, ts, 0 AS kind, version AS order_id, version FROM ch
+  UNION ALL
+  SELECT user_id, ts, 1 AS kind, event_id AS order_id, NULL AS version
+  FROM events WHERE event_type = 'error'),
+attributed AS (
+  SELECT eff_version AS version, CAST(count(*) AS BIGINT) AS n_errors
+  FROM (
+    SELECT kind,
+      last_value(version IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts, kind, order_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff_version
+    FROM unioned) t
+  WHERE kind = 1 AND eff_version IS NOT NULL
+  GROUP BY 1)
+SELECT i.user_id, i.version, i.level, i.valid_from_us, i.valid_to_us,
+  CAST(COALESCE(a.n_errors, 0) AS BIGINT) AS n_errors
+FROM intervals i LEFT JOIN attributed a ON a.version = i.version"""
+
+
+# --- cross-event-type audience overlap ----------------------------------------------
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, the exact
+    distinct-user intersection and union as integer pairs (the Jaccard
+    numerator/denominator — no float crosses the oracle). The
+    set-similarity view over user populations that sits next to
+    rel_event_funnel's ORDERED view: the funnel asks "did the same user
+    click THEN purchase"; this asks how much two behaviors' audiences
+    overlap at all — the segment/mixing question.
+
+    Scale shape: the (event_type, user) relation is DISTINCT-FIRST
+    (bounded by |users| x |types|, never by event volume), the
+    intersection self-join fans out per user by the number of types
+    they touch (<= |types| — the rel_copurchase_pairs bound), and the
+    output is |types|^2/2 rows at any volume."""
+    ev = load_table(spark, sf_dir, "events")
+    pe = ev.select("event_type", "user_id").distinct()
+    sizes = pe.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a, b = pe.alias("a"), pe.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_users").alias("users_a"),
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_users").alias("users_b"),
+    )
+    allpairs = (
+        sa.select("type_a")
+        .join(sb.select("type_b"), F.col("type_a") < F.col("type_b"))
+    )
+    return (
+        allpairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            F.coalesce(F.col("common"), F.lit(0)).alias("common_users"),
+            (
+                F.col("users_a")
+                + F.col("users_b")
+                - F.coalesce(F.col("common"), F.lit(0))
+            ).alias("union_users"),
+        )
+    )
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH pe AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+       FROM pe GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(count(*) AS BIGINT) AS common
+  FROM pe a JOIN pe b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT x.event_type AS type_a, y.event_type AS type_b,
+  x.n_users AS users_a, y.n_users AS users_b,
+  CAST(COALESCE(i.common, 0) AS BIGINT) AS common_users,
+  CAST(x.n_users + y.n_users - COALESCE(i.common, 0) AS BIGINT)
+    AS union_users
+FROM sz x
+JOIN sz y ON x.event_type < y.event_type
+LEFT JOIN inter i ON i.type_a = x.event_type AND i.type_b = y.event_type"""
+
+
 # --- weekday-hour seasonality profile ----------------------------------------
 def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekday-hour seasonality profile per event type — the calendar
@@ -1988,6 +2279,9 @@ QUERIES = {
     "rel_event_funnel": q_event_funnel,
     "rel_salted_revenue": q_salted_revenue,
     "rel_hourly_anomalies": q_hourly_anomalies,
+    "rel_hourly_mad": q_hourly_mad,
+    "rel_audience_overlap": q_audience_overlap,
+    "rel_scd2_intervals": q_scd2_intervals,
     "rel_weekday_profile": q_weekday_profile,
     "rel_retention_cohorts": q_retention_cohorts,
     "rel_copurchase_pairs": q_copurchase_pairs,
@@ -2049,6 +2343,9 @@ ORACLES = {
     "rel_event_funnel": EVENT_FUNNEL_SQL,
     "rel_salted_revenue": SALTED_REVENUE_SQL,
     "rel_hourly_anomalies": HOURLY_ANOMALIES_SQL,
+    "rel_hourly_mad": HOURLY_MAD_SQL,
+    "rel_audience_overlap": AUDIENCE_OVERLAP_SQL,
+    "rel_scd2_intervals": SCD2_INTERVALS_SQL,
     "rel_weekday_profile": WEEKDAY_PROFILE_SQL,
     "rel_retention_cohorts": RETENTION_COHORTS_SQL,
     "rel_copurchase_pairs": COPURCHASE_PAIRS_SQL,
