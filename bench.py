@@ -15,11 +15,15 @@ relational joins/aggs, dedup sketching, ANN, text analysis.
 
 Two fixed suites (r07 ask #2): HEADLINE is frozen for cross-round
 comparability (metric/value on the stdout line stay headline-only);
-EXTENDED covers the round-6/7/8 additions that postdate the headline
-freeze. A default run times both and emits the extended results under
-the "extended" key of the same JSON line; `bench.py --extended` runs
-only the extended suite (local iteration), `--headline` only the
-headline one.
+EXTENDED covers the round-6/7/8/9 additions that postdate the headline
+freeze. A default run times both, emits the extended results under the
+"extended" key of the same JSON line, then records ONE sample for every
+remaining registry row under "sweep" (r08 ask #4 — no query is
+timing-blind). Flags select phases explicitly (`--headline`,
+`--extended`, `--sweep`, combinable); unknown flags error out (ADVICE
+r8). Every run also times a pinned synthetic CALIBRATION plan and
+reports the headline/calibration ratio — the drift-normalized trend
+(r08 ask #2; see BASELINE.md "Host drift").
 """
 
 from __future__ import annotations
@@ -97,6 +101,16 @@ EXTENDED = [
     "ann_filtered_topk",
     "wt_stream_trending",
     "wt_revert_chains",
+    # round-9 additions
+    "ann_filtered_expand",
+    "mm_video_keyframes",
+    "mm_audio_vad",
+    "tx_winnowing",
+    "dd_cdc_chunks",
+    "dd_simhash_pairs",
+    "rel_hourly_mad",
+    "rel_scd2_intervals",
+    "rel_audience_overlap",
 ]
 
 
@@ -107,11 +121,43 @@ def _meth(n: int) -> str:
 
 
 def _suites() -> list[str]:
-    if "--extended" in sys.argv[1:]:
-        return ["extended"]
-    if "--headline" in sys.argv[1:]:
-        return ["headline"]
-    return ["headline", "extended"]
+    # strict flag parsing (ADVICE r8): a typo'd flag must error, not
+    # silently run the full double suite; --headline --extended is the
+    # explicit both-suites run
+    known = {"--headline", "--extended", "--sweep"}
+    flags = sys.argv[1:]
+    unknown = [f for f in flags if f not in known]
+    if unknown:
+        raise SystemExit(
+            f"bench.py: unknown flag(s) {unknown}; known: {sorted(known)}"
+        )
+    picked = [s for s in ("headline", "extended", "sweep")
+              if f"--{s}" in flags]
+    return picked or ["headline", "extended", "sweep"]
+
+
+#: Fixed calibration probe (VERDICT r8 ask #2): a pinned synthetic plan
+#: — 20M seeded in-memory rows, 32 input partitions, one hash-agg over
+#: 9973 keys through a 32-way exchange — timed with every suite run so
+#: host drift is MEASURABLE instead of argued. The plan touches no
+#: input files and no repo operators, so its wall time moves only with
+#: the environment (CPU contention, JVM state); the suite/calibration
+#: ratio is the drift-normalized trend BASELINE.md bands.
+def _calibration(spark, n: int = 3) -> tuple[float, list[float]]:
+    times = []
+    for _ in range(n + 1):  # pass 0 excluded, same as the suites
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 9973 AS k", "id % 31 AS v")
+            .groupBy("k")
+            .sum("v")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        times.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(times[1:]), 3), times
 
 
 def main() -> None:
@@ -120,11 +166,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    suites = _suites()  # flag errors must fire before the JVM spins up
     spark = get_spark("wikitrender-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = registry.all_queries()
-    suites = _suites()
     names = (HEADLINE if "headline" in suites else []) + (
         EXTENDED if "extended" in suites else []
     )
@@ -132,6 +178,9 @@ def main() -> None:
     # inside each phase (see below) so the extended suite's state never
     # precedes a headline measurement.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # calibration runs FIRST (right after warmup), before any suite can
+    # pin executor state — its number must depend on the host alone
+    calib, calib_samples = _calibration(spark)
 
     # 5 timed passes, round-robin over the suite (not 5x back-to-back per
     # query) so one transient system stall cannot poison every sample of a
@@ -193,6 +242,24 @@ def main() -> None:
                 else:
                     samples[name].append(dt)
 
+    # full-registry sweep (VERDICT r8 ask #4): ONE recorded construction+
+    # execution sample for every registry row outside the banded suites,
+    # so no query is ever timing-blind. Runs AFTER the suites (their
+    # medians stay measured under the r01-r08 process state); single
+    # samples, recorded not banded — compare against the extended
+    # suite's per-query max to flag candidates for promotion.
+    sweep: dict[str, float] = {}
+    if "sweep" in suites:
+        covered = set(HEADLINE) | set(EXTENDED)
+        for name in queries:
+            if name in covered:
+                continue
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            sweep[name] = round(time.perf_counter() - t0, 3)
+
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()
     }
@@ -203,13 +270,23 @@ def main() -> None:
     # (r04: the driver truncated the fat line and lost the headline).
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json")
     with open(side, "w") as f:
-        json.dump({"samples": samples, "warm_pass": warm_pass, "sf": sf}, f)
+        json.dump(
+            {
+                "samples": samples,
+                "warm_pass": warm_pass,
+                "calibration_samples": calib_samples,
+                "sf": sf,
+            },
+            f,
+        )
     out = {
         # metric/value stay HEADLINE-ONLY even when both suites run, so
         # the cross-round trend never mixes suite compositions
         "metric": "headline_suite_wall_seconds" if head
-        else "extended_suite_wall_seconds",
-        "value": total if head else round(sum(ext.values()), 3),
+        else ("extended_suite_wall_seconds" if ext
+              else "sweep_wall_seconds"),
+        "value": total if head
+        else round(sum((ext or sweep).values()), 3),
         "unit": "sec",
         # self-describing timing basis (r05 ask #2): each query's
         # number covers plan CONSTRUCTION + EXECUTION, sampled
@@ -220,12 +297,26 @@ def main() -> None:
         "methodology": _meth(n_samples if head else n_ext),
         "queries": head if head else ext,
         "sf": sf,
+        # drift normalization (r08 ask #2): suite seconds per calibration
+        # second — compare THIS across rounds; the raw band only catches
+        # gross regressions. calibration = median-of-3 of the pinned
+        # synthetic plan above, measured on this host this run.
+        "calibration": calib,
     }
+    if head:
+        out["headline_per_calib"] = round(total / calib, 2)
     if head and ext:
         out["extended"] = {
             "value": round(sum(ext.values()), 3),
             "methodology": _meth(n_ext),
             "queries": ext,
+        }
+    if sweep:
+        out["sweep"] = {
+            "methodology": "construction+execution, single sample, "
+            "post-suite (recorded, not banded)",
+            "value": round(sum(sweep.values()), 3),
+            "queries": sweep,
         }
     print(json.dumps(out, separators=(",", ":")))
 

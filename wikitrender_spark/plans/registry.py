@@ -43,100 +43,75 @@ _loaded = False
 #: order. tests/test_registry_gate.py pins the composition — editing a
 #: QUERIES dict can no longer silently change what the driver attests.
 #:
-#: Round-8 composition policy (the r07 window went 50/50 green; r07's
-#: R08_DEFERRED promise is paid FIRST, per VERDICT r07 ask #1):
-#: (a) the 23 R08_DEFERRED rows (last green r04 — the stalest evidence
-#: in the registry; after this rotation no row's driver evidence is
-#: older than two rounds, for the first time since r03);
-#: (b) the round-8 additions (never driver-attested) — see the top of
-#: the list; each displaces a (c) row into R09_DEFERRED
-#: (tests/test_registry_gate.py pins that list);
-#: (c) 27 − |new| of the 50 r06-attested rows, chosen module-order-first
-#: so the wt_* reference-parity family re-attests on the freshest
-#: testdata. The r06 rows NOT taken are PROMISED the r09 window
-#: (they would be three rounds stale by r09 — same debt class the
-#: R08_DEFERRED set was).
+#: Round-9 composition policy (the r08 window went 50/50 green; r08's
+#: R09_DEFERRED promise is paid IN FULL, per VERDICT r08 ask #1 — and
+#: 37 + 9 + 4 = 50 exactly, so nothing is displaced this round):
+#: (a) ALL 37 R09_DEFERRED rows (last green r06 — the entire remaining
+#: r06-evidence cohort; after this rotation every registry row's driver
+#: evidence is at most two rounds old, with the r07 cohort — now
+#: R10_DEFERRED, see tests/test_registry_gate.py — promised the r10
+#: window next);
+#: (b) the 9 round-9 additions (never driver-attested);
+#: (c) 4 rows whose attestation went stale mid-round because round-9
+#: code changes touched their plan or oracle (the ADVICE r8 fixes):
+#: ann_rp_topk + ann_ivf_rp_topk (rp_project regained the 0.0 fold
+#: seed), wt_stream_trending (sentinel selection now filters to the
+#: edit branch), rel_hourly_anomalies (oracle sxx now HUGEINT at the
+#: per-row product).
 GATE_WINDOW: list[str] = [
-    # (b) round-8 additions, never driver-attested (each displaced one
-    # (c) row into R09_DEFERRED — see tests/test_registry_gate.py;
-    # wt_ingest_dedup_watermark displaced ann_ivfpq_rerank, whose ADC
-    # re-rank module stays exercised via the r09-promised ann cohort)
-    "wt_ingest_dedup_watermark",
-    # ann_ivf_rp_topk displaced tx_substring_scrub (its run-hash module
-    # stays in-window via dd_substring_runs); wt_graph_degrees and
-    # wt_coedit_triangles displaced dd_containment and
-    # dd_jaccard_histogram (both shingle-family rows with the whole dd
-    # cohort promised r09)
+    # (b) round-9 additions, never driver-attested
+    "ann_filtered_expand",
+    "mm_video_keyframes",
+    "mm_audio_vad",
+    "tx_winnowing",
+    "dd_cdc_chunks",
+    "dd_simhash_pairs",
+    "rel_hourly_mad",
+    "rel_scd2_intervals",
+    "rel_audience_overlap",
+    # (c) stale-by-code-change re-attestations (ADVICE r8 fixes)
+    "ann_rp_topk",
     "ann_ivf_rp_topk",
-    "wt_graph_degrees",
-    "wt_coedit_triangles",
-    # tx_source_divergence displaced tx_dedup_lineage (lineage packing
-    # keeps tx_pack/tx_pack_split in-window from the (a) cohort);
-    # rel_weekday_profile displaced tx_split (its affine bucket rule
-    # stays attested via tx_leakage_split, green r07)
-    "tx_source_divergence",
-    "rel_weekday_profile",
-    # mm_video_motion displaced tx_vocab (the vocab family keeps
-    # tx_bpe_merges, green r07); wt_edit_wars and rel_retention_cohorts
-    # displaced tx_repetition and tx_token_stats (per-row text stats
-    # stay attested via tx_quality/tx_length_histogram in the (a)
-    # cohort)
-    "mm_video_motion",
-    "wt_edit_wars",
-    "rel_retention_cohorts",
-    # rel_copurchase_pairs and mm_audio_energy displaced
-    # wt_stream_heavy_hitters and wt_state_diff (both r06-green with
-    # heavy pytest coverage; the whole wt cohort re-attests r09)
-    "rel_copurchase_pairs",
-    "mm_audio_energy",
-    # ann_filtered_topk displaced wt_lifecycle_replay (the lifecycle
-    # fold keeps wt_page_state_lifecycle + wt_stream_replay in-window);
-    # wt_stream_trending displaced wt_top_pages_per_wiki (per-key rank
-    # stays attested via rel_topk_per_brand in the (a) cohort)
-    "ann_filtered_topk",
     "wt_stream_trending",
-    # wt_revert_chains displaced wt_biggest_movers (Q2's delta ranking
-    # stays attested via the rel window/rank family in the (a) cohort)
-    "wt_revert_chains",
-    # (a) the R08_DEFERRED cohort, last green r04 — the promise
-    "ann_sq_topk",
-    "rel_event_funnel",
-    "tx_length_histogram",
-    "dd_substring_runs",
-    "tx_pack",
-    "tx_pack_split",
-    "ann_pq_topk",
-    "dd_exact_groups",
-    "dd_simhash",
-    "rel_acctbal_band_pairs",
-    "rel_cube_summary",
-    "rel_regional_revenue",
-    "rel_rolling_revenue_window",
-    "rel_rollup_orders",
-    "rel_running_revenue",
-    "rel_signup_burst",
-    "rel_small_quantity_revenue",
-    "rel_top_customers",
-    "rel_topk_per_brand",
-    "rel_unpivot_presence",
-    "tx_fingerprint",
-    "tx_quality",
-    "tx_langid",
-    # (c) r06-attested rows, module-order-first (wt_* parity family
-    # first), re-attesting on current testdata
-    "wt_page_state",
-    "wt_most_edited",
-    "wt_most_vibrant",
-    "wt_purge_survivors",
-    "wt_epm_variants",
-    "wt_purge_safe_list",
-    "wt_classify_counts",
-    "wt_windowed_activity",
-    "wt_session_activity",
-    "wt_delete_targets",
-    "wt_protect_followups",
-    "wt_page_state_lifecycle",
-    "wt_stream_replay",
+    "rel_hourly_anomalies",
+    # (a) the R09_DEFERRED cohort, last green r06 — the promise, in full
+    "wt_biggest_movers",
+    "wt_top_pages_per_wiki",
+    "wt_lifecycle_replay",
+    "wt_stream_heavy_hitters",
+    "wt_state_diff",
+    "tx_token_stats",
+    "tx_repetition",
+    "tx_vocab",
+    "tx_split",
+    "tx_dedup_lineage",
+    "dd_containment",
+    "dd_jaccard_histogram",
+    "tx_substring_scrub",
+    "ann_ivfpq_rerank",
+    "dd_minhash_signatures",
+    "dd_minhash_est",
+    "dd_ngram_jaccard",
+    "dd_lsh_candidates",
+    "dd_near_duplicates",
+    "dd_embedding_neardup",
+    "dd_decontaminate",
+    "dd_bloom_decontaminate",
+    "tx_cms_terms",
+    "dd_dup_clusters",
+    "dd_editdist_pairs",
+    "tx_clean_corpus",
+    "tx_filter_funnel",
+    "ann_bruteforce_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "mm_media_features",
+    "mm_frame_sample",
+    "mm_pgm_features",
+    "rel_dq_audit",
+    "rel_nation_set_ops",
+    "rel_nation_presence",
 ]
 GATE_SIZE = 50
 

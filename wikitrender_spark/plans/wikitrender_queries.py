@@ -509,14 +509,12 @@ def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import TRENDING_TOPK, trending_replay_to_memory
 
     name = "wt_stream_trending_" + uuid.uuid4().hex[:8]
-    work = tempfile.mkdtemp(prefix="wt_trend_")
     ckpt = tempfile.mkdtemp(prefix="wt_trend_ckpt_")
     try:
         survivors, cut_us = trending_replay_to_memory(
-            spark, sf_dir, work, name, ckpt
+            spark, sf_dir, name, ckpt
         )
     finally:
-        shutil.rmtree(work, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     real = survivors.filter(F.col("window_start_us") < cut_us)
     w = Window.partitionBy("window_start_us").orderBy(

@@ -157,8 +157,19 @@ TRENDING_TOPK = 3
 TRENDING_SENTINEL_DAYS = 30
 
 
+#: process-lifetime cache of the trending replay's ordered chunk dirs,
+#: keyed by (sf_dir, n_chunks) -> (chunk_dir, sentinel_cut_us). The
+#: chunk relation is a PURE function of the input table, so rebuilding
+#: it per call (global row_number sort, count/max aggs, sentinel first(),
+#: parquet writes) only re-derives identical bytes — at ~9.5 s/call the
+#: harness cost was ~all chunk prep (VERDICT r8 ask #8). Checkpoints and
+#: memory sinks are NOT cached: every call still replays the stream
+#: through a fresh query, so the measured semantics are untouched.
+_CHUNK_CACHE: dict[tuple[str, int], tuple[str, int]] = {}
+
+
 def trending_replay_to_memory(
-    spark, sf_dir: str, work_dir: str, name: str, ckpt: str,
+    spark, sf_dir: str, name: str, ckpt: str,
     n_chunks: int = 2,
 ):
     """Replay the events table as ordered micro-batches through the
@@ -173,6 +184,7 @@ def trending_replay_to_memory(
     sentinel_cut_us are the sentinels' own (never-finalized or
     irrelevant) windows and must be filtered by the caller."""
     import os
+    import tempfile
 
     from pyspark.sql import Window as W
 
@@ -180,50 +192,62 @@ def trending_replay_to_memory(
     from ..operators.page_state import classified_edit_events
     from ..sources.replay import EVENTS_SCHEMA, _derive, write_ordered_chunks
 
-    src = read_events_raw(spark, sf_dir).withColumn(
-        "_rn", F.row_number().over(W.orderBy("ts", "event_id")) - 1
-    )
-    n_rows = src.count()
-    max_us = src.agg(F.max(F.unix_micros("ts"))).first()[0]
-    cut_us = max_us + 24 * 3600 * 1_000_000
-    step = max(1, (n_rows + n_chunks - 1) // n_chunks)
-    shift_us = TRENDING_SENTINEL_DAYS * 24 * 3600 * 1_000_000
-    # the sentinel must SURVIVE the rc derivation filter or it never
-    # reaches the watermarked operator and the watermark never jumps
-    # (measured: the raw max-ts row passes the F1-F3 filters at sf0.001
-    # but not sf0.01 — the last delay-window hours then silently never
-    # finalize). Pick the latest row the derivation provably keeps.
-    from ..operators.derive import rc_events
-
-    # ... and the watermark operator sits downstream of classified_edit_
-    # events' log-branch filter too (ADVICE r8): rc_events still carries
-    # log rows, and if the latest rc row were a log row both sentinel
-    # batches would be dropped BEFORE the EventTimeWatermark node — the
-    # watermark would never jump and the trailing delay-window hours
-    # would silently never finalize. Pick the latest EDIT-branch row so
-    # the sentinel provably survives every filter upstream of the
-    # watermark.
-    keep_id = (
-        rc_events(spark, sf_dir)
-        .filter(F.col("log_type").isNull())
-        .orderBy(F.desc("ts"), F.desc("seq"))
-        .select("seq")
-        .first()[0]
-    )
-    sentinel = (
-        src.filter(F.col("event_id") == keep_id).drop("_rn")
-        .withColumn(
-            "ts", F.timestamp_micros(F.unix_micros("ts") + F.lit(shift_us))
+    cached = _CHUNK_CACHE.get((sf_dir, n_chunks))
+    if cached is not None and os.path.isdir(cached[0]) and os.listdir(
+        cached[0]
+    ):
+        chunk_dir, cut_us = cached
+    else:
+        src = read_events_raw(spark, sf_dir).withColumn(
+            "_rn", F.row_number().over(W.orderBy("ts", "event_id")) - 1
         )
-    )
-    chunk_dir = os.path.join(work_dir, "trend_chunks")
-    parts = [
-        src.filter(
-            (F.col("_rn") >= i * step) & (F.col("_rn") < (i + 1) * step)
-        ).drop("_rn")
-        for i in range(n_chunks)
-    ]
-    write_ordered_chunks((*parts, sentinel, sentinel), chunk_dir)
+        n_rows = src.count()
+        max_us = src.agg(F.max(F.unix_micros("ts"))).first()[0]
+        cut_us = max_us + 24 * 3600 * 1_000_000
+        step = max(1, (n_rows + n_chunks - 1) // n_chunks)
+        shift_us = TRENDING_SENTINEL_DAYS * 24 * 3600 * 1_000_000
+        # the sentinel must SURVIVE the rc derivation filter or it never
+        # reaches the watermarked operator and the watermark never jumps
+        # (measured: the raw max-ts row passes the F1-F3 filters at
+        # sf0.001 but not sf0.01 — the last delay-window hours then
+        # silently never finalize). Pick the latest row the derivation
+        # provably keeps.
+        from ..operators.derive import rc_events
+
+        # ... and the watermark operator sits downstream of
+        # classified_edit_events' log-branch filter too (ADVICE r8):
+        # rc_events still carries log rows, and if the latest rc row
+        # were a log row both sentinel batches would be dropped BEFORE
+        # the EventTimeWatermark node — the watermark would never jump
+        # and the trailing delay-window hours would silently never
+        # finalize. Pick the latest EDIT-branch row so the sentinel
+        # provably survives every filter upstream of the watermark.
+        keep_id = (
+            rc_events(spark, sf_dir)
+            .filter(F.col("log_type").isNull())
+            .orderBy(F.desc("ts"), F.desc("seq"))
+            .select("seq")
+            .first()[0]
+        )
+        sentinel = (
+            src.filter(F.col("event_id") == keep_id).drop("_rn")
+            .withColumn(
+                "ts",
+                F.timestamp_micros(F.unix_micros("ts") + F.lit(shift_us)),
+            )
+        )
+        # the cached dir lives outside the caller's work_dir (which is
+        # rmtree'd per call) for the life of the process — a few MB of
+        # parquet per (sf_dir, n_chunks) key
+        chunk_dir = tempfile.mkdtemp(prefix="wt_trend_chunks_")
+        parts = [
+            src.filter(
+                (F.col("_rn") >= i * step) & (F.col("_rn") < (i + 1) * step)
+            ).drop("_rn")
+            for i in range(n_chunks)
+        ]
+        write_ordered_chunks((*parts, sentinel, sentinel), chunk_dir)
+        _CHUNK_CACHE[(sf_dir, n_chunks)] = (chunk_dir, cut_us)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
