@@ -1060,3 +1060,63 @@ def test_tws_timer_sweeps_compose_with_moves_inprocess(spark):
     assert any(exp_sweep_removed[:-1])
     assert n_moves_after_evicting_sweep > 0
     assert n_moves_of_swept_source > 0
+
+
+def test_trending_update_stream_equals_batch(spark):
+    """Continuous (production) trending form — VERDICT r8 ask #6: the
+    UPDATE-mode per-(window, page) aggregation fed through foreachBatch
+    into the TrendingReport upsert store across 4 micro-batches. On an
+    in-order replay every count's final update arrives, so the store's
+    per-window top-k equals the batch relation EXACTLY — no sentinel
+    needed (the exact finalization gate lives in wt_stream_trending);
+    live deployments get the usual watermark contract instead."""
+    from wikitrender_spark.operators.page_state import classified_edit_events
+    from wikitrender_spark.streaming import windows
+
+    batch = (
+        classified_edit_events(rc_events(spark, SF_DIR))
+        .groupBy(
+            F.unix_micros(
+                F.date_trunc("hour", F.col("ts"))
+            ).alias("window_start_us"),
+            "id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    want_windows: dict[int, dict[str, int]] = {}
+    for r in batch:
+        want_windows.setdefault(r["window_start_us"], {})[r["id"]] = r[
+            "n_events"
+        ]
+    want = {
+        ws: sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : windows.TRENDING_TOPK
+        ]
+        for ws, d in want_windows.items()
+    }
+
+    report = windows.TrendingReport()
+    with tempfile.TemporaryDirectory() as d:
+        counts = windows.trending_counts_stream(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=4)
+        )
+        windows.run_trending_update(counts, report, d + "/ckpt")
+    assert report.top() == want
+
+    # horizon eviction bounds the store: replaying into a 6h-horizon
+    # report must keep only windows within 6h of the newest start
+    bounded = windows.TrendingReport(horizon_us=6 * 3600 * 1_000_000)
+    with tempfile.TemporaryDirectory() as d:
+        counts = windows.trending_counts_stream(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=4)
+        )
+        windows.run_trending_update(counts, bounded, d + "/ckpt")
+    max_start = max(want)
+    kept = set(bounded.windows)
+    assert kept <= {
+        ws for ws in want if ws >= max_start - 6 * 3600 * 1_000_000
+    }
+    assert max_start in kept
+    for ws in kept:
+        assert bounded.top()[ws] == want[ws]

@@ -157,6 +157,104 @@ TRENDING_TOPK = 3
 TRENDING_SENTINEL_DAYS = 30
 
 
+def trending_counts_stream(
+    rc_stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """CONTINUOUS (production) form of the trending aggregation — the
+    update-mode sibling of the replay+sentinel gate harness
+    (trending_replay_to_memory): watermarked per-(hour window, page)
+    event counts that emit a row whenever a count CHANGES, instead of
+    once at finalization. Pair with run_trending_update + a
+    TrendingReport to get the reference's periodic trending render
+    (examples/index.js:19-71) as an event-time push — the S8
+    console/report sink's successor: the reference re-renders its whole
+    cache every 10 wall-clock seconds whether or not anything changed;
+    this pushes exactly the changed (window, page) rows.
+
+    State is bounded per (window, page) and evicted once the watermark
+    passes window end + delay — the same bound the append form carries;
+    correctness for a window requires its late data to arrive within
+    the watermark (the standard streaming contract; the batch
+    equivalence test replays in order, where equality is exact)."""
+    from ..operators.page_state import classified_edit_events
+
+    e = classified_edit_events(rc_stream).withWatermark(
+        "ts", watermark_delay
+    )
+    return (
+        e.groupBy(F.window("ts", WINDOW_DURATION), "id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "id",
+            "n_events",
+        )
+    )
+
+
+class TrendingReport:
+    """Driver-side upsert store + per-window top-k view — what the
+    reference's setInterval render loop keeps in its page cache
+    (examples/index.js:19-71), maintained by update-mode pushes instead
+    of wall-clock polling. `horizon_us` bounds memory: windows older
+    than (newest window start - horizon) are evicted, mirroring the
+    upstream watermark eviction — the store holds only live windows.
+
+    Production note: this in-driver dict stands in for the KV/report
+    store a deployment would upsert (the reference also renders from
+    in-process memory); the foreachBatch feed is bounded per batch by
+    the number of CHANGED (window, page) pairs, not by stream volume."""
+
+    def __init__(
+        self, topk: int = TRENDING_TOPK, horizon_us: int | None = None
+    ) -> None:
+        self.topk = topk
+        self.horizon_us = horizon_us
+        self.windows: dict[int, dict[str, int]] = {}
+        self.max_start = None
+
+    def update(self, rows) -> None:
+        for r in rows:
+            ws = r["window_start_us"]
+            self.windows.setdefault(ws, {})[r["id"]] = r["n_events"]
+            if self.max_start is None or ws > self.max_start:
+                self.max_start = ws
+        if self.horizon_us is not None and self.max_start is not None:
+            cut = self.max_start - self.horizon_us
+            for ws in [w for w in self.windows if w < cut]:
+                del self.windows[ws]
+
+    def top(self) -> dict[int, list[tuple[str, int]]]:
+        return {
+            ws: sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[
+                : self.topk
+            ]
+            for ws, d in self.windows.items()
+        }
+
+
+def run_trending_update(
+    windowed: DataFrame, report: TrendingReport, ckpt: str
+) -> None:
+    """Drive the update-mode trending stream into a TrendingReport via
+    foreachBatch (availableNow drains whatever the source holds; swap
+    the trigger for a processing-time one in a live deployment). The
+    per-batch collect() is the report feed — bounded by changed pairs
+    per batch (see TrendingReport)."""
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        report.update(batch_df.collect())
+
+    q = (
+        windowed.writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 #: process-lifetime cache of the trending replay's ordered chunk dirs,
 #: keyed by (sf_dir, n_chunks) -> (chunk_dir, sentinel_cut_us). The
 #: chunk relation is a PURE function of the input table, so rebuilding
