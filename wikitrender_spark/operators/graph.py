@@ -326,11 +326,23 @@ def coedit_triangles(
     - output canonicalized to id order a < b < c with per-edge weights
       mapped onto the sorted pairs, cut by TakeOrderedAndProject.
     """
-    pairs = (
-        coedit_pair_weights(edit_events, cap)
-        .filter(F.col("n_coeditors") >= min_w)
-        .localCheckpoint()
+    return triangles_from_pairs(
+        coedit_pair_weights(edit_events, cap).filter(
+            F.col("n_coeditors") >= min_w
+        ),
+        k=k,
     )
+
+
+def triangles_from_pairs(pairs: DataFrame, k: int = TRIANGLE_TOPK) -> DataFrame:
+    """Degree-ordered triangle enumeration over an UNDIRECTED weighted
+    pair relation (page_a < page_b, n_coeditors) — the closure stage of
+    coedit_triangles, exposed separately so the node-scaled graph probe
+    (tools/graph_scale_probe.py) can drive it on synthetic graphs whose
+    node/edge count actually grows (the sf1 event replication holds the
+    page keyspace fixed — BASELINE.md r08 caveat). Same plan, same
+    checkpoints; coedit_triangles delegates here."""
+    pairs = pairs.localCheckpoint()
     deg = (
         pairs.select(F.col("page_a").alias("node"))
         .unionByName(pairs.select(F.col("page_b").alias("node")))
