@@ -853,33 +853,48 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", T.shingle_hashes(F.col("text")).alias("sh"))
     m = F.size("sh")
     sh = F.col("sh")
-    keys = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.element_at(sh, i) * _WINNOW_MAXN
-        + (F.lit(_WINNOW_MAXN - 1) - i),
+    # `keys` MUST be a materialized column, not a named subexpression:
+    # inlined into the per-window array_min lambda it re-evaluates once
+    # per window — O(m^2) per doc, measured 8.4 s for the sf0.1 suite
+    # sample vs ~1 s materialized
+    base = base.withColumn(
+        "keys",
+        F.when(m == 0, F.array().cast("array<long>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda i: F.element_at(sh, i) * _WINNOW_MAXN
+                + (F.lit(_WINNOW_MAXN - 1) - i),
+            )
+        ),
     )
+    m = F.size("sh")
+    keys = F.col("keys")
     mins = F.transform(
         F.sequence(F.lit(1), F.greatest(m - (WINNOW_W - 1), F.lit(1))),
         lambda s: F.array_min(F.slice(keys, s, WINNOW_W)),
     )
-    fps = F.transform(
-        F.array_distinct(mins),
-        lambda k: F.shiftright(k, _WINNOW_POS_BITS),
+    # fps is ALSO materialized (four output columns consume it — inlined
+    # it would re-run the whole window-min pipeline per column); the
+    # m == 0 guard keeps the window-min lambda off empty keys arrays
+    # (conditional branches are per-row lazy)
+    base = base.withColumn(
+        "fps",
+        F.when(m == 0, F.array().cast("array<long>")).otherwise(
+            F.transform(
+                F.array_distinct(mins),
+                lambda k: F.shiftright(k, _WINNOW_POS_BITS),
+            )
+        ),
     )
-    # every fps consumer sits under the m == 0 guard: the keys/mins
-    # expressions index into the empty array on token-starved docs and
-    # must never evaluate there (conditional branches are per-row lazy)
+    m = F.size("sh")
+    fps = F.col("fps")
     return base.select(
         "doc_id",
         m.cast("long").alias("n_kgrams"),
-        F.when(m == 0, F.lit(0).cast("long"))
-        .otherwise(F.size(fps).cast("long"))
-        .alias("n_fps"),
-        F.when(m == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x)
-        )
-        .alias("fp_sum"),
+        F.size(fps).cast("long").alias("n_fps"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "fp_sum"
+        ),
         F.when(m == 0, F.lit(-1).cast("long"))
         .otherwise(F.array_min(fps).cast("long"))
         .alias("fp_min"),
@@ -943,10 +958,19 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("th")
     th = F.col("th")
-    bps = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: F.element_at(th, i) % CDC_MOD == 0,
+    # materialized column, same O(m^2) inlining hazard as tx_winnowing's
+    # keys: the per-chunk lambda references bps repeatedly
+    base = base.withColumn(
+        "bps",
+        F.when(n == 0, F.array().cast("array<int>")).otherwise(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.element_at(th, i) % CDC_MOD == 0,
+            )
+        ),
     )
+    n = F.size("th")
+    bps = F.col("bps")
     nb = F.size(bps)
     has_tail = (n > 0) & ((nb == 0) | (F.element_at(bps, -1) < n))
     n_chunks = nb + has_tail.cast("int")
