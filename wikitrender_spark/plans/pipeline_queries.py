@@ -850,7 +850,15 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, not the token rows, is all that would feed a downstream
     band join at 100 TB."""
     d = _docs(spark, sf_dir)
-    base = d.select("doc_id", T.shingle_hashes(F.col("text")).alias("sh"))
+    # token hashes MUST be materialized before the shingle transform:
+    # shingle_hashes(text) inlines the whole char-fold into each of its
+    # three element_at sites, and HOF lambdas run interpreted (no CSE)
+    # — O(tokens^2 * chars) per doc, measured 30 s for the shingle
+    # column alone at 50k docs vs ~3 s via the two-step form (the
+    # bigrams_from_hashes lesson, already the dedup module's idiom)
+    base = d.select(
+        "doc_id", T.token_hashes(F.col("text")).alias("ths")
+    ).select("doc_id", T.shingles_from_hashes(F.col("ths")).alias("sh"))
     m = F.size("sh")
     sh = F.col("sh")
     # `keys` MUST be a materialized column, not a named subexpression:
