@@ -495,3 +495,59 @@ def test_coedit_triangles_closure_is_equi_join(plans):
     plan = plans("wt_coedit_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_single_char_fold_and_pruned_scan(plans):
+    """tx_winnowing's token-hash char fold must appear EXACTLY once in
+    the plan: shingle_hashes(text) used to inline the whole fold into
+    each of its three element_at sites, and HOF lambdas run interpreted
+    with no subexpression elimination — O(tokens^2 * chars) per doc,
+    measured 30 s for the shingle column alone at 50k docs vs ~3 s via
+    the materialized two-step form. The `ascii(...)` call inside the
+    fold is the fold's unique plan fingerprint."""
+    plan = plans("tx_winnowing")
+    assert plan.count("ascii") == 1, "char fold duplicated — inlining is back"
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_cdc_chunks_single_char_fold(plans):
+    """Same inlining hazard for dd_cdc_chunks' token-hash array — and
+    the chunk relation must stay checkpointed at its multi-consumer
+    barrier (dup agg + join side; their exchanges differ so
+    ReuseExchange cannot dedupe the corpus fold): at most one visible
+    fold, with the shared lineage behind an RDD scan."""
+    plan = plans("dd_cdc_chunks")
+    assert plan.count("ascii") <= 1, "char fold duplicated across branches"
+    assert "ExistingRDD" in plan, "chunk relation no longer checkpointed"
+
+
+def test_simhash_pairs_no_allpairs_join(plans):
+    """dd_simhash_pairs' candidate generation must stay a block-key
+    equi-join (bounded by block-bucket populations) — never a cartesian
+    or nested-loop all-pairs form."""
+    plan = plans("dd_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_asof_has_no_range_join(plans):
+    """rel_scd2_intervals' point-in-time attribution is the union +
+    running-last window — a range join here would plan as
+    BroadcastNestedLoopJoin and explode at scale. Scans must not read
+    the unused value column."""
+    plan = plans("rel_scd2_intervals")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for cols in _scan_columns(plan, "events"):
+        assert "value" not in cols
+
+
+def test_audience_overlap_distinct_before_selfjoin(plans):
+    """rel_audience_overlap must aggregate (type, user) DISTINCT before
+    the intersection self-join (the fanout bound) and never read the
+    events payload columns."""
+    plan = plans("rel_audience_overlap")
+    assert "CartesianProduct" not in plan
+    for cols in _scan_columns(plan, "events"):
+        assert set(cols) <= {"event_type", "user_id"}

@@ -1002,9 +1002,16 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = F.when(n_chunks == 0, empty).otherwise(
         F.transform(F.sequence(F.lit(1), n_chunks), chunk)
     )
-    ch = base.select(
-        "doc_id", "source", F.explode(chunks).alias("c")
-    ).select("doc_id", "source", "c.chunk_len", "c.chunk_hash")
+    # multi-consumer barrier (the ADVICE r7 rule): dup aggregation AND
+    # the join side both consume ch, and their exchanges differ (column
+    # sets diverge) so ReuseExchange cannot kick in — without the
+    # checkpoint the per-char token-hash fold runs twice over the
+    # corpus (plan-pinned in tests/test_plans.py)
+    ch = (
+        base.select("doc_id", "source", F.explode(chunks).alias("c"))
+        .select("doc_id", "source", "c.chunk_len", "c.chunk_hash")
+        .localCheckpoint(eager=False)
+    )
     dup = ch.groupBy("chunk_hash", "chunk_len").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
