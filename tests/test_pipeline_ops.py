@@ -1589,3 +1589,91 @@ def test_lsh_tuning_report_hand_computed(spark):
     # min inside every 8-wide band) — that selectivity difference is the
     # report's entire point
     assert rows[(8, 2)]["n_verified"] >= 1
+
+
+def _py_winnow(text, w=4, maxn=1 << 20):
+    """Independent pure-Python winnowing reference (same pinned
+    arithmetic as functions/text.py + plans/pipeline_queries.py):
+    returns (n_kgrams, selected-fingerprint hash MULTISET as a list —
+    selection is positional, MOSS-style: the same hash selected at two
+    positions is two fingerprints; the hash SET is set(fps))."""
+    toks = [t for t in text.split() if t]
+    ths = []
+    for t in toks:
+        h = 0
+        for c in t:
+            h = (h * 31 + ord(c)) % 1_000_003
+        ths.append(h)
+    sh = [
+        ((ths[i] * 31 + ths[i + 1]) % 1_000_003 * 31 + ths[i + 2])
+        % 1_000_003
+        for i in range(len(ths) - 2)
+    ] if len(ths) >= 3 else []
+    m = len(sh)
+    if m == 0:
+        return 0, set()
+    keys = [sh[i] * maxn + (maxn - 1 - (i + 1)) for i in range(m)]
+    sel = {
+        min(keys[s : s + w]) for s in range(max(m - w + 1, 1))
+    }
+    return m, [k >> 20 for k in sel]
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Spark winnow_summary vs the independent reference, on inputs
+    covering empty text, under-k tokens, heavy repetition (tie rule),
+    and ordinary prose."""
+    from wikitrender_spark.plans.pipeline_queries import winnow_summary
+
+    texts = [
+        "",
+        "one two",
+        "a a a a a a a a a a",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "spark rows shuffle join filter scan spark rows shuffle join",
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in winnow_summary(docs_df(spark, texts)).collect()
+    }
+    for i, t in enumerate(texts):
+        m, fps = _py_winnow(t)
+        r = got[i]
+        assert r["n_kgrams"] == m, (i, t)
+        if m == 0:
+            assert (r["n_fps"], r["fp_sum"], r["fp_min"], r["fp_max"]) == (
+                0, 0, -1, -1,
+            )
+        else:
+            assert r["n_fps"] == len(fps), (i, t)
+            assert r["fp_sum"] == sum(fps), (i, t)
+            assert r["fp_min"] == min(fps) and r["fp_max"] == max(fps)
+    # the repetition case is the positional-semantics pin: one hash
+    # selected at five positions IS five fingerprints (MOSS keeps
+    # positions for match localization)
+    m, fps = _py_winnow(texts[2])
+    assert len(fps) == 5 and len(set(fps)) == 1
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing theorem (Schleimer et al. §3): any shared token run
+    spanning at least w + k - 1 tokens (w=4 windows of k=3-token
+    k-grams -> 6 tokens) contains a full shared window in both docs, so
+    their fingerprint sets must intersect. Different prefixes/suffixes
+    around an identical 8-token run."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    a = "one two three " + shared + " tail end"
+    b = "completely different head words " + shared
+    _, fa = _py_winnow(a)
+    _, fb = _py_winnow(b)
+    assert set(fa) & set(fb), "reference: shared run must share a fingerprint"
+    from wikitrender_spark.plans.pipeline_queries import winnow_summary
+
+    rows = {
+        r["doc_id"]: r for r in winnow_summary(docs_df(spark, [a, b])).collect()
+    }
+    # Spark agrees with the reference per doc, so the intersection
+    # property carries over to the Spark fingerprints
+    for i, fps in ((0, fa), (1, fb)):
+        assert rows[i]["n_fps"] == len(fps)
+        assert rows[i]["fp_sum"] == sum(fps)

@@ -832,24 +832,36 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
     the MOSS algorithm): slide a w-window over the doc's word-trigram
     k-gram hashes and select each window's minimum (rightmost on ties);
-    the distinct selected hashes are the doc's fingerprint sketch, with
-    the guarantee that any shared run of >= w+k-1 tokens yields a shared
-    fingerprint — the positional dedup sketch MinHash (set-based,
-    position-blind) cannot give. Rightmost-tie argmin is engine-portable
-    via one BIGINT key per position: hash * 2^20 + (2^20 - 1 - pos);
-    list-min of the key window IS the selection rule.
+    the selected (position, hash) fingerprints are the doc's sketch —
+    POSITIONAL, MOSS-style: the same hash selected at two positions is
+    two fingerprints (MOSS keeps positions for match localization; the
+    hash set is a projection) — with the guarantee that any shared run
+    of >= w+k-1 tokens yields a shared fingerprint HASH, which the
+    set-based, position-blind MinHash sketch cannot give. Rightmost-tie
+    argmin is engine-portable via one BIGINT key per position:
+    hash * 2^20 + (2^20 - 1 - pos); list-min of the key window IS the
+    selection rule, and key-level distinct IS positional selection.
 
-    Output one row per doc: n_kgrams, n_fps (selected count), fp_sum /
-    fp_min / fp_max over the selected hashes (the sketch checksum the
-    oracle hashes; -1/-1 sentinel for docs under k tokens). Density
-    contract: n_fps <= n_windows and ~2/(w+1) of n_kgrams in expectation
-    (the paper's bound).
+    Output one row per doc: n_kgrams, n_fps (selected positions),
+    fp_sum / fp_min / fp_max over the selected instances' hashes (the
+    sketch checksum the oracle hashes; -1/-1 sentinel for docs under k
+    tokens). Density contract: n_fps <= n_windows and ~2/(w+1) of
+    n_kgrams in expectation (the paper's bound). Both properties plus
+    an independent pure-Python reference implementation are pinned in
+    tests/test_pipeline_ops.py.
 
     Scale shape: pure per-row array arithmetic (transform / slice /
     aggregate folds) — zero shuffle, whole-stage codegen; the fingerprint
     relation, not the token rows, is all that would feed a downstream
     band join at 100 TB."""
-    d = _docs(spark, sf_dir)
+    return winnow_summary(_docs(spark, sf_dir))
+
+
+def winnow_summary(d: DataFrame) -> DataFrame:
+    """Winnowing core over any documents-shaped relation (doc_id, text)
+    — factored out of q_winnowing so controlled-input tests can drive it
+    against an independent pure-Python reference
+    (tests/test_pipeline_ops.py)."""
     # token hashes MUST be materialized before the shingle transform:
     # shingle_hashes(text) inlines the whole char-fold into each of its
     # three element_at sites, and HOF lambdas run interpreted (no CSE)
