@@ -1677,3 +1677,98 @@ def test_winnowing_shared_run_guarantee(spark):
     for i, fps in ((0, fa), (1, fb)):
         assert rows[i]["n_fps"] == len(fps)
         assert rows[i]["fp_sum"] == sum(fps)
+
+
+def _py_cdc(texts_by_doc, mod=16):
+    """Independent pure-Python CDC reference: returns per-doc chunk
+    lists [(chunk_len, chunk_hash)] under the hash%mod==0 boundary rule
+    (boundary token ENDS its chunk; trailing tokens form a tail chunk)."""
+    out = {}
+    for doc_id, text in texts_by_doc.items():
+        ths = []
+        for t in [x for x in text.split() if x]:
+            h = 0
+            for c in t:
+                h = (h * 31 + ord(c)) % 1_000_003
+            ths.append(h)
+        chunks, cur = [], []
+        for h in ths:
+            cur.append(h)
+            if h % mod == 0:
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        hashed = []
+        for ch in chunks:
+            h = 0
+            for x in ch:
+                h = (h * 31 + x) % 1_000_003
+            hashed.append((len(ch), h))
+        out[doc_id] = hashed
+    return out
+
+
+def test_cdc_chunks_matches_python_reference(spark):
+    """Spark cdc_chunk_summary vs the independent reference, with a
+    PLANTED shared block: docs 0 and 1 share a run that the content
+    boundaries isolate into an identical chunk, so the per-source dup
+    accounting must see it from both docs; doc 2 is empty, doc 3 has no
+    boundary token (single tail chunk)."""
+    from collections import Counter
+
+    from wikitrender_spark.plans.pipeline_queries import cdc_chunk_summary
+
+    # find words whose hash is a boundary (h % 16 == 0) so the planted
+    # shared region is deterministically chunk-isolated
+    def h(word):
+        v = 0
+        for c in word:
+            v = (v * 31 + ord(c)) % 1_000_003
+        return v
+
+    import itertools
+    import string
+
+    boundary = next(
+        "".join(w)
+        for w in itertools.product(string.ascii_lowercase, repeat=3)
+        if h("".join(w)) % 16 == 0
+    )
+    shared = f"alpha beta {boundary}"  # chunk ends at the boundary word
+    texts = {
+        0: f"{shared} tail one two",
+        1: f"different head {boundary} {shared} other tail",
+        2: "",
+        3: "plainwords without anyboundary here",
+    }
+    # reference sanity: docs 0 and 1 share >= 1 identical (len, hash)
+    ref = _py_cdc(texts)
+    shared_chunks = set(ref[0]) & set(ref[1])
+    assert shared_chunks, "fixture drifted: no shared chunk planted"
+    assert ref[2] == [] and len(ref[3]) == 1
+
+    rows = spark.createDataFrame(
+        [(i, t, "en", f"src{i}", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["source"]: r for r in cdc_chunk_summary(rows).collect()
+    }
+    # corpus-wide dup detection: a (hash, len) seen in >1 doc
+    counts = Counter()
+    for doc_id, chunks in ref.items():
+        for key in set(chunks):
+            counts[key] += 1
+    dup_keys = {k for k, c in counts.items() if c > 1}
+    for doc_id, chunks in ref.items():
+        r = got[f"src{doc_id}"]
+        assert r["n_chunks"] == len(chunks), doc_id
+        assert r["n_distinct_chunks"] == len(set(chunks)), doc_id
+        assert r["n_dup_chunks"] == sum(
+            1 for ch in chunks if ch in dup_keys
+        ), doc_id
+        assert r["dup_tokens"] == sum(
+            ln for (ln, hh) in chunks if (ln, hh) in dup_keys
+        ), doc_id
+        assert r["total_tokens"] == sum(ln for (ln, _hh) in chunks), doc_id

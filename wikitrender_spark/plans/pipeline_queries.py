@@ -972,7 +972,14 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined, keys bounded by distinct content blocks — plus a
     per-source rollup bounded by |sources|. No token rows ever
     shuffle."""
-    d = _docs(spark, sf_dir)
+    return cdc_chunk_summary(_docs(spark, sf_dir))
+
+
+def cdc_chunk_summary(d: DataFrame) -> DataFrame:
+    """CDC core over any documents-shaped relation (doc_id, text,
+    source) — factored out of q_cdc_chunks for controlled-input tests
+    against an independent pure-Python reference
+    (tests/test_pipeline_ops.py)."""
     base = d.select(
         "doc_id", "source", T.token_hashes(F.col("text")).alias("th")
     )
