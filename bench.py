@@ -114,6 +114,12 @@ EXTENDED = [
 ]
 
 
+_SWEEP_METH = (
+    "construction+execution, single sample, post-suite "
+    "(recorded, not banded)"
+)
+
+
 def _meth(n: int) -> str:
     # the methodology stamp must describe what actually ran, including
     # env-var sample overrides (r08 review finding)
@@ -293,9 +299,13 @@ def main() -> None:
         # median-of-5 after an excluded warm pass. Compare against
         # the BASELINE.md band, not any single prior value — r05
         # vs r06 showed identical code drifting 30.0 -> 36.8s
-        # under host contention alone.
-        "methodology": _meth(n_samples if head else n_ext),
-        "queries": head if head else ext,
+        # under host contention alone. A sweep-only run must carry the
+        # SWEEP stamp — the stamp describes what actually ran (the r08
+        # review rule), and sweep samples are single-shot, no warm pass.
+        "methodology": _meth(n_samples if head else n_ext)
+        if (head or ext)
+        else _SWEEP_METH,
+        "queries": head if head else (ext or sweep),
         "sf": sf,
         # drift normalization (r08 ask #2): suite seconds per calibration
         # second — compare THIS across rounds; the raw band only catches
@@ -311,10 +321,9 @@ def main() -> None:
             "methodology": _meth(n_ext),
             "queries": ext,
         }
-    if sweep:
+    if sweep and (head or ext):
         out["sweep"] = {
-            "methodology": "construction+execution, single sample, "
-            "post-suite (recorded, not banded)",
+            "methodology": _SWEEP_METH,
             "value": round(sum(sweep.values()), 3),
             "queries": sweep,
         }

@@ -1591,7 +1591,7 @@ def test_lsh_tuning_report_hand_computed(spark):
     assert rows[(8, 2)]["n_verified"] >= 1
 
 
-def _py_winnow(text, w=4, maxn=1 << 20):
+def _py_winnow(text, w=4, maxn=1 << 43):
     """Independent pure-Python winnowing reference (same pinned
     arithmetic as functions/text.py + plans/pipeline_queries.py):
     returns (n_kgrams, selected-fingerprint hash MULTISET as a list —
@@ -1616,7 +1616,7 @@ def _py_winnow(text, w=4, maxn=1 << 20):
     sel = {
         min(keys[s : s + w]) for s in range(max(m - w + 1, 1))
     }
-    return m, [k >> 20 for k in sel]
+    return m, [k >> 43 for k in sel]
 
 
 def test_winnowing_matches_python_reference(spark):

@@ -5,10 +5,10 @@ replication holds the page keyspace at 211/wiki, so sf1 probes measured
 10x event volume on a fixed graph, never a growing one.
 
 Graph construction (seeded, deterministic, off the derive path — plain
-column arithmetic over spark.range, no RNG): N nodes, ~8N directed
-transition edges and ~4N undirected weighted pairs, built from three
-deterministic families so the probe exercises the shapes the operators
-were designed around:
+column arithmetic over spark.range, no RNG): N nodes, ~4N directed
+transition edges (four families of N, deduplicated) and ~4N undirected
+weighted pairs, built from deterministic families so the probe
+exercises the shapes the operators were designed around:
 
 - LOCAL edges i -> (i+1) % N and i -> (i+2) % N: a ring lattice whose
   (i, i+1, i+2) closures guarantee Theta(N) triangles at every size;

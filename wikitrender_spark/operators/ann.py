@@ -179,7 +179,14 @@ def filtered_ivf_expand_topk(
     nprobe until the filtered candidate set fills" guidance in public
     IVF serving literature, e.g. FAISS's metadata-filtering discussion)."""
     cents = ivf_centroids(emb).localCheckpoint(eager=False)
-    cellsf = ivf_cells(emb.filter(predicate), cents)
+    # multi-consumer barrier: pops (per-cell counts), own (the query's
+    # own cell) and the candidate join all consume the filtered
+    # assignment, and their exchanges differ so ReuseExchange cannot
+    # dedupe — without the checkpoint the corpus assignment fold runs
+    # once per consumer (r09 review: the fold appeared 5x in the plan)
+    cellsf = ivf_cells(emb.filter(predicate), cents).localCheckpoint(
+        eager=False
+    )
     pops = cellsf.groupBy("cell").agg(F.count(F.lit(1)).alias("pop"))
     q = emb.filter(F.col("vec_id").isin(query_ids))
     ranks = _centroid_ranks(q, cents).select(

@@ -580,15 +580,30 @@ def simhash64_blocks(docs: DataFrame) -> DataFrame:
 
 
 def simhash_hamming_pairs(
-    docs: DataFrame, ham_max: int = SIMHASH_HAM_MAX
+    docs: DataFrame, ham_max: int = SIMHASH_HAM_MAX,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= ham_max via
     block-key candidate generation (Manku WWW'07): docs sharing any one
-    of the 4 blocks become candidates (equi-join on (block_idx, block),
-    bounded by block-bucket populations — measured max bucket 222 at
-    sf0.1, never all-pairs), then each candidate verifies with 4
-    xor/bit_count ops. Complete for <= 3-bit differences by pigeonhole.
-    Output: (doc_a, doc_b, hamming).
+    of the 4 blocks become candidates (equi-join on (block_idx, block)),
+    then each candidate verifies with 4 xor/bit_count ops. Complete for
+    <= 3-bit differences by pigeonhole. Output: (doc_a, doc_b, hamming).
+
+    Candidate volume is sum over block buckets of C(bucket, 2) — a
+    CORPUS property, not an operator bound (measured max bucket 222 /
+    189k candidates at 5k docs on this corpus): a degenerate corpus
+    (e.g. many empty or near-identical docs, which all share fp
+    [0,0,0,0] or one hot fingerprint) drives a bucket toward N and the
+    join toward all-pairs — which is also the honest OUTPUT size there,
+    since those docs really are mutual near-dups. Production therefore
+    (a) runs exact dedup upstream so identical docs collapse to one
+    representative, and (b) may pass ``max_bucket`` to drop
+    hotter-than-cap (block_idx, block) buckets from candidate
+    generation — an explicit completeness trade (a pair is missed only
+    if ALL FOUR of its shared blocks are hot), the same knob Manku's
+    production system applies to high-frequency permutation tables.
+    The gated query leaves it None: completeness is the contract being
+    attested.
 
     Scale shape: the candidate join shuffles only (doc_id, block) keys;
     verification joins the 4-long fingerprint arrays for candidate rows
@@ -596,6 +611,15 @@ def simhash_hamming_pairs(
     cannot give."""
     fp = simhash64_blocks(docs).localCheckpoint(eager=False)
     blocks = fp.select("doc_id", F.posexplode("fp").alias("b", "blk"))
+    if max_bucket is not None:
+        pops = blocks.groupBy("b", "blk").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        blocks = (
+            blocks.join(F.broadcast(pops), ["b", "blk"])
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

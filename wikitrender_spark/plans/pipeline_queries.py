@@ -821,10 +821,16 @@ FROM documents"""
 
 #: winnowing window (w consecutive k-gram hashes per selection window)
 WINNOW_W = 4
-#: positions and 31-poly hashes both fit in 20 bits, so one BIGINT key
-#: encodes (hash asc, position desc): minimizing it picks the smallest
-#: hash with the RIGHTMOST position on ties — the robust-winnowing rule.
-_WINNOW_POS_BITS = 20
+#: one BIGINT key encodes (hash asc, position desc): minimizing it picks
+#: the smallest hash with the RIGHTMOST position on ties — the
+#: robust-winnowing rule. The hash needs 20 bits (31-poly mod 1000003),
+#: leaving 43 position bits: hash_max * 2^43 + (2^43 - 1) = 8.80e18 <
+#: 2^63, and ~8.8e12 k-grams per document before the position field
+#: could bleed into the hash field (a 20-bit position field would have
+#: corrupted fingerprints SILENTLY — identically in both engines, so
+#: the oracle gate would stay green — on million-k-gram docs; r09
+#: review finding).
+_WINNOW_POS_BITS = 43
 _WINNOW_MAXN = 1 << _WINNOW_POS_BITS
 
 
@@ -839,7 +845,7 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     of >= w+k-1 tokens yields a shared fingerprint HASH, which the
     set-based, position-blind MinHash sketch cannot give. Rightmost-tie
     argmin is engine-portable via one BIGINT key per position:
-    hash * 2^20 + (2^20 - 1 - pos); list-min of the key window IS the
+    hash * 2^43 + (2^43 - 1 - pos); list-min of the key window IS the
     selection rule, and key-level distinct IS positional selection.
 
     Output one row per doc: n_kgrams, n_fps (selected positions),

@@ -20,6 +20,8 @@ lacks. Both exchanges are on the window key with map-side partials.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -263,7 +265,24 @@ def run_trending_update(
 #: harness cost was ~all chunk prep (VERDICT r8 ask #8). Checkpoints and
 #: memory sinks are NOT cached: every call still replays the stream
 #: through a fresh query, so the measured semantics are untouched.
+#: Caveats (r09 review): (a) the dirs are removed at interpreter exit
+#: (atexit below) so repeated processes don't leak /tmp parquet; (b) the
+#: key does not fingerprint the table's CONTENT — if the parquet at
+#: sf_dir were regenerated within one process the stale chunks would
+#: replay; no code path does that (testdata changes only between driver
+#: rounds, i.e. between processes).
 _CHUNK_CACHE: dict[tuple[str, int], tuple[str, int]] = {}
+
+
+def _purge_chunk_cache() -> None:
+    import shutil
+
+    for chunk_dir, _cut in _CHUNK_CACHE.values():
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+    _CHUNK_CACHE.clear()
+
+
+atexit.register(_purge_chunk_cache)
 
 
 def trending_replay_to_memory(
