@@ -1,12 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: median_sec}, "sf": ...}. Per-query value is the median
-of 5 round-robin timed passes (see below). Raw per-pass samples and the
-warm pass are written to bench_samples.json beside this script, NOT
-printed: the r04 driver capture truncated the fat stdout line and
-recorded "parsed": null, losing the headline number. The stdout line
-must stay small enough to never truncate.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
+FINAL COMPACT JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: median_sec}, "sf": ...} where "queries" holds
+the 26 HEADLINE medians only; the extended and sweep suites appear on
+that line as totals. Their per-query dicts are printed as their own
+EARLIER stdout lines (record: extended_queries / sweep_queries) and
+written to bench_samples.json beside this script along with every raw
+per-pass sample. The final line self-checks < 1900 bytes: the driver
+captures only the last 2000 chars of stdout, and both r04 and r09 lost
+the round's bench record when a fat final line got truncated there.
 
 Queries are materialized via the noop sink (full computation, no driver
 collect). The headline set spans every engine subsystem: keyed stateful
@@ -111,6 +113,14 @@ EXTENDED = [
     "rel_hourly_mad",
     "rel_scd2_intervals",
     "rel_audience_overlap",
+    # round-10 addition: recursive-months promoted after its r10
+    # bound-hoisting fix (16-29 s -> ~1.9 s warm; VERDICT r9 ask #3).
+    # dd_simhash_tuning (also new in r10) stays sweep-covered: ~9 s
+    # warm at sf0.1 (3 candidate joins over one shared fingerprint
+    # checkpoint) would add ~36 s of extended passes for a report
+    # whose cost is dominated by the already-banded dd_simhash_pairs
+    # fingerprint path.
+    "rel_recursive_months",
 ]
 
 
@@ -142,19 +152,31 @@ def _suites() -> list[str]:
     return picked or ["headline", "extended", "sweep"]
 
 
-#: Fixed calibration probe (VERDICT r8 ask #2): a pinned synthetic plan
-#: — 20M seeded in-memory rows, 32 input partitions, one hash-agg over
-#: 9973 keys through a 32-way exchange — timed with every suite run so
-#: host drift is MEASURABLE instead of argued. The plan touches no
-#: input files and no repo operators, so its wall time moves only with
-#: the environment (CPU contention, JVM state); the suite/calibration
-#: ratio is the drift-normalized trend BASELINE.md bands.
-def _calibration(spark, n: int = 3) -> tuple[float, list[float]]:
+#: Fixed calibration probe (VERDICT r8 ask #2, REBUILT per VERDICT r9
+#: ask #2): a pinned synthetic plan — 6.5B seeded in-memory rows, 32
+#: input partitions, one hash-agg over 9973 keys through a 32-way
+#: exchange — timed with every suite run so host drift is MEASURABLE
+#: instead of argued. The plan touches no input files and no repo
+#: operators, so its wall time moves only with the environment.
+#:
+#: Why this shape (r9 driver postmortem): the r8 probe was a ~0.5 s
+#: burst; on the driver host its 4 samples spread 1.007-4.265 s (4.2x
+#: within one run) while the 38 s suite itself moved only 1.03x — a
+#: sub-second burst measures scheduler-level contention the suite
+#: amortizes away, so the normalized ratio read 21.9 vs the declared
+#: [50, 105] band. The rebuilt probe is (a) ~5 s on the builder host —
+#: the same scale as the numbers it normalizes — and (b) reported as
+#: the MIN of 5 timed passes (warm pass excluded): min is the
+#: contention-free floor estimator; contention only ever ADDS time.
+#: The run self-checks the within-run spread (max/min of the timed
+#: passes) and stamps it on the JSON line so a noisy calibration is
+#: visible instead of silently poisoning the denominator.
+def _calibration(spark, n: int = 5) -> tuple[float, float, list[float]]:
     times = []
     for _ in range(n + 1):  # pass 0 excluded, same as the suites
         t0 = time.perf_counter()
         (
-            spark.range(0, 20_000_000, 1, 32)
+            spark.range(0, 6_500_000_000, 1, 32)
             .selectExpr("id % 9973 AS k", "id % 31 AS v")
             .groupBy("k")
             .sum("v")
@@ -163,7 +185,9 @@ def _calibration(spark, n: int = 3) -> tuple[float, list[float]]:
             .save()
         )
         times.append(round(time.perf_counter() - t0, 3))
-    return round(statistics.median(times[1:]), 3), times
+    timed = times[1:]
+    spread = round(max(timed) / min(timed), 2)
+    return round(min(timed), 3), spread, times
 
 
 def main() -> None:
@@ -186,7 +210,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     # calibration runs FIRST (right after warmup), before any suite can
     # pin executor state — its number must depend on the host alone
-    calib, calib_samples = _calibration(spark)
+    calib, calib_spread, calib_samples = _calibration(spark)
 
     # 5 timed passes, round-robin over the suite (not 5x back-to-back per
     # query) so one transient system stall cannot poison every sample of a
@@ -272,19 +296,39 @@ def main() -> None:
     head = {n: timings[n] for n in HEADLINE if n in timings}
     ext = {n: timings[n] for n in EXTENDED if n in timings}
     total = round(sum(head.values()), 3)
-    # Raw samples go to a side file so the stdout JSON line stays compact
-    # (r04: the driver truncated the fat line and lost the headline).
+    # Per-query dicts for every suite go to the side file AND to their
+    # own EARLIER stdout lines; the FINAL stdout line carries only the
+    # compact stamp (headline dict + suite totals). The driver captures
+    # the last 2000 chars of stdout: the r04 incident truncated a fat
+    # final line and recorded "parsed": null, and round 9 repeated it
+    # when the extended+sweep dicts grew the line to 4.2 KB (VERDICT r9
+    # ask #1) — the per-query data now lives where truncation cannot
+    # reach the headline.
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json")
     with open(side, "w") as f:
         json.dump(
             {
                 "samples": samples,
                 "warm_pass": warm_pass,
+                "extended_queries": ext,
+                "sweep_queries": sweep,
                 "calibration_samples": calib_samples,
                 "sf": sf,
             },
             f,
         )
+    if ext:
+        print(json.dumps(
+            {"record": "extended_queries", "methodology": _meth(n_ext),
+             "queries": ext},
+            separators=(",", ":"),
+        ))
+    if sweep:
+        print(json.dumps(
+            {"record": "sweep_queries", "methodology": _SWEEP_METH,
+             "queries": sweep},
+            separators=(",", ":"),
+        ))
     out = {
         # metric/value stay HEADLINE-ONLY even when both suites run, so
         # the cross-round trend never mixes suite compositions
@@ -307,11 +351,15 @@ def main() -> None:
         else _SWEEP_METH,
         "queries": head if head else (ext or sweep),
         "sf": sf,
-        # drift normalization (r08 ask #2): suite seconds per calibration
-        # second — compare THIS across rounds; the raw band only catches
-        # gross regressions. calibration = median-of-3 of the pinned
-        # synthetic plan above, measured on this host this run.
+        # drift normalization (r08 ask #2, probe rebuilt r10): suite
+        # seconds per calibration second — compare THIS across rounds;
+        # the raw band only catches gross regressions. calibration =
+        # MIN-of-5 of the pinned ~5 s synthetic plan above, measured on
+        # this host this run; calibration_spread = max/min of those 5
+        # samples (>1.3 means the calibration itself ran under
+        # contention — trust the raw band over the ratio that run).
         "calibration": calib,
+        "calibration_spread": calib_spread,
     }
     if head:
         out["headline_per_calib"] = round(total / calib, 2)
@@ -319,15 +367,28 @@ def main() -> None:
         out["extended"] = {
             "value": round(sum(ext.values()), 3),
             "methodology": _meth(n_ext),
-            "queries": ext,
+            "n_queries": len(ext),
         }
     if sweep and (head or ext):
         out["sweep"] = {
             "methodology": _SWEEP_METH,
             "value": round(sum(sweep.values()), 3),
-            "queries": sweep,
+            "n_queries": len(sweep),
         }
-    print(json.dumps(out, separators=(",", ":")))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1900 and not head:
+        # ext-/sweep-only runs: their per-query dict is already on an
+        # earlier record line + the side file; drop it rather than fail
+        out["queries"] = {}
+        out["queries_in"] = "stdout record line + bench_samples.json"
+        line = json.dumps(out, separators=(",", ":"))
+    # the driver keeps the LAST 2000 chars of stdout; the final line
+    # must never outgrow that capture (VERDICT r9 ask #1's self-check)
+    assert len(line) < 1900, (
+        f"final bench line is {len(line)} bytes; >=1900 risks driver "
+        "truncation — move per-query data to bench_samples.json"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

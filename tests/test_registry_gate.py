@@ -16,43 +16,35 @@ from wikitrender_spark.plans import registry
 #: driver evidence more than two rounds old). Update each round as
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # round-9 additions, never driver-attested
-    "ann_filtered_expand",
-    "mm_video_keyframes",
-    "mm_audio_vad",
-    "tx_winnowing",
-    "dd_cdc_chunks",
-    "dd_simhash_pairs",
+    # round-10 addition, never driver-attested (VERDICT r9 ask #7)
+    "dd_simhash_tuning",
+    # stale by round-10 code change: the ADVICE r9 multi-consumer
+    # barrier fix localCheckpoints their shared relations
     "rel_hourly_mad",
     "rel_scd2_intervals",
-    "rel_audience_overlap",
-    # stale by round-9 code change (ADVICE r8 fixes touched their plan
-    # or oracle after the last green attestation)
-    "ann_rp_topk",
-    "ann_ivf_rp_topk",
-    "wt_stream_trending",
-    "rel_hourly_anomalies",
+    # stale by round-10 code change: the bound-hoisting rewrite of the
+    # recursive CTE (VERDICT r9 ask #3) — also an R10_DEFERRED member
+    "rel_recursive_months",
 }
-# NOTE: the 37-row R09_DEFERRED promise (the whole r06-evidence cohort)
-# is paid this round — all 37 sit in GATE_WINDOW; see
-# test_r09_promise_is_paid_in_full below.
+# NOTE: the 48-row R10_DEFERRED promise (the whole r07-evidence cohort)
+# is paid this round MINUS ONE documented displacement — see
+# test_r10_promise_is_paid below and the registry composition comment.
 
-#: The 50 rows whose latest driver attestation was r07 when the r09
-#: window was composed (= CORRECTNESS_r07.json's key set) — the FIXED
-#: population the R10 promise covers. Two of them (ann_rp_topk,
-#: rel_hourly_anomalies) re-attest in the r09 window already because
-#: round-9 code changes staled them; the rest are R10_DEFERRED.
-R07_COHORT = {
+#: The 48 rows promised the r10 window by round 9 (= R07_COHORT minus
+#: the r09 window, kept VERBATIM from round 9's derivation so the
+#: payment is testable against the promised names, not a recomputation
+#: that could drift with the window).
+R10_PROMISE = {
     "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
-    "ann_rp_topk", "dd_cross_source_dups", "dd_embedding_neardup_exact",
+    "dd_cross_source_dups", "dd_embedding_neardup_exact",
     "dd_lsh_tuning", "dd_semantic_dedup", "mm_wav_features",
     "mm_y4m_frames", "rel_approx_percentiles", "rel_approx_segments",
     "rel_asof_last_signup", "rel_corr_subquery",
     "rel_customers_without_orders", "rel_grouping_sets",
-    "rel_hourly_anomalies", "rel_hourly_autocorr", "rel_hourly_ewma",
-    "rel_interval_coverage", "rel_json_props", "rel_lateral_topk",
-    "rel_order_gaps", "rel_percentiles", "rel_pivot_status",
-    "rel_pricing_summary", "rel_recursive_months", "rel_salted_revenue",
+    "rel_hourly_autocorr", "rel_hourly_ewma", "rel_interval_coverage",
+    "rel_json_props", "rel_lateral_topk", "rel_order_gaps",
+    "rel_percentiles", "rel_pivot_status", "rel_pricing_summary",
+    "rel_recursive_months", "rel_salted_revenue",
     "rel_scalar_functions", "rel_sessionize",
     "rel_suppliers_with_shipments", "rel_value_pareto",
     "rel_window_rank_suite", "tx_bm25_topk", "tx_boilerplate",
@@ -63,58 +55,69 @@ R07_COHORT = {
     "wt_pagerank",
 }
 
-#: Every R07_COHORT row NOT re-attesting in the r09 window: their driver
-#: evidence will be two rounds old after r09, so they are PROMISED the
-#: r10 window — next round, move them into GATE_WINDOW (and into
-#: NEVER_OR_STALE_ATTESTED as stale) before anything else. 48 rows + up
-#: to 2 new r10 queries fill the window exactly; if round 10 adds more
-#: than 2 queries, displaced rows become the R11 debt under the
-#: established displacement rule (displaced rows are named in the
-#: registry comment, new rows never deferred).
-#: COMPLETENESS IS TESTED, not hand-maintained:
-#: test_every_r07_row_is_windowed_or_deferred derives the required set
-#: from R07_COHORT − GATE_WINDOW, so a displaced row can never fall out
-#: of the accounting silently.
-R10_DEFERRED = R07_COHORT - set(registry.GATE_WINDOW)
+#: The one promised row the r10 window could not seat (48 promised +
+#: 1 new + 2 stale = 51 > 50; new/stale rows are never deferred, so
+#: exactly one spills under the established displacement rule). Its
+#: driver evidence will be THREE rounds old after r10 — it is named
+#: FIRST in the r11 promise.
+R10_DISPLACED = {"rel_scalar_functions"}
 
-#: The 37-row R09_DEFERRED promise from round 8 (the fixed r06-evidence
-#: cohort, derived there as R06_COHORT − r08 GATE_WINDOW) — kept
-#: verbatim so the payment is testable against the promised names, not
-#: against a recomputation that could drift with the window.
-R09_PROMISE = {
-    "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivfpq_rerank",
-    "ann_lsh_buckets", "ann_lsh_topk", "dd_bloom_decontaminate",
-    "dd_containment", "dd_decontaminate", "dd_dup_clusters",
-    "dd_editdist_pairs", "dd_embedding_neardup", "dd_jaccard_histogram",
-    "dd_lsh_candidates", "dd_minhash_est", "dd_minhash_signatures",
-    "dd_near_duplicates", "dd_ngram_jaccard", "mm_frame_sample",
-    "mm_media_features", "mm_pgm_features", "rel_dq_audit",
-    "rel_nation_presence", "rel_nation_set_ops", "tx_clean_corpus",
-    "tx_cms_terms", "tx_dedup_lineage", "tx_filter_funnel",
-    "tx_repetition", "tx_split", "tx_substring_scrub", "tx_token_stats",
-    "tx_vocab", "wt_lifecycle_replay", "wt_state_diff",
-    "wt_stream_heavy_hitters", "wt_top_pages_per_wiki",
-    "wt_biggest_movers",
+#: The rows whose latest driver attestation was r08 when this window
+#: was composed (= CORRECTNESS_r08.json keys minus CORRECTNESS_r09.json
+#: keys — the FIXED population, 48 rows): their evidence will be two
+#: rounds old after r10, so together with the displaced row they are
+#: PROMISED the r11 window. 49 rows + new r11 queries > 50 means r11
+#: applies the displacement rule again; the displaced row goes first.
+R08_COHORT = {
+    "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
+    "dd_exact_groups", "dd_simhash", "dd_substring_runs",
+    "mm_audio_energy", "mm_video_motion", "rel_acctbal_band_pairs",
+    "rel_copurchase_pairs", "rel_cube_summary", "rel_event_funnel",
+    "rel_regional_revenue", "rel_retention_cohorts",
+    "rel_rolling_revenue_window", "rel_rollup_orders",
+    "rel_running_revenue", "rel_signup_burst",
+    "rel_small_quantity_revenue", "rel_top_customers",
+    "rel_topk_per_brand", "rel_unpivot_presence", "rel_weekday_profile",
+    "tx_fingerprint", "tx_langid", "tx_length_histogram", "tx_pack",
+    "tx_pack_split", "tx_quality", "tx_source_divergence",
+    "wt_classify_counts", "wt_coedit_triangles", "wt_delete_targets",
+    "wt_edit_wars", "wt_epm_variants", "wt_graph_degrees",
+    "wt_ingest_dedup_watermark", "wt_most_edited", "wt_most_vibrant",
+    "wt_page_state", "wt_page_state_lifecycle", "wt_protect_followups",
+    "wt_purge_safe_list", "wt_purge_survivors", "wt_revert_chains",
+    "wt_session_activity", "wt_stream_replay", "wt_windowed_activity",
 }
 
-
-def test_r09_promise_is_paid_in_full():
-    """Every row the r08 round promised the r09 window actually sits in
-    it — the promise is paid against the promised NAMES, no derivation
-    in between."""
-    assert R09_PROMISE <= set(registry.GATE_WINDOW), sorted(
-        R09_PROMISE - set(registry.GATE_WINDOW)
-    )
+#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r11
+#: window — the r08-evidence cohort plus the r10 displacement — minus
+#: anything already re-attesting now.
+R11_DEFERRED = (R08_COHORT | R10_DISPLACED) - set(registry.GATE_WINDOW)
 
 
-def test_every_r07_row_is_windowed_or_deferred():
-    """The R10 promise must be complete by construction: every
-    r07-attested row is either re-attesting in the r09 window or
-    explicitly deferred — and the deferred set contains nothing else."""
-    expected = R07_COHORT - set(registry.GATE_WINDOW)
-    assert R10_DEFERRED == expected
-    # the two code-staled r07 rows re-attest now, the other 48 defer
-    assert len(R10_DEFERRED) == 48, len(R10_DEFERRED)
+def test_r10_promise_is_paid():
+    """Every row round 9 promised the r10 window sits in it, except the
+    ONE documented displacement — paid against the promised NAMES."""
+    missing = R10_PROMISE - set(registry.GATE_WINDOW)
+    assert missing == R10_DISPLACED, sorted(missing)
+
+
+def test_displacement_is_minimal():
+    """The displacement rule allows spill only because the window is
+    genuinely full: 47 promised + 1 new + 2 stale = 50 exactly."""
+    assert len(R10_PROMISE - R10_DISPLACED) + len(
+        NEVER_OR_STALE_ATTESTED - R10_PROMISE
+    ) == registry.GATE_SIZE
+
+
+def test_every_owed_row_is_windowed_or_deferred():
+    """The r11 promise must be complete by construction: every row with
+    r08-or-older driver evidence is either re-attesting in the r10
+    window or explicitly in the r11 debt — nothing falls out silently."""
+    expected = (R08_COHORT | R10_DISPLACED) - set(registry.GATE_WINDOW)
+    assert R11_DEFERRED == expected
+    # nothing in the r08 cohort re-attests this round, so the r11 debt
+    # is the full cohort plus the displaced row
+    assert len(R11_DEFERRED) == 49, len(R11_DEFERRED)
 
 
 def test_gate_window_is_exactly_first_50():
@@ -139,7 +142,7 @@ def test_window_names_unique_and_registered():
 
 
 def test_deferred_rows_are_registered_and_disjoint_from_window():
-    # the r10 promise list must stay real queries, and a deferred row
+    # the r11 promise list must stay real queries, and a deferred row
     # sitting inside the window would mean the accounting is stale
-    assert R10_DEFERRED <= set(registry.all_queries())
-    assert not (R10_DEFERRED & set(registry.GATE_WINDOW))
+    assert R11_DEFERRED <= set(registry.all_queries())
+    assert not (R11_DEFERRED & set(registry.GATE_WINDOW))

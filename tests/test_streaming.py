@@ -1120,3 +1120,63 @@ def test_trending_update_stream_equals_batch(spark):
     assert max_start in kept
     for ws in kept:
         assert bounded.top()[ws] == want[ws]
+
+
+def test_parquet_trending_store_equals_report(spark):
+    """ParquetTrendingStore (VERDICT r9 ask #6): the parquet-backed
+    upsert store replayed over the same 4-chunk stream must serve
+    exactly the in-driver TrendingReport's per-window top-k — and a
+    FRESH store object pointed at the same path must serve it too (the
+    persistence claim: the report survives the driver)."""
+    from wikitrender_spark.streaming import windows
+
+    report = windows.TrendingReport()
+    with tempfile.TemporaryDirectory() as d:
+        counts = windows.trending_counts_stream(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=4)
+        )
+        windows.run_trending_update(counts, report, d + "/ckpt")
+    want = report.top()
+    assert want  # the replay must produce windows for this to test anything
+
+    with tempfile.TemporaryDirectory() as d:
+        store = windows.ParquetTrendingStore(d + "/store")
+        counts = windows.trending_counts_stream(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=4)
+        )
+        windows.run_trending_update(counts, store, d + "/ckpt")
+        assert store.top(spark) == want
+        reopened = windows.ParquetTrendingStore(d + "/store")
+        assert reopened.top(spark) == want
+
+
+def test_parquet_trending_store_horizon_equals_report(spark):
+    """Horizon eviction parity: under the same horizon_us both stores
+    keep exactly the same windows with the same top-k, and the parquet
+    store's partition dirs are the kept windows — eviction really
+    removes bytes, not just rows from a view."""
+    import os
+
+    from wikitrender_spark.streaming import windows
+
+    hz = 6 * 3600 * 1_000_000
+    bounded = windows.TrendingReport(horizon_us=hz)
+    with tempfile.TemporaryDirectory() as d:
+        counts = windows.trending_counts_stream(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=4)
+        )
+        windows.run_trending_update(counts, bounded, d + "/ckpt")
+
+    with tempfile.TemporaryDirectory() as d:
+        store = windows.ParquetTrendingStore(d + "/store", horizon_us=hz)
+        counts = windows.trending_counts_stream(
+            chunked_event_stream(spark, SF_DIR, d, n_chunks=4)
+        )
+        windows.run_trending_update(counts, store, d + "/ckpt")
+        assert store.top(spark) == bounded.top()
+        on_disk = {
+            int(p.split("=", 1)[1])
+            for p in os.listdir(d + "/store")
+            if p.startswith("window_start_us=")
+        }
+        assert on_disk == set(bounded.windows)

@@ -657,6 +657,116 @@ def simhash_hamming_pairs(
     )
 
 
+#: bucket caps swept by simhash_tuning_report; None = uncapped (the
+#: completeness contract the gated dd_simhash_pairs attests).
+SIMHASH_TUNING_CAPS: tuple[int | None, ...] = (None, 32, 2)
+
+
+def simhash_tuning_report(
+    docs: DataFrame,
+    ham_max: int = SIMHASH_HAM_MAX,
+    caps: tuple[int | None, ...] = SIMHASH_TUNING_CAPS,
+) -> DataFrame:
+    """Bucket-cap sweep for the SimHash ``max_bucket`` knob (VERDICT r9
+    ask #7 — the dd_lsh_tuning counterpart for Hamming-ball dedup): for
+    each cap, the measured candidate-pair count, how many candidates
+    verify at Hamming <= ham_max, and how many true pairs the cap MISSES
+    versus the uncapped baseline — so the completeness trade documented
+    on simhash_hamming_pairs is picked from DATA, not argued. A pair is
+    missed only when ALL of its shared blocks sit in hotter-than-cap
+    buckets, so n_missed quantifies exactly what the cap costs on this
+    corpus (Manku WWW'07 applies the same knob to its high-frequency
+    permutation tables).
+
+    Scale shape: ONE fingerprint materialization feeds the block
+    explosion, every per-cap candidate join, and both verification
+    sides; the bucket-population relation is a broadcast of at most
+    SIMHASH_BLOCKS * 2^16 rows. Each cap adds one candidate equi-join
+    bounded by its own bucket sizes — the uncapped config bounds the
+    whole report, and it is candidates-only, never all-pairs. Per-cap
+    candidate relations are checkpointed at their 2-consumer barrier
+    (count + verify); the 1-row-per-cap union is checkpointed before
+    the baseline self-comparison.
+
+    Output: (max_bucket INT — -1 encodes uncapped, n_candidates,
+    n_pairs, n_missed), ordered by max_bucket. Exact integers only."""
+    fp = simhash64_blocks(docs).localCheckpoint(eager=False)
+    blocks_all = fp.select(
+        "doc_id", F.posexplode("fp").alias("b", "blk")
+    ).localCheckpoint(eager=False)
+    pops = blocks_all.groupBy("b", "blk").agg(F.count(F.lit(1)).alias("_n"))
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    ham = sum(
+        (
+            F.bit_count(
+                F.element_at("fp_a", i + 1).bitwiseXOR(
+                    F.element_at("fp_b", i + 1)
+                )
+            )
+            for i in range(1, SIMHASH_BLOCKS)
+        ),
+        F.bit_count(
+            F.element_at("fp_a", 1).bitwiseXOR(F.element_at("fp_b", 1))
+        ),
+    )
+    out = None
+    for cap in caps:
+        blocks = (
+            blocks_all
+            if cap is None
+            else blocks_all.join(F.broadcast(pops), ["b", "blk"])
+            .filter(F.col("_n") <= cap)
+            .drop("_n")
+        )
+        a, b = blocks.alias("a"), blocks.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.b") == F.col("b.b"))
+                & (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)  # 2 consumers: count + verify
+        )
+        pairs = (
+            cand.join(fa, "doc_a")
+            .join(fb, "doc_b")
+            .filter(ham <= ham_max)
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+            .select(
+                F.lit(-1 if cap is None else cap)
+                .cast("int")
+                .alias("max_bucket"),
+                "n_candidates",
+                "n_pairs",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    out = out.localCheckpoint(eager=False)  # consumed by base + final
+    base = out.filter(F.col("max_bucket") == -1).select(
+        F.col("n_pairs").alias("_base")
+    )
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "max_bucket",
+            "n_candidates",
+            "n_pairs",
+            (F.col("_base") - F.col("n_pairs")).alias("n_missed"),
+        )
+        .orderBy("max_bucket")
+    )
+
+
 # --- benchmark decontamination ----------------------------------------------
 #: held-out eval slice: doc_id % EVAL_MOD == 0 (a deterministic stand-in
 #: for "the benchmark set" — in production this is a separate table).

@@ -1520,6 +1520,71 @@ SELECT doc_a, doc_b, hamming FROM ham
 WHERE hamming <= {dedup.SIMHASH_HAM_MAX}"""
 
 
+def q_simhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-cap sweep for the SimHash max_bucket completeness trade
+    (operators/dedup.simhash_tuning_report): candidates / verified
+    pairs / pairs missed vs uncapped, one row per cap."""
+    return dedup.simhash_tuning_report(_docs(spark, sf_dir))
+
+
+def _simhash_cap_ctes(cap: int | None) -> str:
+    """Per-cap candidate + verified-pair + count CTEs; verification
+    always uses the FULL block relation (the cap only gates candidate
+    generation, exactly as in the Spark plan)."""
+    tag = "base" if cap is None else f"c{cap}"
+    src = "blocks" if cap is None else f"bl_{tag}"
+    filt = (
+        ""
+        if cap is None
+        else f"""bl_{tag} AS (
+  SELECT bl.doc_id, bl.b, bl.blk FROM blocks bl
+  JOIN pops p ON p.b = bl.b AND p.blk = bl.blk
+  WHERE p.n <= {cap}),
+"""
+    )
+    return f"""{filt}cd_{tag} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {src} a
+  JOIN {src} b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id),
+vp_{tag} AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cd_{tag} c
+  JOIN blocks x ON x.doc_id = c.doc_a
+  JOIN blocks y ON y.doc_id = c.doc_b AND y.b = x.b
+  GROUP BY 1, 2
+  HAVING sum(bit_count(CAST(xor(x.blk, y.blk) AS BIT)))
+         <= {dedup.SIMHASH_HAM_MAX}),
+st_{tag} AS (
+  SELECT CAST((SELECT count(*) FROM cd_{tag}) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM vp_{tag}) AS BIGINT) AS n_pairs)"""
+
+
+SIMHASH_TUNING_SQL = (
+    f"""WITH {_TOK_HASH_CTE},
+blocks AS (
+  SELECT doc_id, b,
+    CAST(coalesce(list_sum(list_transform(range(0, {dedup.SIMHASH_BLOCK_BITS}), j ->
+      CASE WHEN list_sum(list_transform(th, t ->
+        ((((2*b+1)*t + b*7919 + 1) % 1000003
+          // CAST(pow(2, j) AS BIGINT)) % 2)*2 - 1)) > 0
+      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS blk
+  FROM th, (SELECT unnest(range(0, {dedup.SIMHASH_BLOCKS})) AS b) bb),
+pops AS (
+  SELECT b, blk, CAST(count(*) AS BIGINT) AS n FROM blocks GROUP BY 1, 2),
+"""
+    + ",\n".join(_simhash_cap_ctes(c) for c in dedup.SIMHASH_TUNING_CAPS)
+    + "\nSELECT max_bucket, n_candidates, n_pairs,\n"
+    + "  CAST((SELECT n_pairs FROM st_base) - n_pairs AS BIGINT) AS n_missed\n"
+    + "FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({-1 if c is None else c} AS INT) AS max_bucket,"
+        f" n_candidates, n_pairs FROM st_{'base' if c is None else f'c{c}'}"
+        for c in dedup.SIMHASH_TUNING_CAPS
+    )
+    + "\n) ORDER BY max_bucket"
+)
+
+
 # --- similarity search -----------------------------------------------------------
 _QIDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
@@ -3617,6 +3682,7 @@ QUERIES = {
     "dd_lsh_candidates": q_lsh_candidates,
     "dd_near_duplicates": q_near_duplicates,
     "dd_lsh_tuning": q_lsh_tuning,
+    "dd_simhash_tuning": q_simhash_tuning,
     "tx_novelty": q_novelty,
     "tx_stratified_sample": q_stratified_sample,
     "tx_leakage_split": q_leakage_split,
@@ -3686,6 +3752,7 @@ ORACLES = {
     "dd_lsh_candidates": LSH_CANDIDATES_SQL,
     "dd_near_duplicates": NEAR_DUPS_SQL,
     "dd_lsh_tuning": LSH_TUNING_SQL,
+    "dd_simhash_tuning": SIMHASH_TUNING_SQL,
     "tx_novelty": NOVELTY_SQL,
     "tx_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "tx_leakage_split": LEAKAGE_SPLIT_SQL,

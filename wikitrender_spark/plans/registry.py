@@ -43,75 +43,77 @@ _loaded = False
 #: order. tests/test_registry_gate.py pins the composition — editing a
 #: QUERIES dict can no longer silently change what the driver attests.
 #:
-#: Round-9 composition policy (the r08 window went 50/50 green; r08's
-#: R09_DEFERRED promise is paid IN FULL, per VERDICT r08 ask #1 — and
-#: 37 + 9 + 4 = 50 exactly, so nothing is displaced this round):
-#: (a) ALL 37 R09_DEFERRED rows (last green r06 — the entire remaining
-#: r06-evidence cohort; after this rotation every registry row's driver
-#: evidence is at most two rounds old, with the r07 cohort — now
-#: R10_DEFERRED, see tests/test_registry_gate.py — promised the r10
-#: window next);
-#: (b) the 9 round-9 additions (never driver-attested);
-#: (c) 4 rows whose attestation went stale mid-round because round-9
-#: code changes touched their plan or oracle (the ADVICE r8 fixes):
-#: ann_rp_topk + ann_ivf_rp_topk (rp_project regained the 0.0 fold
-#: seed), wt_stream_trending (sentinel selection now filters to the
-#: edit branch), rel_hourly_anomalies (oracle sxx now HUGEINT at the
-#: per-row product).
+#: Round-10 composition policy (the r09 window went 50/50 green; the
+#: R10_DEFERRED promise — the whole 48-row r07-evidence cohort — is
+#: paid MINUS ONE documented displacement, per the established rule:
+#: 48 + 1 new + 2 stale = 51 > 50, and new/stale rows are never
+#: deferred, so exactly one promised row spills):
+#: (a) 47 of the 48 R10_DEFERRED rows (last green r07; includes
+#: rel_recursive_months, which is ALSO stale-by-code-change — its r10
+#: bound-hoisting rewrite, VERDICT r9 ask #3). DISPLACED to r11:
+#: rel_scalar_functions (pure scalar-function surface, code untouched
+#: since r07 — the lowest-risk spill; named first in the r11 promise,
+#: tests/test_registry_gate.py R11_DEFERRED);
+#: (b) the round-10 addition (never driver-attested):
+#: dd_simhash_tuning (VERDICT r9 ask #7);
+#: (c) 2 rows staled mid-round by the ADVICE r9 multi-consumer-barrier
+#: fix (localCheckpoint on their shared relations changed the plan):
+#: rel_hourly_mad, rel_scd2_intervals.
 GATE_WINDOW: list[str] = [
-    # (b) round-9 additions, never driver-attested
-    "ann_filtered_expand",
-    "mm_video_keyframes",
-    "mm_audio_vad",
-    "tx_winnowing",
-    "dd_cdc_chunks",
-    "dd_simhash_pairs",
+    # (b) round-10 addition, never driver-attested
+    "dd_simhash_tuning",
+    # (c) stale-by-code-change re-attestations (ADVICE r9 fixes)
     "rel_hourly_mad",
     "rel_scd2_intervals",
-    "rel_audience_overlap",
-    # (c) stale-by-code-change re-attestations (ADVICE r8 fixes)
-    "ann_rp_topk",
-    "ann_ivf_rp_topk",
-    "wt_stream_trending",
-    "rel_hourly_anomalies",
-    # (a) the R09_DEFERRED cohort, last green r06 — the promise, in full
-    "wt_biggest_movers",
-    "wt_top_pages_per_wiki",
-    "wt_lifecycle_replay",
-    "wt_stream_heavy_hitters",
-    "wt_state_diff",
-    "tx_token_stats",
-    "tx_repetition",
-    "tx_vocab",
-    "tx_split",
-    "tx_dedup_lineage",
-    "dd_containment",
-    "dd_jaccard_histogram",
-    "tx_substring_scrub",
-    "ann_ivfpq_rerank",
-    "dd_minhash_signatures",
-    "dd_minhash_est",
-    "dd_ngram_jaccard",
-    "dd_lsh_candidates",
-    "dd_near_duplicates",
-    "dd_embedding_neardup",
-    "dd_decontaminate",
-    "dd_bloom_decontaminate",
-    "tx_cms_terms",
-    "dd_dup_clusters",
-    "dd_editdist_pairs",
-    "tx_clean_corpus",
-    "tx_filter_funnel",
-    "ann_bruteforce_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "mm_media_features",
-    "mm_frame_sample",
-    "mm_pgm_features",
-    "rel_dq_audit",
-    "rel_nation_set_ops",
-    "rel_nation_presence",
+    # (a) the R10_DEFERRED cohort, last green r07 — the promise, minus
+    # the one documented displacement (rel_scalar_functions -> r11)
+    "rel_recursive_months",
+    "rel_pricing_summary",
+    "rel_json_props",
+    "rel_sessionize",
+    "rel_hourly_autocorr",
+    "rel_hourly_ewma",
+    "rel_percentiles",
+    "rel_approx_percentiles",
+    "rel_approx_segments",
+    "rel_asof_last_signup",
+    "rel_corr_subquery",
+    "rel_customers_without_orders",
+    "rel_grouping_sets",
+    "rel_interval_coverage",
+    "rel_lateral_topk",
+    "rel_order_gaps",
+    "rel_pivot_status",
+    "rel_salted_revenue",
+    "rel_suppliers_with_shipments",
+    "rel_value_pareto",
+    "rel_window_rank_suite",
+    "tx_bm25_topk",
+    "tx_boilerplate",
+    "tx_bpe_merges",
+    "tx_chunks",
+    "tx_collocations",
+    "tx_leakage_split",
+    "tx_mix_sample",
+    "tx_mix_weights",
+    "tx_novelty",
+    "tx_pack_sharded",
+    "tx_rarity",
+    "tx_stratified_sample",
+    "tx_tfidf_terms",
+    "dd_cross_source_dups",
+    "dd_embedding_neardup_exact",
+    "dd_lsh_tuning",
+    "dd_semantic_dedup",
+    "ann_ivfpq_topk",
+    "ann_kmeans_refine",
+    "ann_range_search",
+    "mm_wav_features",
+    "mm_y4m_frames",
+    "wt_coedit_pairs",
+    "wt_ingest_dedup",
+    "wt_markov_transitions",
+    "wt_pagerank",
 ]
 GATE_SIZE = 50
 
