@@ -113,14 +113,17 @@ EXTENDED = [
     "rel_hourly_mad",
     "rel_scd2_intervals",
     "rel_audience_overlap",
-    # round-10 addition: recursive-months promoted after its r10
-    # bound-hoisting fix (16-29 s -> ~1.9 s warm; VERDICT r9 ask #3).
-    # dd_simhash_tuning (also new in r10) stays sweep-covered: ~9 s
-    # warm at sf0.1 (3 candidate joins over one shared fingerprint
+    # round-10 additions: recursive-months promoted after its r10
+    # bound-hoisting fix (16-29 s -> ~1.9 s warm; VERDICT r9 ask #3),
+    # plus the two new round-10 queries (image dHash near-dup, PII
+    # scrub). dd_simhash_tuning (also new in r10) stays sweep-covered:
+    # ~9 s warm at sf0.1 (3 candidate joins over one shared fingerprint
     # checkpoint) would add ~36 s of extended passes for a report
     # whose cost is dominated by the already-banded dd_simhash_pairs
     # fingerprint path.
     "rel_recursive_months",
+    "mm_image_neardup",
+    "tx_pii_scrub",
 ]
 
 

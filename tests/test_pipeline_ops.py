@@ -1772,3 +1772,122 @@ def test_cdc_chunks_matches_python_reference(spark):
             ln for (ln, hh) in chunks if (ln, hh) in dup_keys
         ), doc_id
         assert r["total_tokens"] == sum(ln for (ln, _hh) in chunks), doc_id
+
+
+# --- round 10: image dHash + PII scrub ---------------------------------------
+
+
+def _ref_dhash_blocks(raster_bytes: bytes) -> list[int]:
+    """Independent dHash reference, computed straight from the docstring
+    formula (no resize_nearest / dhash64_blocks_py reuse): grid cell
+    (r, c) = raster[((r*16)//8)*16 + (c*16)//9]; bit r*8+c set iff
+    grid(r, c) > grid(r, c+1)."""
+    assert len(raster_bytes) == 256
+    blocks = [0, 0, 0, 0]
+    for r in range(8):
+        row = (r * 16) // 8
+        for c in range(8):
+            p1 = raster_bytes[row * 16 + (c * 16) // 9]
+            p2 = raster_bytes[row * 16 + ((c + 1) * 16) // 9]
+            if p1 > p2:
+                i = r * 8 + c
+                blocks[i // 16] |= 1 << (i % 16)
+    return blocks
+
+
+def test_dhash_kernel_matches_reference():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        raster = rng.randint(0, 256, size=256, dtype=np.uint8)
+        img = raster.reshape(16, 16, 1)
+        assert multimodal.dhash64_blocks_py(img) == _ref_dhash_blocks(
+            raster.tobytes()
+        )
+    # flat image: every strict > comparison is False -> all-zero hash
+    flat = np.full((16, 16, 1), 200, dtype=np.uint8)
+    assert multimodal.dhash64_blocks_py(flat) == [0, 0, 0, 0]
+
+
+def test_dhash_single_sampled_pixel_flip_is_local():
+    """Perceptual locality: changing ONE sampled grid cell can flip at
+    most the two comparisons that touch it — the property that makes
+    Hamming distance a near-dup signal for lightly edited images."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(16, 16, 1), dtype=np.uint8)
+    h0 = multimodal.dhash64_blocks_py(base)
+    mod = base.copy()
+    mod[4, 7, 0] = 255 - mod[4, 7, 0]  # row 4, col 7 are sampled cells
+    h1 = multimodal.dhash64_blocks_py(mod)
+    flips = sum(bin(a ^ b).count("1") for a, b in zip(h0, h1))
+    assert flips <= 2
+
+
+def test_image_dhash_spark_matches_kernel(spark):
+    import numpy as np
+
+    texts = ["spark row one " * 30, "spark row one " * 30, "different " * 40]
+    media = multimodal.documents_as_pgm(docs_df(spark, texts))
+    rows = {r["media_id"]: r for r in multimodal.image_dhash(media).collect()}
+    for i, t in enumerate(texts):
+        raster = t[:256].ljust(256).encode("latin-1")
+        expect = _ref_dhash_blocks(raster)
+        assert list(rows[i]["fp"]) == expect, i
+        signed = sum(b << (16 * j) for j, b in enumerate(expect))
+        if signed >= 1 << 63:
+            signed -= 1 << 64
+        assert rows[i]["dhash"] == signed, i
+    # identical payloads -> identical hash; the pair verifies at 0
+    pairs = multimodal.dhash_hamming_pairs(
+        multimodal.image_dhash(media)
+    ).collect()
+    assert {(p["media_a"], p["media_b"], p["hamming"]) for p in pairs} >= {
+        (0, 1, 0)
+    }
+
+
+def test_dhash_pairs_max_bucket_drops_hot_buckets(spark):
+    # 30 flat docs all hash to [0,0,0,0]: uncapped finds all 435 pairs,
+    # max_bucket below the bucket population drops candidate generation
+    # for those buckets entirely (the documented completeness trade)
+    texts = ["aaaa " * 60] * 30
+    hashes = multimodal.image_dhash(
+        multimodal.documents_as_pgm(docs_df(spark, texts))
+    )
+    full = multimodal.dhash_hamming_pairs(hashes).count()
+    capped = multimodal.dhash_hamming_pairs(hashes, max_bucket=2).count()
+    assert full == 30 * 29 // 2
+    assert capped == 0
+
+
+def test_scrub_pii_counts_and_order(spark):
+    redacted, counts = T.scrub_pii(F.col("text"))
+    df = docs_df(
+        spark,
+        [
+            "mail me at alice9@example.org or call 555-1234 from 10.2.0.9",
+            "no pii here at all",
+            "two mails a@b.org c1@d.net one ext 555-0000",
+            # overlap pin: the email eats '1234x@host.org', so the raw
+            # text's 555-1234 is half-consumed by the earlier
+            # replacement — counts are DECLARED to be raw-text counts
+            # (taken before any replacement), so phone still counts 1
+            "edge user555-1234x@host.org",
+        ],
+    ).select(
+        "doc_id",
+        *(counts[k].alias(f"n_{k}") for k, _, _ in T.PII_PATTERNS),
+        redacted.alias("red"),
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert (rows[0]["n_email"], rows[0]["n_phone"], rows[0]["n_ip"]) == (1, 1, 1)
+    assert rows[0]["red"] == "mail me at [EMAIL] or call [PHONE] from [IP]"
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ip"]) == (0, 0, 0)
+    assert rows[1]["red"] == "no pii here at all"
+    assert (rows[2]["n_email"], rows[2]["n_phone"]) == (2, 1)
+    assert rows[2]["red"] == "two mails [EMAIL] [EMAIL] one ext [PHONE]"
+    assert (rows[3]["n_email"], rows[3]["n_phone"]) == (1, 1)
+    assert rows[3]["red"] == "edge user555-[EMAIL]"

@@ -551,3 +551,29 @@ def test_audience_overlap_distinct_before_selfjoin(plans):
     assert "CartesianProduct" not in plan
     for cols in _scan_columns(plan, "events"):
         assert set(cols) <= {"event_type", "user_id"}
+
+
+def test_image_neardup_no_allpairs_one_decode(plans):
+    """mm_image_neardup's candidate generation must stay a block-key
+    equi-join, and the decode mapInPandas must sit behind the
+    3-consumer localCheckpoint barrier (block explode + both verify
+    sides) so pixels decode ONCE: consumers read ExistingRDD and no
+    MapInPandas stage appears in the executed plan."""
+    plan = plans("mm_image_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "dhash relation no longer checkpointed"
+    assert "MapInPandas" not in plan, "decode re-runs outside the barrier"
+
+
+def test_pii_scrub_zero_shuffle_pruned_scan(plans):
+    """tx_pii_scrub is a map-only pass: plant + count + replace in one
+    codegen span — the only exchange allowed is load_table's deliberate
+    round-robin input spreading; scan reads only (doc_id, text)."""
+    plan = plans("tx_pii_scrub")
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ) == 1
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text"}

@@ -221,3 +221,36 @@ def predict_lang(text: Column) -> Column:
             best = F.when(take, F.lit(lang)).otherwise(best)
             best_score = F.when(take, score).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+#: PII redaction patterns (ordered: each later pattern runs over the
+#: previous pattern's output, so patterns must not match the earlier
+#: placeholders). The subset of regex syntax used — literal chars,
+#: [a-z0-9] classes, +, {m,n} counted repeats, \. — behaves identically
+#: under Java's regex (Spark) and RE2 (DuckDB): no backreferences, no
+#: lookaround, no leftmost-first/leftmost-longest divergence (every
+#: alternative-free greedy match here is the same under both engines).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "[EMAIL]"),
+    ("phone", r"555-[0-9]{4}", "[PHONE]"),
+    ("ip", r"10\.[0-9]{1,3}\.0\.[0-9]{1,3}", "[IP]"),
+)
+
+
+def scrub_pii(text: Column) -> tuple[Column, dict[str, Column]]:
+    """PII redaction for training corpora: replaces every occurrence of
+    each PII_PATTERNS entry with its placeholder and returns
+    (redacted_text, {kind: occurrence_count}). Counts are taken BEFORE
+    any replacement (on the raw text) so overlapping placeholder text
+    can never inflate a later pattern's count; replacements then apply
+    in declared order. Pure JVM column ops (regexp_count +
+    regexp_replace), zero shuffle, embarrassingly parallel — the 100 TB
+    shape is a map-only pass."""
+    counts = {
+        kind: F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    }
+    redacted = text
+    for _, pat, placeholder in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, placeholder)
+    return redacted, counts

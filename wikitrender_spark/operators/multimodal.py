@@ -790,3 +790,141 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+#: dHash geometry (Krawetz's difference hash, the standard perceptual
+#: image fingerprint): the decoded image is nearest-neighbor resampled
+#: to a DHASH_W x DHASH_H brightness grid and each of the DHASH_H rows
+#: contributes DHASH_W - 1 horizontal comparisons -> 64 bits. The 64-bit
+#: hash splits into DHASH_BLOCKS 16-bit blocks for Manku WWW'07
+#: block-key candidate generation: pairs within Hamming distance
+#: DHASH_HAM_MAX differ in <= 3 bits, which cannot touch all 4 blocks
+#: (pigeonhole), so every qualifying pair shares at least one whole
+#: block — the same completeness construction dedup.simhash_hamming_pairs
+#: pins for text fingerprints, applied here to the image modality.
+DHASH_W = 9
+DHASH_H = 8
+DHASH_BLOCKS = 4
+DHASH_BLOCK_BITS = 16
+DHASH_HAM_MAX = 3
+
+
+def dhash64_blocks_py(img: "object") -> list[int]:
+    """REAL perceptual difference-hash kernel over a decoded (h, w, c)
+    uint8 image: nearest-neighbor resample to DHASH_W x DHASH_H (the
+    same integer index map as resize_nearest), then bit i = r*8+c is set
+    iff grid[r][c] > grid[r][c+1] (strict, so a flat image hashes to 0).
+    Multi-channel images reduce to integer floor-mean luminance first —
+    exact integer arithmetic end to end, so the SQL twin can reproduce
+    every bit. Returns DHASH_BLOCKS ints, block b holding bits
+    16b..16b+15 (each in [0, 65535])."""
+    import numpy as np
+
+    small = resize_nearest(img, DHASH_W, DHASH_H)
+    if small.shape[2] == 1:
+        g = small[:, :, 0].astype(np.int64)
+    else:
+        g = small.astype(np.int64).sum(axis=2) // small.shape[2]
+    bits = g[:, :-1] > g[:, 1:]  # (DHASH_H, DHASH_W - 1)
+    flat = bits.reshape(-1)
+    blocks = []
+    for b in range(DHASH_BLOCKS):
+        blk = 0
+        for k in range(DHASH_BLOCK_BITS):
+            if flat[b * DHASH_BLOCK_BITS + k]:
+                blk |= 1 << k
+        blocks.append(blk)
+    return blocks
+
+
+def image_dhash(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """decode -> resample -> dHash as ONE mapInPandas stage (the binary
+    column is consumed inside the stage and never shuffled): each netpbm
+    payload flows through the genuine decode_netpbm -> resize_nearest ->
+    dhash64_blocks_py kernel. Output: (media_id, fp array<long> of
+    DHASH_BLOCKS 16-bit blocks, dhash — the signed 64-bit two's-
+    complement view, bit 63 the sign bit). Malformed payloads raise
+    (decode_netpbm's fail-loud contract), never hash silently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _, _, img = decode_netpbm(bytes(row.payload))
+                blocks = dhash64_blocks_py(img)
+                h = sum(blk << (16 * b) for b, blk in enumerate(blocks))
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append(dict(media_id=row.media_id, fp=blocks, dhash=h))
+            yield pd.DataFrame(out, columns=["media_id", "fp", "dhash"])
+
+    return media.mapInPandas(
+        run, "media_id long, fp array<long>, dhash long"
+    )
+
+
+def dhash_hamming_pairs(
+    hashes: DataFrame, ham_max: int = DHASH_HAM_MAX,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs by dHash Hamming distance
+    <= ham_max, via the Manku block-key construction (mirrors
+    dedup.simhash_hamming_pairs — kept separate so this round's image
+    path cannot stale that attested text path): images sharing any one
+    16-bit block become candidates (equi-join on (block_idx, block)),
+    each candidate verifies with DHASH_BLOCKS xor/bit_count ops.
+    Complete for <= 3-bit differences by pigeonhole. ``max_bucket``
+    drops hotter-than-cap buckets from candidate generation (explicit
+    completeness trade for degenerate corpora — e.g. mass-produced flat
+    thumbnails, which all hash to 0; run exact payload dedup upstream).
+
+    Scale shape: `hashes` is localCheckpointed at its 3-consumer
+    barrier (block explode + both verification sides) so the decode
+    stage runs once; the candidate join shuffles (media_id, block) keys
+    only and its volume is sum over block buckets of C(bucket, 2) — a
+    corpus property, never all-pairs; verification touches candidate
+    rows only. Output: (media_a, media_b, hamming), exact integers."""
+    fp = hashes.select("media_id", "fp").localCheckpoint(eager=False)
+    blocks = fp.select("media_id", F.posexplode("fp").alias("b", "blk"))
+    if max_bucket is not None:
+        pops = blocks.groupBy("b", "blk").agg(F.count(F.lit(1)).alias("_n"))
+        blocks = (
+            blocks.join(F.broadcast(pops), ["b", "blk"])
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("media_id").alias("media_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("media_id").alias("media_b"), F.col("fp").alias("fp_b"))
+    ham = sum(
+        (
+            F.bit_count(
+                F.element_at("fp_a", i + 1).bitwiseXOR(
+                    F.element_at("fp_b", i + 1)
+                )
+            )
+            for i in range(1, DHASH_BLOCKS)
+        ),
+        F.bit_count(
+            F.element_at("fp_a", 1).bitwiseXOR(F.element_at("fp_b", 1))
+        ),
+    )
+    return (
+        cand.join(fa, "media_a")
+        .join(fb, "media_b")
+        .select("media_a", "media_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= ham_max)
+    )

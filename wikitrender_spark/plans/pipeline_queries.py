@@ -3635,6 +3635,149 @@ SELECT split,
 FROM assigned GROUP BY split ORDER BY split"""
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs — dedup extended to the
+    image modality (round 10): documents become real 16x16 binary PGMs
+    (multimodal.documents_as_pgm), each decodes through the genuine
+    decode_netpbm -> resize_nearest -> dHash kernel inside ONE
+    mapInPandas stage, and pairs within Hamming distance 3 of the 64-bit
+    difference-hash surface via the Manku block-key construction
+    (complete for <= 3 bits by pigeonhole — the same contract
+    dd_simhash_pairs attests for text, here over decoded pixels).
+    Exact payload duplicates land at hamming 0; prefix-sharing docs land
+    at small distances. The oracle twin recomputes every dHash bit from
+    the padded text bytes and verifies over ALL pairs — deliberately
+    independent of the block-candidate shortcut, so the candidate
+    completeness claim itself is what the gate checks."""
+    media = multimodal.documents_as_pgm(_docs(spark, sf_dir))
+    hashes = multimodal.image_dhash(media)
+    return multimodal.dhash_hamming_pairs(hashes)
+
+
+def _dhash_block_sql(b: int) -> str:
+    """SQL twin of one 16-bit dHash block over the padded raster string
+    `s`: bit k of block b compares the nearest-neighbor-resampled grid
+    cells (row (2b + k//8), cols[k%8]) > (same row, cols[k%8 + 1]) —
+    the exact integer index map of multimodal.resize_nearest."""
+    w, h, edge = (
+        multimodal.DHASH_W, multimodal.DHASH_H, multimodal.PGM_EDGE,
+    )
+    cols = [(c * edge) // w for c in range(w)]
+    terms = []
+    for r_in_b in range(2):
+        r = 2 * b + r_in_b
+        row = (r * edge) // h
+        for c in range(w - 1):
+            k = r_in_b * (w - 1) + c
+            p1 = row * edge + cols[c] + 1
+            p2 = row * edge + cols[c + 1] + 1
+            terms.append(
+                f"CASE WHEN unicode(s[{p1}]) > unicode(s[{p2}])"
+                f" THEN {1 << k} ELSE 0 END"
+            )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+#: All-pairs verification ON PURPOSE: the Spark side prunes candidates
+#: with the 4-block pigeonhole join, so an oracle that replayed the same
+#: shortcut could never catch a completeness bug in it. O(N^2) int ops
+#: are fine at oracle scale (12.5M pairs x 4 xor/bit_count at sf0.1).
+IMAGE_NEARDUP_SQL = f"""
+WITH pd AS (
+  SELECT doc_id, rpad(substring(text, 1, 256), 256, ' ') AS s
+  FROM documents),
+fp AS (
+  SELECT doc_id,
+    {_dhash_block_sql(0)} AS b0,
+    {_dhash_block_sql(1)} AS b1,
+    {_dhash_block_sql(2)} AS b2,
+    {_dhash_block_sql(3)} AS b3
+  FROM pd)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+    AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+    <= {multimodal.DHASH_HAM_MAX}"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (round 10): per-doc occurrence
+    counts and the redacted text for emails, phone extensions, and
+    internal IPv4s (functions.text.PII_PATTERNS). The driver corpus is
+    synthetic word-salad with no organic PII (verified: zero digits or
+    '@' at every SF), so — exactly like the documents_as_pgm media
+    adapter — deterministic PII is PLANTED from doc_id first (every doc
+    gains an email; docs with even ids a 555- extension; ids divisible
+    by 3 a 10.x.0.y host), and the operator under test is the scrub:
+    counts are taken on the raw text before any replacement, then the
+    three patterns replace in declared order. The oracle twin runs the
+    same regexes through DuckDB's RE2 (the pattern subset is pinned
+    dialect-portable in PII_PATTERNS' docstring), so a Java-regex
+    quirk the scrub relied on would hash-mismatch, not silently pass.
+
+    Scale shape: plant + count + replace are all JVM column ops in one
+    whole-stage-codegen span over a pruned (doc_id, text) projection —
+    zero shuffle, map-only at 100 TB."""
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    redacted, counts = T.scrub_pii(F.col("t"))
+    return planted.select(
+        "doc_id",
+        *(counts[kind].cast("int").alias(f"n_{kind}") for kind, _, _ in T.PII_PATTERNS),
+        redacted.alias("redacted"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    plant = (
+        "text || ' contact user' || doc_id || '@example.org'"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' host 10.' || (doc_id % 256)"
+        " || '.0.' || ((doc_id * 7) % 256) ELSE '' END"
+    )
+    counts = ",\n  ".join(
+        f"CAST(length(regexp_extract_all(t, '{pat}')) AS INT) AS n_{kind}"
+        for kind, pat, _ in T.PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, placeholder in T.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    return (
+        f"WITH planted AS (SELECT doc_id, {plant} AS t FROM documents)\n"
+        f"SELECT doc_id,\n  {counts},\n  {red} AS redacted\nFROM planted"
+    )
+
+
+PII_SCRUB_SQL = _pii_scrub_sql()
+
+
 #: Dict order is load-bearing (driver gates the first 50 registered
 #: queries; see registry._load). tx_fingerprint and tx_langid —
 #: hash-green in r01+r02 — are rotated out via QUERIES_ROTATED
@@ -3709,6 +3852,8 @@ QUERIES = {
     "mm_audio_energy": q_audio_energy,
     "mm_video_keyframes": q_video_keyframes,
     "mm_audio_vad": q_audio_vad,
+    "mm_image_neardup": q_image_neardup,
+    "tx_pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
@@ -3803,4 +3948,6 @@ ORACLES_ROTATED = {
     "tx_langid": _langid_sql(),
     "dd_simhash": SIMHASH_SQL,
     "dd_simhash_pairs": SIMHASH_PAIRS_SQL,
+    "mm_image_neardup": IMAGE_NEARDUP_SQL,
+    "tx_pii_scrub": PII_SCRUB_SQL,
 }
