@@ -1891,3 +1891,11 @@ def test_scrub_pii_counts_and_order(spark):
     assert rows[2]["red"] == "two mails [EMAIL] [EMAIL] one ext [PHONE]"
     assert (rows[3]["n_email"], rows[3]["n_phone"]) == (1, 1)
     assert rows[3]["red"] == "edge user555-[EMAIL]"
+
+
+def test_simhash_tuning_requires_uncapped_baseline(spark):
+    # n_missed is defined against the uncapped config; without None in
+    # caps the baseline cross-join would silently annihilate the report
+    # (self-review r10) — the guard fails loud instead
+    with pytest.raises(ValueError, match="uncapped baseline"):
+        dedup.simhash_tuning_report(docs_df(spark, ["a b c"]), caps=(32, 2))

@@ -30,7 +30,7 @@ NEVER_OR_STALE_ATTESTED = {
     "rel_recursive_months",
 }
 # NOTE: the 48-row R10_DEFERRED promise (the whole r07-evidence cohort)
-# is paid this round MINUS ONE documented displacement — see
+# is paid this round MINUS THREE documented displacements — see
 # test_r10_promise_is_paid below and the registry composition comment.
 
 #: The 48 rows promised the r10 window by round 9 (= R07_COHORT minus
@@ -71,9 +71,10 @@ R10_DISPLACED = {
 #: The rows whose latest driver attestation was r08 when this window
 #: was composed (= CORRECTNESS_r08.json keys minus CORRECTNESS_r09.json
 #: keys — the FIXED population, 48 rows): their evidence will be two
-#: rounds old after r10, so together with the displaced row they are
-#: PROMISED the r11 window. 49 rows + new r11 queries > 50 means r11
-#: applies the displacement rule again; the displaced row goes first.
+#: rounds old after r10, so together with the three displaced rows they
+#: are PROMISED the r11 window. 51 rows > 50 even before new r11
+#: queries, so r11 applies the displacement rule again; the displaced
+#: rows seat first.
 R08_COHORT = {
     "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
     "dd_exact_groups", "dd_simhash", "dd_substring_runs",

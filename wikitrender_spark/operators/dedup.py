@@ -579,6 +579,55 @@ def simhash64_blocks(docs: DataFrame) -> DataFrame:
     )
 
 
+def _cap_hot_buckets(blocks: DataFrame, pops: DataFrame, cap: int) -> DataFrame:
+    """Drop (b, blk) buckets hotter than `cap` from candidate generation
+    — the explicit completeness trade documented on the callers."""
+    return (
+        blocks.join(F.broadcast(pops), ["b", "blk"])
+        .filter(F.col("_n") <= cap)
+        .drop("_n")
+    )
+
+
+def _manku_candidate_pairs(blocks: DataFrame) -> DataFrame:
+    """Distinct ordered candidate pairs sharing any one (block_idx,
+    block) key — the Manku WWW'07 equi-join both simhash_hamming_pairs
+    and simhash_tuning_report verify over (one Column tree, so a fix
+    here reaches both and neither plan can drift from the other)."""
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _blocks_hamming():
+    """Hamming distance between fp_a/fp_b block arrays: SIMHASH_BLOCKS
+    xor/bit_count terms."""
+    return sum(
+        (
+            F.bit_count(
+                F.element_at("fp_a", i + 1).bitwiseXOR(
+                    F.element_at("fp_b", i + 1)
+                )
+            )
+            for i in range(1, SIMHASH_BLOCKS)
+        ),
+        F.bit_count(
+            F.element_at("fp_a", 1).bitwiseXOR(F.element_at("fp_b", 1))
+        ),
+    )
+
+
 def simhash_hamming_pairs(
     docs: DataFrame, ham_max: int = SIMHASH_HAM_MAX,
     max_bucket: int | None = None,
@@ -615,40 +664,11 @@ def simhash_hamming_pairs(
         pops = blocks.groupBy("b", "blk").agg(
             F.count(F.lit(1)).alias("_n")
         )
-        blocks = (
-            blocks.join(F.broadcast(pops), ["b", "blk"])
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+        blocks = _cap_hot_buckets(blocks, pops, max_bucket)
+    cand = _manku_candidate_pairs(blocks)
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-    ham = sum(
-        (
-            F.bit_count(
-                F.element_at("fp_a", i + 1).bitwiseXOR(
-                    F.element_at("fp_b", i + 1)
-                )
-            )
-            for i in range(1, SIMHASH_BLOCKS)
-        ),
-        F.bit_count(
-            F.element_at("fp_a", 1).bitwiseXOR(F.element_at("fp_b", 1))
-        ),
-    )
+    ham = _blocks_hamming()
     return (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
@@ -690,6 +710,14 @@ def simhash_tuning_report(
 
     Output: (max_bucket INT — -1 encodes uncapped, n_candidates,
     n_pairs, n_missed), ordered by max_bucket. Exact integers only."""
+    if None not in caps:
+        # n_missed is defined against the uncapped baseline; without it
+        # the base crossJoin below would be empty and silently
+        # annihilate every report row (self-review r10) — fail loud.
+        raise ValueError(
+            "caps must include None (the uncapped baseline n_missed is "
+            f"measured against); got {caps!r}"
+        )
     fp = simhash64_blocks(docs).localCheckpoint(eager=False)
     blocks_all = fp.select(
         "doc_id", F.posexplode("fp").alias("b", "blk")
@@ -697,43 +725,17 @@ def simhash_tuning_report(
     pops = blocks_all.groupBy("b", "blk").agg(F.count(F.lit(1)).alias("_n"))
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-    ham = sum(
-        (
-            F.bit_count(
-                F.element_at("fp_a", i + 1).bitwiseXOR(
-                    F.element_at("fp_b", i + 1)
-                )
-            )
-            for i in range(1, SIMHASH_BLOCKS)
-        ),
-        F.bit_count(
-            F.element_at("fp_a", 1).bitwiseXOR(F.element_at("fp_b", 1))
-        ),
-    )
+    ham = _blocks_hamming()
     out = None
     for cap in caps:
         blocks = (
             blocks_all
             if cap is None
-            else blocks_all.join(F.broadcast(pops), ["b", "blk"])
-            .filter(F.col("_n") <= cap)
-            .drop("_n")
+            else _cap_hot_buckets(blocks_all, pops, cap)
         )
-        a, b = blocks.alias("a"), blocks.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.b") == F.col("b.b"))
-                & (F.col("a.blk") == F.col("b.blk"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-            .localCheckpoint(eager=False)  # 2 consumers: count + verify
-        )
+        cand = _manku_candidate_pairs(blocks).localCheckpoint(
+            eager=False
+        )  # 2 consumers: count + verify
         pairs = (
             cand.join(fa, "doc_a")
             .join(fb, "doc_b")

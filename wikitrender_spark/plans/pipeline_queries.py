@@ -3924,6 +3924,8 @@ ORACLES = {
     "mm_audio_energy": AUDIO_ENERGY_SQL,
     "mm_video_keyframes": VIDEO_KEYFRAMES_SQL,
     "mm_audio_vad": AUDIO_VAD_SQL,
+    "mm_image_neardup": IMAGE_NEARDUP_SQL,
+    "tx_pii_scrub": PII_SCRUB_SQL,
 }
 
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);
@@ -3948,6 +3950,4 @@ ORACLES_ROTATED = {
     "tx_langid": _langid_sql(),
     "dd_simhash": SIMHASH_SQL,
     "dd_simhash_pairs": SIMHASH_PAIRS_SQL,
-    "mm_image_neardup": IMAGE_NEARDUP_SQL,
-    "tx_pii_scrub": PII_SCRUB_SQL,
 }

@@ -320,14 +320,19 @@ class ParquetTrendingStore:
             changed = changed.filter(F.col("window_start_us") >= cut)
         live = [w for w in wins if w in dirs]
         if live:
-            # partition pruning keeps this read to the affected window
-            # dirs; the anti-join preserves unchanged pages there
-            keep = spark.read.parquet(self.path).filter(
-                F.col("window_start_us").isin(wins)
-            ).join(
-                changed.select("window_start_us", "id"),
-                ["window_start_us", "id"],
-                "left_anti",
+            # read ONLY the affected window dirs (basePath keeps the
+            # partition column): reading the store root would re-list
+            # every window partition each batch — O(store age) listing
+            # per micro-batch on an unbounded-horizon store (self-review
+            # r10). The anti-join preserves unchanged pages there.
+            keep = (
+                spark.read.option("basePath", self.path)
+                .parquet(*[dirs[w] for w in live])
+                .join(
+                    changed.select("window_start_us", "id"),
+                    ["window_start_us", "id"],
+                    "left_anti",
+                )
             )
             merged = keep.select(
                 "window_start_us", "id", "n_events"
