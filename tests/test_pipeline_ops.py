@@ -1899,3 +1899,58 @@ def test_simhash_tuning_requires_uncapped_baseline(spark):
     # (self-review r10) — the guard fails loud instead
     with pytest.raises(ValueError, match="uncapped baseline"):
         dedup.simhash_tuning_report(docs_df(spark, ["a b c"]), caps=(32, 2))
+
+
+def test_dsir_weights_matches_python_mirror(spark):
+    from collections import Counter
+
+    from wikitrender_spark.plans.pipeline_queries import (
+        DSIR_BUCKETS, DSIR_TARGET_LANG, dsir_weights,
+    )
+
+    texts_langs = [
+        ("alpha beta alpha beta gamma", "en"),
+        ("alpha beta delta", "en"),
+        ("gamma delta gamma delta epsilon", "fr"),
+        ("zeta", "fr"),          # 1 token -> no bigrams
+        ("alpha beta gamma delta", "de"),
+    ]
+    d = spark.createDataFrame(
+        [(i, t, lg, "src", len(t)) for i, (t, lg) in enumerate(texts_langs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    # independent mirror: same pinned 31-poly token hash + bigram fold
+    def feats(text):
+        hs = [_py_poly(w) for w in text.split()]
+        return [
+            ((hs[i] * 31 + hs[i + 1]) % 1_000_003) % DSIR_BUCKETS
+            for i in range(len(hs) - 1)
+        ]
+
+    per_doc = {i: feats(t) for i, (t, _lg) in enumerate(texts_langs)}
+    cr, ct = Counter(), Counter()
+    for i, (t, lg) in enumerate(texts_langs):
+        for f in per_doc[i]:
+            cr[f] += 1
+            if lg == DSIR_TARGET_LANG:
+                ct[f] += 1
+    s_t = sum(cr[f] * (ct[f] + 1) for f in cr)
+    s_r = sum(cr[f] * (cr[f] + 1) for f in cr)
+    rows = {r["doc_id"]: r for r in dsir_weights(d).collect()}
+    for i in per_doc:
+        fs = per_doc[i]
+        tm = sum(ct[f] + 1 for f in fs)
+        rm = sum(cr[f] + 1 for f in fs)
+        r = rows[i]
+        assert r["n_bigrams"] == len(fs), i
+        assert r["target_mass"] == (tm if fs else 0), i
+        assert r["raw_mass"] == (rm if fs else 0), i
+        if fs:
+            assert r["weight"] == round((tm * s_r) / (rm * s_t), 6), i
+            assert r["selected"] == (tm * s_r > rm * s_t), i
+        else:
+            assert r["weight"] == 0.0 and r["selected"] is False, i
+    # the target-language docs must out-weigh the pure-fr doc: the
+    # operator's purpose is that discrimination
+    assert rows[0]["weight"] > rows[2]["weight"]

@@ -577,3 +577,17 @@ def test_pii_scrub_zero_shuffle_pruned_scan(plans):
     ) == 1
     for cols in _scan_columns(plan, "documents"):
         assert set(cols) <= {"doc_id", "text"}
+
+
+def test_dsir_weights_bounded_aggs_and_pruned_scan(plans):
+    """tx_dsir_weights' bucket relation must stay checkpointed at its
+    2-consumer barrier (vocab broadcast + corpus totals both read
+    ExistingRDD — S_t/S_r must never trigger a second corpus pass), the
+    vocab must come back as a broadcast hash join, and the documents
+    scans read only (doc_id, lang, text)."""
+    plan = plans("tx_dsir_weights")
+    assert "ExistingRDD" in plan, "bucket relation no longer checkpointed"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "lang", "text"}

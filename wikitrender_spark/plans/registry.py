@@ -45,26 +45,27 @@ _loaded = False
 #:
 #: Round-10 composition policy (the r09 window went 50/50 green; the
 #: R10_DEFERRED promise — the whole 48-row r07-evidence cohort — is
-#: paid MINUS THREE documented displacements, per the established rule:
-#: 48 + 3 new + 2 stale = 53 > 50, and new/stale rows are never
-#: deferred, so exactly three promised rows spill):
-#: (a) 45 of the 48 R10_DEFERRED rows (last green r07; includes
+#: paid MINUS FOUR documented displacements, per the established rule:
+#: 48 + 4 new + 2 stale = 54 > 50, and new/stale rows are never
+#: deferred, so exactly four promised rows spill):
+#: (a) 44 of the 48 R10_DEFERRED rows (last green r07; includes
 #: rel_recursive_months, which is ALSO stale-by-code-change — its r10
 #: bound-hoisting rewrite, VERDICT r9 ask #3). DISPLACED to r11:
-#: rel_scalar_functions, rel_pivot_status, rel_corr_subquery (narrow
-#: scalar/pivot/subquery surfaces, code untouched since r07 — the
-#: lowest-risk spills; named FIRST in the r11 promise,
-#: tests/test_registry_gate.py R11_DEFERRED);
+#: rel_scalar_functions, rel_pivot_status, rel_corr_subquery,
+#: rel_customers_without_orders (narrow scalar/pivot/subquery/anti-join
+#: surfaces, code untouched since r07 — the lowest-risk spills; named
+#: FIRST in the r11 promise, tests/test_registry_gate.py R11_DEFERRED);
 #: (b) the round-10 additions (never driver-attested):
 #: dd_simhash_tuning (VERDICT r9 ask #7), mm_image_neardup (perceptual
-#: image dHash near-dup), tx_pii_scrub (PII redaction);
+#: image dHash near-dup), tx_pii_scrub (PII redaction),
+#: tx_dsir_weights (DSIR importance weighting);
 #: (c) 2 rows staled mid-round by the ADVICE r9 multi-consumer-barrier
 #: fix (localCheckpoint on their shared relations changed the plan):
 #: rel_hourly_mad, rel_scd2_intervals.
 #:
-#: Attestation-cadence note (honest steady state): with 149 registered
+#: Attestation-cadence note (honest steady state): with 150 registered
 #: queries and a fixed 50-row driver window, every row re-attests at
-#: most every ceil(149/50) = 3 rounds — the "evidence never older than
+#: most every ceil(150/50) = 3 rounds — the "evidence never older than
 #: two rounds" property of rounds 7-9 was an artifact of the registry
 #: being < 150 rows with fresh additions dominating; from r10 on the
 #: contract is "every row re-attests within 3 rounds, displacements
@@ -74,6 +75,7 @@ GATE_WINDOW: list[str] = [
     "dd_simhash_tuning",
     "mm_image_neardup",
     "tx_pii_scrub",
+    "tx_dsir_weights",
     # (c) stale-by-code-change re-attestations (ADVICE r9 fixes)
     "rel_hourly_mad",
     "rel_scd2_intervals",
@@ -90,7 +92,6 @@ GATE_WINDOW: list[str] = [
     "rel_approx_percentiles",
     "rel_approx_segments",
     "rel_asof_last_signup",
-    "rel_customers_without_orders",
     "rel_grouping_sets",
     "rel_interval_coverage",
     "rel_lateral_topk",
