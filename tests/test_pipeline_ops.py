@@ -1954,3 +1954,23 @@ def test_dsir_weights_matches_python_mirror(spark):
     # the target-language docs must out-weigh the pure-fr doc: the
     # operator's purpose is that discrimination
     assert rows[0]["weight"] > rows[2]["weight"]
+
+
+def test_dsir_weights_null_lang_counts_as_nontarget(spark):
+    # a bucket whose occurrences all come from NULL-lang docs must
+    # count ct=0 (like the oracle's CASE arm), not poison the sum to
+    # NULL and break the target_mass >= n_bigrams smoothing invariant
+    from wikitrender_spark.plans.pipeline_queries import dsir_weights
+
+    d = spark.createDataFrame(
+        [
+            (0, "nullish words here", None, "src", 18),
+            (1, "alpha beta gamma", "en", "src", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in dsir_weights(d).collect()}
+    for i in (0, 1):
+        assert rows[i]["target_mass"] >= rows[i]["n_bigrams"] > 0, i
+        assert rows[i]["raw_mass"] >= rows[i]["n_bigrams"], i
+    assert rows[1]["weight"] > rows[0]["weight"]

@@ -3846,8 +3846,15 @@ def dsir_weights(d: DataFrame) -> DataFrame:
         big.groupBy("f")
         .agg(
             F.count(F.lit(1)).alias("cr"),
+            # NULL-safe target flag: a NULL lang must count as 0 like
+            # the oracle's CASE arm, not poison the whole bucket's sum
+            # to NULL (SUM skips NULLs, but a bucket whose occurrences
+            # are ALL NULL-lang would yield ct=NULL and break the
+            # add-one smoothing invariant; self-review r10)
             F.sum(
-                (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+                .otherwise(0)
+                .cast("long")
             ).alias("ct"),
         )
         .localCheckpoint(eager=False)  # 2 consumers: vocab + totals
