@@ -1180,3 +1180,62 @@ def test_parquet_trending_store_horizon_equals_report(spark):
             if p.startswith("window_start_us=")
         }
         assert on_disk == set(bounded.windows)
+
+
+def test_corpus_admission_stream_equals_batch_and_drops_dupes(spark, tmp_path):
+    """The document-side ingest chain (round 10): a chunked replay with
+    injected cross-batch duplicate CONTENT (same text, fresh doc_ids in
+    a later micro-batch) must admit exactly the batch pipeline's
+    survivors, keep the FIRST-arrival doc_ids, and never re-admit
+    content whose digest is already in state."""
+    import os
+
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming import corpus
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # the corpus is digit-free word salad (no organic PII), so plant a
+    # deterministic email per doc — the gated tx_pii_scrub's adapter
+    # idiom — BEFORE building the duplicate re-emission, so the copies
+    # carry identical planted text and remain exact content dups
+    src = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" mail u"), F.col("doc_id").cast("string"),
+            F.lit("@example.org"),
+        ),
+    )
+    redo = src.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    chunk_dir = str(tmp_path / "doc_chunks")
+    write_ordered_chunks((src, redo), chunk_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    admitted = corpus.corpus_admission_replay_to_memory(
+        stream, "corpus_admit_t", str(tmp_path / "ckpt")
+    )
+    got_ids = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+
+    # batch twin over the ORIGINAL corpus only: the re-emitted copies
+    # are exact content dups, so first-arrival admission equals the
+    # batch pipeline on the first batch (keeper = the original doc_id,
+    # which is unique per digest in this corpus slice)
+    batch = corpus.corpus_admission_stream(src)
+    want = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert got_ids == want
+    assert got_ids, "admission gate rejected everything — degenerate test"
+    assert len(want) < src.count(), "gate admitted everything — no filter bite"
+    # no re-emitted id survived: their content digests were already in state
+    assert not {i for i in got_ids if i >= 10_000_000}
+    # the stream's emitted rows carry the scrubbed columns
+    row = admitted.limit(1).collect()[0]
+    assert {"n_email", "n_phone", "n_ip", "redacted", "quality"} <= set(
+        admitted.columns
+    )
+    assert row["n_email"] >= 1  # every doc gains a planted email
+    assert "[EMAIL]" in row["redacted"]

@@ -1,0 +1,98 @@
+"""Streaming corpus admission (round 10): the training-data cleaning
+pipeline run INCREMENTALLY. Documents arrive as a stream; every
+micro-batch is language/quality-gated, PII-scrubbed, and admitted
+through streaming exact dedup (first arrival wins on the content
+digest), so the curated corpus grows append-only and re-processing a
+feed can never re-admit content already accepted.
+
+This is the document-side sibling of the event ingest chain
+(streaming/dedup.py + fold.py): same file-replay test harness, same
+dropDuplicates state shape (one row per distinct digest — the
+watermark-bounded variant in dedup.dedup_stream_within_watermark is
+the unbounded-firehose form), and the same batch-equivalence testing
+discipline (tests/test_streaming.py).
+
+Scale notes: every stage before the dedup is a stateless per-row
+projection (the column forms of quality/langid/token-count —
+equivalence-pinned to the batch aggregation forms by
+tests/test_pipeline_ops.test_score_documents_matches_column_forms —
+plus functions/text.scrub_pii), so the only streaming state is the
+digest store. Admission throughput is the dedup exchange; the
+projections pipeline into the file scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .dedup import with_digest
+
+#: quality floor for admission — the same constant family as
+#: plans/pipeline_queries.CLEAN_MIN_QUALITY's composed batch pipeline
+ADMIT_MIN_QUALITY = 0.35
+
+
+def corpus_admission_stream(docs: DataFrame) -> DataFrame:
+    """Compose the cleaning pipeline over a (possibly streaming)
+    documents relation: language-consistency gate (predicted == labeled)
+    + quality floor, then PII redaction, then first-arrival-wins exact
+    dedup on the ORIGINAL text's digest (the digest is computed before
+    redaction, so two documents that differ only in their planted PII
+    still dedup to one admission — and the redacted form is what flows
+    downstream). Output: (doc_id, lang, n_tokens, quality, n_email,
+    n_phone, n_ip, redacted).
+
+    Works identically on a batch DataFrame (dropDuplicates collapses
+    within the relation) and a streaming one (state persists across
+    micro-batches) — the equivalence is pytest-pinned on a chunked
+    replay with injected cross-batch duplicate content."""
+    t = F.col("text")
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        T.token_count(t).cast("long").alias("n_tokens"),
+        F.round(T.quality_score(t), 6).alias("quality"),
+        T.predict_lang(t).alias("pred_lang"),
+    ).filter(
+        (F.col("pred_lang") == F.col("lang"))
+        & (F.col("quality") >= ADMIT_MIN_QUALITY)
+    )
+    redacted, counts = T.scrub_pii(F.col("text"))
+    scrubbed = with_digest(gated).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality",
+        "digest",
+        *(counts[kind].cast("int").alias(f"n_{kind}")
+          for kind, _, _ in T.PII_PATTERNS),
+        redacted.alias("redacted"),
+    )
+    return scrubbed.dropDuplicates(["digest"]).drop("digest")
+
+
+def corpus_admission_replay_to_memory(
+    stream: DataFrame, name: str, ckpt: str
+) -> DataFrame:
+    """Drain a documents file-replay through corpus_admission_stream
+    into a memory sink (append mode — each admitted document is emitted
+    exactly once, at first arrival) and return the admitted relation,
+    materialized off the sink view (same catalog-hygiene discipline as
+    dedup.ingest_dedup_to_memory)."""
+    q = (
+        corpus_admission_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
