@@ -1239,3 +1239,93 @@ def test_corpus_admission_stream_equals_batch_and_drops_dupes(spark, tmp_path):
     )
     assert row["n_email"] >= 1  # every doc gains a planted email
     assert "[EMAIL]" in row["redacted"]
+
+
+def test_corpus_admission_watermark_readmits_expired_drops_live(spark, tmp_path):
+    """Bounded-state corpus admission: with a 60 s ingest-time horizon,
+    a copy of content whose digest state EXPIRED before the previous
+    batch's eviction sweep is re-admitted (the watermark freshness
+    trade), while a copy of still-live content is dropped."""
+    import os
+
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming import corpus
+
+    # three real corpus texts that pass the admission gate, made
+    # digest-distinct by construction (distinct text)
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    texts = [
+        r["text"]
+        for r in corpus.corpus_admission_stream(base)
+        .join(base.select("doc_id", "text"), "doc_id")
+        .select("text")
+        .distinct()
+        .orderBy("text")
+        .limit(3)
+        .collect()
+    ]
+    assert len(texts) == 3
+    ta, tb, tc = texts
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(*items):
+        return spark.createDataFrame(
+            [
+                (i, txt, "en", "src", len(txt), t0 + dt.timedelta(seconds=s))
+                for (i, txt, s) in items
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, ingest_ts timestamp",
+        )
+
+    # batch 1: A and B at t0. batch 2: C at t0+300 — its END advances
+    # the watermark to t0+240, but the eviction sweep runs with the
+    # PREVIOUS batch's watermark (the same one-batch lag the
+    # events-side replay handles with a sentinel batch,
+    # streaming/dedup.py replay_events_with_late_dupes). batch 3: a
+    # sentinel re-emission of C (still live -> dropped, and its batch
+    # boundary applies the t0+240 sweep, evicting A/B whose expiry is
+    # t0+60). batch 4: A-copy (state expired -> RE-ADMITTED) and
+    # another C-copy (state live, expiry t0+360 -> dropped), at t0+300
+    # (never late).
+    chunk_dir = str(tmp_path / "wm_chunks")
+    write_ordered_chunks(
+        (
+            rows((1, ta, 0), (2, tb, 0)),
+            rows((3, tc, 300)),
+            rows((99, tc, 300)),
+            rows((100, ta, 300), (101, tc, 300)),
+        ),
+        chunk_dir,
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, ingest_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    # the lang of real corpus texts may not be 'en' — bypass nothing:
+    # re-label each row with its PREDICTED lang so the gate passes on
+    # text quality alone (the gate itself is covered by the sibling
+    # test; this one pins the watermark dedup semantics)
+    from wikitrender_spark.functions import text as T
+
+    stream = stream.withColumn("lang", T.predict_lang(F.col("text")))
+    q = (
+        corpus.corpus_admission_stream_within_watermark(
+            stream, horizon="60 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("corpus_admit_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.table("corpus_admit_wm").collect()}
+    spark.catalog.dropTempView("corpus_admit_wm")
+    assert got == {1, 2, 3, 100}, got

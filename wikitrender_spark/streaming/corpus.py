@@ -34,6 +34,39 @@ from .dedup import with_digest
 ADMIT_MIN_QUALITY = 0.35
 
 
+def _gate_and_scrub(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """The stateless front of the admission chain: language-consistency
+    gate (predicted == labeled) + quality floor, then PII redaction,
+    with the content digest attached for the dedup stage downstream.
+    `carry` names extra input columns (e.g. the ingest timestamp) to
+    thread through."""
+    t = F.col("text")
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        *carry,
+        T.token_count(t).cast("long").alias("n_tokens"),
+        F.round(T.quality_score(t), 6).alias("quality"),
+        T.predict_lang(t).alias("pred_lang"),
+    ).filter(
+        (F.col("pred_lang") == F.col("lang"))
+        & (F.col("quality") >= ADMIT_MIN_QUALITY)
+    )
+    redacted, counts = T.scrub_pii(F.col("text"))
+    return with_digest(gated).select(
+        "doc_id",
+        "lang",
+        *carry,
+        "n_tokens",
+        "quality",
+        "digest",
+        *(counts[kind].cast("int").alias(f"n_{kind}")
+          for kind, _, _ in T.PII_PATTERNS),
+        redacted.alias("redacted"),
+    )
+
+
 def corpus_admission_stream(docs: DataFrame) -> DataFrame:
     """Compose the cleaning pipeline over a (possibly streaming)
     documents relation: language-consistency gate (predicted == labeled)
@@ -47,31 +80,29 @@ def corpus_admission_stream(docs: DataFrame) -> DataFrame:
     Works identically on a batch DataFrame (dropDuplicates collapses
     within the relation) and a streaming one (state persists across
     micro-batches) — the equivalence is pytest-pinned on a chunked
-    replay with injected cross-batch duplicate content."""
-    t = F.col("text")
-    gated = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        T.token_count(t).cast("long").alias("n_tokens"),
-        F.round(T.quality_score(t), 6).alias("quality"),
-        T.predict_lang(t).alias("pred_lang"),
-    ).filter(
-        (F.col("pred_lang") == F.col("lang"))
-        & (F.col("quality") >= ADMIT_MIN_QUALITY)
+    replay with injected cross-batch duplicate content. State grows one
+    row per distinct admitted digest FOREVER: the unbounded-firehose
+    deployment uses corpus_admission_stream_within_watermark."""
+    return _gate_and_scrub(docs).dropDuplicates(["digest"]).drop("digest")
+
+
+def corpus_admission_stream_within_watermark(
+    docs: DataFrame, ts_col: str = "ingest_ts", horizon: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state admission for an unbounded document firehose: the
+    same gate -> scrub front, with the digest dedup bounded by an
+    ingest-time watermark — state for digests older than `horizon` is
+    reclaimed by the engine, so a copy of content whose original
+    expired IS re-admitted (the explicit freshness trade every
+    watermarked dedup makes; the test pins both directions: a live
+    digest drops its copy, an expired one re-admits). The ingest
+    timestamp rides through the output for downstream lineage."""
+    s = _gate_and_scrub(docs, carry=(ts_col,))
+    return (
+        s.withWatermark(ts_col, horizon)
+        .dropDuplicatesWithinWatermark(["digest"])
+        .drop("digest")
     )
-    redacted, counts = T.scrub_pii(F.col("text"))
-    scrubbed = with_digest(gated).select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        "quality",
-        "digest",
-        *(counts[kind].cast("int").alias(f"n_{kind}")
-          for kind, _, _ in T.PII_PATTERNS),
-        redacted.alias("redacted"),
-    )
-    return scrubbed.dropDuplicates(["digest"]).drop("digest")
 
 
 def corpus_admission_replay_to_memory(
