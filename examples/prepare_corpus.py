@@ -9,9 +9,12 @@ chains them (SURVEY.md §2.8):
   5. corpus vocabulary              (top-K token frequencies)
   6. survival funnel + mix sampling (stage report; DoReMi keep decisions)
   7. semantic dedup over embeddings (IVF cells -> within-cell cosine)
-  8-15. substring-run stats + scrub, PQ/IVF-PQ retrieval (plain and
+  8-14. substring-run stats + scrub, PQ/IVF-PQ retrieval (plain and
         shortlist-re-ranked), length histogram, Bloom decontamination
-        with measured false positives, Count-Min top terms, ORC export
+        with measured false positives, Count-Min top terms
+  15-17. PII scrub, DSIR importance selection, perceptual image
+        near-dup (the round-10 additions)
+  18.   ORC export
 
 Every step is a DataFrame transformation: at 100 TB the same composition
 runs with the same plans — bucketed joins, broadcast probes, map-combined
@@ -191,7 +194,42 @@ def main() -> None:
     )
     print(f"ivfpq re-ranked retrieval: {rr.count()} rows at k=3, R=30")
 
-    # 15. export the final corpus as ORC (pinned-schema interchange)
+    # 15. PII redaction (round 10): scrub emails/phones/IPs before any
+    # export — on this synthetic corpus the counts are zero (no organic
+    # PII; the gated tx_pii_scrub plants deterministic PII to attest
+    # the scrub itself), but the pass belongs in every real pipeline
+    from wikitrender_spark.functions import text as T
+
+    red, counts = T.scrub_pii(F.col("text"))
+    pii = docs.select(
+        *(counts[k] for k, _, _ in T.PII_PATTERNS)
+    ).agg(*(F.sum(f"n_{k}").alias(k) for k, _, _ in T.PII_PATTERNS)).head()
+    print(
+        "pii scrub: "
+        + ", ".join(f"{k}={pii[k]}" for k, _, _ in T.PII_PATTERNS)
+    )
+
+    # 16. DSIR importance weights (round 10): target-vs-raw bigram mass;
+    # keep decisions on the exact integer cross-product
+    from wikitrender_spark.plans.pipeline_queries import dsir_weights
+
+    dw = dsir_weights(docs).agg(
+        F.sum(F.col("selected").cast("long")).alias("kept"),
+        F.count(F.lit(1)).alias("n"),
+    ).head()
+    print(f"dsir selection: {dw['kept']}/{dw['n']} docs more target-like")
+
+    # 17. perceptual image near-dup (round 10): the documents-as-PGM
+    # rasters decode through the real netpbm -> dHash kernel; pairs
+    # within Hamming 3 are cross-modality duplicates text dedup misses
+    from wikitrender_spark.operators import multimodal
+
+    pairs = multimodal.dhash_hamming_pairs(
+        multimodal.image_dhash(multimodal.documents_as_pgm(docs))
+    )
+    print(f"image dhash near-dup pairs (hamming<=3): {pairs.count()}")
+
+    # 18. export the final corpus as ORC (pinned-schema interchange)
     import tempfile
 
     from wikitrender_spark.sources import textfiles
