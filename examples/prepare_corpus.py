@@ -194,16 +194,22 @@ def main() -> None:
     )
     print(f"ivfpq re-ranked retrieval: {rr.count()} rows at k=3, R=30")
 
-    # 15. PII redaction (round 10): scrub emails/phones/IPs before any
-    # export — on this synthetic corpus the counts are zero (no organic
+    # 15. PII redaction (round 10): scrub emails/phones/IPs and carry
+    # the REDACTED text forward — step 18 exports it, never the raw
+    # text. On this synthetic corpus the counts are zero (no organic
     # PII; the gated tx_pii_scrub plants deterministic PII to attest
-    # the scrub itself), but the pass belongs in every real pipeline
-    from wikitrender_spark.functions import text as T
-
+    # the scrub itself), but the pass belongs in every real pipeline.
     red, counts = T.scrub_pii(F.col("text"))
-    pii = docs.select(
-        *(counts[k] for k, _, _ in T.PII_PATTERNS)
-    ).agg(*(F.sum(f"n_{k}").alias(k) for k, _, _ in T.PII_PATTERNS)).head()
+    scrubbed_docs = docs.select(
+        "doc_id", red.alias("text"), "lang", "source", "n_chars",
+        *(counts[k] for k, _, _ in T.PII_PATTERNS),
+    )
+    pii = scrubbed_docs.agg(
+        *(F.sum(f"n_{k}").alias(k) for k, _, _ in T.PII_PATTERNS)
+    ).head()
+    scrubbed_docs = scrubbed_docs.drop(
+        *(f"n_{k}" for k, _, _ in T.PII_PATTERNS)
+    )
     print(
         "pii scrub: "
         + ", ".join(f"{k}={pii[k]}" for k, _, _ in T.PII_PATTERNS)
@@ -229,16 +235,17 @@ def main() -> None:
     )
     print(f"image dhash near-dup pairs (hamming<=3): {pairs.count()}")
 
-    # 18. export the final corpus as ORC (pinned-schema interchange)
+    # 18. export the final corpus as ORC (pinned-schema interchange) —
+    # the SCRUBBED text from step 15, never the raw column
     import tempfile
 
     from wikitrender_spark.sources import textfiles
 
     out = tempfile.mkdtemp(prefix="corpus_orc_")
-    final_docs = docs.join(final, "doc_id")
+    final_docs = scrubbed_docs.join(final, "doc_id")
     textfiles.write_orc(final_docs, out)
     back = textfiles.read_orc(spark, out, final_docs.schema)
-    print(f"orc export: {back.count()} docs round-tripped at {out}")
+    print(f"orc export: {back.count()} scrubbed docs round-tripped at {out}")
 
 
 if __name__ == "__main__":

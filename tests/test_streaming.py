@@ -1208,8 +1208,18 @@ def test_corpus_admission_stream_equals_batch_and_drops_dupes(spark, tmp_path):
     redo = src.filter(F.col("doc_id") % 5 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10_000_000
     )
+    # PII-differing copies: same body, DIFFERENT planted email — the
+    # digest is taken over the REDACTED text, so these must dedup away
+    # exactly like verbatim copies (the documented contract)
+    pii_variant = src.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"), r"u[0-9]+@example\.org", "other9@example.org"
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
     chunk_dir = str(tmp_path / "doc_chunks")
-    write_ordered_chunks((src, redo), chunk_dir)
+    write_ordered_chunks((src, redo, pii_variant), chunk_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1230,7 +1240,9 @@ def test_corpus_admission_stream_equals_batch_and_drops_dupes(spark, tmp_path):
     assert got_ids == want
     assert got_ids, "admission gate rejected everything — degenerate test"
     assert len(want) < src.count(), "gate admitted everything — no filter bite"
-    # no re-emitted id survived: their content digests were already in state
+    # no re-emitted id survived: their content digests were already in
+    # state — including the PII-VARIANT copies (>= 20M), whose raw text
+    # differs but whose redacted digest collapses onto the original
     assert not {i for i in got_ids if i >= 10_000_000}
     # the stream's emitted rows carry the scrubbed columns
     row = admitted.limit(1).collect()[0]

@@ -27,10 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from .dedup import with_digest
 
-#: quality floor for admission — the same constant family as
-#: plans/pipeline_queries.CLEAN_MIN_QUALITY's composed batch pipeline
+#: quality floor for ADMISSION — deliberately looser than the batch
+#: curation pipeline's CLEAN_MIN_QUALITY = 0.6 (plans/pipeline_queries):
+#: admission rejects what no downstream step could rescue; curation
+#: applies the stricter editorial floor after dedup/decontamination.
 ADMIT_MIN_QUALITY = 0.35
 
 
@@ -38,8 +39,12 @@ def _gate_and_scrub(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The stateless front of the admission chain: language-consistency
     gate (predicted == labeled) + quality floor, then PII redaction,
     with the content digest attached for the dedup stage downstream.
-    `carry` names extra input columns (e.g. the ingest timestamp) to
-    thread through."""
+    The digest is md5 of the REDACTED text, so two documents that
+    differ only in their PII collapse to one admission — the curated
+    corpus never keeps both copies of otherwise-identical content just
+    because the PII varies (and the PII itself never enters dedup
+    state). `carry` names extra input columns (e.g. the ingest
+    timestamp) to thread through."""
     t = F.col("text")
     gated = docs.select(
         "doc_id",
@@ -47,20 +52,21 @@ def _gate_and_scrub(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         "text",
         *carry,
         T.token_count(t).cast("long").alias("n_tokens"),
-        F.round(T.quality_score(t), 6).alias("quality"),
+        # quality_score already rounds to 6
+        T.quality_score(t).alias("quality"),
         T.predict_lang(t).alias("pred_lang"),
     ).filter(
         (F.col("pred_lang") == F.col("lang"))
         & (F.col("quality") >= ADMIT_MIN_QUALITY)
     )
     redacted, counts = T.scrub_pii(F.col("text"))
-    return with_digest(gated).select(
+    return gated.select(
         "doc_id",
         "lang",
         *carry,
         "n_tokens",
         "quality",
-        "digest",
+        F.md5(redacted).alias("digest"),
         *(counts[kind].cast("int").alias(f"n_{kind}")
           for kind, _, _ in T.PII_PATTERNS),
         redacted.alias("redacted"),
@@ -71,18 +77,17 @@ def corpus_admission_stream(docs: DataFrame) -> DataFrame:
     """Compose the cleaning pipeline over a (possibly streaming)
     documents relation: language-consistency gate (predicted == labeled)
     + quality floor, then PII redaction, then first-arrival-wins exact
-    dedup on the ORIGINAL text's digest (the digest is computed before
-    redaction, so two documents that differ only in their planted PII
-    still dedup to one admission — and the redacted form is what flows
-    downstream). Output: (doc_id, lang, n_tokens, quality, n_email,
-    n_phone, n_ip, redacted).
+    dedup on the REDACTED text's digest (two documents that differ only
+    in their PII dedup to one admission; pytest-pinned). Output:
+    (doc_id, lang, n_tokens, quality, n_email, n_phone, n_ip, redacted).
 
     Works identically on a batch DataFrame (dropDuplicates collapses
     within the relation) and a streaming one (state persists across
-    micro-batches) — the equivalence is pytest-pinned on a chunked
-    replay with injected cross-batch duplicate content. State grows one
-    row per distinct admitted digest FOREVER: the unbounded-firehose
-    deployment uses corpus_admission_stream_within_watermark."""
+    micro-batches) — the stream-equals-its-own-batch-form equivalence
+    is pytest-pinned on a chunked replay with injected cross-batch
+    duplicate content. State grows one row per distinct admitted digest
+    FOREVER: the unbounded-firehose deployment uses
+    corpus_admission_stream_within_watermark."""
     return _gate_and_scrub(docs).dropDuplicates(["digest"]).drop("digest")
 
 
@@ -110,20 +115,8 @@ def corpus_admission_replay_to_memory(
 ) -> DataFrame:
     """Drain a documents file-replay through corpus_admission_stream
     into a memory sink (append mode — each admitted document is emitted
-    exactly once, at first arrival) and return the admitted relation,
-    materialized off the sink view (same catalog-hygiene discipline as
-    dedup.ingest_dedup_to_memory)."""
-    q = (
-        corpus_admission_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    spark = stream.sparkSession
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    exactly once, at first arrival) and return the admitted relation
+    (dedup.drain_to_memory owns the sink-hygiene discipline)."""
+    from .dedup import drain_to_memory
+
+    return drain_to_memory(corpus_admission_stream(stream), name, ckpt)

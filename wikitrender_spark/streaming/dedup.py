@@ -75,6 +75,30 @@ def replay_events_with_dupes(
     )
 
 
+def drain_to_memory(deduped: DataFrame, name: str, ckpt: str) -> DataFrame:
+    """The ONE home of the append-mode memory-sink drain discipline
+    (previously copy-pasted per call site — self-review r10): run the
+    streaming relation to exhaustion under Trigger.AvailableNow, then
+    materialize the result OFF the memory-sink view (eager local
+    checkpoint) and drop the view immediately — the returned relation
+    stays valid for the caller's lifetime with no per-run temp view
+    accumulating in the session catalog, and no trap where a later
+    invocation's cleanup invalidates an earlier invocation's result."""
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = deduped.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def ingest_dedup_to_memory(
     spark: SparkSession, sf_dir: str, work_dir: str, name: str, ckpt: str
 ) -> DataFrame:
@@ -88,23 +112,7 @@ def ingest_dedup_to_memory(
     deduped = replay_events_with_dupes(spark, sf_dir, work_dir).dropDuplicates(
         ["event_id"]
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # materialize the survivors OFF the memory-sink view (eager local
-    # checkpoint), then drop the view immediately: the returned relation
-    # stays valid for the caller's lifetime with no per-run temp view
-    # accumulating in the session catalog — and no trap where a later
-    # invocation's cleanup invalidates an earlier invocation's result
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    return drain_to_memory(deduped, name, ckpt)
 
 
 def replay_events_with_late_dupes(
@@ -184,20 +192,7 @@ def ingest_dedup_watermark_to_memory(
     deduped = stream.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # same memory-sink hygiene as ingest_dedup_to_memory: materialize,
-    # then drop the temp view immediately
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    return drain_to_memory(deduped, name, ckpt)
 
 
 def with_digest(docs: DataFrame) -> DataFrame:
