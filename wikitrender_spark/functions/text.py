@@ -225,7 +225,10 @@ def predict_lang(text: Column) -> Column:
 
 #: PII redaction patterns (ordered: each later pattern runs over the
 #: previous pattern's output, so patterns must not match the earlier
-#: placeholders). The subset of regex syntax used — literal chars,
+#: placeholders). Count semantics: scrub_pii reports RAW-TEXT match
+#: counts per pattern (detections, not replacements — a match half-
+#: consumed by an earlier pattern's replacement is counted yet leaves
+#: no placeholder; see scrub_pii's docstring). The subset of regex syntax used — literal chars,
 #: [a-z0-9] classes, +, {m,n} counted repeats, \. — behaves identically
 #: under Java's regex (Spark) and RE2 (DuckDB): no backreferences, no
 #: lookaround, no leftmost-first/leftmost-longest divergence (every
@@ -240,10 +243,20 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 def scrub_pii(text: Column) -> tuple[Column, dict[str, Column]]:
     """PII redaction for training corpora: replaces every occurrence of
     each PII_PATTERNS entry with its placeholder and returns
-    (redacted_text, {kind: occurrence_count}). Counts are taken BEFORE
-    any replacement (on the raw text) so overlapping placeholder text
-    can never inflate a later pattern's count; replacements then apply
-    in declared order. Pure JVM column ops (regexp_count +
+    (redacted_text, {kind: occurrence_count}). Counts are RAW-TEXT match
+    counts, taken BEFORE any replacement, so overlapping placeholder
+    text can never inflate a later pattern's count; replacements then
+    apply in declared order. The flip side of that choice (ADVICE r10):
+    a raw-text match whose characters are partly consumed by an EARLIER
+    pattern's replacement is counted but never redacted, so n_{kind} may
+    EXCEED the placeholders present in redacted_text (pinned in
+    test_scrub_pii_counts_and_order's overlap row: an email eats half a
+    phone string -> n_phone=1, no [PHONE]). Read n_{kind} as "PII
+    occurrences detected in the raw text", not "replacements made" —
+    the detection count is the corpus-audit number; the redacted text
+    is still PII-free for every pattern because the consuming
+    replacement destroyed the match it overlapped. Pure JVM column ops
+    (regexp_count +
     regexp_replace), zero shuffle, embarrassingly parallel — the 100 TB
     shape is a map-only pass."""
     counts = {

@@ -735,7 +735,7 @@ def decode_any(payload: bytes, kind: str) -> tuple[int, int, list[float]]:
     return fake_decode(payload)
 
 
-def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """decode -> resize -> feature-extract as one mapInPandas stage: no
     shuffle, binary column consumed and dropped inside the stage."""
 
@@ -837,7 +837,7 @@ def dhash64_blocks_py(img: "object") -> list[int]:
     return blocks
 
 
-def image_dhash(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def image_dhash(media: DataFrame) -> DataFrame:
     """decode -> resample -> dHash as ONE mapInPandas stage (the binary
     column is consumed inside the stage and never shuffled): each netpbm
     payload flows through the genuine decode_netpbm -> resize_nearest ->

@@ -3814,9 +3814,16 @@ def dsir_weights(d: DataFrame) -> DataFrame:
     bit-for-bit: `selected` is decided on the INTEGER cross-product (no
     float touches the decision) and `weight` divides two integers
     exact in double (documented bound: per-doc mass * corpus total
-    < 2^53 — a 100 TB deployment sums per-feature log-ratios instead,
-    the overflow-free production form; the linear form is this
-    operator's pinned oracle contract). Measured discrimination at
+    < 2^53). Past 2^53 the division degrades; past int64 the
+    cross-products themselves overflow, and the ENGINES DIVERGE rather
+    than both degrading: Spark wraps int64 multiplication silently
+    while DuckDB raises an out-of-range error (ADVICE r10) — so an
+    overflowing deployment fails loud on the oracle side only. The
+    production form past either cliff is tx_dsir_log (dsir_log_weights
+    below): per-feature log-ratios summed in pinned order via the
+    portable-ln polynomial, which only ever represents raw COUNTS
+    (bound: total corpus occurrences < 2^53, never a cross-product).
+    The linear form here is this operator's pinned oracle contract. Measured discrimination at
     sf0.01: 92% of target-language docs selected vs ~17% of others.
 
     Scale shape: one token-hash fold -> bigram bucket explode -> ONE

@@ -80,8 +80,9 @@ GATE_WINDOW: list[str] = [
     "rel_hourly_mad",
     "rel_scd2_intervals",
     # (a) the R10_DEFERRED cohort, last green r07 — the promise, minus
-    # the three documented displacements (rel_scalar_functions,
-    # rel_pivot_status, rel_corr_subquery -> r11, seated first there)
+    # the four documented displacements (rel_scalar_functions,
+    # rel_pivot_status, rel_corr_subquery, rel_customers_without_orders
+    # -> r11, seated first there)
     "rel_recursive_months",
     "rel_pricing_summary",
     "rel_json_props",
