@@ -1956,6 +1956,121 @@ def test_dsir_weights_matches_python_mirror(spark):
     assert rows[0]["weight"] > rows[2]["weight"]
 
 
+def test_portable_ln_bit_identical_across_engines(spark):
+    """functions.portable.pln_sql must produce the SAME DOUBLE BITS in
+    Python (pln_py), DuckDB, and Spark — that bit-identity is the whole
+    contract (libm ln differs across engines in the last ulp; the
+    portable polynomial replaces it). Also pins accuracy vs math.log
+    and the documented domain errors."""
+    import math
+    import struct as st
+
+    import duckdb
+    import pytest
+
+    from wikitrender_spark.functions.portable import pln_py, pln_sql
+
+    ks = list(range(1, 2001)) + [4096, 999983, 10**9 + 7, (1 << 53) - 1]
+    # accuracy: < 1e-12 relative vs true ln (documented: < 8e-14 trunc
+    # error plus rounding; measured worst 7.4e-13 over 200k inputs)
+    for k in (2, 3, 7, 4096, 999983, (1 << 53) - 1):
+        assert abs(pln_py(k) - math.log(k)) <= 1e-12 * abs(math.log(k))
+    assert pln_py(1) == 0.0
+    # DuckDB evaluates the identical SQL text to the identical bits
+    con = duckdb.connect()
+    duck = con.sql(
+        f"SELECT k, {pln_sql('k')} FROM (SELECT unnest({ks}) AS k)"
+    ).fetchall()
+    for k, v in duck:
+        assert st.pack("<d", v) == st.pack("<d", pln_py(k)), k
+    # Spark evaluates the identical SQL text to the identical bits
+    sdf = spark.createDataFrame([(k,) for k in ks], "k long").selectExpr(
+        "k", pln_sql("k") + " AS v"
+    )
+    for r in sdf.collect():
+        assert st.pack("<d", r["v"]) == st.pack("<d", pln_py(r["k"])), r["k"]
+    with pytest.raises(ValueError):
+        pln_py(0)
+    with pytest.raises(ValueError):
+        pln_py(1 << 53)
+
+
+def test_dsir_log_matches_python_mirror(spark):
+    """dsir_log_weights against an independent pure-Python mirror:
+    logweight BIT-EQUAL (the pinned pln polynomial + f-sorted left
+    fold is the operator's declared semantics), selected equal to the
+    self-normalized threshold, no-bigram docs at (0, 0.0, False), and
+    the en docs must out-score the fr doc per bigram (discrimination
+    is the operator's purpose)."""
+    from collections import Counter
+
+    from wikitrender_spark.functions.portable import pln_py
+    from wikitrender_spark.plans.pipeline_queries import (
+        DSIR_BUCKETS, DSIR_TARGET_LANG, dsir_log_weights,
+    )
+
+    texts_langs = [
+        ("alpha beta alpha beta gamma", "en"),
+        ("alpha beta delta", "en"),
+        ("gamma delta gamma delta epsilon", "fr"),
+        ("zeta", "fr"),          # 1 token -> no bigrams
+        ("alpha beta gamma delta", "de"),
+        ("nullish words here", None),  # NULL lang counts as non-target
+    ]
+    d = spark.createDataFrame(
+        [(i, t, lg, "src", len(t)) for i, (t, lg) in enumerate(texts_langs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def feats(text):
+        hs = [_py_poly(w) for w in text.split()]
+        return [
+            ((hs[i] * 31 + hs[i + 1]) % 1_000_003) % DSIR_BUCKETS
+            for i in range(len(hs) - 1)
+        ]
+
+    per_doc = {i: feats(t) for i, (t, _lg) in enumerate(texts_langs)}
+    cr, ct = Counter(), Counter()
+    for i, (t, lg) in enumerate(texts_langs):
+        for f in per_doc[i]:
+            cr[f] += 1
+            if lg == DSIR_TARGET_LANG:
+                ct[f] += 1
+    lr = {f: pln_py(ct[f] + 1) - pln_py(cr[f] + 1) for f in cr}
+    ds = pln_py(sum(cr.values()) + DSIR_BUCKETS) - pln_py(
+        sum(ct.values()) + DSIR_BUCKETS
+    )
+    # corpus-average per-occurrence score: f-sorted left fold from 0.0
+    g = 0.0
+    for f in sorted(cr):
+        g = g + float(cr[f]) * lr[f]
+    a = (g / float(sum(cr.values()))) + ds
+
+    rows = {r["doc_id"]: r for r in dsir_log_weights(d).collect()}
+    assert len(rows) == len(texts_langs)
+    for i in per_doc:
+        fs = per_doc[i]
+        r = rows[i]
+        assert r["n_bigrams"] == len(fs), i
+        if not fs:
+            assert r["logweight"] == 0.0 and r["selected"] is False, i
+            continue
+        xf = Counter(fs)
+        s = 0.0
+        for f in sorted(xf):
+            s = s + float(xf[f]) * lr[f]
+        lw = s + float(len(fs)) * ds
+        assert r["logweight"] == lw, i  # bit-equal, no tolerance
+        assert r["selected"] == (lw > float(len(fs)) * a), i
+    # discrimination: per-bigram score of the en docs above the fr doc
+    per_bigram = {
+        i: rows[i]["logweight"] / rows[i]["n_bigrams"]
+        for i in (0, 1, 2)
+    }
+    assert per_bigram[0] > per_bigram[2]
+    assert per_bigram[1] > per_bigram[2]
+
+
 def test_dsir_weights_null_lang_counts_as_nontarget(spark):
     # a bucket whose occurrences all come from NULL-lang docs must
     # count ct=0 (like the oracle's CASE arm), not poison the sum to

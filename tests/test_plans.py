@@ -591,3 +591,29 @@ def test_dsir_weights_bounded_aggs_and_pruned_scan(plans):
     assert "CartesianProduct" not in plan
     for cols in _scan_columns(plan, "documents"):
         assert set(cols) <= {"doc_id", "lang", "text"}
+
+
+def test_dsir_log_bounded_aggs_and_pruned_scan(plans):
+    """tx_dsir_log (the log-space production form) keeps the linear
+    form's shape: bucket relation checkpointed at its barrier (vocab,
+    g-fold, and totals all read ExistingRDD — never a second corpus
+    pass), vocab comes back as a broadcast hash join, the 1-row scalar
+    relation rides a broadcast (never CartesianProduct), and the
+    documents scans read only (doc_id, lang, text). The portable-ln
+    polynomial must run on the tiny relations only: no `bin(` inside
+    any per-document HOF (the pln expression is ~80x self-inlining;
+    on the occurrence stream it would be the winnowing O(n^2) lesson
+    all over again)."""
+    plan = plans("tx_dsir_log")
+    assert "ExistingRDD" in plan, "bucket relation no longer checkpointed"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "lang", "text"}
+    # pln runs only where aggregate() folds the tiny sorted arrays: the
+    # per-doc fold sums PREcomputed doubles, it never re-derives a log
+    for line in plan.splitlines():
+        if "aggregate(" in line and "bin(" in line:
+            raise AssertionError(
+                "portable-ln expanded inside a per-row fold:\n" + line
+            )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import portable
 from ..functions import text as T
 from ..functions.similarity import hyperplane
 from ..operators import ann, dedup, multimodal
@@ -3789,6 +3790,48 @@ DSIR_BUCKETS = 4096
 DSIR_TARGET_LANG = "en"
 
 
+def _dsir_occurrences(d: DataFrame) -> DataFrame:
+    """The DSIR feature-occurrence stream: one (doc_id, lang, f) row per
+    hashed-bigram occurrence, f bucketed to DSIR_BUCKETS. Shared verbatim
+    by the linear (dsir_weights) and log-space (dsir_log_weights) forms
+    so their bucket semantics can never drift."""
+    hashed = d.select(
+        "doc_id", "lang", T.token_hashes(F.col("text")).alias("th")
+    )
+    return hashed.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                T.bigrams_from_hashes(F.col("th")),
+                lambda b: b % DSIR_BUCKETS,
+            )
+        ).alias("f"),
+    )
+
+
+def _dsir_bucket_counts(big: DataFrame) -> DataFrame:
+    """The bounded (f, cr, ct) bucket relation (<= DSIR_BUCKETS rows),
+    localCheckpointed at its 2-consumer barrier (vocab + totals)."""
+    return (
+        big.groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            # NULL-safe target flag: a NULL lang must count as 0 like
+            # the oracle's CASE arm, not poison the whole bucket's sum
+            # to NULL (SUM skips NULLs, but a bucket whose occurrences
+            # are ALL NULL-lang would yield ct=NULL and break the
+            # add-one smoothing invariant; self-review r10)
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("ct"),
+        )
+        .localCheckpoint(eager=False)  # 2 consumers: vocab + totals
+    )
+
+
 def dsir_weights(d: DataFrame) -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al.,
     NeurIPS 2023, "Data Selection for Language Models via Importance
@@ -3836,36 +3879,8 @@ def dsir_weights(d: DataFrame) -> DataFrame:
     AND the per-doc probe — the same deliberate two-scan trade as
     tx_rarity (re-scanning a pruned projection beats materializing the
     corpus-sized occurrence stream at 100 TB)."""
-    hashed = d.select(
-        "doc_id", "lang", T.token_hashes(F.col("text")).alias("th")
-    )
-    big = hashed.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                T.bigrams_from_hashes(F.col("th")),
-                lambda b: b % DSIR_BUCKETS,
-            )
-        ).alias("f"),
-    )
-    fl = (
-        big.groupBy("f")
-        .agg(
-            F.count(F.lit(1)).alias("cr"),
-            # NULL-safe target flag: a NULL lang must count as 0 like
-            # the oracle's CASE arm, not poison the whole bucket's sum
-            # to NULL (SUM skips NULLs, but a bucket whose occurrences
-            # are ALL NULL-lang would yield ct=NULL and break the
-            # add-one smoothing invariant; self-review r10)
-            F.sum(
-                F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
-                .otherwise(0)
-                .cast("long")
-            ).alias("ct"),
-        )
-        .localCheckpoint(eager=False)  # 2 consumers: vocab + totals
-    )
+    big = _dsir_occurrences(d)
+    fl = _dsir_bucket_counts(big)
     vocab = fl.select(
         "f",
         (F.col("cr") + 1).alias("crs"),
@@ -3940,6 +3955,202 @@ SELECT d.doc_id,
   coalesce(per.target_mass * tot.s_r > per.raw_mass * tot.s_t,
            FALSE) AS selected
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, tot"""
+
+
+def dsir_log_weights(d: DataFrame) -> DataFrame:
+    """The PRODUCTION (log-space) DSIR form (Xie et al., NeurIPS 2023
+    §2: the importance weight is the SUMMED PER-FEATURE LOG-RATIO
+    log w(x) = sum_f x_f * log(pt'(f)/pr'(f)) with add-one-smoothed
+    unigram-of-feature models pt'(f) = (ct_f+1)/(T_t+B),
+    pr'(f) = (cr_f+1)/(T_r+B)) — the overflow-free variant the linear
+    tx_dsir_weights docstring names as the 100 TB path: it only ever
+    represents raw COUNTS (bound: total corpus occurrences < 2^53),
+    never a cross-product of masses, so neither the 2^53 double cliff
+    nor the int64 wrap/raise engine-asymmetry (ADVICE r10) is
+    reachable.
+
+    Engine portability — the interesting part. A log-space score is a
+    float SUM of float LOGS, and neither survives the repo's
+    bit-identity discipline naively: libm ``log`` differs between the
+    JVM and DuckDB in the last ulp, and Spark's grouped SUM adds in
+    shuffle order. Both are pinned:
+      * every log is functions.portable.pln_sql — ONE dialect-common
+        SQL string (bitlength + exact power-of-2 scaling + fixed atanh
+        Horner polynomial, IEEE-exact ops only) evaluated verbatim by
+        both engines, so the log VALUES are bit-identical by
+        construction (measured: 0 bit-mismatches over 200k+ inputs);
+      * the per-doc sum folds an f-SORTED array (Spark
+        array_sort(collect_list) + F.aggregate <-> DuckDB
+        list(v ORDER BY f) + list_reduce, both left folds from 0.0),
+        so the ADDITION ORDER is pinned too.
+    logweight is therefore emitted RAW (no rounding), and `selected`
+    compares bit-identical doubles on both engines, so it cannot
+    tie-break differently.
+
+    Selection rule: logweight > 0 ("more likely under the target model
+    than the raw model") selects ZERO documents at sf0.01 — measured,
+    the same absolute-threshold degeneracy the linear form's first
+    draft hit in r10: add-one smoothing over DSIR_BUCKETS dilutes the
+    small target model more than the raw model, dragging every score
+    negative. The pinned rule is therefore the SAME self-normalization
+    as the linear form: selected = logweight > n * a, where
+    a = (sum_f cr_f*lr_f)/T_r + ds is the corpus-average document's
+    per-occurrence score (one more pinned f-sorted fold over the tiny
+    bucket relation) — "scores above the corpus-average document of
+    the same length". The ds term algebraically cancels from the
+    comparison, but the pinned IEEE form keeps it on both sides so
+    `selected` is decided on the emitted logweight. Measured at
+    sf0.01: 93% of target-language docs selected vs ~19% of others
+    (the linear form reads 92% / ~17%).
+
+    Scale shape: reuses the linear form's occurrence stream and the
+    SAME bounded (f, cr, ct) bucket agg (localCheckpointed, 2
+    consumers: vocab + totals — T_t/T_r derive from the tiny bucket
+    relation, never a second corpus pass). pln runs only on the
+    <= DSIR_BUCKETS vocab rows and the 1-row totals, both broadcast
+    back; the corpus-sized work is one (doc_id, f) count agg and one
+    per-doc fold over <= min(n_bigrams, DSIR_BUCKETS) entries —
+    bounded per-doc state, no collect, no cartesian."""
+    big = _dsir_occurrences(d)
+    fl = _dsir_bucket_counts(big)
+    vocab = fl.select(
+        "f",
+        "cr",
+        (
+            F.expr(portable.pln_sql("(ct + 1)"))
+            - F.expr(portable.pln_sql("(cr + 1)"))
+        ).alias("lr"),
+    )
+    # smoothed model totals: T + B (add-one over the whole bucket space)
+    tots = fl.agg(
+        (F.sum("ct") + DSIR_BUCKETS).alias("st"),
+        (F.sum("cr") + DSIR_BUCKETS).alias("sr"),
+    )
+    ds = tots.select(
+        (
+            F.expr(portable.pln_sql("sr")) - F.expr(portable.pln_sql("st"))
+        ).alias("ds")
+    )
+    # corpus-average per-occurrence score: a = (sum_f cr_f*lr_f)/T_r + ds
+    # (one more pinned fold over the tiny vocab relation, f-sorted)
+    g_row = vocab.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("f"),
+                    (F.col("cr").cast("double") * F.col("lr")).alias("w"),
+                )
+            )
+        ).alias("arr"),
+        F.sum("cr").alias("tr"),
+    ).select(
+        F.aggregate(
+            F.transform(F.col("arr"), lambda p: p["w"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("g"),
+        "tr",
+    )
+    scal = g_row.crossJoin(F.broadcast(ds)).select(
+        "ds",
+        ((F.col("g") / F.col("tr").cast("double")) + F.col("ds")).alias("a"),
+    )
+    pf = big.groupBy("doc_id", "f").agg(
+        F.count(F.lit(1)).cast("long").alias("xf")
+    )
+    per = (
+        pf.join(F.broadcast(vocab), "f")
+        .select(
+            "doc_id",
+            "f",
+            "xf",
+            (F.col("xf").cast("double") * F.col("lr")).alias("v"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("xf").alias("n_bigrams"),
+            F.array_sort(F.collect_list(F.struct("f", "v"))).alias("pairs"),
+        )
+    )
+    folded = F.aggregate(
+        F.transform(F.col("pairs"), lambda p: p["v"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.when(F.col("n_bigrams").isNull(), F.lit(0.0))
+            .otherwise(folded + F.col("n_bigrams").cast("double") * F.col("ds"))
+            .alias("logweight"),
+            "a",
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logweight",
+            (
+                F.col("logweight")
+                > F.col("n_bigrams").cast("double") * F.col("a")
+            ).alias("selected"),
+        )
+    )
+
+
+def q_dsir_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_log_weights(_docs(spark, sf_dir))
+
+
+def _dsir_log_sql() -> str:
+    pln = portable.pln_sql
+    return f"""
+WITH {_TOK_HASH_CTE},
+bg AS (SELECT doc_id, CASE WHEN length(th) < 2 THEN [] ELSE
+         list_transform(range(1, length(th)),
+                        i -> ((th[i]*31 + th[i+1]) % 1000003) % {DSIR_BUCKETS})
+       END AS fs FROM th),
+occ AS (SELECT b.doc_id, d.lang, unnest(b.fs) AS f
+        FROM bg b JOIN documents d ON b.doc_id = d.doc_id),
+fl AS (SELECT f, CAST(count(*) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct
+       FROM occ GROUP BY 1),
+vocab AS (SELECT f, cr, ({pln('(ct + 1)')} - {pln('(cr + 1)')}) AS lr FROM fl),
+tots AS (SELECT CAST(sum(ct) + {DSIR_BUCKETS} AS BIGINT) AS st,
+                CAST(sum(cr) + {DSIR_BUCKETS} AS BIGINT) AS sr FROM fl),
+dst AS (SELECT ({pln('sr')} - {pln('st')}) AS ds FROM tots),
+g AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(CAST(cr AS DOUBLE) * lr ORDER BY f)), (a, b) -> a + b) AS g,
+      CAST(sum(cr) AS BIGINT) AS tr FROM vocab),
+scal AS (SELECT dst.ds AS ds,
+           (g.g / CAST(g.tr AS DOUBLE)) + dst.ds AS a FROM g, dst),
+pf AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS xf
+       FROM occ GROUP BY 1, 2),
+pv AS (SELECT pf.doc_id, pf.f, pf.xf, CAST(pf.xf AS DOUBLE) * v.lr AS v
+       FROM pf JOIN vocab v ON pf.f = v.f),
+per AS (SELECT doc_id, CAST(sum(xf) AS BIGINT) AS n_bigrams,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY f)),
+                      (a, b) -> a + b) AS s
+        FROM pv GROUP BY 1),
+lw AS (SELECT d.doc_id,
+         CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CASE WHEN per.doc_id IS NULL THEN CAST(0 AS DOUBLE)
+              ELSE per.s + CAST(per.n_bigrams AS DOUBLE) * scal.ds
+         END AS logweight,
+         scal.a AS a
+       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, scal)
+SELECT doc_id, n_bigrams, logweight,
+  logweight > CAST(n_bigrams AS DOUBLE) * a AS selected
+FROM lw"""
+
+
+DSIR_LOG_SQL = _dsir_log_sql()
 
 
 #: Dict order is load-bearing (driver gates the first 50 registered
@@ -4019,6 +4230,7 @@ QUERIES = {
     "mm_image_neardup": q_image_neardup,
     "tx_pii_scrub": q_pii_scrub,
     "tx_dsir_weights": q_dsir_weights,
+    "tx_dsir_log": q_dsir_log,
 }
 
 ORACLES = {
@@ -4092,6 +4304,7 @@ ORACLES = {
     "mm_image_neardup": IMAGE_NEARDUP_SQL,
     "tx_pii_scrub": PII_SCRUB_SQL,
     "tx_dsir_weights": DSIR_SQL,
+    "tx_dsir_log": DSIR_LOG_SQL,
 }
 
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);
