@@ -1826,6 +1826,74 @@ def test_dhash_single_sampled_pixel_flip_is_local():
     assert flips <= 2
 
 
+def _ref_aenv_blocks(raw128: bytes) -> list[int]:
+    """Independent reference for the audio envelope hash: straight from
+    the padded text bytes, no numpy, no shared code with the kernel."""
+    samples = [max(min((c - 80) * 256, 32767), -32768) for c in raw128]
+    e = [abs(samples[2 * j]) + abs(samples[2 * j + 1]) for j in range(64)]
+    blocks = []
+    for b in range(4):
+        blk = 0
+        for k in range(16):
+            kk = 16 * b + k
+            if e[(kk + 1) % 64] > e[kk]:
+                blk |= 1 << k
+        blocks.append(blk)
+    return blocks
+
+
+def test_aenv_kernel_matches_reference_and_edge_cases():
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        raw = bytes(rng.randint(0, 256, size=128, dtype=np.uint8))
+        samples = np.array(
+            [max(min((c - 80) * 256, 32767), -32768) for c in raw],
+            dtype=np.int16,
+        )
+        assert multimodal.aenv64_blocks_py(samples) == _ref_aenv_blocks(raw)
+    # constant envelope: every strict > is False -> all-zero hash (the
+    # flat-input convention shared with dHash)
+    flat = np.full(128, 1000, dtype=np.int16)
+    assert multimodal.aenv64_blocks_py(flat) == [0, 0, 0, 0]
+    # a truncated stream must fail loud, never hash silently
+    with pytest.raises(ValueError):
+        multimodal.aenv64_blocks_py(np.zeros(127, dtype=np.int16))
+    # cyclic wraparound: bit 63 compares e[0] vs e[63] — a signal whose
+    # ONLY energy step is across the wrap still sets exactly bit 63
+    ramp = np.zeros(128, dtype=np.int16)
+    ramp[0] = ramp[1] = 1000  # e[0]=2000, e[1..63]=0
+    blocks = multimodal.aenv64_blocks_py(ramp)
+    assert blocks[:3] == [0, 0, 0]
+    assert blocks[3] == 1 << 15  # bit 63: e[(63+1)%64]=e[0] > e[63]
+
+
+def test_audio_envelope_hash_spark_matches_kernel(spark):
+    texts = ["spark row one " * 30, "spark row one " * 30, "different " * 40]
+    media = multimodal.documents_as_wav(docs_df(spark, texts))
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.audio_envelope_hash(media).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t[:128].ljust(128).encode("latin-1")
+        expect = _ref_aenv_blocks(raw)
+        assert list(rows[i]["fp"]) == expect, i
+        signed = sum(b << (16 * j) for j, b in enumerate(expect))
+        if signed >= 1 << 63:
+            signed -= 1 << 64
+        assert rows[i]["ahash"] == signed, i
+    # identical payloads -> identical hash; the pair verifies at 0
+    pairs = multimodal.dhash_hamming_pairs(
+        multimodal.audio_envelope_hash(media)
+    ).collect()
+    assert {(p["media_a"], p["media_b"], p["hamming"]) for p in pairs} >= {
+        (0, 1, 0)
+    }
+
+
 def test_image_dhash_spark_matches_kernel(spark):
     import numpy as np
 

@@ -566,6 +566,18 @@ def test_image_neardup_no_allpairs_one_decode(plans):
     assert "MapInPandas" not in plan, "decode re-runs outside the barrier"
 
 
+def test_audio_neardup_no_allpairs_one_decode(plans):
+    """mm_audio_neardup rides the same machinery as the image path
+    (shared dhash_hamming_pairs): block-key equi-join candidates only,
+    and the WAV encode + decode + envelope-hash mapInPandas stages sit
+    behind the localCheckpoint barrier so samples decode ONCE."""
+    plan = plans("mm_audio_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "envelope relation no longer checkpointed"
+    assert "MapInPandas" not in plan, "decode re-runs outside the barrier"
+
+
 def test_pii_scrub_zero_shuffle_pruned_scan(plans):
     """tx_pii_scrub is a map-only pass: plant + count + replace in one
     codegen span — the only exchange allowed is load_table's deliberate

@@ -16,68 +16,26 @@ from wikitrender_spark.plans import registry
 #: driver evidence more than two rounds old). Update each round as
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # round-10 additions, never driver-attested: the simhash bucket-cap
-    # sweep (VERDICT r9 ask #7), perceptual image near-dup, PII scrub
-    "dd_simhash_tuning",
-    "mm_image_neardup",
-    "tx_pii_scrub",
-    "tx_dsir_weights",
-    # stale by round-10 code change: the ADVICE r9 multi-consumer
-    # barrier fix localCheckpoints their shared relations
-    "rel_hourly_mad",
-    "rel_scd2_intervals",
-    # stale by round-10 code change: the bound-hoisting rewrite of the
-    # recursive CTE (VERDICT r9 ask #3) — also an R10_DEFERRED member
-    "rel_recursive_months",
+    # round-11 additions, never driver-attested: log-space DSIR on the
+    # portable-ln polynomial (VERDICT r10 missing #2) and the audio leg
+    # of the modality-dedup triangle
+    "tx_dsir_log",
+    "mm_audio_neardup",
+    # NO stale-by-code-change rows this round: every round-11 refactor
+    # touching an attested query's code path was verified plan-neutral
+    # by normalized executed-plan hash (see the registry composition
+    # comment for the four hashes).
 }
-# NOTE: the 48-row R10_DEFERRED promise (the whole r07-evidence cohort)
-# is paid this round MINUS FOUR documented displacements — see
-# test_r10_promise_is_paid below and the registry composition comment.
 
-#: The 48 rows promised the r10 window by round 9 (= R07_COHORT minus
-#: the r09 window, kept VERBATIM from round 9's derivation so the
+#: The 52 rows promised the r11 window by round 10 (= R08_COHORT |
+#: R10_DISPLACED from round 10's derivation, kept VERBATIM so the
 #: payment is testable against the promised names, not a recomputation
 #: that could drift with the window).
-R10_PROMISE = {
-    "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
-    "dd_cross_source_dups", "dd_embedding_neardup_exact",
-    "dd_lsh_tuning", "dd_semantic_dedup", "mm_wav_features",
-    "mm_y4m_frames", "rel_approx_percentiles", "rel_approx_segments",
-    "rel_asof_last_signup", "rel_corr_subquery",
-    "rel_customers_without_orders", "rel_grouping_sets",
-    "rel_hourly_autocorr", "rel_hourly_ewma", "rel_interval_coverage",
-    "rel_json_props", "rel_lateral_topk", "rel_order_gaps",
-    "rel_percentiles", "rel_pivot_status", "rel_pricing_summary",
-    "rel_recursive_months", "rel_salted_revenue",
-    "rel_scalar_functions", "rel_sessionize",
-    "rel_suppliers_with_shipments", "rel_value_pareto",
-    "rel_window_rank_suite", "tx_bm25_topk", "tx_boilerplate",
-    "tx_bpe_merges", "tx_chunks", "tx_collocations", "tx_leakage_split",
-    "tx_mix_sample", "tx_mix_weights", "tx_novelty", "tx_pack_sharded",
-    "tx_rarity", "tx_stratified_sample", "tx_tfidf_terms",
-    "wt_coedit_pairs", "wt_ingest_dedup", "wt_markov_transitions",
-    "wt_pagerank",
-}
-
-#: The four promised rows the r10 window could not seat (48 promised +
-#: 4 new + 2 stale = 54 > 50; new/stale rows are never deferred, so
-#: exactly four spill under the established displacement rule). Their
-#: driver evidence will be THREE rounds old after r10 — they are named
-#: FIRST in the r11 promise. Chosen as the lowest-risk spills: narrow
-#: scalar/pivot/subquery/anti-join surfaces, code untouched since r07.
-R10_DISPLACED = {
+R11_PROMISE = {
+    # the four r10-displaced rows (r07 evidence — seated first)
     "rel_scalar_functions", "rel_pivot_status", "rel_corr_subquery",
     "rel_customers_without_orders",
-}
-
-#: The rows whose latest driver attestation was r08 when this window
-#: was composed (= CORRECTNESS_r08.json keys minus CORRECTNESS_r09.json
-#: keys — the FIXED population, 48 rows): their evidence will be two
-#: rounds old after r10, so together with the four displaced rows they
-#: are PROMISED the r11 window. 52 rows > 50 even before new r11
-#: queries, so r11 applies the displacement rule again; the displaced
-#: rows seat first.
-R08_COHORT = {
+    # the 48-row r08-evidence cohort
     "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
     "dd_exact_groups", "dd_simhash", "dd_substring_runs",
     "mm_audio_energy", "mm_video_motion", "rel_acctbal_band_pairs",
@@ -97,39 +55,92 @@ R08_COHORT = {
     "wt_session_activity", "wt_stream_replay", "wt_windowed_activity",
 }
 
-#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r11
-#: window — the r08-evidence cohort plus the r10 displacement — minus
+#: The four promised rows the r11 window could not seat (52 promised +
+#: 2 new = 54 > 50; new rows are never deferred, so exactly four spill
+#: under the established displacement rule). Chosen because each has
+#: FRESH family evidence in the r10 window (rel_grouping_sets r10
+#: covers the rollup/cube family; rel_salted_revenue r10 the
+#: regional-agg shape; rel_value_pareto r10 the ranked-customer shape);
+#: all four code-untouched since r08. Named FIRST in the r12 promise.
+R11_DISPLACED = {
+    "rel_regional_revenue", "rel_top_customers", "rel_rollup_orders",
+    "rel_cube_summary",
+}
+
+#: The rows whose latest driver attestation was r09 when this window
+#: was composed (= CORRECTNESS_r09.json keys minus CORRECTNESS_r10.json
+#: keys — the FIXED population, 48 rows): their evidence will be two
+#: rounds old after r11, so together with the four displaced rows they
+#: are PROMISED the r12 window. 52 rows > 50 — the same steady-state
+#: pressure as r11: r12 must displace at least two rows even with zero
+#: additions; the displaced rows seat first.
+R09_COHORT = {
+    "ann_bruteforce_topk", "ann_filtered_expand", "ann_ivf_rp_topk",
+    "ann_ivf_topk", "ann_ivfpq_rerank", "ann_lsh_buckets",
+    "ann_lsh_topk", "ann_rp_topk", "dd_bloom_decontaminate",
+    "dd_cdc_chunks", "dd_containment", "dd_decontaminate",
+    "dd_dup_clusters", "dd_editdist_pairs", "dd_embedding_neardup",
+    "dd_jaccard_histogram", "dd_lsh_candidates", "dd_minhash_est",
+    "dd_minhash_signatures", "dd_near_duplicates", "dd_ngram_jaccard",
+    "dd_simhash_pairs", "mm_audio_vad", "mm_frame_sample",
+    "mm_media_features", "mm_pgm_features", "mm_video_keyframes",
+    "rel_audience_overlap", "rel_dq_audit", "rel_hourly_anomalies",
+    "rel_nation_presence", "rel_nation_set_ops", "tx_clean_corpus",
+    "tx_cms_terms", "tx_dedup_lineage", "tx_filter_funnel",
+    "tx_repetition", "tx_split", "tx_substring_scrub",
+    "tx_token_stats", "tx_vocab", "tx_winnowing", "wt_biggest_movers",
+    "wt_lifecycle_replay", "wt_state_diff", "wt_stream_heavy_hitters",
+    "wt_stream_trending", "wt_top_pages_per_wiki",
+}
+
+#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r12
+#: window — the r09-evidence cohort plus the r11 displacement — minus
 #: anything already re-attesting now.
-R11_DEFERRED = (R08_COHORT | R10_DISPLACED) - set(registry.GATE_WINDOW)
+R12_DEFERRED = (R09_COHORT | R11_DISPLACED) - set(registry.GATE_WINDOW)
 
 
-def test_r10_promise_is_paid():
-    """Every row round 9 promised the r10 window sits in it, except the
-    ONE documented displacement — paid against the promised NAMES."""
-    missing = R10_PROMISE - set(registry.GATE_WINDOW)
-    assert missing == R10_DISPLACED, sorted(missing)
+def test_r11_promise_is_paid():
+    """Every row round 10 promised the r11 window sits in it, except
+    the FOUR documented displacements — paid against the promised
+    NAMES."""
+    missing = R11_PROMISE - set(registry.GATE_WINDOW)
+    assert missing == R11_DISPLACED, sorted(missing)
 
 
 def test_displacement_is_minimal():
     """The displacement rule allows spill only because the window is
-    genuinely full: 44 promised + 4 new + 2 stale = 50 exactly."""
-    assert len(R10_PROMISE - R10_DISPLACED) + len(
-        NEVER_OR_STALE_ATTESTED - R10_PROMISE
+    genuinely full: 48 promised + 2 new = 50 exactly."""
+    assert len(R11_PROMISE - R11_DISPLACED) + len(
+        NEVER_OR_STALE_ATTESTED - R11_PROMISE
     ) == registry.GATE_SIZE
 
 
 def test_every_owed_row_is_windowed_or_deferred():
-    """The r11 promise must be complete by construction: every row with
-    r08-or-older driver evidence is either re-attesting in the r10
-    window or explicitly in the r11 debt — nothing falls out silently."""
-    expected = (R08_COHORT | R10_DISPLACED) - set(registry.GATE_WINDOW)
-    assert R11_DEFERRED == expected
-    # nothing in the r08 cohort re-attests this round, so the r11 debt
-    # is the full cohort plus the four displaced rows (52 > 50: r11
-    # itself must displace at least two rows even with zero additions —
-    # the honest steady-state cadence documented on registry.GATE_WINDOW
-    # is "every row re-attests within 3 rounds, displacements first")
-    assert len(R11_DEFERRED) == 52, len(R11_DEFERRED)
+    """The r12 promise must be complete by construction: every row with
+    r09-or-older driver evidence is either re-attesting in the r11
+    window or explicitly in the r12 debt — nothing falls out silently."""
+    expected = (R09_COHORT | R11_DISPLACED) - set(registry.GATE_WINDOW)
+    assert R12_DEFERRED == expected
+    # nothing in the r09 cohort re-attests this round, so the r12 debt
+    # is the full cohort plus the four displaced rows (52 > 50: the
+    # steady-state cadence documented on registry.GATE_WINDOW)
+    assert len(R12_DEFERRED) == 52, len(R12_DEFERRED)
+
+
+def test_displaced_rows_have_fresh_family_evidence():
+    """The r11 displacement rationale is itself pinned: every displaced
+    row's named family neighbor re-attested in the r10 window."""
+    family_neighbor = {
+        "rel_rollup_orders": "rel_grouping_sets",
+        "rel_cube_summary": "rel_grouping_sets",
+        "rel_regional_revenue": "rel_salted_revenue",
+        "rel_top_customers": "rel_value_pareto",
+    }
+    assert set(family_neighbor) == R11_DISPLACED
+    # the neighbors were in the r10 window (attested r10), and as
+    # registered queries they remain oracle-checked in the local sweep
+    for neighbor in family_neighbor.values():
+        assert neighbor in registry.all_queries()
 
 
 def test_gate_window_is_exactly_first_50():
@@ -154,7 +165,7 @@ def test_window_names_unique_and_registered():
 
 
 def test_deferred_rows_are_registered_and_disjoint_from_window():
-    # the r11 promise list must stay real queries, and a deferred row
+    # the r12 promise list must stay real queries, and a deferred row
     # sitting inside the window would mean the accounting is stale
-    assert R11_DEFERRED <= set(registry.all_queries())
-    assert not (R11_DEFERRED & set(registry.GATE_WINDOW))
+    assert R12_DEFERRED <= set(registry.all_queries())
+    assert not (R12_DEFERRED & set(registry.GATE_WINDOW))

@@ -863,6 +863,77 @@ def image_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+#: Audio energy-envelope hash: WAV_N_SAMPLES PCM16 samples group into
+#: AENV_BITS non-overlapping AENV_WINDOW-sample windows; window j's
+#: energy is the integer sum of |sample| (L1 — exact, no squares to
+#: overflow), and bit k is set iff the NEXT window (cyclic) has strictly
+#: more energy — the 1-band form of the Haitsma-Kalker (2002) robust-
+#: hash bit derivation (sign of the energy delta), time-domain only so
+#: the SQL twin reproduces every bit with integer ops. The cyclic wrap
+#: makes all 64 bits envelope deltas (no dead bit); a constant-energy
+#: envelope (e.g. an all-space payload) hashes to 0, the same flat-
+#: input convention as dHash. 64 bits reuse the DHASH block geometry,
+#: so dhash_hamming_pairs works unchanged on the fp column.
+AENV_WINDOW = 2
+AENV_BITS = WAV_N_SAMPLES // AENV_WINDOW  # 64 = DHASH_BLOCKS * 16
+
+
+def aenv64_blocks_py(samples: "object") -> list[int]:
+    """REAL audio fingerprint kernel over decoded int16 samples:
+    integer L1 energies per AENV_WINDOW-sample window, then bit k is
+    set iff e[(k+1) % AENV_BITS] > e[k] (strict). Exact integer
+    arithmetic end to end — the SQL twin reproduces every bit. Returns
+    DHASH_BLOCKS ints, block b holding bits 16b..16b+15. Fails loud on
+    a sample count that does not fill AENV_BITS whole windows (a
+    truncated stream must never hash silently)."""
+    import numpy as np
+
+    if len(samples) != AENV_BITS * AENV_WINDOW:
+        raise ValueError(
+            f"need exactly {AENV_BITS * AENV_WINDOW} samples, "
+            f"got {len(samples)}"
+        )
+    e = (
+        np.abs(np.asarray(samples, dtype=np.int64))
+        .reshape(AENV_BITS, AENV_WINDOW)
+        .sum(axis=1)
+    )
+    blocks = []
+    for b in range(DHASH_BLOCKS):
+        blk = 0
+        for k in range(DHASH_BLOCK_BITS):
+            kk = b * DHASH_BLOCK_BITS + k
+            if e[(kk + 1) % AENV_BITS] > e[kk]:
+                blk |= 1 << k
+        blocks.append(blk)
+    return blocks
+
+
+def audio_envelope_hash(media: DataFrame) -> DataFrame:
+    """decode -> envelope -> hash as ONE mapInPandas stage (the binary
+    column is consumed inside the stage and never shuffled): each WAV
+    payload flows through the genuine decode_wav -> aenv64_blocks_py
+    kernel. Output: (media_id, fp array<long> of DHASH_BLOCKS 16-bit
+    blocks, ahash — the signed 64-bit two's-complement view). Malformed
+    payloads raise (decode_wav's fail-loud contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _, samples = decode_wav(bytes(row.payload))
+                blocks = aenv64_blocks_py(samples)
+                h = sum(blk << (16 * b) for b, blk in enumerate(blocks))
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append(dict(media_id=row.media_id, fp=blocks, ahash=h))
+            yield pd.DataFrame(out, columns=["media_id", "fp", "ahash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, fp array<long>, ahash long"
+    )
+
+
 def dhash_hamming_pairs(
     hashes: DataFrame, ham_max: int = DHASH_HAM_MAX,
     max_bucket: int | None = None,

@@ -3704,6 +3704,74 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
     <= {multimodal.DHASH_HAM_MAX}"""
 
 
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs — dedup extended to the audio
+    modality (round 11), completing the text (dd_simhash_pairs) /
+    image (mm_image_neardup) / audio triangle on the same Manku
+    block-key machinery: documents become real RIFF/WAVE PCM16 payloads
+    (multimodal.documents_as_wav — a genuine encoder), each decodes
+    through the genuine decode_wav -> aenv64_blocks_py kernel (integer
+    L1 energy envelope, sign-of-delta bits — the 1-band Haitsma-Kalker
+    (2002) robust-hash derivation, time-domain so every bit is exact
+    integer arithmetic) inside ONE mapInPandas stage, and pairs within
+    Hamming distance 3 surface via the shared dhash_hamming_pairs
+    block-key join (complete for <= 3 bits by pigeonhole). Exact
+    payload duplicates land at hamming 0; prefix-sharing docs at small
+    distances. The oracle twin recomputes every envelope bit from the
+    padded text bytes (the same deterministic source the WAV encoder
+    consumed) and verifies over ALL pairs — deliberately independent of
+    the candidate shortcut, so candidate completeness is what the gate
+    checks."""
+    media = multimodal.documents_as_wav(_docs(spark, sf_dir))
+    hashes = multimodal.audio_envelope_hash(media)
+    return multimodal.dhash_hamming_pairs(hashes)
+
+
+def _aenv_block_sql(b: int) -> str:
+    """SQL twin of one 16-bit envelope-hash block over the energy list
+    `e`: bit k of block b is set iff the cyclically-next window has
+    strictly more L1 energy (aenv64_blocks_py's exact rule)."""
+    nbits = multimodal.AENV_BITS
+    return (
+        "CAST(list_sum(list_transform(range(0, 16), k -> "
+        f"CASE WHEN e[((16*{b} + k + 1) % {nbits}) + 1] > e[16*{b} + k + 1] "
+        "THEN (1 << k) ELSE 0 END)) AS BIGINT)"
+    )
+
+
+#: All-pairs verification ON PURPOSE (the image-neardup rationale): the
+#: Spark side prunes candidates with the 4-block pigeonhole join, so an
+#: oracle replaying the shortcut could never catch a completeness bug.
+AUDIO_NEARDUP_SQL = f"""
+WITH pd AS (
+  SELECT doc_id,
+    rpad(substring(text, 1, {multimodal.WAV_N_SAMPLES}),
+         {multimodal.WAV_N_SAMPLES}, ' ') AS s
+  FROM documents),
+en AS (
+  SELECT doc_id, list_transform(range(0, {multimodal.AENV_BITS}), j ->
+      abs(GREATEST(LEAST((unicode(s[2*j+1]) - {multimodal.WAV_CODE_PIVOT})
+                         * 256, 32767), -32768))
+    + abs(GREATEST(LEAST((unicode(s[2*j+2]) - {multimodal.WAV_CODE_PIVOT})
+                         * 256, 32767), -32768))) AS e
+  FROM pd),
+fp AS (
+  SELECT doc_id,
+    {_aenv_block_sql(0)} AS b0,
+    {_aenv_block_sql(1)} AS b1,
+    {_aenv_block_sql(2)} AS b2,
+    {_aenv_block_sql(3)} AS b3
+  FROM en)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+    AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+    <= {multimodal.DHASH_HAM_MAX}"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (round 10): per-doc occurrence
     counts and the redacted text for emails, phone extensions, and
@@ -4228,6 +4296,7 @@ QUERIES = {
     "mm_video_keyframes": q_video_keyframes,
     "mm_audio_vad": q_audio_vad,
     "mm_image_neardup": q_image_neardup,
+    "mm_audio_neardup": q_audio_neardup,
     "tx_pii_scrub": q_pii_scrub,
     "tx_dsir_weights": q_dsir_weights,
     "tx_dsir_log": q_dsir_log,
@@ -4302,6 +4371,7 @@ ORACLES = {
     "mm_video_keyframes": VIDEO_KEYFRAMES_SQL,
     "mm_audio_vad": AUDIO_VAD_SQL,
     "mm_image_neardup": IMAGE_NEARDUP_SQL,
+    "mm_audio_neardup": AUDIO_NEARDUP_SQL,
     "tx_pii_scrub": PII_SCRUB_SQL,
     "tx_dsir_weights": DSIR_SQL,
     "tx_dsir_log": DSIR_LOG_SQL,
