@@ -124,6 +124,13 @@ EXTENDED = [
     "rel_recursive_months",
     "mm_image_neardup",
     "tx_pii_scrub",
+    # round-11 promotions (ext43 composition): tx_dsir_weights enters
+    # per the landing-round rule (sweep-covered in r10, ~1.4 s solo),
+    # plus the two round-11 queries — log-space DSIR and the audio leg
+    # of the modality-dedup triangle.
+    "tx_dsir_weights",
+    "tx_dsir_log",
+    "mm_audio_neardup",
 ]
 
 

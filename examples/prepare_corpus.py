@@ -225,6 +225,34 @@ def main() -> None:
     ).head()
     print(f"dsir selection: {dw['kept']}/{dw['n']} docs more target-like")
 
+    # 16b. the log-space DSIR form (round 11): the production variant
+    # for corpora whose count cross-products would pass 2^53 — same
+    # selection intent, scores summed as portable-ln log-ratios. The
+    # two forms are different estimators (log of mass-sum vs sum of
+    # log-ratios), so agreement is expected to be strong, not exact.
+    from wikitrender_spark.plans.pipeline_queries import dsir_log_weights
+
+    both = (
+        dsir_weights(docs)
+        .select("doc_id", F.col("selected").alias("lin"))
+        .join(
+            dsir_log_weights(docs).select(
+                "doc_id", F.col("selected").alias("log")
+            ),
+            "doc_id",
+        )
+        .agg(
+            F.sum(F.col("log").cast("long")).alias("kept_log"),
+            F.sum((F.col("lin") == F.col("log")).cast("long")).alias("agree"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .head()
+    )
+    print(
+        f"dsir log-space: {both['kept_log']}/{both['n']} kept, "
+        f"agrees with linear on {both['agree']}/{both['n']}"
+    )
+
     # 17. perceptual image near-dup (round 10): the documents-as-PGM
     # rasters decode through the real netpbm -> dHash kernel; pairs
     # within Hamming 3 are cross-modality duplicates text dedup misses
@@ -234,6 +262,14 @@ def main() -> None:
         multimodal.image_dhash(multimodal.documents_as_pgm(docs))
     )
     print(f"image dhash near-dup pairs (hamming<=3): {pairs.count()}")
+
+    # 17b. audio near-dup (round 11): the same documents as PCM16 WAV
+    # payloads through the energy-envelope hash — the third leg of the
+    # modality-dedup triangle, on the same Manku block join
+    apairs = multimodal.dhash_hamming_pairs(
+        multimodal.audio_envelope_hash(multimodal.documents_as_wav(docs))
+    )
+    print(f"audio envelope near-dup pairs (hamming<=3): {apairs.count()}")
 
     # 18. export the final corpus as ORC (pinned-schema interchange) —
     # the SCRUBBED text from step 15, never the raw column

@@ -1,0 +1,163 @@
+"""Streaming corpus-admission throughput vs micro-batch size (round 11).
+
+VERDICT r10 flagged that the ~610 docs/s reading (4 micro-batches of
+1,250 docs) was overhead-dominated and the "scales with batch size"
+claim rested on plan shape only. This probe measures it: the SAME
+admission chain (streaming/corpus.corpus_admission_stream) drained
+under Trigger.AvailableNow at several micro-batch sizes, 4 batches
+each, against a noop sink (no driver-side collection in the timed
+path). Larger runs replicate the sf0.1 corpus with a unique suffix
+word per replica so every digest stays distinct — the digest-dedup
+state grows exactly as it would on real unique content (verbatim
+replicas would dedup away and flatter the dedup exchange).
+
+Each size runs twice with fresh checkpoints: the first (cold) pass is
+reported but excluded from the headline; the second (warm) pass is the
+number. Each chunk is written as FILES_PER_CHUNK parquet files sharing
+one mtime, replayed with maxFilesPerTrigger=FILES_PER_CHUNK — a
+single-file chunk would pin the stateless projection (the expensive
+regex/langid front) to ONE input partition per micro-batch, measuring
+a single core instead of the chain. Prints ONE JSON line.
+
+Usage: python tools/corpus_throughput_probe.py [--sizes 1250,5000,20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from wikitrender_spark.schemas import load_table
+from wikitrender_spark.session import get_spark
+from wikitrender_spark.streaming.corpus import corpus_admission_stream
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+N_CHUNKS = 4
+FILES_PER_CHUNK = 8
+
+
+def build_chunks(spark, work_dir: str, batch_size: int) -> str:
+    """Write N_CHUNKS parquet files of batch_size docs each, mtime-
+    ordered for maxFilesPerTrigger=1 replay. Replicas beyond the base
+    corpus get fresh doc_ids and a unique suffix word so every
+    (doc_id, digest) is distinct."""
+    docs = load_table(spark, SF_DIR, "documents")
+    n_base = docs.count()
+    total = N_CHUNKS * batch_size
+    n_reps = (total + n_base - 1) // n_base
+    reps = spark.range(n_reps).withColumnRenamed("id", "_r")
+    repl = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" rep"),
+                    F.col("_r").cast("string"),
+                    F.lit("x"),
+                    (F.col("doc_id") % 7919).cast("string"),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+            (F.col("_r") * n_base).alias("_base"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = repl.withColumn(
+        "_rn",
+        F.col("_base")
+        + F.row_number().over(
+            Window.partitionBy("_base").orderBy("doc_id")
+        )
+        - 1,
+    ).filter(F.col("_rn") < total)
+    chunk_dir = os.path.join(work_dir, f"chunks_{batch_size}")
+    for i in range(N_CHUNKS):
+        part = ranked.filter(
+            (F.col("_rn") >= i * batch_size)
+            & (F.col("_rn") < (i + 1) * batch_size)
+        ).select("doc_id", "text", "lang", "source", "n_chars")
+        path = os.path.join(chunk_dir, f"chunk_{i:04d}")
+        part.repartition(FILES_PER_CHUNK).write.mode("overwrite").parquet(path)
+        ts = time.time() + i
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    return chunk_dir
+
+
+def drain_once(spark, chunk_dir: str, ckpt: str) -> float:
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", FILES_PER_CHUNK)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    t0 = time.monotonic()
+    q = (
+        corpus_admission_stream(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1250,5000,20000")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    work = tempfile.mkdtemp(prefix="corpus_tp_")
+    try:
+        for bs in sizes:
+            chunk_dir = build_chunks(spark, work, bs)
+            cold = drain_once(spark, chunk_dir, os.path.join(work, f"c{bs}_cold"))
+            warm = drain_once(spark, chunk_dir, os.path.join(work, f"c{bs}_warm"))
+            total = N_CHUNKS * bs
+            results[str(bs)] = {
+                "batches": N_CHUNKS,
+                "docs_total": total,
+                "cold_s": round(cold, 2),
+                "warm_s": round(warm, 2),
+                "warm_docs_per_s": round(total / warm, 0),
+            }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_admission_throughput",
+                "sf_dir": SF_DIR,
+                "sizes": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
