@@ -219,7 +219,8 @@ def main() -> None:
     # keep decisions on the exact integer cross-product
     from wikitrender_spark.plans.pipeline_queries import dsir_weights
 
-    dw = dsir_weights(docs).agg(
+    linear = dsir_weights(docs)  # bound once; 16b joins against it too
+    dw = linear.agg(
         F.sum(F.col("selected").cast("long")).alias("kept"),
         F.count(F.lit(1)).alias("n"),
     ).head()
@@ -233,7 +234,7 @@ def main() -> None:
     from wikitrender_spark.plans.pipeline_queries import dsir_log_weights
 
     both = (
-        dsir_weights(docs)
+        linear
         .select("doc_id", F.col("selected").alias("lin"))
         .join(
             dsir_log_weights(docs).select(

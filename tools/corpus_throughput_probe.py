@@ -49,19 +49,24 @@ FILES_PER_CHUNK = 8
 
 
 def build_chunks(spark, work_dir: str, batch_size: int) -> str:
-    """Write N_CHUNKS parquet files of batch_size docs each, mtime-
-    ordered for maxFilesPerTrigger=1 replay. Replicas beyond the base
-    corpus get fresh doc_ids and a unique suffix word so every
-    (doc_id, digest) is distinct."""
+    """Write N_CHUNKS chunk directories of FILES_PER_CHUNK parquet
+    files each (batch_size docs per chunk), mtime-ordered so
+    maxFilesPerTrigger=FILES_PER_CHUNK replays one chunk per
+    micro-batch. Replicas beyond the base corpus get fresh doc_ids
+    (offset by max(doc_id)+1 per replica — no fixed-modulus collisions
+    at any corpus size) and a suffix word carrying the FULL original
+    doc_id, so every (doc_id, digest) is distinct even when the base
+    corpus has more docs than some hash modulus."""
     docs = load_table(spark, SF_DIR, "documents")
     n_base = docs.count()
+    id_span = docs.agg(F.max("doc_id")).head()[0] + 1
     total = N_CHUNKS * batch_size
     n_reps = (total + n_base - 1) // n_base
     reps = spark.range(n_reps).withColumnRenamed("id", "_r")
     repl = (
         docs.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            (F.col("doc_id") + F.col("_r") * id_span).alias("doc_id"),
             F.when(F.col("_r") == 0, F.col("text"))
             .otherwise(
                 F.concat(
@@ -69,7 +74,7 @@ def build_chunks(spark, work_dir: str, batch_size: int) -> str:
                     F.lit(" rep"),
                     F.col("_r").cast("string"),
                     F.lit("x"),
-                    (F.col("doc_id") % 7919).cast("string"),
+                    F.col("doc_id").cast("string"),
                 )
             )
             .alias("text"),
@@ -119,7 +124,12 @@ def drain_once(spark, chunk_dir: str, ckpt: str) -> float:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # fail loud on a capped drain: a False return means the query is
+    # STILL RUNNING — reporting ~600 s as elapsed and letting it overlap
+    # the next measurement would silently corrupt every later number
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("drain exceeded 600 s; measurement aborted")
     return time.monotonic() - t0
 
 

@@ -18,15 +18,19 @@ both Spark SQL and DuckDB) computing
 
 where e = bitlength(k)-1 (via ``length(bin(k)) - 1`` — exact integer
 path, no float log), m = k / 2^e in [1, 2) (division by an exact
-power of two: exact), t = (m-1)/(m+1) in [0, 0.1716), and P is the
-atanh-series Horner polynomial 1 + u/3 + u^2/5 + ... + u^8/19
+power of two: exact), t = (m-1)/(m+1) in [0, 1/3), and P is the
+atanh-series Horner polynomial 1 + u/3 + u^2/5 + ... + u^9/19
 (u = t^2). Every literal is ``CAST(… AS DOUBLE)`` — bare decimal
 literals parse as DECIMAL in both engines and DECIMAL division
 truncates differently (measured: ~1e-9 drift), which is why the casts
-are load-bearing. Truncation error vs true ln is < 8e-14 relative
-(t^19/19 at the interval edge); measured against ``math.log`` over
-k in 1..200000 plus values near 2^53: worst relative error 7.4e-13,
-and Spark-vs-DuckDB BIT-MISMATCHES: 0.
+are load-bearing. Truncation starts at the dropped 2t*u^10/21 term,
+~9e-12 absolute at the t -> 1/3 interval edge (k = 2^n - 1, the worst
+inputs — a sqrt(2)-centered range reduction would shrink t to 0.172
+but costs an extra portable branch; not worth it at this accuracy);
+measured against ``math.log`` over k in 1..200000 plus values near
+2^53: worst RELATIVE error 1.68e-12 (at k=127), and Spark-vs-DuckDB
+BIT-MISMATCHES: 0 — bit-identity, the load-bearing contract, is
+unconditional on accuracy.
 
 Domain: 1 <= k < 2^53 (k must convert to double exactly; bigger
 counts would round before the polynomial ever runs). That bound is

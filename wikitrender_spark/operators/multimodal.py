@@ -837,6 +837,15 @@ def dhash64_blocks_py(img: "object") -> list[int]:
     return blocks
 
 
+def _blocks_to_signed64(blocks: list[int]) -> int:
+    """Signed two's-complement view of DHASH_BLOCKS 16-bit blocks (bit
+    63 the sign bit) — the ONE home of the convention shared by the
+    image (dhash) and audio (ahash) stages, so a change to the signed
+    view can never silently miss one of them."""
+    h = sum(blk << (DHASH_BLOCK_BITS * b) for b, blk in enumerate(blocks))
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
 def image_dhash(media: DataFrame) -> DataFrame:
     """decode -> resample -> dHash as ONE mapInPandas stage (the binary
     column is consumed inside the stage and never shuffled): each netpbm
@@ -852,9 +861,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 _, _, img = decode_netpbm(bytes(row.payload))
                 blocks = dhash64_blocks_py(img)
-                h = sum(blk << (16 * b) for b, blk in enumerate(blocks))
-                if h >= 1 << 63:
-                    h -= 1 << 64
+                h = _blocks_to_signed64(blocks)
                 out.append(dict(media_id=row.media_id, fp=blocks, dhash=h))
             yield pd.DataFrame(out, columns=["media_id", "fp", "dhash"])
 
@@ -923,9 +930,7 @@ def audio_envelope_hash(media: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 _, samples = decode_wav(bytes(row.payload))
                 blocks = aenv64_blocks_py(samples)
-                h = sum(blk << (16 * b) for b, blk in enumerate(blocks))
-                if h >= 1 << 63:
-                    h -= 1 << 64
+                h = _blocks_to_signed64(blocks)
                 out.append(dict(media_id=row.media_id, fp=blocks, ahash=h))
             yield pd.DataFrame(out, columns=["media_id", "fp", "ahash"])
 
