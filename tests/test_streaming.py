@@ -1253,6 +1253,55 @@ def test_corpus_admission_stream_equals_batch_and_drops_dupes(spark, tmp_path):
     assert "[EMAIL]" in row["redacted"]
 
 
+def test_corpus_admission_extended_pii_patterns(spark):
+    """The widened PII table threads through the admission chain: the
+    output carries one n_{kind} per extended pattern, and the dedup
+    digest is taken over the EXTENDED redaction — two copies that
+    differ only in a planted IPv6 address collapse to one admission
+    (under the default three-pattern table they would NOT, since IPv6
+    survives that redaction)."""
+    import os
+
+    from wikitrender_spark.functions import text as T
+    from wikitrender_spark.streaming import corpus
+
+    src = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" peer 2001:db8:0:0:0:0:0:"),
+            # hex-free suffix trick is unnecessary: decimal digits are
+            # valid hex, so the planted address stays full 8-group form
+            (F.col("doc_id") % 9 + 1).cast("string"),
+        ),
+    )
+    variant = src.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"), r"2001:db8:0:0:0:0:0:[0-9]", "2001:db8:0:0:0:0:0:ffff"
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    both = src.unionByName(variant)
+    ext = corpus.corpus_admission_stream(both, T.PII_PATTERNS_EXTENDED)
+    assert {f"n_{k}" for k, _, _ in T.PII_PATTERNS_EXTENDED} <= set(ext.columns)
+    ext_ids = {r["doc_id"] for r in ext.select("doc_id").collect()}
+    assert ext_ids, "extended admission rejected everything"
+    # extended digest collapses the IPv6-variant copies onto originals
+    assert not {i for i in ext_ids if i >= 30_000_000}
+    # the default table does NOT redact IPv6, so the variants survive
+    # as distinct digests — the discriminating half of the contract
+    base_ids = {
+        r["doc_id"]
+        for r in corpus.corpus_admission_stream(both).select("doc_id").collect()
+    }
+    admitted_originals = {i for i in base_ids if i < 30_000_000 and i % 4 == 0}
+    surviving_variants = {i - 30_000_000 for i in base_ids if i >= 30_000_000}
+    assert surviving_variants == admitted_originals
+    row = ext.filter(F.col("doc_id").isNotNull()).limit(1).collect()[0]
+    assert "[IPV6]" in row["redacted"]
+
+
 def test_corpus_admission_watermark_readmits_expired_drops_live(spark, tmp_path):
     """Bounded-state corpus admission: with a 60 s ingest-time horizon,
     a copy of content whose digest state EXPIRED before the previous

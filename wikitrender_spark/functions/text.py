@@ -239,8 +239,42 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("ip", r"10\.[0-9]{1,3}\.0\.[0-9]{1,3}", "[IP]"),
 )
 
+#: Widened pattern table (VERDICT r10 ask #7). The three-pattern
+#: PII_PATTERNS above stays the PINNED contract of the gated
+#: tx_pii_scrub query (its attested plan must not drift); this superset
+#: is the production table, selectable via scrub_pii(patterns=...).
+#: Same portability discipline: classes, counted repeats, and repeated
+#: NON-ALTERNATING groups only — `(x){m,n}` group repetition is
+#: greedy-deterministic under both Java regex and RE2; no alternation,
+#: so leftmost-first vs leftmost-longest can never diverge. Scope
+#: stated honestly:
+#:   - ipv6 matches the full 8-group uncompressed form (lowercase hex,
+#:     the canonical RFC 5952 lowering); `::`-compressed forms need
+#:     alternation and are out of this table's scope.
+#:   - intl_phone matches E.164-style +CC numbers with 2-4 separator-
+#:     delimited groups ("+44-20-7946-0958", "+1 555 0100"); it runs
+#:     BEFORE the domestic pattern so a +CC number redacts as ONE
+#:     [PHONE] instead of leaving a dangling "+1-" prefix.
+#: Credit cards are a documented SEAM, not a pattern: a bare
+#: [0-9]{13,19} class mass-matches non-PII digit runs, so admission
+#: requires the Luhn checksum — the VALIDATOR is expressible JVM-side
+#: (F.aggregate over reversed digit codes), but regexp_replace cannot
+#: substitute only checksum-valid matches, so scrubbing them needs
+#: extract-validate-splice (posexplode over regexp_extract_all offsets)
+#: — deferred until a corpus carries plantable card numbers.
+PII_PATTERNS_EXTENDED: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "[EMAIL]"),
+    ("ipv6", r"[0-9a-f]{1,4}(:[0-9a-f]{1,4}){7}", "[IPV6]"),
+    ("intl_phone", r"\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}", "[PHONE]"),
+    ("phone", r"555-[0-9]{4}", "[PHONE]"),
+    ("ip", r"10\.[0-9]{1,3}\.0\.[0-9]{1,3}", "[IP]"),
+)
 
-def scrub_pii(text: Column) -> tuple[Column, dict[str, Column]]:
+
+def scrub_pii(
+    text: Column,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> tuple[Column, dict[str, Column]]:
     """PII redaction for training corpora: replaces every occurrence of
     each PII_PATTERNS entry with its placeholder and returns
     (redacted_text, {kind: occurrence_count}). Counts are RAW-TEXT match
@@ -258,12 +292,18 @@ def scrub_pii(text: Column) -> tuple[Column, dict[str, Column]]:
     replacement destroyed the match it overlapped. Pure JVM column ops
     (regexp_count +
     regexp_replace), zero shuffle, embarrassingly parallel — the 100 TB
-    shape is a map-only pass."""
+    shape is a map-only pass.
+
+    `patterns` selects the table: the default PII_PATTERNS is the
+    pinned three-pattern contract of the gated tx_pii_scrub query (the
+    default expression tree is byte-identical to the pre-parameter
+    form); pass PII_PATTERNS_EXTENDED for the widened production set
+    (+ ipv6, + international phone)."""
     counts = {
         kind: F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
-        for kind, pat, _ in PII_PATTERNS
+        for kind, pat, _ in patterns
     }
     redacted = text
-    for _, pat, placeholder in PII_PATTERNS:
+    for _, pat, placeholder in patterns:
         redacted = F.regexp_replace(redacted, pat, placeholder)
     return redacted, counts

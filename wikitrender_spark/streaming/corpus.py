@@ -41,7 +41,11 @@ from ..functions import text as T
 ADMIT_MIN_QUALITY = 0.35
 
 
-def _gate_and_scrub(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+def _gate_and_scrub(
+    docs: DataFrame,
+    carry: tuple[str, ...] = (),
+    patterns: tuple[tuple[str, str, str], ...] = T.PII_PATTERNS,
+) -> DataFrame:
     """The stateless front of the admission chain: language-consistency
     gate (predicted == labeled) + quality floor, then PII redaction,
     with the content digest attached for the dedup stage downstream.
@@ -65,7 +69,7 @@ def _gate_and_scrub(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         (F.col("pred_lang") == F.col("lang"))
         & (F.col("quality") >= ADMIT_MIN_QUALITY)
     )
-    redacted, counts = T.scrub_pii(F.col("text"))
+    redacted, counts = T.scrub_pii(F.col("text"), patterns)
     return gated.select(
         "doc_id",
         "lang",
@@ -74,12 +78,15 @@ def _gate_and_scrub(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         "quality",
         F.md5(redacted).alias("digest"),
         *(counts[kind].cast("int").alias(f"n_{kind}")
-          for kind, _, _ in T.PII_PATTERNS),
+          for kind, _, _ in patterns),
         redacted.alias("redacted"),
     )
 
 
-def corpus_admission_stream(docs: DataFrame) -> DataFrame:
+def corpus_admission_stream(
+    docs: DataFrame,
+    patterns: tuple[tuple[str, str, str], ...] = T.PII_PATTERNS,
+) -> DataFrame:
     """Compose the cleaning pipeline over a (possibly streaming)
     documents relation: language-consistency gate (predicted == labeled)
     + quality floor, then PII redaction, then first-arrival-wins exact
@@ -93,12 +100,25 @@ def corpus_admission_stream(docs: DataFrame) -> DataFrame:
     is pytest-pinned on a chunked replay with injected cross-batch
     duplicate content. State grows one row per distinct admitted digest
     FOREVER: the unbounded-firehose deployment uses
-    corpus_admission_stream_within_watermark."""
-    return _gate_and_scrub(docs).dropDuplicates(["digest"]).drop("digest")
+    corpus_admission_stream_within_watermark.
+
+    `patterns` selects the PII table (default: the pinned three-pattern
+    contract; pass functions.text.PII_PATTERNS_EXTENDED for the widened
+    production set — the output then carries one n_{kind} column per
+    extended pattern, and the dedup digest is taken over the
+    extended-redacted text)."""
+    return (
+        _gate_and_scrub(docs, patterns=patterns)
+        .dropDuplicates(["digest"])
+        .drop("digest")
+    )
 
 
 def corpus_admission_stream_within_watermark(
-    docs: DataFrame, ts_col: str = "ingest_ts", horizon: str = "10 minutes"
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    horizon: str = "10 minutes",
+    patterns: tuple[tuple[str, str, str], ...] = T.PII_PATTERNS,
 ) -> DataFrame:
     """Bounded-state admission for an unbounded document firehose: the
     same gate -> scrub front, with the digest dedup bounded by an
@@ -108,7 +128,7 @@ def corpus_admission_stream_within_watermark(
     watermarked dedup makes; the test pins both directions: a live
     digest drops its copy, an expired one re-admits). The ingest
     timestamp rides through the output for downstream lineage."""
-    s = _gate_and_scrub(docs, carry=(ts_col,))
+    s = _gate_and_scrub(docs, carry=(ts_col,), patterns=patterns)
     return (
         s.withWatermark(ts_col, horizon)
         .dropDuplicatesWithinWatermark(["digest"])
