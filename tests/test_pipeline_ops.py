@@ -1931,6 +1931,58 @@ def test_dhash_pairs_max_bucket_drops_hot_buckets(spark):
     assert capped == 0
 
 
+def test_dhash_tuning_report_accounting(spark):
+    # 30 flat docs all hash to [0,0,0,0] (one 30-hot bucket per block):
+    # uncapped -> C(30,2)=435 candidates, all verify at Hamming 0;
+    # cap 32 keeps the buckets (pop 30 <= 32); cap 2 drops them all —
+    # n_missed must equal exactly the baseline's 435 pairs
+    texts = ["aaaa " * 60] * 30
+    hashes = multimodal.image_dhash(
+        multimodal.documents_as_pgm(docs_df(spark, texts))
+    )
+    rows = {
+        r["max_bucket"]: r
+        for r in multimodal.dhash_tuning_report(
+            hashes, caps=(None, 32, 2)
+        ).collect()
+    }
+    assert set(rows) == {-1, 2, 32}
+    assert (rows[-1]["n_candidates"], rows[-1]["n_pairs"], rows[-1]["n_missed"]) \
+        == (435, 435, 0)
+    assert (rows[32]["n_candidates"], rows[32]["n_pairs"], rows[32]["n_missed"]) \
+        == (435, 435, 0)
+    assert (rows[2]["n_candidates"], rows[2]["n_pairs"], rows[2]["n_missed"]) \
+        == (0, 0, 435)
+
+
+def test_dhash_tuning_report_requires_uncapped_baseline(spark):
+    with pytest.raises(ValueError, match="uncapped baseline"):
+        multimodal.dhash_tuning_report(
+            multimodal.image_dhash(
+                multimodal.documents_as_pgm(docs_df(spark, ["a b"]))
+            ),
+            caps=(8, 2),
+        )
+
+
+def test_dhash_tuning_report_audio_modality(spark):
+    # the report is generic over (media_id, fp): the audio envelope
+    # hash shares the block geometry, so identical WAV payloads give
+    # one C(4,2)=6 uncapped cluster through the SAME report
+    texts = ["bbbb " * 40] * 4
+    hashes = multimodal.audio_envelope_hash(
+        multimodal.documents_as_wav(docs_df(spark, texts))
+    )
+    rows = {
+        r["max_bucket"]: r
+        for r in multimodal.dhash_tuning_report(hashes, caps=(None, 2)).collect()
+    }
+    assert (rows[-1]["n_candidates"], rows[-1]["n_pairs"], rows[-1]["n_missed"]) \
+        == (6, 6, 0)
+    assert (rows[2]["n_candidates"], rows[2]["n_pairs"], rows[2]["n_missed"]) \
+        == (0, 0, 6)
+
+
 def test_scrub_pii_counts_and_order(spark):
     redacted, counts = T.scrub_pii(F.col("text"))
     df = docs_df(
@@ -1959,6 +2011,77 @@ def test_scrub_pii_counts_and_order(spark):
     assert rows[2]["red"] == "two mails [EMAIL] [EMAIL] one ext [PHONE]"
     assert (rows[3]["n_email"], rows[3]["n_phone"]) == (1, 1)
     assert rows[3]["red"] == "edge user555-[EMAIL]"
+
+
+PII_EXTENDED_TEXTS = [
+    # full-form IPv6, long and short hex groups
+    "peer at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 responded",
+    "hex aa:bb is not ipv6 but 2001:db8:1:2:3:4:5:6 is",
+    # international phones: dash- and space-separated, 2-3 groups
+    "call +44-20-7946-0958 or +1 555 0100 after hours",
+    # ordering edge: the +CC form must win over the domestic pattern
+    # (intl_phone is declared BEFORE phone) so ONE [PHONE] is emitted
+    # with no dangling '+1-' prefix; the domestic 555-0134 substring
+    # still counts 1 as a raw-text detection
+    "+1-555-0134 home line",
+    # the pinned three-pattern floor still redacts under the superset
+    "mail alice9@example.org call 555-1234 from 10.2.0.9",
+    "no pii here at all",
+]
+
+
+def test_scrub_pii_extended_patterns(spark):
+    redacted, counts = T.scrub_pii(F.col("text"), T.PII_PATTERNS_EXTENDED)
+    df = docs_df(spark, PII_EXTENDED_TEXTS).select(
+        "doc_id",
+        *(counts[k].alias(f"n_{k}") for k, _, _ in T.PII_PATTERNS_EXTENDED),
+        redacted.alias("red"),
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["n_ipv6"] == 1
+    assert rows[0]["red"] == "peer at [IPV6] responded"
+    assert rows[1]["n_ipv6"] == 1
+    assert rows[1]["red"] == "hex aa:bb is not ipv6 but [IPV6] is"
+    assert (rows[2]["n_intl_phone"], rows[2]["n_phone"]) == (2, 0)
+    assert rows[2]["red"] == "call [PHONE] or [PHONE] after hours"
+    assert (rows[3]["n_intl_phone"], rows[3]["n_phone"]) == (1, 1)
+    assert rows[3]["red"] == "[PHONE] home line"
+    assert (rows[4]["n_email"], rows[4]["n_phone"], rows[4]["n_ip"]) == (1, 1, 1)
+    assert rows[4]["red"] == "mail [EMAIL] call [PHONE] from [IP]"
+    assert all(rows[5][f"n_{k}"] == 0 for k, _, _ in T.PII_PATTERNS_EXTENDED)
+    assert rows[5]["red"] == "no pii here at all"
+
+
+def test_scrub_pii_extended_duckdb_parity(spark):
+    # The widened table claims the same Java-regex/RE2 portability as
+    # the pinned one: per-pattern counts and the full ordered redaction
+    # chain must agree with DuckDB on the planted strings.
+    import duckdb
+
+    redacted, counts = T.scrub_pii(F.col("text"), T.PII_PATTERNS_EXTENDED)
+    spark_rows = (
+        docs_df(spark, PII_EXTENDED_TEXTS)
+        .select(
+            "doc_id",
+            *(counts[k].alias(f"n_{k}") for k, _, _ in T.PII_PATTERNS_EXTENDED),
+            redacted.alias("red"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    for row in spark_rows:
+        s = PII_EXTENDED_TEXTS[row["doc_id"]]
+        chained = "?"
+        for _, pat, placeholder in T.PII_PATTERNS_EXTENDED:
+            chained = f"regexp_replace({chained}, '{pat}', '{placeholder}', 'g')"
+        duck_red = con.execute(f"SELECT {chained}", [s]).fetchone()[0]
+        assert duck_red == row["red"], s
+        for kind, pat, _ in T.PII_PATTERNS_EXTENDED:
+            duck_n = con.execute(
+                f"SELECT length(regexp_extract_all(?, '{pat}'))", [s]
+            ).fetchone()[0]
+            assert duck_n == row[f"n_{kind}"], (kind, s)
+    con.close()
 
 
 def test_simhash_tuning_requires_uncapped_baseline(spark):

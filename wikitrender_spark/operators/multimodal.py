@@ -1004,3 +1004,120 @@ def dhash_hamming_pairs(
         .select("media_a", "media_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= ham_max)
     )
+
+
+#: Default cap sweep for dhash_tuning_report — mirrors
+#: dedup.SIMHASH_TUNING_CAPS (uncapped baseline + a loose and a tight
+#: cap) with one extra mid point, since perceptual buckets skew hotter
+#: than text SimHash blocks on small rasters.
+DHASH_TUNING_CAPS: tuple[int | None, ...] = (None, 32, 8, 2)
+
+
+def dhash_tuning_report(
+    hashes: DataFrame,
+    ham_max: int = DHASH_HAM_MAX,
+    caps: tuple[int | None, ...] = DHASH_TUNING_CAPS,
+) -> DataFrame:
+    """Bucket-cap sweep for dhash_hamming_pairs' ``max_bucket`` knob
+    (VERDICT r10 ask #6 — the dd_simhash_tuning report shape over the
+    perceptual-fingerprint buckets): for each cap, the measured
+    candidate-pair count, how many candidates verify at Hamming <=
+    ham_max, and how many true pairs the cap MISSES versus the uncapped
+    baseline — so the image/audio dedup cap is picked from DATA, like
+    the text path's. Works on any (media_id, fp array<long>) relation —
+    image_dhash and audio_envelope_hash share the block geometry, so one
+    report serves both modalities.
+
+    Scale shape: ONE fingerprint relation (already the product of the
+    decode barrier) feeds the block explosion, every per-cap candidate
+    join, and both verification sides; the bucket-population relation is
+    a broadcast of at most DHASH_BLOCKS * 2^16 rows. Each cap adds one
+    candidate equi-join bounded by its own bucket sizes; the uncapped
+    config bounds the whole report — candidates-only, never all-pairs.
+    Per-cap candidate relations are checkpointed at their 2-consumer
+    barrier (count + verify); the 1-row-per-cap union is checkpointed
+    before the baseline self-comparison. The verification expression is
+    deliberately NOT shared with dhash_hamming_pairs (same rationale as
+    that function's separation from dedup.simhash_hamming_pairs: a
+    tuning-report edit must never stale the attested pair queries).
+
+    Output: (max_bucket INT — -1 encodes uncapped, n_candidates,
+    n_pairs, n_missed), ordered by max_bucket. Exact integers only."""
+    if None not in caps:
+        raise ValueError(
+            "caps must include None (the uncapped baseline n_missed is "
+            f"measured against); got {caps!r}"
+        )
+    fp = hashes.select("media_id", "fp").localCheckpoint(eager=False)
+    blocks_all = fp.select(
+        "media_id", F.posexplode("fp").alias("b", "blk")
+    ).localCheckpoint(eager=False)
+    pops = blocks_all.groupBy("b", "blk").agg(F.count(F.lit(1)).alias("_n"))
+    fa = fp.select(F.col("media_id").alias("media_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("media_id").alias("media_b"), F.col("fp").alias("fp_b"))
+    ham = sum(
+        (
+            F.bit_count(
+                F.element_at("fp_a", i + 1).bitwiseXOR(
+                    F.element_at("fp_b", i + 1)
+                )
+            )
+            for i in range(1, DHASH_BLOCKS)
+        ),
+        F.bit_count(
+            F.element_at("fp_a", 1).bitwiseXOR(F.element_at("fp_b", 1))
+        ),
+    )
+    out = None
+    for cap in caps:
+        blocks = blocks_all
+        if cap is not None:
+            blocks = (
+                blocks_all.join(F.broadcast(pops), ["b", "blk"])
+                .filter(F.col("_n") <= cap)
+                .drop("_n")
+            )
+        a, b = blocks.alias("a"), blocks.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.b") == F.col("b.b"))
+                & (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("a.media_id").alias("media_a"),
+                F.col("b.media_id").alias("media_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)  # 2 consumers: count + verify
+        )
+        pairs = (
+            cand.join(fa, "media_a").join(fb, "media_b").filter(ham <= ham_max)
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+            .select(
+                F.lit(-1 if cap is None else cap)
+                .cast("int")
+                .alias("max_bucket"),
+                "n_candidates",
+                "n_pairs",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    out = out.localCheckpoint(eager=False)  # consumed by base + final
+    base = out.filter(F.col("max_bucket") == -1).select(
+        F.col("n_pairs").alias("_base")
+    )
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "max_bucket",
+            "n_candidates",
+            "n_pairs",
+            (F.col("_base") - F.col("n_pairs")).alias("n_missed"),
+        )
+        .orderBy("max_bucket")
+    )
