@@ -71,67 +71,82 @@ HEADLINE = [
     "mm_frame_sample",
 ]
 
-# The round-6/7/8 additions, frozen as their own suite with its own
-# BASELINE.md band. Order follows the registry.
-EXTENDED = [
-    "rel_sessionize",
-    "wt_coedit_pairs",
-    "tx_stratified_sample",
-    "tx_leakage_split",
-    "wt_pagerank",
-    "wt_markov_transitions",
-    "rel_hourly_autocorr",
-    "wt_ingest_dedup",
-    "wt_ingest_dedup_watermark",
-    "tx_bm25_topk",
-    "tx_collocations",
-    "tx_novelty",
-    "dd_cross_source_dups",
-    "ann_rp_topk",
-    "dd_lsh_tuning",
-    # round-8 additions — every registered query now has a bench row
-    "ann_ivf_rp_topk",
-    "wt_graph_degrees",
-    "wt_coedit_triangles",
-    "tx_source_divergence",
-    "rel_weekday_profile",
-    "mm_video_motion",
-    "wt_edit_wars",
-    "rel_retention_cohorts",
-    "rel_copurchase_pairs",
-    "mm_audio_energy",
-    "ann_filtered_topk",
-    "wt_stream_trending",
-    "wt_revert_chains",
-    # round-9 additions
-    "ann_filtered_expand",
-    "mm_video_keyframes",
-    "mm_audio_vad",
-    "tx_winnowing",
-    "dd_cdc_chunks",
-    "dd_simhash_pairs",
-    "rel_hourly_mad",
-    "rel_scd2_intervals",
-    "rel_audience_overlap",
-    # round-10 additions: recursive-months promoted after its r10
-    # bound-hoisting fix (16-29 s -> ~1.9 s warm; VERDICT r9 ask #3),
-    # plus the two new round-10 queries (image dHash near-dup, PII
-    # scrub). dd_simhash_tuning (also new in r10) stays sweep-covered:
-    # ~9 s warm at sf0.1 (3 candidate joins over one shared fingerprint
-    # checkpoint) would add ~36 s of extended passes for a report
-    # whose cost is dominated by the already-banded dd_simhash_pairs
-    # fingerprint path.
+# --- Extended-suite composition rule (VERDICT r10 ask #8) -------------
+# The extended suite grew append-only for four rounds (28 -> 37 -> 40 ->
+# 43 rows; a full default run passed 30 min solo and grew every round).
+# From round 11 the composition is RULE-DRIVEN:
+#
+#     EXTENDED = EXTENDED_RECENT + EXTENDED_MOVERS
+#
+#   * EXTENDED_RECENT holds every gated query ADDED (or promoted from
+#     the sweep per the promotion rule) in the newest TWO rounds — new
+#     plans get banded median-of-3 scrutiny while they settle. After
+#     two rounds a row DEMOTES to the sweep (one recorded sample per
+#     run — never timing-blind) unless it earns a MOVERS seat.
+#   * EXTENDED_MOVERS is a pinned watchlist of rows whose history shows
+#     a single sweep sample is not enough — the heaviest plans and the
+#     past drifters, each entry carrying its reason. Seating or
+#     retiring a mover is a deliberate commented change, never silent.
+#
+# Promotion stays as before: a sweep row whose sample exceeds the
+# extended suite's per-query max (or that a round's work touches) is
+# promoted into EXTENDED_RECENT for its landing round. Demotion is the
+# rule's default fate — every demoted row keeps its bench_samples.json
+# floor, and the sweep's recorded sample is compared against that floor
+# each round. BASELINE.md keys extended totals by (composition, host),
+# so rule-driven recomposition never breaks the trend table.
+EXTENDED_RECENT = [
+    # round-10 additions
     "rel_recursive_months",
     "mm_image_neardup",
     "tx_pii_scrub",
-    # round-11 promotions (ext43 composition): tx_dsir_weights enters
-    # per the landing-round rule (sweep-covered in r10, ~1.4 s solo),
-    # plus the two round-11 queries — log-space DSIR and the audio leg
-    # of the modality-dedup triangle.
+    # round-11 additions + the tx_dsir_weights sweep promotion
     "tx_dsir_weights",
     "tx_dsir_log",
     "mm_audio_neardup",
 ]
+
+EXTENDED_MOVERS = [
+    # the replay-drain harness row — heaviest extended entry, two
+    # rounds of harness fixes (chunk cache, sentinel); medians guard
+    # against the drain regressing silently
+    "wt_stream_trending",
+    # heaviest pure-batch plan (degree-ordered wedge join)
+    "wt_coedit_triangles",
+    # heaviest ANN row; construction-time sensitive (the rp_project
+    # py4j lesson landed here twice)
+    "ann_ivf_rp_topk",
+    # the two r9 extended drifters — floors re-pinned twice, kept
+    # under medians so host-state swings stay attributable
+    "dd_cross_source_dups",
+    "tx_leakage_split",
+    # two-layer subexpression-inlining regression history (r9); its
+    # floor is the canary for the HOF-inlining bug class
+    "tx_winnowing",
+]
+
+EXTENDED = EXTENDED_RECENT + EXTENDED_MOVERS
+assert len(EXTENDED) == len(set(EXTENDED)), "extended composition overlap"
+assert not set(EXTENDED) & set(HEADLINE), "extended row shadows headline"
+
+# Rows demoted from the append-only ext43 composition to the sweep in
+# round 11 under the rule above — r6-r9 additions, all multi-round
+# stable at their bench_samples.json floors when demoted (the floors
+# stay pinned; each round's sweep sample is compared against them):
+#   rel_sessionize, wt_coedit_pairs, tx_stratified_sample, wt_pagerank,
+#   wt_markov_transitions, rel_hourly_autocorr, wt_ingest_dedup,
+#   wt_ingest_dedup_watermark, tx_bm25_topk, tx_collocations,
+#   tx_novelty, ann_rp_topk, dd_lsh_tuning, wt_graph_degrees,
+#   tx_source_divergence, rel_weekday_profile, mm_video_motion,
+#   wt_edit_wars, rel_retention_cohorts, rel_copurchase_pairs,
+#   mm_audio_energy, ann_filtered_topk, wt_revert_chains,
+#   ann_filtered_expand, mm_video_keyframes, mm_audio_vad,
+#   dd_cdc_chunks, dd_simhash_pairs, rel_hourly_mad,
+#   rel_scd2_intervals, rel_audience_overlap
+# (31 rows; the other 12 ext43 rows kept their seats via RECENT or
+# MOVERS). dd_simhash_tuning stays sweep-covered as before: ~9 s warm
+# at sf0.1 x 4 extended passes for a tuning report is not worth the
+# band.
 
 
 _SWEEP_METH = (
