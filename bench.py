@@ -15,10 +15,12 @@ collect). The headline set spans every engine subsystem: keyed stateful
 aggregation + metrics + top-k (wikitrender core), exact lifecycle replay,
 relational joins/aggs, dedup sketching, ANN, text analysis.
 
-Two fixed suites (r07 ask #2): HEADLINE is frozen for cross-round
+Two suites (r07 ask #2): HEADLINE is frozen for cross-round
 comparability (metric/value on the stdout line stay headline-only);
-EXTENDED covers the round-6/7/8/9 additions that postdate the headline
-freeze. A default run times both, emits the extended results under the
+EXTENDED is rule-driven since round 11 — the newest two rounds'
+additions plus a pinned movers watchlist (see the composition rule
+comment at the EXTENDED definition; VERDICT r10 ask #8). A default run
+times both, emits the extended results under the
 "extended" key of the same JSON line, then records ONE sample for every
 remaining registry row under "sweep" (r08 ask #4 — no query is
 timing-blind). Flags select phases explicitly (`--headline`,

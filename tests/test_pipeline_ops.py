@@ -2084,6 +2084,88 @@ def test_scrub_pii_extended_duckdb_parity(spark):
     con.close()
 
 
+def _py_luhn(digits: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(digits), start=1):
+        d = ord(ch) - 48
+        if i % 2 == 0:
+            d = d * 2 - 9 if d > 4 else d * 2
+        total += d
+    return bool(digits) and total % 10 == 0
+
+
+def test_luhn_valid_matches_python_mirror(spark):
+    cases = [
+        "4111111111111111",      # classic valid Visa test number
+        "4111111111111112",      # same with broken checksum
+        "4532015112830366",
+        "1234567812345678",
+        "79927398713",           # the canonical Luhn example (11 digits)
+        "0000000000000",
+        "9999999999999999999",
+    ]
+    rows = (
+        spark.createDataFrame([(c,) for c in cases], "digits string")
+        .select("digits", T.luhn_valid(F.col("digits")).alias("ok"))
+        .collect()
+    )
+    for r in rows:
+        assert r["ok"] == _py_luhn(r["digits"]), r["digits"]
+
+
+def test_scrub_cards_validate_and_splice(spark):
+    red, n_cand, n_valid = T.scrub_cards(F.col("text"))
+    texts = [
+        # valid card embedded in prose -> replaced
+        "pay with 4111111111111111 today",
+        # 16-digit NON-Luhn run -> inspected but untouched
+        "order id 4111111111111112 shipped",
+        # two candidates, one valid
+        "a 4532015112830366 b 1234567812345678 c",
+        # run too short to be a candidate
+        "pin 123456789012",
+        # whole text is one valid candidate
+        "4111111111111111",
+        "no digits at all",
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in docs_df(spark, texts)
+        .select(
+            "doc_id",
+            red.alias("red"),
+            n_cand.alias("n_cand"),
+            n_valid.alias("n_valid"),
+        )
+        .collect()
+    }
+    assert rows[0]["red"] == "pay with [CARD] today"
+    assert (rows[0]["n_cand"], rows[0]["n_valid"]) == (1, 1)
+    assert rows[1]["red"] == texts[1]
+    assert (rows[1]["n_cand"], rows[1]["n_valid"]) == (1, 0)
+    want2 = (
+        "a [CARD] b 1234567812345678 c"
+        if not _py_luhn("1234567812345678")
+        else "a [CARD] b [CARD] c"
+    )
+    assert rows[2]["red"] == want2
+    assert rows[2]["n_cand"] == 2
+    assert rows[2]["n_valid"] == 1 + int(_py_luhn("1234567812345678"))
+    assert rows[3]["red"] == texts[3]
+    assert (rows[3]["n_cand"], rows[3]["n_valid"]) == (0, 0)
+    assert rows[4]["red"] == "[CARD]"
+    assert rows[5]["red"] == texts[5]
+    # composes with scrub_pii: placeholders are digit-free, so card
+    # scrubbing after PII scrubbing sees the same candidates
+    pii_red, _ = T.scrub_pii(F.col("text"))
+    both = (
+        docs_df(spark, ["mail a@b.org card 4111111111111111"])
+        .select(T.scrub_cards(pii_red)[0].alias("red"))
+        .collect()[0]["red"]
+    )
+    assert both == "mail [EMAIL] card [CARD]"
+
+
 def test_simhash_tuning_requires_uncapped_baseline(spark):
     # n_missed is defined against the uncapped config; without None in
     # caps the baseline cross-join would silently annihilate the report

@@ -255,13 +255,14 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 #:     delimited groups ("+44-20-7946-0958", "+1 555 0100"); it runs
 #:     BEFORE the domestic pattern so a +CC number redacts as ONE
 #:     [PHONE] instead of leaving a dangling "+1-" prefix.
-#: Credit cards are a documented SEAM, not a pattern: a bare
-#: [0-9]{13,19} class mass-matches non-PII digit runs, so admission
-#: requires the Luhn checksum — the VALIDATOR is expressible JVM-side
-#: (F.aggregate over reversed digit codes), but regexp_replace cannot
-#: substitute only checksum-valid matches, so scrubbing them needs
-#: extract-validate-splice (posexplode over regexp_extract_all offsets)
-#: — deferred until a corpus carries plantable card numbers.
+#: Credit cards are NOT a pattern here: a bare [0-9]{13,19} class
+#: mass-matches non-PII digit runs, so admission requires the Luhn
+#: checksum, which a regexp_replace cannot apply. scrub_cards below
+#: implements the extract-validate-splice (split segments +
+#: regexp_extract_all matches reassembled with only Luhn-valid runs
+#: replaced) as a separate composable stage; separator-spanning card
+#: formats ("4111 1111 1111 1111") remain out of scope — normalizing
+#: them first would corrupt non-card digit groups.
 PII_PATTERNS_EXTENDED: tuple[tuple[str, str, str], ...] = (
     ("email", r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "[EMAIL]"),
     ("ipv6", r"[0-9a-f]{1,4}(:[0-9a-f]{1,4}){7}", "[IPV6]"),
@@ -307,3 +308,67 @@ def scrub_pii(
     for _, pat, placeholder in patterns:
         redacted = F.regexp_replace(redacted, pat, placeholder)
     return redacted, counts
+
+
+#: Contiguous digit runs in plausible PAN lengths — candidates only;
+#: scrub_cards admits them through the Luhn checksum.
+CARD_CANDIDATE_PATTERN = r"[0-9]{13,19}"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812-1 Annex B) over a contiguous digit
+    string, as one JVM-side fold: from the RIGHTMOST digit, double every
+    second digit (subtracting 9 when the double exceeds 9) and require
+    the sum to be divisible by 10. False on the empty string. Pure
+    integer arithmetic over ascii codes — no UDF, no shuffle."""
+    n = F.length(digits)
+
+    def step(acc: Column, i: Column) -> Column:
+        # i counts from the RIGHT: the digit is at string position
+        # n - i + 1; every second digit from the right doubles, folding
+        # 2d > 9 back to 2d - 9
+        d = F.ascii(digits.substr(n - i + 1, F.lit(1))) - 48
+        return acc + F.when(
+            i % 2 == 0, F.when(d > 4, d * 2 - 9).otherwise(d * 2)
+        ).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), step)
+    return (n > 0) & (total % 10 == 0)
+
+
+def scrub_cards(
+    text: Column, placeholder: str = "[CARD]"
+) -> tuple[Column, Column, Column]:
+    """Credit-card redaction — the stage regexp_replace cannot express,
+    as a pure JVM column program (no UDF, zero shuffle): contiguous
+    13-19 digit runs are CANDIDATES; only runs that pass the Luhn
+    checksum are replaced, so arbitrary long numbers (ids, timestamps)
+    survive untouched. The splice is split/extract/reassemble:
+    ``split(text, pat, -1)`` yields the between-match segments,
+    ``regexp_extract_all`` the matches (same regex engine, same
+    leftmost-greedy scan, so segments and matches interleave exactly),
+    and one fold rebuilds the text substituting the placeholder for
+    each VALID match. Returns (redacted, n_candidates, n_valid) —
+    n_candidates counts digit runs inspected, n_valid the Luhn-valid
+    runs actually replaced (unlike scrub_pii's detection counts, these
+    ARE replacement counts: the splice replaces exactly the matches it
+    validates). Composes with scrub_pii in either order: no PII
+    placeholder contains a digit, and no PII pattern matches a bare
+    contiguous digit run."""
+    segs = F.split(text, CARD_CANDIDATE_PATTERN, -1)
+    ms = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_PATTERN), 0)
+    n_candidates = F.size(ms)
+    n_valid = F.size(F.filter(ms, luhn_valid))
+    rebuilt = F.aggregate(
+        F.sequence(F.lit(1), n_candidates),
+        F.element_at(segs, 1),
+        lambda acc, i: F.concat(
+            acc,
+            F.when(
+                luhn_valid(F.element_at(ms, i)), F.lit(placeholder)
+            ).otherwise(F.element_at(ms, i)),
+            F.element_at(segs, i + 1),
+        ),
+    )
+    redacted = F.when(n_candidates == 0, text).otherwise(rebuilt)
+    return redacted, n_candidates, n_valid
