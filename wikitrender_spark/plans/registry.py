@@ -72,7 +72,10 @@ _loaded = False
 #: after the _dsir_occurrences/_dsir_bucket_counts extraction;
 #: mm_image_neardup ca3694af, mm_media_features f5d5be01,
 #: mm_pgm_features e02e8576 unchanged after the dead batch_size
-#: parameter removal — all four compared against the round-10 commit).
+#: parameter removal — all four compared against the round-10 commit;
+#: tx_pii_scrub c9c22705 unchanged after scrub_pii gained its
+#: `patterns` parameter, current code vs the reconstructed r10 body in
+#: one session).
 #:
 #: Attestation-cadence note (honest steady state): with 152 registered
 #: queries and a fixed 50-row driver window, every row re-attests at
