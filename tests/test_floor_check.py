@@ -1,0 +1,68 @@
+"""The floor rule, mechanized (round 11): uniform host drift must not
+fail the check; an idiosyncratic single-row blowup must. No Spark."""
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "floor_check",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "floor_check.py"),
+)
+floor_check = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and floor_check)
+
+FLOORS = {"a": 1.0, "b": 2.0, "c": 4.0, "d": 0.5}
+
+
+def test_clean_run_passes():
+    v, a, med = floor_check.check(FLOORS, {"a": 1.1, "b": 2.1, "c": 4.2}, {})
+    assert not v and not a
+    assert 1.0 < med < 1.1
+
+
+def test_uniform_drift_is_advisory_not_violation():
+    # every row 1.6x its floor: raw rule exceeded everywhere, but the
+    # session median drift IS 1.6x, so nothing is idiosyncratic — the
+    # round-11 slow-host scenario
+    suite = {"a": 1.6, "b": 3.2, "c": 6.4, "d": 0.8}
+    v, a, med = floor_check.check(FLOORS, suite, {})
+    assert not v
+    assert len(a) == 4 and all("host state" in x for x in a)
+    assert abs(med - 1.6) < 1e-9
+
+
+def test_single_row_regression_fails_even_with_mild_drift():
+    # the r9 recursive-months scenario: one row blows up while the rest
+    # of the suite sits near its floors
+    suite = {"a": 1.1, "b": 2.2, "c": 4.3, "d": 5.0}  # d = 10x floor
+    v, a, med = floor_check.check(FLOORS, suite, {})
+    assert len(v) == 1 and "d" in v[0] and "REGRESSION" in v[0]
+
+
+def test_new_row_and_sweep_are_advisory():
+    v, a, _ = floor_check.check(FLOORS, {"zz": 3.0}, {"c": 11.0})
+    assert not v
+    assert any(x.startswith("NEW") for x in a)
+    assert any("re-measure solo" in x for x in a)
+
+
+def test_repin_is_a_ratchet():
+    out = floor_check.repin(FLOORS, {"a": 0.8, "b": 9.9}, {"e": 1.5})
+    assert out["a"] == 0.8      # lowered
+    assert out["b"] == 2.0      # never raised
+    assert out["e"] == 1.5      # seated
+    assert FLOORS["a"] == 1.0   # input untouched
+
+
+def test_floors_cover_every_registered_query():
+    import json
+
+    from wikitrender_spark.plans import registry
+
+    doc = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "bench_floors.json"))
+    )
+    missing = set(registry.all_queries()) - set(doc["floors"])
+    assert not missing, f"registered queries without a floor: {sorted(missing)}"

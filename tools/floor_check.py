@@ -1,0 +1,136 @@
+"""Mechanize the per-query floor rule (round 11 — the primary perf
+instrument after the calibration ratio's demotion, see BASELINE.md):
+compare a bench run's per-query readings against the committed floors
+in tools/bench_floors.json and separate GENUINE regressions from
+uniform host drift.
+
+The round-11 lesson that shaped the logic: a slow host state moves
+EVERY row by a similar factor (measured median 1.305, max 1.62 across
+the whole suite on byte-identical code), while a genuine regression
+moves ONE row (r9's recursive-months read 16-29 s against a ~1 s
+plan). So a raw 1.5x-of-floor exceedance alone is ambiguous; the
+checker also normalizes each row by the run's own median drift and
+fails only rows that exceed BOTH the raw 1.5x rule AND 1.25x of the
+session's median drift — a row that is slow the way the whole session
+is slow is drift; a row that is slow on its own is a regression.
+
+Usage:
+  python tools/floor_check.py            # checks bench_samples.json
+  python tools/floor_check.py --repin    # also ratchet floors DOWN to
+                                         # any faster clean readings
+Exit 1 on a drift-adjusted suite violation; sweep singles are
+report-only (they are recorded-not-banded by bench methodology).
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLOORS_PATH = os.path.join(REPO, "tools", "bench_floors.json")
+SAMPLES_PATH = os.path.join(REPO, "bench_samples.json")
+
+RAW_RULE = 1.5        # the established 1.5x-of-floor rule (BASELINE.md)
+DRIFT_MARGIN = 1.25   # must also exceed the session's median drift by this
+SWEEP_ENVELOPE = 2.5  # cold single-sample advisory threshold
+
+
+def check(
+    floors: dict[str, float],
+    suite: dict[str, float],
+    sweep: dict[str, float],
+) -> tuple[list[str], list[str], float]:
+    """Pure comparison logic (pytest-covered without Spark). Returns
+    (violations, advisories, median_drift). `suite` readings are
+    medians (headline + extended — banded); `sweep` are single samples
+    (report-only). Rows without a floor are advisories ("new row —
+    repin to seat a floor"), never violations."""
+    ratios = {
+        n: v / floors[n] for n, v in suite.items() if n in floors and floors[n] > 0
+    }
+    med = statistics.median(ratios.values()) if ratios else 1.0
+    violations = []
+    advisories = []
+    for n, v in sorted(suite.items()):
+        if n not in floors:
+            advisories.append(f"NEW   {n}: {v:.2f}s has no floor (--repin seats it)")
+            continue
+        r = ratios[n]
+        if r > RAW_RULE and r > med * DRIFT_MARGIN:
+            violations.append(
+                f"REGRESSION {n}: {v:.2f}s = {r:.2f}x floor "
+                f"{floors[n]:.2f}s (session median drift {med:.2f}x)"
+            )
+        elif r > RAW_RULE:
+            advisories.append(
+                f"drift {n}: {v:.2f}s = {r:.2f}x floor, within "
+                f"{DRIFT_MARGIN}x of the session median {med:.2f}x — "
+                "host state, not a plan regression"
+            )
+    for n, v in sorted(sweep.items()):
+        if n not in floors:
+            advisories.append(f"NEW   {n}: sweep {v:.2f}s has no floor")
+        elif v > floors[n] * SWEEP_ENVELOPE:
+            advisories.append(
+                f"sweep {n}: single sample {v:.2f}s > {SWEEP_ENVELOPE}x floor "
+                f"{floors[n]:.2f}s — re-measure solo before judging"
+            )
+    return violations, advisories, med
+
+
+def repin(
+    floors: dict[str, float],
+    suite: dict[str, float],
+    sweep: dict[str, float],
+) -> dict[str, float]:
+    """Ratchet: floors only ever move DOWN (or seat for new rows)."""
+    out = dict(floors)
+    for src in (suite, sweep):
+        for n, v in src.items():
+            out[n] = round(min(out.get(n, v), v), 3)
+    return out
+
+
+def main() -> int:
+    args = set(sys.argv[1:])
+    unknown = args - {"--repin"}
+    if unknown:
+        sys.exit(f"floor_check.py: unknown flag(s) {sorted(unknown)}")
+    doc = json.load(open(FLOORS_PATH))
+    floors = doc["floors"]
+    bs = json.load(open(SAMPLES_PATH))
+    suite = {
+        n: round(statistics.median(v), 3)
+        for n, v in bs.get("samples", {}).items()
+        if v
+    }
+    suite.update(bs.get("extended_queries", {}))
+    sweep = bs.get("sweep_queries", {})
+    if not suite and not sweep:
+        sys.exit("bench_samples.json holds no readings — run bench.py first")
+    violations, advisories, med = check(floors, suite, sweep)
+    print(
+        f"{len(suite)} suite rows, {len(sweep)} sweep rows vs "
+        f"{len(floors)} floors; session median drift {med:.2f}x"
+    )
+    for a in advisories:
+        print(f"  note  {a}")
+    for v in violations:
+        print(f"  FAIL  {v}")
+    if "--repin" in args:
+        doc["floors"] = repin(floors, suite, sweep)
+        lowered = sum(
+            1 for n in doc["floors"] if doc["floors"][n] < floors.get(n, 1e18)
+        )
+        seated = len(doc["floors"]) - len(floors)
+        json.dump(doc, open(FLOORS_PATH, "w"), indent=1)
+        print(f"repinned: {lowered} floors lowered, {seated} seated")
+    if not violations:
+        print("floor check: OK")
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
