@@ -2155,15 +2155,41 @@ def test_scrub_cards_validate_and_splice(spark):
     assert (rows[3]["n_cand"], rows[3]["n_valid"]) == (0, 0)
     assert rows[4]["red"] == "[CARD]"
     assert rows[5]["red"] == texts[5]
-    # composes with scrub_pii: placeholders are digit-free, so card
-    # scrubbing after PII scrubbing sees the same candidates
-    pii_red, _ = T.scrub_pii(F.col("text"))
+    # composes with scrub_pii when cards run FIRST: [CARD] is
+    # digit-free, so the PII pass sees no card digits
+    card_red, _, _ = T.scrub_cards(F.col("text"))
+    pii_after, _ = T.scrub_pii(card_red)
     both = (
         docs_df(spark, ["mail a@b.org card 4111111111111111"])
-        .select(T.scrub_cards(pii_red)[0].alias("red"))
+        .select(pii_after.alias("red"))
         .collect()[0]["red"]
     )
     assert both == "mail [EMAIL] card [CARD]"
+
+
+def test_scrub_cards_must_run_before_scrub_pii(spark):
+    """The ordering hazard the round-11 cost probe caught: a greedy
+    intl_phone match absorbs space-separated digit groups adjacent to a
+    real phone, so PII-first splits a following card run and leaves its
+    tail in clear text; cards-first redacts both fully."""
+    text = "+44-20-7946-0958 4111111111111111 done"
+    df = docs_df(spark, [text])
+    ext = T.PII_PATTERNS_EXTENDED
+    # safe order: cards, then PII
+    card_red, _, n_valid = T.scrub_cards(F.col("text"))
+    safe = df.select(
+        T.scrub_pii(card_red, ext)[0].alias("red"), n_valid.alias("nv")
+    ).collect()[0]
+    assert safe["red"] == "[PHONE] [CARD] done"
+    assert safe["nv"] == 1
+    # unsafe order: the phone match eats '...0958 4111', the remaining
+    # 12-digit tail is below the candidate floor and survives in clear
+    pii_red, _ = T.scrub_pii(F.col("text"), ext)
+    unsafe = df.select(
+        T.scrub_cards(pii_red)[0].alias("red")
+    ).collect()[0]["red"]
+    assert any(ch.isdigit() for ch in unsafe)
+    assert "[CARD]" not in unsafe
 
 
 def test_simhash_tuning_requires_uncapped_baseline(spark):

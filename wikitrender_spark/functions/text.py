@@ -352,9 +352,17 @@ def scrub_cards(
     n_candidates counts digit runs inspected, n_valid the Luhn-valid
     runs actually replaced (unlike scrub_pii's detection counts, these
     ARE replacement counts: the splice replaces exactly the matches it
-    validates). Composes with scrub_pii in either order: no PII
-    placeholder contains a digit, and no PII pattern matches a bare
-    contiguous digit run."""
+    validates).
+
+    Composition ORDER MATTERS: run scrub_cards BEFORE scrub_pii.
+    [CARD] contains no digits, so no PII pattern can touch a redacted
+    card; but in the reverse order the greedy intl_phone pattern
+    absorbs space-separated digit groups ADJACENT to a real phone —
+    "+44-20-7946-0958 4111111111111111" redacts as [PHONE] eating
+    "...0958 4111", which splits the card run and leaves its 12-digit
+    tail in clear text, invisible to the Luhn scrub (caught by this
+    round's cost probe, pinned in
+    test_scrub_cards_must_run_before_scrub_pii)."""
     segs = F.split(text, CARD_CANDIDATE_PATTERN, -1)
     ms = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_PATTERN), 0)
     n_candidates = F.size(ms)
