@@ -1983,6 +1983,63 @@ def test_dhash_tuning_report_audio_modality(spark):
         == (0, 0, 6)
 
 
+def _pgm(w, h, raster: bytes) -> bytes:
+    assert len(raster) == w * h
+    return f"P5\n{w} {h}\n255\n".encode() + raster
+
+
+def test_content_crop_and_dhash_padding_invariance(spark):
+    # the same 4x4 content block placed in an 8x8 and a 16x16
+    # space-padded canvas must fingerprint identically after cropping
+    import numpy as np
+
+    content = bytes([10, 200, 30, 90, 220, 15, 180, 60,
+                     70, 140, 250, 5, 35, 95, 155, 215])
+
+    def canvas(edge):
+        r = bytearray(b" " * edge * edge)
+        for i in range(4):
+            r[i * edge: i * edge + 4] = content[i * 4:(i + 1) * 4]
+        return _pgm(edge, edge, bytes(r))
+
+    rows = (
+        spark.createDataFrame(
+            [(0, canvas(8)), (1, canvas(16))],
+            "media_id long, payload binary",
+        )
+        .transform(multimodal.image_dhash_content)
+        .collect()
+    )
+    fps = {r["media_id"]: list(r["fp"]) for r in rows}
+    assert fps[0] == fps[1]
+    # and the crop genuinely changed the padded hash: the plain dHash
+    # of the 16x16 canvas differs (its grid is 3/4 flat padding)
+    plain = (
+        spark.createDataFrame([(1, canvas(16))], "media_id long, payload binary")
+        .transform(multimodal.image_dhash)
+        .collect()[0]
+    )
+    assert list(plain["fp"]) != fps[1]
+    # flat image: crop is a no-op and the hash is 0 on both paths
+    flat = (
+        spark.createDataFrame(
+            [(2, _pgm(8, 8, b" " * 64))], "media_id long, payload binary"
+        )
+        .transform(multimodal.image_dhash_content)
+        .collect()[0]
+    )
+    assert list(flat["fp"]) == [0, 0, 0, 0]
+    # pure-python crop: interior pixels equal to the corner value must
+    # not shrink the box
+    img = np.full((6, 6, 1), 32, dtype=np.uint8)
+    img[1, 1, 0] = 200
+    img[3, 2, 0] = 7
+    # the box spans rows 1..3 x cols 1..2; the corner-valued pixels
+    # INSIDE that box (e.g. (2, 1)) must not shrink it
+    cropped = multimodal.content_crop_py(img)
+    assert cropped.shape == (3, 2, 1)
+
+
 def test_scrub_pii_counts_and_order(spark):
     redacted, counts = T.scrub_pii(F.col("text"))
     df = docs_df(

@@ -870,6 +870,61 @@ def image_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+def content_crop_py(img: "object") -> "object":
+    """Letterbox/padding removal — the standard pHash-pipeline fix the
+    round-11 bucket post-mortem calls for: crop a decoded (h, w, c)
+    uint8 image to the bounding box of pixels whose luminance differs
+    from the BOTTOM-RIGHT corner's (the padding value for any
+    right/bottom-padded raster, and the bar value for letterboxes whose
+    bars reach that corner). Interior pixels equal to the corner value
+    do not shrink the box; a fully-flat image returns unchanged (it
+    hashes to 0 either way). Deterministic integer comparisons only."""
+    import numpy as np
+
+    if img.shape[2] == 1:
+        g = img[:, :, 0].astype(np.int64)
+    else:
+        g = img.astype(np.int64).sum(axis=2) // img.shape[2]
+    diff = g != g[-1, -1]
+    if not diff.any():
+        return img
+    rows = np.where(diff.any(axis=1))[0]
+    cols = np.where(diff.any(axis=0))[0]
+    return img[rows[0]: rows[-1] + 1, cols[0]: cols[-1] + 1, :]
+
+
+def image_dhash_content(media: DataFrame) -> DataFrame:
+    """image_dhash with content-region fingerprinting: decode ->
+    content_crop_py -> resample -> dHash, so the hash describes the
+    CONTENT, not the padding. Motivation is measured, not argued
+    (SCALE.md round-11): on this corpus 1,401 of 5,000 images share an
+    all-zero bottom block because short documents leave flat padding
+    rows, and that single bucket is ~the entire 985k uncapped candidate
+    mass; cropping lets the content fill the grid so the flat-padding
+    blocks disappear. Same output schema as image_dhash — (media_id,
+    fp array<long>, dhash) — so dhash_hamming_pairs and
+    dhash_tuning_report run unchanged on it. A NEW function rather than
+    a flag: image_dhash feeds the attested mm_image_neardup plan, which
+    must not drift. The trade: two images identical except for their
+    padding EXTENT now collide (that is the point), and the hash no
+    longer distinguishes content scale (dHash never did — it resamples
+    to a fixed grid)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _, _, img = decode_netpbm(bytes(row.payload))
+                blocks = dhash64_blocks_py(content_crop_py(img))
+                h = _blocks_to_signed64(blocks)
+                out.append(dict(media_id=row.media_id, fp=blocks, dhash=h))
+            yield pd.DataFrame(out, columns=["media_id", "fp", "dhash"])
+
+    return media.mapInPandas(
+        run, "media_id long, fp array<long>, dhash long"
+    )
+
+
 #: Audio energy-envelope hash: WAV_N_SAMPLES PCM16 samples group into
 #: AENV_BITS non-overlapping AENV_WINDOW-sample windows; window j's
 #: energy is the integer sum of |sample| (L1 — exact, no squares to
