@@ -93,10 +93,10 @@ HEADLINE = [
 # Promotion stays as before: a sweep row whose sample exceeds the
 # extended suite's per-query max (or that a round's work touches) is
 # promoted into EXTENDED_RECENT for its landing round. Demotion is the
-# rule's default fate — every demoted row keeps its bench_samples.json
-# floor, and the sweep's recorded sample is compared against that floor
-# each round. BASELINE.md keys extended totals by (composition, host),
-# so rule-driven recomposition never breaks the trend table.
+# rule's default fate — every demoted row keeps its committed floor in
+# tools/bench_floors.json, and each round's sweep sample is compared
+# against it via tools/floor_check.py. BASELINE.md keys extended totals
+# by (composition, host), so recomposition never breaks the trend table.
 EXTENDED_RECENT = [
     # round-10 additions
     "rel_recursive_months",
@@ -133,8 +133,9 @@ assert not set(EXTENDED) & set(HEADLINE), "extended row shadows headline"
 
 # Rows demoted from the append-only ext43 composition to the sweep in
 # round 11 under the rule above — r6-r9 additions, all multi-round
-# stable at their bench_samples.json floors when demoted (the floors
-# stay pinned; each round's sweep sample is compared against them):
+# stable when demoted; their floors stay pinned in
+# tools/bench_floors.json and floor_check.py compares each round's
+# sweep samples against them:
 #   rel_sessionize, wt_coedit_pairs, tx_stratified_sample, wt_pagerank,
 #   wt_markov_transitions, rel_hourly_autocorr, wt_ingest_dedup,
 #   wt_ingest_dedup_watermark, tx_bm25_topk, tx_collocations,

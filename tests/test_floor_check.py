@@ -47,12 +47,35 @@ def test_new_row_and_sweep_are_advisory():
     assert any("re-measure solo" in x for x in a)
 
 
+def test_half_suite_regression_not_self_masked():
+    # a shared-helper regression hitting half the suite must not
+    # normalize itself away: each row's baseline is the LOO median of
+    # the OTHERS (self-review r11)
+    floors = {f"q{i}": 1.0 for i in range(12)}
+    suite = {f"q{i}": (2.0 if i < 6 else 1.05) for i in range(12)}
+    v, a, _ = floor_check.check(floors, suite, {})
+    assert len(v) == 6 and all("REGRESSION" in x for x in v)
+
+
+def test_degenerate_single_row_suite_still_fails():
+    v, a, _ = floor_check.check({"a": 1.0}, {"a": 10.0}, {})
+    assert len(v) == 1  # no other rows to hide behind: LOO floor is 1.0
+
+
+def test_bad_floor_is_advisory_not_crash():
+    v, a, _ = floor_check.check({"a": 0.0, "b": 2.0}, {"a": 1.0, "b": 2.1}, {})
+    assert not v
+    assert any("BAD FLOOR" in x for x in a)
+
+
 def test_repin_is_a_ratchet():
     out = floor_check.repin(FLOORS, {"a": 0.8, "b": 9.9}, {"e": 1.5})
     assert out["a"] == 0.8      # lowered
     assert out["b"] == 2.0      # never raised
     assert out["e"] == 1.5      # seated
     assert FLOORS["a"] == 1.0   # input untouched
+    # sub-millisecond readings must not seat a zero floor
+    assert floor_check.repin({}, {"z": 0.0004}, {})["z"] == 0.001
 
 
 def test_floors_cover_every_registered_query():

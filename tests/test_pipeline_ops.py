@@ -2084,6 +2084,11 @@ PII_EXTENDED_TEXTS = [
     # the pinned three-pattern floor still redacts under the superset
     "mail alice9@example.org call 555-1234 from 10.2.0.9",
     "no pii here at all",
+    # bounded absorption pins (self-review r11): a 2-group phone eats
+    # ONE adjacent digit group (fail-safe over-redaction, documented);
+    # a 3-group phone is at the repeat cap and absorbs nothing
+    "+1 555 0100 4096 times",
+    "call +44-20-7946-0958 9999 ok",
 ]
 
 
@@ -2107,6 +2112,8 @@ def test_scrub_pii_extended_patterns(spark):
     assert rows[4]["red"] == "mail [EMAIL] call [PHONE] from [IP]"
     assert all(rows[5][f"n_{k}"] == 0 for k, _, _ in T.PII_PATTERNS_EXTENDED)
     assert rows[5]["red"] == "no pii here at all"
+    assert rows[6]["red"] == "[PHONE] times"        # absorbed one group
+    assert rows[7]["red"] == "call [PHONE] 9999 ok"  # cap stops absorption
 
 
 def test_scrub_pii_extended_duckdb_parity(spark):
@@ -2226,10 +2233,12 @@ def test_scrub_cards_validate_and_splice(spark):
 
 def test_scrub_cards_must_run_before_scrub_pii(spark):
     """The ordering hazard the round-11 cost probe caught: a greedy
-    intl_phone match absorbs space-separated digit groups adjacent to a
-    real phone, so PII-first splits a following card run and leaves its
-    tail in clear text; cards-first redacts both fully."""
-    text = "+44-20-7946-0958 4111111111111111 done"
+    intl_phone match absorbs a space-separated digit group adjacent to
+    a real phone (bounded to one group by the {2,3} repeat), so
+    PII-first splits a following card run and leaves its tail in clear
+    text; cards-first redacts both fully. A 2-group phone keeps the
+    absorption reachable under the tightened repeat."""
+    text = "+1 555 0100 4111111111111111 done"
     df = docs_df(spark, [text])
     ext = T.PII_PATTERNS_EXTENDED
     # safe order: cards, then PII

@@ -1282,15 +1282,24 @@ def test_corpus_admission_extended_pii_patterns(spark):
         ).alias("text"),
         "lang", "source", "n_chars",
     )
+    # make the per-pair digest-group assumption explicit and loud: the
+    # slice must carry no exact-duplicate texts (else groups span pairs)
+    assert src.count() == src.select("text").distinct().count()
     both = src.unionByName(variant)
     ext = corpus.corpus_admission_stream(both, T.PII_PATTERNS_EXTENDED)
     assert {f"n_{k}" for k, _, _ in T.PII_PATTERNS_EXTENDED} <= set(ext.columns)
     ext_ids = {r["doc_id"] for r in ext.select("doc_id").collect()}
     assert ext_ids, "extended admission rejected everything"
-    # extended digest collapses the IPv6-variant copies onto originals
-    assert not {i for i in ext_ids if i >= 30_000_000}
-    # the default table does NOT redact IPv6, so the variants survive
-    # as distinct digests — the discriminating half of the contract
+    # extended digest collapses each original/variant pair to ONE
+    # admission. Batch dropDuplicates keeps an ARBITRARY representative
+    # (first-arrival is a streaming-replay contract), so assert pair
+    # collapse, not which member survived (self-review r11)
+    for o in {i % 30_000_000 for i in ext_ids if i % 4 == 0}:
+        assert len(ext_ids & {o, o + 30_000_000}) == 1, o
+    # the default table does NOT redact IPv6, so both pair members keep
+    # distinct digests and BOTH are admitted when the text passes the
+    # gate — the discriminating half of the contract (gating is
+    # text-level, and the exact-dup assert above pins group = pair)
     base_ids = {
         r["doc_id"]
         for r in corpus.corpus_admission_stream(both).select("doc_id").collect()
@@ -1298,6 +1307,7 @@ def test_corpus_admission_extended_pii_patterns(spark):
     admitted_originals = {i for i in base_ids if i < 30_000_000 and i % 4 == 0}
     surviving_variants = {i - 30_000_000 for i in base_ids if i >= 30_000_000}
     assert surviving_variants == admitted_originals
+    assert len(ext_ids) == len(base_ids) - len(admitted_originals)
     row = ext.limit(1).collect()[0]
     assert "[IPV6]" in row["redacted"]
 

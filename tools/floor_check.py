@@ -46,27 +46,47 @@ def check(
     (violations, advisories, median_drift). `suite` readings are
     medians (headline + extended — banded); `sweep` are single samples
     (report-only). Rows without a floor are advisories ("new row —
-    repin to seat a floor"), never violations."""
+    repin to seat a floor"), never violations; a non-positive floor is
+    a corrupt-data advisory, never a crash (the gate must not go dark
+    on anomalous data — self-review r11).
+
+    Each row's drift baseline is the LEAVE-ONE-OUT median of the OTHER
+    rows' ratios, floored at 1.0: including a row in its own baseline
+    let any regression touching >= half the suite normalize itself away
+    (a shared-helper regression hits many rows at once — the r9 HOF-
+    inlining class). LOO closes that for anything up to half the suite;
+    a regression uniform across EVERY row is still indistinguishable
+    from host drift within one session — that residual case needs a
+    second session/host, and the docstring says so rather than
+    pretending otherwise."""
     ratios = {
         n: v / floors[n] for n, v in suite.items() if n in floors and floors[n] > 0
     }
-    med = statistics.median(ratios.values()) if ratios else 1.0
     violations = []
     advisories = []
+    med = statistics.median(ratios.values()) if ratios else 1.0
     for n, v in sorted(suite.items()):
         if n not in floors:
             advisories.append(f"NEW   {n}: {v:.2f}s has no floor (--repin seats it)")
             continue
+        if floors[n] <= 0:
+            advisories.append(
+                f"BAD FLOOR {n}: floor {floors[n]!r} is not positive — "
+                "fix tools/bench_floors.json"
+            )
+            continue
         r = ratios[n]
-        if r > RAW_RULE and r > med * DRIFT_MARGIN:
+        others = [x for m, x in ratios.items() if m != n]
+        loo = max(statistics.median(others) if others else 1.0, 1.0)
+        if r > RAW_RULE and r > loo * DRIFT_MARGIN:
             violations.append(
                 f"REGRESSION {n}: {v:.2f}s = {r:.2f}x floor "
-                f"{floors[n]:.2f}s (session median drift {med:.2f}x)"
+                f"{floors[n]:.2f}s (rest-of-session drift {loo:.2f}x)"
             )
         elif r > RAW_RULE:
             advisories.append(
                 f"drift {n}: {v:.2f}s = {r:.2f}x floor, within "
-                f"{DRIFT_MARGIN}x of the session median {med:.2f}x — "
+                f"{DRIFT_MARGIN}x of the rest-of-session median {loo:.2f}x — "
                 "host state, not a plan regression"
             )
     for n, v in sorted(sweep.items()):
@@ -85,11 +105,13 @@ def repin(
     suite: dict[str, float],
     sweep: dict[str, float],
 ) -> dict[str, float]:
-    """Ratchet: floors only ever move DOWN (or seat for new rows)."""
+    """Ratchet: floors only ever move DOWN (or seat for new rows), but
+    never to a non-positive value — a sub-millisecond reading would
+    otherwise seat a 0.0 floor and poison every later ratio."""
     out = dict(floors)
     for src in (suite, sweep):
         for n, v in src.items():
-            out[n] = round(min(out.get(n, v), v), 3)
+            out[n] = max(round(min(out.get(n, v), v), 3), 0.001)
     return out
 
 

@@ -251,10 +251,20 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 #:   - ipv6 matches the full 8-group uncompressed form (lowercase hex,
 #:     the canonical RFC 5952 lowering); `::`-compressed forms need
 #:     alternation and are out of this table's scope.
-#:   - intl_phone matches E.164-style +CC numbers with 2-4 separator-
+#:   - intl_phone matches E.164-style +CC numbers with 2-3 separator-
 #:     delimited groups ("+44-20-7946-0958", "+1 555 0100"); it runs
 #:     BEFORE the domestic pattern so a +CC number redacts as ONE
-#:     [PHONE] instead of leaving a dangling "+1-" prefix.
+#:     [PHONE] instead of leaving a dangling "+1-" prefix. Known,
+#:     BOUNDED over-redaction (self-review r11): without lookahead
+#:     (which RE2 lacks) a greedy repeat cannot refuse a digit group
+#:     that merely FOLLOWS a real phone, so "+1 555 0100 4096 times"
+#:     absorbs the adjacent "4096" into [PHONE] when the phone used
+#:     fewer than 3 groups. The repeat is pinned at {2,3} (not {2,4})
+#:     to bound the absorption to at most one adjacent group; for a
+#:     training-corpus scrub, deleting a number next to a phone is the
+#:     fail-safe direction — the one place absorption can SPLIT
+#:     sensitive data is a following card number, which the
+#:     cards-BEFORE-PII ordering contract on scrub_cards closes.
 #: Credit cards are NOT a pattern here: a bare [0-9]{13,19} class
 #: mass-matches non-PII digit runs, so admission requires the Luhn
 #: checksum, which a regexp_replace cannot apply. scrub_cards below
@@ -266,7 +276,7 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 PII_PATTERNS_EXTENDED: tuple[tuple[str, str, str], ...] = (
     ("email", r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "[EMAIL]"),
     ("ipv6", r"[0-9a-f]{1,4}(:[0-9a-f]{1,4}){7}", "[IPV6]"),
-    ("intl_phone", r"\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}", "[PHONE]"),
+    ("intl_phone", r"\+[0-9]{1,3}([- ][0-9]{2,4}){2,3}", "[PHONE]"),
     ("phone", r"555-[0-9]{4}", "[PHONE]"),
     ("ip", r"10\.[0-9]{1,3}\.0\.[0-9]{1,3}", "[IP]"),
 )
