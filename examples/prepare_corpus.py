@@ -12,8 +12,10 @@ chains them (SURVEY.md §2.8):
   8-14. substring-run stats + scrub, PQ/IVF-PQ retrieval (plain and
         shortlist-re-ranked), length histogram, Bloom decontamination
         with measured false positives, Count-Min top terms
-  15-17. PII scrub, DSIR importance selection, perceptual image
-        near-dup (the round-10 additions)
+  15-17. cards-first Luhn + widened-table PII scrub, DSIR importance
+        selection (linear + log-space), perceptual near-dup across the
+        image/audio modality legs incl. the content-crop production
+        configuration (the round-10/11 additions)
   18.   ORC export
 
 Every step is a DataFrame transformation: at 100 TB the same composition
@@ -194,25 +196,32 @@ def main() -> None:
     )
     print(f"ivfpq re-ranked retrieval: {rr.count()} rows at k=3, R=30")
 
-    # 15. PII redaction (round 10): scrub emails/phones/IPs and carry
-    # the REDACTED text forward — step 18 exports it, never the raw
-    # text. On this synthetic corpus the counts are zero (no organic
-    # PII; the gated tx_pii_scrub plants deterministic PII to attest
-    # the scrub itself), but the pass belongs in every real pipeline.
-    red, counts = T.scrub_pii(F.col("text"))
+    # 15. PII redaction (round-11 production form) and carry the
+    # REDACTED text forward — step 18 exports it, never the raw text.
+    # ORDER CONTRACT: credit cards FIRST (the Luhn-validated splice;
+    # [CARD] is digit-free so no later pattern can touch it — the
+    # reverse order can split a card run, see functions/text.py), then
+    # the widened pattern table (+IPv6, +international phones). On this
+    # synthetic corpus every count is zero (no organic PII; the gated
+    # tx_pii_scrub plants deterministic PII to attest the scrub), but
+    # the pass belongs in every real pipeline.
+    card_red, n_card_cand, n_card_valid = T.scrub_cards(F.col("text"))
+    red, counts = T.scrub_pii(card_red, T.PII_PATTERNS_EXTENDED)
     scrubbed_docs = docs.select(
         "doc_id", red.alias("text"), "lang", "source", "n_chars",
-        *(counts[k] for k, _, _ in T.PII_PATTERNS),
+        n_card_valid.alias("n_card"),
+        *(counts[k] for k, _, _ in T.PII_PATTERNS_EXTENDED),
     )
     pii = scrubbed_docs.agg(
-        *(F.sum(f"n_{k}").alias(k) for k, _, _ in T.PII_PATTERNS)
+        F.sum("n_card").alias("card"),
+        *(F.sum(f"n_{k}").alias(k) for k, _, _ in T.PII_PATTERNS_EXTENDED),
     ).head()
     scrubbed_docs = scrubbed_docs.drop(
-        *(f"n_{k}" for k, _, _ in T.PII_PATTERNS)
+        "n_card", *(f"n_{k}" for k, _, _ in T.PII_PATTERNS_EXTENDED)
     )
     print(
-        "pii scrub: "
-        + ", ".join(f"{k}={pii[k]}" for k, _, _ in T.PII_PATTERNS)
+        "pii scrub: card=" + str(pii["card"]) + ", "
+        + ", ".join(f"{k}={pii[k]}" for k, _, _ in T.PII_PATTERNS_EXTENDED)
     )
 
     # 16. DSIR importance weights (round 10): target-vs-raw bigram mass;
@@ -271,6 +280,16 @@ def main() -> None:
         multimodal.audio_envelope_hash(multimodal.documents_as_wav(docs))
     )
     print(f"audio envelope near-dup pairs (hamming<=3): {apairs.count()}")
+
+    # 17c. content-region fingerprinting (round 11): the production
+    # configuration for padded/letterboxed corpora — cropping before
+    # the hash dissolves the flat-padding bucket (985,871 -> 10,006
+    # uncapped candidates at sf0.1; see SCALE.md round-11) and makes
+    # every hash bit describe content, a stricter similarity test
+    cpairs = multimodal.dhash_hamming_pairs(
+        multimodal.image_dhash_content(multimodal.documents_as_pgm(docs))
+    )
+    print(f"content-crop dhash near-dup pairs (hamming<=3): {cpairs.count()}")
 
     # 18. export the final corpus as ORC (pinned-schema interchange) —
     # the SCRUBBED text from step 15, never the raw column
