@@ -88,4 +88,8 @@ def test_floors_cover_every_registered_query():
                           "bench_floors.json"))
     )
     missing = set(registry.all_queries()) - set(doc["floors"])
-    assert not missing, f"registered queries without a floor: {sorted(missing)}"
+    assert not missing, (
+        f"registered queries without a floor: {sorted(missing)} — run "
+        "bench.py (the sweep covers new rows), then "
+        "`python tools/floor_check.py --repin` to seat them"
+    )

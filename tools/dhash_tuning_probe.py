@@ -31,6 +31,12 @@ def main() -> int:
         for modality, hashes in (
             ("image", multimodal.image_dhash(multimodal.documents_as_pgm(docs))),
             (
+                # the padded-corpus production configuration (round 11):
+                # content crop dissolves the flat-padding bucket
+                "image-content",
+                multimodal.image_dhash_content(multimodal.documents_as_pgm(docs)),
+            ),
+            (
                 "audio",
                 multimodal.audio_envelope_hash(multimodal.documents_as_wav(docs)),
             ),
