@@ -129,6 +129,25 @@ def main() -> None:
     # the composed clean-corpus query (quality + cluster dedup in one plan)
     print(f"q_clean_corpus rows: {q_clean_corpus(spark, sf_dir).count()}")
 
+    # 5b. apply the trained merges (round 11): BPE-encode the corpus
+    # with the trainer's own top-ranked pairs — train -> encode closes
+    # the tokenizer loop, and packing can budget on real symbol counts
+    from wikitrender_spark.plans.pipeline_queries import q_bpe_merges
+
+    merge_rows = sorted(
+        q_bpe_merges(spark, sf_dir).collect(), key=lambda r: r["merge_rank"]
+    )
+    merges = tuple((r["pair"][0], r["pair"][1]) for r in merge_rows)
+    benc = docs.select(
+        F.size(T.bpe_encode(F.col("text"), merges)).alias("n_sym"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_chars"),
+    ).agg(F.sum("n_sym").alias("s"), F.sum("n_chars").alias("c")).head()
+    print(
+        f"bpe encode: {benc['s']} symbols from {benc['c']} chars "
+        f"({benc['s'] / benc['c']:.3f} symbols/char, "
+        f"{len(merges)} trained merges)"
+    )
+
     # 6. the stage-survival funnel (per-stage counts) and the mix-weight
     # sampling decision a data loader applies on top of the weights
     for r in sorted(

@@ -2148,6 +2148,57 @@ def test_scrub_pii_extended_duckdb_parity(spark):
     con.close()
 
 
+def _py_bpe_word(word: str, merges) -> list:
+    symbols = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(symbols):
+            if (
+                i + 1 < len(symbols)
+                and symbols[i] == left
+                and symbols[i + 1] == right
+            ):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def test_bpe_apply_matches_python_mirror(spark):
+    merges = (("t", "h"), ("th", "e"), ("a", "a"), ("i", "n"), ("in", "g"))
+    words = ["the", "theme", "aaa", "aaaa", "thinking", "x", "in",
+             "athe", "ththe"]
+    rows = (
+        spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", T.bpe_apply_word(F.col("w"), merges).alias("sym"))
+        .collect()
+    )
+    for r in rows:
+        assert list(r["sym"]) == _py_bpe_word(r["w"], merges), r["w"]
+        assert "".join(r["sym"]) == r["w"]  # symbols always rebuild the word
+    got = {r["w"]: list(r["sym"]) for r in rows}
+    # hand pins: composed second-round merge, overlap rule, singleton
+    assert got["the"] == ["the"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["thinking"] == ["th", "in", "k", "ing"]
+    assert got["x"] == ["x"]
+
+
+def test_bpe_encode_flattens_words(spark):
+    merges = (("t", "h"), ("th", "e"))
+    row = (
+        docs_df(spark, ["the cat then"])
+        .select(T.bpe_encode(F.col("text"), merges).alias("sym"))
+        .collect()[0]
+    )
+    # merges never cross word boundaries; flatten preserves word order
+    assert list(row["sym"]) == ["the", "c", "a", "t", "the", "n"]
+
+
 def _py_luhn(digits: str) -> bool:
     total = 0
     for i, ch in enumerate(reversed(digits), start=1):

@@ -320,6 +320,84 @@ def scrub_pii(
     return redacted, counts
 
 
+def bpe_apply_word(word: Column, merges: tuple[tuple[str, str], ...]) -> Column:
+    """Apply an ordered BPE merge table to ONE word, entirely JVM-side:
+    start from character symbols and, for each (left, right) merge in
+    rank order, run one LEFT-TO-RIGHT NON-OVERLAPPING pass replacing
+    adjacent (left, right) symbol pairs with their concatenation — the
+    application semantics of Sennrich et al.'s reference encoder
+    ("aaa" under (a,a) -> ["aa","a"]; "aaaa" -> ["aa","aa"]; the merged
+    symbol never re-merges within the same pass). Later merges see the
+    SYMBOLS earlier merges built, so second-round entries like
+    ("th","e") compose as in a real tokenizer. Returns array<string> of
+    final symbols whose concatenation is always the original word.
+
+    Implementation: one struct fold (out array + pending symbol) per
+    merge, nested in rank order, with the pend flush in the fold's
+    FINISH lambda. The finish lambda matters more than it looks: the
+    first cut flushed pend outside the fold via
+    when(folded.pend=='', folded.out).otherwise(...), which references
+    the folded expression THREE times per level — the expression tree
+    tripled per merge and 3^20 nodes OOM'd the DRIVER during py4j
+    Column construction (the tx_winnowing/embedding_band_keys
+    inlining-blowup class, here exponential). Inside finish, acc is a
+    lambda VARIABLE, so each level references its input expression
+    exactly once and the tree grows linearly in merge count.
+    Evaluation is len(merges) interpreted passes per word — measured
+    23.6 s for the full sf0.1 corpus (5,000 docs, 1.22M chars, the
+    trainer's 20 merges; 0.785 symbols/char). Zero shuffle, so it
+    scales row-parallel, but a real vocabulary (tens of thousands of
+    merges) makes the per-merge-pass shape wrong — at that size encode
+    in a Pandas UDF with a dict-backed merge table (the documented
+    fast path for heavy per-row Python work) rather than extending
+    this chain. Completes the tokenizer story the tx_bpe_merges
+    trainer starts: train merges -> encode -> pack."""
+    symbols = F.split(word, "")
+    for left, right in merges:
+        symbols = F.aggregate(
+            symbols,
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit("").alias("pend"),
+            ),
+            lambda acc, s: F.when(
+                acc["pend"] == F.lit(""),
+                F.struct(acc["out"].alias("out"), s.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == F.lit(left)) & (s == F.lit(right)),
+                F.struct(
+                    F.concat(
+                        acc["out"], F.array(F.lit(left + right))
+                    ).alias("out"),
+                    F.lit("").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    s.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["pend"] == F.lit(""), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+        )
+    return symbols
+
+
+def bpe_encode(text: Column, merges: tuple[tuple[str, str], ...]) -> Column:
+    """BPE-encode a document: whitespace-tokenize, apply the merge
+    table within each word (merges never cross word boundaries, as in
+    standard BPE), and flatten to one array<string> of symbols for the
+    whole document. Zero shuffle — a per-row projection that pipelines
+    into the scan; pack on F.size of this instead of raw token counts
+    to budget by real tokenizer output."""
+    return F.flatten(
+        F.transform(tokens(text), lambda w: bpe_apply_word(w, merges))
+    )
+
+
 #: Contiguous digit runs in plausible PAN lengths — candidates only;
 #: scrub_cards admits them through the Luhn checksum.
 CARD_CANDIDATE_PATTERN = r"[0-9]{13,19}"
