@@ -228,18 +228,22 @@ def main() -> None:
     red, counts = T.scrub_pii(card_red, T.PII_PATTERNS_EXTENDED)
     scrubbed_docs = docs.select(
         "doc_id", red.alias("text"), "lang", "source", "n_chars",
+        n_card_cand.alias("n_card_cand"),
         n_card_valid.alias("n_card"),
         *(counts[k] for k, _, _ in T.PII_PATTERNS_EXTENDED),
     )
     pii = scrubbed_docs.agg(
+        F.sum("n_card_cand").alias("card_cand"),
         F.sum("n_card").alias("card"),
         *(F.sum(f"n_{k}").alias(k) for k, _, _ in T.PII_PATTERNS_EXTENDED),
     ).head()
     scrubbed_docs = scrubbed_docs.drop(
-        "n_card", *(f"n_{k}" for k, _, _ in T.PII_PATTERNS_EXTENDED)
+        "n_card_cand", "n_card",
+        *(f"n_{k}" for k, _, _ in T.PII_PATTERNS_EXTENDED),
     )
     print(
-        "pii scrub: card=" + str(pii["card"]) + ", "
+        f"pii scrub: card={pii['card']} (of {pii['card_cand']} digit-run "
+        "candidates), "
         + ", ".join(f"{k}={pii[k]}" for k, _, _ in T.PII_PATTERNS_EXTENDED)
     )
 

@@ -2282,6 +2282,59 @@ def test_scrub_cards_validate_and_splice(spark):
     assert both == "mail [EMAIL] card [CARD]"
 
 
+def test_scrub_cards_output_safe_under_multiple_references(spark):
+    """Regression (self-review r11, empirically reproduced): the first
+    scrub_cards guarded an index-fold behind when(n_candidates == 0) —
+    whole-stage codegen CSE hoisted the shared fold out of that lazy
+    guard when a projection referenced the returned column more than
+    once, and sequence(1, 0) being the DESCENDING [1, 0] made the
+    hoisted fold index an empty array: the job crashed on exactly the
+    rows carrying cards. The splice is now total (folds over the match
+    array itself), so the example's shape — redacted text AND pattern
+    counts over it in ONE select — must work on card-bearing rows."""
+    card_red, n_cand, n_valid = T.scrub_cards(F.col("text"))
+    pii_red, counts = T.scrub_pii(card_red, T.PII_PATTERNS_EXTENDED)
+    rows = {
+        r["doc_id"]: r
+        for r in docs_df(
+            spark,
+            [
+                "pay 4111111111111111 now",       # Luhn-valid card
+                "order 4111111111111112 shipped",  # candidate, invalid
+                "no digits here",
+            ],
+        )
+        .select(
+            "doc_id",
+            pii_red.alias("red"),
+            n_cand.alias("nc"),
+            n_valid.alias("nv"),
+            *(counts[k].alias(f"n_{k}") for k, _, _ in T.PII_PATTERNS_EXTENDED),
+        )
+        .collect()
+    }
+    assert rows[0]["red"] == "pay [CARD] now"
+    assert (rows[0]["nc"], rows[0]["nv"]) == (1, 1)
+    assert rows[1]["red"] == "order 4111111111111112 shipped"
+    assert (rows[1]["nc"], rows[1]["nv"]) == (1, 0)
+    assert rows[2]["red"] == "no digits here"
+    assert (rows[2]["nc"], rows[2]["nv"]) == (0, 0)
+
+
+def test_bpe_apply_zero_merges_consistent_on_empty_word(spark):
+    # both paths must agree that an empty word has NO symbols (the
+    # zero-merge path used to return [''] from the raw split)
+    row = (
+        spark.createDataFrame([("",)], "w string")
+        .select(
+            T.bpe_apply_word(F.col("w"), ()).alias("zero"),
+            T.bpe_apply_word(F.col("w"), (("a", "b"),)).alias("one"),
+        )
+        .collect()[0]
+    )
+    assert list(row["zero"]) == [] == list(row["one"])
+
+
 def test_scrub_cards_must_run_before_scrub_pii(spark):
     """The ordering hazard the round-11 cost probe caught: a greedy
     intl_phone match absorbs a space-separated digit group adjacent to

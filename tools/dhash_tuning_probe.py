@@ -1,10 +1,12 @@
 """Measure the dhash_tuning_report cap trade on the sf corpus (VERDICT
 r10 ask #6 — the image/audio analogue of the dd_simhash_tuning table):
 for each max_bucket cap, candidates generated, pairs verified at
-Hamming <= 3, and pairs MISSED vs the uncapped baseline, for BOTH
-perceptual fingerprint modalities (image dHash over documents_as_pgm,
-audio envelope hash over documents_as_wav) — the same corpus encodings
-the gated mm_image_neardup / mm_audio_neardup queries attest.
+Hamming <= 3, and pairs MISSED vs the uncapped baseline, for THREE
+fingerprint configurations: plain image dHash over documents_as_pgm,
+the content-crop variant (image_dhash_content — the padded-corpus
+production configuration), and the audio envelope hash over
+documents_as_wav. The plain image and audio encodings are the ones the
+gated mm_image_neardup / mm_audio_neardup queries attest.
 
 Usage: python tools/dhash_tuning_probe.py [sf_dir ...]
 Defaults to /root/testdata/sf0.01 and /root/testdata/sf0.1. Run SOLO

@@ -352,7 +352,11 @@ def bpe_apply_word(word: Column, merges: tuple[tuple[str, str], ...]) -> Column:
     fast path for heavy per-row Python work) rather than extending
     this chain. Completes the tokenizer story the tx_bpe_merges
     trainer starts: train merges -> encode -> pack."""
-    symbols = F.split(word, "")
+    # array_remove('') normalizes split's empty-string artifacts so the
+    # zero-merge path agrees with the folded one (an empty word is []
+    # on both, never ['']) and neither depends on engine-version
+    # trailing-empty split semantics (self-review r11)
+    symbols = F.array_remove(F.split(word, ""), "")
     for left, right in merges:
         symbols = F.aggregate(
             symbols,
@@ -455,16 +459,31 @@ def scrub_cards(
     ms = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_PATTERN), 0)
     n_candidates = F.size(ms)
     n_valid = F.size(F.filter(ms, luhn_valid))
-    rebuilt = F.aggregate(
-        F.sequence(F.lit(1), n_candidates),
-        F.element_at(segs, 1),
-        lambda acc, i: F.concat(
-            acc,
-            F.when(
-                luhn_valid(F.element_at(ms, i)), F.lit(placeholder)
-            ).otherwise(F.element_at(ms, i)),
-            F.element_at(segs, i + 1),
+    # The splice folds over the MATCHES array directly (carrying a
+    # positional counter), not over sequence(1, n): every element_at is
+    # in bounds BY CONSTRUCTION (segs always has len(ms)+1 elements and
+    # the counter stops at len(ms)), and an empty ms returns the init —
+    # element_at(segs, 1), the whole text. Totality matters beyond
+    # elegance (self-review r11, empirically reproduced): the first cut
+    # guarded an index-fold behind when(n_candidates == 0, text), and
+    # whole-stage codegen's subexpression elimination HOISTED the
+    # shared fold out of that lazy guard when a caller referenced the
+    # returned column more than once in a projection — sequence(1, 0)
+    # is the DESCENDING [1, 0], so the hoisted fold indexed an empty
+    # array and crashed the job on exactly the rows carrying cards. A
+    # total expression is safe under any CSE/hoisting the optimizer
+    # applies; no outer guard exists to be bypassed.
+    redacted = F.aggregate(
+        ms,
+        F.struct(F.element_at(segs, 1).alias("acc"), F.lit(1).alias("i")),
+        lambda st, m: F.struct(
+            F.concat(
+                st["acc"],
+                F.when(luhn_valid(m), F.lit(placeholder)).otherwise(m),
+                F.element_at(segs, st["i"] + 1),
+            ).alias("acc"),
+            (st["i"] + 1).alias("i"),
         ),
+        lambda st: st["acc"],
     )
-    redacted = F.when(n_candidates == 0, text).otherwise(rebuilt)
     return redacted, n_candidates, n_valid
