@@ -78,6 +78,18 @@ def test_repin_is_a_ratchet():
     assert floor_check.repin({}, {"z": 0.0004}, {})["z"] == 0.001
 
 
+def test_repin_sweep_seats_but_never_lowers():
+    """ADVICE r11 low #4: a sweep reading is ONE cold sample — it may
+    seat a floor for a row that has none, but an anomalously fast
+    single-shot must not permanently tighten an existing floor (the
+    ratchet has no mechanism to move back up)."""
+    out = floor_check.repin({"a": 1.0}, {}, {"a": 0.2, "e": 1.5})
+    assert out["a"] == 1.0      # sweep single-shot cannot lower
+    assert out["e"] == 1.5      # but can seat a missing floor
+    # suite medians retain the lowering right
+    assert floor_check.repin({"a": 1.0}, {"a": 0.2}, {})["a"] == 0.2
+
+
 def test_floors_cover_every_registered_query():
     import json
 

@@ -16,65 +16,24 @@ from wikitrender_spark.plans import registry
 #: driver evidence more than two rounds old). Update each round as
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # round-11 additions, never driver-attested: log-space DSIR on the
-    # portable-ln polynomial (VERDICT r10 missing #2) and the audio leg
-    # of the modality-dedup triangle
-    "tx_dsir_log",
-    "mm_audio_neardup",
-    # NO stale-by-code-change rows this round: every round-11 refactor
-    # touching an attested query's code path was verified plan-neutral
-    # by normalized executed-plan hash (see the registry composition
-    # comment for the four hashes).
+    # round-12 addition, never driver-attested: the content-crop
+    # perceptual image fingerprint with the crop box recomputed in SQL
+    # (VERDICT r11 ask #4)
+    "mm_image_neardup_content",
+    # NO stale-by-code-change rows this round: round-12 changes are
+    # pure additions (new functions/queries); no attested query's code
+    # path changed after its evidence.
 }
 
-#: The 52 rows promised the r11 window by round 10 (= R08_COHORT |
-#: R10_DISPLACED from round 10's derivation, kept VERBATIM so the
+#: The 52 rows promised the r12 window by round 11 (= R09_COHORT |
+#: R11_DISPLACED from round 11's derivation, kept VERBATIM so the
 #: payment is testable against the promised names, not a recomputation
 #: that could drift with the window).
-R11_PROMISE = {
-    # the four r10-displaced rows (r07 evidence — seated first)
-    "rel_scalar_functions", "rel_pivot_status", "rel_corr_subquery",
-    "rel_customers_without_orders",
-    # the 48-row r08-evidence cohort
-    "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
-    "dd_exact_groups", "dd_simhash", "dd_substring_runs",
-    "mm_audio_energy", "mm_video_motion", "rel_acctbal_band_pairs",
-    "rel_copurchase_pairs", "rel_cube_summary", "rel_event_funnel",
-    "rel_regional_revenue", "rel_retention_cohorts",
-    "rel_rolling_revenue_window", "rel_rollup_orders",
-    "rel_running_revenue", "rel_signup_burst",
-    "rel_small_quantity_revenue", "rel_top_customers",
-    "rel_topk_per_brand", "rel_unpivot_presence", "rel_weekday_profile",
-    "tx_fingerprint", "tx_langid", "tx_length_histogram", "tx_pack",
-    "tx_pack_split", "tx_quality", "tx_source_divergence",
-    "wt_classify_counts", "wt_coedit_triangles", "wt_delete_targets",
-    "wt_edit_wars", "wt_epm_variants", "wt_graph_degrees",
-    "wt_ingest_dedup_watermark", "wt_most_edited", "wt_most_vibrant",
-    "wt_page_state", "wt_page_state_lifecycle", "wt_protect_followups",
-    "wt_purge_safe_list", "wt_purge_survivors", "wt_revert_chains",
-    "wt_session_activity", "wt_stream_replay", "wt_windowed_activity",
-}
-
-#: The four promised rows the r11 window could not seat (52 promised +
-#: 2 new = 54 > 50; new rows are never deferred, so exactly four spill
-#: under the established displacement rule). Chosen because each has
-#: FRESH family evidence in the r10 window (rel_grouping_sets r10
-#: covers the rollup/cube family; rel_salted_revenue r10 the
-#: regional-agg shape; rel_value_pareto r10 the ranked-customer shape);
-#: all four code-untouched since r08. Named FIRST in the r12 promise.
-R11_DISPLACED = {
+R12_PROMISE = {
+    # the four r11-displaced rows (r08 evidence — seated first)
     "rel_regional_revenue", "rel_top_customers", "rel_rollup_orders",
     "rel_cube_summary",
-}
-
-#: The rows whose latest driver attestation was r09 when this window
-#: was composed (= CORRECTNESS_r09.json keys minus CORRECTNESS_r10.json
-#: keys — the FIXED population, 48 rows): their evidence will be two
-#: rounds old after r11, so together with the four displaced rows they
-#: are PROMISED the r12 window. 52 rows > 50 — the same steady-state
-#: pressure as r11: r12 must displace at least two rows even with zero
-#: additions; the displaced rows seat first.
-R09_COHORT = {
+    # the 48-row r09-evidence cohort
     "ann_bruteforce_topk", "ann_filtered_expand", "ann_ivf_rp_topk",
     "ann_ivf_topk", "ann_ivfpq_rerank", "ann_lsh_buckets",
     "ann_lsh_topk", "ann_rp_topk", "dd_bloom_decontaminate",
@@ -93,54 +52,92 @@ R09_COHORT = {
     "wt_stream_trending", "wt_top_pages_per_wiki",
 }
 
-#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r12
-#: window — the r09-evidence cohort plus the r11 displacement — minus
+#: The three promised rows the r12 window could not seat (52 promised +
+#: 1 new = 53 > 50; new rows are never deferred, so exactly three spill
+#: under the established displacement rule). Chosen because each has
+#: FRESH family evidence in the r11 window AND lives in a file
+#: untouched since its own r09 attestation (git diff r9..HEAD empty for
+#: operators/ann.py, operators/topk.py, plans/wikitrender_queries.py);
+#: all three are named FIRST in the r13 promise.
+R12_DISPLACED = {
+    "ann_bruteforce_topk", "wt_biggest_movers", "wt_top_pages_per_wiki",
+}
+
+#: The rows whose latest driver attestation was r10 when this window
+#: was composed (= CORRECTNESS_r10.json keys minus CORRECTNESS_r11.json
+#: keys — the FIXED population, 50 rows): their evidence will be two
+#: rounds old after r12, so together with the three displaced rows they
+#: are PROMISED the r13 window. 53 rows > 50 — the same steady-state
+#: pressure as r11/r12: r13 must displace at least three rows even with
+#: zero additions; the displaced rows seat first.
+R10_COHORT = {
+    "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
+    "dd_cross_source_dups", "dd_embedding_neardup_exact",
+    "dd_lsh_tuning", "dd_semantic_dedup", "dd_simhash_tuning",
+    "mm_image_neardup", "mm_wav_features", "mm_y4m_frames",
+    "rel_approx_percentiles", "rel_approx_segments",
+    "rel_asof_last_signup", "rel_grouping_sets", "rel_hourly_autocorr",
+    "rel_hourly_ewma", "rel_hourly_mad", "rel_interval_coverage",
+    "rel_json_props", "rel_lateral_topk", "rel_order_gaps",
+    "rel_percentiles", "rel_pricing_summary", "rel_recursive_months",
+    "rel_salted_revenue", "rel_scd2_intervals", "rel_sessionize",
+    "rel_suppliers_with_shipments", "rel_value_pareto",
+    "rel_window_rank_suite", "tx_bm25_topk", "tx_boilerplate",
+    "tx_bpe_merges", "tx_chunks", "tx_collocations", "tx_dsir_weights",
+    "tx_leakage_split", "tx_mix_sample", "tx_mix_weights",
+    "tx_novelty", "tx_pack_sharded", "tx_pii_scrub", "tx_rarity",
+    "tx_stratified_sample", "tx_tfidf_terms", "wt_coedit_pairs",
+    "wt_ingest_dedup", "wt_markov_transitions", "wt_pagerank",
+}
+
+#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r13
+#: window — the r10-evidence cohort plus the r12 displacement — minus
 #: anything already re-attesting now.
-R12_DEFERRED = (R09_COHORT | R11_DISPLACED) - set(registry.GATE_WINDOW)
+R13_DEFERRED = (R10_COHORT | R12_DISPLACED) - set(registry.GATE_WINDOW)
 
 
-def test_r11_promise_is_paid():
-    """Every row round 10 promised the r11 window sits in it, except
-    the FOUR documented displacements — paid against the promised
+def test_r12_promise_is_paid():
+    """Every row round 11 promised the r12 window sits in it, except
+    the THREE documented displacements — paid against the promised
     NAMES."""
-    missing = R11_PROMISE - set(registry.GATE_WINDOW)
-    assert missing == R11_DISPLACED, sorted(missing)
+    missing = R12_PROMISE - set(registry.GATE_WINDOW)
+    assert missing == R12_DISPLACED, sorted(missing)
 
 
 def test_displacement_is_minimal():
     """The displacement rule allows spill only because the window is
-    genuinely full: 48 promised + 2 new = 50 exactly."""
-    assert len(R11_PROMISE - R11_DISPLACED) + len(
-        NEVER_OR_STALE_ATTESTED - R11_PROMISE
+    genuinely full: 49 promised + 1 new = 50 exactly."""
+    assert len(R12_PROMISE - R12_DISPLACED) + len(
+        NEVER_OR_STALE_ATTESTED - R12_PROMISE
     ) == registry.GATE_SIZE
 
 
 def test_every_owed_row_is_windowed_or_deferred():
-    """The r12 promise must be complete by construction: every row with
-    r09-or-older driver evidence is either re-attesting in the r11
-    window or explicitly in the r12 debt — nothing falls out silently."""
-    expected = (R09_COHORT | R11_DISPLACED) - set(registry.GATE_WINDOW)
-    assert R12_DEFERRED == expected
-    # nothing in the r09 cohort re-attests this round, so the r12 debt
-    # is the full cohort plus the four displaced rows (52 > 50: the
+    """The r13 promise must be complete by construction: every row with
+    r10-or-older driver evidence is either re-attesting in the r12
+    window or explicitly in the r13 debt — nothing falls out silently."""
+    expected = (R10_COHORT | R12_DISPLACED) - set(registry.GATE_WINDOW)
+    assert R13_DEFERRED == expected
+    # nothing in the r10 cohort re-attests this round, so the r13 debt
+    # is the full cohort plus the three displaced rows (53 > 50: the
     # steady-state cadence documented on registry.GATE_WINDOW)
-    assert len(R12_DEFERRED) == 52, len(R12_DEFERRED)
+    assert len(R13_DEFERRED) == 53, len(R13_DEFERRED)
 
 
 def test_displaced_rows_have_fresh_family_evidence():
-    """The r11 displacement rationale is itself pinned: every displaced
-    row's named family neighbor re-attested in the r10 window."""
-    family_neighbor = {
-        "rel_rollup_orders": "rel_grouping_sets",
-        "rel_cube_summary": "rel_grouping_sets",
-        "rel_regional_revenue": "rel_salted_revenue",
-        "rel_top_customers": "rel_value_pareto",
+    """The r12 displacement rationale is itself pinned: every displaced
+    row's named family neighbors re-attested in the r11 window, and the
+    neighbors remain registered (oracle-checked in the local sweep)."""
+    family_neighbors = {
+        "ann_bruteforce_topk": ["ann_filtered_topk", "ann_pq_topk",
+                                "ann_sq_topk"],
+        "wt_biggest_movers": ["wt_most_edited", "wt_most_vibrant"],
+        "wt_top_pages_per_wiki": ["wt_most_edited", "wt_page_state"],
     }
-    assert set(family_neighbor) == R11_DISPLACED
-    # the neighbors were in the r10 window (attested r10), and as
-    # registered queries they remain oracle-checked in the local sweep
-    for neighbor in family_neighbor.values():
-        assert neighbor in registry.all_queries()
+    assert set(family_neighbors) == R12_DISPLACED
+    for neighbors in family_neighbors.values():
+        for neighbor in neighbors:
+            assert neighbor in registry.all_queries()
 
 
 def test_gate_window_is_exactly_first_50():
@@ -165,7 +162,7 @@ def test_window_names_unique_and_registered():
 
 
 def test_deferred_rows_are_registered_and_disjoint_from_window():
-    # the r12 promise list must stay real queries, and a deferred row
+    # the r13 promise list must stay real queries, and a deferred row
     # sitting inside the window would mean the accounting is stale
-    assert R12_DEFERRED <= set(registry.all_queries())
-    assert not (R12_DEFERRED & set(registry.GATE_WINDOW))
+    assert R13_DEFERRED <= set(registry.all_queries())
+    assert not (R13_DEFERRED & set(registry.GATE_WINDOW))

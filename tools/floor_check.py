@@ -107,11 +107,23 @@ def repin(
 ) -> dict[str, float]:
     """Ratchet: floors only ever move DOWN (or seat for new rows), but
     never to a non-positive value — a sub-millisecond reading would
-    otherwise seat a 0.0 floor and poison every later ratio."""
+    otherwise seat a 0.0 floor and poison every later ratio.
+
+    Provenance rule (ADVICE r11 low #4): only SUITE readings — medians
+    of N samples — may LOWER an existing floor. A sweep reading is one
+    cold sample; an anomalously fast one (cache hit, empty-input
+    anomaly) would permanently tighten the ratchet and generate
+    spurious REGRESSION failures in later sessions, with hand-editing
+    tools/bench_floors.json the only recovery (the ratchet never moves
+    up). So sweep samples may SEAT a floor for a row that has none
+    (some floor beats no floor, and the 2.5x sweep envelope is
+    advisory-only anyway) but never tighten one that exists."""
     out = dict(floors)
-    for src in (suite, sweep):
-        for n, v in src.items():
-            out[n] = max(round(min(out.get(n, v), v), 3), 0.001)
+    for n, v in suite.items():
+        out[n] = max(round(min(out.get(n, v), v), 3), 0.001)
+    for n, v in sweep.items():
+        if n not in out:
+            out[n] = max(round(v, 3), 0.001)
     return out
 
 

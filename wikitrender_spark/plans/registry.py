@@ -43,103 +43,104 @@ _loaded = False
 #: order. tests/test_registry_gate.py pins the composition — editing a
 #: QUERIES dict can no longer silently change what the driver attests.
 #:
-#: Round-11 composition policy (the r10 window went 50/50 green; the
-#: R11 promise — the 48-row r08-evidence cohort PLUS the four rows
-#: displaced by round 10 — is 52 rows, paid MINUS FOUR documented
-#: displacements, per the established rule: 52 + 2 new = 54 > 50, and
-#: new rows are never deferred, so exactly four promised rows spill):
-#: (a) the FOUR r10-displaced rows seat FIRST (their evidence is r07,
+#: Round-12 composition policy (the r11 window went 50/50 green; the
+#: R12 promise — the 48-row r09-evidence cohort PLUS the four rows
+#: displaced by round 11 — is 52 rows, paid MINUS THREE documented
+#: displacements, per the established rule: 52 + 1 new = 53 > 50, and
+#: new rows are never deferred, so exactly three promised rows spill):
+#: (a) the FOUR r11-displaced rows seat FIRST (their evidence is r08,
 #: the registry's oldest — the displacement rule's "displacements
-#: seated first" clause): rel_scalar_functions, rel_pivot_status,
-#: rel_corr_subquery, rel_customers_without_orders;
-#: (b) the round-11 additions (never driver-attested): tx_dsir_log
-#: (log-space DSIR on the portable-ln polynomial — the production form
-#: VERDICT r10 "missing #2" asked for), mm_audio_neardup (audio leg of
-#: the modality-dedup triangle);
-#: (c) 44 of the 48-row r08-evidence cohort. DISPLACED to r12:
-#: rel_regional_revenue, rel_top_customers, rel_rollup_orders,
-#: rel_cube_summary — chosen because each has FRESH family evidence in
-#: the r10 window (grouping-sets r10 covers the rollup/cube family;
-#: salted_revenue r10 the regional-agg shape; value_pareto r10 the
-#: ranked-customer shape), so the displaced surfaces are the ones whose
-#: semantics neighbors re-attested most recently; all four are code-
-#: untouched since r08 and named FIRST in the r12 promise
-#: (tests/test_registry_gate.py R12_DEFERRED).
+#: seated first" clause): rel_regional_revenue, rel_top_customers,
+#: rel_rollup_orders, rel_cube_summary;
+#: (b) the round-12 addition (never driver-attested):
+#: mm_image_neardup_content — the content-crop perceptual fingerprint
+#: VERDICT r11 ask #4 wants oracle-twinned (the declared production
+#: configuration for padded corpora, with the crop box recomputed in
+#: SQL and all-pairs verification);
+#: (c) 45 of the 48-row r09-evidence cohort. DISPLACED to r13:
+#: ann_bruteforce_topk, wt_biggest_movers, wt_top_pages_per_wiki —
+#: chosen because each has FRESH family evidence in the r11 window AND
+#: sits in a file untouched since its own r09 attestation (verified:
+#: git diff r9..HEAD is empty for operators/ann.py, operators/topk.py,
+#: plans/wikitrender_queries.py): ann_bruteforce_topk's exact-scan
+#: shape is covered by ann_filtered_topk / ann_pq_topk / ann_sq_topk
+#: (all r11, same operators/ann.py surface); wt_biggest_movers and
+#: wt_top_pages_per_wiki by wt_most_edited + wt_most_vibrant (r11,
+#: same operators/topk.py ranked-window surface) and wt_page_state
+#: (r11, the same state derivation they rank over). All three are
+#: named FIRST in the r13 promise (tests/test_registry_gate.py
+#: R13_DEFERRED).
 #:
-#: No stale-by-code-change rows this round: the round-11 refactors that
-#: touched attested queries' code paths were verified plan-neutral by
-#: normalized executed-plan hash (tx_dsir_weights 6d9b1e3b unchanged
-#: after the _dsir_occurrences/_dsir_bucket_counts extraction;
-#: mm_image_neardup ca3694af, mm_media_features f5d5be01,
-#: mm_pgm_features e02e8576 unchanged after the dead batch_size
-#: parameter removal — all four compared against the round-10 commit;
-#: tx_pii_scrub c9c22705 unchanged after scrub_pii gained its
-#: `patterns` parameter, current code vs the reconstructed r10 body in
-#: one session).
+#: Stale-by-code-change audit for the seated rows: round-12 changes
+#: are pure additions (new functions/queries — the content-crop query,
+#: the BPE fast path, streaming card-scrub composition), so no seated
+#: row's code path changed after its evidence; dd_simhash_pairs, whose
+#: operator was refactored in r10 (plan-neutral by hash), re-attests
+#: in this window regardless.
 #:
-#: Attestation-cadence note (honest steady state): with 152 registered
+#: Attestation-cadence note (honest steady state): with 153 registered
 #: queries and a fixed 50-row driver window, every row re-attests at
-#: most every ceil(152/50) = 4 rounds in the worst case, 3 in the
+#: most every ceil(153/50) = 4 rounds in the worst case, 3 in the
 #: common path — displacements seated first keeps the oldest evidence
-#: bounded (the four rows seated this round carry r07 evidence, the
+#: bounded (the four rows seated this round carry r08 evidence, the
 #: maximum age the policy allows to accumulate); enforced by
 #: tests/test_registry_gate.py.
 GATE_WINDOW: list[str] = [
-    # (b) round-11 additions, never driver-attested
-    "tx_dsir_log",
-    "mm_audio_neardup",
-    # (a) the four r10-displaced rows, r07 evidence — seated first
-    "rel_scalar_functions",
-    "rel_pivot_status",
-    "rel_corr_subquery",
-    "rel_customers_without_orders",
-    # (c) the r08-evidence cohort, minus the four documented
-    # displacements (rel_regional_revenue, rel_top_customers,
-    # rel_rollup_orders, rel_cube_summary -> r12, seated first there)
-    "ann_filtered_topk",
-    "ann_pq_topk",
-    "ann_sq_topk",
-    "dd_exact_groups",
-    "dd_simhash",
-    "dd_substring_runs",
-    "mm_audio_energy",
-    "mm_video_motion",
-    "rel_acctbal_band_pairs",
-    "rel_copurchase_pairs",
-    "rel_event_funnel",
-    "rel_retention_cohorts",
-    "rel_rolling_revenue_window",
-    "rel_running_revenue",
-    "rel_signup_burst",
-    "rel_small_quantity_revenue",
-    "rel_topk_per_brand",
-    "rel_unpivot_presence",
-    "rel_weekday_profile",
-    "tx_fingerprint",
-    "tx_langid",
-    "tx_length_histogram",
-    "tx_pack",
-    "tx_pack_split",
-    "tx_quality",
-    "tx_source_divergence",
-    "wt_classify_counts",
-    "wt_coedit_triangles",
-    "wt_delete_targets",
-    "wt_edit_wars",
-    "wt_epm_variants",
-    "wt_graph_degrees",
-    "wt_ingest_dedup_watermark",
-    "wt_most_edited",
-    "wt_most_vibrant",
-    "wt_page_state",
-    "wt_page_state_lifecycle",
-    "wt_protect_followups",
-    "wt_purge_safe_list",
-    "wt_purge_survivors",
-    "wt_revert_chains",
-    "wt_session_activity",
-    "wt_stream_replay",
-    "wt_windowed_activity",
+    # (b) round-12 addition, never driver-attested
+    "mm_image_neardup_content",
+    # (a) the four r11-displaced rows, r08 evidence — seated first
+    "rel_regional_revenue",
+    "rel_top_customers",
+    "rel_rollup_orders",
+    "rel_cube_summary",
+    # (c) the r09-evidence cohort, minus the three documented
+    # displacements (ann_bruteforce_topk, wt_biggest_movers,
+    # wt_top_pages_per_wiki -> r13, seated first there)
+    "ann_filtered_expand",
+    "ann_ivf_rp_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_rerank",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_rp_topk",
+    "dd_bloom_decontaminate",
+    "dd_cdc_chunks",
+    "dd_containment",
+    "dd_decontaminate",
+    "dd_dup_clusters",
+    "dd_editdist_pairs",
+    "dd_embedding_neardup",
+    "dd_jaccard_histogram",
+    "dd_lsh_candidates",
+    "dd_minhash_est",
+    "dd_minhash_signatures",
+    "dd_near_duplicates",
+    "dd_ngram_jaccard",
+    "dd_simhash_pairs",
+    "mm_audio_vad",
+    "mm_frame_sample",
+    "mm_media_features",
+    "mm_pgm_features",
+    "mm_video_keyframes",
+    "rel_audience_overlap",
+    "rel_dq_audit",
+    "rel_hourly_anomalies",
+    "rel_nation_presence",
+    "rel_nation_set_ops",
+    "tx_clean_corpus",
+    "tx_cms_terms",
+    "tx_dedup_lineage",
+    "tx_filter_funnel",
+    "tx_repetition",
+    "tx_split",
+    "tx_substring_scrub",
+    "tx_token_stats",
+    "tx_vocab",
+    "tx_winnowing",
+    "wt_lifecycle_replay",
+    "wt_state_diff",
+    "wt_stream_heavy_hitters",
+    "wt_stream_trending",
 ]
 GATE_SIZE = 50
 
