@@ -2335,6 +2335,57 @@ def test_bpe_apply_zero_merges_consistent_on_empty_word(spark):
     assert list(row["zero"]) == [] == list(row["one"])
 
 
+def test_bpe_encode_fast_matches_hof(spark):
+    """The Pandas-UDF fast path must reproduce bpe_encode's pinned
+    rank-order single-pass semantics symbol-for-symbol — including the
+    overlap rule, composed second-round merges, multi-word flattening,
+    and whitespace handling."""
+    merges = (("t", "h"), ("th", "e"), ("a", "a"), ("i", "n"),
+              ("in", "g"))
+    texts = [
+        "the cat then",
+        "aaa aaaa thinking x in athe ththe",
+        "",
+        "   ",
+        "one\ttab\nand newline",
+    ]
+    df = docs_df(spark, texts).select(
+        "text",
+        T.bpe_encode(F.col("text"), merges).alias("hof"),
+        T.bpe_encode_fast(F.col("text"), merges).alias("fast"),
+    )
+    for r in df.collect():
+        assert list(r["hof"]) == list(r["fast"]), r["text"]
+
+
+def test_bpe_encode_fast_ill_formed_and_duplicate_tables(spark):
+    """The cursor rule's reason to exist: on an ILL-FORMED table a
+    later merge can create an occurrence of an EARLIER pair, which the
+    sequential-pass contract must NOT revisit — a bare min-rank-repeat
+    encoder (the common GPT-2 shape) would diverge here. Duplicate
+    pairs keep per-rank multiplicity."""
+    # (ab,c) ranks before (a,b): sequential passes yield [ab, c]
+    # because (ab,c)'s pass ran before any "ab" symbol existed
+    ill = (("ab", "c"), ("a", "b"))
+    # duplicate (a,a): the second occurrence is a distinct pass
+    dup = (("a", "a"), ("x", "y"), ("a", "a"))
+    for merges, text in [(ill, "abc cab ababc"), (dup, "aaa aaaaa xya")]:
+        df = docs_df(spark, [text]).select(
+            T.bpe_encode(F.col("text"), merges).alias("hof"),
+            T.bpe_encode_fast(F.col("text"), merges).alias("fast"),
+        )
+        r = df.collect()[0]
+        assert list(r["hof"]) == list(r["fast"]), (merges, text)
+    # the ill-formed pin, hand-computed: min-rank-repeat would give
+    # ["abc"]; the sequential contract gives ["ab", "c"]
+    r = (
+        spark.createDataFrame([("abc",)], "w string")
+        .select(T.bpe_encode_fast(F.col("w"), ill).alias("sym"))
+        .collect()[0]
+    )
+    assert list(r["sym"]) == ["ab", "c"]
+
+
 def test_scrub_cards_must_run_before_scrub_pii(spark):
     """The ordering hazard the round-11 cost probe caught: a greedy
     intl_phone match absorbs a space-separated digit group adjacent to

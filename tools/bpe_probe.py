@@ -1,0 +1,196 @@
+"""Measure the BPE encode paths (VERDICT r11 ask #2): the HOF chain
+(bpe_encode — per-merge-pass cost, linear in table size) vs the
+dict-backed Pandas-UDF fast path (bpe_encode_fast — cost scales with
+merges that APPLY, not table size).
+
+Two corpora, because the driver corpus is degenerate for this
+question: sf0.1 documents draw from a 31-WORD vocabulary (measured
+below), so the fast path's per-batch word cache collapses nearly all
+work and a trained table exhausts after ~150 merges. The probe
+therefore measures (a) the real corpus at the trainer's 20-merge
+scale — the apples-to-apples number against the attested HOF cost —
+and (b) a SYNTHETIC word-diverse corpus (seeded random 8-char words,
+distinct ratio ~1, so the cache never hits: the worst case) against a
+1,000+-merge WELL-FORMED synthetic table (all 676 char bigrams ranked
+by corpus frequency, then 500 trigram extensions built on the top
+bigrams — every merge's operands exist before it, as in a trained
+table, and the bigram layer guarantees merges genuinely APPLY to
+every word).
+
+Run:  python tools/bpe_probe.py [sf_dir]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from wikitrender_spark.functions import text as T  # noqa: E402
+
+
+def train_merges(word_counts: dict[str, int], n: int) -> list[tuple[str, str]]:
+    """Sennrich-style trainer over word frequencies: each iteration
+    merges the globally most frequent adjacent symbol pair (naive
+    recount per iteration — probe scale only)."""
+    words = {tuple(w): c for w, c in word_counts.items() if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = max(pairs, key=lambda p: (pairs[p], p))
+        merges.append(best)
+        left, right = best
+        merged = left + right
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+def synth_corpus(spark, n_docs: int = 5000, words_per_doc: int = 54):
+    """Seeded word-diverse corpus: random 8-char a-z words, ~zero
+    repeated words, token count comparable to sf0.1 documents."""
+    import random
+
+    rng = random.Random(12)
+    rows = [
+        (
+            i,
+            " ".join(
+                "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                        for _ in range(8))
+                for _ in range(words_per_doc)
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def synth_merges(docs, n_ext: int = 500) -> tuple[tuple[str, str], ...]:
+    """Well-formed 1,176-merge table: all 676 char bigrams ranked by
+    corpus frequency, then n_ext trigram extensions (top bigram symbol
+    + next char, ranked the same way) — every merge's operands exist
+    before it, and the full-bigram layer makes every adjacent char
+    pair in every word a genuine hit."""
+    bigram = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg").count().orderBy(F.desc("count"), "bg").collect()
+    )
+    seen = {r["bg"] for r in bigram}
+    merges = [(r["bg"][0], r["bg"][1]) for r in bigram]
+    # complete the bigram layer (deterministic order for unseen pairs)
+    for a in "abcdefghijklmnopqrstuvwxyz":
+        for b in "abcdefghijklmnopqrstuvwxyz":
+            if a + b not in seen:
+                merges.append((a, b))
+    # trigram extensions on the most frequent bigram symbols
+    ext = [(m[0] + m[1], c) for m in merges[:n_ext // 26 + 1]
+           for c in "abcdefghijklmnopqrstuvwxyz"][:n_ext]
+    return tuple(merges + ext)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    wc_rows = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w").count().collect()
+    )
+    word_counts = {r["w"]: r["count"] for r in wc_rows}
+    total_tokens = sum(word_counts.values())
+
+    t0 = time.time()
+    merges_corpus = train_merges(word_counts, 1000)
+    train_s = time.time() - t0
+    merges_small = tuple(merges_corpus[:20])
+
+    def timeit(frame, col) -> float:
+        t = time.time()
+        frame.select(F.sum(F.size(col)).alias("n")).collect()
+        return time.time() - t
+
+    results = {
+        "sf_dir": sf_dir,
+        "n_docs": docs.count(),
+        "total_tokens": total_tokens,
+        "distinct_words": len(word_counts),
+        "trained_merges_until_exhaustion": len(merges_corpus),
+        "train_s": round(train_s, 2),
+    }
+    # warm the scan once so neither path pays the cold-read penalty
+    docs.select(F.sum(F.length("text"))).collect()
+    results["corpus_hof_20_s"] = round(
+        timeit(docs, T.bpe_encode(F.col("text"), merges_small)), 2
+    )
+    results["corpus_fast_20_s"] = round(
+        timeit(docs, T.bpe_encode_fast(F.col("text"), merges_small)), 2
+    )
+    results["corpus_fast_full_table_s"] = round(
+        timeit(docs, T.bpe_encode_fast(F.col("text"),
+                                       tuple(merges_corpus))), 2
+    )
+
+    synth = synth_corpus(spark).localCheckpoint()
+    big = synth_merges(synth)
+    results["synth_n_merges"] = len(big)
+    results["synth_distinct_word_ratio"] = 1.0  # random 8-char words
+    results["synth_hof_20_s"] = round(
+        timeit(synth, T.bpe_encode(F.col("text"), big[:20])), 2
+    )
+    results["synth_fast_20_s"] = round(
+        timeit(synth, T.bpe_encode_fast(F.col("text"), big[:20])), 2
+    )
+    results["synth_fast_big_s"] = round(
+        timeit(synth, T.bpe_encode_fast(F.col("text"), big)), 2
+    )
+    results["synth_hof_per_merge_s"] = round(
+        results["synth_hof_20_s"] / 20, 3
+    )
+    results["synth_hof_big_extrapolated_s"] = round(
+        results["synth_hof_per_merge_s"] * len(big), 1
+    )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

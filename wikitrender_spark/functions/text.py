@@ -11,6 +11,8 @@ per-row projections: no shuffle, fully pipelined into the scan.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -347,11 +349,12 @@ def bpe_apply_word(word: Column, merges: tuple[tuple[str, str], ...]) -> Column:
     23.6 s for the full sf0.1 corpus (5,000 docs, 1.22M chars, the
     trainer's 20 merges; 0.785 symbols/char). Zero shuffle, so it
     scales row-parallel, but a real vocabulary (tens of thousands of
-    merges) makes the per-merge-pass shape wrong — at that size encode
-    in a Pandas UDF with a dict-backed merge table (the documented
-    fast path for heavy per-row Python work) rather than extending
-    this chain. Completes the tokenizer story the tx_bpe_merges
-    trainer starts: train merges -> encode -> pack."""
+    merges) makes the per-merge-pass shape wrong — at that size use
+    bpe_encode_fast, the dict-backed Pandas-UDF encoder (equivalence-
+    pinned against this chain, measured ~1,250x past ~1k merges in
+    tools/bpe_probe.py). This HOF form stays the pinned small-table
+    contract. Completes the tokenizer story the tx_bpe_merges trainer
+    starts: train merges -> encode -> pack."""
     # array_remove('') normalizes split's empty-string artifacts so the
     # zero-merge path agrees with the folded one (an empty word is []
     # on both, never ['']) and neither depends on engine-version
@@ -400,6 +403,119 @@ def bpe_encode(text: Column, merges: tuple[tuple[str, str], ...]) -> Column:
     return F.flatten(
         F.transform(tokens(text), lambda w: bpe_apply_word(w, merges))
     )
+
+
+def bpe_encode_fast(
+    text: Column, merges: tuple[tuple[str, str], ...]
+) -> Column:
+    """BPE-encode a document with a dict-backed Pandas UDF — the
+    production path for REAL vocabularies that bpe_apply_word's
+    docstring names (VERDICT r11 ask #2). The HOF chain evaluates
+    len(merges) interpreted passes per word (measured 23.6 s for the
+    sf0.1 corpus at the trainer's 20 merges — ~1.18 s/merge, linear in
+    table size, so a 50k-merge vocabulary is structurally wrong there);
+    this path is the ONE place heavy per-row Python work is the
+    documented right tool: per-word cost scales with the merges that
+    actually APPLY to that word (dict lookups against adjacent pairs),
+    not with the table size, and a per-batch word cache collapses
+    repeated words (the driver corpus draws from a 31-word vocabulary,
+    so the cache absorbs nearly everything; the probe therefore also
+    measures a seeded random-word corpus with distinct ratio 1.0 —
+    zero cache hits — as the honest worst case).
+
+    Semantics are EXACTLY bpe_apply_word's pinned contract — for each
+    merge in rank order, one left-to-right non-overlapping pass — via
+    cursor simulation: repeatedly find the smallest merge rank >= the
+    cursor among the word's adjacent symbol pairs, run that single
+    pass, and advance the cursor past it (ranks skipped had no
+    occurrence, so their passes are provably no-ops). The cursor (not
+    a bare min-rank-repeat loop a la the common GPT-2 encoder) keeps
+    equivalence on ILL-FORMED tables too, where a later merge can
+    create an occurrence of an EARLIER pair that the sequential pass
+    must NOT revisit (e.g. table ((ab,c),(a,b)) on "abc": sequential
+    yields [ab, c]; min-rank-repeat would wrongly produce [abc]); on
+    well-formed trained tables the two coincide. Duplicate pairs in
+    the table keep per-rank multiplicity (rank map holds sorted rank
+    lists). Tokenization mirrors tokens() with the JAVA \\s class
+    ([ \\t\\n\\x0b\\f\\r] — ASCII-only; Python's \\s would also split
+    on Unicode whitespace like \\xa0 and silently diverge from the
+    JVM path on non-ASCII corpora).
+
+    Arrow-batched via pandas_udf; zero shuffle, embarrassingly
+    parallel — the 100 TB shape is the same map-only pass as
+    bpe_encode, traded JVM codegen for per-row Python at the point
+    where table size, not row count, dominates. Equivalence against
+    bpe_apply_word is pinned in
+    tests/test_pipeline_ops.py::test_bpe_encode_fast_matches_hof
+    (plus the ill-formed/duplicate-table pins); measured
+    (tools/bpe_probe.py, local[32]): sf0.1 corpus at the trainer's 20
+    merges HOF 22.4 s vs fast 1.59 s (14x); on the cache-hostile
+    synthetic corpus (distinct ratio 1.0) a well-formed 1,176-merge
+    table encodes in 0.39 s vs the HOF chain's extrapolated ~490 s at
+    its measured 0.417 s/merge — the per-merge-pass cost is the
+    structural wall, not a constant factor."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    rank_lists: dict[tuple[str, str], list[int]] = {}
+    for i, pair in enumerate(merges):
+        rank_lists.setdefault(tuple(pair), []).append(i)
+    merge_at = {i: pair for i, pair in enumerate(merges)}
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def apply_word(word: str) -> list[str]:
+        symbols = list(word)
+        cursor = 0
+        while len(symbols) > 1:
+            best = None
+            for pair in zip(symbols, symbols[1:]):
+                ranks = rank_lists.get(pair)
+                if ranks is None:
+                    continue
+                for r in ranks:
+                    if r >= cursor:
+                        if best is None or r < best:
+                            best = r
+                        break
+            if best is None:
+                break
+            left, right = merge_at[best]
+            out: list[str] = []
+            i = 0
+            n = len(symbols)
+            while i < n:
+                if (
+                    i + 1 < n
+                    and symbols[i] == left
+                    and symbols[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = out
+            cursor = best + 1
+        return symbols
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            syms: list[str] = []
+            for w in ws.split(t):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = apply_word(w)
+                syms.extend(got)
+            out.append(syms)
+        return pd.Series(out)
+
+    return enc(text)
 
 
 #: Contiguous digit runs in plausible PAN lengths — candidates only;
