@@ -1253,6 +1253,75 @@ def test_corpus_admission_stream_equals_batch_and_drops_dupes(spark, tmp_path):
     assert "[EMAIL]" in row["redacted"]
 
 
+def test_corpus_admission_cards_first_dedups_card_variants(spark, tmp_path):
+    """scrub_cards composed into the streaming admission chain (VERDICT
+    r11 ask #3): with scrub_cards_first the digest covers the cards+PII
+    redaction, so a later micro-batch carrying the SAME content with a
+    DIFFERENT card number must dedup onto the original admission — the
+    tx_pii_scrub digest lesson extended to cards. Both planted numbers
+    are Luhn-valid test PANs; the digest store stays the only state."""
+    import os
+
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming import corpus
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # plant a Luhn-valid card per doc (the corpus is digit-free word
+    # salad, so the card is the only digit run)
+    src = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" pay 4111111111111111 ok"))
+    )
+    # card-differing copies in a LATER micro-batch: same body, another
+    # Luhn-valid PAN — must collapse onto the original's digest
+    card_variant = src.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"), "4111111111111111", "5555555555554444"
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    chunk_dir = str(tmp_path / "card_chunks")
+    write_ordered_chunks((src, card_variant), chunk_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    admitted = corpus.corpus_admission_replay_to_memory(
+        stream, "corpus_cards_t", str(tmp_path / "ckpt"),
+        scrub_cards_first=True,
+    )
+    got_ids = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    assert got_ids, "admission gate rejected everything — degenerate test"
+    # no card-variant id survived: the cards-redacted digest was
+    # already in state from the original's micro-batch
+    assert not {i for i in got_ids if i >= 40_000_000}
+    row = admitted.limit(1).collect()[0]
+    assert {"n_card_candidates", "n_cards", "redacted"} <= set(
+        admitted.columns
+    )
+    assert row["n_cards"] == 1 and row["n_card_candidates"] == 1
+    assert "[CARD]" in row["redacted"]
+    assert "4111111111111111" not in row["redacted"]
+    # the discriminating half: WITHOUT the card stage, the two PANs
+    # keep distinct digests, so each admitted original's variant is
+    # also admitted (batch form suffices — same digest logic)
+    base = corpus.corpus_admission_stream(src.unionByName(card_variant))
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    admitted_originals = {
+        i for i in base_ids if i < 40_000_000 and i % 3 == 0
+    }
+    surviving_variants = {
+        i - 40_000_000 for i in base_ids if i >= 40_000_000
+    }
+    assert surviving_variants == admitted_originals
+    assert admitted_originals, "no original/variant pair passed the gate"
+    assert "n_cards" not in base.columns
+
+
 def test_corpus_admission_extended_pii_patterns(spark):
     """The widened PII table threads through the admission chain: the
     output carries one n_{kind} per extended pattern, and the dedup

@@ -45,6 +45,7 @@ def _gate_and_scrub(
     docs: DataFrame,
     carry: tuple[str, ...] = (),
     patterns: tuple[tuple[str, str, str], ...] = T.PII_PATTERNS,
+    scrub_cards_first: bool = False,
 ) -> DataFrame:
     """The stateless front of the admission chain: language-consistency
     gate (predicted == labeled) + quality floor, then PII redaction,
@@ -54,7 +55,19 @@ def _gate_and_scrub(
     corpus never keeps both copies of otherwise-identical content just
     because the PII varies (and the PII itself never enters dedup
     state). `carry` names extra input columns (e.g. the ingest
-    timestamp) to thread through."""
+    timestamp) to thread through.
+
+    `scrub_cards_first` applies the Luhn card scrub BEFORE the PII
+    table, per micro-batch — the pinned composition order (round 11,
+    test_scrub_cards_must_run_before_scrub_pii: PII-first lets the
+    greedy intl_phone pattern split a following card run and leave its
+    tail in clear text). The digest is then md5 of the cards+PII
+    redaction, so copies that differ only in a card number collapse to
+    one admission, and card digits never enter dedup state; the output
+    gains (n_card_candidates, n_cards) and the PII detection counts
+    are taken on the card-redacted text ([CARD] has no digits, so no
+    PII pattern can see into a redacted card — same reasoning as the
+    batch contract)."""
     t = F.col("text")
     gated = docs.select(
         "doc_id",
@@ -69,7 +82,16 @@ def _gate_and_scrub(
         (F.col("pred_lang") == F.col("lang"))
         & (F.col("quality") >= ADMIT_MIN_QUALITY)
     )
-    redacted, counts = T.scrub_pii(F.col("text"), patterns)
+    card_cols = []
+    scrub_input = F.col("text")
+    if scrub_cards_first:
+        carded, n_candidates, n_valid = T.scrub_cards(F.col("text"))
+        scrub_input = carded
+        card_cols = [
+            n_candidates.cast("int").alias("n_card_candidates"),
+            n_valid.cast("int").alias("n_cards"),
+        ]
+    redacted, counts = T.scrub_pii(scrub_input, patterns)
     return gated.select(
         "doc_id",
         "lang",
@@ -77,6 +99,7 @@ def _gate_and_scrub(
         "n_tokens",
         "quality",
         F.md5(redacted).alias("digest"),
+        *card_cols,
         *(counts[kind].cast("int").alias(f"n_{kind}")
           for kind, _, _ in patterns),
         redacted.alias("redacted"),
@@ -86,6 +109,7 @@ def _gate_and_scrub(
 def corpus_admission_stream(
     docs: DataFrame,
     patterns: tuple[tuple[str, str, str], ...] = T.PII_PATTERNS,
+    scrub_cards_first: bool = False,
 ) -> DataFrame:
     """Compose the cleaning pipeline over a (possibly streaming)
     documents relation: language-consistency gate (predicted == labeled)
@@ -106,9 +130,15 @@ def corpus_admission_stream(
     contract; pass functions.text.PII_PATTERNS_EXTENDED for the widened
     production set — the output then carries one n_{kind} column per
     extended pattern, and the dedup digest is taken over the
-    extended-redacted text)."""
+    extended-redacted text). `scrub_cards_first` prepends the Luhn card
+    scrub in the pinned cards-before-PII order; the digest then covers
+    the cards+PII redaction, so card-differing copies dedup away
+    (replay-pinned in
+    test_corpus_admission_cards_first_dedups_card_variants)."""
     return (
-        _gate_and_scrub(docs, patterns=patterns)
+        _gate_and_scrub(
+            docs, patterns=patterns, scrub_cards_first=scrub_cards_first
+        )
         .dropDuplicates(["digest"])
         .drop("digest")
     )
@@ -119,6 +149,7 @@ def corpus_admission_stream_within_watermark(
     ts_col: str = "ingest_ts",
     horizon: str = "10 minutes",
     patterns: tuple[tuple[str, str, str], ...] = T.PII_PATTERNS,
+    scrub_cards_first: bool = False,
 ) -> DataFrame:
     """Bounded-state admission for an unbounded document firehose: the
     same gate -> scrub front, with the digest dedup bounded by an
@@ -128,7 +159,10 @@ def corpus_admission_stream_within_watermark(
     watermarked dedup makes; the test pins both directions: a live
     digest drops its copy, an expired one re-admits). The ingest
     timestamp rides through the output for downstream lineage."""
-    s = _gate_and_scrub(docs, carry=(ts_col,), patterns=patterns)
+    s = _gate_and_scrub(
+        docs, carry=(ts_col,), patterns=patterns,
+        scrub_cards_first=scrub_cards_first,
+    )
     return (
         s.withWatermark(ts_col, horizon)
         .dropDuplicatesWithinWatermark(["digest"])
@@ -137,12 +171,16 @@ def corpus_admission_stream_within_watermark(
 
 
 def corpus_admission_replay_to_memory(
-    stream: DataFrame, name: str, ckpt: str
+    stream: DataFrame, name: str, ckpt: str, **admission_kwargs
 ) -> DataFrame:
     """Drain a documents file-replay through corpus_admission_stream
     into a memory sink (append mode — each admitted document is emitted
     exactly once, at first arrival) and return the admitted relation
-    (dedup.drain_to_memory owns the sink-hygiene discipline)."""
+    (dedup.drain_to_memory owns the sink-hygiene discipline). Keyword
+    arguments (patterns, scrub_cards_first) pass through to
+    corpus_admission_stream."""
     from .dedup import drain_to_memory
 
-    return drain_to_memory(corpus_admission_stream(stream), name, ckpt)
+    return drain_to_memory(
+        corpus_admission_stream(stream, **admission_kwargs), name, ckpt
+    )
