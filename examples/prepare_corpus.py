@@ -217,9 +217,11 @@ def main() -> None:
 
     # 15. PII redaction (round-11 production form) and carry the
     # REDACTED text forward — step 18 exports it, never the raw text.
-    # ORDER CONTRACT: credit cards FIRST (the Luhn-validated splice;
-    # [CARD] is digit-free so no later pattern can touch it — the
-    # reverse order can split a card run, see functions/text.py), then
+    # ORDER CONTRACT: credit cards FIRST (the Luhn-validated splice,
+    # covering contiguous 13-19 digit runs AND space/dash-grouped
+    # forms like "4111 1111 1111 1111" since round 12; [CARD] is
+    # digit-free so no later pattern can touch it — the reverse order
+    # can split a card run, see functions/text.py), then
     # the widened pattern table (+IPv6, +international phones). On this
     # synthetic corpus every count is zero (no organic PII; the gated
     # tx_pii_scrub plants deterministic PII to attest the scrub), but

@@ -2282,6 +2282,65 @@ def test_scrub_cards_validate_and_splice(spark):
     assert both == "mail [EMAIL] card [CARD]"
 
 
+def test_scrub_cards_grouped_forms(spark):
+    """Separator-spanning PANs (VERDICT r11 ask #5): grouped 4x4x4x4
+    candidates validate through Luhn on the digit CONCATENATION and
+    splice exactly like contiguous runs — including the adjacent-
+    digit-group false-positive cases the docstring worries about."""
+    assert _py_luhn("4111111111111111") and _py_luhn("5555555555554444")
+    assert not _py_luhn("1234567890123456")
+    red, n_cand, n_valid = T.scrub_cards(F.col("text"))
+    texts = [
+        "pay 4111 1111 1111 1111 now",          # space-grouped, valid
+        "card 5555-5555-5555-4444 on file",     # dash-grouped, valid
+        "mix 4111 1111-1111 1111 ok",           # mixed separators, valid
+        "ref 1234 5678 9012 3456 thanks",       # grouped, Luhn-INVALID
+        "meet at 1111 2222 hrs",                # two groups: no candidate
+        "4111 1111 1111 1111 9999",             # five groups: 4 match
+        "4111111111111111 and 5555 5555 5555 4444",  # both forms
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in docs_df(spark, texts)
+        .select("doc_id", red.alias("red"), n_cand.alias("nc"),
+                n_valid.alias("nv"))
+        .collect()
+    }
+    assert rows[0]["red"] == "pay [CARD] now"
+    assert (rows[0]["nc"], rows[0]["nv"]) == (1, 1)
+    assert rows[1]["red"] == "card [CARD] on file"
+    assert rows[2]["red"] == "mix [CARD] ok"
+    # false positive rejected: candidate inspected, Luhn fails, text
+    # byte-identical (no normalization of non-card digit groups)
+    assert rows[3]["red"] == texts[3]
+    assert (rows[3]["nc"], rows[3]["nv"]) == (1, 0)
+    # two digit groups never form a candidate
+    assert rows[4]["red"] == texts[4]
+    assert (rows[4]["nc"], rows[4]["nv"]) == (0, 0)
+    # documented fail-safe over-redaction: the run absorbs the
+    # adjacent trailing group into [CARD] (a valid aligned window
+    # exists, so the WHOLE run redacts — leaking is the alternative)
+    assert rows[5]["red"] == "[CARD]"
+    assert (rows[5]["nc"], rows[5]["nv"]) == (1, 1)
+    assert rows[6]["red"] == "[CARD] and [CARD]"
+    assert (rows[6]["nc"], rows[6]["nv"]) == (2, 2)
+
+
+def test_scrub_cards_grouped_composes_with_pii(spark):
+    """Cards-first ordering holds for grouped forms too: the grouped
+    card next to an intl phone redacts as [CARD] before the greedy
+    phone pattern can absorb its leading group."""
+    card_red, _, _ = T.scrub_cards(F.col("text"))
+    pii_after, _ = T.scrub_pii(card_red, T.PII_PATTERNS_EXTENDED)
+    got = (
+        docs_df(spark, ["+1 555 0100 4111 1111 1111 1111 done"])
+        .select(pii_after.alias("red"))
+        .collect()[0]["red"]
+    )
+    assert "[CARD]" in got
+    assert "4111" not in got and "1111" not in got
+
+
 def test_scrub_cards_output_safe_under_multiple_references(spark):
     """Regression (self-review r11, empirically reproduced): the first
     scrub_cards guarded an index-fold behind when(n_candidates == 0) —

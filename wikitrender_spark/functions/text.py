@@ -272,12 +272,21 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 #: checksum, which a regexp_replace cannot apply. scrub_cards below
 #: implements the extract-validate-splice (split segments +
 #: regexp_extract_all matches reassembled with only Luhn-valid runs
-#: replaced) as a separate composable stage; separator-spanning card
-#: formats ("4111 1111 1111 1111") remain out of scope — normalizing
-#: them first would corrupt non-card digit groups.
+#: replaced) as a separate composable stage; since round 12 its
+#: candidate pattern also covers the grouped "4111 1111 1111 1111"
+#: form (Luhn on the digit concatenation — no normalization of
+#: non-card text, the splice only ever touches validated matches).
+#:
+#: Case scope (ADVICE r11 low #1): email and ipv6 classes are MIXED
+#: case — 'Alice@Example.ORG' and uppercase-hex IPv6 both redact.
+#: [a-zA-Z0-9] classes stay within the alternation-free Java/RE2
+#: portability discipline (a character class is not an alternation).
+#: The three-pattern PII_PATTERNS above deliberately keeps its
+#: lowercase classes: it is the PINNED contract of the attested
+#: tx_pii_scrub query and must not drift.
 PII_PATTERNS_EXTENDED: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "[EMAIL]"),
-    ("ipv6", r"[0-9a-f]{1,4}(:[0-9a-f]{1,4}){7}", "[IPV6]"),
+    ("email", r"[a-zA-Z0-9]+@[a-zA-Z0-9]+\.[a-zA-Z]+", "[EMAIL]"),
+    ("ipv6", r"[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){7}", "[IPV6]"),
     ("intl_phone", r"\+[0-9]{1,3}([- ][0-9]{2,4}){2,3}", "[PHONE]"),
     ("phone", r"555-[0-9]{4}", "[PHONE]"),
     ("ip", r"10\.[0-9]{1,3}\.0\.[0-9]{1,3}", "[IP]"),
@@ -522,6 +531,30 @@ def bpe_encode_fast(
 #: scrub_cards admits them through the Luhn checksum.
 CARD_CANDIDATE_PATTERN = r"[0-9]{13,19}"
 
+#: Separator-spanning grouped form (VERDICT r11 ask #5): a run of
+#: FOUR-OR-MORE 4-digit groups joined by single space-or-dash
+#: separators — the most common real-world card formatting
+#: ("4111 1111 1111 1111", "5555-5555-5555-4444"). A character class
+#: per separator position, NOT a backreference (RE2 has none; Java
+#: would diverge), so mixed separators ("4111 1111-1111 1111") also
+#: match. The {3,} repeat (>= 4 groups, greedy to the run's end)
+#: exists because a FIXED 4-group window is alignment-fragile: on
+#: "+1 555 0100 4111 1111 1111 1111" the leftmost fixed window is
+#: "0100 4111 1111 1111", which fails Luhn, and the REAL card —
+#: overlapping that failed candidate — would never be tested (found
+#: by this round's composition test, not hypothesized). Capturing the
+#: whole run lets validation slide over every aligned window.
+CARD_GROUPED_PATTERN = r"[0-9]{4}([ -][0-9]{4}){3,}"
+
+#: The full candidate alternation scrub_cards scans: contiguous runs
+#: first, then the grouped form. Java regex alternation is ordered
+#: (leftmost position, then first alternative) — at any start with
+#: >= 13 contiguous digits the run form wins; a 4-digit group followed
+#: by a separator falls through to the grouped form. Grouped layouts
+#: other than 4-digit groups (e.g. Amex 4-6-5) stay out of scope —
+#: each extra layout is another alternative here, not a new mechanism.
+CARD_CANDIDATE_FULL = f"{CARD_CANDIDATE_PATTERN}|{CARD_GROUPED_PATTERN}"
+
 
 def luhn_valid(digits: Column) -> Column:
     """Luhn checksum (ISO/IEC 7812-1 Annex B) over a contiguous digit
@@ -549,18 +582,25 @@ def scrub_cards(
 ) -> tuple[Column, Column, Column]:
     """Credit-card redaction — the stage regexp_replace cannot express,
     as a pure JVM column program (no UDF, zero shuffle): contiguous
-    13-19 digit runs are CANDIDATES; only runs that pass the Luhn
-    checksum are replaced, so arbitrary long numbers (ids, timestamps)
-    survive untouched. The splice is split/extract/reassemble:
-    ``split(text, pat, -1)`` yields the between-match segments,
-    ``regexp_extract_all`` the matches (same regex engine, same
-    leftmost-greedy scan, so segments and matches interleave exactly),
-    and one fold rebuilds the text substituting the placeholder for
-    each VALID match. Returns (redacted, n_candidates, n_valid) —
-    n_candidates counts digit runs inspected, n_valid the Luhn-valid
-    runs actually replaced (unlike scrub_pii's detection counts, these
-    ARE replacement counts: the splice replaces exactly the matches it
-    validates).
+    13-19 digit runs AND runs of >= 4 space/dash-separated 4-digit
+    groups (CARD_CANDIDATE_FULL) are CANDIDATES; contiguous runs
+    validate by Luhn on the whole run, grouped runs by Luhn on ANY
+    aligned 16-digit window of the digit concatenation (translate
+    strips separators inside the match — non-card text is never
+    normalized), and a validated grouped run redacts WHOLE (adjacent
+    4-digit groups absorb into [CARD]: deliberate fail-safe
+    over-redaction; the alignment-fragile alternative leaks real
+    cards). Arbitrary long numbers (ids, timestamps) and coincidental
+    digit-group sequences with no valid window survive untouched. The
+    splice is split/extract/reassemble: ``split(text, pat, -1)``
+    yields the between-match segments, ``regexp_extract_all`` the
+    matches (same regex engine, same leftmost-greedy scan, so segments
+    and matches interleave exactly), and one fold rebuilds the text
+    substituting the placeholder for each VALID match. Returns
+    (redacted, n_candidates, n_valid) — n_candidates counts candidate
+    matches inspected, n_valid the Luhn-valid ones actually replaced
+    (unlike scrub_pii's detection counts, these ARE replacement
+    counts: the splice replaces exactly the matches it validates).
 
     Composition ORDER MATTERS: run scrub_cards BEFORE scrub_pii.
     [CARD] contains no digits, so no PII pattern can touch a redacted
@@ -571,10 +611,29 @@ def scrub_cards(
     tail in clear text, invisible to the Luhn scrub (caught by this
     round's cost probe, pinned in
     test_scrub_cards_must_run_before_scrub_pii)."""
-    segs = F.split(text, CARD_CANDIDATE_PATTERN, -1)
-    ms = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_PATTERN), 0)
+    def _valid(m: Column) -> Column:
+        # Contiguous candidates Luhn-check whole; grouped runs (the
+        # match contains separators) validate if ANY aligned 16-digit
+        # (4-group) window passes Luhn — the run is then redacted
+        # WHOLE, absorbing adjacent 4-digit groups into [CARD]. That
+        # over-redaction is deliberate and fail-safe: the alternative
+        # (fixed leftmost window, pass-through on failure) measurably
+        # LEAKS a real card whose window alignment is shifted by a
+        # preceding digit group (see CARD_GROUPED_PATTERN's note).
+        digits = F.translate(m, " -", "")
+        n_groups = (F.length(digits) / 4).cast("int")
+        window_hit = F.exists(
+            F.sequence(F.lit(0), n_groups - 4),
+            lambda o: luhn_valid(digits.substr(o * 4 + 1, F.lit(16))),
+        )
+        return F.when(
+            F.length(m) == F.length(digits), luhn_valid(digits)
+        ).otherwise(window_hit)
+
+    segs = F.split(text, CARD_CANDIDATE_FULL, -1)
+    ms = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_FULL), 0)
     n_candidates = F.size(ms)
-    n_valid = F.size(F.filter(ms, luhn_valid))
+    n_valid = F.size(F.filter(ms, _valid))
     # The splice folds over the MATCHES array directly (carrying a
     # positional counter), not over sequence(1, n): every element_at is
     # in bounds BY CONSTRUCTION (segs always has len(ms)+1 elements and
@@ -595,7 +654,7 @@ def scrub_cards(
         lambda st, m: F.struct(
             F.concat(
                 st["acc"],
-                F.when(luhn_valid(m), F.lit(placeholder)).otherwise(m),
+                F.when(_valid(m), F.lit(placeholder)).otherwise(m),
                 F.element_at(segs, st["i"] + 1),
             ).alias("acc"),
             (st["i"] + 1).alias("i"),

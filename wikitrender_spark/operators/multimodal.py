@@ -878,7 +878,19 @@ def content_crop_py(img: "object") -> "object":
     right/bottom-padded raster, and the bar value for letterboxes whose
     bars reach that corner). Interior pixels equal to the corner value
     do not shrink the box; a fully-flat image returns unchanged (it
-    hashes to 0 either way). Deterministic integer comparisons only."""
+    hashes to 0 either way). Deterministic integer comparisons only.
+
+    Scope, stated honestly (ADVICE r11 low #3): the single-corner
+    anchor is CORRECT for this corpus (documents_as_pgm pads right/
+    bottom with the space byte) and for classic bottom-letterboxes,
+    but top/left-ONLY padding, bars that stop short of the bottom-right
+    corner, and multi-channel paddings whose integer MEAN luminance
+    equals the corner's (two different colors can tie) are not
+    cropped. Generalizing means comparing per-channel equality and
+    voting across all four corners — a detection-policy change, not a
+    mechanism change; the gated oracle twin (IMAGE_NEARDUP_CONTENT_SQL)
+    pins the current single-corner luminance rule bit-for-bit, so any
+    widening must move both sides together."""
     import numpy as np
 
     if img.shape[2] == 1:
