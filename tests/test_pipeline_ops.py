@@ -2443,6 +2443,16 @@ def test_bpe_encode_fast_ill_formed_and_duplicate_tables(spark):
         .collect()[0]
     )
     assert list(r["sym"]) == ["ab", "c"]
+    # NULL text: both paths propagate null (not crash, not [])
+    rn = (
+        spark.createDataFrame([(None,)], "w string")
+        .select(
+            T.bpe_encode(F.col("w"), ill).alias("hof"),
+            T.bpe_encode_fast(F.col("w"), ill).alias("fast"),
+        )
+        .collect()[0]
+    )
+    assert rn["hof"] is None and rn["fast"] is None
 
 
 def test_scrub_cards_must_run_before_scrub_pii(spark):

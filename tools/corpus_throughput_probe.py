@@ -109,7 +109,11 @@ def build_chunks(spark, work_dir: str, batch_size: int) -> str:
     return chunk_dir
 
 
-def drain_once(spark, chunk_dir: str, ckpt: str) -> float:
+def drain_once(spark, chunk_dir: str, ckpt: str) -> tuple[float, int]:
+    """Returns (elapsed_s, final digest-state rows). The state reading
+    comes from the engine's own progress telemetry (stateOperators of
+    the last progress event), so the growth curve beside the docs/s
+    numbers is measured, not inferred from gate pass-rates."""
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", FILES_PER_CHUNK)
@@ -130,7 +134,14 @@ def drain_once(spark, chunk_dir: str, ckpt: str) -> float:
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError("drain exceeded 600 s; measurement aborted")
-    return time.monotonic() - t0
+    elapsed = time.monotonic() - t0
+    state_rows = 0
+    prog = q.lastProgress or {}
+    for op in prog.get("stateOperators", []):
+        state_rows += op.get("numRowsTotal") or op.get(
+            "numTotalStateRows", 0
+        ) or 0
+    return elapsed, state_rows
 
 
 def main() -> None:
@@ -146,8 +157,12 @@ def main() -> None:
     try:
         for bs in sizes:
             chunk_dir = build_chunks(spark, work, bs)
-            cold = drain_once(spark, chunk_dir, os.path.join(work, f"c{bs}_cold"))
-            warm = drain_once(spark, chunk_dir, os.path.join(work, f"c{bs}_warm"))
+            cold, _ = drain_once(
+                spark, chunk_dir, os.path.join(work, f"c{bs}_cold")
+            )
+            warm, state_rows = drain_once(
+                spark, chunk_dir, os.path.join(work, f"c{bs}_warm")
+            )
             total = N_CHUNKS * bs
             results[str(bs)] = {
                 "batches": N_CHUNKS,
@@ -155,6 +170,7 @@ def main() -> None:
                 "cold_s": round(cold, 2),
                 "warm_s": round(warm, 2),
                 "warm_docs_per_s": round(total / warm, 0),
+                "state_rows_final": state_rows,
             }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -513,6 +513,11 @@ def bpe_encode_fast(
         cache: dict[str, list[str]] = {}
         out = []
         for t in texts:
+            if t is None:
+                # NULL in, NULL out — the HOF path's behavior (its
+                # split/transform chain propagates null)
+                out.append(None)
+                continue
             syms: list[str] = []
             for w in ws.split(t):
                 if not w:
