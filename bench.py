@@ -336,11 +336,25 @@ def main() -> None:
             ov = SWEEP_SF_OVERRIDES.get(name)
             if ov:
                 cand = os.path.join(
-                    os.path.dirname(sf_dir.rstrip("/")), ov
+                    os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))),
+                    ov,
                 )
                 if os.path.isdir(cand):
                     sdir = cand
                     sweep_overrides_applied[name] = ov
+                else:
+                    # fail LOUD on stderr, and stamp the skip on the
+                    # record: this row's committed floor lives at the
+                    # override scale, so a silent fallback to headline
+                    # scale would read as a 5-9x perf anomaly in
+                    # floor_check with no trace of why (review r12)
+                    print(
+                        f"bench.py: sweep override {name} -> {ov} "
+                        f"SKIPPED ({cand} missing); sampling at "
+                        f"{sf_dir} against an override-scale floor",
+                        file=sys.stderr,
+                    )
+                    sweep_overrides_applied[name] = f"SKIPPED:{ov}"
             t0 = time.perf_counter()
             queries[name](spark, sdir).write.mode("overwrite").format(
                 "noop"

@@ -1275,6 +1275,10 @@ def test_corpus_admission_cards_first_dedups_card_variants(spark, tmp_path):
     )
     # card-differing copies in a LATER micro-batch: same body, another
     # Luhn-valid PAN — must collapse onto the original's digest
+    # the per-pair digest-group reasoning below assumes no two corpus
+    # docs share identical text — assert it instead of trusting the
+    # corpus (the extended-PII test's discipline; review r12)
+    assert src.count() == src.select("text").distinct().count()
     card_variant = src.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 40_000_000).alias("doc_id"),
         F.regexp_replace(

@@ -22,13 +22,16 @@ Run:  python tools/bpe_probe.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from wikitrender_spark.functions import text as T  # noqa: E402
 

@@ -467,10 +467,10 @@ def bpe_encode_fast(
 
     from pyspark.sql.functions import pandas_udf
 
+    merges = tuple(tuple(p) for p in merges)
     rank_lists: dict[tuple[str, str], list[int]] = {}
     for i, pair in enumerate(merges):
-        rank_lists.setdefault(tuple(pair), []).append(i)
-    merge_at = {i: pair for i, pair in enumerate(merges)}
+        rank_lists.setdefault(pair, []).append(i)
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def apply_word(word: str) -> list[str]:
@@ -489,7 +489,7 @@ def bpe_encode_fast(
                         break
             if best is None:
                 break
-            left, right = merge_at[best]
+            left, right = merges[best]
             out: list[str] = []
             i = 0
             n = len(symbols)
