@@ -566,6 +566,19 @@ def test_image_neardup_no_allpairs_one_decode(plans):
     assert "MapInPandas" not in plan, "decode re-runs outside the barrier"
 
 
+def test_image_neardup_content_no_allpairs_one_decode(plans):
+    """mm_image_neardup_content (round 12) keeps the plain variant's
+    scale contract: the crop happens INSIDE the single decode->hash
+    mapInPandas stage, so the plan is identical in shape — block-key
+    equi-join candidates only, decode behind the localCheckpoint
+    barrier (consumers read ExistingRDD, no MapInPandas re-run)."""
+    plan = plans("mm_image_neardup_content")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "dhash relation no longer checkpointed"
+    assert "MapInPandas" not in plan, "decode re-runs outside the barrier"
+
+
 def test_audio_neardup_no_allpairs_one_decode(plans):
     """mm_audio_neardup rides the same machinery as the image path
     (shared dhash_hamming_pairs): block-key equi-join candidates only,
