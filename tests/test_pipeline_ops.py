@@ -2662,6 +2662,66 @@ def test_dsir_log_matches_python_mirror(spark):
     assert per_bigram[1] > per_bigram[2]
 
 
+def test_ngram_nll_matches_python_mirror(spark):
+    """ngram_nll against an independent pure-Python mirror: nll
+    BIT-EQUAL (pinned pln polynomial + (w1,w2)-sorted left fold is the
+    declared semantics), selected equal to the cross-multiplied
+    corpus-mean rule, no-bigram docs at (0, 0.0, selected=True), and
+    the repetitive doc must under-score (lower per-bigram NLL) the
+    one-off doc — discrimination is the filter's purpose."""
+    from collections import Counter
+
+    from wikitrender_spark.functions.portable import pln_py
+    from wikitrender_spark.plans.pipeline_queries import ngram_nll
+
+    texts = [
+        "alpha beta alpha beta alpha beta",   # repetitive: common bigrams
+        "alpha beta gamma delta epsilon",     # one-off transitions
+        "alpha beta alpha beta",
+        "zeta",                               # 1 token -> no bigrams
+        "",                                   # empty -> no bigrams
+    ]
+    d = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs_toks = {i: t.split() for i, t in enumerate(texts)}
+    big = {i: list(zip(ws, ws[1:])) for i, ws in docs_toks.items()}
+    B = Counter(bg for bgs in big.values() for bg in bgs)
+    U = Counter()
+    for (w1, _w2), c in B.items():
+        U[w1] += c
+    V = len({w for ws in docs_toks.values() for w in ws})
+    nl = {bg: pln_py(U[bg[0]] + V) - pln_py(B[bg] + 1) for bg in B}
+
+    want = {}
+    for i, bgs in big.items():
+        xf = Counter(bgs)
+        s = 0.0
+        for bg in sorted(xf):
+            s = s + float(xf[bg]) * nl[bg]
+        want[i] = (len(bgs), s)
+    ts = 0.0
+    for i in sorted(i for i in want if want[i][0] > 0):
+        ts = ts + want[i][1]
+    tn = sum(n for n, _ in want.values())
+
+    rows = {r["doc_id"]: r for r in ngram_nll(d).collect()}
+    assert len(rows) == len(texts)
+    for i, (n, s) in want.items():
+        r = rows[i]
+        assert r["n_bigrams"] == n, i
+        assert r["nll"] == s, i  # bit-equal, no tolerance
+        assert r["selected"] == (s * float(tn) <= ts * float(n)), i
+    # degenerate docs: n=0, nll=0.0, trivially selected
+    assert rows[3]["selected"] is True and rows[3]["nll"] == 0.0
+    assert rows[4]["selected"] is True
+    # discrimination: the repetitive docs score lower per-bigram NLL
+    # than the one-off-transition doc
+    pb = {i: rows[i]["nll"] / rows[i]["n_bigrams"] for i in (0, 1, 2)}
+    assert pb[0] < pb[1] and pb[2] < pb[1]
+
+
 def test_dsir_weights_null_lang_counts_as_nontarget(spark):
     # a bucket whose occurrences all come from NULL-lang docs must
     # count ct=0 (like the oracle's CASE arm), not poison the sum to

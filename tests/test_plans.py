@@ -604,6 +604,27 @@ def test_pii_scrub_zero_shuffle_pruned_scan(plans):
         assert set(cols) <= {"doc_id", "text"}
 
 
+def test_ngram_nll_checkpointed_no_cartesian_pruned(plans):
+    """tx_ngram_nll (round 12) rides the DSIR-log discipline: the
+    per-doc score relation is checkpointed at its 2-consumer barrier
+    (corpus totals + output rows both read ExistingRDD — the model
+    build never runs twice), the only cross join is the 1-row scalar
+    broadcast (never CartesianProduct), visible documents scans read
+    only (doc_id, text), and the portable-ln polynomial never expands
+    inside a per-row fold (pln runs on model rows only; the per-doc
+    fold sums precomputed doubles)."""
+    plan = plans("tx_ngram_nll")
+    assert "ExistingRDD" in plan, "score relation no longer checkpointed"
+    assert "CartesianProduct" not in plan
+    for cols in _scan_columns(plan, "documents"):
+        assert set(cols) <= {"doc_id", "text"}
+    for line in plan.splitlines():
+        if "aggregate(" in line and "bin(" in line:
+            raise AssertionError(
+                "portable-ln expanded inside a per-row fold:\n" + line
+            )
+
+
 def test_dsir_weights_bounded_aggs_and_pruned_scan(plans):
     """tx_dsir_weights' bucket relation must stay checkpointed at its
     2-consumer barrier (vocab broadcast + corpus totals both read

@@ -16,10 +16,12 @@ from wikitrender_spark.plans import registry
 #: driver evidence more than two rounds old). Update each round as
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # round-12 addition, never driver-attested: the content-crop
+    # round-12 additions, never driver-attested: the content-crop
     # perceptual image fingerprint with the crop box recomputed in SQL
-    # (VERDICT r11 ask #4)
+    # (VERDICT r11 ask #4), and the CCNet-style bigram-LM perplexity
+    # filter on the portable-ln machinery
     "mm_image_neardup_content",
+    "tx_ngram_nll",
     # NO stale-by-code-change rows this round: round-12 changes are
     # pure additions (new functions/queries); no attested query's code
     # path changed after its evidence.
@@ -52,15 +54,16 @@ R12_PROMISE = {
     "wt_stream_trending", "wt_top_pages_per_wiki",
 }
 
-#: The three promised rows the r12 window could not seat (52 promised +
-#: 1 new = 53 > 50; new rows are never deferred, so exactly three spill
+#: The four promised rows the r12 window could not seat (52 promised +
+#: 2 new = 54 > 50; new rows are never deferred, so exactly four spill
 #: under the established displacement rule). Chosen because each has
 #: FRESH family evidence in the r11 window AND lives in a file
 #: untouched since its own r09 attestation (git diff r9..HEAD empty for
 #: operators/ann.py, operators/topk.py, plans/wikitrender_queries.py);
-#: all three are named FIRST in the r13 promise.
+#: all four are named FIRST in the r13 promise.
 R12_DISPLACED = {
     "ann_bruteforce_topk", "wt_biggest_movers", "wt_top_pages_per_wiki",
+    "wt_lifecycle_replay",
 }
 
 #: The rows whose latest driver attestation was r10 when this window
@@ -106,7 +109,7 @@ def test_r12_promise_is_paid():
 
 def test_displacement_is_minimal():
     """The displacement rule allows spill only because the window is
-    genuinely full: 49 promised + 1 new = 50 exactly."""
+    genuinely full: 48 promised + 2 new = 50 exactly."""
     assert len(R12_PROMISE - R12_DISPLACED) + len(
         NEVER_OR_STALE_ATTESTED - R12_PROMISE
     ) == registry.GATE_SIZE
@@ -119,9 +122,9 @@ def test_every_owed_row_is_windowed_or_deferred():
     expected = (R10_COHORT | R12_DISPLACED) - set(registry.GATE_WINDOW)
     assert R13_DEFERRED == expected
     # nothing in the r10 cohort re-attests this round, so the r13 debt
-    # is the full cohort plus the three displaced rows (53 > 50: the
+    # is the full cohort plus the four displaced rows (54 > 50: the
     # steady-state cadence documented on registry.GATE_WINDOW)
-    assert len(R13_DEFERRED) == 53, len(R13_DEFERRED)
+    assert len(R13_DEFERRED) == 54, len(R13_DEFERRED)
 
 
 def test_displaced_rows_have_fresh_family_evidence():
@@ -133,6 +136,8 @@ def test_displaced_rows_have_fresh_family_evidence():
                                 "ann_sq_topk"],
         "wt_biggest_movers": ["wt_most_edited", "wt_most_vibrant"],
         "wt_top_pages_per_wiki": ["wt_most_edited", "wt_page_state"],
+        "wt_lifecycle_replay": ["wt_page_state_lifecycle",
+                                "wt_stream_replay"],
     }
     assert set(family_neighbors) == R12_DISPLACED
     for neighbors in family_neighbors.values():

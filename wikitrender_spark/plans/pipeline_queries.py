@@ -4273,6 +4273,175 @@ def q_dsir_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(_docs(spark, sf_dir))
 
 
+def ngram_nll(d: DataFrame) -> DataFrame:
+    """Bigram-LM perplexity scoring — the CCNet-style (Wenzek et al.,
+    LREC 2020) corpus-quality filter (round 12): score every document
+    by its total negative log-likelihood under an add-one-smoothed
+    bigram model of the corpus itself, p(w2|w1) = (B(w1,w2)+1) /
+    (U(w1)+V) with B the corpus bigram count, U(w1) the count of w1 as
+    a bigram left (= sum_w2 B), V the corpus vocabulary size; flag
+    documents at-or-below the corpus mean per-bigram NLL as `selected`
+    (CCNet keeps the low-perplexity head; the tail is the quality
+    cut). nll = sum over doc bigram occurrences of
+    ln(U+V) - ln(B+1) >= 0 (B <= U and V >= 1 guarantee the sign).
+
+    Engine portability rides the tx_dsir_log machinery unchanged:
+    every ln is functions.portable.pln_sql (ONE dialect-common SQL
+    string, IEEE-exact ops only, bit-identical in both engines by
+    construction) over INTEGER counts (all < 2^53 by corpus size),
+    and every float SUM folds a SORTED array (per-doc terms by
+    (w1, w2) — binary string order, identical in Spark's array_sort
+    and DuckDB's ORDER BY on this ASCII vocabulary; the corpus total
+    by doc_id), so addition order is pinned. nll ships RAW; the
+    selection flag compares cross-multiplied doubles
+    (s * total_n <= total_s * n) so no division can tie-break
+    differently — docs with < 2 tokens carry n = 0, s = 0 and select
+    trivially (no evidence against them; a length filter owns that
+    class, as in CCNet).
+
+    Scale shape: ONE tokenization pass (the token relation is
+    localCheckpointed; both the bigram stream and the vocabulary-size
+    agg read it), one (w1, w2) model agg with map-side combine, one
+    (doc_id, w1, w2) count agg, one per-doc fold over its distinct
+    bigrams. The scored model relation broadcasts — in the CCNet
+    deployment the LM is a TRAINED ARTIFACT bounded by vocabulary
+    (broadcastable by construction); a web-scale corpus-trained
+    variant would swap the broadcast for a shuffle join on (w1, w2),
+    a one-line change. pln evaluates only on model rows, never
+    per-occurrence. No collect, no cartesian."""
+    toks = d.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    big = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    pf = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("xf")
+    ).localCheckpoint(eager=False)  # 2 consumers: model + per-doc score
+    bm = pf.groupBy("w1", "w2").agg(F.sum("xf").cast("long").alias("b"))
+    um = bm.groupBy("w1").agg(F.sum("b").cast("long").alias("u"))
+    vs = toks.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").cast("long").alias("v")
+    )
+    terms = (
+        bm.join(um, "w1")
+        .crossJoin(F.broadcast(vs))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.expr(portable.pln_sql("(u + v)"))
+                - F.expr(portable.pln_sql("(b + 1)"))
+            ).alias("nl"),
+        )
+    )
+    per = (
+        pf.join(F.broadcast(terms), ["w1", "w2"])
+        .select(
+            "doc_id",
+            "w1",
+            "w2",
+            "xf",
+            (F.col("xf").cast("double") * F.col("nl")).alias("val"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("xf").cast("long").alias("n_bigrams"),
+            F.array_sort(
+                F.collect_list(F.struct("w1", "w2", "val"))
+            ).alias("pairs"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.aggregate(
+                F.transform(F.col("pairs"), lambda p: p["val"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+    ).localCheckpoint(eager=False)  # 2 consumers: totals + output rows
+    tot = per.agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "s"))).alias("arr"),
+        F.sum("n_bigrams").cast("long").alias("tn"),
+    ).select(
+        F.aggregate(
+            F.transform(F.col("arr"), lambda p: p["s"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("ts"),
+        "tn",
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(F.col("s"), F.lit(0.0)).alias("nll"),
+            (
+                F.coalesce(F.col("s"), F.lit(0.0))
+                * F.col("tn").cast("double")
+                <= F.col("ts")
+                * F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("double")
+            ).alias("selected"),
+        )
+    )
+
+
+def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_nll(_docs(spark, sf_dir))
+
+
+def _ngram_nll_sql() -> str:
+    pln = portable.pln_sql
+    return f"""
+WITH tk AS (SELECT doc_id, {_TOKENS.format(t='text')} AS toks
+            FROM documents),
+bo AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       FROM (SELECT doc_id, toks,
+                    unnest(range(1, length(toks))) AS i FROM tk)),
+pf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS xf
+       FROM bo GROUP BY 1, 2, 3),
+bm AS (SELECT w1, w2, CAST(sum(xf) AS BIGINT) AS b FROM pf GROUP BY 1, 2),
+um AS (SELECT w1, CAST(sum(b) AS BIGINT) AS u FROM bm GROUP BY 1),
+vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+       FROM (SELECT unnest(toks) AS w FROM tk)),
+terms AS (SELECT bm.w1, bm.w2, ({pln('(u + v)')} - {pln('(b + 1)')}) AS nl
+          FROM bm JOIN um ON bm.w1 = um.w1, vs),
+pv AS (SELECT pf.doc_id, pf.w1, pf.w2, pf.xf,
+              CAST(pf.xf AS DOUBLE) * t.nl AS val
+       FROM pf JOIN terms t ON pf.w1 = t.w1 AND pf.w2 = t.w2),
+per AS (SELECT doc_id, CAST(sum(xf) AS BIGINT) AS n_bigrams,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                   list(val ORDER BY w1, w2)),
+                      (a, b) -> a + b) AS s
+        FROM pv GROUP BY 1),
+tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                        list(s ORDER BY doc_id)),
+                           (a, b) -> a + b) AS ts,
+               CAST(sum(n_bigrams) AS BIGINT) AS tn FROM per)
+SELECT d.doc_id,
+  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  coalesce(per.s, CAST(0 AS DOUBLE)) AS nll,
+  coalesce(per.s, CAST(0 AS DOUBLE)) * CAST(tot.tn AS DOUBLE)
+    <= tot.ts * CAST(coalesce(per.n_bigrams, 0) AS DOUBLE) AS selected
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, tot"""
+
+
+NGRAM_NLL_SQL = _ngram_nll_sql()
+
+
 def _dsir_log_sql() -> str:
     pln = portable.pln_sql
     return f"""
@@ -4399,6 +4568,7 @@ QUERIES = {
     "tx_pii_scrub": q_pii_scrub,
     "tx_dsir_weights": q_dsir_weights,
     "tx_dsir_log": q_dsir_log,
+    "tx_ngram_nll": q_ngram_nll,
 }
 
 ORACLES = {
@@ -4475,6 +4645,7 @@ ORACLES = {
     "tx_pii_scrub": PII_SCRUB_SQL,
     "tx_dsir_weights": DSIR_SQL,
     "tx_dsir_log": DSIR_LOG_SQL,
+    "tx_ngram_nll": NGRAM_NLL_SQL,
 }
 
 #: rotated out of the driver's 50-row gate (hash-green r01 + r02);

@@ -45,31 +45,36 @@ _loaded = False
 #:
 #: Round-12 composition policy (the r11 window went 50/50 green; the
 #: R12 promise — the 48-row r09-evidence cohort PLUS the four rows
-#: displaced by round 11 — is 52 rows, paid MINUS THREE documented
-#: displacements, per the established rule: 52 + 1 new = 53 > 50, and
-#: new rows are never deferred, so exactly three promised rows spill):
+#: displaced by round 11 — is 52 rows, paid MINUS FOUR documented
+#: displacements, per the established rule: 52 + 2 new = 54 > 50, and
+#: new rows are never deferred, so exactly four promised rows spill):
 #: (a) the FOUR r11-displaced rows seat FIRST (their evidence is r08,
 #: the registry's oldest — the displacement rule's "displacements
 #: seated first" clause): rel_regional_revenue, rel_top_customers,
 #: rel_rollup_orders, rel_cube_summary;
-#: (b) the round-12 addition (never driver-attested):
+#: (b) the round-12 additions (never driver-attested):
 #: mm_image_neardup_content — the content-crop perceptual fingerprint
 #: VERDICT r11 ask #4 wants oracle-twinned (the declared production
 #: configuration for padded corpora, with the crop box recomputed in
-#: SQL and all-pairs verification);
-#: (c) 45 of the 48-row r09-evidence cohort. DISPLACED to r13:
-#: ann_bruteforce_topk, wt_biggest_movers, wt_top_pages_per_wiki —
-#: chosen because each has FRESH family evidence in the r11 window AND
-#: sits in a file untouched since its own r09 attestation (verified:
-#: git diff r9..HEAD is empty for operators/ann.py, operators/topk.py,
-#: plans/wikitrender_queries.py): ann_bruteforce_topk's exact-scan
-#: shape is covered by ann_filtered_topk / ann_pq_topk / ann_sq_topk
-#: (all r11, same operators/ann.py surface); wt_biggest_movers and
+#: SQL and all-pairs verification) — and tx_ngram_nll, the
+#: CCNet-style bigram-LM perplexity filter on the portable-ln +
+#: order-pinned-fold machinery;
+#: (c) 44 of the 48-row r09-evidence cohort. DISPLACED to r13:
+#: ann_bruteforce_topk, wt_biggest_movers, wt_top_pages_per_wiki,
+#: wt_lifecycle_replay — chosen because each has FRESH family evidence
+#: in the r11 window AND sits in a file untouched since its own r09
+#: attestation (verified: git diff r9..HEAD is empty for
+#: operators/ann.py, operators/topk.py, plans/wikitrender_queries.py):
+#: ann_bruteforce_topk's exact-scan shape is covered by
+#: ann_filtered_topk / ann_pq_topk / ann_sq_topk (all r11, same
+#: operators/ann.py surface); wt_biggest_movers and
 #: wt_top_pages_per_wiki by wt_most_edited + wt_most_vibrant (r11,
 #: same operators/topk.py ranked-window surface) and wt_page_state
-#: (r11, the same state derivation they rank over). All three are
-#: named FIRST in the r13 promise (tests/test_registry_gate.py
-#: R13_DEFERRED).
+#: (r11, the same state derivation they rank over);
+#: wt_lifecycle_replay by wt_page_state_lifecycle (r11, the SAME
+#: ordered per-key lifecycle fold) and wt_stream_replay (r11, the
+#: replay harness). All four are named FIRST in the r13 promise
+#: (tests/test_registry_gate.py R13_DEFERRED).
 #:
 #: Stale-by-code-change audit for the seated rows: round-12 changes
 #: are pure additions (new functions/queries — the content-crop query,
@@ -78,24 +83,26 @@ _loaded = False
 #: operator was refactored in r10 (plan-neutral by hash), re-attests
 #: in this window regardless.
 #:
-#: Attestation-cadence note (honest steady state): with 153 registered
+#: Attestation-cadence note (honest steady state): with 154 registered
 #: queries and a fixed 50-row driver window, every row re-attests at
-#: most every ceil(153/50) = 4 rounds in the worst case, 3 in the
+#: most every ceil(154/50) = 4 rounds in the worst case, 3 in the
 #: common path — displacements seated first keeps the oldest evidence
 #: bounded (the four rows seated this round carry r08 evidence, the
 #: maximum age the policy allows to accumulate); enforced by
 #: tests/test_registry_gate.py.
 GATE_WINDOW: list[str] = [
-    # (b) round-12 addition, never driver-attested
+    # (b) round-12 additions, never driver-attested
     "mm_image_neardup_content",
+    "tx_ngram_nll",
     # (a) the four r11-displaced rows, r08 evidence — seated first
     "rel_regional_revenue",
     "rel_top_customers",
     "rel_rollup_orders",
     "rel_cube_summary",
-    # (c) the r09-evidence cohort, minus the three documented
+    # (c) the r09-evidence cohort, minus the four documented
     # displacements (ann_bruteforce_topk, wt_biggest_movers,
-    # wt_top_pages_per_wiki -> r13, seated first there)
+    # wt_top_pages_per_wiki, wt_lifecycle_replay -> r13, seated
+    # first there)
     "ann_filtered_expand",
     "ann_ivf_rp_topk",
     "ann_ivf_topk",
@@ -137,7 +144,6 @@ GATE_WINDOW: list[str] = [
     "tx_token_stats",
     "tx_vocab",
     "tx_winnowing",
-    "wt_lifecycle_replay",
     "wt_state_diff",
     "wt_stream_heavy_hitters",
     "wt_stream_trending",
