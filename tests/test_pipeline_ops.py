@@ -2722,6 +2722,48 @@ def test_ngram_nll_matches_python_mirror(spark):
     assert pb[0] < pb[1] and pb[2] < pb[1]
 
 
+def test_ngram_nll_scorer_bit_matches_batch(spark):
+    """The streaming scorer (trained-model deployment) must reproduce
+    the batch operator BIT-FOR-BIT when scoring the training corpus
+    itself — pln_py mirrors pln_sql's IEEE op sequence and the fold
+    order is pinned on both sides — and must back off add-one-style on
+    unseen bigrams and unseen left words."""
+    import os
+
+    from wikitrender_spark.functions.portable import pln_py
+    from wikitrender_spark.plans.pipeline_queries import (
+        ngram_model, ngram_nll,
+    )
+
+    d = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet")
+    )
+    model = ngram_model(d)
+    scorer = T.ngram_nll_scorer(*model)
+    got = {
+        r["doc_id"]: r
+        for r in d.select("doc_id", scorer(F.col("text")).alias("s"))
+        .select("doc_id", "s.n_bigrams", "s.nll")
+        .collect()
+    }
+    want = {r["doc_id"]: r for r in ngram_nll(d).collect()}
+    assert set(got) == set(want)
+    for i, w in want.items():
+        assert got[i]["n_bigrams"] == w["n_bigrams"], i
+        assert got[i]["nll"] == w["nll"], i  # bit-equal, no tolerance
+    # backoff on NEW documents: unseen bigram with seen left word
+    # scores ln(U+V) - ln(1); fully unseen left scores ln(V) - ln(1)
+    bigram_u_b, left_u, v = model
+    seen_w1 = next(iter(left_u))
+    nov = spark.createDataFrame(
+        [(0, f"{seen_w1} zzzznever"), (1, "zzzznever zzzzagain")],
+        "doc_id long, text string",
+    ).select("doc_id", scorer(F.col("text")).alias("s"))
+    rows = {r["doc_id"]: r["s"] for r in nov.collect()}
+    assert rows[0]["nll"] == pln_py(left_u[seen_w1] + v)
+    assert rows[1]["nll"] == pln_py(v)
+
+
 def test_dsir_weights_null_lang_counts_as_nontarget(spark):
     # a bucket whose occurrences all come from NULL-lang docs must
     # count ct=0 (like the oracle's CASE arm), not poison the sum to

@@ -1326,6 +1326,96 @@ def test_corpus_admission_cards_first_dedups_card_variants(spark, tmp_path):
     assert "n_cards" not in base.columns
 
 
+def test_corpus_admission_nll_gate(spark, tmp_path):
+    """The perplexity gate in the streaming admission chain (round
+    12): documents score against a TRAINED bigram model inside the
+    stateless front (zero added streaming state), and only docs at or
+    under the per-bigram NLL ceiling admit. The replay must admit
+    exactly the batch form's survivors, the nll column must ride the
+    output, and the gate must genuinely bite (a planted word-salad doc
+    with unseen transitions scores above the ceiling and is
+    rejected)."""
+    import os
+
+    from wikitrender_spark.plans.pipeline_queries import ngram_model
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming import corpus
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    model = ngram_model(base)
+    # a high-perplexity outlier: an unseen word interleaved between
+    # every token of a doc the BASE gate admits. The original words
+    # survive, so the language gate stays green (measured: quality
+    # 0.83, pred en); every bigram becomes (seen, zzqq) ~ ln(U+V) or
+    # (zzqq, seen) ~ ln(V), unit NLL ~5.15 vs the training corpus's
+    # tight 3.26-3.60 band — reversal alone does NOT work here (the
+    # 31-word vocabulary has nearly all transitions trained, measured
+    # in this test's first draft)
+    admitted_base = corpus.corpus_admission_stream(base).select("doc_id")
+    seed = base.join(admitted_base, "doc_id").limit(1)
+    weird = seed.select(
+        F.lit(9_999_999).alias("doc_id"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.array(w, F.lit("zzqq")),
+                )
+            ),
+            " ",
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    both = base.unionByName(weird)
+    # ceiling: the training corpus's max per-bigram NLL — every
+    # training doc passes, the outlier must exceed it
+    scorer_col = __import__(
+        "wikitrender_spark.functions.text", fromlist=["text"]
+    ).ngram_nll_scorer(*model)(F.col("text"))
+    stats = (
+        base.select(scorer_col.alias("s"))
+        .filter(F.col("s.n_bigrams") > 0)
+        .agg(F.max(F.col("s.nll") / F.col("s.n_bigrams")))
+        .collect()[0][0]
+    )
+    ceiling = stats  # max training per-bigram NLL
+
+    chunk_dir = str(tmp_path / "nll_chunks")
+    write_ordered_chunks((both,), chunk_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    admitted = corpus.corpus_admission_replay_to_memory(
+        stream, "corpus_nll_t", str(tmp_path / "ckpt"),
+        nll_model=model, max_unit_nll=ceiling,
+    )
+    got_ids = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    want_ids = {
+        r["doc_id"]
+        for r in corpus.corpus_admission_stream(
+            both, nll_model=model, max_unit_nll=ceiling
+        ).select("doc_id").collect()
+    }
+    assert got_ids == want_ids
+    assert got_ids, "gate rejected everything — degenerate"
+    # the outlier is rejected by the NLL gate specifically: without
+    # the gate (model attached, no ceiling) it IS admitted
+    assert 9_999_999 not in got_ids
+    ungated = {
+        r["doc_id"]
+        for r in corpus.corpus_admission_stream(both, nll_model=model)
+        .select("doc_id").collect()
+    }
+    assert 9_999_999 in ungated, (
+        "outlier fell to the language/quality gate, not the NLL gate"
+    )
+    assert "nll" in admitted.columns
+
+
 def test_corpus_admission_extended_pii_patterns(spark):
     """The widened PII table threads through the admission chain: the
     output carries one n_{kind} per extended pattern, and the dedup

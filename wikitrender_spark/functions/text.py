@@ -532,6 +532,64 @@ def bpe_encode_fast(
     return enc(text)
 
 
+def ngram_nll_scorer(bigram_u_b: dict, left_u: dict, v: int):
+    """UDF factory (returns a callable usable as `scorer(text_col)`,
+    yielding struct<n_bigrams, nll>) scoring documents against a
+    TRAINED add-one
+    bigram model — the streaming half of tx_ngram_nll (the batch
+    operator trains and scores in one plan; a stream scores NEW
+    documents against a broadcast model, the CCNet deployment shape).
+    `bigram_u_b` maps (w1, w2) -> (U(w1), B(w1,w2)); `left_u` maps
+    w1 -> U(w1) for bigrams unseen in training; `v` is the training
+    vocabulary size. Backoff falls out of add-one smoothing, no extra
+    machinery: unseen (w1, w2) with seen w1 scores ln(U+V) - ln(0+1),
+    unseen w1 scores ln(0+V) - ln(1).
+
+    BIT-COMPATIBLE with the batch operator by construction: every ln
+    is portable.pln_py (the same IEEE op sequence as the pln_sql both
+    engines run), tokenization uses the Java \\s class, and the
+    per-doc sum folds (w1, w2)-sorted distinct bigrams left-to-right
+    from 0.0 — so scoring the TRAINING corpus itself reproduces
+    tx_ngram_nll's nll column bit-for-bit (pinned in
+    test_ngram_nll_scorer_bit_matches_batch). Arrow-batched scalar
+    Pandas UDF returning struct<n_bigrams, nll>; the model rides the
+    UDF closure to every executor — bounded by vocabulary, the same
+    broadcastability argument as the batch plan's model join."""
+    import re
+
+    from .portable import pln_py
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_bigrams long, nll double")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        ns, nlls = [], []
+        for t in texts:
+            if t is None:
+                ns.append(0)
+                nlls.append(0.0)
+                continue
+            toks = [w for w in ws.split(t) if w]
+            counts: dict[tuple[str, str], int] = {}
+            for bg in zip(toks, toks[1:]):
+                counts[bg] = counts.get(bg, 0) + 1
+            s = 0.0
+            for bg in sorted(counts):
+                ub = bigram_u_b.get(bg)
+                if ub is None:
+                    u, b = left_u.get(bg[0], 0), 0
+                else:
+                    u, b = ub
+                nl = pln_py(u + v) - pln_py(b + 1)
+                s = s + float(counts[bg]) * nl
+            ns.append(len(toks) - 1 if len(toks) > 1 else 0)
+            nlls.append(s)
+        return pd.DataFrame({"n_bigrams": ns, "nll": nlls})
+
+    return score
+
+
 #: Contiguous digit runs in plausible PAN lengths — candidates only;
 #: scrub_cards admits them through the Luhn checksum.
 CARD_CANDIDATE_PATTERN = r"[0-9]{13,19}"

@@ -4403,6 +4403,45 @@ def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_nll(_docs(spark, sf_dir))
 
 
+def ngram_model(d: DataFrame) -> tuple[dict, dict, int]:
+    """Train the add-one bigram model over a corpus and hand it off as
+    driver-side structures for functions.text.ngram_nll_scorer — the
+    trained-artifact deployment (train on a curated seed corpus, score
+    a stream of new documents against it). Returns (bigram_u_b,
+    left_u, v): (w1,w2) -> (U(w1), B), w1 -> U(w1), vocabulary size.
+    The collect here is the MODEL hand-off, bounded by vocabulary (the
+    same broadcastability argument as ngram_nll's model join), not a
+    data-path collect."""
+    toks = d.select(T.tokens(F.col("text")).alias("toks")).localCheckpoint(
+        eager=False
+    )
+    bm_rows = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("b"))
+        .collect()
+    )
+    v = toks.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w")
+    ).collect()[0][0]
+    left_u: dict = {}
+    for r in bm_rows:
+        left_u[r["w1"]] = left_u.get(r["w1"], 0) + r["b"]
+    bigram_u_b = {
+        (r["w1"], r["w2"]): (left_u[r["w1"]], r["b"]) for r in bm_rows
+    }
+    return bigram_u_b, left_u, int(v)
+
+
 def _ngram_nll_sql() -> str:
     pln = portable.pln_sql
     return f"""

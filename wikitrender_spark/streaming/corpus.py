@@ -46,6 +46,8 @@ def _gate_and_scrub(
     carry: tuple[str, ...] = (),
     patterns: tuple[tuple[str, str, str], ...] = T.PII_PATTERNS,
     scrub_cards_first: bool = False,
+    nll_model: tuple[dict, dict, int] | None = None,
+    max_unit_nll: float | None = None,
 ) -> DataFrame:
     """The stateless front of the admission chain: language-consistency
     gate (predicted == labeled) + quality floor, then PII redaction,
@@ -56,6 +58,17 @@ def _gate_and_scrub(
     because the PII varies (and the PII itself never enters dedup
     state). `carry` names extra input columns (e.g. the ingest
     timestamp) to thread through.
+
+    `nll_model` + `max_unit_nll` add a perplexity gate (round 12, the
+    CCNet deployment shape): documents score against the TRAINED
+    add-one bigram model (plans.pipeline_queries.ngram_model trains
+    it; functions.text.ngram_nll_scorer is bit-compatible with the
+    batch tx_ngram_nll operator) inside the same stateless projection
+    front — the model rides the UDF closure, so the gate adds ZERO
+    streaming state — and only documents with per-bigram NLL
+    <= max_unit_nll admit (cross-multiplied, no division; n_bigrams=0
+    docs pass, the batch operator's convention). The nll rides the
+    output for downstream lineage.
 
     `scrub_cards_first` applies the Luhn card scrub BEFORE the PII
     table, per micro-batch — the pinned composition order (round 11,
@@ -69,6 +82,9 @@ def _gate_and_scrub(
     PII pattern can see into a redacted card — same reasoning as the
     batch contract)."""
     t = F.col("text")
+    nll_cols = []
+    if nll_model is not None:
+        nll_cols = [T.ngram_nll_scorer(*nll_model)(t).alias("_nll")]
     gated = docs.select(
         "doc_id",
         "lang",
@@ -78,10 +94,19 @@ def _gate_and_scrub(
         # quality_score already rounds to 6
         T.quality_score(t).alias("quality"),
         T.predict_lang(t).alias("pred_lang"),
+        *nll_cols,
     ).filter(
         (F.col("pred_lang") == F.col("lang"))
         & (F.col("quality") >= ADMIT_MIN_QUALITY)
     )
+    out_nll_cols = []
+    if nll_model is not None:
+        if max_unit_nll is not None:
+            gated = gated.filter(
+                F.col("_nll.nll")
+                <= F.col("_nll.n_bigrams").cast("double") * max_unit_nll
+            )
+        out_nll_cols = [F.col("_nll.nll").alias("nll")]
     card_cols = []
     scrub_input = F.col("text")
     if scrub_cards_first:
@@ -98,6 +123,7 @@ def _gate_and_scrub(
         *carry,
         "n_tokens",
         "quality",
+        *out_nll_cols,
         F.md5(redacted).alias("digest"),
         *card_cols,
         *(counts[kind].cast("int").alias(f"n_{kind}")
@@ -110,6 +136,8 @@ def corpus_admission_stream(
     docs: DataFrame,
     patterns: tuple[tuple[str, str, str], ...] = T.PII_PATTERNS,
     scrub_cards_first: bool = False,
+    nll_model: tuple[dict, dict, int] | None = None,
+    max_unit_nll: float | None = None,
 ) -> DataFrame:
     """Compose the cleaning pipeline over a (possibly streaming)
     documents relation: language-consistency gate (predicted == labeled)
@@ -137,7 +165,8 @@ def corpus_admission_stream(
     test_corpus_admission_cards_first_dedups_card_variants)."""
     return (
         _gate_and_scrub(
-            docs, patterns=patterns, scrub_cards_first=scrub_cards_first
+            docs, patterns=patterns, scrub_cards_first=scrub_cards_first,
+            nll_model=nll_model, max_unit_nll=max_unit_nll,
         )
         .dropDuplicates(["digest"])
         .drop("digest")
@@ -150,6 +179,8 @@ def corpus_admission_stream_within_watermark(
     horizon: str = "10 minutes",
     patterns: tuple[tuple[str, str, str], ...] = T.PII_PATTERNS,
     scrub_cards_first: bool = False,
+    nll_model: tuple[dict, dict, int] | None = None,
+    max_unit_nll: float | None = None,
 ) -> DataFrame:
     """Bounded-state admission for an unbounded document firehose: the
     same gate -> scrub front, with the digest dedup bounded by an
@@ -162,6 +193,7 @@ def corpus_admission_stream_within_watermark(
     s = _gate_and_scrub(
         docs, carry=(ts_col,), patterns=patterns,
         scrub_cards_first=scrub_cards_first,
+        nll_model=nll_model, max_unit_nll=max_unit_nll,
     )
     return (
         s.withWatermark(ts_col, horizon)
