@@ -13,9 +13,10 @@ chains them (SURVEY.md §2.8):
         shortlist-re-ranked), length histogram, Bloom decontamination
         with measured false positives, Count-Min top terms
   15-17. cards-first Luhn + widened-table PII scrub, DSIR importance
-        selection (linear + log-space), perceptual near-dup across the
-        image/audio modality legs incl. the content-crop production
-        configuration (the round-10/11 additions)
+        selection (linear + log-space), the bigram-LM perplexity
+        filter (round 12), perceptual near-dup across the image/audio
+        modality legs incl. the content-crop production configuration
+        (the round-10/11 additions)
   18.   ORC export
 
 Every step is a DataFrame transformation: at 100 TB the same composition
@@ -287,6 +288,21 @@ def main() -> None:
         f"dsir log-space: {both['kept_log']}/{both['n']} kept, "
         f"agrees with linear on {both['agree']}/{both['n']}"
     )
+
+    # 16c. bigram-LM perplexity filter (round 12, the CCNet-style
+    # quality cut): score every doc's NLL under the add-one corpus
+    # bigram model (portable-ln, order-pinned folds — the gated
+    # tx_ngram_nll operator) and report the selected (at-or-below
+    # corpus-mean per-bigram NLL) head. The trained model also drives
+    # the STREAMING admission gate via ngram_model + ngram_nll_scorer.
+    from wikitrender_spark.plans.pipeline_queries import ngram_nll
+
+    ppl = ngram_nll(docs).agg(
+        F.sum(F.col("selected").cast("long")).alias("kept"),
+        F.count(F.lit(1)).alias("n"),
+    ).head()
+    print(f"perplexity filter: {ppl['kept']}/{ppl['n']} docs at/below "
+          "corpus-mean per-bigram NLL")
 
     # 17. perceptual image near-dup (round 10): the documents-as-PGM
     # rasters decode through the real netpbm -> dHash kernel; pairs
