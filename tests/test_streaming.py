@@ -1368,11 +1368,11 @@ def test_corpus_admission_nll_gate(spark, tmp_path):
         "lang", "source", "n_chars",
     )
     both = base.unionByName(weird)
+    from wikitrender_spark.functions.text import ngram_nll_scorer
+
     # ceiling: the training corpus's max per-bigram NLL — every
     # training doc passes, the outlier must exceed it
-    scorer_col = __import__(
-        "wikitrender_spark.functions.text", fromlist=["text"]
-    ).ngram_nll_scorer(*model)(F.col("text"))
+    scorer_col = ngram_nll_scorer(*model)(F.col("text"))
     stats = (
         base.select(scorer_col.alias("s"))
         .filter(F.col("s.n_bigrams") > 0)
