@@ -2701,9 +2701,11 @@ def test_ngram_nll_matches_python_mirror(spark):
         for bg in sorted(xf):
             s = s + float(xf[bg]) * nl[bg]
         want[i] = (len(bgs), s)
+    # corpus total folds B*nl over the MODEL relation by (w1, w2) —
+    # the bounded form (review r12), not a per-doc array
     ts = 0.0
-    for i in sorted(i for i in want if want[i][0] > 0):
-        ts = ts + want[i][1]
+    for bg in sorted(B):
+        ts = ts + float(B[bg]) * nl[bg]
     tn = sum(n for n, _ in want.values())
 
     rows = {r["doc_id"]: r for r in ngram_nll(d).collect()}
@@ -2720,6 +2722,24 @@ def test_ngram_nll_matches_python_mirror(spark):
     # than the one-off-transition doc
     pb = {i: rows[i]["nll"] / rows[i]["n_bigrams"] for i in (0, 1, 2)}
     assert pb[0] < pb[1] and pb[2] < pb[1]
+
+
+def test_ngram_nll_all_degenerate_corpus(spark):
+    """A corpus with NO multi-token docs must yield (0, 0.0, True) for
+    every row — the first cut returned selected=NULL (empty model ->
+    SUM is NULL; reproduced in review r12), which the oracle could not
+    catch because its twin had the same hole."""
+    from wikitrender_spark.plans.pipeline_queries import ngram_nll
+
+    d = spark.createDataFrame(
+        [(0, "solo", "en", "src", 4), (1, "", "en", "src", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in ngram_nll(d).collect()}
+    for i in (0, 1):
+        assert rows[i]["n_bigrams"] == 0
+        assert rows[i]["nll"] == 0.0
+        assert rows[i]["selected"] is True, rows[i]
 
 
 def test_ngram_nll_scorer_bit_matches_batch(spark):

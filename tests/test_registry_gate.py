@@ -57,9 +57,11 @@ R12_PROMISE = {
 #: The four promised rows the r12 window could not seat (52 promised +
 #: 2 new = 54 > 50; new rows are never deferred, so exactly four spill
 #: under the established displacement rule). Chosen because each has
-#: FRESH family evidence in the r11 window AND lives in a file
+#: FRESH family evidence in the r11 window AND lives in files
 #: untouched since its own r09 attestation (git diff r9..HEAD empty for
-#: operators/ann.py, operators/topk.py, plans/wikitrender_queries.py);
+#: operators/ann.py, operators/topk.py, plans/wikitrender_queries.py,
+#: and for wt_lifecycle_replay's implementation files
+#: operators/lifecycle.py and operators/derive.py);
 #: all four are named FIRST in the r13 promise.
 R12_DISPLACED = {
     "ann_bruteforce_topk", "wt_biggest_movers", "wt_top_pages_per_wiki",

@@ -4273,6 +4273,55 @@ def q_dsir_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(_docs(spark, sf_dir))
 
 
+#: ONE home for the bigram derivation (review r12): the streaming-vs-
+#: batch BIT-COMPATIBILITY contract depends on ngram_nll and
+#: ngram_model deriving bigrams identically, so the expression lives
+#: once and both consume it.
+_NGRAM_BIGRAM_EXPR = (
+    "transform(sequence(1, size(toks) - 1), i -> "
+    "struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+)
+
+
+def _ngram_doc_bigrams(toks: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, xf) per-doc bigram counts over a (doc_id,
+    toks) relation; localCheckpointed — the model aggregation and the
+    per-doc scoring both read it."""
+    return (
+        toks.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(F.expr(_NGRAM_BIGRAM_EXPR)).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("xf"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _ngram_model_relation(toks: DataFrame, pf: DataFrame) -> DataFrame:
+    """The add-one model relation (w1, w2, b, nl) with
+    nl = pln(U(w1)+V) - pln(B+1); vocab-bounded, localCheckpointed
+    (the per-doc join and the corpus-total fold both read it)."""
+    bm = pf.groupBy("w1", "w2").agg(F.sum("xf").cast("long").alias("b"))
+    um = bm.groupBy("w1").agg(F.sum("b").cast("long").alias("u"))
+    vs = toks.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").cast("long").alias("v")
+    )
+    return (
+        bm.join(um, "w1")
+        .crossJoin(F.broadcast(vs))
+        .select(
+            "w1",
+            "w2",
+            "b",
+            (
+                F.expr(portable.pln_sql("(u + v)"))
+                - F.expr(portable.pln_sql("(b + 1)"))
+            ).alias("nl"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def ngram_nll(d: DataFrame) -> DataFrame:
     """Bigram-LM perplexity scoring — the CCNet-style (Wenzek et al.,
     LREC 2020) corpus-quality filter (round 12): score every document
@@ -4292,7 +4341,10 @@ def ngram_nll(d: DataFrame) -> DataFrame:
     and every float SUM folds a SORTED array (per-doc terms by
     (w1, w2) — binary string order, identical in Spark's array_sort
     and DuckDB's ORDER BY on this ASCII vocabulary; the corpus total
-    by doc_id), so addition order is pinned. nll ships RAW; the
+    folds B*nl over the MODEL relation by (w1, w2) — sum over docs of
+    nll equals sum over model rows of B*nl, so the total never touches
+    a corpus-sized array), so addition order is pinned. nll ships
+    RAW; the
     selection flag compares cross-multiplied doubles
     (s * total_n <= total_s * n) so no division can tie-break
     differently — docs with < 2 tokens carry n = 0, s = 0 and select
@@ -4316,38 +4368,10 @@ def ngram_nll(d: DataFrame) -> DataFrame:
     toks = d.select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
-    big = toks.filter(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1), i -> "
-                "struct(element_at(toks, i) AS w1, "
-                "element_at(toks, i + 1) AS w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
-    pf = big.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("xf")
-    ).localCheckpoint(eager=False)  # 2 consumers: model + per-doc score
-    bm = pf.groupBy("w1", "w2").agg(F.sum("xf").cast("long").alias("b"))
-    um = bm.groupBy("w1").agg(F.sum("b").cast("long").alias("u"))
-    vs = toks.select(F.explode("toks").alias("w")).agg(
-        F.countDistinct("w").cast("long").alias("v")
-    )
-    terms = (
-        bm.join(um, "w1")
-        .crossJoin(F.broadcast(vs))
-        .select(
-            "w1",
-            "w2",
-            (
-                F.expr(portable.pln_sql("(u + v)"))
-                - F.expr(portable.pln_sql("(b + 1)"))
-            ).alias("nl"),
-        )
-    )
+    pf = _ngram_doc_bigrams(toks)
+    model = _ngram_model_relation(toks, pf)
     per = (
-        pf.join(F.broadcast(terms), ["w1", "w2"])
+        pf.join(F.broadcast(model.select("w1", "w2", "nl")), ["w1", "w2"])
         .select(
             "doc_id",
             "w1",
@@ -4371,13 +4395,32 @@ def ngram_nll(d: DataFrame) -> DataFrame:
                 lambda acc, x: acc + x,
             ).alias("s"),
         )
-    ).localCheckpoint(eager=False)  # 2 consumers: totals + output rows
-    tot = per.agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "s"))).alias("arr"),
-        F.sum("n_bigrams").cast("long").alias("tn"),
+    )
+    # Corpus totals from the MODEL relation, not the per-doc relation:
+    # sum over docs of nll = sum over (doc, bigram) of xf*nl
+    # = sum over model rows of B*nl, so ts folds the vocab-BOUNDED
+    # model (sorted by (w1, w2) — the pinned addition order) and tn is
+    # the order-free integer sum of B. The first cut collect_listed
+    # one struct PER DOCUMENT into a single array on a single task —
+    # a corpus-sized driver-shape defect contradicting this
+    # docstring's own scale claim (review r12); the model-relation
+    # form is bit-deterministic AND bounded. coalesce closes the
+    # all-degenerate-corpus hole (empty model -> SUM is NULL -> every
+    # selected flag NULL, reproduced before the fix): an empty corpus
+    # totals (0.0, 0) and n=0 docs select trivially.
+    tot = model.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "w1", "w2",
+                    (F.col("b").cast("double") * F.col("nl")).alias("w"),
+                )
+            )
+        ).alias("arr"),
+        F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("tn"),
     ).select(
         F.aggregate(
-            F.transform(F.col("arr"), lambda p: p["s"]),
+            F.transform(F.col("arr"), lambda p: p["w"]),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("ts"),
@@ -4416,22 +4459,13 @@ def ngram_model(d: DataFrame) -> tuple[dict, dict, int]:
     The collect here is the MODEL hand-off, bounded by vocabulary (the
     same broadcastability argument as ngram_nll's model join), not a
     data-path collect."""
-    toks = d.select(T.tokens(F.col("text")).alias("toks")).localCheckpoint(
-        eager=False
-    )
+    toks = d.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    pf = _ngram_doc_bigrams(toks)
     bm_rows = (
-        toks.filter(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1), i -> "
-                    "struct(element_at(toks, i) AS w1, "
-                    "element_at(toks, i + 1) AS w2))"
-                )
-            ).alias("bg")
-        )
-        .groupBy("bg.w1", "bg.w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("b"))
+        pf.groupBy("w1", "w2")
+        .agg(F.sum("xf").cast("long").alias("b"))
         .collect()
     )
     v = toks.select(F.explode("toks").alias("w")).agg(
@@ -4460,7 +4494,8 @@ bm AS (SELECT w1, w2, CAST(sum(xf) AS BIGINT) AS b FROM pf GROUP BY 1, 2),
 um AS (SELECT w1, CAST(sum(b) AS BIGINT) AS u FROM bm GROUP BY 1),
 vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
        FROM (SELECT unnest(toks) AS w FROM tk)),
-terms AS (SELECT bm.w1, bm.w2, ({pln('(u + v)')} - {pln('(b + 1)')}) AS nl
+terms AS (SELECT bm.w1, bm.w2, bm.b,
+                 ({pln('(u + v)')} - {pln('(b + 1)')}) AS nl
           FROM bm JOIN um ON bm.w1 = um.w1, vs),
 pv AS (SELECT pf.doc_id, pf.w1, pf.w2, pf.xf,
               CAST(pf.xf AS DOUBLE) * t.nl AS val
@@ -4471,9 +4506,10 @@ per AS (SELECT doc_id, CAST(sum(xf) AS BIGINT) AS n_bigrams,
                       (a, b) -> a + b) AS s
         FROM pv GROUP BY 1),
 tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                        list(s ORDER BY doc_id)),
+                                        list(CAST(b AS DOUBLE) * nl
+                                             ORDER BY w1, w2)),
                            (a, b) -> a + b) AS ts,
-               CAST(sum(n_bigrams) AS BIGINT) AS tn FROM per)
+               CAST(coalesce(sum(b), 0) AS BIGINT) AS tn FROM terms)
 SELECT d.doc_id,
   CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
   coalesce(per.s, CAST(0 AS DOUBLE)) AS nll,

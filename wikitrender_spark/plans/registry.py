@@ -62,9 +62,11 @@ _loaded = False
 #: (c) 44 of the 48-row r09-evidence cohort. DISPLACED to r13:
 #: ann_bruteforce_topk, wt_biggest_movers, wt_top_pages_per_wiki,
 #: wt_lifecycle_replay — chosen because each has FRESH family evidence
-#: in the r11 window AND sits in a file untouched since its own r09
+#: in the r11 window AND sits in files untouched since its own r09
 #: attestation (verified: git diff r9..HEAD is empty for
-#: operators/ann.py, operators/topk.py, plans/wikitrender_queries.py):
+#: operators/ann.py, operators/topk.py, plans/wikitrender_queries.py,
+#: and for wt_lifecycle_replay's implementation files
+#: operators/lifecycle.py and operators/derive.py):
 #: ann_bruteforce_topk's exact-scan shape is covered by
 #: ann_filtered_topk / ann_pq_topk / ann_sq_topk (all r11, same
 #: operators/ann.py surface); wt_biggest_movers and

@@ -144,7 +144,10 @@ def corpus_admission_stream(
     + quality floor, then PII redaction, then first-arrival-wins exact
     dedup on the REDACTED text's digest (two documents that differ only
     in their PII dedup to one admission; pytest-pinned). Output:
-    (doc_id, lang, n_tokens, quality, n_email, n_phone, n_ip, redacted).
+    (doc_id, lang, n_tokens, quality, n_email, n_phone, n_ip,
+    redacted); with `nll_model` an `nll` column rides after quality,
+    and with `scrub_cards_first` (n_card_candidates, n_cards) precede
+    the pattern counts.
 
     Works identically on a batch DataFrame (dropDuplicates collapses
     within the relation) and a streaming one (state persists across
