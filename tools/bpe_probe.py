@@ -93,6 +93,29 @@ def synth_corpus(spark, n_docs: int = 5000, words_per_doc: int = 54):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def synth_merges_layered(docs, n_total: int) -> tuple[tuple[str, str], ...]:
+    """Well-formed n_total-merge table built in layers: all 676 char
+    bigrams ranked by corpus frequency, then length-3 extensions
+    (bigram symbol + char), then length-4 (trigram symbol + char), ...
+    until n_total merges exist — every merge's operands exist before
+    it, so the table is exactly the shape a trained vocabulary has,
+    at REAL vocabulary sizes (50k is the standard BPE budget)."""
+    base = synth_merges(docs, n_ext=0)
+    merges = list(base)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    layer = ["".join(p) for p in base]  # the 676 bigram symbols
+    while len(merges) < n_total:
+        nxt = []
+        for sym in layer:
+            for c in alphabet:
+                merges.append((sym, c))
+                nxt.append(sym + c)
+                if len(merges) >= n_total:
+                    return tuple(merges)
+        layer = nxt
+    return tuple(merges)
+
+
 def synth_merges(docs, n_ext: int = 500) -> tuple[tuple[str, str], ...]:
     """Well-formed 1,176-merge table: all 676 char bigrams ranked by
     corpus frequency, then n_ext trigram extensions (top bigram symbol
@@ -191,6 +214,20 @@ def main() -> None:
     )
     results["synth_hof_big_extrapolated_s"] = round(
         results["synth_hof_per_merge_s"] * len(big), 1
+    )
+    # the real-vocabulary scale point: a 50k-merge well-formed table
+    # (the standard BPE budget) — the fast path's cost must stay flat
+    # in table size, and the closure that ships to executors stays
+    # megabyte-scale
+    import pickle
+
+    huge = synth_merges_layered(synth, 50_000)
+    results["huge_n_merges"] = len(huge)
+    results["huge_table_pickle_mb"] = round(
+        len(pickle.dumps(huge)) / 1e6, 2
+    )
+    results["synth_fast_huge_s"] = round(
+        timeit(synth, T.bpe_encode_fast(F.col("text"), huge)), 2
     )
     print(json.dumps(results))
 
