@@ -4361,10 +4361,12 @@ def ngram_nll(d: DataFrame) -> DataFrame:
     variant would swap the broadcast for a shuffle join on (w1, w2),
     a one-line change. pln evaluates only on model rows, never
     per-occurrence. No collect, no cartesian. Scale probe (r12,
-    local[32], best-of-3 warm): sf0.1 1.98 s -> 10x replicated docs
-    (distinct ids, replica-suffix word so the model vocabulary grows
-    too) 7.59 s — 3.8x wall for 10x rows, the near-linear growth the
-    plan shape predicts."""
+    local[32], best-of-3 warm, re-run AFTER the model-relation totals
+    fix): sf0.1 2.11 s -> 10x replicated docs (distinct ids,
+    replica-suffix word so the model vocabulary grows too) 3.76 s —
+    1.8x wall for 10x rows. The pre-fix form read 3.8x at the same
+    scale: the per-document corpus-total array was real measured cost,
+    not just a theoretical driver hazard."""
     toks = d.select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
