@@ -177,6 +177,31 @@ SWEEP_SF_OVERRIDES = {
 }
 
 
+def sweep_dir_for(name: str, sf_dir: str) -> tuple[str, str | None]:
+    """Resolve the sweep input dir for one row under
+    SWEEP_SF_OVERRIDES. Returns (dir_to_use, record_tag): tag is None
+    for non-override rows, the override name when applied, and
+    'SKIPPED:<sf>' when the override dir is missing — the loud
+    fallback (the row's committed floor lives at the override scale,
+    so a silent fallback would read as a 5-9x anomaly in floor_check;
+    review r12). Pure so tests can pin all three branches."""
+    ov = SWEEP_SF_OVERRIDES.get(name)
+    if not ov:
+        return sf_dir, None
+    cand = os.path.join(
+        os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))), ov
+    )
+    if os.path.isdir(cand):
+        return cand, ov
+    print(
+        f"bench.py: sweep override {name} -> {ov} SKIPPED "
+        f"({cand} missing); sampling at {sf_dir} against an "
+        "override-scale floor",
+        file=sys.stderr,
+    )
+    return sf_dir, f"SKIPPED:{ov}"
+
+
 def _meth(n: int) -> str:
     # the methodology stamp must describe what actually ran, including
     # env-var sample overrides (r08 review finding)
@@ -332,29 +357,9 @@ def main() -> None:
         for name in queries:
             if name in covered:
                 continue
-            sdir = sf_dir
-            ov = SWEEP_SF_OVERRIDES.get(name)
-            if ov:
-                cand = os.path.join(
-                    os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))),
-                    ov,
-                )
-                if os.path.isdir(cand):
-                    sdir = cand
-                    sweep_overrides_applied[name] = ov
-                else:
-                    # fail LOUD on stderr, and stamp the skip on the
-                    # record: this row's committed floor lives at the
-                    # override scale, so a silent fallback to headline
-                    # scale would read as a 5-9x perf anomaly in
-                    # floor_check with no trace of why (review r12)
-                    print(
-                        f"bench.py: sweep override {name} -> {ov} "
-                        f"SKIPPED ({cand} missing); sampling at "
-                        f"{sf_dir} against an override-scale floor",
-                        file=sys.stderr,
-                    )
-                    sweep_overrides_applied[name] = f"SKIPPED:{ov}"
+            sdir, tag = sweep_dir_for(name, sf_dir)
+            if tag is not None:
+                sweep_overrides_applied[name] = tag
             t0 = time.perf_counter()
             queries[name](spark, sdir).write.mode("overwrite").format(
                 "noop"

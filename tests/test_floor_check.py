@@ -105,3 +105,28 @@ def test_floors_cover_every_registered_query():
         "bench.py (the sweep covers new rows), then "
         "`python tools/floor_check.py --repin` to seat them"
     )
+
+
+def test_bench_sweep_override_resolution(tmp_path, capsys):
+    """The three branches of bench.sweep_dir_for (review r12): plain
+    rows pass through; an override with an existing sibling dir
+    applies; a missing sibling falls back LOUDLY with a SKIPPED tag
+    (the row's floor lives at the override scale, so silence would
+    read as a perf anomaly)."""
+    import bench
+
+    base = tmp_path / "sf0.1"
+    base.mkdir()
+    # plain row: untouched
+    d, tag = bench.sweep_dir_for("tx_ngram_nll", str(base))
+    assert d == str(base) and tag is None
+    # override with the sibling present
+    (tmp_path / "sf0.01").mkdir()
+    d, tag = bench.sweep_dir_for("dd_simhash_tuning", str(base))
+    assert d == str(tmp_path / "sf0.01") and tag == "sf0.01"
+    # override with the sibling missing: loud skip, headline dir
+    lonely = tmp_path / "only" / "sf0.1"
+    lonely.mkdir(parents=True)
+    d, tag = bench.sweep_dir_for("dd_simhash_tuning", str(lonely))
+    assert d == str(lonely) and tag == "SKIPPED:sf0.01"
+    assert "SKIPPED" in capsys.readouterr().err
