@@ -93,17 +93,23 @@ def synth_corpus(spark, n_docs: int = 5000, words_per_doc: int = 54):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def synth_merges_layered(docs, n_total: int) -> tuple[tuple[str, str], ...]:
-    """Well-formed n_total-merge table built in layers: all 676 char
-    bigrams ranked by corpus frequency, then length-3 extensions
-    (bigram symbol + char), then length-4 (trigram symbol + char), ...
+def synth_merges_layered(
+    base: tuple[tuple[str, str], ...], n_total: int
+) -> tuple[tuple[str, str], ...]:
+    """Well-formed n_total-merge table built in layers over an
+    existing bigram-layer `base` (reused from the main run's table —
+    review r12: recomputing it re-ran the corpus frequency job):
+    length-3 extensions (bigram symbol + char), then length-4, ...
     until n_total merges exist — every merge's operands exist before
     it, so the table is exactly the shape a trained vocabulary has,
-    at REAL vocabulary sizes (50k is the standard BPE budget)."""
-    base = synth_merges(docs, n_ext=0)
+    at REAL vocabulary sizes (50k is the standard BPE budget). A
+    n_total at or below len(base) truncates the base (review r12: the
+    first cut silently returned the full base)."""
+    if n_total <= len(base):
+        return tuple(base[:n_total])
     merges = list(base)
     alphabet = "abcdefghijklmnopqrstuvwxyz"
-    layer = ["".join(p) for p in base]  # the 676 bigram symbols
+    layer = ["".join(p) for p in base]  # the bigram symbols
     while len(merges) < n_total:
         nxt = []
         for sym in layer:
@@ -221,7 +227,7 @@ def main() -> None:
     # megabyte-scale
     import pickle
 
-    huge = synth_merges_layered(synth, 50_000)
+    huge = synth_merges_layered(big[:676], 50_000)
     results["huge_n_merges"] = len(huge)
     results["huge_table_pickle_mb"] = round(
         len(pickle.dumps(huge)) / 1e6, 2
