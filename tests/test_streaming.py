@@ -1416,6 +1416,78 @@ def test_corpus_admission_nll_gate(spark, tmp_path):
     assert "nll" in admitted.columns
 
 
+def test_corpus_admission_all_options_compose(spark, tmp_path):
+    """The admission chain's three options TOGETHER (extended PII +
+    cards-first + NLL gate) in one replay — the pairwise tests can't
+    catch interaction bugs (column ordering, digest-scope drift, a
+    gate consuming another's column). The digest must cover the
+    cards+extended-PII redaction (a copy differing in BOTH a card and
+    an IPv6 dedups away), the schema must carry every option's
+    columns in the documented order, and the NLL gate must still
+    bite."""
+    import os
+
+    from wikitrender_spark.functions import text as T
+    from wikitrender_spark.plans.pipeline_queries import ngram_model
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming import corpus
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    model = ngram_model(base)
+    planted = base.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" pay 4111 1111 1111 1111 peer 2001:db8:0:0:0:0:0:"),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+        ),
+    )
+    # copies differing in BOTH plantings: must dedup onto the original
+    variant = planted.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), "4111 1111 1111 1111", "5555-5555-5555-4444"
+            ),
+            r"2001:db8:0:0:0:0:0:[0-9]", "2001:db8:0:0:0:0:0:ffff",
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    assert planted.count() == planted.select("text").distinct().count()
+    chunk_dir = str(tmp_path / "combo_chunks")
+    write_ordered_chunks((planted, variant), chunk_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    # generous NLL ceiling: the plantings add unseen transitions to
+    # every doc, so the gate must not reject the whole corpus — but it
+    # must stay attached (schema + lineage)
+    admitted = corpus.corpus_admission_replay_to_memory(
+        stream, "corpus_combo_t", str(tmp_path / "ckpt"),
+        patterns=T.PII_PATTERNS_EXTENDED, scrub_cards_first=True,
+        nll_model=model, max_unit_nll=8.0,
+    )
+    got_ids = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    assert got_ids, "combined gates rejected everything — degenerate"
+    # no variant survived: the digest covers the FULL redaction chain
+    assert not {i for i in got_ids if i >= 50_000_000}
+    # documented column order: nll after quality, card counts before
+    # the per-pattern counts
+    cols = admitted.columns
+    assert cols.index("quality") < cols.index("nll")
+    assert cols.index("nll") < cols.index("n_card_candidates")
+    assert cols.index("n_cards") < cols.index("n_email")
+    row = admitted.limit(1).collect()[0]
+    assert row["n_cards"] == 1
+    assert "[CARD]" in row["redacted"] and "[IPV6]" in row["redacted"]
+    assert "4111" not in row["redacted"]
+    assert row["nll"] > 0.0
+
+
 def test_corpus_admission_extended_pii_patterns(spark):
     """The widened PII table threads through the admission chain: the
     output carries one n_{kind} per extended pattern, and the dedup
