@@ -1894,6 +1894,133 @@ def test_audio_envelope_hash_spark_matches_kernel(spark):
     }
 
 
+def test_audio_neardup_sql_text_stable():
+    # the r13 signature widening (_aenv_block_sql gains an nbits param
+    # for the video twin) must be TEXT-NEUTRAL for the attested audio
+    # oracle: the default-arg form generates byte-identical SQL to the
+    # explicit AENV_BITS form, and AUDIO_NEARDUP_SQL embeds exactly it
+    from wikitrender_spark.plans import pipeline_queries as pq
+
+    for b in range(4):
+        explicit = pq._aenv_block_sql(b, multimodal.AENV_BITS)
+        assert pq._aenv_block_sql(b) == explicit
+        assert explicit in pq.AUDIO_NEARDUP_SQL
+
+
+def _ref_vproj_blocks(raw128: bytes) -> list[int]:
+    """Independent reference for the video projection hash: straight
+    from the padded text bytes, no numpy, no shared code with the
+    kernel. Frame f's byte (r, c) is raw128[f*16 + r*4 + c]; e is the
+    frame-major row-sums-then-col-sums sequence."""
+    e = []
+    for f in range(8):
+        fr = raw128[f * 16 : (f + 1) * 16]
+        for r in range(4):
+            e.append(sum(fr[r * 4 + c] for c in range(4)))
+        for c in range(4):
+            e.append(sum(fr[r * 4 + c] for r in range(4)))
+    blocks = []
+    for b in range(4):
+        blk = 0
+        for k in range(16):
+            kk = 16 * b + k
+            if e[(kk + 1) % 64] > e[kk]:
+                blk |= 1 << k
+        blocks.append(blk)
+    return blocks
+
+
+def test_vproj_kernel_matches_reference_and_edge_cases():
+    import numpy as np
+    import pytest
+
+    def frames_of(raw: bytes):
+        return [
+            np.frombuffer(raw[f * 16 : (f + 1) * 16], dtype=np.uint8)
+            .reshape(4, 4)
+            for f in range(8)
+        ]
+
+    rng = np.random.RandomState(13)
+    for _ in range(20):
+        raw = bytes(rng.randint(0, 256, size=128, dtype=np.uint8))
+        assert multimodal.vproj64_blocks_py(frames_of(raw)) \
+            == _ref_vproj_blocks(raw)
+    # constant video: every strict > is False -> all-zero hash (the
+    # flat-input convention shared with dHash and the audio envelope)
+    assert multimodal.vproj64_blocks_py(frames_of(b"\x20" * 128)) \
+        == [0, 0, 0, 0]
+    # a truncated stream must fail loud, never hash silently
+    with pytest.raises(ValueError):
+        multimodal.vproj64_blocks_py(frames_of(b"\x20" * 128)[:7])
+    # and so must a wrong frame geometry
+    with pytest.raises(ValueError):
+        multimodal.vproj64_blocks_py(
+            [np.zeros((4, 5), dtype=np.uint8)] * 8
+        )
+    # cyclic wraparound: bit 63 compares e[0] vs e[63] — a video whose
+    # ONLY projection step is across the wrap sets exactly bit 63
+    raw = bytearray(b"\x00" * 128)
+    raw[0:4] = b"\x01\x01\x01\x01"  # frame 0 row 0 -> e[0]=4, e[4]=1
+    # e = [4,0,0,0, 1,1,1,1, 0...0]: bits where next > cur are k=3
+    # (e[4]=1 > e[3]=0) and k=63 (e[0]=4 > e[63]=0)
+    blocks = multimodal.vproj64_blocks_py(frames_of(bytes(raw)))
+    assert blocks[0] == 1 << 3
+    assert blocks[1] == blocks[2] == 0
+    assert blocks[3] == 1 << 15
+
+
+def test_video_projection_hash_spark_matches_kernel(spark):
+    texts = ["spark row one " * 30, "spark row one " * 30, "different " * 40]
+    media = multimodal.documents_as_y4m(docs_df(spark, texts))
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.video_projection_hash(media).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t[:128].ljust(128).encode("latin-1")
+        expect = _ref_vproj_blocks(raw)
+        assert list(rows[i]["fp"]) == expect, i
+        signed = sum(b << (16 * j) for j, b in enumerate(expect))
+        if signed >= 1 << 63:
+            signed -= 1 << 64
+        assert rows[i]["vhash"] == signed, i
+    # identical payloads -> identical hash; the pair verifies at 0
+    pairs = multimodal.dhash_hamming_pairs(
+        multimodal.video_projection_hash(media)
+    ).collect()
+    assert {(p["media_a"], p["media_b"], p["hamming"]) for p in pairs} >= {
+        (0, 1, 0)
+    }
+
+
+def test_video_neardup_candidates_complete_vs_bruteforce(spark):
+    # candidate completeness on a corpus with near-miss payloads: every
+    # pair the all-pairs scan finds at Hamming <= 3 must surface through
+    # the block-key join (pigeonhole contract, checked end to end)
+    texts = [f"doc {i} " + "filler words here " * 10 for i in range(12)]
+    texts += [texts[0], texts[3] + "x"]
+    hashes = multimodal.video_projection_hash(
+        multimodal.documents_as_y4m(docs_df(spark, texts))
+    ).localCheckpoint()
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in multimodal.dhash_hamming_pairs(hashes).collect()
+    }
+    fps = {r["media_id"]: list(r["fp"]) for r in hashes.collect()}
+    ids = sorted(fps)
+    want = set()
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = sum(
+                    bin(a ^ b).count("1") for a, b in zip(fps[i], fps[j])
+                )
+                if d <= multimodal.DHASH_HAM_MAX:
+                    want.add((i, j, d))
+    assert got == want and want  # non-degenerate: the dup pair is there
+
+
 def test_image_dhash_spark_matches_kernel(spark):
     import numpy as np
 

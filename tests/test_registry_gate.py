@@ -5,6 +5,13 @@ queries, so window membership is load-bearing evidence. These tests make
 gate drift a CI failure instead of a round-verdict surprise: the window
 must match registry.GATE_WINDOW exactly, and every query that has never
 been driver-attested on current testdata must sit inside it.
+
+The steady-state rotation contract itself lives on registry.GATE_WINDOW
+(round 13, VERDICT r12 ask #1): new rows always seat; promised rows
+overflowing GATE_SIZE displace to the next round with a per-row
+rationale and seat FIRST there; maximum evidence age is bounded at
+ceil(N / GATE_SIZE) + 1 rounds. The numbers below are that contract
+applied to round 13.
 """
 
 from __future__ import annotations
@@ -16,66 +23,27 @@ from wikitrender_spark.plans import registry
 #: driver evidence more than two rounds old). Update each round as
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # round-12 additions, never driver-attested: the content-crop
-    # perceptual image fingerprint with the crop box recomputed in SQL
-    # (VERDICT r11 ask #4), and the CCNet-style bigram-LM perplexity
-    # filter on the portable-ln machinery
-    "mm_image_neardup_content",
-    "tx_ngram_nll",
-    # NO stale-by-code-change rows this round: round-12 changes are
-    # pure additions (new functions/queries); no attested query's code
-    # path changed after its evidence.
+    # round-13 addition, never driver-attested: the Y4M spatio-temporal
+    # projection fingerprint completing the text/image/audio/video
+    # modality-dedup square (VERDICT r12 ask #3)
+    "mm_video_neardup",
+    # NO stale-by-code-change rows this round: round-13 changes are
+    # pure additions (new functions/queries, the corpus.py join-form
+    # gate that no gated query reads, bench/floor_check tooling) plus
+    # one text-neutral signature-default widening (_aenv_block_sql,
+    # pinned by test_pipeline_ops.test_audio_neardup_sql_text_stable);
+    # no attested query's code path changed after its evidence.
 }
 
-#: The 52 rows promised the r12 window by round 11 (= R09_COHORT |
-#: R11_DISPLACED from round 11's derivation, kept VERBATIM so the
+#: The 54 rows promised the r13 window by round 12 (= R10_COHORT |
+#: R12_DISPLACED from round 12's derivation, kept VERBATIM so the
 #: payment is testable against the promised names, not a recomputation
 #: that could drift with the window).
-R12_PROMISE = {
-    # the four r11-displaced rows (r08 evidence — seated first)
-    "rel_regional_revenue", "rel_top_customers", "rel_rollup_orders",
-    "rel_cube_summary",
-    # the 48-row r09-evidence cohort
-    "ann_bruteforce_topk", "ann_filtered_expand", "ann_ivf_rp_topk",
-    "ann_ivf_topk", "ann_ivfpq_rerank", "ann_lsh_buckets",
-    "ann_lsh_topk", "ann_rp_topk", "dd_bloom_decontaminate",
-    "dd_cdc_chunks", "dd_containment", "dd_decontaminate",
-    "dd_dup_clusters", "dd_editdist_pairs", "dd_embedding_neardup",
-    "dd_jaccard_histogram", "dd_lsh_candidates", "dd_minhash_est",
-    "dd_minhash_signatures", "dd_near_duplicates", "dd_ngram_jaccard",
-    "dd_simhash_pairs", "mm_audio_vad", "mm_frame_sample",
-    "mm_media_features", "mm_pgm_features", "mm_video_keyframes",
-    "rel_audience_overlap", "rel_dq_audit", "rel_hourly_anomalies",
-    "rel_nation_presence", "rel_nation_set_ops", "tx_clean_corpus",
-    "tx_cms_terms", "tx_dedup_lineage", "tx_filter_funnel",
-    "tx_repetition", "tx_split", "tx_substring_scrub",
-    "tx_token_stats", "tx_vocab", "tx_winnowing", "wt_biggest_movers",
-    "wt_lifecycle_replay", "wt_state_diff", "wt_stream_heavy_hitters",
-    "wt_stream_trending", "wt_top_pages_per_wiki",
-}
-
-#: The four promised rows the r12 window could not seat (52 promised +
-#: 2 new = 54 > 50; new rows are never deferred, so exactly four spill
-#: under the established displacement rule). Chosen because each has
-#: FRESH family evidence in the r11 window AND lives in files
-#: untouched since its own r09 attestation (git diff r9..HEAD empty for
-#: operators/ann.py, operators/topk.py, plans/wikitrender_queries.py,
-#: and for wt_lifecycle_replay's implementation files
-#: operators/lifecycle.py and operators/derive.py);
-#: all four are named FIRST in the r13 promise.
-R12_DISPLACED = {
+R13_PROMISE = {
+    # the four r12-displaced rows (r09 evidence — seated first)
     "ann_bruteforce_topk", "wt_biggest_movers", "wt_top_pages_per_wiki",
     "wt_lifecycle_replay",
-}
-
-#: The rows whose latest driver attestation was r10 when this window
-#: was composed (= CORRECTNESS_r10.json keys minus CORRECTNESS_r11.json
-#: keys — the FIXED population, 50 rows): their evidence will be two
-#: rounds old after r12, so together with the three displaced rows they
-#: are PROMISED the r13 window. 53 rows > 50 — the same steady-state
-#: pressure as r11/r12: r13 must displace at least three rows even with
-#: zero additions; the displaced rows seat first.
-R10_COHORT = {
+    # the 50-row r10-evidence cohort
     "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
     "dd_cross_source_dups", "dd_embedding_neardup_exact",
     "dd_lsh_tuning", "dd_semantic_dedup", "dd_simhash_tuning",
@@ -95,53 +63,119 @@ R10_COHORT = {
     "wt_ingest_dedup", "wt_markov_transitions", "wt_pagerank",
 }
 
-#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r13
-#: window — the r10-evidence cohort plus the r12 displacement — minus
+#: The five promised rows the r13 window could not seat (54 promised +
+#: 1 new = 55 > 50; new rows are never deferred, so exactly five spill
+#: under the rotation contract). Chosen because each has FRESH family
+#: evidence in the r12 window AND lives in files untouched since its
+#: own r10 attestation (git diff r10..HEAD empty for operators/ann.py
+#: and plans/relational_queries.py); all five are named FIRST in the
+#: r14 promise.
+R13_DISPLACED = {
+    "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
+    "rel_pricing_summary", "rel_suppliers_with_shipments",
+}
+
+#: The rows whose latest driver attestation was r11 when this window
+#: was composed (= CORRECTNESS_r11.json keys minus CORRECTNESS_r12.json
+#: keys — the FIXED population, 50 rows): their evidence will be two
+#: rounds old after r13, so together with the five displaced rows they
+#: are PROMISED the r14 window. 55 rows > 50 — the steady-state
+#: pressure the rotation contract on registry.GATE_WINDOW makes
+#: permanent: r14 must displace at least five rows even with zero
+#: additions; the displaced rows seat first.
+R11_COHORT = {
+    "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
+    "dd_exact_groups", "dd_simhash", "dd_substring_runs",
+    "mm_audio_energy", "mm_audio_neardup", "mm_video_motion",
+    "rel_acctbal_band_pairs", "rel_copurchase_pairs",
+    "rel_corr_subquery", "rel_customers_without_orders",
+    "rel_event_funnel", "rel_pivot_status", "rel_retention_cohorts",
+    "rel_rolling_revenue_window", "rel_running_revenue",
+    "rel_scalar_functions", "rel_signup_burst",
+    "rel_small_quantity_revenue", "rel_topk_per_brand",
+    "rel_unpivot_presence", "rel_weekday_profile", "tx_dsir_log",
+    "tx_fingerprint", "tx_langid", "tx_length_histogram", "tx_pack",
+    "tx_pack_split", "tx_quality", "tx_source_divergence",
+    "wt_classify_counts", "wt_coedit_triangles", "wt_delete_targets",
+    "wt_edit_wars", "wt_epm_variants", "wt_graph_degrees",
+    "wt_ingest_dedup_watermark", "wt_most_edited", "wt_most_vibrant",
+    "wt_page_state", "wt_page_state_lifecycle", "wt_protect_followups",
+    "wt_purge_safe_list", "wt_purge_survivors", "wt_revert_chains",
+    "wt_session_activity", "wt_stream_replay", "wt_windowed_activity",
+}
+
+#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r14
+#: window — the r11-evidence cohort plus the r13 displacement — minus
 #: anything already re-attesting now.
-R13_DEFERRED = (R10_COHORT | R12_DISPLACED) - set(registry.GATE_WINDOW)
+R14_DEFERRED = (R11_COHORT | R13_DISPLACED) - set(registry.GATE_WINDOW)
 
 
-def test_r12_promise_is_paid():
-    """Every row round 11 promised the r12 window sits in it, except
-    the THREE documented displacements — paid against the promised
+def test_r13_promise_is_paid():
+    """Every row round 12 promised the r13 window sits in it, except
+    the FIVE documented displacements — paid against the promised
     NAMES."""
-    missing = R12_PROMISE - set(registry.GATE_WINDOW)
-    assert missing == R12_DISPLACED, sorted(missing)
+    missing = R13_PROMISE - set(registry.GATE_WINDOW)
+    assert missing == R13_DISPLACED, sorted(missing)
+
+
+def test_r13_window_is_led_by_the_displaced_four():
+    """VERDICT r12 ask #1's 'done' condition verbatim: the window is
+    LED by the four r9-evidence rows round 12 displaced — they hold
+    slots 0-3, ahead even of this round's addition."""
+    assert registry.GATE_WINDOW[:4] == [
+        "ann_bruteforce_topk", "wt_biggest_movers",
+        "wt_top_pages_per_wiki", "wt_lifecycle_replay",
+    ]
 
 
 def test_displacement_is_minimal():
     """The displacement rule allows spill only because the window is
-    genuinely full: 48 promised + 2 new = 50 exactly."""
-    assert len(R12_PROMISE - R12_DISPLACED) + len(
-        NEVER_OR_STALE_ATTESTED - R12_PROMISE
+    genuinely full: 49 promised + 1 new = 50 exactly."""
+    assert len(R13_PROMISE - R13_DISPLACED) + len(
+        NEVER_OR_STALE_ATTESTED - R13_PROMISE
     ) == registry.GATE_SIZE
 
 
 def test_every_owed_row_is_windowed_or_deferred():
-    """The r13 promise must be complete by construction: every row with
-    r10-or-older driver evidence is either re-attesting in the r12
-    window or explicitly in the r13 debt — nothing falls out silently."""
-    expected = (R10_COHORT | R12_DISPLACED) - set(registry.GATE_WINDOW)
-    assert R13_DEFERRED == expected
-    # nothing in the r10 cohort re-attests this round, so the r13 debt
-    # is the full cohort plus the four displaced rows (54 > 50: the
-    # steady-state cadence documented on registry.GATE_WINDOW)
-    assert len(R13_DEFERRED) == 54, len(R13_DEFERRED)
+    """The r14 promise must be complete by construction: every row with
+    r11-or-older driver evidence is either re-attesting in the r13
+    window or explicitly in the r14 debt — nothing falls out silently."""
+    expected = (R11_COHORT | R13_DISPLACED) - set(registry.GATE_WINDOW)
+    assert R14_DEFERRED == expected
+    # nothing in the r11 cohort re-attests this round, so the r14 debt
+    # is the full cohort plus the five displaced rows (55 > 50: the
+    # steady-state cadence the contract on registry.GATE_WINDOW pins)
+    assert len(R14_DEFERRED) == 55, len(R14_DEFERRED)
+
+
+def test_evidence_age_bound_holds():
+    """Rule 3 of the rotation contract, checked on this round's
+    numbers: the oldest evidence seated this round (the four r09 rows,
+    age 4 at r13) and the oldest evidence deferred (the five r10 rows,
+    age 4 when they seat at r14) both sit within the contract bound
+    ceil(N / GATE_SIZE) + 1."""
+    import math
+
+    n = len(registry.all_queries())
+    bound = math.ceil(n / registry.GATE_SIZE) + 1
+    assert 13 - 9 <= bound  # the r09 rows seated this round
+    assert 14 - 10 <= bound  # the r10 rows displaced to r14
 
 
 def test_displaced_rows_have_fresh_family_evidence():
-    """The r12 displacement rationale is itself pinned: every displaced
-    row's named family neighbors re-attested in the r11 window, and the
+    """The r13 displacement rationale is itself pinned: every displaced
+    row's named family neighbors re-attested in the r12 window, and the
     neighbors remain registered (oracle-checked in the local sweep)."""
     family_neighbors = {
-        "ann_bruteforce_topk": ["ann_filtered_topk", "ann_pq_topk",
-                                "ann_sq_topk"],
-        "wt_biggest_movers": ["wt_most_edited", "wt_most_vibrant"],
-        "wt_top_pages_per_wiki": ["wt_most_edited", "wt_page_state"],
-        "wt_lifecycle_replay": ["wt_page_state_lifecycle",
-                                "wt_stream_replay"],
+        "ann_ivfpq_topk": ["ann_ivfpq_rerank", "ann_ivf_topk"],
+        "ann_kmeans_refine": ["ann_ivf_topk", "ann_ivf_rp_topk"],
+        "ann_range_search": ["ann_lsh_topk", "ann_filtered_expand"],
+        "rel_pricing_summary": ["rel_regional_revenue",
+                                "rel_rollup_orders"],
+        "rel_suppliers_with_shipments": ["rel_nation_presence",
+                                         "rel_nation_set_ops"],
     }
-    assert set(family_neighbors) == R12_DISPLACED
+    assert set(family_neighbors) == R13_DISPLACED
     for neighbors in family_neighbors.values():
         for neighbor in neighbors:
             assert neighbor in registry.all_queries()
@@ -169,7 +203,7 @@ def test_window_names_unique_and_registered():
 
 
 def test_deferred_rows_are_registered_and_disjoint_from_window():
-    # the r13 promise list must stay real queries, and a deferred row
+    # the r14 promise list must stay real queries, and a deferred row
     # sitting inside the window would mean the accounting is stale
-    assert R13_DEFERRED <= set(registry.all_queries())
-    assert not (R13_DEFERRED & set(registry.GATE_WINDOW))
+    assert R14_DEFERRED <= set(registry.all_queries())
+    assert not (R14_DEFERRED & set(registry.GATE_WINDOW))

@@ -1006,6 +1006,83 @@ def audio_envelope_hash(media: DataFrame) -> DataFrame:
     )
 
 
+#: Video spatio-temporal projection hash (round 13 — completes the
+#: text / image / audio / VIDEO modality-dedup square on the shared
+#: Manku block machinery): each of the Y4M_FRAMES decoded frames
+#: contributes its Y4M_HEIGHT integer row-luma sums followed by its
+#: Y4M_WIDTH column-luma sums — the radial/TIRI-style projection family
+#: (Esmaeili et al., TIFS 2011 use temporally-informative images; the
+#: 1-D projection form here keeps every value an exact integer sum so
+#: the SQL twin reproduces each bit) — giving 8 x (4 + 4) = 64 integer
+#: projections in frame-major order. Bit k is then the aenv64 cyclic
+#: sign-of-delta rule (set iff the next projection, wrapping, is
+#: strictly larger), so a constant video hashes to 0 (the shared
+#: flat-input convention) and the 64 bits reuse the DHASH block
+#: geometry — dhash_hamming_pairs and dhash_tuning_report run unchanged
+#: on the fp column.
+VPROJ_BITS = Y4M_FRAMES * (Y4M_HEIGHT + Y4M_WIDTH)  # 64 = 4 * 16
+
+
+def vproj64_blocks_py(frames: "list[object]") -> list[int]:
+    """REAL video fingerprint kernel over decoded (h, w) uint8 frames:
+    per-frame integer row sums then column sums (frame-major), then bit
+    k is set iff e[(k+1) % VPROJ_BITS] > e[k] (strict — the exact
+    aenv64_blocks_py rule over projections instead of energies). Exact
+    integer arithmetic end to end — the SQL twin reproduces every bit.
+    Returns DHASH_BLOCKS ints, block b holding bits 16b..16b+15. Fails
+    loud on a frame count or geometry that does not fill VPROJ_BITS
+    whole projections (a truncated stream must never hash silently)."""
+    import numpy as np
+
+    e: list[int] = []
+    for fr in frames:
+        g = np.asarray(fr, dtype=np.int64)
+        if g.shape != (Y4M_HEIGHT, Y4M_WIDTH):
+            raise ValueError(
+                f"need {Y4M_HEIGHT}x{Y4M_WIDTH} frames, got {g.shape}"
+            )
+        e.extend(int(x) for x in g.sum(axis=1))  # row sums, top-down
+        e.extend(int(x) for x in g.sum(axis=0))  # col sums, left-right
+    if len(e) != VPROJ_BITS:
+        raise ValueError(
+            f"need exactly {VPROJ_BITS} projections "
+            f"({Y4M_FRAMES} frames), got {len(e)}"
+        )
+    blocks = []
+    for b in range(DHASH_BLOCKS):
+        blk = 0
+        for k in range(DHASH_BLOCK_BITS):
+            kk = b * DHASH_BLOCK_BITS + k
+            if e[(kk + 1) % VPROJ_BITS] > e[kk]:
+                blk |= 1 << k
+        blocks.append(blk)
+    return blocks
+
+
+def video_projection_hash(media: DataFrame) -> DataFrame:
+    """decode -> projections -> hash as ONE mapInPandas stage (the
+    binary column is consumed inside the stage and never shuffled):
+    each Y4M payload flows through the genuine decode_y4m ->
+    vproj64_blocks_py kernel. Output: (media_id, fp array<long> of
+    DHASH_BLOCKS 16-bit blocks, vhash — the signed 64-bit
+    two's-complement view, the shared _blocks_to_signed64 convention).
+    Malformed payloads raise (decode_y4m's fail-loud contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _, _, frames = decode_y4m(bytes(row.payload))
+                blocks = vproj64_blocks_py(frames)
+                h = _blocks_to_signed64(blocks)
+                out.append(dict(media_id=row.media_id, fp=blocks, vhash=h))
+            yield pd.DataFrame(out, columns=["media_id", "fp", "vhash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, fp array<long>, vhash long"
+    )
+
+
 def dhash_hamming_pairs(
     hashes: DataFrame, ham_max: int = DHASH_HAM_MAX,
     max_bucket: int | None = None,
