@@ -2167,6 +2167,102 @@ def test_content_crop_and_dhash_padding_invariance(spark):
     assert cropped.shape == (3, 2, 1)
 
 
+def test_content_crop4_generalizes_corners_and_channels(spark):
+    """content_crop4_py (round 13, VERDICT r12 ask #4): the planted
+    cases the single-corner rule documents as out of scope — top/left
+    padding, and color padding whose integer MEAN luminance ties the
+    content — plus equivalence with the attested rule on this corpus's
+    bottom-right-padded mono rasters."""
+    import numpy as np
+
+    # (1) TOP/LEFT-only padding: the single-corner (bottom-right) rule
+    # cannot crop it (BR is content); the four-corner vote does —
+    # TL/TR/BL all carry the pad value
+    img = np.full((8, 8, 1), 7, dtype=np.uint8)
+    content = np.arange(16, dtype=np.uint8).reshape(4, 4) + 100
+    img[4:8, 4:8, 0] = content
+    got = multimodal.content_crop4_py(img)
+    assert got.shape == (4, 4, 1) and (got[:, :, 0] == content).all()
+    # the single-corner rule on the same raster: BR = 115 (content),
+    # nearly everything differs -> effectively no crop
+    assert multimodal.content_crop_py(img).shape == (8, 8, 1)
+
+    # (2) color padding with a mean-luminance TIE: RGB pad (10, 20, 30)
+    # (mean 20) around content whose border pixel is (20, 20, 20)
+    # (mean 20) — per-channel comparison separates them
+    rgb = np.zeros((6, 6, 3), dtype=np.uint8)
+    rgb[:, :, :] = (10, 20, 30)
+    rgb[2:4, 2:4, :] = (20, 20, 20)
+    got = multimodal.content_crop4_py(rgb)
+    assert got.shape == (2, 2, 3)
+    # the luminance rule ties (20 == 20) and sees NO differing pixel:
+    # returns the raster unchanged — the documented blind spot
+    assert multimodal.content_crop_py(rgb).shape == (6, 6, 3)
+
+    # (3) flat image: unchanged (hashes to 0 either way)
+    flat = np.full((5, 5, 1), 9, dtype=np.uint8)
+    assert multimodal.content_crop4_py(flat).shape == (5, 5, 1)
+
+    # (4) four distinct corners (an ordinary photo): presumed content,
+    # bottom-right fallback applies — identical to the attested rule
+    # on mono rasters
+    rng = np.random.RandomState(3)
+    photo = rng.randint(0, 255, size=(8, 8, 1), dtype=np.uint8)
+    photo[0, 0, 0], photo[0, 7, 0] = 1, 2
+    photo[7, 0, 0], photo[7, 7, 0] = 3, 4
+    a = multimodal.content_crop4_py(photo)
+    b = multimodal.content_crop_py(photo)
+    assert a.shape == b.shape and (a == b).all()
+
+    # (5) this corpus's shape — mono raster, space-padded right+bottom
+    # (TR = BR = 32): the generalized crop equals the attested rule
+    canvas = np.full((8, 8, 1), 32, dtype=np.uint8)
+    canvas[0:3, 0:5, 0] = rng.randint(33, 255, size=(3, 5))
+    a = multimodal.content_crop4_py(canvas)
+    b = multimodal.content_crop_py(canvas)
+    assert a.shape == b.shape == (3, 5, 1) and (a == b).all()
+
+
+def test_image_dhash_content4_crops_top_left_padding(spark):
+    # the same 4x4 content block placed bottom-right in an 8x8 canvas
+    # and bottom-right in a 16x16 canvas must fingerprint identically
+    # through the generalized stage — padding the single-corner rule
+    # cannot remove (content sits AT the bottom-right corner; padding
+    # covers TL/TR/BL)
+    content = bytes([10, 200, 30, 90, 220, 15, 180, 60,
+                     70, 140, 250, 5, 35, 95, 155, 215])
+
+    def canvas(edge):
+        r = bytearray(b" " * edge * edge)
+        for i in range(4):
+            pos = (edge - 4 + i) * edge + (edge - 4)
+            r[pos: pos + 4] = content[i * 4:(i + 1) * 4]
+        return _pgm(edge, edge, bytes(r))
+
+    rows = (
+        spark.createDataFrame(
+            [(0, canvas(8)), (1, canvas(16))],
+            "media_id long, payload binary",
+        )
+        .transform(multimodal.image_dhash_content4)
+        .collect()
+    )
+    fps = {r["media_id"]: list(r["fp"]) for r in rows}
+    assert fps[0] == fps[1]
+    # the single-corner stage does NOT collapse these (BR is content,
+    # so its crop box keeps the padding extent difference)
+    rows1 = (
+        spark.createDataFrame(
+            [(0, canvas(8)), (1, canvas(16))],
+            "media_id long, payload binary",
+        )
+        .transform(multimodal.image_dhash_content)
+        .collect()
+    )
+    fps1 = {r["media_id"]: list(r["fp"]) for r in rows1}
+    assert fps1[0] != fps1[1]
+
+
 def test_scrub_pii_counts_and_order(spark):
     redacted, counts = T.scrub_pii(F.col("text"))
     df = docs_df(

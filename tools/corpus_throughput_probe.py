@@ -144,14 +144,68 @@ def drain_once(spark, chunk_dir: str, ckpt: str) -> tuple[float, int]:
     return elapsed, state_rows
 
 
+def nll_gate_compare(spark, work: str, batch_size: int) -> dict:
+    """Round-13 measurement (VERDICT r12 ask #2's 'measured throughput
+    point beside the 4,046 docs/s UDF number'): the SAME replicated
+    corpus through the admission chain in BATCH mode — the join form's
+    declared deployment — under three gates: none, the Arrow UDF
+    scorer, and the JVM join form (_nll_join_score). Batch mode because
+    that is the stated trade (corpus.py: 'the join form for
+    batch-heavy ingest'); each configuration writes to a noop sink,
+    cold pass excluded, warm pass reported."""
+    from wikitrender_spark.plans.pipeline_queries import ngram_model
+
+    chunk_dir = build_chunks(spark, work, batch_size)
+    docs = spark.read.schema(DOCS_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(chunk_dir)
+    total = N_CHUNKS * batch_size
+    model = ngram_model(load_table(spark, SF_DIR, "documents"))
+    out = {}
+    for gate, kwargs in (
+        ("none", {}),
+        ("udf", {"nll_model": model, "max_unit_nll": 50.0}),
+        ("join", {"nll_model": model, "max_unit_nll": 50.0,
+                  "nll_gate": "join"}),
+    ):
+        times = []
+        for _ in range(2):  # pass 0 cold (excluded), pass 1 warm
+            t0 = time.monotonic()
+            corpus_admission_stream(docs, **kwargs).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            times.append(time.monotonic() - t0)
+        out[gate] = {
+            "cold_s": round(times[0], 2),
+            "warm_s": round(times[1], 2),
+            "warm_docs_per_s": round(total / times[1], 0),
+        }
+    out["docs_total"] = total
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1250,5000,20000")
+    ap.add_argument("--nll", action="store_true",
+                    help="compare NLL gate forms (none/udf/join) in "
+                    "batch mode at the first --sizes batch size")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    if args.nll:
+        work = tempfile.mkdtemp(prefix="corpus_nll_")
+        try:
+            res = nll_gate_compare(spark, work, sizes[0])
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps(
+            {"metric": "nll_gate_throughput", "sf_dir": SF_DIR,
+             "batch_docs": sizes[0] * N_CHUNKS, "gates": res}
+        ))
+        return
     results = {}
     work = tempfile.mkdtemp(prefix="corpus_tp_")
     try:

