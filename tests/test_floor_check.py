@@ -90,6 +90,68 @@ def test_repin_sweep_seats_but_never_lowers():
     assert floor_check.repin({"a": 1.0}, {"a": 0.2}, {})["a"] == 0.2
 
 
+def test_drifted_session_predicate():
+    # calibration spread over 1.3 OR median floor-drift over 1.25
+    assert floor_check.session_is_drifted(FLOORS, {"a": 1.05}, 1.53)
+    assert not floor_check.session_is_drifted(FLOORS, {"a": 1.05}, 1.1)
+    drifted = {"a": 1.4, "b": 2.8, "c": 5.6}
+    assert floor_check.session_is_drifted(FLOORS, drifted, None)
+    assert not floor_check.session_is_drifted(FLOORS, {"a": 1.1}, None)
+
+
+def test_solo_candidates_only_in_drifted_sessions():
+    """The r12 dd_cross_source_dups scenario (VERDICT r12 ask #5): a
+    row exceeding both rules inside a drifted session is a solo
+    CANDIDATE; the same reading in a calm session is not (a calm flag
+    is already trustworthy — re-measuring would launder a real
+    regression through a second chance)."""
+    floors = {f"q{i}": 1.0 for i in range(8)} | {"dd_x": 1.0}
+    drifted = {f"q{i}": 1.35 for i in range(8)} | {"dd_x": 2.2}
+    # drifted by calibration spread: dd_x (2.2x > 1.5 and > 1.35*1.25)
+    assert floor_check.solo_candidates(floors, drifted, {}, 1.53) == ["dd_x"]
+    # same numbers, calm calibration, but median drift 1.35 > 1.25
+    # still marks the session drifted
+    assert floor_check.solo_candidates(floors, drifted, {}, 1.0) == ["dd_x"]
+    # calm session: same dd_x blowup -> no candidates
+    calm = {f"q{i}": 1.05 for i in range(8)} | {"dd_x": 2.2}
+    assert floor_check.solo_candidates(floors, calm, {}, 1.0) == []
+    # sweep rows over the advisory envelope join the candidate list
+    got = floor_check.solo_candidates(
+        floors, drifted, {"sw": 2.6, "q0_s": 1.0} | {}, 1.53
+    )
+    assert got == ["dd_x"]  # sw has no floor -> never a candidate
+    floors["sw"] = 1.0
+    got = floor_check.solo_candidates(floors, drifted, {"sw": 2.6}, 1.53)
+    assert got == ["dd_x", "sw"]
+
+
+def test_solo_remeasure_adjudicates_drifted_flags():
+    """The flag stands only if the solo read confirms: a clean solo
+    median downgrades the violation to an advisory carrying both
+    readings; a confirming solo keeps the violation and stamps it."""
+    floors = {f"q{i}": 1.0 for i in range(8)} | {"dd_x": 1.0}
+    drifted = {f"q{i}": 1.35 for i in range(8)} | {"dd_x": 2.2}
+    # without a solo reading: violation (the pre-r13 behavior)
+    v, a, _ = floor_check.check(floors, drifted, {})
+    assert len(v) == 1 and "dd_x" in v[0]
+    # clean solo (1.1x floor): downgraded, both readings visible
+    v, a, _ = floor_check.check(floors, drifted, {}, {"dd_x": 1.1})
+    assert not v
+    note = next(x for x in a if "drifted-flag cleared" in x)
+    assert "dd_x" in note and "2.20x" in note and "1.10x" in note
+    # confirming solo (1.9x floor): violation stands, stamped
+    v, a, _ = floor_check.check(floors, drifted, {}, {"dd_x": 1.9})
+    assert len(v) == 1 and "CONFIRMS" in v[0]
+    # sweep-envelope advisory embeds the solo verdict both ways
+    floors["sw"] = 1.0
+    _, a, _ = floor_check.check(floors, drifted, {"sw": 2.6},
+                                {"dd_x": 1.1, "sw": 1.2})
+    assert any("sw" in x and "cold-sample noise" in x for x in a)
+    _, a, _ = floor_check.check(floors, drifted, {"sw": 2.6},
+                                {"dd_x": 1.1, "sw": 2.8})
+    assert any("sw" in x and "STILL OVER" in x for x in a)
+
+
 def test_floors_cover_every_registered_query():
     import json
 

@@ -2549,6 +2549,63 @@ def test_scrub_cards_grouped_forms(spark):
     assert (rows[6]["nc"], rows[6]["nv"]) == (2, 2)
 
 
+def test_card_grouped_precision_classes(spark):
+    """ADVICE r12 low #2, pinned rather than hypothesized: the two
+    documented precision trades of the unbounded grouped candidate.
+    (1) A year run is a CANDIDATE and redacts iff its window passes
+    Luhn — "2024 2025 2026 2027" happens to fail (survives untouched),
+    while a planted Luhn-passing 'year-like' run redacts whole: the
+    ~10%% false-positive class, accepted as fail-safe. (2) A trailing
+    5-digit group splits mid-group, so a validated run's redaction
+    boundary bisects the final (non-card) number. Both directions only
+    ever OVER-redact; neither can leak card digits."""
+    assert not _py_luhn("2024202520262027")  # this year run survives
+    # construct a Luhn-PASSING 4-group run of year-like numbers:
+    # 2024 2025 2026 202X with X chosen by checksum
+    base = "202420252026202"
+    digit = next(d for d in "0123456789" if _py_luhn(base + d))
+    fp_run = f"2024 2025 2026 202{digit}"
+    red, n_cand, n_valid = T.scrub_cards(F.col("text"))
+    texts = [
+        "meeting years 2024 2025 2026 2027 noted",   # candidate, invalid
+        f"schedule {fp_run} noted",                   # candidate, VALID
+        "sum 1111 1111 1111 11111 total",             # trailing 5-digit
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in docs_df(spark, texts)
+        .select("doc_id", red.alias("red"), n_cand.alias("nc"),
+                n_valid.alias("nv"))
+        .collect()
+    }
+    # (1a) the real-world year run is inspected but NOT redacted
+    assert rows[0]["red"] == texts[0]
+    assert (rows[0]["nc"], rows[0]["nv"]) == (1, 0)
+    # (1b) the Luhn-passing year-like run IS redacted whole — the
+    # documented false-positive class, over-redaction direction only
+    assert rows[1]["red"] == "schedule [CARD] noted"
+    assert (rows[1]["nc"], rows[1]["nv"]) == (1, 1)
+    # (2) the 16-digit window of all-ones fails Luhn, so the split
+    # candidate survives; pin the SPLIT itself via the candidate count
+    # and, with a validating variant, the mid-group boundary
+    assert not _py_luhn("1111111111111111")
+    assert rows[2]["red"] == texts[2]
+    assert (rows[2]["nc"], rows[2]["nv"]) == (1, 0)
+    # validating variant: 4111 1111 1111 1111 followed by a 5-digit
+    # group — the regex captures through the group's first 4 digits,
+    # so the whole run PLUS the bisected prefix redacts, leaving the
+    # stray final digit: over-redaction bisects a non-card number,
+    # never exposes a card digit
+    bisect = "pay 4111 1111 1111 1111 99999 end"
+    row = (
+        docs_df(spark, [bisect])
+        .select(red.alias("red"), n_cand.alias("nc"), n_valid.alias("nv"))
+        .collect()[0]
+    )
+    assert row["red"] == "pay [CARD]9 end"
+    assert (row["nc"], row["nv"]) == (1, 1)
+
+
 def test_scrub_cards_grouped_composes_with_pii(spark):
     """Cards-first ordering holds for grouped forms too: the grouped
     card next to an intl phone redacts as [CARD] before the greedy

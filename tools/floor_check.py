@@ -35,12 +35,62 @@ SAMPLES_PATH = os.path.join(REPO, "bench_samples.json")
 RAW_RULE = 1.5        # the established 1.5x-of-floor rule (BASELINE.md)
 DRIFT_MARGIN = 1.25   # must also exceed the session's median drift by this
 SWEEP_ENVELOPE = 2.5  # cold single-sample advisory threshold
+#: a session is DRIFTED — its banded medians untrustworthy for
+#: adjudication — when the calibration probe's within-run spread
+#: exceeds this (the bench methodology's own "calibration ran under
+#: contention" threshold) or the suite's median floor-ratio exceeds
+#: DRIFT_MARGIN. In a drifted session, a flagged row triggers an
+#: automatic solo re-measure (round 13, VERDICT r12 ask #5 — the
+#: adjudication step NOTES.md prescribed by hand after
+#: dd_cross_source_dups drew the noisy straw in two sessions with
+#: clean solo re-measures both times).
+DRIFTED_CALIB_SPREAD = 1.3
+
+
+def session_is_drifted(
+    floors: dict[str, float],
+    suite: dict[str, float],
+    calib_spread: float | None,
+) -> bool:
+    """The drifted-session predicate (pure, pytest-covered): trust
+    floors over ratios when the calibration probe itself ran under
+    contention, or when the whole suite moved together."""
+    if calib_spread is not None and calib_spread > DRIFTED_CALIB_SPREAD:
+        return True
+    ratios = [
+        v / floors[n] for n, v in suite.items()
+        if n in floors and floors[n] > 0
+    ]
+    return bool(ratios) and statistics.median(ratios) > DRIFT_MARGIN
+
+
+def solo_candidates(
+    floors: dict[str, float],
+    suite: dict[str, float],
+    sweep: dict[str, float],
+    calib_spread: float | None,
+) -> list[str]:
+    """Rows bench.py should solo re-measure before the flag is
+    trusted: in a DRIFTED session only, every suite row that would
+    violate the two-rule check plus every sweep row over its advisory
+    envelope. In a calm session the list is empty — a flag from a calm
+    session is already trustworthy, and re-measuring it would just
+    launder a real regression through a second chance."""
+    if not session_is_drifted(floors, suite, calib_spread):
+        return []
+    violations, _, _ = check(floors, suite, {})
+    out = [v.split()[1].rstrip(":") for v in violations]
+    for n, v in sorted(sweep.items()):
+        if n in floors and floors[n] > 0 and v > floors[n] * SWEEP_ENVELOPE:
+            out.append(n)
+    return out
 
 
 def check(
     floors: dict[str, float],
     suite: dict[str, float],
     sweep: dict[str, float],
+    solo: dict[str, float] | None = None,
 ) -> tuple[list[str], list[str], float]:
     """Pure comparison logic (pytest-covered without Spark). Returns
     (violations, advisories, median_drift). `suite` readings are
@@ -58,7 +108,14 @@ def check(
     a regression uniform across EVERY row is still indistinguishable
     from host drift within one session — that residual case needs a
     second session/host, and the docstring says so rather than
-    pretending otherwise."""
+    pretending otherwise.
+
+    `solo` maps row name -> the solo re-measure median bench.py
+    recorded for rows it flagged in a drifted session (round 13,
+    VERDICT r12 ask #5): a would-be violation whose solo reading sits
+    within RAW_RULE of its floor DOWNGRADES to an advisory — the flag
+    stands only if the solo read confirms it (solo runs carry no
+    session-drift context, so the raw rule alone adjudicates them)."""
     ratios = {
         n: v / floors[n] for n, v in suite.items() if n in floors and floors[n] > 0
     }
@@ -79,9 +136,23 @@ def check(
         others = [x for m, x in ratios.items() if m != n]
         loo = max(statistics.median(others) if others else 1.0, 1.0)
         if r > RAW_RULE and r > loo * DRIFT_MARGIN:
+            solo_v = (solo or {}).get(n)
+            if solo_v is not None and solo_v <= floors[n] * RAW_RULE:
+                advisories.append(
+                    f"drifted-flag cleared {n}: {v:.2f}s = {r:.2f}x floor "
+                    f"in a drifted session, but solo re-measure "
+                    f"{solo_v:.2f}s = {solo_v / floors[n]:.2f}x is clean — "
+                    "host contention, not a plan regression"
+                )
+                continue
+            confirm = (
+                f"; solo re-measure {solo_v:.2f}s CONFIRMS"
+                if solo_v is not None else ""
+            )
             violations.append(
                 f"REGRESSION {n}: {v:.2f}s = {r:.2f}x floor "
                 f"{floors[n]:.2f}s (rest-of-session drift {loo:.2f}x)"
+                f"{confirm}"
             )
         elif r > RAW_RULE:
             advisories.append(
@@ -93,10 +164,23 @@ def check(
         if n not in floors:
             advisories.append(f"NEW   {n}: sweep {v:.2f}s has no floor")
         elif v > floors[n] * SWEEP_ENVELOPE:
-            advisories.append(
-                f"sweep {n}: single sample {v:.2f}s > {SWEEP_ENVELOPE}x floor "
-                f"{floors[n]:.2f}s — re-measure solo before judging"
-            )
+            solo_v = (solo or {}).get(n)
+            if solo_v is not None:
+                verdict = (
+                    "clean — cold-sample noise"
+                    if solo_v <= floors[n] * SWEEP_ENVELOPE
+                    else "STILL OVER — promote to the extended suite"
+                )
+                advisories.append(
+                    f"sweep {n}: single sample {v:.2f}s > {SWEEP_ENVELOPE}x "
+                    f"floor {floors[n]:.2f}s; solo re-measure "
+                    f"{solo_v:.2f}s {verdict}"
+                )
+            else:
+                advisories.append(
+                    f"sweep {n}: single sample {v:.2f}s > {SWEEP_ENVELOPE}x "
+                    f"floor {floors[n]:.2f}s — re-measure solo before judging"
+                )
     return violations, advisories, med
 
 
@@ -144,7 +228,12 @@ def main() -> int:
     sweep = bs.get("sweep_queries", {})
     if not suite and not sweep:
         sys.exit("bench_samples.json holds no readings — run bench.py first")
-    violations, advisories, med = check(floors, suite, sweep)
+    solo = {
+        n: rec["solo_median"]
+        for n, rec in bs.get("solo_remeasure", {}).items()
+        if rec.get("solo_median") is not None
+    }
+    violations, advisories, med = check(floors, suite, sweep, solo)
     print(
         f"{len(suite)} suite rows, {len(sweep)} sweep rows vs "
         f"{len(floors)} floors; session median drift {med:.2f}x"

@@ -611,6 +611,26 @@ CARD_CANDIDATE_PATTERN = r"[0-9]{13,19}"
 #: overlapping that failed candidate — would never be tested (found
 #: by this round's composition test, not hypothesized). Capturing the
 #: whole run lets validation slide over every aligned window.
+#:
+#: Precision classes stated explicitly (ADVICE r12 low #2 — both are
+#: deliberate fail-safe trades, pinned in
+#: test_card_grouped_precision_classes):
+#: 1. YEAR/COORDINATE RUNS: any >= 4-group digit sequence is a
+#:    candidate — "2024 2025 2026 2027" included — and a candidate
+#:    whose 16-digit window happens to pass Luhn (~10% for arbitrary
+#:    digits) redacts WHOLE. Bounding the run to PAN-plausible totals
+#:    (16-19 digits) would not remove the class (a 4-group year run IS
+#:    16 digits) but WOULD re-open the alignment leak the unbounded
+#:    capture exists to close: an 8-group run bounded at 5 groups
+#:    leaves windows 4-8 untested, and a real card there ships in
+#:    clear text. Recall over precision, per the scrub contract.
+#: 2. TRAILING LONG GROUPS: a 5+-digit final group splits mid-group —
+#:    "1111 1111 1111 11111" matches its first 16 digits and leaves a
+#:    stray "1"; if the window validates, the redaction boundary
+#:    bisects that (non-card) number. Same direction: the split can
+#:    only over-redact a prefix of a non-card run, never leak card
+#:    digits (a real card's own groups are 4-digit by construction of
+#:    this layout; other layouts are out of scope per the note below).
 CARD_GROUPED_PATTERN = r"[0-9]{4}([ -][0-9]{4}){3,}"
 
 #: The full candidate alternation scrub_cards scans: contiguous runs
