@@ -98,15 +98,17 @@ HEADLINE = [
 # against it via tools/floor_check.py. BASELINE.md keys extended totals
 # by (composition, host), so recomposition never breaks the trend table.
 EXTENDED_RECENT = [
-    # round-10 additions
-    "rel_recursive_months",
-    "mm_image_neardup",
-    "tx_pii_scrub",
-    # round-11 additions + the tx_dsir_weights sweep promotion
-    "tx_dsir_weights",
-    "tx_dsir_log",
-    "mm_audio_neardup",
+    # round-12 additions
+    "tx_ngram_nll",
+    "mm_image_neardup_content",
+    # round-13 addition
+    "mm_video_neardup",
 ]
+# Demoted to the sweep in round 13 under the two-round rule (floors
+# stay pinned; floor_check compares every sweep sample): the r10
+# additions rel_recursive_months / mm_image_neardup / tx_pii_scrub and
+# the r11 additions tx_dsir_weights / tx_dsir_log / mm_audio_neardup —
+# all multi-round stable at demotion.
 
 EXTENDED_MOVERS = [
     # the replay-drain harness row — heaviest extended entry, two

@@ -14,9 +14,10 @@ chains them (SURVEY.md §2.8):
         with measured false positives, Count-Min top terms
   15-17. cards-first Luhn + widened-table PII scrub, DSIR importance
         selection (linear + log-space), the bigram-LM perplexity
-        filter (round 12), perceptual near-dup across the image/audio
-        modality legs incl. the content-crop production configuration
-        (the round-10/11 additions)
+        filter (round 12), perceptual near-dup across the image /
+        audio / video modality legs incl. the content-crop production
+        configurations (single-corner r12; four-corner per-channel
+        r13)
   18.   ORC export
 
 Every step is a DataFrame transformation: at 100 TB the same composition
@@ -331,6 +332,24 @@ def main() -> None:
         multimodal.image_dhash_content(multimodal.documents_as_pgm(docs))
     )
     print(f"content-crop dhash near-dup pairs (hamming<=3): {cpairs.count()}")
+
+    # 17d. video projection near-dup (round 13): the fourth modality
+    # leg — real Y4M decode into per-frame row+column luma projections,
+    # cyclic sign-of-delta bits, the SAME shared Manku block join
+    vpairs = multimodal.dhash_hamming_pairs(
+        multimodal.video_projection_hash(multimodal.documents_as_y4m(docs))
+    )
+    print(f"video projection near-dup pairs (hamming<=3): {vpairs.count()}")
+
+    # 17e. generalized content crop (round 13): the four-corner,
+    # per-channel production knob — on THIS corpus (right/bottom space
+    # padding) it agrees with the attested single-corner rule, so the
+    # pair count matches 17c; corpora with top/left or color padding
+    # are where the two diverge (pytest-pinned planted rasters)
+    c4pairs = multimodal.dhash_hamming_pairs(
+        multimodal.image_dhash_content4(multimodal.documents_as_pgm(docs))
+    )
+    print(f"4-corner content-crop near-dup pairs (hamming<=3): {c4pairs.count()}")
 
     # 18. export the final corpus as ORC (pinned-schema interchange) —
     # the SCRUBBED text from step 15, never the raw column

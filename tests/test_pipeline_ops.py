@@ -2110,6 +2110,25 @@ def test_dhash_tuning_report_audio_modality(spark):
         == (0, 0, 6)
 
 
+def test_dhash_tuning_report_video_modality(spark):
+    # the report stays generic over (media_id, fp): the video
+    # projection hash shares the block geometry, so identical Y4M
+    # payloads give one C(3,2)=3 uncapped cluster through the SAME
+    # report the image/audio paths use
+    texts = ["cccc dddd " * 20] * 3
+    hashes = multimodal.video_projection_hash(
+        multimodal.documents_as_y4m(docs_df(spark, texts))
+    )
+    rows = {
+        r["max_bucket"]: r
+        for r in multimodal.dhash_tuning_report(hashes, caps=(None, 2)).collect()
+    }
+    assert (rows[-1]["n_candidates"], rows[-1]["n_pairs"], rows[-1]["n_missed"]) \
+        == (3, 3, 0)
+    assert (rows[2]["n_candidates"], rows[2]["n_pairs"], rows[2]["n_missed"]) \
+        == (0, 0, 3)
+
+
 def _pgm(w, h, raster: bytes) -> bytes:
     assert len(raster) == w * h
     return f"P5\n{w} {h}\n255\n".encode() + raster

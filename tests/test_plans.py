@@ -591,6 +591,18 @@ def test_audio_neardup_no_allpairs_one_decode(plans):
     assert "MapInPandas" not in plan, "decode re-runs outside the barrier"
 
 
+def test_video_neardup_no_allpairs_one_decode(plans):
+    """mm_video_neardup (round 13) completes the modality square on
+    the same machinery: block-key equi-join candidates only, and the
+    Y4M encode + decode + projection-hash mapInPandas stages sit
+    behind the localCheckpoint barrier so frames decode ONCE."""
+    plan = plans("mm_video_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "projection relation no longer checkpointed"
+    assert "MapInPandas" not in plan, "decode re-runs outside the barrier"
+
+
 def test_pii_scrub_zero_shuffle_pruned_scan(plans):
     """tx_pii_scrub is a map-only pass: plant + count + replace in one
     codegen span — the only exchange allowed is load_table's deliberate

@@ -207,19 +207,32 @@ def _gate_and_scrub(
 
 def _nll_model_relations(spark, nll_model: tuple[dict, dict, int]):
     """Materialize ngram_model's driver-side dicts as the two
-    broadcastable model relations the join-form scorer needs:
-    (w1, w2, u, b) for trained bigrams and (w1, u) for left-unigram
-    backoff, plus the vocabulary size. Bounded by vocabulary — the
+    broadcastable model relations the join-form scorer needs, with the
+    per-bigram nl PRECOMPUTED on the model rows (the batch plan's
+    discipline — pln evaluates only on vocab-bounded relations, never
+    per-occurrence; pln_py is bit-identical to the pln_sql the batch
+    twin runs, the portable contract): (bw1, bw2, bnl) for trained
+    bigrams, (lw1, lnl) for unseen bigrams with a trained left word
+    (nl = pln(u + v) - pln(0 + 1)), and the scalar default for unseen
+    left words (nl = pln(0 + v) - pln(1)). Bounded by vocabulary — the
     same broadcastability argument as the batch plan's model join."""
+    from ..functions.portable import pln_py
+
     bigram_u_b, left_u, v = nll_model
+    v = int(v)
+    pln1 = pln_py(1)
     bg = spark.createDataFrame(
-        [(w1, w2, int(u), int(b)) for (w1, w2), (u, b) in bigram_u_b.items()],
-        "bw1 string, bw2 string, bu long, bb long",
+        [
+            (w1, w2, pln_py(int(u) + v) - pln_py(int(b) + 1))
+            for (w1, w2), (u, b) in bigram_u_b.items()
+        ],
+        "bw1 string, bw2 string, bnl double",
     )
     lf = spark.createDataFrame(
-        [(w1, int(u)) for w1, u in left_u.items()], "lw1 string, lu long"
+        [(w1, pln_py(int(u) + v) - pln1) for w1, u in left_u.items()],
+        "lw1 string, lnl double",
     )
-    return bg, lf, int(v)
+    return bg, lf, pln_py(v) - pln1
 
 
 def _nll_join_score(
@@ -255,12 +268,16 @@ def _nll_join_score(
     _n_bigrams) and keeps every other column via first() (constant per
     document by construction). Scale shape: the model broadcasts
     (vocab-bounded); the only shuffle is the per-doc re-group; no
-    Python anywhere."""
-    from ..functions import portable
+    Python anywhere. The collected per-doc array holds bigram
+    OCCURRENCES, not distinct bigrams (pre-aggregating per (doc, w1,
+    w2) would add a SECOND stateful operator in streaming) — bounded
+    by document length, the same per-doc bound tokenization itself
+    carries; the batch tx_ngram_nll plan, which can afford the extra
+    aggregation, folds distinct bigrams instead."""
     from ..plans.pipeline_queries import _NGRAM_BIGRAM_EXPR
 
     spark = front.sparkSession
-    bg, lf, v = _nll_model_relations(spark, nll_model)
+    bg, lf, default_nl = _nll_model_relations(spark, nll_model)
     keys = list(group_keys)
     passthrough = [
         c for c in front.columns if c not in keys and c != text_col
@@ -294,17 +311,7 @@ def _nll_join_score(
             *keys,
             *passthrough,
             "_bg",
-            F.coalesce("bu", "lu", F.lit(0)).alias("_u"),
-            F.coalesce("bb", F.lit(0)).alias("_b"),
-        )
-        .select(
-            *keys,
-            *passthrough,
-            "_bg",
-            (
-                F.expr(portable.pln_sql(f"(_u + {v})"))
-                - F.expr(portable.pln_sql("(_b + 1)"))
-            ).alias("_nl"),
+            F.coalesce("bnl", "lnl", F.lit(default_nl)).alias("_nl"),
         )
     )
     agged = j.groupBy(*keys).agg(
