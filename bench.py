@@ -400,13 +400,30 @@ def main() -> None:
         _spec.loader.exec_module(_fc)
         floors = json.load(open(floors_doc))["floors"]
         flagged = _fc.solo_candidates(floors, timings, sweep, calib_spread)
-        if len(flagged) > 6:
+        # solo_candidates lists suite VIOLATIONS first, then
+        # sweep-envelope advisories: re-measure violations always (they
+        # are the gate — and the LOO rule has already filtered uniform
+        # drift out of them), and let sweep advisories fill the
+        # remaining budget. Only a mass of suite violations — which the
+        # LOO rule makes near-impossible for mere host drift — skips
+        # everything.
+        n_viol = len(_fc.check(floors, timings, {})[0])
+        if n_viol > 6:
             print(
-                f"bench.py: {len(flagged)} rows flagged in one drifted "
-                "session — uniform drift, skipping solo re-measures",
+                f"bench.py: {n_viol} suite violations in one session — "
+                "shared-regression signature, solo re-measures would "
+                "mislead; investigate the code change instead",
                 file=sys.stderr,
             )
             flagged = []
+        elif len(flagged) > 6:
+            dropped = flagged[6:]
+            flagged = flagged[:6]
+            print(
+                f"bench.py: solo budget 6; deferring sweep advisories "
+                f"{dropped} to a hand re-measure",
+                file=sys.stderr,
+            )
         for name in flagged:
             sdir, _tag = sweep_dir_for(name, sf_dir)
             solo_samples = []

@@ -1613,6 +1613,43 @@ def test_nll_join_gate_streaming_watermark_replay(spark, tmp_path):
     ]
 
 
+def test_nll_join_gate_composes_with_cards_and_extended_pii(spark):
+    """The join gate must compose with the other two admission options
+    exactly like the UDF gate: same columns in the same documented
+    order (nll after quality; card counts before the per-pattern
+    counts), same admitted set, bit-equal nll — the
+    _admission_column_order reorder is where a drift would hide."""
+    import os
+
+    from wikitrender_spark.functions.text import PII_PATTERNS_EXTENDED
+    from wikitrender_spark.plans.pipeline_queries import ngram_model
+    from wikitrender_spark.streaming import corpus
+
+    base = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).limit(120)
+    model = ngram_model(base)
+    kw = dict(
+        patterns=PII_PATTERNS_EXTENDED,
+        scrub_cards_first=True,
+        nll_model=model,
+        max_unit_nll=50.0,
+    )
+    udf = corpus.corpus_admission_stream(base, **kw)
+    join = corpus.corpus_admission_stream(base, **kw, nll_gate="join")
+    assert join.columns == udf.columns
+    cols = join.columns
+    assert cols.index("quality") < cols.index("nll")
+    assert cols.index("nll") < cols.index("n_card_candidates")
+    assert cols.index("n_cards") < cols.index("n_email")
+    u = {r["doc_id"]: r for r in udf.collect()}
+    j = {r["doc_id"]: r for r in join.collect()}
+    assert set(u) == set(j) and u
+    for d in u:
+        assert j[d]["nll"] == u[d]["nll"]
+        assert j[d]["redacted"] == u[d]["redacted"]
+
+
 def test_nll_join_gate_guards(spark):
     """The unbounded streaming variant must REFUSE the join form (an
     append-mode aggregation needs event time) with a pointer to the
