@@ -294,3 +294,151 @@ def test_admission_dedup_composes_with_keyed_pipeline(spark, tmp_path):
     )
     got = sorted(map(tuple, processor.final_state(t).collect()))
     assert got == want
+
+
+def _nd_rows(spark, t0, *items):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [(i, txt, t0 + dt.timedelta(seconds=s)) for (i, txt, s) in items],
+        "doc_id long, text string, ingest_ts timestamp",
+    )
+
+
+def test_neardup_admission_within_watermark(spark, tmp_path):
+    """The streaming near-dup admission (round 13): originals and a
+    genuinely new doc admit with ALL bands fresh; a cross-batch
+    near-dup (original text + one appended word — most shingles
+    shared) is BLOCKED; a <3-token doc bypasses on the stateless
+    branch (no emission latency, neardup_checked=false); the flush row
+    that advances the watermark never passes its own timestamp. The
+    blocked/admitted split is then cross-checked against the BATCH
+    band derivation: the blocked doc shares >= 1 (band_idx, band_key)
+    with its original, and admitted checked docs' band sets are
+    pairwise disjoint (the admission rule, verified independently)."""
+    import datetime as dt
+
+    from wikitrender_spark.functions import similarity as S
+    from wikitrender_spark.operators.dedup import _shingles
+    from wikitrender_spark.functions import text as T
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+
+    t0 = dt.datetime(2026, 1, 1)
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    long_b = "one two three four five six seven eight nine ten " * 3
+    near_a = long_a + "tailword"
+    new_c = ("completely different words appear in this document body "
+             "here now ok fine")
+    chunk_dir = str(tmp_path / "nd_chunks")
+    write_ordered_chunks(
+        (
+            _nd_rows(spark, t0, (1, long_a, 0), (2, long_b, 0),
+                     (3, "tiny doc", 0)),
+            _nd_rows(spark, t0, (4, near_a, 30), (5, new_c, 30)),
+            _nd_rows(spark, t0,
+                     (99, "flush words here padding tokens more words "
+                          "again and again", 700)),
+        ),
+        chunk_dir,
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, ingest_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    out = sdedup.neardup_admission_within_watermark(
+        stream, horizon="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nd_admit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_fresh_bands"], r["neardup_checked"])
+        for r in spark.table("nd_admit").collect()
+    }
+    spark.catalog.dropTempView("nd_admit")
+    assert set(got) == {1, 2, 3, 5}, got
+    assert got[1] == (4, True) and got[2] == (4, True) and got[5] == (4, True)
+    assert got[3] == (0, False)  # bypass: no shingles, no evidence
+
+    # independent batch-side band derivation: blocked 4 shares a band
+    # with admitted 1; admitted checked docs are pairwise disjoint
+    batch = _nd_rows(spark, t0, (1, long_a, 0), (2, long_b, 0),
+                     (4, near_a, 30), (5, new_c, 30))
+    bands = {
+        r["doc_id"]: set(enumerate(r["b"]))
+        for r in batch.select(
+            "doc_id",
+            S.lsh_bands(
+                S.minhash_signature(
+                    F.array_distinct(_shingles(T.token_hashes(F.col("text")))),
+                    16,
+                ),
+                4,
+                4,
+            ).alias("b"),
+        ).collect()
+    }
+    assert bands[1] & bands[4], "near-dup pair must share a band"
+    for a, b in ((1, 2), (1, 5), (2, 5)):
+        assert not (bands[a] & bands[b]), (a, b)
+
+
+def test_neardup_admission_same_batch_at_most_one_admits(spark, tmp_path):
+    """The documented same-batch semantics, pinned with EXACT copies
+    (which share all four bands by construction — a one-word append
+    can legitimately change a minimum in every band, colliding on
+    none, as this test's first draft measured): per-bucket
+    first-arrival is arbitrary WITHIN a batch, so of two same-batch
+    docs sharing all bands, AT MOST ONE admits — one admits iff it
+    wins every bucket; a split blocks both. Never both — that is the
+    fail-safe claim (exact keep-one belongs to the upstream digest
+    dedup)."""
+    import datetime as dt
+
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+
+    t0 = dt.datetime(2026, 1, 1)
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    chunk_dir = str(tmp_path / "nd_mb_chunks")
+    write_ordered_chunks(
+        (
+            _nd_rows(spark, t0, (1, long_a, 0), (2, long_a, 0)),
+            _nd_rows(spark, t0,
+                     (99, "flush words here padding tokens more words "
+                          "again and again", 700)),
+        ),
+        chunk_dir,
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, ingest_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    out = sdedup.neardup_admission_within_watermark(
+        stream, horizon="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nd_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.table("nd_mb").collect()}
+    spark.catalog.dropTempView("nd_mb")
+    assert len(got & {1, 2}) <= 1, got

@@ -16,6 +16,11 @@ custom stateful processor needed. Two variants:
   within the watermark window). This is the production default for an
   unbounded firehose, trading tail-duplicate recall for bounded state —
   the same trade the purge policy (SURVEY.md §2.5) makes for page rows.
+- `neardup_admission_within_watermark` (round 13): the NEAR-duplicate
+  form — MinHash/LSH band buckets through the same engine-native
+  watermarked dedup state, admitting a document only when every band
+  bucket is fresh (the online complement of the batch LSH candidate
+  rule; see its docstring for the full semantics).
 
 Batch-stream equivalence (the Structured Streaming correctness argument)
 is pinned by tests/test_streaming_dedup.py: replaying the documents
@@ -29,6 +34,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..functions import text as T2
+from ..operators.dedup import _shingles as _dedup_shingles
 
 #: every event whose id is divisible by this is re-emitted in the second
 #: micro-batch of the ingest-dedup replay — a deterministic ~14% dupe
@@ -219,3 +228,94 @@ def dedup_stream_within_watermark(
         .withWatermark(ts_col, horizon)
         .dropDuplicatesWithinWatermark(["digest"])
     )
+
+
+def neardup_admission_within_watermark(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    horizon: str = "10 minutes",
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming NEAR-duplicate admission (round 13) — the online form
+    of the batch MinHash/LSH dedup (operators/dedup.lsh_candidate_pairs
+    + near_duplicates): a document is admitted iff EVERY one of its LSH
+    band buckets is fresh within the watermark horizon. Sharing any
+    band with a previously seen document is exactly the batch path's
+    near-dup CANDIDATE condition, so the admission rule is the
+    conservative complement: candidates never admit. That is the
+    fail-safe direction for corpus curation (prefer dropping a non-dup
+    over admitting a near-dup); the false-positive rate is the LSH
+    band-collision rate, tunable with (k, bands, rows) exactly as the
+    batch dd_lsh_tuning report measures.
+
+    Plan shape (all engine-native, no custom state): a STATELESS
+    per-row sketch front — token hashes -> stored shingle array ->
+    k-permutation MinHash -> band keys, each materialized as a real
+    column so no stage recomputes its predecessor (the r9 inlining
+    lesson) — then posexplode(bands), engine-native
+    ``dropDuplicatesWithinWatermark([band_idx, band_key])`` (state =
+    one row per live band bucket, watermark-reclaimed), and ONE
+    (ts, doc_id) re-group that admits rows keeping all `bands`
+    buckets. Documents with NO shingles (< 3 tokens) carry no
+    near-dup evidence and BYPASS the band stage on a stateless branch
+    (the batch path's sentinel-exclusion rationale: banding them would
+    collide every short doc with every other); exact duplicates among
+    them are the digest dedup's job — compose
+    dedup_stream_within_watermark upstream for that.
+
+    Honest semantics, pinned in tests: (a) a blocked document still
+    CONSUMES the fresh buckets it touched, so later near-dups of a
+    blocked doc are also blocked (conservative); (b) for two SAME-batch
+    documents sharing bands, per-bucket first-arrival is arbitrary
+    within the batch: a doc admits iff it wins every shared bucket,
+    so AT MOST ONE admits and a bucket split blocks both — never both
+    admit, the fail-safe claim (pinned with exact copies, which share
+    all bands by construction; exact keep-one belongs to the upstream
+    digest dedup). (c) Like
+    every append-mode aggregation, a non-bypass document emits only
+    once the watermark passes its ingest timestamp.
+
+    Output: the input columns plus (n_fresh_bands, neardup_checked);
+    bypass rows carry (0, false). At 100 TB ingest: the sketch front is
+    map-only codegen; the explode carries each row `bands` times into
+    ONE shuffle (bounded blow-up traded against the stream-stream join
+    that re-assembly would otherwise need); band-bucket state is
+    16 bytes x live buckets, horizon-bounded."""
+    sh = F.col("_sh")
+    d = (
+        docs.withColumn("_ths", T2.token_hashes(F.col(text_col)))
+        .withColumn("_sh", F.array_distinct(_dedup_shingles(F.col("_ths"))))
+        .withColumn("_sig", S.minhash_signature(sh, k))
+        .withColumn("_bands", S.lsh_bands(F.col("_sig"), bands, rows))
+        .drop("_ths")
+        .withWatermark(ts_col, horizon)
+    )
+    base_cols = [c for c in docs.columns]
+    shingled = d.filter(F.size(sh) > 0)
+    short = d.filter(F.size(sh) == 0).select(
+        *base_cols,
+        F.lit(0).cast("long").alias("n_fresh_bands"),
+        F.lit(False).alias("neardup_checked"),
+    )
+    ex = shingled.select(
+        *base_cols,
+        F.posexplode("_bands").alias("band_idx", "band_key"),
+    )
+    fresh = ex.dropDuplicatesWithinWatermark(["band_idx", "band_key"])
+    agged = fresh.groupBy(ts_col, "doc_id").agg(
+        *(
+            F.first(c).alias(c)
+            for c in base_cols
+            if c not in (ts_col, "doc_id")
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_fresh_bands"),
+    )
+    admitted = agged.filter(F.col("n_fresh_bands") == bands).select(
+        *base_cols,
+        "n_fresh_bands",
+        F.lit(True).alias("neardup_checked"),
+    )
+    return admitted.unionByName(short)
