@@ -184,17 +184,112 @@ def nll_gate_compare(spark, work: str, batch_size: int) -> dict:
     return out
 
 
+def neardup_throughput(spark, work: str, batch_size: int) -> dict:
+    """Round-13 measurement for the streaming near-dup admission
+    (streaming/dedup.neardup_admission_within_watermark): the same
+    replicated-corpus chunk replay the exact-admission curve uses,
+    with ingest timestamps spaced one second per chunk and a horizon
+    covering the whole replay (every band bucket stays live — the
+    worst-case state), plus a final watermark-advancing flush chunk so
+    the append-mode re-group emits. Reports docs/s over the replayed
+    corpus and the engine's OWN state telemetry (band-bucket dedup
+    rows + re-group rows), cold pass excluded."""
+    import datetime as dt
+
+    from pyspark.sql import types as PT
+
+    from wikitrender_spark.streaming.dedup import (
+        neardup_admission_within_watermark,
+    )
+
+    chunk_dir = build_chunks(spark, work, batch_size)
+    # rewrite chunks with an ingest_ts column: chunk i at t0 + i s,
+    # plus one flush chunk far past the horizon
+    t0 = dt.datetime(2026, 1, 1)
+    ts_dir = os.path.join(work, f"nd_chunks_{batch_size}")
+    for i in range(N_CHUNKS):
+        part = spark.read.schema(DOCS_SCHEMA).parquet(
+            os.path.join(chunk_dir, f"chunk_{i:04d}")
+        ).withColumn("ingest_ts", F.lit(t0 + dt.timedelta(seconds=i)))
+        path = os.path.join(ts_dir, f"chunk_{i:04d}")
+        part.repartition(FILES_PER_CHUNK).write.mode("overwrite").parquet(path)
+    flush = spark.createDataFrame(
+        [(10**12, "flush words here padding tokens more words again "
+          "and again", "en", "src", 58,
+          t0 + dt.timedelta(hours=48))],
+        DOCS_SCHEMA + ", ingest_ts timestamp",
+    )
+    fpath = os.path.join(ts_dir, f"chunk_{N_CHUNKS:04d}")
+    flush.coalesce(1).write.mode("overwrite").parquet(fpath)
+    ts = time.time()
+    for i in range(N_CHUNKS + 1):
+        p = os.path.join(ts_dir, f"chunk_{i:04d}")
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts + i, ts + i))
+    total = N_CHUNKS * batch_size
+    out = {}
+    for tag in ("cold", "warm"):
+        stream = (
+            spark.readStream.schema(DOCS_SCHEMA + ", ingest_ts timestamp")
+            .option("maxFilesPerTrigger", FILES_PER_CHUNK)
+            .option("recursiveFileLookup", "true")
+            .parquet(ts_dir)
+        )
+        t0m = time.monotonic()
+        q = (
+            neardup_admission_within_watermark(
+                stream, horizon="24 hours"
+            )
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation", os.path.join(work, f"nd_{batch_size}_{tag}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("neardup drain exceeded 600 s")
+        elapsed = time.monotonic() - t0m
+        state_rows = [
+            op.get("numRowsTotal") or op.get("numTotalStateRows", 0) or 0
+            for op in (q.lastProgress or {}).get("stateOperators", [])
+        ]
+        out[tag] = {
+            "s": round(elapsed, 2),
+            "docs_per_s": round(total / elapsed, 0),
+            "state_rows": state_rows,
+        }
+    out["docs_total"] = total
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1250,5000,20000")
     ap.add_argument("--nll", action="store_true",
                     help="compare NLL gate forms (none/udf/join) in "
                     "batch mode at the first --sizes batch size")
+    ap.add_argument("--neardup", action="store_true",
+                    help="measure the streaming near-dup admission at "
+                    "the first --sizes batch size")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    if args.neardup:
+        work = tempfile.mkdtemp(prefix="corpus_nd_")
+        try:
+            res = neardup_throughput(spark, work, sizes[0])
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps(
+            {"metric": "neardup_admission_throughput", "sf_dir": SF_DIR,
+             "batch_docs": sizes[0] * N_CHUNKS, "result": res}
+        ))
+        return
     if args.nll:
         work = tempfile.mkdtemp(prefix="corpus_nll_")
         try:

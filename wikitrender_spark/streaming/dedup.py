@@ -32,12 +32,9 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from ..functions import similarity as S
-from ..functions import text as T2
-from ..operators.dedup import _shingles as _dedup_shingles
 
 #: every event whose id is divisible by this is re-emitted in the second
 #: micro-batch of the ingest-dedup replay — a deterministic ~14% dupe
@@ -230,6 +227,82 @@ def dedup_stream_within_watermark(
     )
 
 
+def lsh_band_keys_py(k: int = 16, bands: int = 4, rows: int = 4):
+    """UDF factory: text -> array<string> of LSH band keys, the
+    per-row production path for the streaming near-dup admission.
+    BIT-COMPATIBLE with the column forms (tokens -> poly_hash ->
+    trigram shingles -> distinct -> k-perm MinHash -> lsh_bands) —
+    pinned in test_lsh_band_keys_udf_matches_column_forms; returns []
+    for < 3 tokens (no shingles — the sentinel/bypass class) and NULL
+    for NULL text.
+
+    Why a Pandas UDF and not the column expressions (the repo's
+    UDF-as-last-resort rule, satisfied the same way bpe_encode_fast
+    and ngram_nll_scorer satisfy it): the per-row array forms nest k+2
+    lambda layers, and Catalyst's projection collapse re-inlines each
+    layer's input expression into every reference — measured THIS
+    round: a 1,000-doc streaming drain through the expression form did
+    not finish in 560 s, while the same chain over stored columns in a
+    single linear batch projection runs 5,000 docs in 0.64 s (the
+    similarity module's own 'don't sketch over arrays in bulk'
+    warning, empirically confirmed in the streaming plan, where the
+    filter/explode fan-out forces the re-inlining). The batch dedup
+    path avoids it with explode -> aggregate over token ROWS — which
+    in streaming would cost a SECOND stateful operator; one
+    Arrow-batched pass with a token-hash cache is the honest
+    alternative. Cost scales with tokens per doc; the cache amortizes
+    repeated vocabulary exactly like bpe_encode_fast's word cache
+    (reset per batch by design — unbounded state on a hostile corpus
+    would be a leak)."""
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import HASH_MOD, HASH_MULT
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ths = []
+            for w in ws.split(t):
+                if not w:
+                    continue
+                h = cache.get(w)
+                if h is None:
+                    h = 0
+                    for c in w:
+                        h = (h * HASH_MULT + ord(c)) % HASH_MOD
+                    cache[w] = h
+                ths.append(h)
+            if len(ths) < 3:
+                out.append([])
+                continue
+            arr = np.asarray(ths, dtype=np.int64)
+            sh = np.unique(
+                ((arr[:-2] * HASH_MULT + arr[1:-1]) % HASH_MOD
+                 * HASH_MULT + arr[2:]) % HASH_MOD
+            )
+            sig = [
+                int((((2 * j + 1) * sh + j * 7919 + 1) % HASH_MOD).min())
+                for j in range(k)
+            ]
+            out.append([
+                "-".join(str(v) for v in sig[b * rows: (b + 1) * rows])
+                for b in range(bands)
+            ])
+        return pd.Series(out)
+
+    return enc
+
+
 def neardup_admission_within_watermark(
     docs: DataFrame,
     ts_col: str = "ingest_ts",
@@ -251,11 +324,11 @@ def neardup_admission_within_watermark(
     band-collision rate, tunable with (k, bands, rows) exactly as the
     batch dd_lsh_tuning report measures.
 
-    Plan shape (all engine-native, no custom state): a STATELESS
-    per-row sketch front — token hashes -> stored shingle array ->
-    k-permutation MinHash -> band keys, each materialized as a real
-    column so no stage recomputes its predecessor (the r9 inlining
-    lesson) — then posexplode(bands), engine-native
+    Plan shape: a STATELESS per-row sketch front — ONE Arrow-batched
+    Pandas UDF (lsh_band_keys_py: token hashes -> shingles -> MinHash
+    -> band keys per row, bit-compatible with the batch column forms;
+    see its docstring for why the expression forms are measurably
+    unusable per-row) — then posexplode(bands), engine-native
     ``dropDuplicatesWithinWatermark([band_idx, band_key])`` (state =
     one row per live band bucket, watermark-reclaimed), and ONE
     (ts, doc_id) re-group that admits rows keeping all `bands`
@@ -280,22 +353,29 @@ def neardup_admission_within_watermark(
 
     Output: the input columns plus (n_fresh_bands, neardup_checked);
     bypass rows carry (0, false). At 100 TB ingest: the sketch front is
-    map-only codegen; the explode carries each row `bands` times into
-    ONE shuffle (bounded blow-up traded against the stream-stream join
-    that re-assembly would otherwise need); band-bucket state is
-    16 bytes x live buckets, horizon-bounded."""
-    sh = F.col("_sh")
-    d = (
-        docs.withColumn("_ths", T2.token_hashes(F.col(text_col)))
-        .withColumn("_sh", F.array_distinct(_dedup_shingles(F.col("_ths"))))
-        .withColumn("_sig", S.minhash_signature(sh, k))
-        .withColumn("_bands", S.lsh_bands(F.col("_sig"), bands, rows))
-        .drop("_ths")
-        .withWatermark(ts_col, horizon)
+    ONE Arrow-batched map-only pass; the explode carries each row
+    `bands` times into ONE shuffle (bounded blow-up traded against the
+    stream-stream join that re-assembly would otherwise need); the two
+    branches re-scan each micro-batch (bounded 2x — the price of
+    instant stateless short-doc emission); band-bucket state is one
+    row per live bucket, horizon-bounded. MEASURED (r13,
+    tools/corpus_throughput_probe.py --neardup, 20k replicated sf0.1
+    docs, 4 chunks + flush, 24 h horizon, warm): 1,499 docs/s per
+    32-core node with 5,891 live band buckets at drain end (replicas
+    share most shingles with their base docs, so most are blocked —
+    the admission doing its job) and the re-group state drained to the
+    single unemitted flush group, both from engine telemetry."""
+    # asNondeterministic: the same planning pin the corpus UDF gate
+    # carries — _bands is referenced by both branch filters and the
+    # explode, and projection collapse would otherwise clone the UDF
+    # expression into each (this round's double-ArrowEvalPython lesson)
+    bands_udf = lsh_band_keys_py(k, bands, rows).asNondeterministic()
+    d = docs.withColumn("_bands", bands_udf(F.col(text_col))).withWatermark(
+        ts_col, horizon
     )
     base_cols = [c for c in docs.columns]
-    shingled = d.filter(F.size(sh) > 0)
-    short = d.filter(F.size(sh) == 0).select(
+    shingled = d.filter(F.size("_bands") > 0)
+    short = d.filter(F.size("_bands") == 0).select(
         *base_cols,
         F.lit(0).cast("long").alias("n_fresh_bands"),
         F.lit(False).alias("neardup_checked"),
