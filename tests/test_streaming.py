@@ -1650,6 +1650,107 @@ def test_nll_join_gate_composes_with_cards_and_extended_pii(spark):
         assert j[d]["redacted"] == u[d]["redacted"]
 
 
+def test_corpus_admission_neardup_chain(spark, tmp_path):
+    """The full near-dup admission chain (round 13): gate -> scrub ->
+    MinHash/LSH band admission over the REDACTED text -> digest dedup,
+    THREE engine-native stateful operators under one event-time
+    watermark. Pins: a cross-batch near-dup (original + one word) and
+    an exact copy are blocked at the BAND stage; a short doc (<3
+    tokens, no shingles) bypasses the band stage and its exact dup is
+    blocked at the DIGEST stage; originals admit; the flush row never
+    passes its own timestamp; output carries (n_fresh_bands,
+    neardup_checked) after redacted."""
+    import os
+
+    from wikitrender_spark.functions import text as T
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming import corpus
+
+    sch = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, ingest_ts timestamp"
+    )
+    t0 = dt.datetime(2026, 1, 1)
+    base = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .limit(25)
+        .withColumn("ingest_ts", F.lit(t0))
+        # re-label with the predicted lang so the gate passes on
+        # quality alone (the sibling watermark test's convention)
+        .withColumn("lang", T.predict_lang(F.col("text")))
+    )
+    seeds = (
+        base.join(
+            corpus.corpus_admission_stream(
+                base.drop("ingest_ts")
+            ).select("doc_id"),
+            "doc_id",
+        )
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    )
+    assert len(seeds) == 2
+    orig, fseed = seeds
+
+    def mk(rows_):
+        return spark.createDataFrame(rows_, sch).withColumn(
+            "lang", T.predict_lang(F.col("text"))
+        )
+
+    def row(i, txt, s):
+        import datetime as _dt
+
+        return (i, txt, "en", "src", len(txt),
+                t0 + _dt.timedelta(seconds=s))
+
+    chunk_dir = str(tmp_path / "nd_chain_chunks")
+    write_ordered_chunks(
+        (
+            base.unionByName(mk([row(500, "the of", 0)])),
+            mk([row(601, orig["text"] + " tailword", 30),
+                row(602, orig["text"], 30)]),
+            mk([row(603, "the of", 60)]),
+            mk([row(999, fseed["text"], 700)]),
+        ),
+        chunk_dir,
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    out = corpus.corpus_admission_stream_within_watermark(
+        stream, horizon="10 minutes", neardup=True
+    )
+    assert out.columns[-3:] == ["redacted", "n_fresh_bands",
+                                "neardup_checked"]
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nd_chain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_fresh_bands"], r["neardup_checked"])
+        for r in spark.table("nd_chain").collect()
+    }
+    spark.catalog.dropTempView("nd_chain")
+    assert orig["doc_id"] in got and fseed["doc_id"] in got
+    assert got[500] == (0, False)      # short doc bypasses band stage
+    assert 601 not in got              # near-dup: band stage blocks
+    assert 602 not in got              # exact copy: band stage blocks
+    assert 603 not in got              # short exact dup: digest blocks
+    assert 999 not in got              # flush never passes its own ts
+    for d, (nf, checked) in got.items():
+        if checked:
+            assert nf == 4, (d, nf)
+
+
 def test_nll_join_gate_guards(spark):
     """The unbounded streaming variant must REFUSE the join form (an
     append-mode aggregation needs event time) with a pointer to the

@@ -479,6 +479,7 @@ def corpus_admission_stream_within_watermark(
     nll_model: tuple[dict, dict, int] | None = None,
     max_unit_nll: float | None = None,
     nll_gate: str = "udf",
+    neardup: bool = False,
 ) -> DataFrame:
     """Bounded-state admission for an unbounded document firehose: the
     same gate -> scrub front, with the digest dedup bounded by an
@@ -488,6 +489,22 @@ def corpus_admission_stream_within_watermark(
     watermarked dedup makes; the test pins both directions: a live
     digest drops its copy, an expired one re-admits). The ingest
     timestamp rides through the output for downstream lineage.
+
+    `neardup=True` inserts the MinHash/LSH NEAR-duplicate admission
+    (streaming/dedup.neardup_admission_within_watermark) between the
+    stateless front and the digest dedup, over the REDACTED text —
+    the digest rationale extended to near-dups: copies differing only
+    in scrubbed PII/cards band identically and collapse. The full
+    chain is then THREE engine-native stateful operators sharing one
+    event-time watermark (band-bucket dedup -> per-doc re-group ->
+    digest dedup, replay-pinned in
+    test_corpus_admission_neardup_chain): near-dups of admitted
+    content are blocked by the band stage; exact dups of SHORT docs
+    (no shingles — they bypass the band stage) and same-batch
+    band-split residue still collapse at the digest stage. Output
+    gains (n_fresh_bands, neardup_checked) after `redacted`; non-bypass
+    rows inherit the append-mode emission latency (a doc emits once
+    the watermark passes its ingest_ts).
 
     `nll_gate="join"` (with `nll_model`) swaps the stateless UDF scorer
     for the JVM join form: the watermark moves BEFORE the scorer so the
@@ -518,6 +535,13 @@ def corpus_admission_stream_within_watermark(
                 <= F.col("_n_bigrams").cast("double") * max_unit_nll
             )
         s = _admission_column_order(scored, (ts_col,))
+    if neardup:
+        from .dedup import neardup_admission_within_watermark
+
+        s = neardup_admission_within_watermark(
+            s, ts_col=ts_col, horizon=horizon, text_col="redacted",
+            already_watermarked=True,
+        )
     return (
         s.dropDuplicatesWithinWatermark(["digest"])
         .drop("digest")

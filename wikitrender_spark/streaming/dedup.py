@@ -311,6 +311,7 @@ def neardup_admission_within_watermark(
     bands: int = 4,
     rows: int = 4,
     text_col: str = "text",
+    already_watermarked: bool = False,
 ) -> DataFrame:
     """Streaming NEAR-duplicate admission (round 13) — the online form
     of the batch MinHash/LSH dedup (operators/dedup.lsh_candidate_pairs
@@ -370,9 +371,13 @@ def neardup_admission_within_watermark(
     # explode, and projection collapse would otherwise clone the UDF
     # expression into each (this round's double-ArrowEvalPython lesson)
     bands_udf = lsh_band_keys_py(k, bands, rows).asNondeterministic()
-    d = docs.withColumn("_bands", bands_udf(F.col(text_col))).withWatermark(
-        ts_col, horizon
-    )
+    d = docs.withColumn("_bands", bands_udf(F.col(text_col)))
+    if not already_watermarked:
+        # a chain whose upstream already set the event-time watermark
+        # (corpus_admission_stream_within_watermark's front) must not
+        # redefine it — Spark's multi-stateful-operator watermark
+        # propagation disallows redefinition mid-plan
+        d = d.withWatermark(ts_col, horizon)
     base_cols = [c for c in docs.columns]
     shingled = d.filter(F.size("_bands") > 0)
     short = d.filter(F.size("_bands") == 0).select(
