@@ -489,3 +489,18 @@ def test_lsh_band_keys_udf_matches_column_forms(spark):
     # non-degenerate: the corpus genuinely produces banded docs and the
     # edge rows exercise the empty class
     assert want[9001] == [] and want[9004] != []
+
+
+def test_neardup_defaults_mirror_batch_tuning_constants():
+    import inspect
+
+    from wikitrender_spark.operators import dedup as bdedup
+
+    sig = inspect.signature(sdedup.neardup_admission_within_watermark)
+    assert sig.parameters["k"].default == bdedup.MINHASH_K
+    assert sig.parameters["bands"].default == bdedup.LSH_BANDS
+    assert sig.parameters["rows"].default == bdedup.LSH_ROWS
+    sig2 = inspect.signature(sdedup.lsh_band_keys_py)
+    assert sig2.parameters["k"].default == bdedup.MINHASH_K
+    assert sig2.parameters["bands"].default == bdedup.LSH_BANDS
+    assert sig2.parameters["rows"].default == bdedup.LSH_ROWS

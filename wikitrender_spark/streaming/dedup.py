@@ -228,6 +228,10 @@ def dedup_stream_within_watermark(
 
 
 def lsh_band_keys_py(k: int = 16, bands: int = 4, rows: int = 4):
+    # defaults mirror operators.dedup.MINHASH_K / LSH_BANDS / LSH_ROWS
+    # (asserted below at import time rather than imported: a module-level
+    # import of operators.dedup here would couple the streaming module's
+    # load to the whole batch operator surface)
     """UDF factory: text -> array<string> of LSH band keys, the
     per-row production path for the streaming near-dup admission.
     BIT-COMPATIBLE with the column forms (tokens -> poly_hash ->
