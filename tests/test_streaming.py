@@ -1656,10 +1656,11 @@ def test_corpus_admission_neardup_chain(spark, tmp_path):
     THREE engine-native stateful operators under one event-time
     watermark. Pins: a cross-batch near-dup (original + one word) and
     an exact copy are blocked at the BAND stage; a short doc (<3
-    tokens, no shingles) bypasses the band stage and its exact dup is
-    blocked at the DIGEST stage; originals admit; the flush row never
-    passes its own timestamp; output carries (n_fresh_bands,
-    neardup_checked) after redacted."""
+    tokens, no shingles) passes the band stage unchecked and its exact
+    dup collapses at the DIGEST stage (representative
+    cohort-arbitrary); originals admit; the flush row never passes its
+    own timestamp; output carries (n_fresh_bands, neardup_checked)
+    after redacted."""
     import os
 
     from wikitrender_spark.functions import text as T
@@ -1741,10 +1742,16 @@ def test_corpus_admission_neardup_chain(spark, tmp_path):
     }
     spark.catalog.dropTempView("nd_chain")
     assert orig["doc_id"] in got and fseed["doc_id"] in got
-    assert got[500] == (0, False)      # short doc bypasses band stage
+    # short docs pass the band stage unchecked (per-doc sentinel
+    # bucket) and collapse at the DIGEST stage: exactly one of the two
+    # "the of" copies admits. Which one is cohort-arbitrary — both
+    # emit from the re-group in the same watermark-flush batch, the
+    # established batch-dedup caveat (assert collapse, never identity)
+    short_ids = {500, 603} & set(got)
+    assert len(short_ids) == 1, sorted(got)
+    assert got[short_ids.pop()] == (0, False)
     assert 601 not in got              # near-dup: band stage blocks
     assert 602 not in got              # exact copy: band stage blocks
-    assert 603 not in got              # short exact dup: digest blocks
     assert 999 not in got              # flush never passes its own ts
     for d, (nf, checked) in got.items():
         if checked:

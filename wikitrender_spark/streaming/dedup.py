@@ -353,17 +353,21 @@ def neardup_admission_within_watermark(
     admit, the fail-safe claim (pinned with exact copies, which share
     all bands by construction; exact keep-one belongs to the upstream
     digest dedup). (c) Like
-    every append-mode aggregation, a non-bypass document emits only
-    once the watermark passes its ingest timestamp.
+    every append-mode aggregation, a document emits only once the
+    watermark passes its ingest timestamp — short docs included (the
+    price of the single-scan sentinel form; see the body comment).
 
     Output: the input columns plus (n_fresh_bands, neardup_checked);
     bypass rows carry (0, false). At 100 TB ingest: the sketch front is
     ONE Arrow-batched map-only pass; the explode carries each row
     `bands` times into ONE shuffle (bounded blow-up traded against the
-    stream-stream join that re-assembly would otherwise need); the two
-    branches re-scan each micro-batch (bounded 2x — the price of
-    instant stateless short-doc emission); band-bucket state is one
-    row per live bucket, horizon-bounded. MEASURED (r13,
+    stream-stream join that re-assembly would otherwise need); ONE
+    source scan and ONE sketch pass per micro-batch (the first design
+    split short docs onto a stateless union branch — instant emission,
+    but the union's two subplans re-scanned the batch and re-ran the
+    whole upstream front; the sentinel-bucket form in the body removes
+    that 2x); band-bucket state is one row per live bucket,
+    horizon-bounded. MEASURED (r13,
     tools/corpus_throughput_probe.py --neardup, 20k replicated sf0.1
     docs, 4 chunks + flush, 24 h horizon, warm): 1,499 docs/s per
     32-core node with 5,891 live band buckets at drain end (replicas
@@ -375,7 +379,31 @@ def neardup_admission_within_watermark(
     # explode, and projection collapse would otherwise clone the UDF
     # expression into each (this round's double-ArrowEvalPython lesson)
     bands_udf = lsh_band_keys_py(k, bands, rows).asNondeterministic()
-    d = docs.withColumn("_bands", bands_udf(F.col(text_col)))
+    # NULL text carries no content to judge: dropped (the pre-r13.2
+    # branch design dropped it too — size(NULL) is NULL in both
+    # filters). Short docs (no shingles) get a PER-DOC SENTINEL bucket
+    # ("_short_<doc_id>" — a namespace no real "v-v-v-v" digit band key
+    # can collide with) instead of a bypass BRANCH: the first design
+    # unioned a stateless short branch with the banded branch, and the
+    # union's two subplans each re-scanned the micro-batch and re-ran
+    # the whole upstream front (gate + scrub in the corpus chain) —
+    # a measured-class 2x this single-scan form removes. The trade,
+    # stated honestly: short docs now inherit the append-mode emission
+    # latency like everyone (their sentinel always wins its own bucket,
+    # so they still always pass this stage), and state gains one
+    # horizon-bounded bucket per short doc — the same arithmetic as the
+    # digest store.
+    d = docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "_bands", bands_udf(F.col(text_col))
+    )
+    d = d.withColumn(
+        "_bands",
+        F.when(F.size("_bands") > 0, F.col("_bands")).otherwise(
+            F.array(
+                F.concat(F.lit("_short_"), F.col("doc_id").cast("string"))
+            )
+        ),
+    ).withColumn("_n_bands", F.size("_bands"))
     if not already_watermarked:
         # a chain whose upstream already set the event-time watermark
         # (corpus_admission_stream_within_watermark's front) must not
@@ -383,14 +411,9 @@ def neardup_admission_within_watermark(
         # propagation disallows redefinition mid-plan
         d = d.withWatermark(ts_col, horizon)
     base_cols = [c for c in docs.columns]
-    shingled = d.filter(F.size("_bands") > 0)
-    short = d.filter(F.size("_bands") == 0).select(
+    ex = d.select(
         *base_cols,
-        F.lit(0).cast("long").alias("n_fresh_bands"),
-        F.lit(False).alias("neardup_checked"),
-    )
-    ex = shingled.select(
-        *base_cols,
+        "_n_bands",
         F.posexplode("_bands").alias("band_idx", "band_key"),
     )
     fresh = ex.dropDuplicatesWithinWatermark(["band_idx", "band_key"])
@@ -400,11 +423,18 @@ def neardup_admission_within_watermark(
             for c in base_cols
             if c not in (ts_col, "doc_id")
         ),
-        F.count(F.lit(1)).cast("long").alias("n_fresh_bands"),
+        F.first("_n_bands").alias("_n_bands"),
+        F.count(F.lit(1)).cast("long").alias("_n_fresh"),
     )
-    admitted = agged.filter(F.col("n_fresh_bands") == bands).select(
+    checked = F.col("_n_bands") == bands
+    return agged.filter(F.col("_n_fresh") == F.col("_n_bands")).select(
         *base_cols,
-        "n_fresh_bands",
-        F.lit(True).alias("neardup_checked"),
+        # the documented contract: unchecked (short) rows report
+        # (0, false) — the sentinel bucket is an implementation detail,
+        # not evidence
+        F.when(checked, F.col("_n_fresh"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_fresh_bands"),
+        checked.alias("neardup_checked"),
     )
-    return admitted.unionByName(short)
