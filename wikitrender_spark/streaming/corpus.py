@@ -500,11 +500,13 @@ def corpus_admission_stream_within_watermark(
     digest dedup, replay-pinned in
     test_corpus_admission_neardup_chain): near-dups of admitted
     content are blocked by the band stage; exact dups of SHORT docs
-    (no shingles — they bypass the band stage) and same-batch
-    band-split residue still collapse at the digest stage. Output
-    gains (n_fresh_bands, neardup_checked) after `redacted`; non-bypass
-    rows inherit the append-mode emission latency (a doc emits once
-    the watermark passes its ingest_ts).
+    (no shingles — they pass the band stage unchecked via per-doc
+    sentinel buckets) and same-batch band-split residue still collapse
+    at the digest stage, with a cohort-arbitrary representative (the
+    batch-dedup caveat — the test asserts collapse, never identity).
+    Output gains (n_fresh_bands, neardup_checked) after `redacted`;
+    every row inherits the append-mode emission latency (a doc emits
+    once the watermark passes its ingest_ts).
 
     `nll_gate="join"` (with `nll_model`) swaps the stateless UDF scorer
     for the JVM join form: the watermark moves BEFORE the scorer so the
