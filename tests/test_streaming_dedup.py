@@ -504,3 +504,66 @@ def test_neardup_defaults_mirror_batch_tuning_constants():
     assert sig2.parameters["k"].default == bdedup.MINHASH_K
     assert sig2.parameters["bands"].default == bdedup.LSH_BANDS
     assert sig2.parameters["rows"].default == bdedup.LSH_ROWS
+
+
+def test_neardup_admission_readmits_expired_blocks_live(spark, tmp_path):
+    """The watermark freshness trade, pinned for BAND-BUCKET state the
+    way test_corpus_admission_watermark_readmits_expired_drops_live
+    pins it for digests: with a 60 s horizon, a near-dup of content
+    whose band buckets EXPIRED before the previous batch's eviction
+    sweep is re-admitted, while a near-dup of still-live content is
+    blocked. Same one-batch eviction-lag discipline as the events
+    replay (state evicts at the END of a batch with that batch's
+    watermark, so a sentinel batch sits between the watermark advance
+    and the re-emission)."""
+    import datetime as dt
+
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk_text = lambda seed: f"{seed} " + " ".join(
+        f"word{seed}{i}" for i in range(30)
+    )
+    a, c, s = mk_text("alpha"), mk_text("charlie"), mk_text("sierra")
+    chunk_dir = str(tmp_path / "nd_exp_chunks")
+    write_ordered_chunks(
+        (
+            _nd_rows(spark, t0, (1, a, 0)),
+            # watermark advancer: its END-of-batch watermark is 240 s
+            _nd_rows(spark, t0, (2, c, 300)),
+            # sentinel batch: runs UNDER watermark 240, and its end
+            # applies the eviction sweep (A's buckets expire at 60)
+            _nd_rows(spark, t0, (3, s, 300)),
+            # A's near-dup: buckets expired -> RE-ADMITTED;
+            # C's near-dup: C's buckets live until 360 -> BLOCKED
+            _nd_rows(spark, t0, (4, a + " tailword", 300),
+                     (5, c + " tailword", 300)),
+            # flush: advances the watermark to 840 so every admitted
+            # group emits; never emits itself
+            _nd_rows(spark, t0, (99, mk_text("flush"), 900)),
+        ),
+        chunk_dir,
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, ingest_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    out = sdedup.neardup_admission_within_watermark(
+        stream, horizon="60 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nd_exp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.table("nd_exp").collect()}
+    spark.catalog.dropTempView("nd_exp")
+    assert got == {1, 2, 3, 4}, got  # 4 re-admitted, 5 blocked, 99 unemitted
