@@ -101,8 +101,9 @@ EXTENDED_RECENT = [
     # round-12 additions
     "tx_ngram_nll",
     "mm_image_neardup_content",
-    # round-13 addition
+    # round-13 additions
     "mm_video_neardup",
+    "tx_ngram_ppl_buckets",
 ]
 # Demoted to the sweep in round 13 under the two-round rule (floors
 # stay pinned; floor_check compares every sweep sample): the r10

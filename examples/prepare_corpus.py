@@ -14,8 +14,9 @@ chains them (SURVEY.md §2.8):
         with measured false positives, Count-Min top terms
   15-17. cards-first Luhn + widened-table PII scrub, DSIR importance
         selection (linear + log-space), the bigram-LM perplexity
-        filter (round 12), perceptual near-dup across the image /
-        audio / video modality legs incl. the content-crop production
+        filter (round 12) + its CCNet head/middle/tail terciles
+        (round 13), perceptual near-dup across the image / audio /
+        video modality legs incl. the content-crop production
         configurations (single-corner r12; four-corner per-channel
         r13)
   18.   ORC export
@@ -304,6 +305,15 @@ def main() -> None:
     ).head()
     print(f"perplexity filter: {ppl['kept']}/{ppl['n']} docs at/below "
           "corpus-mean per-bigram NLL")
+
+    # 16d. CCNet head/middle/tail terciles (round 13): the deployment
+    # shape — rank by per-bigram NLL, split into thirds; the head
+    # feeds high-quality training, the tail is the usual discard
+    from wikitrender_spark.plans.pipeline_queries import ngram_ppl_buckets
+
+    for b in ngram_ppl_buckets(docs).collect():
+        print(f"ppl bucket {b['bucket']}: {b['n_docs']} docs, "
+              f"unit-NLL [{b['min_unit_nll']}, {b['max_unit_nll']}]")
 
     # 17. perceptual image near-dup (round 10): the documents-as-PGM
     # rasters decode through the real netpbm -> dHash kernel; pairs

@@ -3041,6 +3041,125 @@ def test_ngram_nll_all_degenerate_corpus(spark):
         assert rows[i]["selected"] is True, rows[i]
 
 
+def test_ngram_ppl_buckets_matches_python_mirror(spark):
+    """tx_ngram_ppl_buckets against an independent pure-Python mirror
+    (the oracle-twin methodology's shared-defect backstop, the r12
+    lesson): terciles assigned by ntile over (nll/n, doc_id) with the
+    SQL-standard remainder rule (earlier buckets take the extra rows),
+    short docs in bucket 0, per-bucket aggregates bit-equal (the
+    ratio min/max are IEEE divisions of bit-pinned numerators)."""
+    from collections import Counter
+
+    from wikitrender_spark.functions.portable import pln_py
+    from wikitrender_spark.plans.pipeline_queries import (
+        NLL_BUCKETS,
+        ngram_ppl_buckets,
+    )
+
+    texts = [
+        "alpha beta alpha beta alpha beta",
+        "alpha beta gamma delta epsilon",
+        "alpha beta alpha beta",
+        "gamma delta epsilon alpha",
+        "epsilon gamma beta alpha delta gamma",
+        "beta beta beta",
+        "zeta",                               # -> bucket 0
+        "",                                   # -> bucket 0
+    ]
+    d = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs_toks = {i: t.split() for i, t in enumerate(texts)}
+    big = {i: list(zip(ws, ws[1:])) for i, ws in docs_toks.items()}
+    B = Counter(bg for bgs in big.values() for bg in bgs)
+    U = Counter()
+    for (w1, _w2), c in B.items():
+        U[w1] += c
+    V = len({w for ws in docs_toks.values() for w in ws})
+    nl = {bg: pln_py(U[bg[0]] + V) - pln_py(B[bg] + 1) for bg in B}
+    per = {}
+    for i, bgs in big.items():
+        xf = Counter(bgs)
+        s = 0.0
+        for bg in sorted(xf):
+            s = s + float(xf[bg]) * nl[bg]
+        per[i] = (len(bgs), s)
+    rated = sorted(
+        ((s / float(n), i, n) for i, (n, s) in per.items() if n > 0)
+    )
+    n_rated = len(rated)
+    # SQL-standard ntile: the first (n_rated % k) buckets get
+    # ceil(n_rated / k) rows, the rest floor
+    k = NLL_BUCKETS
+    base, rem = divmod(n_rated, k)
+    want_bucket = {}
+    pos = 0
+    for b in range(1, k + 1):
+        size = base + (1 if b <= rem else 0)
+        for _ in range(size):
+            want_bucket[rated[pos][1]] = b
+            pos += 1
+    for i, (n, _s) in per.items():
+        if n == 0:
+            want_bucket[i] = 0
+    want = {}
+    for b in range(0, k + 1):
+        members = [i for i, bb in want_bucket.items() if bb == b]
+        if not members:
+            continue
+        ratios = [per[i][1] / float(per[i][0]) for i in members
+                  if per[i][0] > 0]
+        want[b] = (
+            len(members),
+            sum(per[i][0] for i in members),
+            min(ratios) if ratios else None,
+            max(ratios) if ratios else None,
+            sum(i % 1000003 for i in members),
+        )
+    got = {
+        r["bucket"]: (r["n_docs"], r["n_bigrams_total"],
+                      r["min_unit_nll"], r["max_unit_nll"],
+                      r["checksum"])
+        for r in ngram_ppl_buckets(d).collect()
+    }
+    assert got == want
+    # non-degenerate: all three terciles and the short bucket present
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_ngram_ppl_buckets_all_degenerate_corpus(spark):
+    """A corpus of only no-bigram docs: ONE bucket-0 row, NULL ratio
+    bounds, full checksum — the degenerate-input class the r12 review
+    flagged as the oracle-twin blind spot, pinned at design time."""
+    from wikitrender_spark.plans.pipeline_queries import ngram_ppl_buckets
+
+    d = spark.createDataFrame(
+        [(0, "solo", "en", "src", 4), (1, "", "en", "src", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = ngram_ppl_buckets(d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bucket"] == 0 and r["n_docs"] == 2
+    assert r["n_bigrams_total"] == 0
+    assert r["min_unit_nll"] is None and r["max_unit_nll"] is None
+    assert r["checksum"] == 1
+
+
+def test_ngram_oracles_share_the_cte_block(spark):
+    """The r13 factoring pin: NGRAM_NLL_SQL (attested r12) and
+    NGRAM_PPL_BUCKETS_SQL must both embed the SINGLE _ngram_cte_block
+    text verbatim — the two oracles can never fork arithmetic, and the
+    attested query's SQL cannot have drifted (verified byte-identical
+    against the pre-factoring text when the factoring landed)."""
+    from wikitrender_spark.plans import pipeline_queries as pq
+
+    block = pq._ngram_cte_block()
+    assert pq.NGRAM_NLL_SQL.startswith(block)
+    assert pq.NGRAM_PPL_BUCKETS_SQL.startswith(block)
+
+
 def test_ngram_nll_scorer_bit_matches_batch(spark):
     """The streaming scorer (trained-model deployment) must reproduce
     the batch operator BIT-FOR-BIT when scoring the training corpus

@@ -23,10 +23,13 @@ from wikitrender_spark.plans import registry
 #: driver evidence more than two rounds old). Update each round as
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # round-13 addition, never driver-attested: the Y4M spatio-temporal
+    # round-13 additions, never driver-attested: the Y4M spatio-temporal
     # projection fingerprint completing the text/image/audio/video
-    # modality-dedup square (VERDICT r12 ask #3)
+    # modality-dedup square (VERDICT r12 ask #3), and the CCNet
+    # head/middle/tail perplexity terciles over the tx_ngram_nll
+    # machinery
     "mm_video_neardup",
+    "tx_ngram_ppl_buckets",
     # NO stale-by-code-change rows this round: round-13 changes are
     # pure additions (new functions/queries, the corpus.py join-form
     # gate that no gated query reads, bench/floor_check tooling) plus
@@ -63,25 +66,26 @@ R13_PROMISE = {
     "wt_ingest_dedup", "wt_markov_transitions", "wt_pagerank",
 }
 
-#: The five promised rows the r13 window could not seat (54 promised +
-#: 1 new = 55 > 50; new rows are never deferred, so exactly five spill
+#: The six promised rows the r13 window could not seat (54 promised +
+#: 2 new = 56 > 50; new rows are never deferred, so exactly six spill
 #: under the rotation contract). Chosen because each has FRESH family
 #: evidence in the r12 window AND lives in files untouched since its
 #: own r10 attestation (git diff r10..HEAD empty for operators/ann.py
-#: and plans/relational_queries.py); all five are named FIRST in the
+#: and plans/relational_queries.py); all six are named FIRST in the
 #: r14 promise.
 R13_DISPLACED = {
     "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
     "rel_pricing_summary", "rel_suppliers_with_shipments",
+    "rel_grouping_sets",
 }
 
 #: The rows whose latest driver attestation was r11 when this window
 #: was composed (= CORRECTNESS_r11.json keys minus CORRECTNESS_r12.json
 #: keys — the FIXED population, 50 rows): their evidence will be two
-#: rounds old after r13, so together with the five displaced rows they
-#: are PROMISED the r14 window. 55 rows > 50 — the steady-state
+#: rounds old after r13, so together with the six displaced rows they
+#: are PROMISED the r14 window. 56 rows > 50 — the steady-state
 #: pressure the rotation contract on registry.GATE_WINDOW makes
-#: permanent: r14 must displace at least five rows even with zero
+#: permanent: r14 must displace at least six rows even with zero
 #: additions; the displaced rows seat first.
 R11_COHORT = {
     "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
@@ -112,7 +116,7 @@ R14_DEFERRED = (R11_COHORT | R13_DISPLACED) - set(registry.GATE_WINDOW)
 
 def test_r13_promise_is_paid():
     """Every row round 12 promised the r13 window sits in it, except
-    the FIVE documented displacements — paid against the promised
+    the SIX documented displacements — paid against the promised
     NAMES."""
     missing = R13_PROMISE - set(registry.GATE_WINDOW)
     assert missing == R13_DISPLACED, sorted(missing)
@@ -130,7 +134,7 @@ def test_r13_window_is_led_by_the_displaced_four():
 
 def test_displacement_is_minimal():
     """The displacement rule allows spill only because the window is
-    genuinely full: 49 promised + 1 new = 50 exactly."""
+    genuinely full: 48 promised + 2 new = 50 exactly."""
     assert len(R13_PROMISE - R13_DISPLACED) + len(
         NEVER_OR_STALE_ATTESTED - R13_PROMISE
     ) == registry.GATE_SIZE
@@ -143,9 +147,9 @@ def test_every_owed_row_is_windowed_or_deferred():
     expected = (R11_COHORT | R13_DISPLACED) - set(registry.GATE_WINDOW)
     assert R14_DEFERRED == expected
     # nothing in the r11 cohort re-attests this round, so the r14 debt
-    # is the full cohort plus the five displaced rows (55 > 50: the
+    # is the full cohort plus the six displaced rows (56 > 50: the
     # steady-state cadence the contract on registry.GATE_WINDOW pins)
-    assert len(R14_DEFERRED) == 55, len(R14_DEFERRED)
+    assert len(R14_DEFERRED) == 56, len(R14_DEFERRED)
 
 
 def test_evidence_age_bound_holds():
@@ -167,6 +171,7 @@ def test_displaced_rows_have_fresh_family_evidence():
     row's named family neighbors re-attested in the r12 window, and the
     neighbors remain registered (oracle-checked in the local sweep)."""
     family_neighbors = {
+        "rel_grouping_sets": ["rel_rollup_orders", "rel_cube_summary"],
         "ann_ivfpq_topk": ["ann_ivfpq_rerank", "ann_ivf_topk"],
         "ann_kmeans_refine": ["ann_ivf_topk", "ann_ivf_rp_topk"],
         "ann_range_search": ["ann_lsh_topk", "ann_filtered_expand"],

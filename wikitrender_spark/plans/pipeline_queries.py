@@ -4544,6 +4544,76 @@ def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_nll(_docs(spark, sf_dir))
 
 
+#: CCNet's deployment splits the corpus into perplexity TERCILES
+#: (head/middle/tail — Wenzek et al., LREC 2020 §4.3: the head trains
+#: high-quality models, the tail is usually discarded); bucket 0 is
+#: the no-evidence class (< 2 tokens, no bigrams — CCNet's length
+#: filter owns it).
+NLL_BUCKETS = 3
+
+
+def ngram_ppl_buckets(d: DataFrame, n_buckets: int = NLL_BUCKETS) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (round 13) — the
+    DEPLOYMENT shape of tx_ngram_nll: rank every document by its
+    per-bigram NLL under the corpus add-one bigram model and split the
+    ranked corpus into `n_buckets` ntile buckets (1 = head, lowest
+    perplexity). Documents with no bigrams carry no evidence and land
+    in bucket 0. Output is the per-bucket report a curation run reads:
+    (bucket, n_docs, n_bigrams_total, min_unit_nll, max_unit_nll,
+    checksum).
+
+    Bit-exactness discipline on top of the attested tx_ngram_nll
+    machinery: the ranking key is nll / n_bigrams — ONE IEEE binary64
+    division of the bit-pinned nll by an integer, identical in both
+    engines — with doc_id as the total-order tie-break; ntile numbering
+    follows the SQL standard both engines implement (earlier buckets
+    take the remainder). Per-bucket aggregates avoid unordered float
+    sums entirely (the r12 lesson applied at design time): counts and
+    n_bigrams are integer sums, min/max of the unit ratio are
+    order-free, and the checksum is sum(doc_id % 1000003).
+
+    Scale shape: ngram_nll's plan unchanged (one tokenization, model
+    broadcast, per-doc sorted folds), then ONE global ntile window —
+    the EXACTNESS contract, same trade as rel_percentiles' exact
+    percentiles: the ranked relation is (doc_id, n, nll) — three
+    columns, never the text — so the single-partition sort is over
+    ~24 bytes/doc; the 100 TB path swaps the ntile for two
+    approx-quantile thresholds broadcast to a map-side bucketer (the
+    one-line change, and rel_approx_percentiles is the sketch-side
+    precedent with its error contract)."""
+    from pyspark.sql import Window
+
+    scored = ngram_nll(d).select("doc_id", "n_bigrams", "nll")
+    rated = scored.filter(F.col("n_bigrams") > 0).withColumn(
+        "_r", F.col("nll") / F.col("n_bigrams").cast("double")
+    )
+    w = Window.orderBy("_r", "doc_id")
+    ranked = rated.withColumn("bucket", F.ntile(n_buckets).over(w))
+    shorts = (
+        scored.filter(F.col("n_bigrams") == 0)
+        .withColumn("_r", F.lit(None).cast("double"))
+        .withColumn("bucket", F.lit(0))
+    )
+    return (
+        ranked.unionByName(shorts)
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams_total"),
+            F.min("_r").alias("min_unit_nll"),
+            F.max("_r").alias("max_unit_nll"),
+            F.sum(F.col("doc_id") % 1000003).cast("long").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_ngram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_ppl_buckets(_docs(spark, sf_dir))
+
+
+
+
 def ngram_model(d: DataFrame) -> tuple[dict, dict, int]:
     """Train the add-one bigram model over a corpus and hand it off as
     driver-side structures for functions.text.ngram_nll_scorer — the
@@ -4574,7 +4644,14 @@ def ngram_model(d: DataFrame) -> tuple[dict, dict, int]:
     return bigram_u_b, left_u, int(v)
 
 
-def _ngram_nll_sql() -> str:
+def _ngram_cte_block() -> str:
+    """The ONE home of the bigram-LM oracle CTE chain (tokenize ->
+    bigram counts -> add-one model with portable-ln terms -> per-doc
+    sorted-fold NLL -> corpus totals): NGRAM_NLL_SQL and
+    NGRAM_PPL_BUCKETS_SQL both compose from it, so the two oracles can
+    never fork arithmetic — NGRAM_NLL_SQL's text is byte-identical to
+    its pre-factoring round-12 form (the attested query's SQL must not
+    drift; pinned in test_ngram_oracles_share_the_cte_block)."""
     pln = portable.pln_sql
     return f"""
 WITH tk AS (SELECT doc_id, {_TOKENS.format(t='text')} AS toks
@@ -4603,7 +4680,11 @@ tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
                                         list(CAST(b AS DOUBLE) * nl
                                              ORDER BY w1, w2)),
                            (a, b) -> a + b) AS ts,
-               CAST(coalesce(sum(b), 0) AS BIGINT) AS tn FROM terms)
+               CAST(coalesce(sum(b), 0) AS BIGINT) AS tn FROM terms)"""
+
+
+def _ngram_nll_sql() -> str:
+    return f"""{_ngram_cte_block()}
 SELECT d.doc_id,
   CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
   coalesce(per.s, CAST(0 AS DOUBLE)) AS nll,
@@ -4613,6 +4694,26 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, tot"""
 
 
 NGRAM_NLL_SQL = _ngram_nll_sql()
+
+NGRAM_PPL_BUCKETS_SQL = f"""{_ngram_cte_block()},
+scored AS (SELECT d.doc_id,
+             CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n,
+             coalesce(per.s, CAST(0 AS DOUBLE)) AS s
+           FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+rb AS (SELECT doc_id, n, s / CAST(n AS DOUBLE) AS r,
+         ntile({NLL_BUCKETS})
+           OVER (ORDER BY s / CAST(n AS DOUBLE), doc_id) AS bucket
+       FROM scored WHERE n > 0),
+sb AS (SELECT doc_id, n, CAST(NULL AS DOUBLE) AS r, 0 AS bucket
+       FROM scored WHERE n = 0)
+SELECT CAST(bucket AS INT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS n_bigrams_total,
+  min(r) AS min_unit_nll,
+  max(r) AS max_unit_nll,
+  CAST(sum(doc_id % 1000003) AS BIGINT) AS checksum
+FROM (SELECT * FROM rb UNION ALL SELECT * FROM sb)
+GROUP BY 1 ORDER BY 1"""
 
 
 def _dsir_log_sql() -> str:
@@ -4739,6 +4840,7 @@ QUERIES = {
     "mm_image_neardup_content": q_image_neardup_content,
     "mm_audio_neardup": q_audio_neardup,
     "mm_video_neardup": q_video_neardup,
+    "tx_ngram_ppl_buckets": q_ngram_ppl_buckets,
     "tx_pii_scrub": q_pii_scrub,
     "tx_dsir_weights": q_dsir_weights,
     "tx_dsir_log": q_dsir_log,
@@ -4817,6 +4919,7 @@ ORACLES = {
     "mm_image_neardup_content": IMAGE_NEARDUP_CONTENT_SQL,
     "mm_audio_neardup": AUDIO_NEARDUP_SQL,
     "mm_video_neardup": VIDEO_NEARDUP_SQL,
+    "tx_ngram_ppl_buckets": NGRAM_PPL_BUCKETS_SQL,
     "tx_pii_scrub": PII_SCRUB_SQL,
     "tx_dsir_weights": DSIR_SQL,
     "tx_dsir_log": DSIR_LOG_SQL,

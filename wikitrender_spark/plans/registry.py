@@ -59,8 +59,8 @@ _loaded = False
 #:      evidence + implementation files untouched since its own
 #:      attestation), and displaced rows seat FIRST next round.
 #:   3. Under rules 1-2 the maximum evidence age of any row is
-#:      bounded: ceil(N / GATE_SIZE) + 1 rounds (with N = 155,
-#:      ceil(155/50) + 1 = 5; the observed worst case so far is 4 —
+#:      bounded: ceil(N / GATE_SIZE) + 1 rounds (with N = 156,
+#:      ceil(156/50) + 1 = 5; the observed worst case so far is 4 —
 #:      the r08-evidence rows seated in r12 and the r09-evidence rows
 #:      seated in r13). A row older than that bound is a composition
 #:      BUG, not scheduling pressure.
@@ -70,34 +70,40 @@ _loaded = False
 #:
 #: Round-13 composition (the r12 window went 50/50 green; the R13
 #: promise — the 50-row r10-evidence cohort PLUS the four rows
-#: displaced by round 12 — is 54 rows, paid MINUS FIVE documented
-#: displacements: 54 promised + 1 new = 55 > 50, and new rows are
-#: never deferred, so exactly five promised rows spill):
+#: displaced by round 12 — is 54 rows, paid MINUS SIX documented
+#: displacements: 54 promised + 2 new = 56 > 50, and new rows are
+#: never deferred, so exactly six promised rows spill):
 #: (a) the FOUR r12-displaced rows seat FIRST (r09 evidence, the
 #: registry's oldest — rule 2's "displacements seated first" clause):
 #: ann_bruteforce_topk, wt_biggest_movers, wt_top_pages_per_wiki,
 #: wt_lifecycle_replay;
-#: (b) the round-13 addition (never driver-attested):
+#: (b) the round-13 additions (never driver-attested):
 #: mm_video_neardup — the Y4M spatio-temporal projection fingerprint
 #: completing the text/image/audio/video modality-dedup square
 #: (VERDICT r12 ask #3), with the all-pairs SQL twin recomputing every
-#: projection and bit;
-#: (c) 45 of the 50-row r10-evidence cohort. DISPLACED to r14:
+#: projection and bit — and tx_ngram_ppl_buckets, the CCNet
+#: head/middle/tail perplexity terciles (the deployment shape of
+#: tx_ngram_nll: one IEEE division of the bit-pinned nll as the ntile
+#: key, no unordered float sums in the output);
+#: (c) 44 of the 50-row r10-evidence cohort. DISPLACED to r14:
 #: ann_ivfpq_topk, ann_kmeans_refine, ann_range_search,
-#: rel_pricing_summary, rel_suppliers_with_shipments — chosen because
-#: each has FRESH family evidence in the r12 window AND sits in files
-#: untouched since its own r10 attestation (verified: git diff
-#: r10..HEAD is empty for operators/ann.py and
-#: plans/relational_queries.py): ann_ivfpq_topk's ADC scan is covered
-#: by ann_ivfpq_rerank (r12 — the same ADC plan plus a rerank stage);
-#: ann_kmeans_refine's IVF/kmeans machinery by ann_ivf_topk and
-#: ann_ivf_rp_topk (r12); ann_range_search's distance-scan surface by
-#: ann_lsh_topk + ann_filtered_expand (r12); rel_pricing_summary's
-#: groupBy-agg shape by rel_regional_revenue + rel_rollup_orders
-#: (r12, same file); rel_suppliers_with_shipments' semi-join/EXISTS
-#: surface by rel_nation_presence + rel_nation_set_ops (r12, same
-#: file). All five are named FIRST in the r14 promise
-#: (tests/test_registry_gate.py R14_DEFERRED).
+#: rel_pricing_summary, rel_suppliers_with_shipments,
+#: rel_grouping_sets — chosen because each has FRESH family evidence
+#: in the r12 window AND sits in files untouched since its own r10
+#: attestation (verified: git diff r10..HEAD is empty for
+#: operators/ann.py and plans/relational_queries.py): ann_ivfpq_topk's
+#: ADC scan is covered by ann_ivfpq_rerank (r12 — the same ADC plan
+#: plus a rerank stage); ann_kmeans_refine's IVF/kmeans machinery by
+#: ann_ivf_topk and ann_ivf_rp_topk (r12); ann_range_search's
+#: distance-scan surface by ann_lsh_topk + ann_filtered_expand (r12);
+#: rel_pricing_summary's groupBy-agg shape by rel_regional_revenue +
+#: rel_rollup_orders (r12, same file); rel_suppliers_with_shipments'
+#: semi-join/EXISTS surface by rel_nation_presence +
+#: rel_nation_set_ops (r12, same file); rel_grouping_sets' grouping-
+#: analytics surface by rel_rollup_orders + rel_cube_summary (r12,
+#: same file, the same GROUPING SETS machinery). All six are named
+#: FIRST in the r14 promise (tests/test_registry_gate.py
+#: R14_DEFERRED).
 #:
 #: Stale-by-code-change audit for the seated rows (rule 4): round-13
 #: changes are pure additions (the video fingerprint kernel + query,
@@ -105,20 +111,25 @@ _loaded = False
 #: in streaming/corpus.py — no gated query reads corpus.py) plus one
 #: signature-default widening (_aenv_block_sql gains an nbits param;
 #: AUDIO_NEARDUP_SQL's generated text is byte-identical, pinned by
-#: test_audio_neardup_sql_text_stable), so no seated or displaced
-#: row's code path changed after its evidence.
+#: test_audio_neardup_sql_text_stable) and one oracle-text factoring
+#: (_ngram_nll_sql recomposes from the shared _ngram_cte_block;
+#: NGRAM_NLL_SQL byte-identical, verified against the pre-factoring
+#: text and pinned by test_ngram_oracles_share_the_cte_block), so no
+#: seated or displaced row's code path changed after its evidence.
 GATE_WINDOW: list[str] = [
     # (a) the four r12-displaced rows, r09 evidence — seated first
     "ann_bruteforce_topk",
     "wt_biggest_movers",
     "wt_top_pages_per_wiki",
     "wt_lifecycle_replay",
-    # (b) the round-13 addition, never driver-attested
+    # (b) the round-13 additions, never driver-attested
     "mm_video_neardup",
-    # (c) the r10-evidence cohort, minus the five documented
+    "tx_ngram_ppl_buckets",
+    # (c) the r10-evidence cohort, minus the six documented
     # displacements (ann_ivfpq_topk, ann_kmeans_refine,
     # ann_range_search, rel_pricing_summary,
-    # rel_suppliers_with_shipments -> r14, seated first there)
+    # rel_suppliers_with_shipments, rel_grouping_sets -> r14,
+    # seated first there)
     "dd_cross_source_dups",
     "dd_embedding_neardup_exact",
     "dd_lsh_tuning",
@@ -130,7 +141,6 @@ GATE_WINDOW: list[str] = [
     "rel_approx_percentiles",
     "rel_approx_segments",
     "rel_asof_last_signup",
-    "rel_grouping_sets",
     "rel_hourly_autocorr",
     "rel_hourly_ewma",
     "rel_hourly_mad",
