@@ -192,3 +192,20 @@ def test_bench_sweep_override_resolution(tmp_path, capsys):
     d, tag = bench.sweep_dir_for("dd_simhash_tuning", str(lonely))
     assert d == str(lonely) and tag == "SKIPPED:sf0.01"
     assert "SKIPPED" in capsys.readouterr().err
+
+
+def test_suite_violation_rows_is_the_shared_predicate():
+    """ADVICE r13 low #4: solo candidates and REGRESSION messages both
+    derive from suite_violation_rows' structured (name, ratio) tuples —
+    message wording can change without breaking candidate extraction."""
+    floors = {f"q{i}": 1.0 for i in range(8)} | {"dd_x": 1.0}
+    drifted = {f"q{i}": 1.35 for i in range(8)} | {"dd_x": 2.2}
+    rows = floor_check.suite_violation_rows(floors, drifted)
+    assert rows == [("dd_x", 2.2)]
+    # check() flags exactly the same names (messages derive from rows)
+    v, _, _ = floor_check.check(floors, drifted, {})
+    assert len(v) == 1 and "dd_x" in v[0]
+    # and solo_candidates consumes the structured rows, not the text
+    assert floor_check.solo_candidates(floors, drifted, {}, 1.53) == ["dd_x"]
+    # clean suite -> no structured rows
+    assert floor_check.suite_violation_rows(floors, {"q0": 1.1}) == []

@@ -78,11 +78,39 @@ def solo_candidates(
     launder a real regression through a second chance."""
     if not session_is_drifted(floors, suite, calib_spread):
         return []
-    violations, _, _ = check(floors, suite, {})
-    out = [v.split()[1].rstrip(":") for v in violations]
+    # structured rows, not message-parsing (ADVICE r13 low #4): the
+    # candidate list and check()'s human messages now both derive from
+    # suite_violation_rows, so a wording change cannot silently break
+    # candidate extraction
+    out = [n for n, _r in suite_violation_rows(floors, suite)]
     for n, v in sorted(sweep.items()):
         if n in floors and floors[n] > 0 and v > floors[n] * SWEEP_ENVELOPE:
             out.append(n)
+    return out
+
+
+def suite_violation_rows(
+    floors: dict[str, float],
+    suite: dict[str, float],
+) -> list[tuple[str, float]]:
+    """Structured (name, ratio) tuples for every suite row that exceeds
+    BOTH the raw 1.5x rule and 1.25x of the leave-one-out session
+    median — the two-rule violation predicate, before any solo
+    adjudication. check() derives its REGRESSION messages from this
+    list and solo_candidates derives its candidate names from it
+    (ADVICE r13 low #4: the candidate list used to string-parse the
+    messages, so any wording change silently broke extraction)."""
+    ratios = {
+        n: v / floors[n] for n, v in suite.items()
+        if n in floors and floors[n] > 0
+    }
+    out = []
+    for n in sorted(ratios):
+        r = ratios[n]
+        others = [x for m, x in ratios.items() if m != n]
+        loo = max(statistics.median(others) if others else 1.0, 1.0)
+        if r > RAW_RULE and r > loo * DRIFT_MARGIN:
+            out.append((n, r))
     return out
 
 
@@ -119,6 +147,9 @@ def check(
     ratios = {
         n: v / floors[n] for n, v in suite.items() if n in floors and floors[n] > 0
     }
+    # single source of truth for the two-rule predicate: the structured
+    # rows solo_candidates also consumes (ADVICE r13 low #4)
+    viol_names = {n for n, _r in suite_violation_rows(floors, suite)}
     violations = []
     advisories = []
     med = statistics.median(ratios.values()) if ratios else 1.0
@@ -135,7 +166,7 @@ def check(
         r = ratios[n]
         others = [x for m, x in ratios.items() if m != n]
         loo = max(statistics.median(others) if others else 1.0, 1.0)
-        if r > RAW_RULE and r > loo * DRIFT_MARGIN:
+        if n in viol_names:
             solo_v = (solo or {}).get(n)
             if solo_v is not None and solo_v <= floors[n] * RAW_RULE:
                 advisories.append(
@@ -233,6 +264,30 @@ def main() -> int:
         for n, rec in bs.get("solo_remeasure", {}).items()
         if rec.get("solo_median") is not None
     }
+    # Re-verify the drifted-session precondition HERE, not only at the
+    # producer (ADVICE r13 low #3): solo re-measures may downgrade a
+    # violation only when THIS samples file's own calibration + suite
+    # readings say the session was drifted — a stale or hand-edited
+    # solo block must not launder a calm-session regression. The
+    # spread is recomputed from calibration_samples exactly as bench.py
+    # computes it (pass 0 excluded).
+    if solo:
+        timed = (bs.get("calibration_samples") or [])[1:]
+        calib_spread = (
+            round(max(timed) / min(timed), 2) if timed and min(timed) > 0
+            else None
+        )
+        if not session_is_drifted(floors, suite, calib_spread):
+            print(
+                "note: solo_remeasure block present but this session "
+                "reads CALM (calibration spread "
+                f"{calib_spread}, suite drift below {DRIFT_MARGIN}x) — "
+                "solo downgrades ignored; calm-session flags stand on "
+                "their own"
+            )
+            solo = {}
+        # names the current readings don't contain are stale leftovers
+        solo = {n: v for n, v in solo.items() if n in suite or n in sweep}
     violations, advisories, med = check(floors, suite, sweep, solo)
     print(
         f"{len(suite)} suite rows, {len(sweep)} sweep rows vs "

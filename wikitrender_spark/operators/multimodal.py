@@ -918,11 +918,13 @@ def content_crop4_py(img: "object") -> "object":
     Policy: a corner's per-channel pixel value counts as a PADDING
     value when at least two corners share it (right/bottom padding
     covers TR+BR; top/left covers TL+TR or TL+BL; letterboxes and
-    uniform surrounds cover all four) — a value seen at exactly one
-    corner is presumed content, so an ordinary photograph with four
-    distinct corners crops nothing. When no two corners agree, fall
-    back to the bottom-right anchor (the attested single-corner rule,
-    now per-channel). The crop is the bounding box of pixels whose
+    uniform surrounds cover all four). When no two corners agree — the
+    ordinary-photograph case — fall back to the bottom-right anchor
+    (the attested single-corner rule, now per-channel): usually that
+    crops nothing, but it is NOT a guaranteed no-op — a border whose
+    pixels happen to equal the BR corner value is cropped, exactly as
+    the attested single-corner variant would crop it (ADVICE r13 low
+    #2 fixed an earlier claim that this case "crops nothing"). The crop is the bounding box of pixels whose
     per-channel value differs from EVERY padding value; a raster with
     no differing pixels returns unchanged (flat images hash to 0
     either way). Per-channel comparison closes the documented

@@ -228,10 +228,12 @@ def dedup_stream_within_watermark(
 
 
 def lsh_band_keys_py(k: int = 16, bands: int = 4, rows: int = 4):
-    # defaults mirror operators.dedup.MINHASH_K / LSH_BANDS / LSH_ROWS
-    # (asserted below at import time rather than imported: a module-level
-    # import of operators.dedup here would couple the streaming module's
-    # load to the whole batch operator surface)
+    # defaults mirror operators.dedup.MINHASH_K / LSH_BANDS / LSH_ROWS —
+    # asserted at import time by _assert_batch_default_mirror() below
+    # (the import happens inside that function so this module's load
+    # order stays decoupled from the batch operator surface; ADVICE r13
+    # low #1: the comment used to claim an import-time assert that only
+    # existed in pytest)
     """UDF factory: text -> array<string> of LSH band keys, the
     per-row production path for the streaming near-dup admission.
     BIT-COMPATIBLE with the column forms (tokens -> poly_hash ->
@@ -305,6 +307,27 @@ def lsh_band_keys_py(k: int = 16, bands: int = 4, rows: int = 4):
         return pd.Series(out)
 
     return enc
+
+
+def _assert_batch_default_mirror() -> None:
+    """Import-time pin (ADVICE r13 low #1): lsh_band_keys_py's and
+    neardup_admission_within_watermark's (k, bands, rows) defaults must
+    equal the batch constants in operators.dedup — a drift would make
+    the streaming admission's band keys incompatible with the batch
+    near-dup candidates it claims to mirror. The import is function-
+    scoped so module load order stays decoupled; the assert still runs
+    on every import of this module, not only under pytest."""
+    import inspect
+
+    from ..operators.dedup import LSH_BANDS, LSH_ROWS, MINHASH_K
+
+    for fn in (lsh_band_keys_py, neardup_admission_within_watermark):
+        p = inspect.signature(fn).parameters
+        got = (p["k"].default, p["bands"].default, p["rows"].default)
+        assert got == (MINHASH_K, LSH_BANDS, LSH_ROWS), (
+            f"{fn.__name__} defaults {got} drifted from operators.dedup "
+            f"constants {(MINHASH_K, LSH_BANDS, LSH_ROWS)}"
+        )
 
 
 def neardup_admission_within_watermark(
@@ -438,3 +461,6 @@ def neardup_admission_within_watermark(
         .alias("n_fresh_bands"),
         checked.alias("neardup_checked"),
     )
+
+
+_assert_batch_default_mirror()
