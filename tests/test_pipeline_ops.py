@@ -5,6 +5,7 @@ the expected results are computable by hand."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -2754,6 +2755,79 @@ def test_bpe_encode_fast_ill_formed_and_duplicate_tables(spark):
     assert rn["hof"] is None and rn["fast"] is None
 
 
+def test_bpe_encode_fast_matches_hof_on_trained_table(spark):
+    """VERDICT r12 ask #7 / r13 next-round #2, the equivalence leg: on
+    the REAL corpus with tx_bpe_merges' own trained 20-merge table —
+    the exact table the gated tx_bpe_encode applies — the fast encoder
+    reproduces the HOF path symbol-for-symbol on every document."""
+    from wikitrender_spark.plans import pipeline_queries as P
+
+    sf = "/root/testdata/sf0.001"
+    ranked = (
+        P.q_bpe_merges(spark, sf).orderBy("merge_rank").select("pair").collect()
+    )
+    merges = tuple((r.pair[0], r.pair[1]) for r in ranked)
+    assert len(merges) == P.BPE_TOP_PAIRS
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    rows = d.select(
+        "doc_id",
+        T.bpe_encode(F.col("text"), merges).alias("hof"),
+        T.bpe_encode_fast(F.col("text"), merges).alias("fast"),
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert list(r["hof"]) == list(r["fast"]), r["doc_id"]
+
+
+def test_bpe_encode_oracle_separator_precondition():
+    """BPE_ENCODE_SQL's string encoding reserves '|' (symbol flank) and
+    '@' (word boundary); the oracle is only sound while the corpus text
+    contains neither. Pin the precondition against the real testdata at
+    every SF the driver or the local gate touches — if the generator
+    ever emits these characters this fails loudly instead of the oracle
+    silently mis-parsing. The SPARK path has no such restriction (it
+    works on symbol arrays, not a string encoding)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE text LIKE '%|%' OR text LIKE '%@%'"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} docs contain reserved separator chars"
+
+
+def test_bpe_encode_query_matches_flat_hof(spark):
+    """The gated query's (n_syms, encoded) projection is derived from
+    ONE materialized encode (localCheckpoint barrier — the r9/r13
+    CollapseProject re-inlining class); pin that the string round-trip
+    loses nothing: n_syms equals the HOF symbol count and encoded
+    splits back to the HOF symbols."""
+    from wikitrender_spark.plans import pipeline_queries as P
+
+    sf = "/root/testdata/sf0.001"
+    ranked = (
+        P.q_bpe_merges(spark, sf).orderBy("merge_rank").select("pair").collect()
+    )
+    merges = tuple((r.pair[0], r.pair[1]) for r in ranked)
+    got = {r["doc_id"]: r for r in P.q_bpe_encode(spark, sf).collect()}
+    ref = (
+        spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        .select("doc_id", T.bpe_encode(F.col("text"), merges).alias("sym"))
+        .collect()
+    )
+    assert len(got) == len(ref) == 500
+    for r in ref:
+        g = got[r["doc_id"]]
+        assert g["n_syms"] == len(r["sym"])
+        assert (g["encoded"].split(" ") if g["encoded"] else []) == list(
+            r["sym"]
+        )
+
+
 def test_scrub_cards_must_run_before_scrub_pii(spark):
     """The ordering hazard the round-11 cost probe caught: a greedy
     intl_phone match absorbs a space-separated digit group adjacent to
@@ -3145,6 +3219,98 @@ def test_ngram_ppl_buckets_all_degenerate_corpus(spark):
     assert r["n_bigrams_total"] == 0
     assert r["min_unit_nll"] is None and r["max_unit_nll"] is None
     assert r["checksum"] == 1
+
+
+def test_ngram_ppl_buckets_approx_rank_error_contract(spark):
+    """The 100 TB bucketer's error contract against the exact ntile
+    form at sf0.1 (VERDICT r13 next-round #4 — the rel_percentiles /
+    rel_approx_percentiles pairing): with relativeError eps, (a) each
+    sketch threshold's exact RANK sits within eps * N of its tercile
+    boundary, (b) a document's approx bucket differs from its exact
+    ntile bucket only when its exact rank is within eps * N of a
+    boundary, (c) per-bucket doc counts deviate from the exact report
+    by at most 2 * eps * N, and (d) bucket 0 (no-evidence docs) and the
+    whole-corpus integer totals are IDENTICAL."""
+    from wikitrender_spark.plans import pipeline_queries as P
+
+    sf = "/root/testdata/sf0.1"
+    d = P._docs(spark, sf)
+    eps = P.NLL_BUCKETS_APPROX_EPS
+
+    rated = (
+        P.ngram_nll(d)
+        .select("doc_id", "n_bigrams", "nll")
+        .filter(F.col("n_bigrams") > 0)
+        .withColumn("_r", F.col("nll") / F.col("n_bigrams").cast("double"))
+        .localCheckpoint()
+    )
+    rows = sorted(
+        ((r["_r"], r["doc_id"]) for r in rated.collect()),
+    )
+    n = len(rows)
+    assert n > 100  # the contract needs a non-degenerate corpus
+    slack = int(eps * n) + 1
+
+    # exact ntile assignment (SQL-standard: earlier buckets take the
+    # remainder), keyed by doc_id
+    base, rem = divmod(n, 3)
+    sizes = [base + (1 if i < rem else 0) for i in range(3)]
+    exact_bucket, pos = {}, 0
+    for b, size in enumerate(sizes, start=1):
+        for _r, doc in rows[pos: pos + size]:
+            exact_bucket[doc] = b
+        pos += size
+    boundaries = [sizes[0], sizes[0] + sizes[1]]  # ranks (1-based cuts)
+
+    # (a) threshold rank error
+    thresholds = rated.stat.approxQuantile("_r", [1 / 3, 2 / 3], eps)
+    assert len(thresholds) == 2
+    vals = [r[0] for r in rows]
+    import bisect
+
+    for t, cut in zip(thresholds, boundaries):
+        rank = bisect.bisect_right(vals, t)
+        assert abs(rank - cut) <= slack, (t, rank, cut, slack)
+
+    # (b) per-doc divergence only near a boundary, for THESE thresholds
+    rank_of = {doc: i + 1 for i, (_r, doc) in enumerate(rows)}
+    for _r, doc in rows:
+        approx_b = 1 if _r <= thresholds[0] else (2 if _r <= thresholds[1] else 3)
+        if approx_b != exact_bucket[doc]:
+            near = min(abs(rank_of[doc] - c) for c in boundaries)
+            assert near <= slack, (doc, approx_b, exact_bucket[doc], near)
+
+    # (c)+(d) report-level: the function's own output vs the exact form
+    exact = {r["bucket"]: r for r in P.ngram_ppl_buckets(d).collect()}
+    approx = {r["bucket"]: r for r in P.ngram_ppl_buckets_approx(d).collect()}
+    assert set(approx) == set(exact)
+    if 0 in exact:
+        assert approx[0] == exact[0]  # no-evidence class identical
+    for b in (1, 2, 3):
+        assert abs(approx[b]["n_docs"] - exact[b]["n_docs"]) <= 2 * slack
+    for col in ("n_docs", "n_bigrams_total", "checksum"):
+        assert sum(r[col] for r in approx.values()) == sum(
+            r[col] for r in exact.values()
+        ), col
+
+
+def test_ngram_ppl_buckets_approx_all_degenerate_corpus(spark):
+    """Empty sketch path: a corpus with no bigram evidence must yield
+    the same single bucket-0 row as the exact form, not an IndexError
+    from the missing thresholds."""
+    from wikitrender_spark.plans.pipeline_queries import (
+        ngram_ppl_buckets_approx,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "solo", "en", "src", 4), (1, "", "en", "src", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = ngram_ppl_buckets_approx(d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bucket"] == 0 and r["n_docs"] == 2
+    assert r["n_bigrams_total"] == 0
 
 
 def test_ngram_oracles_share_the_cte_block(spark):

@@ -11,7 +11,7 @@ The steady-state rotation contract itself lives on registry.GATE_WINDOW
 overflowing GATE_SIZE displace to the next round with a per-row
 rationale and seat FIRST there; maximum evidence age is bounded at
 ceil(N / GATE_SIZE) + 1 rounds. The numbers below are that contract
-applied to round 13.
+applied to round 14.
 """
 
 from __future__ import annotations
@@ -23,71 +23,30 @@ from wikitrender_spark.plans import registry
 #: driver evidence more than two rounds old). Update each round as
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # round-13 additions, never driver-attested: the Y4M spatio-temporal
-    # projection fingerprint completing the text/image/audio/video
-    # modality-dedup square (VERDICT r12 ask #3), and the CCNet
-    # head/middle/tail perplexity terciles over the tx_ngram_nll
-    # machinery
-    "mm_video_neardup",
-    "tx_ngram_ppl_buckets",
-    # NO stale-by-code-change rows this round: round-13 changes are
-    # pure additions (new functions/queries, the corpus.py join-form
-    # gate that no gated query reads, bench/floor_check tooling) plus
-    # one text-neutral signature-default widening (_aenv_block_sql,
-    # pinned by test_pipeline_ops.test_audio_neardup_sql_text_stable);
-    # no attested query's code path changed after its evidence.
+    # round-14 addition, never driver-attested: the tokenizer APPLY
+    # side gated end-to-end (VERDICT r12 ask #7 / r13 next-round #2) —
+    # train tx_bpe_merges' 20-merge table, encode the corpus through
+    # the JVM HOF path, recursive-CTE replace() oracle twin
+    "tx_bpe_encode",
+    # NO stale-by-code-change rows this round: round-14 changes are
+    # pure additions (q_bpe_encode + its oracle + registration; the
+    # import-time default-mirror assert in streaming/dedup.py, which
+    # checks signature defaults and alters no query semantics;
+    # floor_check/bench structured-violation tooling) plus
+    # docstring-only rewording (content_crop4_py); no attested query's
+    # code path changed after its evidence.
 }
 
-#: The 54 rows promised the r13 window by round 12 (= R10_COHORT |
-#: R12_DISPLACED from round 12's derivation, kept VERBATIM so the
+#: The 56 rows promised the r14 window by round 13 (= R11_COHORT |
+#: R13_DISPLACED from round 13's derivation, kept VERBATIM so the
 #: payment is testable against the promised names, not a recomputation
 #: that could drift with the window).
-R13_PROMISE = {
-    # the four r12-displaced rows (r09 evidence — seated first)
-    "ann_bruteforce_topk", "wt_biggest_movers", "wt_top_pages_per_wiki",
-    "wt_lifecycle_replay",
-    # the 50-row r10-evidence cohort
-    "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
-    "dd_cross_source_dups", "dd_embedding_neardup_exact",
-    "dd_lsh_tuning", "dd_semantic_dedup", "dd_simhash_tuning",
-    "mm_image_neardup", "mm_wav_features", "mm_y4m_frames",
-    "rel_approx_percentiles", "rel_approx_segments",
-    "rel_asof_last_signup", "rel_grouping_sets", "rel_hourly_autocorr",
-    "rel_hourly_ewma", "rel_hourly_mad", "rel_interval_coverage",
-    "rel_json_props", "rel_lateral_topk", "rel_order_gaps",
-    "rel_percentiles", "rel_pricing_summary", "rel_recursive_months",
-    "rel_salted_revenue", "rel_scd2_intervals", "rel_sessionize",
-    "rel_suppliers_with_shipments", "rel_value_pareto",
-    "rel_window_rank_suite", "tx_bm25_topk", "tx_boilerplate",
-    "tx_bpe_merges", "tx_chunks", "tx_collocations", "tx_dsir_weights",
-    "tx_leakage_split", "tx_mix_sample", "tx_mix_weights",
-    "tx_novelty", "tx_pack_sharded", "tx_pii_scrub", "tx_rarity",
-    "tx_stratified_sample", "tx_tfidf_terms", "wt_coedit_pairs",
-    "wt_ingest_dedup", "wt_markov_transitions", "wt_pagerank",
-}
-
-#: The six promised rows the r13 window could not seat (54 promised +
-#: 2 new = 56 > 50; new rows are never deferred, so exactly six spill
-#: under the rotation contract). Chosen because each has FRESH family
-#: evidence in the r12 window AND lives in files untouched since its
-#: own r10 attestation (git diff r10..HEAD empty for operators/ann.py
-#: and plans/relational_queries.py); all six are named FIRST in the
-#: r14 promise.
-R13_DISPLACED = {
+R14_PROMISE = {
+    # the six r13-displaced rows (r10 evidence — seated first)
     "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
     "rel_pricing_summary", "rel_suppliers_with_shipments",
     "rel_grouping_sets",
-}
-
-#: The rows whose latest driver attestation was r11 when this window
-#: was composed (= CORRECTNESS_r11.json keys minus CORRECTNESS_r12.json
-#: keys — the FIXED population, 50 rows): their evidence will be two
-#: rounds old after r13, so together with the six displaced rows they
-#: are PROMISED the r14 window. 56 rows > 50 — the steady-state
-#: pressure the rotation contract on registry.GATE_WINDOW makes
-#: permanent: r14 must displace at least six rows even with zero
-#: additions; the displaced rows seat first.
-R11_COHORT = {
+    # the 50-row r11-evidence cohort
     "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
     "dd_exact_groups", "dd_simhash", "dd_substring_runs",
     "mm_audio_energy", "mm_audio_neardup", "mm_video_motion",
@@ -108,82 +67,133 @@ R11_COHORT = {
     "wt_session_activity", "wt_stream_replay", "wt_windowed_activity",
 }
 
-#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r14
-#: window — the r11-evidence cohort plus the r13 displacement — minus
+#: The seven promised rows the r14 window could not seat (56 promised +
+#: 1 new = 57 > 50; new rows are never deferred, so exactly seven
+#: spill under the rotation contract). Chosen because each has FRESH
+#: family evidence (r12/r13 windows, or family rows seating in the r14
+#: window itself) AND lives in files untouched since its own r11
+#: attestation (git diff r11..HEAD empty for operators/ann.py and
+#: plans/relational_queries.py); all seven are named FIRST in the r15
+#: promise. Per-row rationale on registry.GATE_WINDOW.
+R14_DISPLACED = {
+    "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
+    "rel_corr_subquery", "rel_running_revenue", "rel_weekday_profile",
+    "rel_scalar_functions",
+}
+
+#: The rows whose latest driver attestation was r12 when this window
+#: was composed (= CORRECTNESS_r12.json keys minus CORRECTNESS_r13.json
+#: keys — the FIXED population, 50 rows): their evidence will be two
+#: rounds old after r14, so together with the seven displaced rows they
+#: are PROMISED the r15 window. 57 rows > 50 — the steady-state
+#: pressure the rotation contract on registry.GATE_WINDOW makes
+#: permanent: r15 must displace at least seven rows even with zero
+#: additions; the displaced rows seat first.
+R12_COHORT = {
+    "ann_filtered_expand", "ann_ivf_rp_topk", "ann_ivf_topk",
+    "ann_ivfpq_rerank", "ann_lsh_buckets", "ann_lsh_topk",
+    "ann_rp_topk", "dd_bloom_decontaminate", "dd_cdc_chunks",
+    "dd_containment", "dd_decontaminate", "dd_dup_clusters",
+    "dd_editdist_pairs", "dd_embedding_neardup", "dd_jaccard_histogram",
+    "dd_lsh_candidates", "dd_minhash_est", "dd_minhash_signatures",
+    "dd_near_duplicates", "dd_ngram_jaccard", "dd_simhash_pairs",
+    "mm_audio_vad", "mm_frame_sample", "mm_image_neardup_content",
+    "mm_media_features", "mm_pgm_features", "mm_video_keyframes",
+    "rel_audience_overlap", "rel_cube_summary", "rel_dq_audit",
+    "rel_hourly_anomalies", "rel_nation_presence", "rel_nation_set_ops",
+    "rel_regional_revenue", "rel_rollup_orders", "rel_top_customers",
+    "tx_clean_corpus", "tx_cms_terms", "tx_dedup_lineage",
+    "tx_filter_funnel", "tx_ngram_nll", "tx_repetition", "tx_split",
+    "tx_substring_scrub", "tx_token_stats", "tx_vocab", "tx_winnowing",
+    "wt_state_diff", "wt_stream_heavy_hitters", "wt_stream_trending",
+}
+
+#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r15
+#: window — the r12-evidence cohort plus the r14 displacement — minus
 #: anything already re-attesting now.
-R14_DEFERRED = (R11_COHORT | R13_DISPLACED) - set(registry.GATE_WINDOW)
+R15_DEFERRED = (R12_COHORT | R14_DISPLACED) - set(registry.GATE_WINDOW)
 
 
-def test_r13_promise_is_paid():
-    """Every row round 12 promised the r13 window sits in it, except
-    the SIX documented displacements — paid against the promised
+def test_r14_promise_is_paid():
+    """Every row round 13 promised the r14 window sits in it, except
+    the SEVEN documented displacements — paid against the promised
     NAMES."""
-    missing = R13_PROMISE - set(registry.GATE_WINDOW)
-    assert missing == R13_DISPLACED, sorted(missing)
+    missing = R14_PROMISE - set(registry.GATE_WINDOW)
+    assert missing == R14_DISPLACED, sorted(missing)
 
 
-def test_r13_window_is_led_by_the_displaced_four():
-    """VERDICT r12 ask #1's 'done' condition verbatim: the window is
-    LED by the four r9-evidence rows round 12 displaced — they hold
-    slots 0-3, ahead even of this round's addition."""
-    assert registry.GATE_WINDOW[:4] == [
-        "ann_bruteforce_topk", "wt_biggest_movers",
-        "wt_top_pages_per_wiki", "wt_lifecycle_replay",
+def test_r14_window_is_led_by_the_displaced_six():
+    """VERDICT r13 next-round #1's 'done' condition verbatim: the
+    window is LED by the six r10-evidence rows round 13 displaced —
+    they hold slots 0-5, ahead even of this round's addition."""
+    assert registry.GATE_WINDOW[:6] == [
+        "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
+        "rel_pricing_summary", "rel_suppliers_with_shipments",
+        "rel_grouping_sets",
     ]
 
 
 def test_displacement_is_minimal():
     """The displacement rule allows spill only because the window is
-    genuinely full: 48 promised + 2 new = 50 exactly."""
-    assert len(R13_PROMISE - R13_DISPLACED) + len(
-        NEVER_OR_STALE_ATTESTED - R13_PROMISE
+    genuinely full: 49 promised + 1 new = 50 exactly."""
+    assert len(R14_PROMISE - R14_DISPLACED) + len(
+        NEVER_OR_STALE_ATTESTED - R14_PROMISE
     ) == registry.GATE_SIZE
 
 
 def test_every_owed_row_is_windowed_or_deferred():
-    """The r14 promise must be complete by construction: every row with
-    r11-or-older driver evidence is either re-attesting in the r13
-    window or explicitly in the r14 debt — nothing falls out silently."""
-    expected = (R11_COHORT | R13_DISPLACED) - set(registry.GATE_WINDOW)
-    assert R14_DEFERRED == expected
-    # nothing in the r11 cohort re-attests this round, so the r14 debt
-    # is the full cohort plus the six displaced rows (56 > 50: the
+    """The r15 promise must be complete by construction: every row with
+    r12-or-older driver evidence is either re-attesting in the r14
+    window or explicitly in the r15 debt — nothing falls out silently."""
+    expected = (R12_COHORT | R14_DISPLACED) - set(registry.GATE_WINDOW)
+    assert R15_DEFERRED == expected
+    # nothing in the r12 cohort re-attests this round, so the r15 debt
+    # is the full cohort plus the seven displaced rows (57 > 50: the
     # steady-state cadence the contract on registry.GATE_WINDOW pins)
-    assert len(R14_DEFERRED) == 56, len(R14_DEFERRED)
+    assert len(R15_DEFERRED) == 57, len(R15_DEFERRED)
 
 
 def test_evidence_age_bound_holds():
     """Rule 3 of the rotation contract, checked on this round's
-    numbers: the oldest evidence seated this round (the four r09 rows,
-    age 4 at r13) and the oldest evidence deferred (the five r10 rows,
-    age 4 when they seat at r14) both sit within the contract bound
+    numbers: the oldest evidence seated this round (the six r10 rows,
+    age 4 at r14) and the oldest evidence deferred (the seven r11 rows,
+    age 4 when they seat at r15) both sit within the contract bound
     ceil(N / GATE_SIZE) + 1."""
     import math
 
     n = len(registry.all_queries())
     bound = math.ceil(n / registry.GATE_SIZE) + 1
-    assert 13 - 9 <= bound  # the r09 rows seated this round
-    assert 14 - 10 <= bound  # the r10 rows displaced to r14
+    assert 14 - 10 <= bound  # the r10 rows seated this round
+    assert 15 - 11 <= bound  # the r11 rows displaced to r15
 
 
 def test_displaced_rows_have_fresh_family_evidence():
-    """The r13 displacement rationale is itself pinned: every displaced
-    row's named family neighbors re-attested in the r12 window, and the
-    neighbors remain registered (oracle-checked in the local sweep)."""
-    family_neighbors = {
-        "rel_grouping_sets": ["rel_rollup_orders", "rel_cube_summary"],
-        "ann_ivfpq_topk": ["ann_ivfpq_rerank", "ann_ivf_topk"],
-        "ann_kmeans_refine": ["ann_ivf_topk", "ann_ivf_rp_topk"],
-        "ann_range_search": ["ann_lsh_topk", "ann_filtered_expand"],
-        "rel_pricing_summary": ["rel_regional_revenue",
-                                "rel_rollup_orders"],
-        "rel_suppliers_with_shipments": ["rel_nation_presence",
-                                         "rel_nation_set_ops"],
+    """The r14 displacement rationale is itself pinned: every displaced
+    row's named family neighbors either re-attested in the r12/r13
+    windows or seat in THIS window (checked), and the neighbors remain
+    registered (oracle-checked in the local sweep)."""
+    in_window = {
+        "ann_range_search", "ann_ivfpq_topk",
+        "rel_suppliers_with_shipments", "rel_rolling_revenue_window",
     }
-    assert set(family_neighbors) == R13_DISPLACED
+    family_neighbors = {
+        "ann_filtered_topk": ["ann_filtered_expand", "ann_range_search"],
+        "ann_pq_topk": ["ann_ivfpq_rerank", "ann_ivfpq_topk"],
+        "ann_sq_topk": ["ann_ivf_topk", "ann_ivfpq_topk"],
+        "rel_corr_subquery": ["rel_lateral_topk",
+                              "rel_suppliers_with_shipments"],
+        "rel_running_revenue": ["rel_window_rank_suite",
+                                "rel_rolling_revenue_window"],
+        "rel_weekday_profile": ["rel_hourly_autocorr", "rel_hourly_mad"],
+        "rel_scalar_functions": ["rel_json_props", "rel_percentiles"],
+    }
+    assert set(family_neighbors) == R14_DISPLACED
     for neighbors in family_neighbors.values():
         for neighbor in neighbors:
             assert neighbor in registry.all_queries()
+            if neighbor in in_window:
+                # "seating NOW" evidence must actually be in the window
+                assert neighbor in registry.GATE_WINDOW
 
 
 def test_gate_window_is_exactly_first_50():
@@ -208,7 +218,7 @@ def test_window_names_unique_and_registered():
 
 
 def test_deferred_rows_are_registered_and_disjoint_from_window():
-    # the r14 promise list must stay real queries, and a deferred row
+    # the r15 promise list must stay real queries, and a deferred row
     # sitting inside the window would mean the accounting is stale
-    assert R14_DEFERRED <= set(registry.all_queries())
-    assert not (R14_DEFERRED & set(registry.GATE_WINDOW))
+    assert R15_DEFERRED <= set(registry.all_queries())
+    assert not (R15_DEFERRED & set(registry.GATE_WINDOW))

@@ -68,112 +68,111 @@ _loaded = False
 #:      code path changed after its evidence re-attests in the next
 #:      window regardless of cohort position.
 #:
-#: Round-13 composition (the r12 window went 50/50 green; the R13
-#: promise — the 50-row r10-evidence cohort PLUS the four rows
-#: displaced by round 12 — is 54 rows, paid MINUS SIX documented
-#: displacements: 54 promised + 2 new = 56 > 50, and new rows are
-#: never deferred, so exactly six promised rows spill):
-#: (a) the FOUR r12-displaced rows seat FIRST (r09 evidence, the
+#: Round-14 composition (the r13 window went 50/50 green; the R14
+#: promise — the 50-row r11-evidence cohort PLUS the six rows
+#: displaced by round 13 — is 56 rows, paid MINUS SEVEN documented
+#: displacements: 56 promised + 1 new = 57 > 50, and new rows are
+#: never deferred, so exactly seven promised rows spill):
+#: (a) the SIX r13-displaced rows seat FIRST (r10 evidence, the
 #: registry's oldest — rule 2's "displacements seated first" clause):
-#: ann_bruteforce_topk, wt_biggest_movers, wt_top_pages_per_wiki,
-#: wt_lifecycle_replay;
-#: (b) the round-13 additions (never driver-attested):
-#: mm_video_neardup — the Y4M spatio-temporal projection fingerprint
-#: completing the text/image/audio/video modality-dedup square
-#: (VERDICT r12 ask #3), with the all-pairs SQL twin recomputing every
-#: projection and bit — and tx_ngram_ppl_buckets, the CCNet
-#: head/middle/tail perplexity terciles (the deployment shape of
-#: tx_ngram_nll: one IEEE division of the bit-pinned nll as the ntile
-#: key, no unordered float sums in the output);
-#: (c) 44 of the 50-row r10-evidence cohort. DISPLACED to r14:
 #: ann_ivfpq_topk, ann_kmeans_refine, ann_range_search,
 #: rel_pricing_summary, rel_suppliers_with_shipments,
-#: rel_grouping_sets — chosen because each has FRESH family evidence
-#: in the r12 window AND sits in files untouched since its own r10
-#: attestation (verified: git diff r10..HEAD is empty for
-#: operators/ann.py and plans/relational_queries.py): ann_ivfpq_topk's
-#: ADC scan is covered by ann_ivfpq_rerank (r12 — the same ADC plan
-#: plus a rerank stage); ann_kmeans_refine's IVF/kmeans machinery by
-#: ann_ivf_topk and ann_ivf_rp_topk (r12); ann_range_search's
-#: distance-scan surface by ann_lsh_topk + ann_filtered_expand (r12);
-#: rel_pricing_summary's groupBy-agg shape by rel_regional_revenue +
-#: rel_rollup_orders (r12, same file); rel_suppliers_with_shipments'
-#: semi-join/EXISTS surface by rel_nation_presence +
-#: rel_nation_set_ops (r12, same file); rel_grouping_sets' grouping-
-#: analytics surface by rel_rollup_orders + rel_cube_summary (r12,
-#: same file, the same GROUPING SETS machinery). All six are named
-#: FIRST in the r14 promise (tests/test_registry_gate.py
-#: R14_DEFERRED).
+#: rel_grouping_sets;
+#: (b) the round-14 addition (never driver-attested): tx_bpe_encode —
+#: the tokenizer APPLY side gated end-to-end (VERDICT r12 ask #7 /
+#: r13 next-round #2): train tx_bpe_merges' table, encode the corpus
+#: through the JVM HOF path, with a recursive-CTE oracle twin whose
+#: replace() passes replay the exact sequential merge semantics;
+#: (c) 43 of the 50-row r11-evidence cohort. DISPLACED to r15:
+#: ann_filtered_topk, ann_pq_topk, ann_sq_topk, rel_corr_subquery,
+#: rel_running_revenue, rel_weekday_profile, rel_scalar_functions —
+#: chosen because each has FRESH family evidence (r12/r13 windows, or
+#: family rows seating in THIS window) AND sits in files untouched
+#: since its own r11 attestation (verified: git diff r11..HEAD is
+#: empty for operators/ann.py and plans/relational_queries.py):
+#: ann_filtered_topk's filtered distance scan is covered by
+#: ann_filtered_expand (r12) and ann_range_search (seating NOW, slot
+#: 2); ann_pq_topk's PQ/ADC machinery by ann_ivfpq_rerank (r12) and
+#: ann_ivfpq_topk (seating NOW, slot 0 — the same ADC scan plus IVF
+#: routing); ann_sq_topk's quantized-scan surface by ann_ivf_topk
+#: (r12) and ann_ivfpq_topk (seating NOW); rel_corr_subquery's
+#: correlated-subquery surface by rel_lateral_topk (r13) and
+#: rel_suppliers_with_shipments (seating NOW — the EXISTS twin);
+#: rel_running_revenue's running-window machinery by
+#: rel_window_rank_suite (r13) and rel_rolling_revenue_window
+#: (seating NOW, same file); rel_weekday_profile's events time-profile
+#: family by rel_hourly_autocorr + rel_hourly_mad (both r13, same
+#: file); rel_scalar_functions' scalar-library surface by
+#: rel_json_props + rel_percentiles (both r13, same file). All seven
+#: are named FIRST in the r15 promise (tests/test_registry_gate.py
+#: R15_DEFERRED).
 #:
-#: Stale-by-code-change audit for the seated rows (rule 4): round-13
-#: changes are pure additions (the video fingerprint kernel + query,
-#: the generalized content-crop function, the JVM join-form NLL gate
-#: in streaming/corpus.py — no gated query reads corpus.py) plus one
-#: signature-default widening (_aenv_block_sql gains an nbits param;
-#: AUDIO_NEARDUP_SQL's generated text is byte-identical, pinned by
-#: test_audio_neardup_sql_text_stable) and one oracle-text factoring
-#: (_ngram_nll_sql recomposes from the shared _ngram_cte_block;
-#: NGRAM_NLL_SQL byte-identical, verified against the pre-factoring
-#: text and pinned by test_ngram_oracles_share_the_cte_block), so no
-#: seated or displaced row's code path changed after its evidence.
+#: Stale-by-code-change audit for the seated rows (rule 4): round-14
+#: changes are pure additions (q_bpe_encode + BPE_ENCODE_SQL +
+#: registration; the import-time default-mirror assert in
+#: streaming/dedup.py, which checks signature defaults and alters no
+#: query semantics — wt_ingest_dedup_watermark's drain path is
+#: byte-untouched; floor_check/bench structured-violation tooling)
+#: plus docstring-only rewording (operators/multimodal.py
+#: content_crop4_py — not a gated query's kernel), so no seated or
+#: displaced row's code path changed after its evidence.
 GATE_WINDOW: list[str] = [
-    # (a) the four r12-displaced rows, r09 evidence — seated first
-    "ann_bruteforce_topk",
-    "wt_biggest_movers",
-    "wt_top_pages_per_wiki",
-    "wt_lifecycle_replay",
-    # (b) the round-13 additions, never driver-attested
-    "mm_video_neardup",
-    "tx_ngram_ppl_buckets",
-    # (c) the r10-evidence cohort, minus the six documented
-    # displacements (ann_ivfpq_topk, ann_kmeans_refine,
-    # ann_range_search, rel_pricing_summary,
-    # rel_suppliers_with_shipments, rel_grouping_sets -> r14,
-    # seated first there)
-    "dd_cross_source_dups",
-    "dd_embedding_neardup_exact",
-    "dd_lsh_tuning",
-    "dd_semantic_dedup",
-    "dd_simhash_tuning",
-    "mm_image_neardup",
-    "mm_wav_features",
-    "mm_y4m_frames",
-    "rel_approx_percentiles",
-    "rel_approx_segments",
-    "rel_asof_last_signup",
-    "rel_hourly_autocorr",
-    "rel_hourly_ewma",
-    "rel_hourly_mad",
-    "rel_interval_coverage",
-    "rel_json_props",
-    "rel_lateral_topk",
-    "rel_order_gaps",
-    "rel_percentiles",
-    "rel_recursive_months",
-    "rel_salted_revenue",
-    "rel_scd2_intervals",
-    "rel_sessionize",
-    "rel_value_pareto",
-    "rel_window_rank_suite",
-    "tx_bm25_topk",
-    "tx_boilerplate",
-    "tx_bpe_merges",
-    "tx_chunks",
-    "tx_collocations",
-    "tx_dsir_weights",
-    "tx_leakage_split",
-    "tx_mix_sample",
-    "tx_mix_weights",
-    "tx_novelty",
-    "tx_pack_sharded",
-    "tx_pii_scrub",
-    "tx_rarity",
-    "tx_stratified_sample",
-    "tx_tfidf_terms",
-    "wt_coedit_pairs",
-    "wt_ingest_dedup",
-    "wt_markov_transitions",
-    "wt_pagerank",
+    # (a) the six r13-displaced rows, r10 evidence — seated first
+    "ann_ivfpq_topk",
+    "ann_kmeans_refine",
+    "ann_range_search",
+    "rel_pricing_summary",
+    "rel_suppliers_with_shipments",
+    "rel_grouping_sets",
+    # (b) the round-14 addition, never driver-attested
+    "tx_bpe_encode",
+    # (c) the r11-evidence cohort, minus the seven documented
+    # displacements (ann_filtered_topk, ann_pq_topk, ann_sq_topk,
+    # rel_corr_subquery, rel_running_revenue, rel_weekday_profile,
+    # rel_scalar_functions -> r15, seated first there)
+    "dd_exact_groups",
+    "dd_simhash",
+    "dd_substring_runs",
+    "mm_audio_energy",
+    "mm_audio_neardup",
+    "mm_video_motion",
+    "rel_acctbal_band_pairs",
+    "rel_copurchase_pairs",
+    "rel_customers_without_orders",
+    "rel_event_funnel",
+    "rel_pivot_status",
+    "rel_retention_cohorts",
+    "rel_rolling_revenue_window",
+    "rel_signup_burst",
+    "rel_small_quantity_revenue",
+    "rel_topk_per_brand",
+    "rel_unpivot_presence",
+    "tx_dsir_log",
+    "tx_fingerprint",
+    "tx_langid",
+    "tx_length_histogram",
+    "tx_pack",
+    "tx_pack_split",
+    "tx_quality",
+    "tx_source_divergence",
+    "wt_classify_counts",
+    "wt_coedit_triangles",
+    "wt_delete_targets",
+    "wt_edit_wars",
+    "wt_epm_variants",
+    "wt_graph_degrees",
+    "wt_ingest_dedup_watermark",
+    "wt_most_edited",
+    "wt_most_vibrant",
+    "wt_page_state",
+    "wt_page_state_lifecycle",
+    "wt_protect_followups",
+    "wt_purge_safe_list",
+    "wt_purge_survivors",
+    "wt_revert_chains",
+    "wt_session_activity",
+    "wt_stream_replay",
+    "wt_windowed_activity",
 ]
 GATE_SIZE = 50
 
