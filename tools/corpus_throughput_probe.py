@@ -184,29 +184,23 @@ def nll_gate_compare(spark, work: str, batch_size: int) -> dict:
     return out
 
 
-def neardup_throughput(spark, work: str, batch_size: int) -> dict:
-    """Round-13 measurement for the streaming near-dup admission
-    (streaming/dedup.neardup_admission_within_watermark): the same
-    replicated-corpus chunk replay the exact-admission curve uses,
-    with ingest timestamps spaced one second per chunk and a horizon
-    covering the whole replay (every band bucket stays live — the
-    worst-case state), plus a final watermark-advancing flush chunk so
-    the append-mode re-group emits. Reports docs/s over the replayed
-    corpus and the engine's OWN state telemetry (band-bucket dedup
-    rows + re-group rows), cold pass excluded."""
+#: drain cap (s): the 100k-doc near-dup/full-chain points legitimately
+#: run past 600 s at the measured ~1.3-1.5k docs/s front; a capped
+#: drain still fails LOUD, just later
+DRAIN_CAP_S = 1800
+
+
+def build_ts_chunks(spark, work: str, batch_size: int, name: str) -> str:
+    """Replicated-corpus chunks with an ingest_ts column — chunk i at
+    t0 + i s, plus one final watermark-advancing flush chunk 48 h out
+    so every append-mode stateful stage emits. mtime-ordered for
+    maxFilesPerTrigger replay. Shared by the near-dup and full-chain
+    measurements (round 14 refactor of the r13 inline layout)."""
     import datetime as dt
 
-    from pyspark.sql import types as PT
-
-    from wikitrender_spark.streaming.dedup import (
-        neardup_admission_within_watermark,
-    )
-
     chunk_dir = build_chunks(spark, work, batch_size)
-    # rewrite chunks with an ingest_ts column: chunk i at t0 + i s,
-    # plus one flush chunk far past the horizon
     t0 = dt.datetime(2026, 1, 1)
-    ts_dir = os.path.join(work, f"nd_chunks_{batch_size}")
+    ts_dir = os.path.join(work, f"{name}_chunks_{batch_size}")
     for i in range(N_CHUNKS):
         part = spark.read.schema(DOCS_SCHEMA).parquet(
             os.path.join(chunk_dir, f"chunk_{i:04d}")
@@ -227,41 +221,126 @@ def neardup_throughput(spark, work: str, batch_size: int) -> dict:
         for root, _dirs, files in os.walk(p):
             for f in files:
                 os.utime(os.path.join(root, f), (ts + i, ts + i))
+    return ts_dir
+
+
+def _drain_ts_stream(spark, rel_fn, ts_dir: str, ckpt: str) -> tuple[float, list]:
+    """Drain one watermarked admission relation built by rel_fn(stream)
+    under AvailableNow; returns (elapsed_s, per-stage state telemetry
+    as [(operatorName, numRowsTotal), ...] from the engine's own last
+    progress event)."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA + ", ingest_ts timestamp")
+        .option("maxFilesPerTrigger", FILES_PER_CHUNK)
+        .option("recursiveFileLookup", "true")
+        .parquet(ts_dir)
+    )
+    t0m = time.monotonic()
+    q = (
+        rel_fn(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(DRAIN_CAP_S):
+        q.stop()
+        raise RuntimeError(f"drain exceeded {DRAIN_CAP_S} s; aborted")
+    elapsed = time.monotonic() - t0m
+    stages = [
+        [
+            op.get("operatorName", "?"),
+            op.get("numRowsTotal") or op.get("numTotalStateRows", 0) or 0,
+        ]
+        for op in (q.lastProgress or {}).get("stateOperators", [])
+    ]
+    return elapsed, stages
+
+
+def neardup_throughput(spark, work: str, batch_size: int) -> dict:
+    """Round-13 measurement for the streaming near-dup admission
+    (streaming/dedup.neardup_admission_within_watermark): the same
+    replicated-corpus chunk replay the exact-admission curve uses,
+    with ingest timestamps spaced one second per chunk and a horizon
+    covering the whole replay (every band bucket stays live — the
+    worst-case state), plus a final watermark-advancing flush chunk so
+    the append-mode re-group emits. Reports docs/s over the replayed
+    corpus and the engine's OWN state telemetry (band-bucket dedup
+    rows + re-group rows), cold pass excluded."""
+    from wikitrender_spark.streaming.dedup import (
+        neardup_admission_within_watermark,
+    )
+
+    ts_dir = build_ts_chunks(spark, work, batch_size, "nd")
     total = N_CHUNKS * batch_size
     out = {}
     for tag in ("cold", "warm"):
-        stream = (
-            spark.readStream.schema(DOCS_SCHEMA + ", ingest_ts timestamp")
-            .option("maxFilesPerTrigger", FILES_PER_CHUNK)
-            .option("recursiveFileLookup", "true")
-            .parquet(ts_dir)
+        elapsed, stages = _drain_ts_stream(
+            spark,
+            lambda s: neardup_admission_within_watermark(
+                s, horizon="24 hours"
+            ),
+            ts_dir,
+            os.path.join(work, f"nd_{batch_size}_{tag}"),
         )
-        t0m = time.monotonic()
-        q = (
-            neardup_admission_within_watermark(
-                stream, horizon="24 hours"
-            )
-            .writeStream.format("noop")
-            .option(
-                "checkpointLocation", os.path.join(work, f"nd_{batch_size}_{tag}")
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("neardup drain exceeded 600 s")
-        elapsed = time.monotonic() - t0m
-        state_rows = [
-            op.get("numRowsTotal") or op.get("numTotalStateRows", 0) or 0
-            for op in (q.lastProgress or {}).get("stateOperators", [])
-        ]
         out[tag] = {
             "s": round(elapsed, 2),
             "docs_per_s": round(total / elapsed, 0),
-            "state_rows": state_rows,
+            "state_rows": [n for _name, n in stages],
+            "stages": stages,
         }
     out["docs_total"] = total
+    return out
+
+
+def full_chain_throughput(
+    spark, work: str, batch_size: int, nll_gate: str
+) -> dict:
+    """Round-14 measurement (VERDICT r13 next-round #3, the r12 ask #6
+    carryover sharpened): the FULL-OPTION production admission chain —
+    Luhn card scrub FIRST, EXTENDED PII patterns, the n-gram NLL
+    perplexity gate (udf or join form), AND the MinHash/LSH near-dup
+    band admission — composed through
+    corpus_admission_stream_within_watermark, i.e. every dial a
+    production curation deployment turns on at once. Until this
+    measurement the composed cost was only inferable by multiplying
+    separately-measured factors; this records it directly, with the
+    engine's own per-stage state telemetry (band-bucket dedup ->
+    per-doc re-group -> digest dedup, plus the NLL re-group when
+    nll_gate='join'). Cold pass excluded, warm pass is the number."""
+    from wikitrender_spark.functions.text import PII_PATTERNS_EXTENDED
+    from wikitrender_spark.plans.pipeline_queries import ngram_model
+    from wikitrender_spark.streaming.corpus import (
+        corpus_admission_stream_within_watermark,
+    )
+
+    model = ngram_model(load_table(spark, SF_DIR, "documents"))
+    ts_dir = build_ts_chunks(spark, work, batch_size, f"full_{nll_gate}")
+    total = N_CHUNKS * batch_size
+    out = {}
+    for tag in ("cold", "warm"):
+        elapsed, stages = _drain_ts_stream(
+            spark,
+            lambda s: corpus_admission_stream_within_watermark(
+                s,
+                horizon="24 hours",
+                patterns=PII_PATTERNS_EXTENDED,
+                scrub_cards_first=True,
+                nll_model=model,
+                max_unit_nll=50.0,
+                nll_gate=nll_gate,
+                neardup=True,
+            ),
+            ts_dir,
+            os.path.join(work, f"full_{nll_gate}_{batch_size}_{tag}"),
+        )
+        out[tag] = {
+            "s": round(elapsed, 2),
+            "docs_per_s": round(total / elapsed, 0),
+            "stages": stages,
+        }
+    out["docs_total"] = total
+    out["nll_gate"] = nll_gate
     return out
 
 
@@ -273,21 +352,47 @@ def main() -> None:
                     "batch mode at the first --sizes batch size")
     ap.add_argument("--neardup", action="store_true",
                     help="measure the streaming near-dup admission at "
-                    "the first --sizes batch size")
+                    "EVERY --sizes batch size (round 14: the curve, "
+                    "not one point)")
+    ap.add_argument("--full", action="store_true",
+                    help="measure the FULL-OPTION admission chain "
+                    "(cards-first + extended PII + NLL gate + near-dup) "
+                    "at every --sizes batch size; --nll-gate picks the "
+                    "scorer form")
+    ap.add_argument("--nll-gate", default="udf", choices=("udf", "join"),
+                    help="NLL gate form for --full")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    if args.full:
+        results = {}
+        for bs in sizes:
+            work = tempfile.mkdtemp(prefix="corpus_full_")
+            try:
+                results[str(bs)] = full_chain_throughput(
+                    spark, work, bs, args.nll_gate
+                )
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps(
+            {"metric": "full_chain_admission_throughput",
+             "sf_dir": SF_DIR, "nll_gate": args.nll_gate,
+             "results": results}
+        ))
+        return
     if args.neardup:
-        work = tempfile.mkdtemp(prefix="corpus_nd_")
-        try:
-            res = neardup_throughput(spark, work, sizes[0])
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
+        results = {}
+        for bs in sizes:
+            work = tempfile.mkdtemp(prefix="corpus_nd_")
+            try:
+                results[str(bs)] = neardup_throughput(spark, work, bs)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
         print(json.dumps(
             {"metric": "neardup_admission_throughput", "sf_dir": SF_DIR,
-             "batch_docs": sizes[0] * N_CHUNKS, "result": res}
+             "results": results}
         ))
         return
     if args.nll:

@@ -1,12 +1,16 @@
 """Measure the dhash_tuning_report cap trade on the sf corpus (VERDICT
 r10 ask #6 — the image/audio analogue of the dd_simhash_tuning table):
 for each max_bucket cap, candidates generated, pairs verified at
-Hamming <= 3, and pairs MISSED vs the uncapped baseline, for THREE
+Hamming <= 3, and pairs MISSED vs the uncapped baseline, for FOUR
 fingerprint configurations: plain image dHash over documents_as_pgm,
 the content-crop variant (image_dhash_content — the padded-corpus
-production configuration), and the audio envelope hash over
-documents_as_wav. The plain image and audio encodings are the ones the
-gated mm_image_neardup / mm_audio_neardup queries attest.
+production configuration), the audio envelope hash over
+documents_as_wav, and (round 14, VERDICT r13 next-round #7) the video
+spatio-temporal projection hash over documents_as_y4m — so all three
+Manku-join modalities share one cap-trade report instead of video's
+bucket skew living in an ad-hoc r13 measurement. The plain image,
+audio and video encodings are the ones the gated mm_image_neardup /
+mm_audio_neardup / mm_video_neardup queries attest.
 
 Usage: python tools/dhash_tuning_probe.py [sf_dir ...]
 Defaults to /root/testdata/sf0.01 and /root/testdata/sf0.1. Run SOLO
@@ -41,6 +45,12 @@ def main() -> int:
             (
                 "audio",
                 multimodal.audio_envelope_hash(multimodal.documents_as_wav(docs)),
+            ),
+            (
+                "video",
+                multimodal.video_projection_hash(
+                    multimodal.documents_as_y4m(docs)
+                ),
             ),
         ):
             t0 = time.monotonic()
