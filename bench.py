@@ -376,16 +376,20 @@ def main() -> None:
     ext = {n: timings[n] for n in EXTENDED if n in timings}
     total = round(sum(head.values()), 3)
 
-    # Drifted-flag auto-adjudication (round 13, VERDICT r12 ask #5 —
-    # mechanizing the solo-re-measure step NOTES.md prescribed by hand
-    # after dd_cross_source_dups false-flagged in two drifted sessions):
-    # when this session is DRIFTED (calibration spread or median floor
-    # drift over threshold), every row the floor rule would flag gets
-    # an immediate solo re-measure (median-of-3, warm pass excluded) in
-    # this same process, and floor_check downgrades the flag if the
-    # solo read is clean. Capped at 6 rows — more than that flagged in
-    # one session IS the uniform-drift signature, not six independent
-    # regressions.
+    # Flag auto-adjudication (round 13, VERDICT r12 ask #5; widened
+    # round 14): every SUITE row the floor rule would flag gets an
+    # immediate solo re-measure (median-of-3, warm pass excluded) in
+    # this same process — in ANY session, calm or drifted, after round
+    # 14 measured a calm-session flag class (extended-phase JVM state
+    # inflating the three heaviest MOVERS 1.63-1.69x while their solo
+    # reads were 1.09-1.38x on byte-identical code; a real plan
+    # regression reproduces solo, so the solo read adjudicates).
+    # Sweep-envelope advisories join the candidate list only in
+    # drifted sessions (they are cold single samples with their own
+    # re-measure-before-judging advisory). floor_check downgrades a
+    # flag only if the solo read is clean. Capped at 6 rows — more
+    # than that flagged in one session IS the uniform-drift signature,
+    # not six independent regressions.
     solo_remeasure: dict[str, dict] = {}
     floors_doc = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_floors.json"

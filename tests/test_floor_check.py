@@ -99,12 +99,13 @@ def test_drifted_session_predicate():
     assert not floor_check.session_is_drifted(FLOORS, {"a": 1.1}, None)
 
 
-def test_solo_candidates_only_in_drifted_sessions():
-    """The r12 dd_cross_source_dups scenario (VERDICT r12 ask #5): a
-    row exceeding both rules inside a drifted session is a solo
-    CANDIDATE; the same reading in a calm session is not (a calm flag
-    is already trustworthy — re-measuring would launder a real
-    regression through a second chance)."""
+def test_solo_candidates_suite_always_sweep_drifted_only():
+    """Round-14 rule: a suite row exceeding both rules is a solo
+    CANDIDATE in ANY session (the calm-session extended-phase
+    inflation class measured r14: in-suite 1.63-1.69x, solo 1.09-1.38x
+    on byte-identical code — a real plan regression reproduces solo,
+    so the solo read adjudicates). Sweep-envelope advisories join the
+    list only in drifted sessions."""
     floors = {f"q{i}": 1.0 for i in range(8)} | {"dd_x": 1.0}
     drifted = {f"q{i}": 1.35 for i in range(8)} | {"dd_x": 2.2}
     # drifted by calibration spread: dd_x (2.2x > 1.5 and > 1.35*1.25)
@@ -112,10 +113,10 @@ def test_solo_candidates_only_in_drifted_sessions():
     # same numbers, calm calibration, but median drift 1.35 > 1.25
     # still marks the session drifted
     assert floor_check.solo_candidates(floors, drifted, {}, 1.0) == ["dd_x"]
-    # calm session: same dd_x blowup -> no candidates
+    # CALM session: the suite blowup is STILL a candidate (r14 rule)
     calm = {f"q{i}": 1.05 for i in range(8)} | {"dd_x": 2.2}
-    assert floor_check.solo_candidates(floors, calm, {}, 1.0) == []
-    # sweep rows over the advisory envelope join the candidate list
+    assert floor_check.solo_candidates(floors, calm, {}, 1.0) == ["dd_x"]
+    # sweep rows over the advisory envelope join only when drifted
     got = floor_check.solo_candidates(
         floors, drifted, {"sw": 2.6, "q0_s": 1.0} | {}, 1.53
     )
@@ -123,6 +124,9 @@ def test_solo_candidates_only_in_drifted_sessions():
     floors["sw"] = 1.0
     got = floor_check.solo_candidates(floors, drifted, {"sw": 2.6}, 1.53)
     assert got == ["dd_x", "sw"]
+    # calm session: the sweep blowup stays a hand-re-measure advisory
+    got = floor_check.solo_candidates(floors, calm, {"sw": 2.6}, 1.0)
+    assert got == ["dd_x"]
 
 
 def test_solo_remeasure_adjudicates_drifted_flags():
@@ -209,3 +213,24 @@ def test_suite_violation_rows_is_the_shared_predicate():
     assert floor_check.solo_candidates(floors, drifted, {}, 1.53) == ["dd_x"]
     # clean suite -> no structured rows
     assert floor_check.suite_violation_rows(floors, {"q0": 1.1}) == []
+
+
+def test_solo_provenance_filter():
+    """Round-14 provenance guard (the ADVICE r13 low #3 fix's final
+    form): a solo reading adjudicates only when its recorded flagged
+    value matches the samples file's own current reading — stale or
+    spliced blocks drop with a message, fresh ones pass, sweep rows
+    match against the sweep reading."""
+    rec = {
+        "a": {"flagged": 2.2, "solo_median": 1.1},
+        "b": {"flagged": 9.9, "solo_median": 1.0},   # stale: suite says 3.0
+        "sw": {"flagged": 2.6, "solo_median": 1.2},
+        "gone": {"flagged": 5.0, "solo_median": 1.0},  # not in readings
+    }
+    solo = {n: r["solo_median"] for n, r in rec.items()}
+    kept, dropped = floor_check.filter_solo_by_provenance(
+        solo, rec, {"a": 2.2, "b": 3.0}, {"sw": 2.6}
+    )
+    assert kept == {"a": 1.1, "sw": 1.2}
+    assert len(dropped) == 2
+    assert any("b" in m for m in dropped) and any("gone" in m for m in dropped)

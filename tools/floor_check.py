@@ -71,18 +71,32 @@ def solo_candidates(
     calib_spread: float | None,
 ) -> list[str]:
     """Rows bench.py should solo re-measure before the flag is
-    trusted: in a DRIFTED session only, every suite row that would
-    violate the two-rule check plus every sweep row over its advisory
-    envelope. In a calm session the list is empty — a flag from a calm
-    session is already trustworthy, and re-measuring it would just
-    launder a real regression through a second chance."""
-    if not session_is_drifted(floors, suite, calib_spread):
-        return []
+    trusted: every suite row that would violate the two-rule check
+    (ANY session — round 14 evolution, see below), plus, in a DRIFTED
+    session, every sweep row over its advisory envelope.
+
+    Round-13 rule history: suite violations were re-measured only in
+    drifted sessions, on the theory that a calm-session flag is
+    already trustworthy. Round 14 measured the counterexample on
+    byte-identical code: a CALM session (median drift 1.06x,
+    calibration spread 1.20) flagged the three heaviest EXTENDED rows
+    at 1.63-1.69x of their floors while their solo re-measures read
+    1.09-1.38x — tail-phase JVM state the headline-dominated LOO
+    median cannot register as drift. A genuine PLAN regression (the
+    r9 class: same plan, same data) reproduces under a solo run, so
+    the solo read is the adjudicator in both session classes; the
+    laundering risk the old rule guarded against is bounded by the
+    raw 1.5x rule still applying to the solo reading itself. Sweep
+    advisories keep the drifted-only condition (they are single cold
+    samples — in a calm session a sweep blowup is already the
+    re-measure-before-judging advisory)."""
     # structured rows, not message-parsing (ADVICE r13 low #4): the
     # candidate list and check()'s human messages now both derive from
     # suite_violation_rows, so a wording change cannot silently break
     # candidate extraction
     out = [n for n, _r in suite_violation_rows(floors, suite)]
+    if not session_is_drifted(floors, suite, calib_spread):
+        return out
     for n, v in sorted(sweep.items()):
         if n in floors and floors[n] > 0 and v > floors[n] * SWEEP_ENVELOPE:
             out.append(n)
@@ -215,6 +229,40 @@ def check(
     return violations, advisories, med
 
 
+def filter_solo_by_provenance(
+    solo: dict[str, float],
+    rec: dict[str, dict],
+    suite: dict[str, float],
+    sweep: dict[str, float],
+) -> tuple[dict[str, float], list[str]]:
+    """Provenance guard (ADVICE r13 low #3, evolved in round 14): a
+    solo reading may adjudicate a flag only if it demonstrably came
+    from THIS samples file's own run — its recorded "flagged" value
+    must equal the file's current suite/sweep reading for that row
+    (bench.py rewrites the whole file atomically each run, so a fresh
+    block always matches; a stale or hand-spliced block almost surely
+    does not). The r13 drifted-session precondition was dropped for
+    SUITE rows after round 14 measured a calm-session flag class that
+    solo-clears on byte-identical code (see solo_candidates'
+    docstring); the stale-block laundering hole the advice named
+    stays closed by this value-match instead. Pure; pytest-covered.
+    Returns (kept, drop_messages)."""
+    kept: dict[str, float] = {}
+    dropped: list[str] = []
+    for n, v in solo.items():
+        current = suite.get(n, sweep.get(n))
+        if current is not None and rec.get(n, {}).get("flagged") == current:
+            kept[n] = v
+        else:
+            dropped.append(
+                f"solo reading for {n} dropped — its recorded flagged "
+                f"value {rec.get(n, {}).get('flagged')!r} does not match "
+                f"this file's current reading {current!r} (stale or "
+                "spliced block)"
+            )
+    return kept, dropped
+
+
 def repin(
     floors: dict[str, float],
     suite: dict[str, float],
@@ -264,30 +312,11 @@ def main() -> int:
         for n, rec in bs.get("solo_remeasure", {}).items()
         if rec.get("solo_median") is not None
     }
-    # Re-verify the drifted-session precondition HERE, not only at the
-    # producer (ADVICE r13 low #3): solo re-measures may downgrade a
-    # violation only when THIS samples file's own calibration + suite
-    # readings say the session was drifted — a stale or hand-edited
-    # solo block must not launder a calm-session regression. The
-    # spread is recomputed from calibration_samples exactly as bench.py
-    # computes it (pass 0 excluded).
-    if solo:
-        timed = (bs.get("calibration_samples") or [])[1:]
-        calib_spread = (
-            round(max(timed) / min(timed), 2) if timed and min(timed) > 0
-            else None
-        )
-        if not session_is_drifted(floors, suite, calib_spread):
-            print(
-                "note: solo_remeasure block present but this session "
-                "reads CALM (calibration spread "
-                f"{calib_spread}, suite drift below {DRIFT_MARGIN}x) — "
-                "solo downgrades ignored; calm-session flags stand on "
-                "their own"
-            )
-            solo = {}
-        # names the current readings don't contain are stale leftovers
-        solo = {n: v for n, v in solo.items() if n in suite or n in sweep}
+    solo, dropped = filter_solo_by_provenance(
+        solo, bs.get("solo_remeasure", {}), suite, sweep
+    )
+    for msg in dropped:
+        print(f"note: {msg}")
     violations, advisories, med = check(floors, suite, sweep, solo)
     print(
         f"{len(suite)} suite rows, {len(sweep)} sweep rows vs "
