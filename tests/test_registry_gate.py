@@ -23,18 +23,24 @@ from wikitrender_spark.plans import registry
 #: driver evidence more than two rounds old). Update each round as
 #: CORRECTNESS_r{N}.json lands.
 NEVER_OR_STALE_ATTESTED = {
-    # round-14 addition, never driver-attested: the tokenizer APPLY
+    # round-14 additions, never driver-attested: the tokenizer APPLY
     # side gated end-to-end (VERDICT r12 ask #7 / r13 next-round #2) —
     # train tx_bpe_merges' 20-merge table, encode the corpus through
-    # the JVM HOF path, recursive-CTE replace() oracle twin
+    # the JVM HOF path, recursive-CTE replace() oracle twin — and the
+    # r13 streaming near-dup machinery's band-bucket layer under a
+    # deterministic two-parity-chunk replay with the _LSH_CTE oracle
     "tx_bpe_encode",
+    "dd_stream_band_buckets",
     # NO stale-by-code-change rows this round: round-14 changes are
-    # pure additions (q_bpe_encode + its oracle + registration; the
-    # import-time default-mirror assert in streaming/dedup.py, which
-    # checks signature defaults and alters no query semantics;
-    # floor_check/bench structured-violation tooling) plus
-    # docstring-only rewording (content_crop4_py); no attested query's
-    # code path changed after its evidence.
+    # pure additions (q_bpe_encode, q_stream_band_buckets, their
+    # oracles + registration; the import-time default-mirror assert in
+    # streaming/dedup.py, which checks signature defaults and alters
+    # no query semantics; floor_check/bench structured-violation
+    # tooling), docstring-only rewording (content_crop4_py), and one
+    # behavior-preserving factoring (the neardup admission band front
+    # into fresh_band_buckets — no gated query read that function
+    # before this round; its pytest suite re-ran green); no attested
+    # query's code path changed after its evidence.
 }
 
 #: The 56 rows promised the r14 window by round 13 (= R11_COHORT |
@@ -67,27 +73,27 @@ R14_PROMISE = {
     "wt_session_activity", "wt_stream_replay", "wt_windowed_activity",
 }
 
-#: The seven promised rows the r14 window could not seat (56 promised +
-#: 1 new = 57 > 50; new rows are never deferred, so exactly seven
+#: The eight promised rows the r14 window could not seat (56 promised +
+#: 2 new = 58 > 50; new rows are never deferred, so exactly eight
 #: spill under the rotation contract). Chosen because each has FRESH
 #: family evidence (r12/r13 windows, or family rows seating in the r14
 #: window itself) AND lives in files untouched since its own r11
 #: attestation (git diff r11..HEAD empty for operators/ann.py and
-#: plans/relational_queries.py); all seven are named FIRST in the r15
+#: plans/relational_queries.py); all eight are named FIRST in the r15
 #: promise. Per-row rationale on registry.GATE_WINDOW.
 R14_DISPLACED = {
     "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
-    "rel_corr_subquery", "rel_running_revenue", "rel_weekday_profile",
-    "rel_scalar_functions",
+    "rel_corr_subquery", "rel_pivot_status", "rel_running_revenue",
+    "rel_weekday_profile", "rel_scalar_functions",
 }
 
 #: The rows whose latest driver attestation was r12 when this window
 #: was composed (= CORRECTNESS_r12.json keys minus CORRECTNESS_r13.json
 #: keys — the FIXED population, 50 rows): their evidence will be two
-#: rounds old after r14, so together with the seven displaced rows they
-#: are PROMISED the r15 window. 57 rows > 50 — the steady-state
+#: rounds old after r14, so together with the eight displaced rows they
+#: are PROMISED the r15 window. 58 rows > 50 — the steady-state
 #: pressure the rotation contract on registry.GATE_WINDOW makes
-#: permanent: r15 must displace at least seven rows even with zero
+#: permanent: r15 must displace at least eight rows even with zero
 #: additions; the displaced rows seat first.
 R12_COHORT = {
     "ann_filtered_expand", "ann_ivf_rp_topk", "ann_ivf_topk",
@@ -116,7 +122,7 @@ R15_DEFERRED = (R12_COHORT | R14_DISPLACED) - set(registry.GATE_WINDOW)
 
 def test_r14_promise_is_paid():
     """Every row round 13 promised the r14 window sits in it, except
-    the SEVEN documented displacements — paid against the promised
+    the EIGHT documented displacements — paid against the promised
     NAMES."""
     missing = R14_PROMISE - set(registry.GATE_WINDOW)
     assert missing == R14_DISPLACED, sorted(missing)
@@ -135,7 +141,7 @@ def test_r14_window_is_led_by_the_displaced_six():
 
 def test_displacement_is_minimal():
     """The displacement rule allows spill only because the window is
-    genuinely full: 49 promised + 1 new = 50 exactly."""
+    genuinely full: 48 promised + 2 new = 50 exactly."""
     assert len(R14_PROMISE - R14_DISPLACED) + len(
         NEVER_OR_STALE_ATTESTED - R14_PROMISE
     ) == registry.GATE_SIZE
@@ -148,9 +154,9 @@ def test_every_owed_row_is_windowed_or_deferred():
     expected = (R12_COHORT | R14_DISPLACED) - set(registry.GATE_WINDOW)
     assert R15_DEFERRED == expected
     # nothing in the r12 cohort re-attests this round, so the r15 debt
-    # is the full cohort plus the seven displaced rows (57 > 50: the
+    # is the full cohort plus the eight displaced rows (58 > 50: the
     # steady-state cadence the contract on registry.GATE_WINDOW pins)
-    assert len(R15_DEFERRED) == 57, len(R15_DEFERRED)
+    assert len(R15_DEFERRED) == 58, len(R15_DEFERRED)
 
 
 def test_evidence_age_bound_holds():
@@ -175,6 +181,7 @@ def test_displaced_rows_have_fresh_family_evidence():
     in_window = {
         "ann_range_search", "ann_ivfpq_topk",
         "rel_suppliers_with_shipments", "rel_rolling_revenue_window",
+        "rel_unpivot_presence",
     }
     family_neighbors = {
         "ann_filtered_topk": ["ann_filtered_expand", "ann_range_search"],
@@ -182,6 +189,7 @@ def test_displaced_rows_have_fresh_family_evidence():
         "ann_sq_topk": ["ann_ivf_topk", "ann_ivfpq_topk"],
         "rel_corr_subquery": ["rel_lateral_topk",
                               "rel_suppliers_with_shipments"],
+        "rel_pivot_status": ["rel_unpivot_presence", "rel_json_props"],
         "rel_running_revenue": ["rel_window_rank_suite",
                                 "rel_rolling_revenue_window"],
         "rel_weekday_profile": ["rel_hourly_autocorr", "rel_hourly_mad"],

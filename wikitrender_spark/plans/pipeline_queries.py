@@ -1428,6 +1428,106 @@ WITH {_LSH_CTE}
 SELECT doc_a, doc_b FROM cands"""
 
 
+#: epoch anchor for the dd_stream_band_buckets replay (2026-01-01 UTC);
+#: chunk i carries ingest_ts = anchor + i seconds
+_BAND_REPLAY_T0 = 1_767_225_600
+
+
+def q_stream_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING near-dup admission's band-bucket layer, driver-
+    gated end-to-end (round 14 — the r13 streaming near-dup machinery
+    had pytest + throughput evidence only): the documents table
+    replayed as TWO ordered micro-batches split by doc_id PARITY (even
+    docs first — deterministic and oracle-expressible), through the
+    REAL production front
+    (streaming/dedup.fresh_band_buckets: the Arrow lsh_band_keys_py
+    sketch — bit-compatible with the batch column forms and therefore
+    with the _LSH_CTE oracle chain — short-doc sentinel buckets, band
+    explosion, and engine-native dropDuplicatesWithinWatermark on
+    (band_idx, band_key)), into a memory sink. Output: one row per
+    fresh band bucket, (band_idx, band_key, first_chunk) with
+    first_chunk derived from the kept row's ingest timestamp.
+
+    Why the gate attests THIS relation and not the per-doc admission:
+    for a bucket claimed by two same-batch docs the kept doc_id is
+    batch-arbitrary (the admission function's documented at-most-one-
+    admits caveat), but the bucket KEY SET and each bucket's
+    FIRST-ARRIVAL CHUNK are deterministic — ties share the batch and
+    therefore the timestamp — so this projection is hashable while
+    per-doc admission is pinned in pytest
+    (test_corpus_admission_neardup_chain and friends). Cross-batch
+    state is genuinely exercised: a bucket first claimed by an even
+    doc must NOT re-emit for an odd doc in batch 2 (the oracle's
+    min-over-parity says the same thing in one GROUP BY).
+
+    Horizon "1 hour" covers the 1 s chunk gap, so no eviction: pure
+    first-arrival semantics (the eviction direction is
+    wt_ingest_dedup_watermark's attested job). The replay layout is
+    construction, not operator work."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.replay import write_ordered_chunks
+    from ..streaming.dedup import drain_to_memory, fresh_band_buckets
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    chunks = tuple(
+        docs.filter(F.col("doc_id") % 2 == par).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(_BAND_REPLAY_T0 + par)),
+        )
+        for par in (0, 1)
+    )
+    name = "dd_stream_band_buckets_" + uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix="dd_band_buckets_")
+    ckpt = tempfile.mkdtemp(prefix="dd_band_buckets_ckpt_")
+    try:
+        chunk_dir = os.path.join(work, "chunks")
+        write_ordered_chunks(chunks, chunk_dir)
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, ingest_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(chunk_dir)
+        )
+        fresh = fresh_band_buckets(stream, ts_col="ingest_ts", horizon="1 hour")
+        out = drain_to_memory(fresh, name, ckpt)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out.select(
+        F.col("band_idx").cast("int").alias("band_idx"),
+        "band_key",
+        (F.unix_seconds("ingest_ts") - F.lit(_BAND_REPLAY_T0))
+        .cast("int")
+        .alias("first_chunk"),
+    )
+
+
+STREAM_BAND_BUCKETS_SQL = f"""
+WITH {_MINHASH_CTE},
+banded AS (
+  SELECT doc_id, j AS band_idx,
+    array_to_string(list_transform(list_slice(mh, j*4+1, j*4+4),
+                                   x -> CAST(x AS STRING)), '-') AS band_key
+  FROM mh, (SELECT unnest(range(0,4)) AS j) bands
+  WHERE mh[1] <> 1000003),
+allb AS (
+  SELECT doc_id, band_idx, band_key FROM banded
+  UNION ALL
+  SELECT doc_id, 0 AS band_idx, '_short_' || CAST(doc_id AS STRING)
+    AS band_key
+  FROM mh WHERE mh[1] = 1000003)
+SELECT CAST(band_idx AS INT) AS band_idx, band_key,
+  CAST(min(doc_id % 2) AS INT) AS first_chunk
+FROM allb
+GROUP BY 1, 2"""
+
+
 _JACCARD_VERIFY_CTES = """ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
 ex AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
 sz AS (SELECT doc_id, length(sh) AS n_shingles FROM ds),
@@ -4982,6 +5082,7 @@ QUERIES = {
     "tx_source_divergence": q_source_divergence,
     "tx_bpe_merges": q_bpe_merges,
     "tx_bpe_encode": q_bpe_encode,
+    "dd_stream_band_buckets": q_stream_band_buckets,
     "tx_split": q_split,
     "tx_dedup_lineage": q_dedup_lineage,
     "tx_mix_weights": q_mix_weights,
@@ -5062,6 +5163,7 @@ ORACLES = {
     "tx_source_divergence": SOURCE_DIVERGENCE_SQL,
     "tx_bpe_merges": BPE_MERGES_SQL,
     "tx_bpe_encode": BPE_ENCODE_SQL,
+    "dd_stream_band_buckets": STREAM_BAND_BUCKETS_SQL,
     "tx_split": SPLIT_SQL,
     "tx_dedup_lineage": DEDUP_LINEAGE_SQL,
     "tx_mix_weights": MIX_WEIGHTS_SQL,

@@ -70,22 +70,30 @@ _loaded = False
 #:
 #: Round-14 composition (the r13 window went 50/50 green; the R14
 #: promise — the 50-row r11-evidence cohort PLUS the six rows
-#: displaced by round 13 — is 56 rows, paid MINUS SEVEN documented
-#: displacements: 56 promised + 1 new = 57 > 50, and new rows are
-#: never deferred, so exactly seven promised rows spill):
+#: displaced by round 13 — is 56 rows, paid MINUS EIGHT documented
+#: displacements: 56 promised + 2 new = 58 > 50, and new rows are
+#: never deferred, so exactly eight promised rows spill):
 #: (a) the SIX r13-displaced rows seat FIRST (r10 evidence, the
 #: registry's oldest — rule 2's "displacements seated first" clause):
 #: ann_ivfpq_topk, ann_kmeans_refine, ann_range_search,
 #: rel_pricing_summary, rel_suppliers_with_shipments,
 #: rel_grouping_sets;
-#: (b) the round-14 addition (never driver-attested): tx_bpe_encode —
+#: (b) the round-14 additions (never driver-attested): tx_bpe_encode —
 #: the tokenizer APPLY side gated end-to-end (VERDICT r12 ask #7 /
 #: r13 next-round #2): train tx_bpe_merges' table, encode the corpus
 #: through the JVM HOF path, with a recursive-CTE oracle twin whose
-#: replace() passes replay the exact sequential merge semantics;
-#: (c) 43 of the 50-row r11-evidence cohort. DISPLACED to r15:
+#: replace() passes replay the exact sequential merge semantics — and
+#: dd_stream_band_buckets — the r13 STREAMING near-dup machinery's
+#: band-bucket layer driver-gated (it had pytest + throughput evidence
+#: only): two-parity-chunk replay through the real
+#: fresh_band_buckets front (Arrow sketch + sentinel buckets +
+#: watermarked band dedup) projected to the deterministic
+#: (band_idx, band_key, first_chunk) relation, with the _LSH_CTE
+#: oracle chain recomputing every band bit-for-bit;
+#: (c) 42 of the 50-row r11-evidence cohort. DISPLACED to r15:
 #: ann_filtered_topk, ann_pq_topk, ann_sq_topk, rel_corr_subquery,
-#: rel_running_revenue, rel_weekday_profile, rel_scalar_functions —
+#: rel_pivot_status, rel_running_revenue, rel_weekday_profile,
+#: rel_scalar_functions —
 #: chosen because each has FRESH family evidence (r12/r13 windows, or
 #: family rows seating in THIS window) AND sits in files untouched
 #: since its own r11 attestation (verified: git diff r11..HEAD is
@@ -98,23 +106,32 @@ _loaded = False
 #: (r12) and ann_ivfpq_topk (seating NOW); rel_corr_subquery's
 #: correlated-subquery surface by rel_lateral_topk (r13) and
 #: rel_suppliers_with_shipments (seating NOW — the EXISTS twin);
+#: rel_pivot_status' pivot/conditional-agg surface by
+#: rel_unpivot_presence (seating NOW — the inverse operation, same
+#: file) and rel_json_props (r13, same scalar/reshape family);
 #: rel_running_revenue's running-window machinery by
 #: rel_window_rank_suite (r13) and rel_rolling_revenue_window
 #: (seating NOW, same file); rel_weekday_profile's events time-profile
 #: family by rel_hourly_autocorr + rel_hourly_mad (both r13, same
 #: file); rel_scalar_functions' scalar-library surface by
-#: rel_json_props + rel_percentiles (both r13, same file). All seven
+#: rel_json_props + rel_percentiles (both r13, same file). All eight
 #: are named FIRST in the r15 promise (tests/test_registry_gate.py
 #: R15_DEFERRED).
 #:
 #: Stale-by-code-change audit for the seated rows (rule 4): round-14
-#: changes are pure additions (q_bpe_encode + BPE_ENCODE_SQL +
-#: registration; the import-time default-mirror assert in
-#: streaming/dedup.py, which checks signature defaults and alters no
-#: query semantics — wt_ingest_dedup_watermark's drain path is
-#: byte-untouched; floor_check/bench structured-violation tooling)
-#: plus docstring-only rewording (operators/multimodal.py
-#: content_crop4_py — not a gated query's kernel), so no seated or
+#: changes are pure additions (q_bpe_encode, q_stream_band_buckets,
+#: their oracles + registration; the import-time default-mirror
+#: assert in streaming/dedup.py, which checks signature defaults and
+#: alters no query semantics; floor_check/bench structured-violation
+#: tooling) plus docstring-only rewording (operators/multimodal.py
+#: content_crop4_py — not a gated query's kernel) and ONE
+#: behavior-preserving factoring: neardup_admission_within_watermark's
+#: band front moved verbatim into fresh_band_buckets (streaming/
+#: dedup.py) so the new gate attests the production code path — the
+#: admission function's own replay/equivalence pytest suite re-ran
+#: green after the factoring, and NO gated query read that function
+#: before this round (wt_ingest_dedup / wt_ingest_dedup_watermark use
+#: the digest-dedup functions, byte-untouched). So no seated or
 #: displaced row's code path changed after its evidence.
 GATE_WINDOW: list[str] = [
     # (a) the six r13-displaced rows, r10 evidence — seated first
@@ -124,12 +141,14 @@ GATE_WINDOW: list[str] = [
     "rel_pricing_summary",
     "rel_suppliers_with_shipments",
     "rel_grouping_sets",
-    # (b) the round-14 addition, never driver-attested
+    # (b) the round-14 additions, never driver-attested
     "tx_bpe_encode",
-    # (c) the r11-evidence cohort, minus the seven documented
+    "dd_stream_band_buckets",
+    # (c) the r11-evidence cohort, minus the eight documented
     # displacements (ann_filtered_topk, ann_pq_topk, ann_sq_topk,
-    # rel_corr_subquery, rel_running_revenue, rel_weekday_profile,
-    # rel_scalar_functions -> r15, seated first there)
+    # rel_corr_subquery, rel_pivot_status, rel_running_revenue,
+    # rel_weekday_profile, rel_scalar_functions -> r15, seated first
+    # there)
     "dd_exact_groups",
     "dd_simhash",
     "dd_substring_runs",
@@ -140,7 +159,6 @@ GATE_WINDOW: list[str] = [
     "rel_copurchase_pairs",
     "rel_customers_without_orders",
     "rel_event_funnel",
-    "rel_pivot_status",
     "rel_retention_cohorts",
     "rel_rolling_revenue_window",
     "rel_signup_burst",

@@ -321,7 +321,11 @@ def _assert_batch_default_mirror() -> None:
 
     from ..operators.dedup import LSH_BANDS, LSH_ROWS, MINHASH_K
 
-    for fn in (lsh_band_keys_py, neardup_admission_within_watermark):
+    for fn in (
+        lsh_band_keys_py,
+        neardup_admission_within_watermark,
+        fresh_band_buckets,
+    ):
         p = inspect.signature(fn).parameters
         got = (p["k"].default, p["bands"].default, p["rows"].default)
         assert got == (MINHASH_K, LSH_BANDS, LSH_ROWS), (
@@ -416,6 +420,73 @@ def neardup_admission_within_watermark(
     # so they still always pass this stage), and state gains one
     # horizon-bounded bucket per short doc — the same arithmetic as the
     # digest store.
+    fresh = fresh_band_buckets(
+        docs, ts_col=ts_col, horizon=horizon, k=k, bands=bands, rows=rows,
+        text_col=text_col, already_watermarked=already_watermarked,
+        _bands_udf=bands_udf,
+    )
+    base_cols = [c for c in docs.columns]
+    agged = fresh.groupBy(ts_col, "doc_id").agg(
+        *(
+            F.first(c).alias(c)
+            for c in base_cols
+            if c not in (ts_col, "doc_id")
+        ),
+        F.first("_n_bands").alias("_n_bands"),
+        F.count(F.lit(1)).cast("long").alias("_n_fresh"),
+    )
+    checked = F.col("_n_bands") == bands
+    return agged.filter(F.col("_n_fresh") == F.col("_n_bands")).select(
+        *base_cols,
+        # the documented contract: unchecked (short) rows report
+        # (0, false) — the sentinel bucket is an implementation detail,
+        # not evidence
+        F.when(checked, F.col("_n_fresh"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_fresh_bands"),
+        checked.alias("neardup_checked"),
+    )
+
+
+def fresh_band_buckets(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    horizon: str = "10 minutes",
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    text_col: str = "text",
+    already_watermarked: bool = False,
+    _bands_udf=None,
+) -> DataFrame:
+    """The band-bucket FRONT of neardup_admission_within_watermark
+    (round 14, factored out so the driver gate can attest it
+    directly — dd_stream_band_buckets): the Arrow sketch pass
+    (lsh_band_keys_py), the per-doc short-doc SENTINEL bucket, the
+    band explosion, and the engine-native watermarked band-bucket
+    dedup. Returns one row per FRESH (band_idx, band_key) bucket —
+    first-arrival within the horizon — carrying the claiming row's
+    columns plus (_n_bands, band_idx, band_key).
+
+    Determinism contract (why the GATE attests THIS relation and not
+    the per-doc admission): for buckets claimed by two same-batch
+    documents the kept doc_id is batch-arbitrary, but the bucket KEY
+    SET and each bucket's first-arrival TIME are deterministic (ties
+    share the batch and therefore the ingest timestamp) — so a
+    projection to (band_idx, band_key, arrival) is oracle-hashable
+    while the admission re-group's per-doc outcome is not (pinned as
+    at-most-one-admits in pytest instead; the documented same-batch
+    caveat on the admission function).
+
+    `_bands_udf` is internal plumbing: the admission chain passes its
+    own asNondeterministic-pinned UDF instance so the sketch is built
+    once per plan."""
+    bands_udf = (
+        _bands_udf
+        if _bands_udf is not None
+        else lsh_band_keys_py(k, bands, rows).asNondeterministic()
+    )
     d = docs.filter(F.col(text_col).isNotNull()).withColumn(
         "_bands", bands_udf(F.col(text_col))
     )
@@ -439,28 +510,7 @@ def neardup_admission_within_watermark(
         "_n_bands",
         F.posexplode("_bands").alias("band_idx", "band_key"),
     )
-    fresh = ex.dropDuplicatesWithinWatermark(["band_idx", "band_key"])
-    agged = fresh.groupBy(ts_col, "doc_id").agg(
-        *(
-            F.first(c).alias(c)
-            for c in base_cols
-            if c not in (ts_col, "doc_id")
-        ),
-        F.first("_n_bands").alias("_n_bands"),
-        F.count(F.lit(1)).cast("long").alias("_n_fresh"),
-    )
-    checked = F.col("_n_bands") == bands
-    return agged.filter(F.col("_n_fresh") == F.col("_n_bands")).select(
-        *base_cols,
-        # the documented contract: unchecked (short) rows report
-        # (0, false) — the sentinel bucket is an implementation detail,
-        # not evidence
-        F.when(checked, F.col("_n_fresh"))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("n_fresh_bands"),
-        checked.alias("neardup_checked"),
-    )
+    return ex.dropDuplicatesWithinWatermark(["band_idx", "band_key"])
 
 
 _assert_batch_default_mirror()
