@@ -98,18 +98,23 @@ HEADLINE = [
 # against it via tools/floor_check.py. BASELINE.md keys extended totals
 # by (composition, host), so recomposition never breaks the trend table.
 EXTENDED_RECENT = [
-    # round-12 additions
-    "tx_ngram_nll",
-    "mm_image_neardup_content",
     # round-13 additions
     "mm_video_neardup",
     "tx_ngram_ppl_buckets",
+    # round-14 additions
+    "tx_bpe_encode",
+    "dd_stream_band_buckets",
 ]
 # Demoted to the sweep in round 13 under the two-round rule (floors
 # stay pinned; floor_check compares every sweep sample): the r10
 # additions rel_recursive_months / mm_image_neardup / tx_pii_scrub and
 # the r11 additions tx_dsir_weights / tx_dsir_log / mm_audio_neardup —
-# all multi-round stable at demotion.
+# all multi-round stable at demotion. Demoted in round 14, same rule:
+# the r12 additions tx_ngram_nll / mm_image_neardup_content (both
+# banded through r12-r14's first session). tx_ngram_nll's demotion is
+# RULE-driven, not variance management — its calm-session tail-phase
+# history (NOTES r14) rides with it into the sweep, where floor_check's
+# 2.5x envelope + solo advisory still watch it.
 
 EXTENDED_MOVERS = [
     # the replay-drain harness row — heaviest extended entry, two
