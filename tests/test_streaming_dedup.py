@@ -567,3 +567,84 @@ def test_neardup_admission_readmits_expired_blocks_live(spark, tmp_path):
     got = {r["doc_id"] for r in spark.table("nd_exp").collect()}
     spark.catalog.dropTempView("nd_exp")
     assert got == {1, 2, 3, 4}, got  # 4 re-admitted, 5 blocked, 99 unemitted
+
+
+def test_stream_band_buckets_oracle_agrees_on_sentinel_corpus(
+    spark, tmp_path
+):
+    """The dd_stream_band_buckets gate on a CONSTRUCTED corpus that
+    exercises the SENTINEL leg the digit-free driver corpus never
+    touches (its docs are all >= 3 tokens): two long near-identical
+    docs (band collisions across parity chunks), one short doc (< 3
+    tokens -> per-doc sentinel bucket), one distinct doc. The Spark
+    replay and the DuckDB twin must agree row-for-row — pinning that
+    the oracle's mh[1]-sentinel branch and the streaming sentinel
+    buckets describe the same relation."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wikitrender_spark.plans.pipeline_queries import (
+        _BAND_REPLAY_T0,
+        STREAM_BAND_BUCKETS_SQL,
+    )
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming.dedup import (
+        drain_to_memory,
+        fresh_band_buckets,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        # EXACT copy of doc 0 in the ODD chunk: identical text shares
+        # all four bands by construction, so cross-chunk suppression
+        # is guaranteed to fire (a near-identical doc could, with LSH
+        # luck, differ in every band — the first draft of this test did)
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "so short"),
+        (3, "completely different content with many other words in here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = tuple(
+        docs.filter(F.col("doc_id") % 2 == par).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(_BAND_REPLAY_T0 + par)),
+        )
+        for par in (0, 1)
+    )
+    chunk_dir = str(tmp_path / "chunks")
+    write_ordered_chunks(chunks, chunk_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    fresh = fresh_band_buckets(stream, ts_col="ingest_ts", horizon="1 hour")
+    out = drain_to_memory(fresh, "band_sentinel_test", str(tmp_path / "ck"))
+    got = sorted(
+        (
+            int(r["band_idx"]),
+            r["band_key"],
+            int(r["ingest_ts"].timestamp()) - _BAND_REPLAY_T0,
+        )
+        for r in out.collect()
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    want = sorted(
+        (int(b), k, int(c))
+        for b, k, c in con.sql(STREAM_BAND_BUCKETS_SQL).fetchall()
+    )
+    assert got == want
+    # the sentinel leg actually fired: doc 2 has < 3 tokens
+    assert (0, "_short_2", 0) in got
+    # and cross-chunk suppression actually fired: doc 1 (odd chunk) is
+    # an exact copy of doc 0 (even chunk), so ALL four of its bands
+    # were first claimed in chunk 0 and must not re-emit — chunk 1
+    # contributes exactly doc 3's four fresh bands
+    keys1 = {k for b, k, c in got if c == 1}
+    assert len(keys1) == 4, sorted(keys1)
