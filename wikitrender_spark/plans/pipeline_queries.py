@@ -447,18 +447,31 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 20-row merge table rides a driver collect — the documented
     vocab-bounded MODEL hand-off (the ngram_model precedent:
     {BPE_TOP_PAIRS} rows of 2-char pairs, never data), because
-    bpe_encode builds one Catalyst aggregate expression per merge and
-    therefore needs the table as literals. The encode itself is a
-    zero-shuffle per-row projection that pipelines into the scan; at a
-    real 50k-merge vocabulary the swap is bpe_encode_fast (the
-    Arrow-batched dict encoder, bit-equivalence pinned in
-    tests/test_pipeline_ops.py on THIS trained table and on the
-    ill-formed corner tables), whose cost scales with applying merges,
-    not table size — measured in tools/bpe_probe.py. localCheckpoint
-    between encode and the (n_syms, encoded) projection: both outputs
-    derive from one HOF chain, and CollapseProject would otherwise
-    clone the 20-pass chain into each consumer (the r9/r13
-    re-inlining class).
+    bpe_apply_word builds one Catalyst aggregate expression per merge
+    and therefore needs the table as literals.
+
+    Plan shape — DICTIONARY ENCODING (the round-14 revision of this
+    query's own first cut): BPE is a pure per-WORD function, so the
+    20-pass interpreted HOF runs over the corpus's DISTINCT words
+    (posexplode -> distinct -> bpe_apply_word), and documents
+    re-assemble by a join + per-doc positional re-group
+    (array_sort(collect_list(struct(pos, syms))) -> flatten). The
+    first cut ran the HOF per word OCCURRENCE — measured 7.8 s solo /
+    9.06 s banded at sf0.1 (~400k occurrences x 20 passes); the
+    dictionary form evaluates the same chain over the vocabulary only
+    and re-assembly is one narrow shuffle. This is the JVM-side twin
+    of bpe_encode_fast's per-batch word cache (corpus-wide instead of
+    per-batch), and the 100 TB shape outright: the word->symbols
+    relation is vocabulary-bounded (AQE broadcasts it at bench scale;
+    a web-scale vocabulary falls back to a shuffle join on the word
+    key Catalyst already has). At a real 50k-merge vocabulary the
+    per-word encoder swaps to bpe_encode_fast (bit-equivalence pinned
+    in tests/test_pipeline_ops.py on THIS trained table and on the
+    ill-formed corner tables) — cost scales with applying merges, not
+    table size (tools/bpe_probe.py). No checkpoint needed: both
+    output columns read the re-group's materialized attribute, so
+    nothing re-runs the HOF (the r9/r13 re-inlining class is closed
+    by the aggregation boundary).
 
     Oracle (BPE_ENCODE_SQL): recomputes the merge table with the
     trainer's own CTE, then replays the EXACT sequential semantics in
@@ -481,23 +494,39 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = tuple((r.pair[0], r.pair[1]) for r in ranked)
     d = _docs(spark, sf_dir)
-    enc = d.select(
+    toks = d.select(
         "doc_id",
-        F.concat_ws(" ", T.bpe_encode(F.col("text"), merges)).alias(
-            "encoded"
-        ),
-    ).localCheckpoint()
-    return enc.select(
+        F.posexplode(T.tokens(F.col("text"))).alias("pos", "w"),
+    )
+    wsyms = toks.select("w").distinct().select(
+        "w", T.bpe_apply_word(F.col("w"), merges).alias("syms")
+    )
+    enc = (
+        toks.join(wsyms, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "syms"))).alias("ps")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.flatten(F.transform("ps", lambda p: p["syms"]))
+            ).alias("encoded"),
+        )
+    )
+    joined = d.select("doc_id").join(enc, "doc_id", "left")
+    encoded = F.coalesce(F.col("encoded"), F.lit(""))
+    return joined.select(
         "doc_id",
-        F.when(F.col("encoded") == "", F.lit(0))
+        F.when(encoded == "", F.lit(0))
         .otherwise(
-            F.length("encoded")
-            - F.length(F.replace(F.col("encoded"), F.lit(" "), F.lit("")))
+            F.length(encoded)
+            - F.length(F.replace(encoded, F.lit(" "), F.lit("")))
             + 1
         )
         .cast("int")
         .alias("n_syms"),
-        "encoded",
+        encoded.alias("encoded"),
     )
 
 
