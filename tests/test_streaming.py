@@ -2001,3 +2001,185 @@ def test_corpus_admission_watermark_readmits_expired_drops_live(spark, tmp_path)
     got = {r["doc_id"] for r in spark.table("corpus_admit_wm").collect()}
     spark.catalog.dropTempView("corpus_admit_wm")
     assert got == {1, 2, 3, 100}, got
+
+
+def test_corpus_admission_full_option_chain(spark, tmp_path):
+    """The FULL-OPTION production configuration, correctness-pinned
+    (round 14 — the configuration tools/corpus_throughput_probe.py
+    --full prices): cards-first scrub + EXTENDED PII + the JVM
+    join-form NLL gate + near-dup band admission + digest dedup —
+    FOUR engine-native stateful operators under one event-time
+    watermark. Pins, in stage order: (a) the NLL gate bites (a planted
+    word-salad doc with unseen transitions exceeds the training
+    corpus's max unit NLL and is rejected); (b) near-dup admission
+    runs over the REDACTED text — a copy of an admitted doc differing
+    ONLY in its planted card + IPv6 redacts to identical text, bands
+    identically, and is blocked at the band stage even though its raw
+    digest differs; (c) a cross-batch near-dup (+1 word) and an exact
+    raw copy are blocked; (d) admitted rows carry the full option
+    column set in the documented order with the card/IPv6 redaction
+    applied; (e) the flush row never passes its own timestamp."""
+    import os
+
+    from wikitrender_spark.functions import text as T
+    from wikitrender_spark.functions.text import ngram_nll_scorer
+    from wikitrender_spark.plans.pipeline_queries import ngram_model
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming import corpus
+
+    sch = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, ingest_ts timestamp"
+    )
+    t0 = dt.datetime(2026, 1, 1)
+    full = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    model = ngram_model(full)
+    scorer_col = ngram_nll_scorer(*model)(F.col("text"))
+    corpus_max = (
+        full.select(scorer_col.alias("s"))
+        .filter(F.col("s.n_bigrams") > 0)
+        .agg(F.max(F.col("s.nll") / F.col("s.n_bigrams")))
+        .collect()[0][0]
+    )
+
+    base25 = (
+        full.limit(25)
+        .withColumn("ingest_ts", F.lit(t0))
+        .withColumn("lang", T.predict_lang(F.col("text")))
+    )
+    seeds = (
+        base25.join(
+            corpus.corpus_admission_stream(
+                base25.drop("ingest_ts")
+            ).select("doc_id"),
+            "doc_id",
+        )
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    )
+    assert len(seeds) == 3
+    orig, fseed, cseed = seeds
+    # cseed's ORIGINAL row leaves the base so the card-planted double
+    # (doc 490) has no same-batch near-dup to race against (same-batch
+    # band winners are cohort-arbitrary — the documented caveat)
+    base = base25.filter(F.col("doc_id") != cseed["doc_id"])
+
+    def mk(rows_):
+        return spark.createDataFrame(rows_, sch).withColumn(
+            "lang", T.predict_lang(F.col("text"))
+        )
+
+    def row(i, txt, s):
+        return (i, txt, "en", "src", len(txt),
+                t0 + dt.timedelta(seconds=s))
+
+    plant_a = " pay 4111 1111 1111 1111 peer 2001:db8:0:0:0:0:0:1"
+    plant_b = " pay 5555-5555-5555-4444 peer 2001:db8:0:0:0:0:0:ffff"
+    salad = " ".join(
+        w for tok in orig["text"].split(" ") for w in (tok, "zzqq")
+    )
+    # ceiling: midway between the worst ADMITTED text (the planted
+    # rows add a few unseen transitions, nudging them past the clean
+    # corpus's max) and the word-salad outlier — every intended row
+    # passes, the outlier must not. Computed from the scorer itself so
+    # the pin never rides on hand-tuned constants.
+    def unit_nll(txt):
+        s = (
+            spark.createDataFrame([(txt,)], "text string")
+            .select(scorer_col.alias("s"))
+            .collect()[0]["s"]
+        )
+        return s["nll"] / s["n_bigrams"]
+
+    worst_pass = max(corpus_max, unit_nll(cseed["text"] + plant_a),
+                     unit_nll(cseed["text"] + plant_b),
+                     unit_nll(orig["text"] + " tailword"))
+    salad_nll = unit_nll(salad)
+    assert worst_pass < salad_nll, (worst_pass, salad_nll)
+    ceiling = (worst_pass + salad_nll) / 2
+    chunk_dir = str(tmp_path / "full_chain_chunks")
+    write_ordered_chunks(
+        (
+            # 490 rides ALONE in the first chunk: it claims its band
+            # buckets first, so its admission is deterministic (inside
+            # the base chunk it could lose a same-batch band race to a
+            # natural near-dup — this corpus is 31-word salad, the
+            # first draft of this test measured exactly that)
+            mk([row(490, cseed["text"] + plant_a, 0)]),
+            base.withColumn(
+                "ingest_ts",
+                F.lit(t0 + dt.timedelta(seconds=10)),
+            ),
+            mk([
+                # card/IPv6 double of 490: raw digest differs, REDACTED
+                # text identical -> identical bands -> band stage blocks
+                row(604, cseed["text"] + plant_b, 30),
+                # plain cross-batch near-dup and exact raw copy of orig
+                row(601, orig["text"] + " tailword", 30),
+                row(602, orig["text"], 30),
+                # the NLL outlier: unseen transitions around every token
+                row(603, salad, 30),
+            ]),
+            # STAGGERED watermark advancement — the property this test
+            # DISCOVERED (now documented on the chain's docstring): in
+            # the join form the NLL re-group emits rows only at
+            # watermark release, so docs from different ingest batches
+            # whose timestamps fall in ONE release interval reach the
+            # band stage together and race same-batch (the first draft
+            # used a single flush and watched doc 604 arbitrarily beat
+            # 490). Advancing the watermark past t0+10 FIRST commits
+            # the originals' bands a batch before the blockers emit,
+            # restoring deterministic cross-batch blocking.
+            mk([row(998, fseed["text"], 615)]),
+            mk([row(999, fseed["text"], 700)]),
+        ),
+        chunk_dir,
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    out = corpus.corpus_admission_stream_within_watermark(
+        stream,
+        horizon="10 minutes",
+        patterns=T.PII_PATTERNS_EXTENDED,
+        scrub_cards_first=True,
+        nll_model=model,
+        max_unit_nll=float(ceiling),
+        nll_gate="join",
+        neardup=True,
+    )
+    assert out.columns[-2:] == ["n_fresh_bands", "neardup_checked"]
+    cols = out.columns
+    assert cols.index("quality") < cols.index("nll")
+    assert cols.index("nll") < cols.index("n_card_candidates")
+    assert cols.index("n_cards") < cols.index("n_email")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("full_chain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r for r in spark.table("full_chain").collect()}
+    spark.catalog.dropTempView("full_chain")
+    assert orig["doc_id"] in got and fseed["doc_id"] in got
+    assert 490 in got, sorted(got)        # the card-planted double admits
+    r490 = got[490]
+    assert r490["n_cards"] == 1
+    assert "[CARD]" in r490["redacted"] and "[IPV6]" in r490["redacted"]
+    assert "4111" not in r490["redacted"]
+    assert r490["n_fresh_bands"] == 4 and r490["neardup_checked"]
+    assert 604 not in got   # PII-only variant: band stage blocks (b)
+    assert 601 not in got   # near-dup (+1 word): band stage blocks (c)
+    assert 602 not in got   # exact raw copy: blocked (c)
+    assert 603 not in got   # word-salad: the join-form NLL gate bites (a)
+    assert 998 not in got and 999 not in got  # flush rows never pass (e)
+    for r in got.values():
+        if r["neardup_checked"]:
+            assert r["n_fresh_bands"] == 4

@@ -518,7 +518,23 @@ def corpus_admission_stream_within_watermark(
     watermark passes its ingest timestamp, so the join form trades the
     UDF path's same-trigger latency for JVM-side scoring throughput —
     exactly the batch-heavy-ingest trade the docstring above
-    _gate_and_scrub measures."""
+    _gate_and_scrub measures.
+
+    RELEASE-COHORT caveat for `nll_gate="join"` + `neardup=True`
+    (round 14, discovered writing
+    test_corpus_admission_full_option_chain): because the NLL
+    re-group emits at watermark release, every document whose ingest
+    timestamp falls inside ONE watermark advancement interval reaches
+    the near-dup band stage in the SAME batch — the band stage's
+    first-arrival preference coarsens from ingest order to
+    watermark-release order, and band-sharing docs from different
+    ingest batches inside one release cohort race same-batch
+    (at-most-one-admits still holds; WHICH one is cohort-arbitrary,
+    the established batch-dedup caveat). The UDF form keeps per-batch
+    arrival order (its band stage is the first stateful operator).
+    Deployments that care which copy survives within the horizon
+    should use the UDF gate or accept watermark-granularity ordering —
+    the trade is stated here rather than discovered in production."""
     if nll_gate not in ("udf", "join"):
         raise ValueError(f"nll_gate must be 'udf' or 'join': {nll_gate!r}")
     join_form = nll_gate == "join" and nll_model is not None
