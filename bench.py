@@ -417,7 +417,9 @@ def main() -> None:
         # remaining budget. Only a mass of suite violations — which the
         # LOO rule makes near-impossible for mere host drift — skips
         # everything.
-        n_viol = len(_fc.check(floors, timings, {})[0])
+        # structured rows, not a second check() pass (review r14:
+        # the count and the candidate list must share one source)
+        n_viol = len(_fc.suite_violation_rows(floors, timings))
         if n_viol > 6:
             print(
                 f"bench.py: {n_viol} suite violations in one session — "

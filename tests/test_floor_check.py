@@ -141,7 +141,7 @@ def test_solo_remeasure_adjudicates_drifted_flags():
     # clean solo (1.1x floor): downgraded, both readings visible
     v, a, _ = floor_check.check(floors, drifted, {}, {"dd_x": 1.1})
     assert not v
-    note = next(x for x in a if "drifted-flag cleared" in x)
+    note = next(x for x in a if "flag cleared (solo)" in x)
     assert "dd_x" in note and "2.20x" in note and "1.10x" in note
     # confirming solo (1.9x floor): violation stands, stamped
     v, a, _ = floor_check.check(floors, drifted, {}, {"dd_x": 1.9})

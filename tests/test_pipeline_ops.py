@@ -3386,3 +3386,51 @@ def test_dsir_weights_null_lang_counts_as_nontarget(spark):
         assert rows[i]["target_mass"] >= rows[i]["n_bigrams"] > 0, i
         assert rows[i]["raw_mass"] >= rows[i]["n_bigrams"], i
     assert rows[1]["weight"] > rows[0]["weight"]
+
+
+def test_bpe_encode_oracle_handles_short_merge_table(spark, tmp_path):
+    """Review r14: a corpus with FEWER than BPE_TOP_PAIRS distinct
+    adjacent pairs makes the trainer's LIMIT return a short table; the
+    oracle's recursion then stops at rank count(*) — it must select
+    that frontier, not the hardcoded rank 20 (which silently returned
+    ZERO rows while the Spark side still encoded every doc). Pin
+    Spark == oracle on such a corpus end-to-end."""
+    import duckdb
+    import pandas as pd
+
+    from wikitrender_spark.plans import pipeline_queries as P
+
+    rows = [
+        (0, "ab ab ab", "en", "src", 8),
+        (1, "abc a b", "en", "src", 7),
+        (2, "bc bc", "en", "src", 5),
+    ]  # distinct adjacent pairs: ab, bc — far fewer than 20
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+        str(tmp_path / "sf" / "documents.parquet")
+    )
+    merges = P.q_bpe_merges(spark, sf_dir).collect()
+    assert 0 < len(merges) < P.BPE_TOP_PAIRS  # genuinely short table
+    got = sorted(
+        (r["doc_id"], r["n_syms"], r["encoded"])
+        for r in P.q_bpe_encode(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                    "n_chars"]),
+    )
+    want = sorted(
+        (int(d), int(n), e)
+        for d, n, e in con.sql(P.BPE_ENCODE_SQL).fetchall()
+    )
+    assert got == want
+    assert len(got) == 3  # every doc encoded, none silently dropped
+    # spot semantics: merge table is [ab, bc] by count; "abc" applies
+    # ab first (rank 1), so bc never fires inside it
+    by_id = {d: e for d, _n, e in got}
+    assert by_id[0] == "ab ab ab"
+    assert by_id[1] == "ab c a b"
+    assert by_id[2] == "bc bc"

@@ -183,11 +183,16 @@ def check(
         if n in viol_names:
             solo_v = (solo or {}).get(n)
             if solo_v is not None and solo_v <= floors[n] * RAW_RULE:
+                # session-agnostic wording (review r14): since the
+                # round-14 rule widening, calm-session flags are solo
+                # re-measured too — "in a drifted session" would
+                # mislabel exactly the calm tail-phase class that
+                # motivated the widening
                 advisories.append(
-                    f"drifted-flag cleared {n}: {v:.2f}s = {r:.2f}x floor "
-                    f"in a drifted session, but solo re-measure "
+                    f"flag cleared (solo) {n}: {v:.2f}s = {r:.2f}x floor "
+                    f"in-suite, but solo re-measure "
                     f"{solo_v:.2f}s = {solo_v / floors[n]:.2f}x is clean — "
-                    "host contention, not a plan regression"
+                    "session/host state, not a plan regression"
                 )
                 continue
             confirm = (

@@ -565,9 +565,14 @@ enc AS (
   FROM enc e JOIN merges m ON m.merge_rank = e.r + 1
   WHERE e.r < {BPE_TOP_PAIRS}),
 fin AS (
+  -- a degenerate corpus can yield FEWER than BPE_TOP_PAIRS distinct
+  -- pairs (LIMIT returns what exists); the recursion then stops at
+  -- rank count(*), so select that frontier — pinning r = 20 would
+  -- silently return zero rows while the Spark side still encodes
+  -- with the short table (review r14)
   SELECT doc_id,
     trim(replace(replace(s, '|@|', ' '), '||', ' '), '|') AS encoded
-  FROM enc WHERE r = {BPE_TOP_PAIRS})
+  FROM enc WHERE r = (SELECT count(*) FROM merges))
 SELECT doc_id,
   CAST(CASE WHEN encoded = '' THEN 0
        ELSE length(encoded) - length(replace(encoded, ' ', '')) + 1
@@ -4908,7 +4913,14 @@ def ngram_ppl_buckets_approx(
     the gated twin (attested r13) and the equivalence contract lives
     in pytest where the error bound, not a hash, is the right
     instrument."""
-    scored = ngram_nll(d).select("doc_id", "n_bigrams", "nll")
+    # materialize the 3-column scored relation ONCE: three consumers
+    # read it (the eager approxQuantile action, the rated branch, and
+    # the shorts branch of the final union), and without the barrier
+    # each re-runs the model join + per-doc sorted folds above
+    # ngram_nll's token checkpoint (review r14 — the scoring ran 3x)
+    scored = (
+        ngram_nll(d).select("doc_id", "n_bigrams", "nll").localCheckpoint()
+    )
     rated = scored.filter(F.col("n_bigrams") > 0).withColumn(
         "_r", F.col("nll") / F.col("n_bigrams").cast("double")
     )
