@@ -98,12 +98,16 @@ HEADLINE = [
 # against it via tools/floor_check.py. BASELINE.md keys extended totals
 # by (composition, host), so recomposition never breaks the trend table.
 EXTENDED_RECENT = [
-    # round-13 additions
-    "mm_video_neardup",
-    "tx_ngram_ppl_buckets",
     # round-14 additions
     "tx_bpe_encode",
     "dd_stream_band_buckets",
+    # round-15: the approx bucketer's deterministic class projection
+    # (new), and tx_ngram_ppl_buckets PROMOTED for its re-landing
+    # round — the declared r14 opener (scored-relation localCheckpoint)
+    # changed its plan, so it re-earns the banded seat the promotion
+    # clause exists for
+    "tx_ngram_ppl_approx_classes",
+    "tx_ngram_ppl_buckets",
 ]
 # Demoted to the sweep in round 13 under the two-round rule (floors
 # stay pinned; floor_check compares every sweep sample): the r10
@@ -114,7 +118,9 @@ EXTENDED_RECENT = [
 # banded through r12-r14's first session). tx_ngram_nll's demotion is
 # RULE-driven, not variance management — its calm-session tail-phase
 # history (NOTES r14) rides with it into the sweep, where floor_check's
-# 2.5x envelope + solo advisory still watch it.
+# 2.5x envelope + solo advisory still watch it. Demoted in round 15,
+# same rule: the r13 addition mm_video_neardup (banded r13-r14,
+# stable both rounds).
 
 EXTENDED_MOVERS = [
     # the replay-drain harness row — heaviest extended entry, two
@@ -268,6 +274,31 @@ def _calibration(spark, n: int = 5) -> tuple[float, float, list[float]]:
     timed = times[1:]
     spread = round(max(timed) / min(timed), 2)
     return round(min(timed), 3), spread, times
+
+
+def write_samples(payload: dict) -> list[str]:
+    """Persist a run's raw samples TWICE (VERDICT r14 next-round #4):
+    bench_samples.json stays the latest-run view every existing reader
+    knows, and bench_runs/samples-<UTCstamp>-<pid>.json is the
+    per-session ARCHIVE a later repin or adjudication can always read —
+    round 14 lost a calm session's samples when a second same-code run
+    overwrote the single file mid-round and the repin had to be
+    recovered from stdout record lines. The archive name sorts
+    lexicographically == chronologically (UTC %Y%m%dT%H%M%S), with the
+    pid disambiguating same-second runs; both files carry an identical
+    payload plus the session key. Returns the written paths
+    (latest-first)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    session = time.strftime("%Y%m%dT%H%M%S", time.gmtime()) + f"-{os.getpid()}"
+    payload = dict(payload, session=session)
+    latest = os.path.join(here, "bench_samples.json")
+    runs_dir = os.path.join(here, "bench_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    archive = os.path.join(runs_dir, f"samples-{session}.json")
+    for path in (latest, archive):
+        with open(path, "w") as f:
+            json.dump(payload, f)
+    return [latest, archive]
 
 
 def main() -> None:
@@ -459,21 +490,17 @@ def main() -> None:
     # when the extended+sweep dicts grew the line to 4.2 KB (VERDICT r9
     # ask #1) — the per-query data now lives where truncation cannot
     # reach the headline.
-    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json")
-    with open(side, "w") as f:
-        json.dump(
-            {
-                "samples": samples,
-                "warm_pass": warm_pass,
-                "extended_queries": ext,
-                "sweep_queries": sweep,
-                "sweep_sf_overrides": sweep_overrides_applied,
-                "solo_remeasure": solo_remeasure,
-                "calibration_samples": calib_samples,
-                "sf": sf,
-            },
-            f,
-        )
+    payload = {
+        "samples": samples,
+        "warm_pass": warm_pass,
+        "extended_queries": ext,
+        "sweep_queries": sweep,
+        "sweep_sf_overrides": sweep_overrides_applied,
+        "solo_remeasure": solo_remeasure,
+        "calibration_samples": calib_samples,
+        "sf": sf,
+    }
+    write_samples(payload)
     if ext:
         print(json.dumps(
             {"record": "extended_queries", "methodology": _meth(n_ext),

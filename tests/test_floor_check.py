@@ -234,3 +234,57 @@ def test_solo_provenance_filter():
     assert kept == {"a": 1.1, "sw": 1.2}
     assert len(dropped) == 2
     assert any("b" in m for m in dropped) and any("gone" in m for m in dropped)
+
+
+def test_newest_samples_path_prefers_latest_archive(tmp_path):
+    """Session-keyed sample archiving (VERDICT r14 next-round #4): the
+    checker reads the NEWEST bench_runs archive — lexicographic name
+    order IS chronological for the UTC-stamp naming — and falls back
+    to the legacy single file only when no archive exists."""
+    runs = tmp_path / "bench_runs"
+    fallback = tmp_path / "bench_samples.json"
+    fallback.write_text("{}")
+    # no archive dir at all -> fallback
+    assert floor_check.newest_samples_path(
+        str(runs), str(fallback)
+    ) == str(fallback)
+    runs.mkdir()
+    # empty archive dir -> fallback
+    assert floor_check.newest_samples_path(
+        str(runs), str(fallback)
+    ) == str(fallback)
+    (runs / "samples-20260815T120000-10.json").write_text("{}")
+    (runs / "samples-20260816T090000-99.json").write_text("{}")
+    (runs / "samples-20260816T080000-11.json").write_text("{}")
+    (runs / "not-a-sample.txt").write_text("x")
+    assert floor_check.newest_samples_path(
+        str(runs), str(fallback)
+    ) == str(runs / "samples-20260816T090000-99.json")
+
+
+def test_bench_write_samples_archives_per_session(tmp_path, monkeypatch):
+    """bench.write_samples writes BOTH the latest-run view and a
+    never-overwritten per-session archive with identical payloads plus
+    the session key — the r14 mid-round overwrite class (a second
+    same-code run clobbering the only samples file before a repin)
+    cannot recur."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    paths = bench.write_samples({"samples": {"q": [1.0]}, "sf": 0.1})
+    assert len(paths) == 2
+    latest, archive = paths
+    assert latest == str(tmp_path / "bench_samples.json")
+    assert os.path.dirname(archive) == str(tmp_path / "bench_runs")
+    a, b = _json.load(open(latest)), _json.load(open(archive))
+    assert a == b
+    assert a["samples"] == {"q": [1.0]} and "session" in a
+    assert os.path.basename(archive) == f"samples-{a['session']}.json"
+    # and floor_check's selector finds exactly the archive just written
+    assert floor_check.newest_samples_path(
+        str(tmp_path / "bench_runs"), latest
+    ) == archive

@@ -2802,10 +2802,13 @@ def test_bpe_encode_oracle_separator_precondition():
 
 def test_bpe_encode_query_matches_flat_hof(spark):
     """The gated query's (n_syms, encoded) projection is derived from
-    ONE materialized encode (localCheckpoint barrier — the r9/r13
-    CollapseProject re-inlining class); pin that the string round-trip
-    loses nothing: n_syms equals the HOF symbol count and encoded
-    splits back to the HOF symbols."""
+    ONE materialized encode — both output columns read the per-doc
+    re-group AGGREGATION's materialized attribute, so nothing re-runs
+    the HOF and no checkpoint is needed (q_bpe_encode's docstring; the
+    aggregation boundary closes the r9/r13 CollapseProject re-inlining
+    class here). Pin that the string round-trip loses nothing: n_syms
+    equals the HOF symbol count and encoded splits back to the HOF
+    symbols."""
     from wikitrender_spark.plans import pipeline_queries as P
 
     sf = "/root/testdata/sf0.001"
@@ -3313,6 +3316,77 @@ def test_ngram_ppl_buckets_approx_all_degenerate_corpus(spark):
     assert r["n_bigrams_total"] == 0
 
 
+def test_ngram_ppl_approx_classes_pins_shorts_class(spark):
+    """tx_ngram_ppl_approx_classes' driver gate runs on testdata with
+    ZERO no-bigram docs (verified: every real doc has >= 2 tokens), so
+    the shorts class only appears here: on a mixed corpus the
+    projection must emit BOTH class rows, agree with its DuckDB oracle
+    twin, and equal the exact ntile form's own class projection
+    (bucket 0 row verbatim + rated aggregates unioned across buckets —
+    the determinism argument the gate rests on, checked end-to-end)."""
+    import duckdb
+    import pandas as pd
+
+    from wikitrender_spark.plans import pipeline_queries as P
+
+    rows = [
+        (0, "alpha beta alpha beta gamma", "en", "src", 27),
+        (1, "beta gamma beta", "en", "src", 15),
+        (2, "solo", "en", "src", 4),  # one token: no bigrams -> shorts
+        (3, "", "en", "src", 0),      # zero tokens -> shorts
+        (4, "gamma alpha gamma alpha", "en", "src", 23),
+    ]
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    d = spark.createDataFrame(rows, cols)
+    got = {r["cls"]: r for r in P.ngram_ppl_approx_classes(d).collect()}
+    assert set(got) == {"shorts", "rated"}
+    assert got["shorts"]["n_docs"] == 2
+    assert got["shorts"]["n_bigrams_total"] == 0
+    assert got["shorts"]["min_unit_nll"] is None
+    assert got["rated"]["n_docs"] == 3
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                    "n_chars"]),
+    )
+    want = {
+        c: (int(nd), int(nb), mn, mx, int(ck))
+        for c, nd, nb, mn, mx, ck in con.sql(
+            P.NGRAM_PPL_APPROX_CLASSES_SQL
+        ).fetchall()
+    }
+    for c, r in got.items():
+        assert want[c] == (
+            r["n_docs"], r["n_bigrams_total"], r["min_unit_nll"],
+            r["max_unit_nll"], r["checksum"],
+        ), c
+
+    # the exact form's own class projection agrees (the determinism
+    # argument: class membership and every aggregate below are
+    # threshold-independent)
+    exact = P.ngram_ppl_buckets(d).collect()
+    shorts = [r for r in exact if r["bucket"] == 0]
+    rated = [r for r in exact if r["bucket"] > 0]
+    assert (
+        got["shorts"]["n_docs"], got["shorts"]["n_bigrams_total"],
+        got["shorts"]["checksum"],
+    ) == (shorts[0]["n_docs"], shorts[0]["n_bigrams_total"],
+          shorts[0]["checksum"])
+    assert got["rated"]["n_docs"] == sum(r["n_docs"] for r in rated)
+    assert got["rated"]["n_bigrams_total"] == sum(
+        r["n_bigrams_total"] for r in rated
+    )
+    assert got["rated"]["checksum"] == sum(r["checksum"] for r in rated)
+    assert got["rated"]["min_unit_nll"] == min(
+        r["min_unit_nll"] for r in rated
+    )
+    assert got["rated"]["max_unit_nll"] == max(
+        r["max_unit_nll"] for r in rated
+    )
+
+
 def test_ngram_oracles_share_the_cte_block(spark):
     """The r13 factoring pin: NGRAM_NLL_SQL (attested r12) and
     NGRAM_PPL_BUCKETS_SQL must both embed the SINGLE _ngram_cte_block
@@ -3394,7 +3468,11 @@ def test_bpe_encode_oracle_handles_short_merge_table(spark, tmp_path):
     oracle's recursion then stops at rank count(*) — it must select
     that frontier, not the hardcoded rank 20 (which silently returned
     ZERO rows while the Spark side still encoded every doc). Pin
-    Spark == oracle on such a corpus end-to-end."""
+    Spark == oracle on such a corpus end-to-end. The corpus also
+    carries a ZERO-TOKEN document (ADVICE r14): DuckDB
+    array_to_string([], '@') is NULL, so without the base CTE's
+    COALESCE the oracle returned (NULL, NULL) where the Spark contract
+    says (0, '')."""
     import duckdb
     import pandas as pd
 
@@ -3404,6 +3482,7 @@ def test_bpe_encode_oracle_handles_short_merge_table(spark, tmp_path):
         (0, "ab ab ab", "en", "src", 8),
         (1, "abc a b", "en", "src", 7),
         (2, "bc bc", "en", "src", 5),
+        (3, "   ", "en", "src", 3),  # whitespace-only: zero tokens
     ]  # distinct adjacent pairs: ab, bc — far fewer than 20
     cols = "doc_id long, text string, lang string, source string, n_chars long"
     sf_dir = str(tmp_path / "sf")
@@ -3427,10 +3506,12 @@ def test_bpe_encode_oracle_handles_short_merge_table(spark, tmp_path):
         for d, n, e in con.sql(P.BPE_ENCODE_SQL).fetchall()
     )
     assert got == want
-    assert len(got) == 3  # every doc encoded, none silently dropped
+    assert len(got) == 4  # every doc encoded, none silently dropped
     # spot semantics: merge table is [ab, bc] by count; "abc" applies
     # ab first (rank 1), so bc never fires inside it
     by_id = {d: e for d, _n, e in got}
     assert by_id[0] == "ab ab ab"
     assert by_id[1] == "ab c a b"
     assert by_id[2] == "bc bc"
+    # the degenerate class both engines must agree on: (0, '')
+    assert [(n, e) for d, n, e in got if d == 3] == [(0, "")]

@@ -1,0 +1,54 @@
+"""Pure-python pins for tools/corpus_throughput_probe.py (no Spark).
+
+pad_model builds the large-model pricing point (round 15, VERDICT r14
+next-round #3): the padded model must stay a VALID add-one bigram model
+— per-entry U consistent with left_u, v grown by exactly the new
+distinct words — or the UDF-vs-join comparison would price two scorers
+on a model neither could have trained.
+"""
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "corpus_throughput_probe",
+    os.path.join(
+        os.path.dirname(__file__), "..", "tools",
+        "corpus_throughput_probe.py",
+    ),
+)
+probe = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(probe)
+
+
+def _toy_model():
+    bigram_u_b = {("a", "b"): (3, 2), ("a", "c"): (3, 1), ("b", "a"): (1, 1)}
+    left_u = {"a": 3, "b": 1}
+    return bigram_u_b, left_u, 3  # vocab {a, b, c}
+
+
+def test_pad_model_stays_internally_consistent():
+    bg, lu, v = probe.pad_model(_toy_model(), 500, fanout=10)
+    assert len(bg) >= 500
+    # real entries survive untouched
+    assert bg[("a", "b")] == (3, 2) and lu["a"] == 3
+    # every entry's U equals left_u of its left word, and left_u is
+    # the sum of that word's B counts — the trained-model invariant
+    sums: dict = {}
+    for (w1, _w2), (u, b) in bg.items():
+        assert u == lu[w1], w1
+        sums[w1] = sums.get(w1, 0) + b
+    assert sums == lu
+    # v grew by exactly the new distinct words
+    new_words = {w for pair in bg for w in pair} - {"a", "b", "c"}
+    assert v == 3 + len(new_words)
+
+
+def test_pad_model_is_deterministic_and_noop_at_zero_growth():
+    a = probe.pad_model(_toy_model(), 500, fanout=10)
+    b = probe.pad_model(_toy_model(), 500, fanout=10)
+    assert a == b
+    # already-large-enough model: nothing added
+    bg, lu, v = probe.pad_model(_toy_model(), 2)
+    assert (bg, lu, v) == _toy_model()

@@ -144,7 +144,45 @@ def drain_once(spark, chunk_dir: str, ckpt: str) -> tuple[float, int]:
     return elapsed, state_rows
 
 
-def nll_gate_compare(spark, work: str, batch_size: int) -> dict:
+def pad_model(
+    model: tuple[dict, dict, int], n_bigrams: int, fanout: int = 50
+) -> tuple[dict, dict, int]:
+    """Grow the corpus-trained add-one bigram model to >= n_bigrams
+    entries with deterministic synthetic vocabulary (round 15, VERDICT
+    r14 next-round #3: every prior UDF-vs-join pricing point used the
+    driver corpus's ~31-word model, where shipping the Python dict to
+    every worker is free — the 'join form is the large-model scale
+    path' claim needed a measured point at realistic model size).
+    Synthetic left words 'zsyml<i>' each carry `fanout` right
+    neighbors 'zsymr<j>' with small varied counts; left_u and the
+    per-entry (U, B) stay mutually consistent, and v grows by the
+    count of new distinct words, so the padded model is a VALID model
+    of a larger corpus — both scorer forms consume it through their
+    normal paths (the UDF pickles the full dict per executor; the join
+    form broadcasts the full relations). Real corpus bigrams are kept,
+    so documents still hit trained entries; absolute NLL values shift
+    with v (larger vocabulary = different smoothing), identically for
+    both forms — the bit-compat contract is unaffected."""
+    bigram_u_b, left_u, v = model
+    bigram_u_b, left_u = dict(bigram_u_b), dict(left_u)
+    new_words = set()
+    i = 0
+    while len(bigram_u_b) < n_bigrams:
+        w1 = f"zsyml{i}"
+        entries = [(f"zsymr{j}", 1 + (i + j) % 7) for j in range(fanout)]
+        u = sum(b for _w2, b in entries)
+        for w2, b in entries:
+            bigram_u_b[(w1, w2)] = (u, b)
+            new_words.add(w2)
+        left_u[w1] = u
+        new_words.add(w1)
+        i += 1
+    return bigram_u_b, left_u, int(v) + len(new_words)
+
+
+def nll_gate_compare(
+    spark, work: str, batch_size: int, model_bigrams: int = 0
+) -> dict:
     """Round-13 measurement (VERDICT r12 ask #2's 'measured throughput
     point beside the 4,046 docs/s UDF number'): the SAME replicated
     corpus through the admission chain in BATCH mode — the join form's
@@ -161,6 +199,8 @@ def nll_gate_compare(spark, work: str, batch_size: int) -> dict:
     ).parquet(chunk_dir)
     total = N_CHUNKS * batch_size
     model = ngram_model(load_table(spark, SF_DIR, "documents"))
+    if model_bigrams:
+        model = pad_model(model, model_bigrams)
     out = {}
     for gate, kwargs in (
         ("none", {}),
@@ -181,6 +221,7 @@ def nll_gate_compare(spark, work: str, batch_size: int) -> dict:
             "warm_docs_per_s": round(total / times[1], 0),
         }
     out["docs_total"] = total
+    out["model_bigrams"] = len(model[0])
     return out
 
 
@@ -361,6 +402,11 @@ def main() -> None:
                     "scorer form")
     ap.add_argument("--nll-gate", default="udf", choices=("udf", "join"),
                     help="NLL gate form for --full")
+    ap.add_argument("--nll-model-bigrams", type=int, default=0,
+                    help="pad the corpus-trained model to this many "
+                    "bigram entries with synthetic vocabulary before "
+                    "the --nll comparison (0 = corpus model as-is) — "
+                    "the large-model pricing point")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -398,7 +444,9 @@ def main() -> None:
     if args.nll:
         work = tempfile.mkdtemp(prefix="corpus_nll_")
         try:
-            res = nll_gate_compare(spark, work, sizes[0])
+            res = nll_gate_compare(
+                spark, work, sizes[0], args.nll_model_bigrams
+            )
         finally:
             shutil.rmtree(work, ignore_errors=True)
         print(json.dumps(

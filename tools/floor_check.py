@@ -15,7 +15,9 @@ session's median drift — a row that is slow the way the whole session
 is slow is drift; a row that is slow on its own is a regression.
 
 Usage:
-  python tools/floor_check.py            # checks bench_samples.json
+  python tools/floor_check.py            # checks the newest bench_runs/
+                                         # session archive (fallback:
+                                         # bench_samples.json)
   python tools/floor_check.py --repin    # also ratchet floors DOWN to
                                          # any faster clean readings
 Exit 1 on a drift-adjusted suite violation; sweep singles are
@@ -31,6 +33,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOORS_PATH = os.path.join(REPO, "tools", "bench_floors.json")
 SAMPLES_PATH = os.path.join(REPO, "bench_samples.json")
+RUNS_DIR = os.path.join(REPO, "bench_runs")
+
+
+def newest_samples_path(
+    runs_dir: str = RUNS_DIR, fallback: str = SAMPLES_PATH
+) -> str:
+    """Pick the recorded artifact to adjudicate from (VERDICT r14
+    next-round #4): the NEWEST session archive bench.write_samples
+    wrote — names sort lexicographically == chronologically
+    (samples-<UTC %Y%m%dT%H%M%S>-<pid>.json) — falling back to the
+    legacy single bench_samples.json when no archive exists. Repins
+    and adjudications therefore always read a per-session record that
+    a concurrent second run cannot have overwritten."""
+    try:
+        names = sorted(
+            n for n in os.listdir(runs_dir)
+            if n.startswith("samples-") and n.endswith(".json")
+        )
+    except FileNotFoundError:
+        names = []
+    if names:
+        return os.path.join(runs_dir, names[-1])
+    return fallback
 
 RAW_RULE = 1.5        # the established 1.5x-of-floor rule (BASELINE.md)
 DRIFT_MARGIN = 1.25   # must also exceed the session's median drift by this
@@ -302,7 +327,9 @@ def main() -> int:
         sys.exit(f"floor_check.py: unknown flag(s) {sorted(unknown)}")
     doc = json.load(open(FLOORS_PATH))
     floors = doc["floors"]
-    bs = json.load(open(SAMPLES_PATH))
+    samples_path = newest_samples_path()
+    print(f"reading {os.path.relpath(samples_path, REPO)}")
+    bs = json.load(open(samples_path))
     suite = {
         n: round(statistics.median(v), 3)
         for n, v in bs.get("samples", {}).items()
@@ -311,7 +338,7 @@ def main() -> int:
     suite.update(bs.get("extended_queries", {}))
     sweep = bs.get("sweep_queries", {})
     if not suite and not sweep:
-        sys.exit("bench_samples.json holds no readings — run bench.py first")
+        sys.exit(f"{samples_path} holds no readings — run bench.py first")
     solo = {
         n: rec["solo_median"]
         for n, rec in bs.get("solo_remeasure", {}).items()

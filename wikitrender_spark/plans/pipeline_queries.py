@@ -546,13 +546,19 @@ merges AS (
   FROM (SELECT pair, n_occurrences FROM mcounts
         ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOP_PAIRS})),
 base AS (
+  -- COALESCE: DuckDB array_to_string([], '@') yields NULL, so a
+  -- zero-token document would ride s = NULL through every replace()
+  -- and surface as (n_syms = NULL, encoded = NULL) while the Spark
+  -- side coalesces to (0, '') — the degenerate class must agree
+  -- (ADVICE r14; pinned on a constructed whitespace-only doc in
+  -- test_bpe_encode_oracle_handles_short_merge_table)
   SELECT doc_id,
-    array_to_string(
+    COALESCE(array_to_string(
       list_transform({{toks}},
         tok -> '|' || array_to_string(
                  list_transform(range(1, length(tok) + 1), i -> tok[i]),
                  '||') || '|'),
-      '@') AS s,
+      '@'), '') AS s,
     0 AS r
   FROM documents),
 enc AS (
@@ -4830,10 +4836,23 @@ def ngram_ppl_buckets(d: DataFrame, n_buckets: int = NLL_BUCKETS) -> DataFrame:
     ~24 bytes/doc; the 100 TB path swaps the ntile for two
     approx-quantile thresholds broadcast to a map-side bucketer (the
     one-line change, and rel_approx_percentiles is the sketch-side
-    precedent with its error contract)."""
+    precedent with its error contract — ngram_ppl_buckets_approx is
+    that form, built round 14).
+
+    Round 15 (the declared r14 opener, VERDICT r14 next-round #2): the
+    3-column scored relation localCheckpoints ONCE before the branch —
+    without the barrier both union branches (rated + shorts)
+    re-evaluate the model join + per-doc sorted folds above
+    ngram_nll's token checkpoint, so the scoring subplan ran 2x
+    (the same re-evaluation class the approx form's eager
+    approxQuantile action made 3x; measured there 3x -> 1x after the
+    identical fix in the r14 self-review). Checkpointing after the
+    projection keeps the barrier at ~24 bytes/doc — never the text."""
     from pyspark.sql import Window
 
-    scored = ngram_nll(d).select("doc_id", "n_bigrams", "nll")
+    scored = (
+        ngram_nll(d).select("doc_id", "n_bigrams", "nll").localCheckpoint()
+    )
     rated = scored.filter(F.col("n_bigrams") > 0).withColumn(
         "_r", F.col("nll") / F.col("n_bigrams").cast("double")
     )
@@ -4959,6 +4978,58 @@ def ngram_ppl_buckets_approx(
 
 
 
+def ngram_ppl_approx_classes(
+    d: DataFrame,
+    n_buckets: int = NLL_BUCKETS,
+    eps: float = NLL_BUCKETS_APPROX_EPS,
+) -> DataFrame:
+    """Driver-grade evidence for the 100 TB perplexity bucketer
+    (round 15, VERDICT r14 next-round #5 — the dd_stream_band_buckets
+    move applied to ngram_ppl_buckets_approx): run the FULL approx
+    code path — scored-relation checkpoint, Greenwald-Khanna quantile
+    sketch, threshold broadcast, map-side bucketer, per-bucket report —
+    then project the report onto its DETERMINISTIC sub-relation: the
+    shorts/rated class split. A document's class (bucket 0 vs buckets
+    1..n) depends only on n_bigrams == 0, never on the
+    partitioning-dependent sketch thresholds, so every aggregate below
+    is exact by construction:
+
+    - shorts row == the exact form's bucket-0 row verbatim;
+    - rated n_docs / n_bigrams_total / checksum are integer sums over
+      ALL rated buckets (threshold shifts move docs BETWEEN rated
+      buckets, never across the class boundary);
+    - rated min/max_unit_nll are the GLOBAL min/max of the unit ratio
+      (order-free over one IEEE division of the bit-pinned nll by an
+      integer — the attested exact form's own per-bucket min/max
+      machinery, unioned across buckets).
+
+    What remains unattestable stays documented on
+    ngram_ppl_buckets_approx: the per-rated-bucket doc counts move
+    with the sketch's merge order near boundaries, so THAT relation
+    keeps its pytest rank-error contract instead of a hash gate."""
+    b = ngram_ppl_buckets_approx(d, n_buckets, eps)
+    cls = (
+        F.when(F.col("bucket") == 0, F.lit("shorts"))
+        .otherwise(F.lit("rated"))
+        .alias("cls")
+    )
+    return (
+        b.groupBy(cls)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_bigrams_total").cast("long").alias("n_bigrams_total"),
+            F.min("min_unit_nll").alias("min_unit_nll"),
+            F.max("max_unit_nll").alias("max_unit_nll"),
+            F.sum("checksum").cast("long").alias("checksum"),
+        )
+        .orderBy("cls")
+    )
+
+
+def q_ngram_ppl_approx_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_ppl_approx_classes(_docs(spark, sf_dir))
+
+
 def ngram_model(d: DataFrame) -> tuple[dict, dict, int]:
     """Train the add-one bigram model over a corpus and hand it off as
     driver-side structures for functions.text.ngram_nll_scorer — the
@@ -5059,6 +5130,26 @@ SELECT CAST(bucket AS INT) AS bucket,
   CAST(sum(doc_id % 1000003) AS BIGINT) AS checksum
 FROM (SELECT * FROM rb UNION ALL SELECT * FROM sb)
 GROUP BY 1 ORDER BY 1"""
+
+#: Oracle for tx_ngram_ppl_approx_classes: the shorts/rated class
+#: split computed DIRECTLY from the scored relation — no ntile, no
+#: thresholds — because the projection is exactly the part of the
+#: approx report that cannot depend on the sketch (class membership is
+#: n = 0, rated min/max are global over one bit-pinned IEEE division,
+#: the rest are integer sums). Composes from the same _ngram_cte_block
+#: as the attested exact form, so the arithmetic can never fork.
+NGRAM_PPL_APPROX_CLASSES_SQL = f"""{_ngram_cte_block()},
+scored AS (SELECT d.doc_id,
+             CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n,
+             coalesce(per.s, CAST(0 AS DOUBLE)) AS s
+           FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+SELECT CASE WHEN n = 0 THEN 'shorts' ELSE 'rated' END AS cls,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS n_bigrams_total,
+  min(CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) END) AS min_unit_nll,
+  max(CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) END) AS max_unit_nll,
+  CAST(sum(doc_id % 1000003) AS BIGINT) AS checksum
+FROM scored GROUP BY 1 ORDER BY 1"""
 
 
 def _dsir_log_sql() -> str:
@@ -5188,6 +5279,7 @@ QUERIES = {
     "mm_audio_neardup": q_audio_neardup,
     "mm_video_neardup": q_video_neardup,
     "tx_ngram_ppl_buckets": q_ngram_ppl_buckets,
+    "tx_ngram_ppl_approx_classes": q_ngram_ppl_approx_classes,
     "tx_pii_scrub": q_pii_scrub,
     "tx_dsir_weights": q_dsir_weights,
     "tx_dsir_log": q_dsir_log,
@@ -5269,6 +5361,7 @@ ORACLES = {
     "mm_audio_neardup": AUDIO_NEARDUP_SQL,
     "mm_video_neardup": VIDEO_NEARDUP_SQL,
     "tx_ngram_ppl_buckets": NGRAM_PPL_BUCKETS_SQL,
+    "tx_ngram_ppl_approx_classes": NGRAM_PPL_APPROX_CLASSES_SQL,
     "tx_pii_scrub": PII_SCRUB_SQL,
     "tx_dsir_weights": DSIR_SQL,
     "tx_dsir_log": DSIR_LOG_SQL,

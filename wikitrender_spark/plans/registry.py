@@ -68,129 +68,137 @@ _loaded = False
 #:      code path changed after its evidence re-attests in the next
 #:      window regardless of cohort position.
 #:
-#: Round-14 composition (the r13 window went 50/50 green; the R14
-#: promise — the 50-row r11-evidence cohort PLUS the six rows
-#: displaced by round 13 — is 56 rows, paid MINUS EIGHT documented
-#: displacements: 56 promised + 2 new = 58 > 50, and new rows are
-#: never deferred, so exactly eight promised rows spill):
-#: (a) the SIX r13-displaced rows seat FIRST (r10 evidence, the
+#: Round-15 composition (the r14 window went 50/50 green; the R15
+#: promise — the 50-row r12-evidence cohort PLUS the eight rows
+#: displaced by round 14 — is 58 rows; with one addition and two
+#: rule-4 re-attestations the candidate set is 61 > 50, so exactly
+#: eleven promised rows spill to r16, each with the required
+#: rationale):
+#: (a) the EIGHT r14-displaced rows seat FIRST (r11 evidence, the
 #: registry's oldest — rule 2's "displacements seated first" clause):
-#: ann_ivfpq_topk, ann_kmeans_refine, ann_range_search,
-#: rel_pricing_summary, rel_suppliers_with_shipments,
-#: rel_grouping_sets;
-#: (b) the round-14 additions (never driver-attested): tx_bpe_encode —
-#: the tokenizer APPLY side gated end-to-end (VERDICT r12 ask #7 /
-#: r13 next-round #2): train tx_bpe_merges' table, encode the corpus
-#: through the JVM HOF path, with a recursive-CTE oracle twin whose
-#: replace() passes replay the exact sequential merge semantics — and
-#: dd_stream_band_buckets — the r13 STREAMING near-dup machinery's
-#: band-bucket layer driver-gated (it had pytest + throughput evidence
-#: only): two-parity-chunk replay through the real
-#: fresh_band_buckets front (Arrow sketch + sentinel buckets +
-#: watermarked band dedup) projected to the deterministic
-#: (band_idx, band_key, first_chunk) relation, with the _LSH_CTE
-#: oracle chain recomputing every band bit-for-bit;
-#: (c) 42 of the 50-row r11-evidence cohort. DISPLACED to r15:
 #: ann_filtered_topk, ann_pq_topk, ann_sq_topk, rel_corr_subquery,
 #: rel_pivot_status, rel_running_revenue, rel_weekday_profile,
-#: rel_scalar_functions —
-#: chosen because each has FRESH family evidence (r12/r13 windows, or
-#: family rows seating in THIS window) AND sits in files untouched
-#: since its own r11 attestation (verified: git diff r11..HEAD is
-#: empty for operators/ann.py and plans/relational_queries.py):
-#: ann_filtered_topk's filtered distance scan is covered by
-#: ann_filtered_expand (r12) and ann_range_search (seating NOW, slot
-#: 2); ann_pq_topk's PQ/ADC machinery by ann_ivfpq_rerank (r12) and
-#: ann_ivfpq_topk (seating NOW, slot 0 — the same ADC scan plus IVF
-#: routing); ann_sq_topk's quantized-scan surface by ann_ivf_topk
-#: (r12) and ann_ivfpq_topk (seating NOW); rel_corr_subquery's
-#: correlated-subquery surface by rel_lateral_topk (r13) and
-#: rel_suppliers_with_shipments (seating NOW — the EXISTS twin);
-#: rel_pivot_status' pivot/conditional-agg surface by
-#: rel_unpivot_presence (seating NOW — the inverse operation, same
-#: file) and rel_json_props (r13, same scalar/reshape family);
-#: rel_running_revenue's running-window machinery by
-#: rel_window_rank_suite (r13) and rel_rolling_revenue_window
-#: (seating NOW, same file); rel_weekday_profile's events time-profile
-#: family by rel_hourly_autocorr + rel_hourly_mad (both r13, same
-#: file); rel_scalar_functions' scalar-library surface by
-#: rel_json_props + rel_percentiles (both r13, same file). All eight
-#: are named FIRST in the r15 promise (tests/test_registry_gate.py
-#: R15_DEFERRED).
+#: rel_scalar_functions;
+#: (b) the rule-4 re-attestations: tx_bpe_encode (r14 evidence, but
+#: its ORACLE text changed this round — BPE_ENCODE_SQL's base CTE
+#: gained the empty-doc COALESCE per ADVICE r14; the oracle is half of
+#: the attested artifact, so the row re-attests) and
+#: tx_ngram_ppl_buckets (r13 evidence; the declared r14 opener landed —
+#: the 3-column scored relation now localCheckpoints once so the
+#: rated/shorts union branches stop re-evaluating the scoring subplan;
+#: results unchanged, code path changed, rule 4 applies);
+#: (c) the round-15 addition (never driver-attested, rule 1):
+#: tx_ngram_ppl_approx_classes — the 100 TB approx perplexity
+#: bucketer's DETERMINISTIC shorts/rated class projection driver-gated
+#: (VERDICT r14 next-round #5, the dd_stream_band_buckets move): the
+#: full sketch + broadcast-threshold + map-side-bucketer path runs,
+#: projected onto the class split that cannot depend on the
+#: partitioning-dependent thresholds;
+#: (d) 39 of the 50-row r12-evidence cohort. DISPLACED to r16:
+#: ann_filtered_expand, ann_ivfpq_rerank, ann_lsh_buckets,
+#: ann_ivf_rp_topk, dd_simhash_pairs, dd_minhash_est,
+#: mm_image_neardup_content, mm_frame_sample, rel_nation_presence,
+#: rel_rollup_orders, wt_stream_trending — chosen because each has
+#: FRESH family evidence (r13/r14 windows, or family rows seating in
+#: THIS window) AND its code path is untouched since its own r12
+#: attestation (round-15 changes touch only the ngram-ppl functions,
+#: the new classes query/oracle, BPE_ENCODE_SQL, and the
+#: streaming/dedup mirror-check error type):
+#: ann_filtered_expand's filtered distance scan is covered by
+#: ann_filtered_topk (seating NOW, slot 0) and ann_range_search (r14);
+#: ann_ivfpq_rerank's PQ/ADC machinery by ann_ivfpq_topk (r14) and
+#: ann_pq_topk (seating NOW, slot 1); ann_lsh_buckets' banded-bucket
+#: relation by ann_lsh_topk (seating NOW) and dd_stream_band_buckets
+#: (r14 — the same banding under the streaming gate); ann_ivf_rp_topk's
+#: IVF routing + random-projection scan by ann_rp_topk (seating NOW)
+#: and ann_ivfpq_topk (r14 — the same IVF routing); dd_simhash_pairs'
+#: Manku block-key machinery by dd_simhash (r14, same file) and
+#: dd_substring_runs (r14); dd_minhash_est's sketch estimator by
+#: dd_minhash_signatures (seating NOW — the signature relation it
+#: estimates from) and dd_stream_band_buckets (r14 — the same Arrow
+#: MinHash kernel); mm_image_neardup_content's content-banded image
+#: dedup by mm_audio_neardup + mm_video_motion (both r14, same
+#: perceptual-dedup family/file); mm_frame_sample's frame plumbing by
+#: mm_video_keyframes (seating NOW, same file) and mm_video_motion
+#: (r14); rel_nation_presence's presence matrix by rel_nation_set_ops
+#: (seating NOW — the same nation membership relations) and
+#: rel_grouping_sets (r14); rel_rollup_orders' rollup machinery by
+#: rel_cube_summary (seating NOW, same file) and rel_grouping_sets
+#: (r14 — the same grouping-sets lowering); wt_stream_trending's
+#: windowed trending report by wt_stream_heavy_hitters (seating NOW,
+#: same file) and wt_windowed_activity + wt_stream_replay (both r14).
+#: All eleven are named FIRST in the r16 promise
+#: (tests/test_registry_gate.py R16_DEFERRED).
 #:
-#: Stale-by-code-change audit for the seated rows (rule 4): round-14
-#: changes are pure additions (q_bpe_encode, q_stream_band_buckets,
-#: their oracles + registration; the import-time default-mirror
-#: assert in streaming/dedup.py, which checks signature defaults and
-#: alters no query semantics; floor_check/bench structured-violation
-#: tooling) plus docstring-only rewording (operators/multimodal.py
-#: content_crop4_py — not a gated query's kernel) and ONE
-#: behavior-preserving factoring: neardup_admission_within_watermark's
-#: band front moved verbatim into fresh_band_buckets (streaming/
-#: dedup.py) so the new gate attests the production code path — the
-#: admission function's own replay/equivalence pytest suite re-ran
-#: green after the factoring, and NO gated query read that function
-#: before this round (wt_ingest_dedup / wt_ingest_dedup_watermark use
-#: the digest-dedup functions, byte-untouched). So no seated or
-#: displaced row's code path changed after its evidence.
+#: Stale-by-code-change audit for the seated rows (rule 4): round-15
+#: changes are the two rule-4 rows above (seated), pure additions
+#: (ngram_ppl_approx_classes + NGRAM_PPL_APPROX_CLASSES_SQL +
+#: registration), and one error-type change in streaming/dedup's
+#: import-time default-mirror check (assert -> RuntimeError per ADVICE
+#: r14 — the check fires at import, not in any query's compute path,
+#: the same class round 14 documented as non-staling when the check
+#: was ADDED). No other seated or displaced row's code path changed
+#: after its evidence.
 GATE_WINDOW: list[str] = [
-    # (a) the six r13-displaced rows, r10 evidence — seated first
-    "ann_ivfpq_topk",
-    "ann_kmeans_refine",
-    "ann_range_search",
-    "rel_pricing_summary",
-    "rel_suppliers_with_shipments",
-    "rel_grouping_sets",
-    # (b) the round-14 additions, never driver-attested
+    # (a) the eight r14-displaced rows, r11 evidence — seated first
+    "ann_filtered_topk",
+    "ann_pq_topk",
+    "ann_sq_topk",
+    "rel_corr_subquery",
+    "rel_pivot_status",
+    "rel_running_revenue",
+    "rel_weekday_profile",
+    "rel_scalar_functions",
+    # (b) rule-4 re-attestations (code/oracle changed this round)
     "tx_bpe_encode",
-    "dd_stream_band_buckets",
-    # (c) the r11-evidence cohort, minus the eight documented
-    # displacements (ann_filtered_topk, ann_pq_topk, ann_sq_topk,
-    # rel_corr_subquery, rel_pivot_status, rel_running_revenue,
-    # rel_weekday_profile, rel_scalar_functions -> r15, seated first
-    # there)
-    "dd_exact_groups",
-    "dd_simhash",
-    "dd_substring_runs",
-    "mm_audio_energy",
-    "mm_audio_neardup",
-    "mm_video_motion",
-    "rel_acctbal_band_pairs",
-    "rel_copurchase_pairs",
-    "rel_customers_without_orders",
-    "rel_event_funnel",
-    "rel_retention_cohorts",
-    "rel_rolling_revenue_window",
-    "rel_signup_burst",
-    "rel_small_quantity_revenue",
-    "rel_topk_per_brand",
-    "rel_unpivot_presence",
-    "tx_dsir_log",
-    "tx_fingerprint",
-    "tx_langid",
-    "tx_length_histogram",
-    "tx_pack",
-    "tx_pack_split",
-    "tx_quality",
-    "tx_source_divergence",
-    "wt_classify_counts",
-    "wt_coedit_triangles",
-    "wt_delete_targets",
-    "wt_edit_wars",
-    "wt_epm_variants",
-    "wt_graph_degrees",
-    "wt_ingest_dedup_watermark",
-    "wt_most_edited",
-    "wt_most_vibrant",
-    "wt_page_state",
-    "wt_page_state_lifecycle",
-    "wt_protect_followups",
-    "wt_purge_safe_list",
-    "wt_purge_survivors",
-    "wt_revert_chains",
-    "wt_session_activity",
-    "wt_stream_replay",
-    "wt_windowed_activity",
+    "tx_ngram_ppl_buckets",
+    # (c) the round-15 addition, never driver-attested
+    "tx_ngram_ppl_approx_classes",
+    # (d) the r12-evidence cohort, minus the eleven documented
+    # displacements (ann_filtered_expand, ann_ivfpq_rerank,
+    # ann_lsh_buckets, ann_ivf_rp_topk, dd_simhash_pairs,
+    # dd_minhash_est, mm_image_neardup_content, mm_frame_sample,
+    # rel_nation_presence, rel_rollup_orders, wt_stream_trending ->
+    # r16, seated first there)
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_rp_topk",
+    "dd_bloom_decontaminate",
+    "dd_cdc_chunks",
+    "dd_containment",
+    "dd_decontaminate",
+    "dd_dup_clusters",
+    "dd_editdist_pairs",
+    "dd_embedding_neardup",
+    "dd_jaccard_histogram",
+    "dd_lsh_candidates",
+    "dd_minhash_signatures",
+    "dd_near_duplicates",
+    "dd_ngram_jaccard",
+    "mm_audio_vad",
+    "mm_media_features",
+    "mm_pgm_features",
+    "mm_video_keyframes",
+    "rel_audience_overlap",
+    "rel_cube_summary",
+    "rel_dq_audit",
+    "rel_hourly_anomalies",
+    "rel_nation_set_ops",
+    "rel_regional_revenue",
+    "rel_top_customers",
+    "tx_clean_corpus",
+    "tx_cms_terms",
+    "tx_dedup_lineage",
+    "tx_filter_funnel",
+    "tx_ngram_nll",
+    "tx_repetition",
+    "tx_split",
+    "tx_substring_scrub",
+    "tx_token_stats",
+    "tx_vocab",
+    "tx_winnowing",
+    "wt_state_diff",
+    "wt_stream_heavy_hitters",
 ]
 GATE_SIZE = 50
 

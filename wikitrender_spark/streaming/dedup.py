@@ -316,12 +316,13 @@ def _assert_batch_default_mirror() -> None:
     neardup_admission_within_watermark's (k, bands, rows) defaults must
     equal the batch constants in operators.dedup — a drift would make
     the streaming admission's band keys incompatible with the batch
-    near-dup candidates it claims to mirror. The assert runs on every
+    near-dup candidates it claims to mirror. The check runs on every
     import of this module, not only under pytest; since it is invoked
     at module bottom, that transitively imports operators.dedup at
     load time (the function-scoped import keeps only definition order
     independent — stated honestly per review r14; the import-time
-    guarantee is the point)."""
+    guarantee is the point). It raises RuntimeError rather than using
+    a bare assert so the guarantee survives `python -O` (ADVICE r14)."""
     import inspect
 
     from ..operators.dedup import LSH_BANDS, LSH_ROWS, MINHASH_K
@@ -333,10 +334,11 @@ def _assert_batch_default_mirror() -> None:
     ):
         p = inspect.signature(fn).parameters
         got = (p["k"].default, p["bands"].default, p["rows"].default)
-        assert got == (MINHASH_K, LSH_BANDS, LSH_ROWS), (
-            f"{fn.__name__} defaults {got} drifted from operators.dedup "
-            f"constants {(MINHASH_K, LSH_BANDS, LSH_ROWS)}"
-        )
+        if got != (MINHASH_K, LSH_BANDS, LSH_ROWS):
+            raise RuntimeError(
+                f"{fn.__name__} defaults {got} drifted from operators.dedup "
+                f"constants {(MINHASH_K, LSH_BANDS, LSH_ROWS)}"
+            )
 
 
 def neardup_admission_within_watermark(
