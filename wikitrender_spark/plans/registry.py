@@ -133,11 +133,13 @@ _loaded = False
 #: Stale-by-code-change audit for the seated rows (rule 4): round-15
 #: changes are the two rule-4 rows above (seated), pure additions
 #: (ngram_ppl_approx_classes + NGRAM_PPL_APPROX_CLASSES_SQL +
-#: registration), and one error-type change in streaming/dedup's
+#: registration), one error-type change in streaming/dedup's
 #: import-time default-mirror check (assert -> RuntimeError per ADVICE
 #: r14 — the check fires at import, not in any query's compute path,
 #: the same class round 14 documented as non-staling when the check
-#: was ADDED). No other seated or displaced row's code path changed
+#: was ADDED), and a docstring-only update in streaming/corpus.py
+#: recording the measured large-model crossover (no executable line
+#: changed). No other seated or displaced row's code path changed
 #: after its evidence.
 GATE_WINDOW: list[str] = [
     # (a) the eight r14-displaced rows, r11 evidence — seated first

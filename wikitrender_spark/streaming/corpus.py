@@ -96,13 +96,20 @@ def _gate_and_scrub(
     ungated on this corpus (37.68% gate admission x single eval
     shrinks the Python work ~5x), and the join form's shuffle +
     re-group overhead now exceeds the residual Python cost at this
-    model size. The join form stays the SCALE path, by structure
-    rather than by this corpus's measurement: its cost tracks bigram
-    rows through JVM codegen + a broadcast probe, while the UDF's
-    tracks tokens through per-batch Python with the model dict resident
-    in every worker — at a web-scale model (millions of bigrams) the
-    closure-shipped dict and per-doc Python loop dominate, which is the
-    CCNet deployment the docstring's trade describes.
+    model size. The join form is the SCALE path, and since round 15
+    that is a MEASURED crossover, not a structural assertion
+    (VERDICT r14 next-round #3; tools/corpus_throughput_probe.py
+    --nll --nll-model-bigrams, same 20k-doc batch configuration, the
+    corpus model padded with valid synthetic vocabulary): at 10^5
+    model bigrams the UDF still wins (7,390 vs 4,702 docs/s, join =
+    0.64x), at 10^6 the UDF collapses 9.6x to 769 docs/s — the task
+    closure ships the full pickled dict to every Python worker —
+    while the join form holds 2,082 (join = 2.71x the UDF). The
+    crossover sits between 10^5 and 10^6 bigrams at this batch size;
+    a web-scale bigram LM (10^7+ — the CCNet deployment this trade
+    describes) sits far past it, where the broadcast becomes a
+    shuffle join on the bigram key and the UDF form stops fitting a
+    worker at all. Full table in BASELINE.md round 15.
 
     The scorer projects in a SECOND select AFTER the lang/quality
     filter (ADVICE r12 low #3): Spark extracts Python UDFs into an
