@@ -52,3 +52,50 @@ def test_pad_model_is_deterministic_and_noop_at_zero_growth():
     # already-large-enough model: nothing added
     bg, lu, v = probe.pad_model(_toy_model(), 2)
     assert (bg, lu, v) == _toy_model()
+
+
+def _batches(series, input_rows=100):
+    return [
+        {"batch": i, "input_rows": input_rows,
+         "state": [["dedup", s // 2], ["regroup", s - s // 2]]}
+        for i, s in enumerate(series)
+    ]
+
+
+def test_soak_plateau_summary_bounded_curve():
+    """The soak verdict (round 15): state rises while ingest time
+    fills the first horizon, then eviction holds it — the tail
+    third's max within 10% of the middle third's max reads as
+    bounded, and the series sums state across ALL operators."""
+    series = [100, 250, 400, 420, 410, 430, 415, 425, 420]
+    out = probe.soak_plateau_summary(_batches(series))
+    assert out["series"] == series
+    assert out["verdict"] == "bounded"
+    assert out["peak"] == 430 and out["final"] == 420
+    assert out["mid_max"] == 430 and out["tail_max"] == 425
+
+
+def test_soak_plateau_summary_flags_growth():
+    """A linearly growing state series — the exact failure a broken
+    watermark/eviction would produce — must read as growing, not be
+    averaged away."""
+    series = [100, 200, 300, 400, 500, 600, 700, 800, 900]
+    out = probe.soak_plateau_summary(_batches(series))
+    assert out["verdict"] == "growing"
+    assert out["tail_over_mid"] > 1.10
+
+
+def test_soak_plateau_summary_skips_empty_batches_and_short_runs():
+    """The flush batch (and any no-input progress event) must not
+    dilute the series; runs too short to split into thirds return a
+    too-short verdict instead of a spurious adjudication."""
+    series = [100, 240, 260, 250, 255, 252]
+    batches = _batches(series) + [
+        {"batch": 99, "input_rows": 0, "state": [["dedup", 1]]}
+    ]
+    out = probe.soak_plateau_summary(batches)
+    assert out["series"] == series
+    assert out["verdict"] == "bounded"
+    assert probe.soak_plateau_summary(_batches([1, 2, 3]))["verdict"] == (
+        "too-short"
+    )

@@ -48,8 +48,10 @@ N_CHUNKS = 4
 FILES_PER_CHUNK = 8
 
 
-def build_chunks(spark, work_dir: str, batch_size: int) -> str:
-    """Write N_CHUNKS chunk directories of FILES_PER_CHUNK parquet
+def build_chunks(
+    spark, work_dir: str, batch_size: int, n_chunks: int = N_CHUNKS
+) -> str:
+    """Write n_chunks chunk directories of FILES_PER_CHUNK parquet
     files each (batch_size docs per chunk), mtime-ordered so
     maxFilesPerTrigger=FILES_PER_CHUNK replays one chunk per
     micro-batch. Replicas beyond the base corpus get fresh doc_ids
@@ -60,7 +62,7 @@ def build_chunks(spark, work_dir: str, batch_size: int) -> str:
     docs = load_table(spark, SF_DIR, "documents")
     n_base = docs.count()
     id_span = docs.agg(F.max("doc_id")).head()[0] + 1
-    total = N_CHUNKS * batch_size
+    total = n_chunks * batch_size
     n_reps = (total + n_base - 1) // n_base
     reps = spark.range(n_reps).withColumnRenamed("id", "_r")
     repl = (
@@ -95,7 +97,7 @@ def build_chunks(spark, work_dir: str, batch_size: int) -> str:
         - 1,
     ).filter(F.col("_rn") < total)
     chunk_dir = os.path.join(work_dir, f"chunks_{batch_size}")
-    for i in range(N_CHUNKS):
+    for i in range(n_chunks):
         part = ranked.filter(
             (F.col("_rn") >= i * batch_size)
             & (F.col("_rn") < (i + 1) * batch_size)
@@ -231,33 +233,44 @@ def nll_gate_compare(
 DRAIN_CAP_S = 1800
 
 
-def build_ts_chunks(spark, work: str, batch_size: int, name: str) -> str:
+def build_ts_chunks(
+    spark,
+    work: str,
+    batch_size: int,
+    name: str,
+    n_chunks: int = N_CHUNKS,
+    spacing_s: int = 1,
+) -> str:
     """Replicated-corpus chunks with an ingest_ts column — chunk i at
-    t0 + i s, plus one final watermark-advancing flush chunk 48 h out
-    so every append-mode stateful stage emits. mtime-ordered for
-    maxFilesPerTrigger replay. Shared by the near-dup and full-chain
-    measurements (round 14 refactor of the r13 inline layout)."""
+    t0 + i * spacing_s, plus one final watermark-advancing flush chunk
+    past every other timestamp so every append-mode stateful stage
+    emits. mtime-ordered for maxFilesPerTrigger replay. Shared by the
+    near-dup and full-chain measurements (round 14 refactor of the r13
+    inline layout); the soak measurement (round 15) stretches
+    n_chunks/spacing_s so ingest time SPANS several horizons."""
     import datetime as dt
 
-    chunk_dir = build_chunks(spark, work, batch_size)
+    chunk_dir = build_chunks(spark, work, batch_size, n_chunks)
     t0 = dt.datetime(2026, 1, 1)
     ts_dir = os.path.join(work, f"{name}_chunks_{batch_size}")
-    for i in range(N_CHUNKS):
+    for i in range(n_chunks):
         part = spark.read.schema(DOCS_SCHEMA).parquet(
             os.path.join(chunk_dir, f"chunk_{i:04d}")
-        ).withColumn("ingest_ts", F.lit(t0 + dt.timedelta(seconds=i)))
+        ).withColumn(
+            "ingest_ts", F.lit(t0 + dt.timedelta(seconds=i * spacing_s))
+        )
         path = os.path.join(ts_dir, f"chunk_{i:04d}")
         part.repartition(FILES_PER_CHUNK).write.mode("overwrite").parquet(path)
     flush = spark.createDataFrame(
         [(10**12, "flush words here padding tokens more words again "
           "and again", "en", "src", 58,
-          t0 + dt.timedelta(hours=48))],
+          t0 + dt.timedelta(hours=48, seconds=n_chunks * spacing_s))],
         DOCS_SCHEMA + ", ingest_ts timestamp",
     )
-    fpath = os.path.join(ts_dir, f"chunk_{N_CHUNKS:04d}")
+    fpath = os.path.join(ts_dir, f"chunk_{n_chunks:04d}")
     flush.coalesce(1).write.mode("overwrite").parquet(fpath)
     ts = time.time()
-    for i in range(N_CHUNKS + 1):
+    for i in range(n_chunks + 1):
         p = os.path.join(ts_dir, f"chunk_{i:04d}")
         for root, _dirs, files in os.walk(p):
             for f in files:
@@ -385,6 +398,148 @@ def full_chain_throughput(
     return out
 
 
+def _drain_ts_stream_batches(
+    spark, rel_fn, ts_dir: str, ckpt: str
+) -> tuple[float, list]:
+    """Like _drain_ts_stream, but returns PER-MICRO-BATCH telemetry
+    from the engine's recentProgress ring (retention default 100 —
+    far above any soak length here): one row per batch with its input
+    rows and every stateful operator's (name, numRowsTotal). This is
+    what the soak needs that the single lastProgress read cannot give:
+    the state-size CURVE across batches, not its final point."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA + ", ingest_ts timestamp")
+        .option("maxFilesPerTrigger", FILES_PER_CHUNK)
+        .option("recursiveFileLookup", "true")
+        .parquet(ts_dir)
+    )
+    t0m = time.monotonic()
+    q = (
+        rel_fn(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(DRAIN_CAP_S):
+        q.stop()
+        raise RuntimeError(f"drain exceeded {DRAIN_CAP_S} s; aborted")
+    elapsed = time.monotonic() - t0m
+    batches = []
+    for prog in q.recentProgress:
+        batches.append({
+            "batch": prog.get("batchId"),
+            "input_rows": prog.get("numInputRows", 0),
+            "state": [
+                [
+                    op.get("operatorName", "?"),
+                    op.get("numRowsTotal")
+                    or op.get("numTotalStateRows", 0) or 0,
+                ]
+                for op in prog.get("stateOperators", [])
+            ],
+        })
+    return elapsed, batches
+
+
+def soak_plateau_summary(batches: list) -> dict:
+    """Adjudicate boundedness from a soak's per-batch telemetry (pure
+    python — pinned in tests/test_throughput_probe.py). Per batch the
+    TOTAL state rows across operators is the series; the verdict
+    compares the last third's max against the middle third's max:
+    bounded state rises while ingest time fills the first horizon,
+    then eviction holds it — if the tail's max exceeds the middle's by
+    more than 10% the state is still growing and the horizon is NOT
+    bounding it (exactly the failure a linear-state bug would show,
+    which a final-point reading can never distinguish from plateau)."""
+    series = [
+        sum(rows for _name, rows in b.get("state", []))
+        for b in batches
+        if b.get("input_rows", 0) > 0
+    ]
+    n = len(series)
+    if n < 6:
+        return {"series": series, "verdict": "too-short"}
+    third = n // 3
+    mid_max = max(series[third:2 * third])
+    tail_max = max(series[2 * third:])
+    return {
+        "series": series,
+        "peak": max(series),
+        "final": series[-1],
+        "mid_max": mid_max,
+        "tail_max": tail_max,
+        "tail_over_mid": round(tail_max / mid_max, 3) if mid_max else None,
+        "verdict": (
+            "bounded" if mid_max and tail_max <= 1.10 * mid_max
+            else "growing"
+        ),
+    }
+
+
+def soak_state_bounded(
+    spark,
+    work: str,
+    batch_size: int,
+    n_batches: int = 12,
+    horizon: str = "2 hours",
+    spacing_s: int = 1800,
+) -> dict:
+    """Round-15 soak: the FULL-OPTION admission chain (cards-first
+    Luhn scrub + extended PII + UDF NLL gate + near-dup band admission
+    + digest dedup — the r14-measured configuration) drained over
+    n_batches micro-batches whose ingest timestamps SPAN several
+    horizons (spacing 30 min vs a 2 h horizon by default), so the
+    engine must EVICT state mid-run. Every prior throughput point
+    (r13/r14) replayed chunks 1 s apart under a covering horizon —
+    worst-case state, but structurally unable to show eviction
+    working; SCALE.md's 'horizon-bounded state' claim rested on the
+    semantics tests alone. The soak turns it into a measured curve:
+    per-batch state totals from the engine's own recentProgress
+    telemetry, with the plateau adjudicated by soak_plateau_summary.
+    Replicated docs are globally UNIQUE (build_chunks' suffix-word
+    construction), so nothing dedups away: any plateau is eviction,
+    never collapse."""
+    from wikitrender_spark.functions.text import PII_PATTERNS_EXTENDED
+    from wikitrender_spark.plans.pipeline_queries import ngram_model
+    from wikitrender_spark.streaming.corpus import (
+        corpus_admission_stream_within_watermark,
+    )
+
+    ts_dir = build_ts_chunks(
+        spark, work, batch_size, "soak", n_chunks=n_batches,
+        spacing_s=spacing_s,
+    )
+    model = ngram_model(load_table(spark, SF_DIR, "documents"))
+    total = n_batches * batch_size
+    elapsed, batches = _drain_ts_stream_batches(
+        spark,
+        lambda s: corpus_admission_stream_within_watermark(
+            s,
+            horizon=horizon,
+            patterns=PII_PATTERNS_EXTENDED,
+            scrub_cards_first=True,
+            nll_model=model,
+            max_unit_nll=50.0,
+            nll_gate="udf",
+            neardup=True,
+        ),
+        ts_dir,
+        os.path.join(work, f"soak_{batch_size}"),
+    )
+    return {
+        "docs_total": total,
+        "n_batches": n_batches,
+        "batch_size": batch_size,
+        "horizon": horizon,
+        "spacing_s": spacing_s,
+        "s": round(elapsed, 2),
+        "docs_per_s": round(total / elapsed, 0),
+        "per_batch": batches,
+        "plateau": soak_plateau_summary(batches),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1250,5000,20000")
@@ -402,6 +557,16 @@ def main() -> None:
                     "scorer form")
     ap.add_argument("--nll-gate", default="udf", choices=("udf", "join"),
                     help="NLL gate form for --full")
+    ap.add_argument("--soak", action="store_true",
+                    help="drain the full-option chain over many "
+                    "micro-batches whose ingest time spans several "
+                    "horizons; report the per-batch state curve and "
+                    "the plateau verdict (first --sizes entry is the "
+                    "batch size)")
+    ap.add_argument("--soak-batches", type=int, default=12)
+    ap.add_argument("--soak-spacing", type=int, default=1800,
+                    help="ingest seconds between consecutive batches")
+    ap.add_argument("--soak-horizon", default="2 hours")
     ap.add_argument("--nll-model-bigrams", type=int, default=0,
                     help="pad the corpus-trained model to this many "
                     "bigram entries with synthetic vocabulary before "
@@ -412,6 +577,20 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    if args.soak:
+        work = tempfile.mkdtemp(prefix="corpus_soak_")
+        try:
+            res = soak_state_bounded(
+                spark, work, sizes[0], args.soak_batches,
+                args.soak_horizon, args.soak_spacing,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps(
+            {"metric": "full_chain_soak_state", "sf_dir": SF_DIR,
+             "result": res}
+        ))
+        return
     if args.full:
         results = {}
         for bs in sizes:
