@@ -2183,3 +2183,49 @@ def test_corpus_admission_full_option_chain(spark, tmp_path):
     for r in got.values():
         if r["neardup_checked"]:
             assert r["n_fresh_bands"] == 4
+
+
+def test_soak_drain_records_per_batch_state_and_evicts(spark, tmp_path):
+    """Plumbing pin for the round-15 soak (tools/
+    corpus_throughput_probe.py --soak): the per-batch drain must
+    surface every stateful operator's rows for every micro-batch, and
+    with ingest spacing at half the horizon the engine must EVICT
+    mid-run — the series cannot grow monotonically, and the
+    watermark-advancing flush must drain state to (near) nothing. The
+    sf0.1 measurement lives in BASELINE.md; this pins the machinery
+    at sf0.001 scale so a telemetry or eviction regression fails CI,
+    not a round measurement."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_throughput_probe_soak",
+        _os.path.join(
+            _os.path.dirname(__file__), "..", "tools",
+            "corpus_throughput_probe.py",
+        ),
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    probe.SF_DIR = "/root/testdata/sf0.001"
+
+    res = probe.soak_state_bounded(
+        spark, str(tmp_path), batch_size=300, n_batches=7,
+        horizon="20 minutes", spacing_s=600,
+    )
+    full = [b for b in res["per_batch"] if b["input_rows"] >= 300]
+    assert len(full) == 7
+    # the udf+neardup chain is THREE stateful operators, visible in
+    # every full batch's telemetry
+    assert all(len(b["state"]) == 3 for b in full)
+    series = res["plateau"]["series"]
+    totals = [sum(r for _n, r in b["state"]) for b in full]
+    assert series[: len(totals)] == totals
+    peak = max(totals)
+    assert peak > 300  # state from more than one batch coexists
+    # eviction fired mid-run: a 20-minute horizon over 10-minute
+    # spacing cannot sustain monotone growth across seven batches
+    assert any(b2 <= b1 for b1, b2 in zip(totals, totals[1:]))
+    # and the flush (watermark + 48 h) drains state to near nothing
+    final_total = sum(r for _n, r in res["per_batch"][-1]["state"])
+    assert final_total <= peak // 5

@@ -484,6 +484,7 @@ def soak_state_bounded(
     n_batches: int = 12,
     horizon: str = "2 hours",
     spacing_s: int = 1800,
+    nll_gate: str = "udf",
 ) -> dict:
     """Round-15 soak: the FULL-OPTION admission chain (cards-first
     Luhn scrub + extended PII + UDF NLL gate + near-dup band admission
@@ -499,7 +500,9 @@ def soak_state_bounded(
     telemetry, with the plateau adjudicated by soak_plateau_summary.
     Replicated docs are globally UNIQUE (build_chunks' suffix-word
     construction), so nothing dedups away: any plateau is eviction,
-    never collapse."""
+    never collapse. nll_gate="join" soaks the FOUR-stateful-operator
+    form (the NLL re-group joins the chain) — the large-model scale
+    path's state must bound the same way."""
     from wikitrender_spark.functions.text import PII_PATTERNS_EXTENDED
     from wikitrender_spark.plans.pipeline_queries import ngram_model
     from wikitrender_spark.streaming.corpus import (
@@ -521,11 +524,11 @@ def soak_state_bounded(
             scrub_cards_first=True,
             nll_model=model,
             max_unit_nll=50.0,
-            nll_gate="udf",
+            nll_gate=nll_gate,
             neardup=True,
         ),
         ts_dir,
-        os.path.join(work, f"soak_{batch_size}"),
+        os.path.join(work, f"soak_{batch_size}_{nll_gate}"),
     )
     return {
         "docs_total": total,
@@ -533,6 +536,7 @@ def soak_state_bounded(
         "batch_size": batch_size,
         "horizon": horizon,
         "spacing_s": spacing_s,
+        "nll_gate": nll_gate,
         "s": round(elapsed, 2),
         "docs_per_s": round(total / elapsed, 0),
         "per_batch": batches,
@@ -556,7 +560,7 @@ def main() -> None:
                     "at every --sizes batch size; --nll-gate picks the "
                     "scorer form")
     ap.add_argument("--nll-gate", default="udf", choices=("udf", "join"),
-                    help="NLL gate form for --full")
+                    help="NLL gate form for --full / --soak")
     ap.add_argument("--soak", action="store_true",
                     help="drain the full-option chain over many "
                     "micro-batches whose ingest time spans several "
@@ -582,7 +586,7 @@ def main() -> None:
         try:
             res = soak_state_bounded(
                 spark, work, sizes[0], args.soak_batches,
-                args.soak_horizon, args.soak_spacing,
+                args.soak_horizon, args.soak_spacing, args.nll_gate,
             )
         finally:
             shutil.rmtree(work, ignore_errors=True)
