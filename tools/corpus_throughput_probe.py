@@ -438,6 +438,13 @@ def _drain_ts_stream_batches(
                 ]
                 for op in prog.get("stateOperators", [])
             ],
+            # bytes beside rows: the 100 TB sizing figure is
+            # bytes-of-state per live row, and the engine reports it
+            # directly (memoryUsedBytes per stateful operator)
+            "state_bytes": [
+                op.get("memoryUsedBytes", 0)
+                for op in prog.get("stateOperators", [])
+            ],
         })
     return elapsed, batches
 
