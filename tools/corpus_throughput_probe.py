@@ -492,6 +492,7 @@ def soak_state_bounded(
     horizon: str = "2 hours",
     spacing_s: int = 1800,
     nll_gate: str = "udf",
+    state_store: str = "default",
 ) -> dict:
     """Round-15 soak: the FULL-OPTION admission chain (cards-first
     Luhn scrub + extended PII + UDF NLL gate + near-dup band admission
@@ -509,7 +510,10 @@ def soak_state_bounded(
     construction), so nothing dedups away: any plateau is eviction,
     never collapse. nll_gate="join" soaks the FOUR-stateful-operator
     form (the NLL re-group joins the chain) — the large-model scale
-    path's state must bound the same way."""
+    path's state must bound the same way. state_store="rocksdb" runs
+    the drain under the RocksDB provider — the store a real 100 TB
+    deployment uses (spill-to-disk state instead of executor heap);
+    the provider conf is set for the drain and restored after."""
     from wikitrender_spark.functions.text import PII_PATTERNS_EXTENDED
     from wikitrender_spark.plans.pipeline_queries import ngram_model
     from wikitrender_spark.streaming.corpus import (
@@ -522,22 +526,38 @@ def soak_state_bounded(
     )
     model = ngram_model(load_table(spark, SF_DIR, "documents"))
     total = n_batches * batch_size
-    elapsed, batches = _drain_ts_stream_batches(
-        spark,
-        lambda s: corpus_admission_stream_within_watermark(
-            s,
-            horizon=horizon,
-            patterns=PII_PATTERNS_EXTENDED,
-            scrub_cards_first=True,
-            nll_model=model,
-            max_unit_nll=50.0,
-            nll_gate=nll_gate,
-            neardup=True,
-        ),
-        ts_dir,
-        os.path.join(work, f"soak_{batch_size}_{nll_gate}"),
-    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if state_store == "rocksdb":
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        elapsed, batches = _drain_ts_stream_batches(
+            spark,
+            lambda s: corpus_admission_stream_within_watermark(
+                s,
+                horizon=horizon,
+                patterns=PII_PATTERNS_EXTENDED,
+                scrub_cards_first=True,
+                nll_model=model,
+                max_unit_nll=50.0,
+                nll_gate=nll_gate,
+                neardup=True,
+            ),
+            ts_dir,
+            os.path.join(work, f"soak_{batch_size}_{nll_gate}_{state_store}"),
+        )
+    finally:
+        if state_store == "rocksdb":
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     return {
+        "state_store": state_store,
         "docs_total": total,
         "n_batches": n_batches,
         "batch_size": batch_size,
@@ -578,6 +598,10 @@ def main() -> None:
     ap.add_argument("--soak-spacing", type=int, default=1800,
                     help="ingest seconds between consecutive batches")
     ap.add_argument("--soak-horizon", default="2 hours")
+    ap.add_argument("--state-store", default="default",
+                    choices=("default", "rocksdb"),
+                    help="state-store provider for --soak (rocksdb = "
+                    "the 100 TB deployment's spill-to-disk store)")
     ap.add_argument("--nll-model-bigrams", type=int, default=0,
                     help="pad the corpus-trained model to this many "
                     "bigram entries with synthetic vocabulary before "
@@ -594,6 +618,7 @@ def main() -> None:
             res = soak_state_bounded(
                 spark, work, sizes[0], args.soak_batches,
                 args.soak_horizon, args.soak_spacing, args.nll_gate,
+                args.state_store,
             )
         finally:
             shutil.rmtree(work, ignore_errors=True)
