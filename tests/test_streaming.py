@@ -2378,3 +2378,112 @@ def test_corpus_admission_restart_from_checkpoint_equals_uninterrupted(
         unint_dir, str(tmp_path / "unint_ckpt"), str(tmp_path / "unint_out")
     )
     assert got_u == got_all, (got_u, got_all)
+
+
+def test_neardup_chain_restart_equals_uninterrupted(spark, tmp_path):
+    """Recovery across the MULTI-STATEFUL chain (neardup=True: band
+    dedup -> per-doc re-group -> digest dedup under one watermark) —
+    three state stores plus propagated watermark must all restore
+    from one checkpoint. Pure equivalence form: no hand-derived
+    per-batch expectations (the sibling digest test pins those
+    mechanics); just restarted-phases == uninterrupted, as sets AND
+    row counts, through the parquet sink's commit log. A 48 h flush
+    text closes both runs so the append-mode re-group emits
+    everything admitted."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from wikitrender_spark.functions import text as T
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming import corpus
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    texts = [
+        r["text"]
+        for r in corpus.corpus_admission_stream(base)
+        .join(base.select("doc_id", "text"), "doc_id")
+        .select("text")
+        .distinct()
+        .orderBy("text")
+        .limit(5)
+        .collect()
+    ]
+    assert len(texts) == 5
+    ta, tb, tc, td, tflush = texts
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(*items):
+        return spark.createDataFrame(
+            [
+                (i, txt, "en", "src", len(txt), t0 + dt.timedelta(seconds=s))
+                for (i, txt, s) in items
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, ingest_ts timestamp",
+        )
+
+    phase_a = (rows((1, ta, 0), (2, tb, 0)), rows((3, tc, 30)))
+    phase_b = (
+        rows((50, ta, 30), (51, td, 30)),
+        rows((99, tc, 300)),
+        rows((100, ta, 300)),
+        rows((999, tflush, 48 * 3600)),
+    )
+
+    def drain(chunk_dir, ckpt, out_dir):
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long, ingest_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(chunk_dir)
+        )
+        stream = stream.withColumn("lang", T.predict_lang(F.col("text")))
+        q = (
+            corpus.corpus_admission_stream_within_watermark(
+                stream, horizon="60 seconds", neardup=True
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows_ = spark.read.parquet(out_dir).collect()
+        return sorted(r["doc_id"] for r in rows_)
+
+    def append_chunks(parts, chunk_dir, start):
+        for j, part in enumerate(parts):
+            i = start + j
+            path = os.path.join(chunk_dir, f"chunk_{i:04d}")
+            part.coalesce(1).write.mode("overwrite").parquet(path)
+            ts = _time.time() + i
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+
+    chunk_dir = str(tmp_path / "nd_restart_chunks")
+    write_ordered_chunks(phase_a, chunk_dir)
+    got_a = drain(
+        chunk_dir, str(tmp_path / "nd_ckpt"), str(tmp_path / "nd_out")
+    )
+    append_chunks(phase_b, chunk_dir, start=len(phase_a))
+    got_restarted = drain(
+        chunk_dir, str(tmp_path / "nd_ckpt"), str(tmp_path / "nd_out")
+    )
+    # phase A's emissions are a prefix of the cumulative sink
+    assert set(got_a) <= set(got_restarted)
+
+    unint_dir = str(tmp_path / "nd_unint_chunks")
+    write_ordered_chunks(phase_a + phase_b, unint_dir)
+    got_unint = drain(
+        unint_dir, str(tmp_path / "nd_unint_ckpt"),
+        str(tmp_path / "nd_unint_out"),
+    )
+    assert got_restarted == got_unint, (got_restarted, got_unint)
+    assert len(got_restarted) >= 4  # the admitted originals did emit
