@@ -99,3 +99,53 @@ def test_soak_plateau_summary_skips_empty_batches_and_short_runs():
     assert probe.soak_plateau_summary(_batches([1, 2, 3]))["verdict"] == (
         "too-short"
     )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.integers(min_value=100, max_value=10_000),
+    n=st.integers(min_value=6, max_value=40),
+    growth=st.floats(min_value=0.15, max_value=1.0),
+)
+def test_soak_adjudicator_flags_any_steady_growth(base, n, growth):
+    """PROPERTY: a series growing by >= 15% of base per batch — any
+    broken-eviction shape, arbitrary length — must never read as
+    bounded (the tail third always exceeds the middle third by more
+    than the 10% allowance when growth is steady)."""
+    series = [int(base * (1 + growth * i)) for i in range(n)]
+    out = probe.soak_plateau_summary(_batches(series))
+    assert out["verdict"] == "growing", (series, out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    plateau=st.integers(min_value=100, max_value=100_000),
+    n=st.integers(min_value=6, max_value=40),
+    jitter=st.floats(min_value=0.0, max_value=0.045),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_soak_adjudicator_accepts_any_jittered_plateau(
+    plateau, n, jitter, seed
+):
+    """PROPERTY: a series that reaches its plateau within the first
+    third and then oscillates within +-4.5% must ALWAYS read as
+    bounded — the worst arrangement (every middle draw low, a tail
+    draw high) is 1.045/0.955 = 1.094, still under the 10% allowance,
+    so no seed can flip the verdict (a +-8% band would admit
+    arrangements up to 1.17 and flake; deep one-off dips like the
+    measured batch-9 eviction drop are covered by the example-based
+    test, which places the dip mid-third)."""
+    import random
+
+    rng = random.Random(seed)
+    third = n // 3
+    series = [int(plateau * (i + 1) / third) for i in range(third)] + [
+        int(plateau * (1 + rng.uniform(-jitter, jitter)))
+        for _ in range(n - third)
+    ]
+    out = probe.soak_plateau_summary(_batches(series))
+    assert out["verdict"] == "bounded", (series, out)
