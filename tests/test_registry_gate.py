@@ -11,7 +11,7 @@ The steady-state rotation contract itself lives on registry.GATE_WINDOW
 overflowing GATE_SIZE displace to the next round with a per-row
 rationale and seat FIRST there; maximum evidence age is bounded at
 ceil(N / GATE_SIZE) + 1 rounds. The numbers below are that contract
-applied to round 15.
+applied to round 16.
 """
 
 from __future__ import annotations
@@ -20,84 +20,26 @@ from wikitrender_spark.plans import registry
 
 #: Queries whose most recent driver attestation is missing or stale
 #: (new this round, code changed after their last green attestation, or
-#: driver evidence more than two rounds old). Update each round as
-#: CORRECTNESS_r{N}.json lands.
-NEVER_OR_STALE_ATTESTED = {
-    # round-15 addition, never driver-attested: the 100 TB approx
-    # perplexity bucketer's deterministic shorts/rated class
-    # projection (VERDICT r14 next-round #5 — the
-    # dd_stream_band_buckets move: run the full sketch + broadcast
-    # thresholds + map-side bucketer, gate the projection that cannot
-    # depend on the partitioning-dependent thresholds)
-    "tx_ngram_ppl_approx_classes",
-    # stale-by-code-change (rule 4): the declared r14 opener landed —
-    # ngram_ppl_buckets' 3-column scored relation now localCheckpoints
-    # once so the rated/shorts union branches stop re-evaluating the
-    # scoring subplan (results unchanged, code path changed)
-    "tx_ngram_ppl_buckets",
-    # stale-by-oracle-change (rule 4 — the oracle is half of the
-    # attested artifact): BPE_ENCODE_SQL's base CTE gained the
-    # empty-doc COALESCE (ADVICE r14 medium — DuckDB
-    # array_to_string([], '@') is NULL, diverging from the Spark
-    # contract's (0, '') on zero-token documents)
-    "tx_bpe_encode",
-}
+#: driver evidence more than two rounds old). Round 16 adds no queries
+#: and touches no registered query's compute path or oracle text (the
+#: round's changes live in bench.py, tools/, and tests/ — the audit is
+#: on registry.GATE_WINDOW), so this set is EMPTY — a first since the
+#: rotation contract was stated. The rotation debt below is pure
+#: age-based promise, no rule-1/rule-4 rows.
+NEVER_OR_STALE_ATTESTED: set[str] = set()
 
-#: The 58 rows promised the r15 window by round 14 (= R12_COHORT |
-#: R14_DISPLACED from round 14's derivation, kept VERBATIM so the
-#: payment is testable against the promised names, not a recomputation
-#: that could drift with the window).
-R15_PROMISE = {
-    # the eight r14-displaced rows (r11 evidence — seated first)
-    "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
-    "rel_corr_subquery", "rel_pivot_status", "rel_running_revenue",
-    "rel_weekday_profile", "rel_scalar_functions",
-    # the 50-row r12-evidence cohort
-    "ann_filtered_expand", "ann_ivf_rp_topk", "ann_ivf_topk",
-    "ann_ivfpq_rerank", "ann_lsh_buckets", "ann_lsh_topk",
-    "ann_rp_topk", "dd_bloom_decontaminate", "dd_cdc_chunks",
-    "dd_containment", "dd_decontaminate", "dd_dup_clusters",
-    "dd_editdist_pairs", "dd_embedding_neardup", "dd_jaccard_histogram",
-    "dd_lsh_candidates", "dd_minhash_est", "dd_minhash_signatures",
-    "dd_near_duplicates", "dd_ngram_jaccard", "dd_simhash_pairs",
-    "mm_audio_vad", "mm_frame_sample", "mm_image_neardup_content",
-    "mm_media_features", "mm_pgm_features", "mm_video_keyframes",
-    "rel_audience_overlap", "rel_cube_summary", "rel_dq_audit",
-    "rel_hourly_anomalies", "rel_nation_presence", "rel_nation_set_ops",
-    "rel_regional_revenue", "rel_rollup_orders", "rel_top_customers",
-    "tx_clean_corpus", "tx_cms_terms", "tx_dedup_lineage",
-    "tx_filter_funnel", "tx_ngram_nll", "tx_repetition", "tx_split",
-    "tx_substring_scrub", "tx_token_stats", "tx_vocab", "tx_winnowing",
-    "wt_state_diff", "wt_stream_heavy_hitters", "wt_stream_trending",
-}
-
-#: The eleven promised rows the r15 window could not seat (58 promised
-#: + 1 new + 2 rule-4 re-attestations = 61 > 50; new and rule-4 rows
-#: are never deferred, so exactly eleven promised rows spill under the
-#: rotation contract). Chosen because each has FRESH family evidence
-#: (r13/r14 windows, or family rows seating in the r15 window itself)
-#: AND its code path is untouched since its own r12 attestation
-#: (round-15 changes touch only the ngram-ppl functions, the new
-#: classes query/oracle, BPE_ENCODE_SQL, and the streaming/dedup
-#: mirror-check error type); all eleven are named FIRST in the r16
-#: promise. Per-row rationale on registry.GATE_WINDOW.
-R15_DISPLACED = {
+#: The 60 rows promised the r16 window by round 15 (= the 49 remaining
+#: r13-evidence rows | R15_DISPLACED from round 15's derivation, kept
+#: VERBATIM so the payment is testable against the promised names, not
+#: a recomputation that could drift with the window).
+R16_PROMISE = {
+    # the eleven r15-displaced rows (r12 evidence — seated first)
     "ann_filtered_expand", "ann_ivfpq_rerank", "ann_lsh_buckets",
     "ann_ivf_rp_topk", "dd_simhash_pairs", "dd_minhash_est",
     "mm_image_neardup_content", "mm_frame_sample", "rel_nation_presence",
     "rel_rollup_orders", "wt_stream_trending",
-}
-
-#: The rows whose latest driver attestation was r13 when this window
-#: was composed (= CORRECTNESS_r13.json keys minus CORRECTNESS_r14.json
-#: keys — the FIXED population, 50 rows): their evidence will be two
-#: rounds old after r15, so together with the eleven displaced rows
-#: they are PROMISED the r16 window. tx_ngram_ppl_buckets is in this
-#: population but re-attests NOW (rule 4), so the r16 debt is 49 + 11
-#: = 60 rows > 50 — the steady-state pressure the rotation contract on
-#: registry.GATE_WINDOW makes permanent: r16 must displace at least
-#: ten rows even with zero additions; the displaced rows seat first.
-R13_COHORT = {
+    # the 49-row r13-evidence cohort (the r13 window's 50 keys minus
+    # tx_ngram_ppl_buckets, which re-attested in r15 under rule 4)
     "ann_bruteforce_topk", "dd_cross_source_dups",
     "dd_embedding_neardup_exact", "dd_lsh_tuning", "dd_semantic_dedup",
     "dd_simhash_tuning", "mm_image_neardup", "mm_video_neardup",
@@ -110,134 +52,118 @@ R13_COHORT = {
     "rel_window_rank_suite", "tx_bm25_topk", "tx_boilerplate",
     "tx_bpe_merges", "tx_chunks", "tx_collocations", "tx_dsir_weights",
     "tx_leakage_split", "tx_mix_sample", "tx_mix_weights",
-    "tx_ngram_ppl_buckets", "tx_novelty", "tx_pack_sharded",
-    "tx_pii_scrub", "tx_rarity", "tx_stratified_sample",
-    "tx_tfidf_terms", "wt_biggest_movers", "wt_coedit_pairs",
-    "wt_ingest_dedup", "wt_lifecycle_replay", "wt_markov_transitions",
-    "wt_pagerank", "wt_top_pages_per_wiki",
+    "tx_novelty", "tx_pack_sharded", "tx_pii_scrub", "tx_rarity",
+    "tx_stratified_sample", "tx_tfidf_terms", "wt_biggest_movers",
+    "wt_coedit_pairs", "wt_ingest_dedup", "wt_lifecycle_replay",
+    "wt_markov_transitions", "wt_pagerank", "wt_top_pages_per_wiki",
 }
 
-#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r16
-#: window — the r13-evidence cohort plus the r15 displacement — minus
+#: The ten promised rows the r16 window could not seat (60 promised +
+#: 0 new + 0 rule-4 = 60 > 50, so exactly ten spill under the rotation
+#: contract — the steady-state minimum). Chosen because each has FRESH
+#: family evidence (r14/r15 windows, or family rows seating in the r16
+#: window itself) AND its code path is untouched since its own r13
+#: attestation (round-16 changes touch no registered query's code at
+#: all); all ten are named FIRST in the r17 promise. Per-row rationale
+#: on registry.GATE_WINDOW.
+R16_DISPLACED = {
+    "ann_bruteforce_topk", "dd_lsh_tuning", "dd_simhash_tuning",
+    "dd_semantic_dedup", "mm_image_neardup", "mm_video_neardup",
+    "rel_percentiles", "tx_bpe_merges", "rel_hourly_autocorr",
+    "wt_coedit_pairs",
+}
+
+#: The rows whose latest driver attestation was r14 when this window
+#: was composed (= CORRECTNESS_r14.json keys minus CORRECTNESS_r15.json
+#: keys — the FIXED population, 49 rows): their evidence will be two
+#: rounds old after r16, so together with the ten displaced rows they
+#: are PROMISED the r17 window — 59 rows > 50, the steady-state
+#: pressure again: r17 must displace at least nine rows even with zero
+#: additions; the displaced rows seat first.
+R14_COHORT = {
+    "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
+    "dd_exact_groups", "dd_simhash", "dd_stream_band_buckets",
+    "dd_substring_runs", "mm_audio_energy", "mm_audio_neardup",
+    "mm_video_motion", "rel_acctbal_band_pairs", "rel_copurchase_pairs",
+    "rel_customers_without_orders", "rel_event_funnel",
+    "rel_grouping_sets", "rel_pricing_summary", "rel_retention_cohorts",
+    "rel_rolling_revenue_window", "rel_signup_burst",
+    "rel_small_quantity_revenue", "rel_suppliers_with_shipments",
+    "rel_topk_per_brand", "rel_unpivot_presence", "tx_dsir_log",
+    "tx_fingerprint", "tx_langid", "tx_length_histogram", "tx_pack",
+    "tx_pack_split", "tx_quality", "tx_source_divergence",
+    "wt_classify_counts", "wt_coedit_triangles", "wt_delete_targets",
+    "wt_edit_wars", "wt_epm_variants", "wt_graph_degrees",
+    "wt_ingest_dedup_watermark", "wt_most_edited", "wt_most_vibrant",
+    "wt_page_state", "wt_page_state_lifecycle", "wt_protect_followups",
+    "wt_purge_safe_list", "wt_purge_survivors", "wt_revert_chains",
+    "wt_session_activity", "wt_stream_replay", "wt_windowed_activity",
+}
+
+#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r17
+#: window — the r14-evidence cohort plus the r16 displacement — minus
 #: anything already re-attesting now.
-R16_DEFERRED = (R13_COHORT | R15_DISPLACED) - set(registry.GATE_WINDOW)
+R17_DEFERRED = (R14_COHORT | R16_DISPLACED) - set(registry.GATE_WINDOW)
 
 
-def test_r15_promise_is_paid():
-    """Every row round 14 promised the r15 window sits in it, except
-    the ELEVEN documented displacements — paid against the promised
+def test_r16_promise_is_paid():
+    """Every row round 15 promised the r16 window sits in it, except
+    the TEN documented displacements — paid against the promised
     NAMES."""
-    missing = R15_PROMISE - set(registry.GATE_WINDOW)
-    assert missing == R15_DISPLACED, sorted(missing)
+    missing = R16_PROMISE - set(registry.GATE_WINDOW)
+    assert missing == R16_DISPLACED, sorted(missing)
 
 
-def test_r15_window_is_led_by_the_displaced_eight():
-    """VERDICT r14 next-round #1's 'done' condition verbatim: the
-    window is LED by the eight r11-evidence rows round 14 displaced —
-    they hold slots 0-7, ahead even of this round's rule-4
-    re-attestations and addition."""
-    assert registry.GATE_WINDOW[:8] == [
-        "ann_filtered_topk", "ann_pq_topk", "ann_sq_topk",
-        "rel_corr_subquery", "rel_pivot_status", "rel_running_revenue",
-        "rel_weekday_profile", "rel_scalar_functions",
+def test_r16_window_is_led_by_the_displaced_eleven():
+    """VERDICT r15 next-round #1's 'done' condition verbatim: the
+    window is LED by the eleven r12-evidence rows round 15 displaced —
+    they hold slots 0-10 (rule 2's 'displaced rows seat FIRST')."""
+    assert registry.GATE_WINDOW[:11] == [
+        "ann_filtered_expand", "ann_ivfpq_rerank", "ann_lsh_buckets",
+        "ann_ivf_rp_topk", "dd_simhash_pairs", "dd_minhash_est",
+        "mm_image_neardup_content", "mm_frame_sample",
+        "rel_nation_presence", "rel_rollup_orders", "wt_stream_trending",
     ]
 
 
 def test_displacement_is_minimal():
     """The displacement rule allows spill only because the window is
-    genuinely full: 47 promised + 1 new + 2 rule-4 = 50 exactly."""
-    assert len(R15_PROMISE - R15_DISPLACED) + len(
-        NEVER_OR_STALE_ATTESTED - R15_PROMISE
+    genuinely full: 50 promised + 0 new + 0 rule-4 = 50 exactly."""
+    assert len(R16_PROMISE - R16_DISPLACED) + len(
+        NEVER_OR_STALE_ATTESTED - R16_PROMISE
     ) == registry.GATE_SIZE
 
 
+def test_never_attested_rows_sit_in_window():
+    """Rule 1: a query with no driver attestation at all must seat in
+    the current window (vacuously true this round — the set is empty
+    because round 16 adds nothing and stales nothing — but the test
+    stays so a future addition that misses the window fails CI)."""
+    assert NEVER_OR_STALE_ATTESTED <= set(registry.GATE_WINDOW)
+
+
 def test_every_owed_row_is_windowed_or_deferred():
-    """The r16 promise must be complete by construction: every row with
-    r13-or-older driver evidence is either re-attesting in the r15
-    window or explicitly in the r16 debt — nothing falls out silently."""
-    expected = (R13_COHORT | R15_DISPLACED) - set(registry.GATE_WINDOW)
-    assert R16_DEFERRED == expected
-    # tx_ngram_ppl_buckets re-attests this round (rule 4), so the r16
-    # debt is 49 of the r13 cohort plus the eleven displaced rows
-    # (60 > 50: the steady-state cadence the contract on
+    """The r17 promise must be complete by construction: every row with
+    r14-or-older driver evidence is either re-attesting in the r16
+    window or explicitly in the r17 debt — nothing falls out silently."""
+    expected = (R14_COHORT | R16_DISPLACED) - set(registry.GATE_WINDOW)
+    assert R17_DEFERRED == expected
+    # zero additions and zero rule-4 rows this round, so the r17 debt
+    # is the full 49-row r14 cohort plus the ten displaced rows
+    # (59 > 50: the steady-state cadence the contract on
     # registry.GATE_WINDOW pins)
-    assert len(R16_DEFERRED) == 60, len(R16_DEFERRED)
+    assert len(R17_DEFERRED) == 59, len(R17_DEFERRED)
 
 
 def test_evidence_age_bound_holds():
     """Rule 3 of the rotation contract, checked on this round's
-    numbers: the oldest evidence seated this round (the eight r11 rows,
-    age 4 at r15) and the oldest evidence deferred (the eleven r12
-    rows, age 4 when they seat at r16) both sit within the contract
+    numbers: the oldest evidence seated this round (the eleven r12
+    rows, age 4 at r16) and the oldest evidence deferred (the ten r13
+    rows, age 4 when they seat at r17) both sit within the contract
     bound ceil(N / GATE_SIZE) + 1."""
     import math
 
     n = len(registry.all_queries())
     bound = math.ceil(n / registry.GATE_SIZE) + 1
-    assert 15 - 11 <= bound  # the r11 rows seated this round
-    assert 16 - 12 <= bound  # the r12 rows displaced to r16
-
-
-def test_displaced_rows_have_fresh_family_evidence():
-    """The r15 displacement rationale is itself pinned: every displaced
-    row's named family neighbors either re-attested in the r13/r14
-    windows or seat in THIS window (checked), and the neighbors remain
-    registered (oracle-checked in the local sweep)."""
-    in_window = {
-        "ann_filtered_topk", "ann_pq_topk", "ann_lsh_topk",
-        "ann_rp_topk", "dd_minhash_signatures", "mm_video_keyframes",
-        "rel_nation_set_ops", "rel_cube_summary",
-        "wt_stream_heavy_hitters",
-    }
-    family_neighbors = {
-        "ann_filtered_expand": ["ann_filtered_topk", "ann_range_search"],
-        "ann_ivfpq_rerank": ["ann_ivfpq_topk", "ann_pq_topk"],
-        "ann_lsh_buckets": ["ann_lsh_topk", "dd_stream_band_buckets"],
-        "ann_ivf_rp_topk": ["ann_rp_topk", "ann_ivfpq_topk"],
-        "dd_simhash_pairs": ["dd_simhash", "dd_substring_runs"],
-        "dd_minhash_est": ["dd_minhash_signatures",
-                           "dd_stream_band_buckets"],
-        "mm_image_neardup_content": ["mm_audio_neardup",
-                                     "mm_video_motion"],
-        "mm_frame_sample": ["mm_video_keyframes", "mm_video_motion"],
-        "rel_nation_presence": ["rel_nation_set_ops",
-                                "rel_grouping_sets"],
-        "rel_rollup_orders": ["rel_cube_summary", "rel_grouping_sets"],
-        "wt_stream_trending": ["wt_stream_heavy_hitters",
-                               "wt_windowed_activity"],
-    }
-    assert set(family_neighbors) == R15_DISPLACED
-    for neighbors in family_neighbors.values():
-        for neighbor in neighbors:
-            assert neighbor in registry.all_queries()
-            if neighbor in in_window:
-                # "seating NOW" evidence must actually be in the window
-                assert neighbor in registry.GATE_WINDOW
-
-
-def test_gate_window_is_exactly_first_50():
-    names = list(registry.all_queries())
-    assert len(registry.GATE_WINDOW) == registry.GATE_SIZE
-    assert names[: registry.GATE_SIZE] == registry.GATE_WINDOW
-
-
-def test_unattested_queries_are_inside_the_window():
-    assert NEVER_OR_STALE_ATTESTED <= set(registry.GATE_WINDOW)
-
-
-def test_every_query_has_an_oracle():
-    qs = registry.all_queries()
-    os_ = registry.all_oracles()
-    assert set(qs) == set(os_), "every registered query needs an oracle twin"
-
-
-def test_window_names_unique_and_registered():
-    assert len(set(registry.GATE_WINDOW)) == len(registry.GATE_WINDOW)
-    assert set(registry.GATE_WINDOW) <= set(registry.all_queries())
-
-
-def test_deferred_rows_are_registered_and_disjoint_from_window():
-    # the r16 promise list must stay real queries, and a deferred row
-    # sitting inside the window would mean the accounting is stale
-    assert R16_DEFERRED <= set(registry.all_queries())
-    assert not (R16_DEFERRED & set(registry.GATE_WINDOW))
+    assert 16 - 12 <= bound  # the r12 rows seated this round
+    assert 17 - 13 <= bound  # the r13 rows displaced to r17

@@ -68,139 +68,133 @@ _loaded = False
 #:      code path changed after its evidence re-attests in the next
 #:      window regardless of cohort position.
 #:
-#: Round-15 composition (the r14 window went 50/50 green; the R15
-#: promise — the 50-row r12-evidence cohort PLUS the eight rows
-#: displaced by round 14 — is 58 rows; with one addition and two
-#: rule-4 re-attestations the candidate set is 61 > 50, so exactly
-#: eleven promised rows spill to r16, each with the required
-#: rationale):
-#: (a) the EIGHT r14-displaced rows seat FIRST (r11 evidence, the
+#: Round-16 composition (the r15 window went 50/50 green; the R16
+#: promise — the 49 remaining rows of the r13-evidence cohort PLUS the
+#: eleven rows displaced by round 15 — is 60 rows; with ZERO additions
+#: and zero rule-4 re-attestations the candidate set is still 60 > 50,
+#: so exactly ten promised rows spill to r17, each with the required
+#: rationale — the steady-state spill the contract above makes
+#: permanent):
+#: (a) the ELEVEN r15-displaced rows seat FIRST (r12 evidence, the
 #: registry's oldest — rule 2's "displacements seated first" clause):
-#: ann_filtered_topk, ann_pq_topk, ann_sq_topk, rel_corr_subquery,
-#: rel_pivot_status, rel_running_revenue, rel_weekday_profile,
-#: rel_scalar_functions;
-#: (b) the rule-4 re-attestations: tx_bpe_encode (r14 evidence, but
-#: its ORACLE text changed this round — BPE_ENCODE_SQL's base CTE
-#: gained the empty-doc COALESCE per ADVICE r14; the oracle is half of
-#: the attested artifact, so the row re-attests) and
-#: tx_ngram_ppl_buckets (r13 evidence; the declared r14 opener landed —
-#: the 3-column scored relation now localCheckpoints once so the
-#: rated/shorts union branches stop re-evaluating the scoring subplan;
-#: results unchanged, code path changed, rule 4 applies);
-#: (c) the round-15 addition (never driver-attested, rule 1):
-#: tx_ngram_ppl_approx_classes — the 100 TB approx perplexity
-#: bucketer's DETERMINISTIC shorts/rated class projection driver-gated
-#: (VERDICT r14 next-round #5, the dd_stream_band_buckets move): the
-#: full sketch + broadcast-threshold + map-side-bucketer path runs,
-#: projected onto the class split that cannot depend on the
-#: partitioning-dependent thresholds;
-#: (d) 39 of the 50-row r12-evidence cohort. DISPLACED to r16:
 #: ann_filtered_expand, ann_ivfpq_rerank, ann_lsh_buckets,
 #: ann_ivf_rp_topk, dd_simhash_pairs, dd_minhash_est,
 #: mm_image_neardup_content, mm_frame_sample, rel_nation_presence,
-#: rel_rollup_orders, wt_stream_trending — chosen because each has
-#: FRESH family evidence (r13/r14 windows, or family rows seating in
-#: THIS window) AND its code path is untouched since its own r12
-#: attestation (round-15 changes touch only the ngram-ppl functions,
-#: the new classes query/oracle, BPE_ENCODE_SQL, and the
-#: streaming/dedup mirror-check error type):
-#: ann_filtered_expand's filtered distance scan is covered by
-#: ann_filtered_topk (seating NOW, slot 0) and ann_range_search (r14);
-#: ann_ivfpq_rerank's PQ/ADC machinery by ann_ivfpq_topk (r14) and
-#: ann_pq_topk (seating NOW, slot 1); ann_lsh_buckets' banded-bucket
-#: relation by ann_lsh_topk (seating NOW) and dd_stream_band_buckets
-#: (r14 — the same banding under the streaming gate); ann_ivf_rp_topk's
-#: IVF routing + random-projection scan by ann_rp_topk (seating NOW)
-#: and ann_ivfpq_topk (r14 — the same IVF routing); dd_simhash_pairs'
-#: Manku block-key machinery by dd_simhash (r14, same file) and
-#: dd_substring_runs (r14); dd_minhash_est's sketch estimator by
-#: dd_minhash_signatures (seating NOW — the signature relation it
-#: estimates from) and dd_stream_band_buckets (r14 — the same Arrow
-#: MinHash kernel); mm_image_neardup_content's content-banded image
-#: dedup by mm_audio_neardup + mm_video_motion (both r14, same
-#: perceptual-dedup family/file); mm_frame_sample's frame plumbing by
-#: mm_video_keyframes (seating NOW, same file) and mm_video_motion
-#: (r14); rel_nation_presence's presence matrix by rel_nation_set_ops
-#: (seating NOW — the same nation membership relations) and
-#: rel_grouping_sets (r14); rel_rollup_orders' rollup machinery by
-#: rel_cube_summary (seating NOW, same file) and rel_grouping_sets
-#: (r14 — the same grouping-sets lowering); wt_stream_trending's
-#: windowed trending report by wt_stream_heavy_hitters (seating NOW,
-#: same file) and wt_windowed_activity + wt_stream_replay (both r14).
-#: All eleven are named FIRST in the r16 promise
-#: (tests/test_registry_gate.py R16_DEFERRED).
+#: rel_rollup_orders, wt_stream_trending;
+#: (b) no rule-4 re-attestations: round-16 changes touch only
+#: tools/floor_check.py, tools/corpus_throughput_probe.py, tools/
+#: bpe_probe.py, bench.py, tests, and this composition — no registered
+#: query's compute path or oracle text changes (audit at the bottom of
+#: this comment);
+#: (c) no additions: round 16 is an evidence/instrumentation round
+#: (floor adjudication, BPE crossover pricing, soak x recovery) —
+#: VERDICT r15 asked to keep net additions <= 1 because the rotation
+#: sits at its steady-state ceiling, and zero is the minimal spill;
+#: (d) 39 of the 49 remaining r13-evidence rows. DISPLACED to r17:
+#: ann_bruteforce_topk, dd_lsh_tuning, dd_simhash_tuning,
+#: dd_semantic_dedup, mm_image_neardup, mm_video_neardup,
+#: rel_percentiles, tx_bpe_merges, rel_hourly_autocorr, wt_coedit_pairs
+#: — chosen because each has FRESH family evidence (r14/r15 windows,
+#: or family rows seating in THIS window) AND its code path is
+#: untouched since its own r13 attestation (round-16 touches no query
+#: code at all):
+#: ann_bruteforce_topk's brute-force cosine scan is covered by
+#: ann_filtered_expand (seating NOW, slot 0 — the same full distance
+#: scan plus filter/probe expansion) and ann_ivf_topk (r15);
+#: dd_lsh_tuning's banded-LSH parameter sweep by dd_lsh_candidates
+#: (r15 — the very relation it tunes) and ann_lsh_buckets (seating NOW
+#: — the same banding); dd_simhash_tuning's Hamming-radius sweep by
+#: dd_simhash_pairs (seating NOW, same file — the same Manku block-key
+#: machinery it tunes) and dd_simhash (r14); dd_semantic_dedup's
+#: embedding-cluster dedup by dd_embedding_neardup (r15) and
+#: dd_embedding_neardup_exact (seating NOW — the all-pairs ground
+#: truth over the same embedding space); mm_image_neardup's
+#: channel-band image dedup by mm_image_neardup_content (seating NOW,
+#: same file — the content-banded variant of the same kernel) and
+#: mm_pgm_features (r15 — the same netpbm parser); mm_video_neardup's
+#: frame-signature dedup by mm_frame_sample (seating NOW),
+#: mm_y4m_frames (seating NOW — the same Y4M parser) and
+#: mm_video_keyframes (r15); rel_percentiles' exact-percentile suite
+#: by rel_approx_percentiles (seating NOW — the sketch twin whose
+#: error-bound contract is stated against this exact form) and
+#: rel_hourly_mad (seating NOW — the same percentile machinery);
+#: tx_bpe_merges' merge-table trainer by tx_bpe_encode (r15 — its
+#: oracle re-derives the merge sequence end-to-end, so the trainer's
+#: semantics were re-attested with it) and tx_vocab (r15);
+#: rel_hourly_autocorr's hourly-series lags by rel_hourly_anomalies
+#: (r15) and rel_hourly_ewma (seating NOW — the same hourly CTE base);
+#: wt_coedit_pairs' co-edit pair relation by wt_coedit_triangles (r14
+#: — built directly ON the pair relation) and wt_markov_transitions
+#: (seating NOW — the same edit-graph family). All ten are named FIRST
+#: in the r17 promise (tests/test_registry_gate.py R17_DEFERRED).
 #:
-#: Stale-by-code-change audit for the seated rows (rule 4): round-15
-#: changes are the two rule-4 rows above (seated), pure additions
-#: (ngram_ppl_approx_classes + NGRAM_PPL_APPROX_CLASSES_SQL +
-#: registration), one error-type change in streaming/dedup's
-#: import-time default-mirror check (assert -> RuntimeError per ADVICE
-#: r14 — the check fires at import, not in any query's compute path,
-#: the same class round 14 documented as non-staling when the check
-#: was ADDED), and a docstring-only update in streaming/corpus.py
-#: recording the measured large-model crossover (no executable line
-#: changed). No other seated or displaced row's code path changed
-#: after its evidence.
+#: Stale-by-code-change audit for the seated rows (rule 4): round-16
+#: changes are bench/tools instrumentation only — floor_check's
+#: same-second tie-break + always-solo sweep adjudication, bench.py's
+#: atomic archive-first write_samples + extended-composition stamp,
+#: corpus_throughput_probe's zero-state soak verdict + the soak x
+#: recovery composition, bpe_probe's padded-merge-table crossover
+#: pricing, and this window recomposition. None of these is imported
+#: by any registered query's compute path, so no seated or displaced
+#: row's code changed after its evidence.
 GATE_WINDOW: list[str] = [
-    # (a) the eight r14-displaced rows, r11 evidence — seated first
-    "ann_filtered_topk",
-    "ann_pq_topk",
-    "ann_sq_topk",
-    "rel_corr_subquery",
-    "rel_pivot_status",
-    "rel_running_revenue",
-    "rel_weekday_profile",
-    "rel_scalar_functions",
-    # (b) rule-4 re-attestations (code/oracle changed this round)
-    "tx_bpe_encode",
-    "tx_ngram_ppl_buckets",
-    # (c) the round-15 addition, never driver-attested
-    "tx_ngram_ppl_approx_classes",
-    # (d) the r12-evidence cohort, minus the eleven documented
-    # displacements (ann_filtered_expand, ann_ivfpq_rerank,
-    # ann_lsh_buckets, ann_ivf_rp_topk, dd_simhash_pairs,
-    # dd_minhash_est, mm_image_neardup_content, mm_frame_sample,
-    # rel_nation_presence, rel_rollup_orders, wt_stream_trending ->
-    # r16, seated first there)
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_rp_topk",
-    "dd_bloom_decontaminate",
-    "dd_cdc_chunks",
-    "dd_containment",
-    "dd_decontaminate",
-    "dd_dup_clusters",
-    "dd_editdist_pairs",
-    "dd_embedding_neardup",
-    "dd_jaccard_histogram",
-    "dd_lsh_candidates",
-    "dd_minhash_signatures",
-    "dd_near_duplicates",
-    "dd_ngram_jaccard",
-    "mm_audio_vad",
-    "mm_media_features",
-    "mm_pgm_features",
-    "mm_video_keyframes",
-    "rel_audience_overlap",
-    "rel_cube_summary",
-    "rel_dq_audit",
-    "rel_hourly_anomalies",
-    "rel_nation_set_ops",
-    "rel_regional_revenue",
-    "rel_top_customers",
-    "tx_clean_corpus",
-    "tx_cms_terms",
-    "tx_dedup_lineage",
-    "tx_filter_funnel",
-    "tx_ngram_nll",
-    "tx_repetition",
-    "tx_split",
-    "tx_substring_scrub",
-    "tx_token_stats",
-    "tx_vocab",
-    "tx_winnowing",
-    "wt_state_diff",
-    "wt_stream_heavy_hitters",
+    # (a) the eleven r15-displaced rows, r12 evidence — seated first
+    "ann_filtered_expand",
+    "ann_ivfpq_rerank",
+    "ann_lsh_buckets",
+    "ann_ivf_rp_topk",
+    "dd_simhash_pairs",
+    "dd_minhash_est",
+    "mm_image_neardup_content",
+    "mm_frame_sample",
+    "rel_nation_presence",
+    "rel_rollup_orders",
+    "wt_stream_trending",
+    # (b)/(c): no rule-4 re-attestations and no additions this round
+    # (d) the r13-evidence cohort, minus the ten documented
+    # displacements (ann_bruteforce_topk, dd_lsh_tuning,
+    # dd_simhash_tuning, dd_semantic_dedup, mm_image_neardup,
+    # mm_video_neardup, rel_percentiles, tx_bpe_merges,
+    # rel_hourly_autocorr, wt_coedit_pairs -> r17, seated first there)
+    "dd_cross_source_dups",
+    "dd_embedding_neardup_exact",
+    "mm_wav_features",
+    "mm_y4m_frames",
+    "rel_approx_percentiles",
+    "rel_approx_segments",
+    "rel_asof_last_signup",
+    "rel_hourly_ewma",
+    "rel_hourly_mad",
+    "rel_interval_coverage",
+    "rel_json_props",
+    "rel_lateral_topk",
+    "rel_order_gaps",
+    "rel_recursive_months",
+    "rel_salted_revenue",
+    "rel_scd2_intervals",
+    "rel_sessionize",
+    "rel_value_pareto",
+    "rel_window_rank_suite",
+    "tx_bm25_topk",
+    "tx_boilerplate",
+    "tx_chunks",
+    "tx_collocations",
+    "tx_dsir_weights",
+    "tx_leakage_split",
+    "tx_mix_sample",
+    "tx_mix_weights",
+    "tx_novelty",
+    "tx_pack_sharded",
+    "tx_pii_scrub",
+    "tx_rarity",
+    "tx_stratified_sample",
+    "tx_tfidf_terms",
+    "wt_biggest_movers",
+    "wt_ingest_dedup",
+    "wt_lifecycle_replay",
+    "wt_markov_transitions",
+    "wt_pagerank",
+    "wt_top_pages_per_wiki",
 ]
 GATE_SIZE = 50
 
