@@ -295,9 +295,23 @@ def write_samples(payload: dict) -> list[str]:
     runs_dir = os.path.join(here, "bench_runs")
     os.makedirs(runs_dir, exist_ok=True)
     archive = os.path.join(runs_dir, f"samples-{session}.json")
-    for path in (latest, archive):
-        with open(path, "w") as f:
-            json.dump(payload, f)
+    # ARCHIVE FIRST, and each file via temp + os.rename (ADVICE r15):
+    # a crash mid-write used to leave a truncated latest view and no
+    # archive at all — floor_check would then fail to parse the only
+    # record of the session. rename is atomic on the same filesystem,
+    # so readers see either the old payload or the complete new one,
+    # and the per-session archive exists before the latest view is
+    # ever touched.
+    for path in (archive, latest):
+        tmp = path + f".tmp-{os.getpid()}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.rename(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     return [latest, archive]
 
 

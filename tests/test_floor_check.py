@@ -288,3 +288,76 @@ def test_bench_write_samples_archives_per_session(tmp_path, monkeypatch):
     assert floor_check.newest_samples_path(
         str(tmp_path / "bench_runs"), latest
     ) == archive
+
+
+def test_newest_samples_path_same_second_tiebreak_by_mtime(tmp_path):
+    """ADVICE r15: two runs landing in the same UTC second used to
+    tie-break by lexicographic pid string ('-412' > '-3648'), which
+    could adjudicate the OLDER file. The tie now breaks by mtime: the
+    most recently written archive wins regardless of pid spelling."""
+    runs = tmp_path / "bench_runs"
+    runs.mkdir()
+    older = runs / "samples-20260817T120000-412.json"
+    newer = runs / "samples-20260817T120000-3648.json"
+    older.write_text("{}")
+    newer.write_text("{}")
+    os.utime(older, (1000, 1000))
+    os.utime(newer, (2000, 2000))
+    assert floor_check.newest_samples_path(
+        str(runs), str(tmp_path / "none.json")
+    ) == str(newer)
+    # and the timestamp still dominates mtime: a lexically-newer stamp
+    # with an older mtime (e.g. restored from backup) is still newest
+    stamped = runs / "samples-20260817T120001-1.json"
+    stamped.write_text("{}")
+    os.utime(stamped, (500, 500))
+    assert floor_check.newest_samples_path(
+        str(runs), str(tmp_path / "none.json")
+    ) == str(stamped)
+
+
+def test_bench_write_samples_is_atomic_and_archive_first(
+    tmp_path, monkeypatch
+):
+    """ADVICE r15: write_samples goes temp-file + os.rename (readers
+    never see a truncated payload) and writes the ARCHIVE before the
+    latest view (a crash between the two leaves the per-session record
+    intact). Simulated crash: the second json.dump raises — the
+    archive must exist and parse; the pre-existing latest view must be
+    untouched; no temp litter either way."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    # seed a previous latest view
+    prev = {"samples": {"old": [9.9]}, "sf": 0.1}
+    (tmp_path / "bench_samples.json").write_text(_json.dumps(prev))
+    calls = {"n": 0}
+    real_dump = bench.json.dump
+
+    def crashing_dump(obj, f, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("disk full")
+        return real_dump(obj, f, **kw)
+
+    monkeypatch.setattr(bench.json, "dump", crashing_dump)
+    try:
+        bench.write_samples({"samples": {"q": [1.0]}, "sf": 0.1})
+    except OSError:
+        pass
+    else:
+        raise AssertionError("crash did not propagate")
+    monkeypatch.setattr(bench.json, "dump", real_dump)
+    # the archive (written first) survived the crash and parses
+    archives = list((tmp_path / "bench_runs").glob("samples-*.json"))
+    assert len(archives) == 1
+    assert _json.load(open(archives[0]))["samples"] == {"q": [1.0]}
+    # the latest view still holds the PREVIOUS payload, not a truncate
+    assert _json.load(open(tmp_path / "bench_samples.json")) == prev
+    # no temp litter anywhere
+    assert not list(tmp_path.glob("*.tmp-*"))
+    assert not list((tmp_path / "bench_runs").glob("*.tmp-*"))

@@ -149,3 +149,19 @@ def test_soak_adjudicator_accepts_any_jittered_plateau(
     ]
     out = probe.soak_plateau_summary(_batches(series))
     assert out["verdict"] == "bounded", (series, out)
+
+
+def test_soak_plateau_summary_zero_state_cases():
+    """ADVICE r15: mid_max == 0 must not fall through to 'growing'.
+    An all-zero series (a soak that never built state) is a distinct
+    'no-state' verdict — trivially bounded but deliberately NOT a
+    bounded pass, so a misconfigured soak can't green-light itself;
+    zero mid with state appearing only in the tail IS growth."""
+    all_zero = [0] * 9
+    out = probe.soak_plateau_summary(_batches(all_zero))
+    assert out["verdict"] == "no-state"
+    assert out["tail_over_mid"] is None
+    late_growth = [0, 0, 0, 0, 0, 0, 100, 200, 300]
+    out = probe.soak_plateau_summary(_batches(late_growth))
+    assert out["verdict"] == "growing"
+    assert out["tail_over_mid"] is None  # ratio undefined, verdict not

@@ -470,6 +470,16 @@ def soak_plateau_summary(batches: list) -> dict:
     third = n // 3
     mid_max = max(series[third:2 * third])
     tail_max = max(series[2 * third:])
+    # mid_max == 0 must not fall through to "growing" (ADVICE r15: an
+    # all-zero state series is trivially bounded, and a truthiness
+    # guard misread it as growth). Zero mid with nonzero tail IS
+    # growth (state appeared only at the end); zero everywhere is a
+    # distinct no-state verdict so a soak that never built state reads
+    # as "nothing measured", not as a bounded pass.
+    if mid_max == 0:
+        verdict = "no-state" if tail_max == 0 else "growing"
+    else:
+        verdict = "bounded" if tail_max <= 1.10 * mid_max else "growing"
     return {
         "series": series,
         "peak": max(series),
@@ -477,10 +487,7 @@ def soak_plateau_summary(batches: list) -> dict:
         "mid_max": mid_max,
         "tail_max": tail_max,
         "tail_over_mid": round(tail_max / mid_max, 3) if mid_max else None,
-        "verdict": (
-            "bounded" if mid_max and tail_max <= 1.10 * mid_max
-            else "growing"
-        ),
+        "verdict": verdict,
     }
 
 

@@ -47,14 +47,23 @@ def newest_samples_path(
     and adjudications therefore always read a per-session record that
     a concurrent second run cannot have overwritten."""
     try:
-        names = sorted(
+        names = [
             n for n in os.listdir(runs_dir)
             if n.startswith("samples-") and n.endswith(".json")
-        )
+        ]
     except FileNotFoundError:
         names = []
     if names:
-        return os.path.join(runs_dir, names[-1])
+        # Primary key: the UTC timestamp embedded in the name (sorts
+        # lexicographically == chronologically). Tie-break same-second
+        # runs by file mtime, not by the pid suffix — pid strings sort
+        # lexicographically ('-412' > '-3648'), so two runs landing in
+        # the same second could adjudicate the older file (ADVICE r15).
+        def key(n: str):
+            stamp = n[len("samples-"):].split("-")[0]
+            return (stamp, os.path.getmtime(os.path.join(runs_dir, n)), n)
+
+        return os.path.join(runs_dir, max(names, key=key))
     return fallback
 
 RAW_RULE = 1.5        # the established 1.5x-of-floor rule (BASELINE.md)
