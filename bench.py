@@ -191,6 +191,21 @@ SWEEP_SF_OVERRIDES = {
 }
 
 
+def _composition_id(names: list[str]) -> str:
+    """Stable 10-hex id over a suite's MEMBERSHIP (sorted names, so
+    reordering within the suite doesn't change the id — only adding,
+    dropping, or swapping rows does). Stamped on the extended record
+    line, the final line's extended block, and the samples side file
+    (VERDICT r15 next-round #5): two rounds' extended totals are
+    comparable iff their ids match; a changed id says 'recompose
+    before you trend'. Pure; pinned in tests/test_floor_check.py."""
+    import hashlib
+
+    return hashlib.sha256(
+        "\n".join(sorted(names)).encode()
+    ).hexdigest()[:10]
+
+
 def sweep_dir_for(name: str, sf_dir: str) -> tuple[str, str | None]:
     """Resolve the sweep input dir for one row under
     SWEEP_SF_OVERRIDES. Returns (dir_to_use, record_tag): tag is None
@@ -434,9 +449,12 @@ def main() -> None:
     # inflating the three heaviest MOVERS 1.63-1.69x while their solo
     # reads were 1.09-1.38x on byte-identical code; a real plan
     # regression reproduces solo, so the solo read adjudicates).
-    # Sweep-envelope advisories join the candidate list only in
-    # drifted sessions (they are cold single samples with their own
-    # re-measure-before-judging advisory). floor_check downgrades a
+    # Sweep-envelope breaches are candidates in ANY session since
+    # round 16 (VERDICT r15 next-round #6): the sweep runs POST-suite,
+    # where the drift median cannot see its contention — mm_audio_vad's
+    # 12.73 s single sample (9.2x floor; solo 1.37 s vs floor 1.38)
+    # sat unexplained in the archive because the session classifier
+    # read borderline. floor_check downgrades a
     # flag only if the solo read is clean. Capped at 6 rows — more
     # than that flagged in one session IS the uniform-drift signature,
     # not six independent regressions.
@@ -508,6 +526,16 @@ def main() -> None:
         "samples": samples,
         "warm_pass": warm_pass,
         "extended_queries": ext,
+        # membership stamp (VERDICT r15 next-round #5): the extended
+        # total is only comparable across rounds at the SAME
+        # composition (r14->r15 read as a 23% "regression" that was
+        # membership rotation), so the record carries the row list and
+        # a compact composition id the final line repeats
+        "extended_composition": {
+            "recent": EXTENDED_RECENT,
+            "movers": EXTENDED_MOVERS,
+            "id": _composition_id(EXTENDED),
+        },
         "sweep_queries": sweep,
         "sweep_sf_overrides": sweep_overrides_applied,
         "solo_remeasure": solo_remeasure,
@@ -518,7 +546,12 @@ def main() -> None:
     if ext:
         print(json.dumps(
             {"record": "extended_queries", "methodology": _meth(n_ext),
-             "queries": ext},
+             "queries": ext,
+             "composition": {
+                 "recent": EXTENDED_RECENT,
+                 "movers": EXTENDED_MOVERS,
+                 "id": _composition_id(EXTENDED),
+             }},
             separators=(",", ":"),
         ))
     if sweep:
@@ -531,8 +564,9 @@ def main() -> None:
     if solo_remeasure:
         print(json.dumps(
             {"record": "solo_remeasure",
-             "methodology": "drifted-session flag adjudication, "
-             "median-of-3 solo, warm pass excluded",
+             "methodology": "flag adjudication (any session; suite "
+             "violations + sweep-envelope breaches), median-of-3 "
+             "solo, warm pass excluded",
              "rows": solo_remeasure},
             separators=(",", ":"),
         ))
@@ -575,6 +609,11 @@ def main() -> None:
             "value": round(sum(ext.values()), 3),
             "methodology": _meth(n_ext),
             "n_queries": len(ext),
+            # same id as the extended_queries record line and the side
+            # file: two rounds' extended totals are comparable iff the
+            # ids match (VERDICT r15 next-round #5 — membership
+            # rotation must be attributable from the artifact alone)
+            "composition_id": _composition_id(EXTENDED),
         }
     if sweep and (head or ext):
         out["sweep"] = {

@@ -99,13 +99,18 @@ def test_drifted_session_predicate():
     assert not floor_check.session_is_drifted(FLOORS, {"a": 1.1}, None)
 
 
-def test_solo_candidates_suite_always_sweep_drifted_only():
+def test_solo_candidates_any_session_suite_and_sweep():
     """Round-14 rule: a suite row exceeding both rules is a solo
     CANDIDATE in ANY session (the calm-session extended-phase
     inflation class measured r14: in-suite 1.63-1.69x, solo 1.09-1.38x
     on byte-identical code — a real plan regression reproduces solo,
-    so the solo read adjudicates). Sweep-envelope advisories join the
-    list only in drifted sessions."""
+    so the solo read adjudicates). Round-16 widening (VERDICT r15
+    next-round #6): sweep-envelope breaches are candidates in ANY
+    session too — the sweep runs post-suite, where the drift median
+    cannot see its contention (mm_audio_vad read 9.2x its floor in a
+    session the classifier called borderline; the solo read was
+    0.99x) — with suite violations always ordered first so the bench
+    solo budget spends on the gate before the advisories."""
     floors = {f"q{i}": 1.0 for i in range(8)} | {"dd_x": 1.0}
     drifted = {f"q{i}": 1.35 for i in range(8)} | {"dd_x": 2.2}
     # drifted by calibration spread: dd_x (2.2x > 1.5 and > 1.35*1.25)
@@ -116,16 +121,20 @@ def test_solo_candidates_suite_always_sweep_drifted_only():
     # CALM session: the suite blowup is STILL a candidate (r14 rule)
     calm = {f"q{i}": 1.05 for i in range(8)} | {"dd_x": 2.2}
     assert floor_check.solo_candidates(floors, calm, {}, 1.0) == ["dd_x"]
-    # sweep rows over the advisory envelope join only when drifted
+    # sweep rows without a floor are never candidates
     got = floor_check.solo_candidates(
         floors, drifted, {"sw": 2.6, "q0_s": 1.0} | {}, 1.53
     )
-    assert got == ["dd_x"]  # sw has no floor -> never a candidate
+    assert got == ["dd_x"]
     floors["sw"] = 1.0
     got = floor_check.solo_candidates(floors, drifted, {"sw": 2.6}, 1.53)
     assert got == ["dd_x", "sw"]
-    # calm session: the sweep blowup stays a hand-re-measure advisory
+    # r16: the sweep blowup is a candidate in a CALM session as well,
+    # still ordered after the suite violation
     got = floor_check.solo_candidates(floors, calm, {"sw": 2.6}, 1.0)
+    assert got == ["dd_x", "sw"]
+    # under the envelope the sweep row never joins
+    got = floor_check.solo_candidates(floors, calm, {"sw": 2.4}, 1.0)
     assert got == ["dd_x"]
 
 
@@ -361,3 +370,20 @@ def test_bench_write_samples_is_atomic_and_archive_first(
     # no temp litter anywhere
     assert not list(tmp_path.glob("*.tmp-*"))
     assert not list((tmp_path / "bench_runs").glob("*.tmp-*"))
+
+
+def test_composition_id_is_membership_stable():
+    """VERDICT r15 next-round #5: the extended-suite membership stamp.
+    Order-insensitive (the id names a SET of rows), sensitive to any
+    add/drop/swap, and 10 hex chars so it fits the final bench line's
+    1900-byte budget."""
+    import bench
+
+    a = bench._composition_id(["q_b", "q_a", "q_c"])
+    assert a == bench._composition_id(["q_a", "q_c", "q_b"])
+    assert a != bench._composition_id(["q_a", "q_b"])
+    assert a != bench._composition_id(["q_a", "q_b", "q_d"])
+    assert len(a) == 10 and all(c in "0123456789abcdef" for c in a)
+    # the live extended suite gets a well-formed id too
+    live = bench._composition_id(bench.EXTENDED)
+    assert len(live) == 10
