@@ -18,6 +18,26 @@ table, and the bigram layer guarantees merges genuinely APPLY to
 every word).
 
 Run:  python tools/bpe_probe.py [sf_dir]
+      python tools/bpe_probe.py --crossover [sf_dir]
+
+--crossover (round 16, VERDICT r15 next-round #3 — the pad_model move
+applied to the tokenizer): price tx_bpe_encode's DICTIONARY-HOF form
+(distinct words -> bpe_apply_word -> join + positional re-group, the
+exact q_bpe_encode plan shape) against bpe_encode_fast at padded
+~1k/10k/50k-merge tables, turning the documented "swap at real
+vocabularies" claim (pipeline_queries.py q_bpe_encode docstring) into
+a measured curve. Tables are padded with synth_merges_layered —
+deterministic, WELL-FORMED (every merge's operands exist before it;
+validity pinned in tests/test_bpe_probe.py) — over the corpus's own
+ranked bigram layer, so early merges genuinely apply. Two corpora
+again: the real sf docs (31-word vocabulary — the dictionary form's
+best case, cost ~ vocab x merges) and the synthetic word-diverse one
+(distinct ratio ~1 — its worst case). The HOF form is expected to
+leave its feasible region inside this range (per-merge interpreted
+passes AND a Catalyst expression that grows linearly in table size,
+built through py4j); the probe records failures/timeouts as data
+under an explicit escalation rule (skip larger HOF sizes once a
+reading exceeds HOF_BUDGET_S or fails) instead of hanging.
 """
 from __future__ import annotations
 
@@ -153,7 +173,116 @@ def synth_merges(docs, n_ext: int = 500) -> tuple[tuple[str, str], ...]:
     return tuple(merges + ext)
 
 
+#: Escalation budget for the HOF-dictionary form in --crossover: once
+#: one size's wall (construction + evaluation) exceeds this, larger
+#: sizes are SKIPPED with the reading recorded as the reason — the
+#: curve is already decided at that point, and a 50k-merge nested
+#: Catalyst expression can take unbounded time to even analyze.
+HOF_BUDGET_S = 120.0
+
+
+def dict_encode_counts(docs, merges):
+    """tx_bpe_encode's dictionary plan shape (pipeline_queries.py
+    q_bpe_encode), reduced to the total-symbol aggregate the probe
+    times: posexplode -> DISTINCT words -> bpe_apply_word (the
+    len(merges)-pass HOF chain, evaluated once per VOCABULARY entry)
+    -> join back on the word key -> per-doc positional re-group. The
+    re-group stays in the timed plan because it is part of the form's
+    real cost (one narrow shuffle)."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "w")
+    )
+    wsyms = toks.select("w").distinct().select(
+        "w", T.bpe_apply_word(F.col("w"), merges).alias("syms")
+    )
+    return (
+        toks.join(wsyms, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.size("syms")).alias("n_syms"))
+    )
+
+
+def crossover(sf_dir: str) -> None:
+    """The --crossover run: dict-HOF vs fast at 20/1k/10k/50k merges
+    on both corpora, with the escalation rule above for the HOF form.
+    One JSON line per (corpus, n_merges) so a killed run still leaves
+    every completed reading on stdout."""
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).localCheckpoint()
+    synth = synth_corpus(spark).localCheckpoint()
+    corpora = [
+        ("real", real, real.select(
+            F.countDistinct(F.explode(T.tokens(F.col("text"))))
+        ).first()[0]),
+    ]
+    # synth's vocabulary ~= its token count (random 8-char words)
+    n_synth_words = synth.select(
+        F.countDistinct(F.explode(T.tokens(F.col("text"))))
+    ).first()[0]
+    corpora.append(("synth", synth, n_synth_words))
+
+    # one padded table per corpus, over that corpus's own ranked
+    # bigram layer so early merges genuinely apply (pad_model rule:
+    # keep the real head, pad the tail deterministically)
+    sizes = [20, 1000, 10_000, 50_000]
+    for cname, docs, vocab in corpora:
+        base = synth_merges(docs, n_ext=0)[:676]
+        table = synth_merges_layered(tuple(base), max(sizes))
+        hof_dead = None  # set to the reason once the budget trips
+        for n in sizes:
+            merges = table[:n]
+            rec = {
+                "record": "bpe_crossover",
+                "corpus": cname,
+                "distinct_words": vocab,
+                "n_merges": n,
+            }
+            t0 = time.time()
+            docs.select(
+                F.sum(F.size(T.bpe_encode_fast(F.col("text"), merges)))
+            ).collect()
+            rec["fast_s"] = round(time.time() - t0, 2)
+            if hof_dead is not None:
+                rec["hof_s"] = None
+                rec["hof_skipped"] = hof_dead
+            else:
+                try:
+                    t0 = time.time()
+                    frame = dict_encode_counts(docs, merges)
+                    rec["hof_construct_s"] = round(time.time() - t0, 2)
+                    t1 = time.time()
+                    frame.select(F.sum("n_syms")).collect()
+                    rec["hof_eval_s"] = round(time.time() - t1, 2)
+                    rec["hof_s"] = round(time.time() - t0, 2)
+                    if rec["hof_s"] > HOF_BUDGET_S:
+                        hof_dead = (
+                            f"{n} merges took {rec['hof_s']}s > "
+                            f"budget {HOF_BUDGET_S}s"
+                        )
+                except Exception as e:  # noqa: BLE001 — failure IS data
+                    rec["hof_s"] = None
+                    rec["hof_error"] = f"{type(e).__name__}: {e}"[:200]
+                    hof_dead = f"{n} merges failed: {type(e).__name__}"
+            if rec.get("hof_s") and rec["fast_s"]:
+                rec["hof_over_fast"] = round(rec["hof_s"] / rec["fast_s"], 2)
+            print(json.dumps(rec), flush=True)
+
+
 def main() -> None:
+    if "--crossover" in sys.argv[1:]:
+        rest = [a for a in sys.argv[1:] if a != "--crossover"]
+        crossover(rest[0] if rest else "/root/testdata/sf0.1")
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = (
         SparkSession.builder.master("local[32]")
