@@ -425,6 +425,12 @@ def _drain_ts_stream_batches(
         q.stop()
         raise RuntimeError(f"drain exceeded {DRAIN_CAP_S} s; aborted")
     elapsed = time.monotonic() - t0m
+    return elapsed, _telemetry(q)
+
+
+def _telemetry(q) -> list:
+    """Per-micro-batch telemetry rows from a query's recentProgress
+    ring (shared by the soak and the soak-restart composition)."""
     batches = []
     for prog in q.recentProgress:
         batches.append({
@@ -446,7 +452,7 @@ def _drain_ts_stream_batches(
                 for op in prog.get("stateOperators", [])
             ],
         })
-    return elapsed, batches
+    return batches
 
 
 def soak_plateau_summary(batches: list) -> dict:
@@ -578,6 +584,146 @@ def soak_state_bounded(
     }
 
 
+def soak_restart_equivalence(
+    spark,
+    work: str,
+    batch_size: int,
+    n_batches: int = 12,
+    horizon: str = "2 hours",
+    spacing_s: int = 1800,
+    nll_gate: str = "udf",
+    restart_after: int = 9,
+) -> dict:
+    """Soak x recovery composition (round 16, VERDICT r15 next-round
+    #4 — the one untested interaction between the r15 soak and the r15
+    restart pins): the SAME full-option soak, but the query is KILLED
+    mid-drain — q.stop() once `restart_after` input batches have
+    completed, i.e. right around the first eviction on the default
+    curve — and a second query restores from the checkpoint and
+    finishes. The claim under test: recovery neither LEAKS horizon
+    state (the post-restart curve would plateau higher) nor RESETS it
+    (the curve would dip to zero and re-climb); the merged state curve
+    plateaus exactly like the uninterrupted soak's, and the ADMITTED
+    SET is byte-identical. Unlike the pinned tests (clean AvailableNow
+    stop), this is a hard interrupt: the in-flight batch is torn down
+    and re-runs under the restarted query with the same batchId — the
+    merged telemetry keeps the LAST occurrence per batchId — and the
+    sink stays exactly-once through its _spark_metadata commit log
+    (orphan files from the killed batch are invisible to the readback).
+    The sink is parquet (doc_id projection), not noop, precisely so
+    admitted-set equivalence is checkable; throughput is therefore not
+    comparable to the noop soak numbers and is not reported."""
+    from wikitrender_spark.functions.text import PII_PATTERNS_EXTENDED
+    from wikitrender_spark.plans.pipeline_queries import ngram_model
+    from wikitrender_spark.streaming.corpus import (
+        corpus_admission_stream_within_watermark,
+    )
+
+    ts_dir = build_ts_chunks(
+        spark, work, batch_size, "soakrst", n_chunks=n_batches,
+        spacing_s=spacing_s,
+    )
+    model = ngram_model(load_table(spark, SF_DIR, "documents"))
+
+    def start(ckpt: str, out_dir: str):
+        stream = (
+            spark.readStream.schema(DOCS_SCHEMA + ", ingest_ts timestamp")
+            .option("maxFilesPerTrigger", FILES_PER_CHUNK)
+            .option("recursiveFileLookup", "true")
+            .parquet(ts_dir)
+        )
+        rel = corpus_admission_stream_within_watermark(
+            stream,
+            horizon=horizon,
+            patterns=PII_PATTERNS_EXTENDED,
+            scrub_cards_first=True,
+            nll_model=model,
+            max_unit_nll=50.0,
+            nll_gate=nll_gate,
+            neardup=True,
+        )
+        return (
+            rel.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # --- interrupted run: kill after `restart_after` input batches
+    ckpt_i = os.path.join(work, "soakrst_ckpt")
+    out_i = os.path.join(work, "soakrst_out")
+    q = start(ckpt_i, out_i)
+    killed_after = None
+    deadline = time.monotonic() + DRAIN_CAP_S
+    while time.monotonic() < deadline and q.isActive:
+        done = len([
+            p for p in q.recentProgress if p.get("numInputRows", 0) > 0
+        ])
+        if done >= restart_after:
+            killed_after = done
+            q.stop()
+            break
+        time.sleep(0.25)
+    q.awaitTermination(120)
+    if killed_after is None:
+        raise RuntimeError(
+            f"drain finished before {restart_after} batches — nothing "
+            "was interrupted; raise n_batches or lower restart_after"
+        )
+    phase1 = _telemetry(q)
+    q2 = start(ckpt_i, out_i)
+    if not q2.awaitTermination(DRAIN_CAP_S):
+        q2.stop()
+        raise RuntimeError(f"restart drain exceeded {DRAIN_CAP_S} s")
+    phase2 = _telemetry(q2)
+    # merge on batchId, last occurrence wins (the killed in-flight
+    # batch re-runs under the SAME id after restore)
+    merged: dict[int, dict] = {}
+    for b in phase1 + phase2:
+        merged[b["batch"]] = b
+    combined = [merged[k] for k in sorted(merged)]
+
+    # --- uninterrupted reference over the same chunks
+    ckpt_u = os.path.join(work, "soakrst_ckpt_u")
+    out_u = os.path.join(work, "soakrst_out_u")
+    q3 = start(ckpt_u, out_u)
+    if not q3.awaitTermination(DRAIN_CAP_S):
+        q3.stop()
+        raise RuntimeError(f"reference drain exceeded {DRAIN_CAP_S} s")
+    reference = _telemetry(q3)
+
+    # admitted-set equivalence through the sinks' commit logs
+    admit_i = [r["doc_id"] for r in
+               spark.read.parquet(out_i).select("doc_id").collect()]
+    admit_u = [r["doc_id"] for r in
+               spark.read.parquet(out_u).select("doc_id").collect()]
+    return {
+        "batch_size": batch_size,
+        "n_batches": n_batches,
+        "horizon": horizon,
+        "spacing_s": spacing_s,
+        "nll_gate": nll_gate,
+        "restart_after_batches": killed_after,
+        "phase1_batches": len([
+            b for b in phase1 if b["input_rows"] > 0
+        ]),
+        "phase2_batches": len([
+            b for b in phase2 if b["input_rows"] > 0
+        ]),
+        "restarted_curve": combined,
+        "uninterrupted_curve": reference,
+        "restarted_plateau": soak_plateau_summary(combined),
+        "uninterrupted_plateau": soak_plateau_summary(reference),
+        "admitted_restarted": len(admit_i),
+        "admitted_uninterrupted": len(admit_u),
+        "admitted_rows_unique_restarted": len(set(admit_i)),
+        "admitted_set_equal": set(admit_i) == set(admit_u),
+        "admitted_count_equal": len(admit_i) == len(admit_u),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1250,5000,20000")
@@ -601,6 +747,16 @@ def main() -> None:
                     "horizons; report the per-batch state curve and "
                     "the plateau verdict (first --sizes entry is the "
                     "batch size)")
+    ap.add_argument("--soak-restart", action="store_true",
+                    help="soak x recovery composition: kill the soak "
+                    "query mid-drain (after --soak-restart-after input "
+                    "batches), restore from the checkpoint, and compare "
+                    "the merged state curve + admitted set against an "
+                    "uninterrupted run")
+    ap.add_argument("--soak-restart-after", type=int, default=9,
+                    help="completed input batches before the kill "
+                    "(default 9 — right around the default curve's "
+                    "first eviction)")
     ap.add_argument("--soak-batches", type=int, default=12)
     ap.add_argument("--soak-spacing", type=int, default=1800,
                     help="ingest seconds between consecutive batches")
@@ -619,6 +775,21 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    if args.soak_restart:
+        work = tempfile.mkdtemp(prefix="corpus_soakrst_")
+        try:
+            res = soak_restart_equivalence(
+                spark, work, sizes[0], args.soak_batches,
+                args.soak_horizon, args.soak_spacing, args.nll_gate,
+                args.soak_restart_after,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps(
+            {"metric": "full_chain_soak_restart_equivalence",
+             "sf_dir": SF_DIR, "result": res}
+        ))
+        return
     if args.soak:
         work = tempfile.mkdtemp(prefix="corpus_soak_")
         try:
