@@ -2487,3 +2487,160 @@ def test_neardup_chain_restart_equals_uninterrupted(spark, tmp_path):
     )
     assert got_restarted == got_unint, (got_restarted, got_unint)
     assert len(got_restarted) >= 4  # the admitted originals did emit
+
+
+def test_soak_restart_state_curve_equals_uninterrupted(spark, tmp_path):
+    """Soak x recovery composition in miniature (round 16, VERDICT r15
+    next-round #4): the r15 soak measured eviction and the r15 restart
+    pins measured recovery, separately; this pins their INTERACTION —
+    a restart must neither LEAK horizon state (the post-restart curve
+    would sit higher than the uninterrupted one) nor RESET it (the
+    curve would dip and re-climb, re-admitting live duplicates). Eight
+    single-doc batches: four originals inside one horizon, restart,
+    then four COPIES — the first two arriving while their originals'
+    state is still live (drop iff state survived the restart; the
+    second also pins the one-batch sweep lag across a restart), the
+    last two after the post-restart sweep (re-admit iff the watermark
+    kept advancing). Asserted: (a) admitted set == the uninterrupted
+    run's;
+    (b) the per-batch state-ROW series from the engine's own progress
+    telemetry is IDENTICAL between the restarted run (merged phases)
+    and the uninterrupted run — same batch ids, same state rows; and
+    (c) the series actually decreases somewhere (the eviction is in
+    frame, so the equality is not vacuous). Clean AvailableNow stop
+    stands in for the crash, as in the sibling restart pins; the
+    HARD-kill variant of the same composition is the probe's
+    --soak-restart mode (tools/corpus_throughput_probe.py), whose
+    sf0.1 record lives in BASELINE.md."""
+    import os
+    import time as _time
+
+    from wikitrender_spark.functions import text as T
+    from wikitrender_spark.sources.replay import write_ordered_chunks
+    from wikitrender_spark.streaming import corpus
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    texts = [
+        r["text"]
+        for r in corpus.corpus_admission_stream(base)
+        .join(base.select("doc_id", "text"), "doc_id")
+        .select("text")
+        .distinct()
+        .orderBy("text")
+        .limit(4)
+        .collect()
+    ]
+    assert len(texts) == 4
+    ta, tb, tc, td = texts
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(*items):
+        return spark.createDataFrame(
+            [
+                (i, txt, "en", "src", len(txt), t0 + dt.timedelta(seconds=s))
+                for (i, txt, s) in items
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, ingest_ts timestamp",
+        )
+
+    # phase A: four originals, 30 s apart under a 60 s horizon
+    phase_a = (
+        rows((1, ta, 0)), rows((2, tb, 30)),
+        rows((3, tc, 60)), rows((4, td, 90)),
+    )
+    # phase B (appended after the restart), walking the pinned batch
+    # mechanics (sweep at batch END under the PREVIOUS batch's
+    # watermark; duplicates never refresh expiry): doc 11 (ta copy,
+    # t=240) drops AGAINST RECOVERED STATE — batch 3's end sweep ran
+    # under batch-2's watermark t=0, so every phase-A key is live when
+    # batch 4 processes it. Doc 12 (tb, t=270) ALSO drops: batch 4's
+    # end sweep used batch-3's watermark (t=30), evicting nothing.
+    # Batch 5's end sweep finally runs under batch-4's watermark
+    # (t=180) and evicts all four phase-A keys, so docs 13/14 RE-ADMIT
+    # through the recovered-and-advancing watermark.
+    phase_b = (
+        rows((11, ta, 240)), rows((12, tb, 270)),
+        rows((13, tc, 300)), rows((14, td, 330)),
+    )
+
+    def drain(chunk_dir, ckpt, out_dir):
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long, ingest_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(chunk_dir)
+        )
+        stream = stream.withColumn("lang", T.predict_lang(F.col("text")))
+        q = (
+            corpus.corpus_admission_stream_within_watermark(
+                stream, horizon="60 seconds"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        curve = [
+            (
+                p["batchId"],
+                sum(
+                    op.get("numRowsTotal") or 0
+                    for op in p.get("stateOperators", [])
+                ),
+            )
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        admits = sorted(
+            r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+        )
+        return admits, curve
+
+    def append_chunks(parts, chunk_dir, start):
+        for j, part in enumerate(parts):
+            i = start + j
+            path = os.path.join(chunk_dir, f"chunk_{i:04d}")
+            part.coalesce(1).write.mode("overwrite").parquet(path)
+            ts = _time.time() + i
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+
+    chunk_dir = str(tmp_path / "soakrst_chunks")
+    write_ordered_chunks(phase_a, chunk_dir)
+    admits_a, curve_a = drain(
+        chunk_dir, str(tmp_path / "srst_ckpt"), str(tmp_path / "srst_out")
+    )
+    assert admits_a == [1, 2, 3, 4]
+    append_chunks(phase_b, chunk_dir, start=len(phase_a))
+    admits_r, curve_b = drain(
+        chunk_dir, str(tmp_path / "srst_ckpt"), str(tmp_path / "srst_out")
+    )
+    merged = dict(curve_a)
+    merged.update(dict(curve_b))
+    curve_restarted = sorted(merged.items())
+
+    unint_dir = str(tmp_path / "srst_unint_chunks")
+    write_ordered_chunks(phase_a + phase_b, unint_dir)
+    admits_u, curve_u = drain(
+        unint_dir, str(tmp_path / "srst_unint_ckpt"),
+        str(tmp_path / "srst_unint_out"),
+    )
+
+    # (a) admitted-set equivalence: 11 AND 12 dropped against
+    # recovered live state (the sweep lag), 13/14 re-admitted through
+    # the recovered watermark
+    assert admits_r == admits_u, (admits_r, admits_u)
+    assert admits_r == [1, 2, 3, 4, 13, 14]
+    # (b) the state curve is indistinguishable from never stopping
+    assert curve_restarted == sorted(curve_u), (curve_restarted, curve_u)
+    # (c) eviction is in frame: the series decreases somewhere
+    series = [s for _b, s in curve_restarted]
+    assert any(b < a for a, b in zip(series, series[1:])), series
