@@ -2639,8 +2639,14 @@ def test_soak_restart_state_curve_equals_uninterrupted(spark, tmp_path):
     # the recovered watermark
     assert admits_r == admits_u, (admits_r, admits_u)
     assert admits_r == [1, 2, 3, 4, 13, 14]
-    # (b) the state curve is indistinguishable from never stopping
-    assert curve_restarted == sorted(curve_u), (curve_restarted, curve_u)
-    # (c) eviction is in frame: the series decreases somewhere
+    # (b) the state curve is indistinguishable from never stopping —
+    # compared as the SERIES of per-input-batch state totals, not by
+    # batchId: the restarted query spends one empty batch (no input
+    # rows) re-establishing offsets/watermark from the checkpoint, so
+    # phase-2 data batches run one id later than the uninterrupted
+    # run's (observed: restarted ids 0-3,5-8 vs 0-7; values identical)
     series = [s for _b, s in curve_restarted]
+    series_u = [s for _b, s in sorted(curve_u)]
+    assert series == series_u, (curve_restarted, curve_u)
+    # (c) eviction is in frame: the series decreases somewhere
     assert any(b < a for a, b in zip(series, series[1:])), series
