@@ -178,7 +178,17 @@ def synth_merges(docs, n_ext: int = 500) -> tuple[tuple[str, str], ...]:
 #: sizes are SKIPPED with the reading recorded as the reason — the
 #: curve is already decided at that point, and a 50k-merge nested
 #: Catalyst expression can take unbounded time to even analyze.
+#: PREDICTIVE variant of the same rule: before running size n, the
+#: previous measured HOF reading is extrapolated linearly in merge
+#: count (the form's cost model — len(merges) interpreted passes per
+#: vocabulary entry plus a construction cost linear in merges); if the
+#: projection exceeds PROJECTION_SLACK x budget the size is skipped
+#: UP FRONT, because the post-hoc check alone would first sit through
+#: the multi-hour run it exists to prevent. Slack 3x keeps borderline
+#: projections measurable (linear extrapolation overestimates when
+#: construction dominates the previous reading).
 HOF_BUDGET_S = 120.0
+PROJECTION_SLACK = 3.0
 
 
 def dict_encode_counts(docs, merges):
@@ -239,6 +249,7 @@ def crossover(sf_dir: str) -> None:
         base = synth_merges(docs, n_ext=0)[:676]
         table = synth_merges_layered(tuple(base), max(sizes))
         hof_dead = None  # set to the reason once the budget trips
+        prev_hof: tuple[int, float] | None = None  # (n, wall) last run
         for n in sizes:
             merges = table[:n]
             rec = {
@@ -252,6 +263,14 @@ def crossover(sf_dir: str) -> None:
                 F.sum(F.size(T.bpe_encode_fast(F.col("text"), merges)))
             ).collect()
             rec["fast_s"] = round(time.time() - t0, 2)
+            if hof_dead is None and prev_hof is not None:
+                projected = prev_hof[1] * n / prev_hof[0]
+                if projected > PROJECTION_SLACK * HOF_BUDGET_S:
+                    hof_dead = (
+                        f"projected {round(projected, 1)}s at {n} merges "
+                        f"(linear from {prev_hof[1]}s at {prev_hof[0]}) > "
+                        f"{PROJECTION_SLACK}x budget {HOF_BUDGET_S}s"
+                    )
             if hof_dead is not None:
                 rec["hof_s"] = None
                 rec["hof_skipped"] = hof_dead
@@ -264,6 +283,7 @@ def crossover(sf_dir: str) -> None:
                     frame.select(F.sum("n_syms")).collect()
                     rec["hof_eval_s"] = round(time.time() - t1, 2)
                     rec["hof_s"] = round(time.time() - t0, 2)
+                    prev_hof = (n, rec["hof_s"])
                     if rec["hof_s"] > HOF_BUDGET_S:
                         hof_dead = (
                             f"{n} merges took {rec['hof_s']}s > "
