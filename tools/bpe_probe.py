@@ -230,16 +230,17 @@ def crossover(sf_dir: str) -> None:
         "doc_id", "text"
     ).localCheckpoint()
     synth = synth_corpus(spark).localCheckpoint()
+    def n_vocab(docs) -> int:
+        return (
+            docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+            .distinct()
+            .count()
+        )
+
     corpora = [
-        ("real", real, real.select(
-            F.countDistinct(F.explode(T.tokens(F.col("text"))))
-        ).first()[0]),
+        ("real", real, n_vocab(real)),
+        ("synth", synth, n_vocab(synth)),
     ]
-    # synth's vocabulary ~= its token count (random 8-char words)
-    n_synth_words = synth.select(
-        F.countDistinct(F.explode(T.tokens(F.col("text"))))
-    ).first()[0]
-    corpora.append(("synth", synth, n_synth_words))
 
     # one padded table per corpus, over that corpus's own ranked
     # bigram layer so early merges genuinely apply (pad_model rule:
