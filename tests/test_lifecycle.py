@@ -117,6 +117,22 @@ def test_delete_after_protect_clears(spark):
     assert st["Foo"]["isProtected"] is False
 
 
+def test_move_then_recreate_both_branches(spark):
+    # one source id with BOTH lifetime branches live at once: the move
+    # adopts the pre-move edits into FoO, the post-move edits recreate
+    # Foo from scratch. Pins the round-16 one-pass branch-tagged
+    # aggregation (operators/page_state.aggregate_classified extra_keys):
+    # a single id's events must split cleanly across the direct and
+    # adopted branches within one grouped pass.
+    st = both_states(
+        spark,
+        [RAW_EDIT, RAW_EDIT, MOVE_LOG, RAW_EDIT, RAW_EDIT, RAW_EDIT],
+    )
+    assert sorted(st) == ["FoO", "Foo"]
+    assert st["FoO"]["edits"] == 2   # adopted lifetime
+    assert st["Foo"]["edits"] == 3   # fresh direct lifetime
+
+
 def test_move_after_delete_window(spark):
     # delete cuts, two fresh edits, then move adopts only the post-delete
     # state

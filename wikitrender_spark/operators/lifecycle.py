@@ -87,46 +87,30 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
     same on the real firehose) but feed ~10 subtrees (cuts, last-cut,
     moves, protect windows). They are cached once — every later use is a
     broadcast off the cached sliver instead of a fresh scan of the full
-    event set. Edit events are scanned exactly twice (direct + adopted
-    lifetimes); `first_edit_seq` rides along inside the main aggregation
-    (with_first_seq) rather than a third scan + groupBy + join."""
+    event set. Edit events are scanned exactly ONCE (round 16; guide
+    §2.4): each event is tagged with its lifetime branch (direct —
+    after the page's last cut — or adopted — inside the last move's
+    window; the branches are provably disjoint because the move IS a
+    cut, so mv_seq <= cut_seq) against one broadcast bounds relation,
+    and ONE branch-keyed two-level aggregation covers both lifetimes.
+    The two tiny fan-out relations (window_bounds: one row per moved-out
+    page; the branch aggregate: one row per (branch, page)) are
+    localCheckpoint'd — before round 16 the physical plan recomputed
+    last_move's max_by aggregation five times and scanned/aggregated the
+    edit set once per branch. `first_edit_seq` rides along inside the
+    main aggregation (with_first_seq) rather than a third scan +
+    groupBy + join."""
     e = classified_edit_events(rc)
     logs = log_events(rc).cache()
     cuts = _cuts(logs)
 
     last_cut = cuts.groupBy("id").agg(F.max("seq").alias("cut_seq"))
 
-    # --- direct lifetimes: edits after the page's last cut -----------------
-    live = e.join(F.broadcast(last_cut), "id", "left").filter(
-        (F.col("cut_seq").isNull()) | (F.col("seq") > F.col("cut_seq"))
-    )
-    base = aggregate_classified(live.drop("cut_seq"), with_collections,
-                                with_first_seq=True)
-
     protects = logs.filter(F.col("log_action") == "protect").select(
         "id", F.col("seq").alias("pr_seq")
     )
 
-    # protect applies only if the page exists when the log event arrives:
-    # some edit of the current lifetime precedes it.
-    pr = (
-        protects.join(F.broadcast(last_cut), "id", "left")
-        .filter((F.col("cut_seq").isNull()) | (F.col("pr_seq") > F.col("cut_seq")))
-        .groupBy("id")
-        .agg(F.max("pr_seq").alias("max_pr_seq"))
-    )
-    direct = (
-        base.join(F.broadcast(pr), "id", "left")
-        .withColumn(
-            "isProtected",
-            F.coalesce(
-                F.col("max_pr_seq") > F.col("first_edit_seq"), F.lit(False)
-            ),
-        )
-        .drop("first_edit_seq", "max_pr_seq")
-    )
-
-    # --- adopted lifetimes: last move per source re-keys its state ---------
+    # --- adopted-lifetime bounds: last move per source ---------------------
     moves = logs.filter(F.col("log_action") == "move")
     last_move = moves.groupBy("id").agg(
         F.max_by(F.struct("seq", "ts", "move_dst", "log_target", "wiki"), "seq").alias(
@@ -147,15 +131,65 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
         .groupBy("id")
         .agg(F.max("seq").alias("prev_cut_seq"))
     )
-    window_bounds = last_move.join(F.broadcast(prev_cut), "id", "left").withColumn(
-        "prev_cut_seq", F.coalesce(F.col("prev_cut_seq"), F.lit(_NEG_INF))
+    # one row per moved-out page; feeds three subtrees (branch bounds,
+    # protect window, final remap) — localCheckpoint so the max_by
+    # aggregation runs once, not once per consumer
+    window_bounds = (
+        last_move.join(F.broadcast(prev_cut), "id", "left")
+        .withColumn(
+            "prev_cut_seq", F.coalesce(F.col("prev_cut_seq"), F.lit(_NEG_INF))
+        )
+        .localCheckpoint(eager=False)
     )
-    adopted_edits = e.join(F.broadcast(window_bounds), "id").filter(
-        (F.col("seq") > F.col("prev_cut_seq")) & (F.col("seq") <= F.col("mv_seq"))
+
+    # --- ONE pass over the edit set: tag each event's lifetime branch ------
+    # left join suffices: a move IS a cut for its source id (_cuts unions
+    # the move rows), so window_bounds ids are always present in last_cut
+    bounds = last_cut.join(
+        F.broadcast(window_bounds.select("id", "prev_cut_seq", "mv_seq")),
+        "id", "left",
     )
-    adopted_state = aggregate_classified(
-        adopted_edits.select(e.columns), with_collections, with_first_seq=True
+    direct_cond = F.col("cut_seq").isNull() | (F.col("seq") > F.col("cut_seq"))
+    adopted_cond = (
+        F.col("mv_seq").isNotNull()
+        & (F.col("seq") > F.col("prev_cut_seq"))
+        & (F.col("seq") <= F.col("mv_seq"))
     )
+    tagged = (
+        e.join(F.broadcast(bounds), "id", "left")
+        .withColumn(
+            "_branch",
+            F.when(direct_cond, F.lit(0)).when(adopted_cond, F.lit(1)),
+        )
+        .filter(F.col("_branch").isNotNull())
+        .select("_branch", *e.columns)
+    )
+    # one row per (branch, page); read by both union branches below
+    states = aggregate_classified(
+        tagged, with_collections, with_first_seq=True, extra_keys=("_branch",)
+    ).localCheckpoint()
+    base = states.filter(F.col("_branch") == 0).drop("_branch")
+    adopted_state = states.filter(F.col("_branch") == 1).drop("_branch")
+
+    # protect applies only if the page exists when the log event arrives:
+    # some edit of the current lifetime precedes it.
+    pr = (
+        protects.join(F.broadcast(last_cut), "id", "left")
+        .filter((F.col("cut_seq").isNull()) | (F.col("pr_seq") > F.col("cut_seq")))
+        .groupBy("id")
+        .agg(F.max("pr_seq").alias("max_pr_seq"))
+    )
+    direct = (
+        base.join(F.broadcast(pr), "id", "left")
+        .withColumn(
+            "isProtected",
+            F.coalesce(
+                F.col("max_pr_seq") > F.col("first_edit_seq"), F.lit(False)
+            ),
+        )
+        .drop("first_edit_seq", "max_pr_seq")
+    )
+
     adopted_pr = (
         protects.join(F.broadcast(window_bounds), "id")
         .filter((F.col("pr_seq") > F.col("prev_cut_seq")) & (F.col("pr_seq") <= F.col("mv_seq")))
@@ -165,7 +199,10 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
 
     zero = F.lit(0).cast("long")
     adopted = (
-        window_bounds.join(adopted_state, "id", "left")
+        # both sides are tiny checkpointed relations (one row per moved
+        # page); without the hint the planner sees no stats on the
+        # ExistingRDD scans and falls back to a sort-merge join
+        window_bounds.join(F.broadcast(adopted_state), "id", "left")
         .join(F.broadcast(adopted_pr), "id", "left")
         .select(
             F.col("dst_id").alias("id"),

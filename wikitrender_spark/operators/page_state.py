@@ -77,7 +77,8 @@ def page_state(rc: DataFrame, with_collections: bool = True) -> DataFrame:
 
 
 def aggregate_classified(e: DataFrame, with_collections: bool = True,
-                         with_first_seq: bool = False) -> DataFrame:
+                         with_first_seq: bool = False,
+                         extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """The two-level aggregation over an (optionally pre-windowed) set of
     classified edit events — see module docstring for semantics.
 
@@ -89,9 +90,15 @@ def aggregate_classified(e: DataFrame, with_collections: bool = True,
     with_first_seq adds a `first_edit_seq` column (min event seq per page)
     as one more fixed-width aggregate — the lifecycle operator needs it,
     and folding it in here avoids a separate groupBy + join over a second
-    scan of the event set."""
+    scan of the event set.
+
+    extra_keys prepends caller-provided grouping columns to BOTH levels —
+    the lifecycle operator tags each event with its lifetime branch and
+    aggregates every branch in one pass over the event set instead of one
+    scan + aggregation per branch (round 16; the partition-key extension
+    is the same move as tx_pack_sharded's shard key)."""
     # level 1: per (page, editor)
-    lvl1 = e.groupBy("id", "wiki", "title", "user").agg(
+    lvl1 = e.groupBy(*extra_keys, "id", "wiki", "title", "user").agg(
         *([F.min("seq").alias("p_min_seq")] if with_first_seq else []),
         F.sum(F.when(F.col("eligible"), 1).otherwise(0)).alias("user_edits"),
         F.max("is_anon").alias("is_anon"),
@@ -167,7 +174,7 @@ def aggregate_classified(e: DataFrame, with_collections: bool = True,
             ).alias("n_anons"),
         ]
 
-    return lvl1.groupBy("id", "wiki", "title").agg(*agg_cols)
+    return lvl1.groupBy(*extra_keys, "id", "wiki", "title").agg(*agg_cols)
 
 
 def with_metrics(state: DataFrame, now: Column) -> DataFrame:
