@@ -113,7 +113,33 @@ def duckdb_rc_cte(filtered: bool = True) -> str:
     return rc_filtered_sql("duckdb") if filtered else rc_derive_sql("duckdb")
 
 
-def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: (path, size, mtime, parallelism) -> scan partition count. The
+#: .rdd.getNumPartitions() probe costs a measured ~40-50 ms of py4j +
+#: plan-to-RDD work per query CONSTRUCTION; for a fixed file it is a
+#: pure function of (file bytes, split config), so one probe per file
+#: per session suffices. Keyed on size+mtime so a regenerated testdata
+#: file re-probes. This caches a PLAN-construction decision, never data
+#: or results.
+_SCAN_PARTS_CACHE: dict[tuple, int] = {}
+
+
+def _scan_partitions(df: DataFrame, path: str) -> int:
+    import os
+
+    st = os.stat(path)
+    key = (
+        path, st.st_size, st.st_mtime_ns,
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+    n = _SCAN_PARTS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[key] = n
+    return n
+
+
+def read_events_raw(spark: SparkSession, sf_dir: str,
+                    spread: bool = True) -> DataFrame:
     """Read the driver's events parquet with `ts` normalized to a
     session-tz TIMESTAMP (session tz is pinned UTC, so the NTZ->TZ cast
     is wall-clock identity and matches DuckDB's naive reading of the
@@ -121,18 +147,22 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table working (nanosAsLong reads it as LongType; truncate to
     micros like DuckDB's nanos->TIMESTAMP cast).
 
-    Spread across cores when the file gives fewer splits than cores (see
-    schemas.load_table): the rc derivation above this scan is a wide CASE
-    projection whose per-row cost dominates at small byte sizes. The guard
-    never fires at real scale (file splits >> cores)."""
+    spread=True: spread across cores when the file gives fewer splits
+    than cores (see schemas.load_table): the rc derivation above this
+    scan is a wide CASE projection whose per-row cost dominates at small
+    byte sizes. The guard never fires at real scale (file splits >>
+    cores). Pass spread=False for subtrees that collapse to a scalar
+    anyway (e.g. the snapshot-clock max(ts)) — there the exchange is
+    pure overhead at any scale (guide §2.4)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    df = spark.read.parquet(path)
     if dict(df.dtypes)["ts"] == "bigint":  # legacy nanos vintage
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     else:
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if spread and _scan_partitions(df, path) < par:
         df = df.repartition(par)
     return df
 
@@ -150,16 +180,21 @@ def move_closed_group():
     )
 
 
-def rc_events(spark: SparkSession, sf_dir: str, filtered: bool = True) -> DataFrame:
+def rc_events(spark: SparkSession, sf_dir: str, filtered: bool = True,
+              spread: bool = True) -> DataFrame:
     """The derived rc_event stream as a DataFrame (flat schema,
     RC_EVENT_FLAT_SCHEMA minus nested structs).
 
     Built by running the shared SQL over a temp view — the projection and
     filter sit directly above the parquet scan, so Catalyst prunes the scan
     to the referenced columns and pushes the namespace filter down.
+
+    spread=False skips the local core-spreading repartition (see
+    read_events_raw) — for consumers that reduce straight to a scalar,
+    where the exchange is pure overhead.
     """
-    view = "wtr_events_raw"
-    read_events_raw(spark, sf_dir).createOrReplaceTempView(view)
+    view = "wtr_events_raw" if spread else "wtr_events_raw_unspread"
+    read_events_raw(spark, sf_dir, spread=spread).createOrReplaceTempView(view)
     return spark.sql(
         rc_filtered_sql("spark", view) if filtered else rc_derive_sql("spark", view)
     )

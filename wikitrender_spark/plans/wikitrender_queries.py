@@ -60,7 +60,11 @@ def _state_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rc = rc_events(spark, sf_dir)
     st = page_state(rc, with_collections=False)
-    return with_snapshot_metrics(st, rc, grace_minutes=sqlgen.GRACE_MINUTES)
+    # the snapshot clock reduces straight to one scalar — feed it the
+    # UNSPREAD rc so its subtree carries no core-spreading exchange
+    # (same rows, same max; guide §2.4: remove shuffles outright)
+    now_rc = rc_events(spark, sf_dir, spread=False)
+    return with_snapshot_metrics(st, now_rc, grace_minutes=sqlgen.GRACE_MINUTES)
 
 
 def q_page_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +145,10 @@ def q_purge_safe_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     markSafe index.js:186-191)."""
     rc = rc_events(spark, sf_dir)
     st = page_state(rc, with_collections=False)
-    m = with_snapshot_metrics(st, rc, grace_minutes=sqlgen.GRACE_MINUTES)
+    m = with_snapshot_metrics(
+        st, rc_events(spark, sf_dir, spread=False),
+        grace_minutes=sqlgen.GRACE_MINUTES,
+    )
     mark = st.filter(F.col("notabilityFlags") > 0).select(
         "id", F.lit("markSafe").alias("command"),
         F.col("updated").alias("ts"), F.lit(0).alias("seq"),

@@ -191,9 +191,15 @@ def load_table(spark, sf_dir: str, name: str, spread: bool = False):
     exceeds any core count, the guard never fires, and the scan shape is
     untouched — this only ever pays one tiny extra shuffle to stop a
     single task from serializing all sketch compute."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if spread:
+        # cached probe: .rdd.getNumPartitions() costs ~40-50 ms of py4j
+        # per construction; the count is a pure function of the file and
+        # the split config (see operators/derive._scan_partitions)
+        from .operators.derive import _scan_partitions
+
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        if _scan_partitions(df, path) < par:
             df = df.repartition(par)
     return df
