@@ -48,9 +48,29 @@ def test_pricing_summary_prunes_and_pushes(plans):
 
 
 def test_text_queries_read_only_needed_columns(plans):
-    for q in ("tx_token_stats", "tx_fingerprint", "dd_simhash", "tx_chunks"):
+    for q in ("tx_token_stats", "tx_fingerprint"):
         for cols in _scan_columns(plans(q), "documents"):
             assert set(cols) <= {"doc_id", "text"}, (q, cols)
+
+
+def test_token_hash_projection_prunes_documents_scan(spark):
+    """dd_simhash, tx_chunks, and every sketch query now read documents
+    through
+    doc_token_hashes' localCheckpoint (round 16), which hides the
+    FileScan behind a Scan ExistingRDD in the outer plan — so the
+    pruned-scan property is asserted on the pre-checkpoint projection,
+    the subtree the checkpoint swallows."""
+    from wikitrender_spark.operators import dedup as _dedup
+    from wikitrender_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    inner = (
+        _dedup.token_hash_projection(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in inner  # one narrow per-row pass, no shuffle
+    for cols in _scan_columns(inner, "documents"):
+        assert set(cols) <= {"doc_id", "text"}
 
 
 def test_events_scan_prunes_props(plans):
@@ -344,8 +364,12 @@ def test_novelty_and_cross_source_shapes(plans, spark):
     from wikitrender_spark.schemas import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
+    # round 16: doc_shingles reads through doc_token_hashes'
+    # localCheckpoint, so the documents FileScan lives in the
+    # pre-checkpoint projection — assert the pruning there (the shingle
+    # derivation itself is pure array arithmetic over that relation)
     inner = (
-        _dedup.doc_shingles(docs)
+        _dedup.token_hash_projection(docs)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in inner

@@ -6,14 +6,17 @@ Scale design (the point of each variant at 100 TB):
   (md5 here, for oracle portability; xxhash128 in production) collapses
   the shuffle payload from document bytes to 16 bytes + ids.
 - all sketch variants share ONE materialization: ``doc_token_hashes``
-  hashes every token exactly once on exploded rows, then reassembles the
-  ordered per-doc hash array through a single aggregation. Downstream
-  sketches are then pure array arithmetic over that stored column.
-  This shape is deliberate: higher-order-function projections run
-  interpreted (no whole-stage codegen, no common-subexpression
-  elimination), so chaining the hash expression itself into k per-
-  permutation lambdas would recompute the O(doc-length) hash k times per
-  document. Materializing through the aggregation is the CSE barrier.
+  hashes every token exactly once in a per-row HOF projection and
+  localCheckpoints the result (round 16; previously an explode ->
+  aggregate -> join-back whose shuffle was the materialization
+  boundary). Downstream sketches are then pure array arithmetic over
+  that stored column. The explicit checkpoint is deliberate:
+  higher-order-function projections run interpreted (no whole-stage
+  codegen, no common-subexpression elimination), so chaining the hash
+  expression itself into k per-permutation lambdas would recompute the
+  O(doc-length) hash k times per document. The checkpoint is the CSE
+  barrier — see the doc_token_hashes docstring for the measured failure
+  when it is absent.
 - MinHash+LSH: k permutation minima = array_min over transform of the
   stored shingle-hash array; banding turns near-dup search into an
   equi-join on band keys — the linear-ish scale path, AQE-skew-safe.
@@ -53,27 +56,43 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 def doc_token_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, ths array<long>): per-token portable hashes in token
-    order, each token hashed exactly ONCE (posexplode -> poly_hash per
-    row, whole-stage codegen), then one hash aggregation per doc.
+    order, as ONE per-row HOF projection (transform over the token
+    array) — zero exchanges, zero joins — materialized by
+    localCheckpoint before it is returned.
 
-    Every doc keeps a row: docs with zero tokens get an empty array via
-    the left join (they must still receive sentinel signatures)."""
-    rows = docs.select(
-        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
-    ).select("doc_id", "pos", T.poly_hash(F.col("tok")).alias("th"))
-    per_doc = rows.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "th"))),
-            lambda s: s["th"],
-        ).alias("ths")
-    )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("ths"), F.array().cast("array<long>")).alias("ths"),
-        )
+    Round 16 (guide §2.4): this replaced a posexplode -> groupBy ->
+    collect_list(struct) -> join-back formulation that paid two
+    exchanges and an ObjectHashAggregate per call (measured 2.0 s vs
+    0.5 s at sf0.1, signatures bit-identical downstream). The
+    checkpoint is LOAD-BEARING, not optional: the old aggregation was a
+    materialization boundary, and without one the round-13 nested-
+    lambda hazard returns — once a consumer fans the un-materialized
+    sketch through a Generate/filter, the optimizer inlines the token
+    pass into every lambda reference and interpreted evaluation goes
+    quadratic in tokens (measured: posexplode over un-materialized
+    signatures took 162 s for 1,000 sf0.001 docs; the same plan over
+    the checkpointed relation is sub-second). Downstream sketch
+    projections (minhash / simhash folds) stay safe because they
+    reference `ths` as a REAL column of this checkpointed relation.
+    The STREAMING sketch path keeps its own Arrow-batched form
+    (streaming/dedup.lsh_band_keys_py) for the same round-13 reason.
+
+    Every doc keeps a row: docs with zero tokens (or NULL text) get an
+    empty array (they must still receive sentinel signatures)."""
+    return token_hash_projection(docs).localCheckpoint()
+
+
+def token_hash_projection(docs: DataFrame) -> DataFrame:
+    """The un-checkpointed (doc_id, ths) projection doc_token_hashes
+    materializes. Exposed separately because the checkpoint swallows
+    this subtree into a Scan ExistingRDD: plan-shape tests assert the
+    pruned documents scan (doc_id, text only) HERE, where the FileScan
+    is still visible (tests/test_plans.py)."""
+    return docs.select(
+        "doc_id",
+        F.coalesce(
+            T.token_hashes(F.col("text")), F.array().cast("array<long>")
+        ).alias("ths"),
     )
 
 
@@ -233,7 +252,7 @@ def _candidates_with_shingle_sets(
     # near_duplicates run without this, 0 with it). A caller that
     # already checkpointed dth passes it through.
     if dth is None:
-        dth = doc_token_hashes(docs).localCheckpoint()
+        dth = doc_token_hashes(docs)
     cands = lsh_candidate_pairs(docs, dth=dth)
     sets = dth.select(
         "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
@@ -328,7 +347,7 @@ def lsh_tuning_report(
     tokenization, one signature computation, and one banded self-join
     per config. Verification shares _verified_jaccard — the same
     arithmetic near_duplicates uses, one home."""
-    dth = doc_token_hashes(docs).localCheckpoint()
+    dth = doc_token_hashes(docs)
     sig = minhash_signatures(docs, dth=dth).localCheckpoint(eager=False)
     sets = dth.select(
         "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
@@ -399,7 +418,7 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
     branches don't re-run the 16-permutation fold (the plan audit
     showed 4 documents scans here before this — same redundancy class
     the near_duplicates fix removed)."""
-    dth = doc_token_hashes(docs).localCheckpoint()
+    dth = doc_token_hashes(docs)
     sig = minhash_signatures(docs, dth=dth).localCheckpoint()
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
