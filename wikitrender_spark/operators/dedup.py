@@ -494,25 +494,33 @@ def duplicate_clusters(
     )
     changed = -1
     for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(edges.doc_a.alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
+        # one join + one aggregation per round (round 16, guide §2.4):
+        # the neighbor labels and the doc's own label meet in a single
+        # union whose aggregation yields new label (min over all
+        # candidates) AND old label (the unique own-tagged row) side by
+        # side — replacing the former nbr_min join + labels re-join
+        # (two shuffle joins and five exchanges per round on a tiny
+        # relation). The checkpoint is LAZY and materialized by the
+        # convergence count itself, so each round is exactly one job.
+        nbr = edges.join(labels, edges.doc_b == labels.doc_id).select(
+            edges.doc_a.alias("doc_id"),
+            F.col("label").alias("cand"),
+            F.lit(False).alias("own"),
         )
-        # carry (old, new) label side by side so the convergence count is
-        # a filter over the SAME materialized relation instead of a
-        # second join per iteration (one shuffle join saved per round;
-        # the count action reuses the localCheckpoint blocks)
         joined = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+            nbr.unionByName(
+                labels.select(
+                    "doc_id",
+                    F.col("label").alias("cand"),
+                    F.lit(True).alias("own"),
+                )
             )
-            .localCheckpoint()
+            .groupBy("doc_id")
+            .agg(
+                F.min(F.when(F.col("own"), F.col("cand"))).alias("old_label"),
+                F.min("cand").alias("label"),
+            )
+            .localCheckpoint(eager=False)
         )
         changed = joined.filter(F.col("label") != F.col("old_label")).count()
         labels = joined.select("doc_id", "label")

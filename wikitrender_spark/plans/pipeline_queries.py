@@ -179,7 +179,10 @@ def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), split by fixed thresholds. A pure narrow projection — at
     100 TB this is a zero-shuffle column over the scan, and the same
     expression works as a partition predicate for split-specific reads."""
-    d = _docs(spark, sf_dir)
+    # no text compute anywhere in this plan — read unspread so the
+    # "zero-shuffle column over the scan" claim holds in the physical
+    # plan too (round 16, guide §2.4)
+    d = load_table(spark, sf_dir, "documents")
     bucket = (F.col("doc_id") * SPLIT_MULT + SPLIT_OFFSET) % 1000003 % 100
     return d.select(
         "doc_id",
@@ -863,7 +866,10 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation. Scale shape: the O(domains) weight relation broadcasts
     onto the corpus scan; the decision is a narrow projection (zero
     shuffle), usable directly as a filter predicate."""
-    d = _docs(spark, sf_dir)
+    # corpus side is (doc_id, lang, source) + a broadcast join — no
+    # per-row text compute, so no spread repartition (round 16,
+    # guide §2.4)
+    d = load_table(spark, sf_dir, "documents")
     weights = q_mix_weights(spark, sf_dir).select(
         "lang", "source", "sample_weight"
     )
@@ -3808,7 +3814,12 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer partials. Bucket arithmetic stays in the same
     (x * MULT + OFF) % 1000003 % 100 form as tx_split — exact while
     max(doc_id) * {SPLIT_MULT} < 2^63, i.e. doc_id < ~2.3e14."""
-    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    # the corpus branch here is pure (doc_id, n_chars) join+agg feed —
+    # no per-row text compute — so it skips the core-spreading
+    # round-robin repartition _docs applies for HOF-heavy branches
+    # (round 16, guide §2.4: the spread was a wasted exchange in this
+    # plan; the cluster branch keeps it for its tokenization)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     cl = dedup.duplicate_clusters(_docs(spark, sf_dir)).select(
         "doc_id", "cluster_id"
     )
