@@ -2694,6 +2694,32 @@ def test_bpe_apply_zero_merges_consistent_on_empty_word(spark):
     assert list(row["zero"]) == [] == list(row["one"])
 
 
+def test_bpe_apply_sql_form_matches_column_form(spark):
+    """The round-16 one-string construction path (bpe_apply_sql via
+    F.expr) must reproduce the Column-built fold chain symbol-for-symbol
+    — overlap rule ('aaa' under (a,a) -> ['aa','a']), composed
+    second-round merges ((t,h) then (th,e)), empty words, words with no
+    applicable merges, and merged-symbol pairs ((aa,aa))."""
+    words = ["", "a", "ab", "aaa", "aaaa", "abab", "the", "theory",
+             "weather", "banana", "xyzzy"]
+    merges = (("a", "a"), ("a", "b"), ("t", "h"), ("th", "e"),
+              ("b", "a"), ("ba", "n"), ("e", "r"), ("aa", "aa"))
+    rows = (
+        spark.createDataFrame([(w,) for w in words], "w string")
+        .select(
+            "w",
+            T.bpe_apply_word(F.col("w"), merges).alias("col_form"),
+            T.bpe_apply_word("w", merges).alias("sql_form"),
+            T.bpe_apply_word(F.col("w"), ()).alias("col_zero"),
+            T.bpe_apply_word("w", ()).alias("sql_zero"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert list(r["col_form"]) == list(r["sql_form"]), r["w"]
+        assert list(r["col_zero"]) == list(r["sql_zero"]), r["w"]
+
+
 def test_bpe_encode_fast_matches_hof(spark):
     """The Pandas-UDF fast path must reproduce bpe_encode's pinned
     rank-order single-pass semantics symbol-for-symbol — including the

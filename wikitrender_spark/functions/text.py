@@ -331,7 +331,40 @@ def scrub_pii(
     return redacted, counts
 
 
-def bpe_apply_word(word: Column, merges: tuple[tuple[str, str], ...]) -> Column:
+def _bpe_sql_lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_apply_sql(word_sql: str, merges: tuple[tuple[str, str], ...]) -> str:
+    """SQL text of bpe_apply_word's merge chain over the SQL expression
+    `word_sql` — the same nested aggregate levels, built as ONE string
+    for F.expr (round 16; the embedding_band_keys py4j lesson): the
+    Column form pays hundreds of py4j round-trips building 20 levels of
+    struct/when/concat objects (~1.8-2.3 s of query CONSTRUCTION per
+    call at the trainer's 20 merges), the string form ~2. The expression
+    Catalyst sees is the same (when-chain == CASE WHEN, aliased struct
+    == named struct), so evaluation and results are bit-identical —
+    pinned against the Column form in tests/test_pipeline_ops.py."""
+    sym = f"array_remove(split({word_sql}, ''), '')"
+    for left, right in merges:
+        lt, rt = _bpe_sql_lit(left), _bpe_sql_lit(right)
+        both = _bpe_sql_lit(left + right)
+        sym = (
+            f"aggregate({sym}, "
+            "struct(CAST(array() AS ARRAY<STRING>) AS out, '' AS pend), "
+            "(acc, s) -> CASE "
+            "WHEN acc.pend = '' THEN struct(acc.out AS out, s AS pend) "
+            f"WHEN acc.pend = {lt} AND s = {rt} "
+            f"THEN struct(concat(acc.out, array({both})) AS out, '' AS pend) "
+            "ELSE struct(concat(acc.out, array(acc.pend)) AS out, s AS pend) "
+            "END, "
+            "acc -> CASE WHEN acc.pend = '' THEN acc.out "
+            "ELSE concat(acc.out, array(acc.pend)) END)"
+        )
+    return sym
+
+
+def bpe_apply_word(word: Column | str, merges: tuple[tuple[str, str], ...]) -> Column:
     """Apply an ordered BPE merge table to ONE word, entirely JVM-side:
     start from character symbols and, for each (left, right) merge in
     rank order, run one LEFT-TO-RIGHT NON-OVERLAPPING pass replacing
@@ -364,6 +397,12 @@ def bpe_apply_word(word: Column, merges: tuple[tuple[str, str], ...]) -> Column:
     tools/bpe_probe.py). This HOF form stays the pinned small-table
     contract. Completes the tokenizer story the tx_bpe_merges trainer
     starts: train merges -> encode -> pack."""
+    # round 16: a str argument is a SQL expression — take the
+    # one-string construction path (bpe_apply_sql) that skips the
+    # per-level py4j tree building; the Column path below stays as the
+    # reference form the equivalence test compares against
+    if isinstance(word, str):
+        return F.expr(bpe_apply_sql(word, merges))
     # array_remove('') normalizes split's empty-string artifacts so the
     # zero-merge path agrees with the folded one (an empty word is []
     # on both, never ['']) and neither depends on engine-version

@@ -502,7 +502,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(T.tokens(F.col("text"))).alias("pos", "w"),
     )
     wsyms = toks.select("w").distinct().select(
-        "w", T.bpe_apply_word(F.col("w"), merges).alias("syms")
+        "w", T.bpe_apply_word("w", merges).alias("syms")
     )
     enc = (
         toks.join(wsyms, "w")
