@@ -437,11 +437,12 @@ def test_markov_and_pagerank_cut_without_global_sort(plans):
     queries."""
     plan = plans("wt_markov_transitions")
     assert "TakeOrderedAndProject(limit=25" in plan
-    # the per-user lag window sits BEHIND the trans localCheckpoint
-    # since ADVICE r7 (multi-consumer barrier), so it no longer appears
-    # in this plan — test_transition_graph_pre_checkpoint_shape pins it
-    # on the pre-checkpoint relation instead
-    assert "Scan ExistingRDD" in plan
+    # round 16: out_w is a window sum partitioned by src (guide §2.4 —
+    # one exchange replaces the old groupBy+self-join), so markov needs
+    # no checkpoint and no join at all; the whole pipeline including
+    # the per-user lag window is visible in ONE plan
+    assert "Window" in plan
+    assert not re.search(r"Join", plan), "markov must not join"
     plan2 = plans("wt_pagerank")
     assert "TakeOrderedAndProject(limit=20" in plan2
 

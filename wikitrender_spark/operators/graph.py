@@ -89,13 +89,15 @@ def markov_top_transitions(trans: DataFrame, k: int = 25) -> DataFrame:
     portability rule. Deterministic cut: (w desc, src, dst) is a total
     order. TakeOrderedAndProject shape (no global sort).
 
-    trans is localCheckpoint'd before the join with its own
-    re-aggregation: both join branches consume it, and without the
-    barrier the whole classified-events lag-window pipeline would be
-    recomputed per branch (the pagerank/lsh precedent; ADVICE r7)."""
-    trans = trans.localCheckpoint()
+    Round 16 (guide §2.4): out_w is a WINDOW sum partitioned by src
+    instead of a groupBy(src) + self-join — same exact integer sum,
+    but one exchange on src replaces [agg exchange + join exchange],
+    and with a single consumer the multi-consumer checkpoint barrier
+    (ADVICE r7) is no longer needed at all."""
     return (
-        trans.join(out_weights(trans), "src")
+        trans.withColumn(
+            "out_w", F.sum("w").over(Window.partitionBy("src"))
+        )
         .orderBy(F.desc("w"), F.asc("src"), F.asc("dst"))
         .limit(k)
         .select("src", "dst", "w", "out_w")
@@ -120,21 +122,25 @@ def pagerank(
     The edges relation (trans + out-weights) is checkpointed once and
     re-read every iteration; scores are checkpointed per iteration to
     cut lineage (see module docstring for the full scale shape)."""
-    # barrier before the self-referential join: both branches (trans
-    # itself and its out-weight re-aggregation) would otherwise
-    # recompute the upstream lag-window pipeline while materializing
-    # the edges checkpoint
-    trans = trans.localCheckpoint()
+    # Round 16 (guide §2.4): out_w as a window sum over src (one
+    # exchange, no self-join — see markov_top_transitions), and every
+    # checkpoint LAZY (eager=False): the persisted cut still protects
+    # each multi-consumer fan-out from recomputation (ADVICE r7), but
+    # the K+2 serial materialization jobs collapse into the final
+    # action's job graph (measured: eager checkpoint jobs dominated the
+    # graph-family wall at bench scale).
     edges = (
-        trans.join(out_weights(trans), "src")
+        trans.withColumn(
+            "out_w", F.sum("w").over(Window.partitionBy("src"))
+        )
         .select("src", "dst", "w", "out_w")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     scores = nodes.select(
         "node", F.lit(SCALE).cast("bigint").alias("score")
@@ -162,7 +168,7 @@ def pagerank(
                 .cast("bigint")
                 .alias("score"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return scores
 
@@ -207,7 +213,7 @@ def coedit_pair_weights(
         ue.withColumn("pr", F.row_number().over(w))
         .filter(F.col("pr") <= cap)
         .select("user", "id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return (
         top_pages.alias("a")
@@ -264,27 +270,35 @@ def degree_topk(trans: DataFrame, k: int = DEGREE_TOPK) -> DataFrame:
     distinct neighbors, so a page fed thinly by many pages and one fed
     heavily by one separate cleanly).
 
-    Scale shape: two hash-aggs over the edge relation (one per
-    direction), a full outer equi-join of the two O(nodes) relations
-    (no broadcast hint — the tx_collocations lesson), and a
-    TakeOrderedAndProject cut. trans is localCheckpoint'd before the
-    two-consumer fan-out (the markov/pagerank precedent)."""
-    trans = trans.localCheckpoint()
-    out_d = trans.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg"), F.sum("w").alias("out_w")
-    )
-    in_d = trans.groupBy(F.col("dst").alias("node")).agg(
-        F.count(F.lit(1)).alias("in_deg"), F.sum("w").alias("in_w")
-    )
-    nodes = (
-        out_d.join(in_d, "node", "full_outer")
-        .select(
-            "node",
-            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.coalesce("in_w", F.lit(0)).alias("in_w"),
-            F.coalesce("out_w", F.lit(0)).alias("out_w"),
+    Scale shape (round 16, guide §2.4): each edge contributes one
+    direction-tagged row per endpoint (a union of two narrow
+    projections of the SAME trans subtree — Spark caches nothing here,
+    but the lag-window pipeline feeding trans is cheap relative to the
+    former [2 hash-aggs + full-outer join] it replaces); ONE
+    conditional hash-agg on node then folds both directions — the
+    full-outer join and its exchanges are gone (sum-of-tagged ==
+    per-direction sums, missing direction == 0 exactly as the former
+    coalesce pinned). TakeOrderedAndProject cut. trans is
+    localCheckpoint'd LAZILY before the two-branch fan-out (ADVICE r7;
+    eager=False keeps the recomputation guard without a separate
+    materialization job)."""
+    trans = trans.localCheckpoint(eager=False)
+    tagged = trans.select(
+        F.col("src").alias("node"), F.lit(1).alias("is_out"), "w"
+    ).unionByName(
+        trans.select(
+            F.col("dst").alias("node"), F.lit(0).alias("is_out"), "w"
         )
+    )
+    nodes = tagged.groupBy("node").agg(
+        F.sum(F.when(F.col("is_out") == 0, 1).otherwise(0)).alias("in_deg"),
+        F.sum("is_out").alias("out_deg"),
+        F.sum(F.when(F.col("is_out") == 0, F.col("w")).otherwise(0)).alias(
+            "in_w"
+        ),
+        F.sum(F.when(F.col("is_out") == 1, F.col("w")).otherwise(0)).alias(
+            "out_w"
+        ),
     )
     top = nodes.orderBy(
         F.desc(F.col("in_deg") + F.col("out_deg")), F.asc("node")
@@ -342,15 +356,17 @@ def triangles_from_pairs(pairs: DataFrame, k: int = TRIANGLE_TOPK) -> DataFrame:
     node/edge count actually grows (the sf1 event replication holds the
     page keyspace fixed — BASELINE.md r08 caveat). Same plan, same
     checkpoints; coedit_triangles delegates here."""
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.localCheckpoint(eager=False)
     deg = (
         pairs.select(F.col("page_a").alias("node"))
         .unionByName(pairs.select(F.col("page_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
         # two join branches (deg_a, deg_b) consume it — barrier, per the
-        # multi-consumer checkpoint rule (ADVICE r7)
-        .localCheckpoint()
+        # multi-consumer checkpoint rule (ADVICE r7); lazy (round 16):
+        # the persisted cut survives, the serial materialization job
+        # does not
+        .localCheckpoint(eager=False)
     )
     e = (
         pairs.join(deg.withColumnRenamed("node", "page_a")
@@ -365,7 +381,7 @@ def triangles_from_pairs(pairs: DataFrame, k: int = TRIANGLE_TOPK) -> DataFrame:
         F.when(lower_first, F.col("page_a")).otherwise(F.col("page_b")).alias("u"),
         F.when(lower_first, F.col("page_b")).otherwise(F.col("page_a")).alias("v"),
         F.col("n_coeditors").alias("w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.v") == F.col("e2.u"))

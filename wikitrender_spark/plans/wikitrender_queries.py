@@ -419,25 +419,44 @@ def state_diff(rc: DataFrame, divisor: int = 4) -> DataFrame:
     matrix covered in tests/test_reference_parity.py). A non-default
     ``divisor`` must pair with ``sqlgen.state_diff_oracle(divisor)`` —
     the registered query/oracle pair uses the shared default."""
+    # Round 16 (guide §2.4): ONE branch-conditional aggregation pass.
+    # The previous form ran page_state twice (early + full) and
+    # full-outer-joined the snapshots — 2 event-set scans, 4 exchanges,
+    # 1 join — but every _DIFF_COLS metric is an EVENT-level sum (no
+    # per-user level needed), and the early events are a subset of the
+    # full set, so both snapshots fall out of one groupBy(id) with
+    # early-conditional twins of each aggregate (the lifecycle
+    # branch-tagging move). Early-presence is an early-event count;
+    # 'removed' stays structurally impossible (full ⊇ early).
+    #
+    # Equivalence with the two-pass form, aggregate by aggregate: each
+    # early twin wraps the SAME per-event term in F.when(early, ...)
+    # with no otherwise — non-early rows contribute NULL (ignored by
+    # SUM), early rows contribute the identical 0/1/delta term, and a
+    # page with no early rows yields NULL exactly where the full-outer
+    # join yielded NULL. Sum-of-sums == sum makes the dropped per-user
+    # level exact for these integer aggregates.
     mid = rc.agg(
         F.expr(f"CAST(max(seq) AS BIGINT) DIV {divisor}").alias("mid")
     )
-    early_rc = (
-        rc.crossJoin(F.broadcast(mid))
-        .filter(F.col("seq") <= F.col("mid"))
-        .drop("mid")
-    )
-    ea = page_state(early_rc, with_collections=False).select(
-        "id",
-        F.lit(1).alias("_e"),
-        *[F.col(c).alias(f"{c}_early") for c in _DIFF_COLS],
-    )
-    fu = page_state(rc, with_collections=False).select(
-        "id",
-        F.lit(1).alias("_f"),
-        *[F.col(c).alias(f"{c}_full") for c in _DIFF_COLS],
-    )
-    j = ea.join(fu, "id", "full_outer")
+    e = classified_edit_events(rc).crossJoin(F.broadcast(mid))
+    early = F.col("seq") <= F.col("mid")
+    # per-event terms, verbatim from page_state's level-1 aggregates
+    terms = {
+        "edits": F.when(F.col("eligible"), 1).otherwise(0),
+        "anonEdits": F.when(
+            F.col("eligible") & F.col("is_anon"), 1
+        ).otherwise(0),
+        "reverts": F.when(F.col("is_revert"), 1).otherwise(0),
+        "bytesChanged": F.when(
+            F.col("is_revert") | ~F.col("is_bot"), F.col("delta")
+        ).otherwise(0),
+    }
+    aggs = [F.sum(F.when(early, 1).otherwise(0)).alias("_n_early")]
+    for c, term in terms.items():
+        aggs.append(F.sum(term).alias(f"{c}_full"))
+        aggs.append(F.sum(F.when(early, term)).alias(f"{c}_early"))
+    j = e.groupBy("id").agg(*aggs)
     # NULL-SAFE equality (eqNullSafe / IS NOT DISTINCT FROM in the
     # oracle): a metric that is NULL in both snapshots (e.g.
     # bytesChanged from events without lengths) is UNCHANGED, not
@@ -447,8 +466,7 @@ def state_diff(rc: DataFrame, divisor: int = 4) -> DataFrame:
         eq = F.col(f"{c}_early").eqNullSafe(F.col(f"{c}_full"))
         same = eq if same is None else (same & eq)
     change = (
-        F.when(F.col("_e").isNull(), F.lit("added"))
-        .when(F.col("_f").isNull(), F.lit("removed"))
+        F.when(F.col("_n_early") == 0, F.lit("added"))
         .when(same, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
