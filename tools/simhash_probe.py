@@ -48,17 +48,19 @@ def _remix(b: int, t):
 def premix_blocks(docs: DataFrame) -> DataFrame:
     ths = doc_token_hashes(docs)
     blks = []
+    def mk_remix(b):
+        return lambda t: _remix(b, t)
+
+    def mk_step(j):
+        return (
+            lambda a, h: a + F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
     for b in range(SIMHASH_BLOCKS):
-        rh = F.transform(F.col("ths"), lambda t, b=b: _remix(b, t))
+        rh = F.transform(F.col("ths"), mk_remix(b))
         bits = [
             F.when(
-                F.aggregate(
-                    rh,
-                    F.lit(0).cast("long"),
-                    lambda a, h, j=j: a
-                    + F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1,
-                )
-                > 0,
+                F.aggregate(rh, F.lit(0).cast("long"), mk_step(j)) > 0,
                 F.lit(2**j).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
             for j in range(SIMHASH_BLOCK_BITS)
@@ -70,15 +72,22 @@ def premix_blocks(docs: DataFrame) -> DataFrame:
 def nested_blocks(docs: DataFrame) -> DataFrame:
     ths = doc_token_hashes(docs)
     blks = []
+    def mk_agg(b):
+        def step(acc, t):
+            return F.transform(
+                acc,
+                lambda c, j: c
+                + F.shiftright(_remix(b, t), j).bitwiseAND(F.lit(1)) * 2
+                - 1,
+            )
+
+        return step
+
     for b in range(SIMHASH_BLOCKS):
         counts = F.aggregate(
             F.col("ths"),
             F.array_repeat(F.lit(0).cast("long"), SIMHASH_BLOCK_BITS),
-            lambda acc, t, b=b: F.transform(
-                acc,
-                lambda c, j: c
-                + F.shiftright(_remix(b, t), j).bitwiseAND(F.lit(1)) * 2 - 1,
-            ),
+            mk_agg(b),
         )
         bits = [
             F.when(
@@ -137,7 +146,7 @@ def main() -> None:
             names = a.split("=", 1)[1].split(",")
     spark = get_spark("simhash-probe", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     base = None
     for name in names:
         fn = VARIANTS[name]
