@@ -1141,6 +1141,66 @@ def _pq_subdist(v, cent, m: int) -> "F.Column":
     return F.round(acc, 6)
 
 
+def _pq_subdist_sql(v: str, cent: str, m: int) -> str:
+    """SQL rendering of _pq_subdist: the same left-associative unrolled
+    8-term sum (acc starts 0.0 via the leading term's implicit 0.0 +),
+    rounded to 6 — `d` appearing once squared mirrors the Column form's
+    d*d (whose shared subexpression also inlines twice). Round 16
+    (guide §1 construction cost; the bpe_apply/rp_project precedent):
+    the Column form costs hundreds of py4j round-trips per query
+    construction, the string parses in ~1 ms."""
+    terms = []
+    for j in range(1, PQ_DSUB + 1):
+        d = f"(element_at({v}, {m * PQ_DSUB + j}) - element_at({cent}, {m * PQ_DSUB + j}))"
+        terms.append(f"{d} * {d}")
+    return f"round(0.0 + {' + '.join(terms)}, 6)"
+
+
+def _pq_codes_sql() -> str:
+    """One SQL expression for the full M-subspace argmin code array over
+    the packed centroid row `cs` (array<struct<cell,centroid>>) and the
+    double-cast embedding `_emb_d` — field-for-field the pq_codes
+    Column fold (init (1e300, -1), strict <, ties to the first == the
+    cell-sorted lowest)."""
+    folds = []
+    for m in range(PQ_M):
+        d = _pq_subdist_sql("_emb_d", "c.centroid", m)
+        folds.append(
+            "aggregate(cs, "
+            "named_struct('dist', cast(1e300 as double), 'cell', cast(-1 as int)), "
+            f"(acc, c) -> CASE WHEN {d} < acc.dist "
+            f"THEN named_struct('dist', {d}, 'cell', c.cell) "
+            "ELSE acc END).cell"
+        )
+    return f"array({', '.join(folds)})"
+
+
+def _pq_query_dists_sql() -> str:
+    """SQL rendering of _pq_query_tables' per-(query, centroid) struct
+    array: M structs (m, cell, subdist) over `_emb_d` and the joined
+    centroid row."""
+    entries = [
+        "named_struct('m', {m}, 'cell', cell, 'dist', {d})".format(
+            m=m, d=_pq_subdist_sql("_emb_d", "centroid", m)
+        )
+        for m in range(PQ_M)
+    ]
+    return f"array({', '.join(entries)})"
+
+
+def _adc_distance_sql() -> str:
+    """SQL rendering of _adc_distance: M filter+element_at table
+    lookups summed left-associatively from 0.0, rounded to 6."""
+    lookups = [
+        (
+            f"element_at(filter(tab, t -> t.m = {m} AND "
+            f"t.cell = element_at(codes, {m + 1})), 1).dist"
+        )
+        for m in range(PQ_M)
+    ]
+    return f"round(0.0 + {' + '.join(lookups)}, 6)"
+
+
 def pq_codes(
     emb: DataFrame, cents: DataFrame, extra_cols: list[str] | None = None
 ) -> DataFrame:
@@ -1164,9 +1224,29 @@ def pq_codes(
     packed = cents.agg(
         F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cs")
     )
-    # the cast is a separate projection: an elementwise array cast inside
-    # a lambda body is itself an implicit lambda, which Spark's lambda
-    # resolver cannot nest (INVALID_LAMBDA_FUNCTION_CALL)
+    # Round 16: the M argmin folds are rendered as ONE SQL string
+    # (_pq_codes_sql) parsed by F.expr — the Column-built form
+    # (pq_codes_column_folds, kept as the pinned reference) cost
+    # ~1.2-1.5 s of py4j round-trips per query construction (guide §1;
+    # the bpe_apply precedent). Values are identical: same fold, same
+    # init, same strict-< tie-break — pinned in tests/test_ann_recall.
+    return (
+        emb.select(
+            "vec_id",
+            *extra_cols,
+            S.to_double(F.col("embedding")).alias("_emb_d"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id", *extra_cols, F.expr(_pq_codes_sql()).alias("codes")
+        )
+    )
+
+
+def pq_codes_column_folds() -> "F.Column":
+    """The original Column-built M-fold code array — the REFERENCE form
+    _pq_codes_sql is pinned against (tests/test_ann_recall.py); not used
+    in any query path since round 16."""
     v = F.col("_emb_d")
 
     def mk_step(m: int):
@@ -1184,8 +1264,6 @@ def pq_codes(
 
     code_cols = []
     for m in range(PQ_M):
-        step = mk_step(m)
-
         best = F.aggregate(
             F.col("cs"),
             # same init shape as ivf_cells: cell is the corpus label (int)
@@ -1193,18 +1271,10 @@ def pq_codes(
                 F.lit(1e300).alias("dist"),
                 F.lit(-1).cast("int").alias("cell"),
             ),
-            step,
+            mk_step(m),
         )
         code_cols.append(best["cell"])
-    return (
-        emb.select(
-            "vec_id",
-            *extra_cols,
-            S.to_double(F.col("embedding")).alias("_emb_d"),
-        )
-        .crossJoin(F.broadcast(packed))
-        .select("vec_id", *extra_cols, F.array(*code_cols).alias("codes"))
-    )
+    return F.array(*code_cols)
 
 
 def _pq_query_tables(
@@ -1213,22 +1283,17 @@ def _pq_query_tables(
     """One row per query: (query_id, tab array<struct<m,cell,dist>>) —
     the query's squared-L2 distance to every codebook entry in every
     subspace (n_queries * M * K values total, broadcast-sized)."""
-    qv = S.to_double(F.col("embedding"))
-    dists = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.col("cell").alias("cell"),
-                _pq_subdist(qv, F.col("centroid"), m).alias("dist"),
-            )
-            for m in range(PQ_M)
-        ]
-    )
+    # Round 16: distance structs rendered as one SQL string (see
+    # _pq_codes_sql rationale); the embedding is double-cast in the
+    # same projection the Column form used.
     return (
         emb.filter(F.col("vec_id").isin(query_ids))
-        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            S.to_double(F.col("embedding")).alias("_emb_d"),
+        )
         .crossJoin(F.broadcast(cents))
-        .select("query_id", F.explode(dists).alias("d"))
+        .select("query_id", F.explode(F.expr(_pq_query_dists_sql())).alias("d"))
         .groupBy("query_id")
         .agg(F.collect_list("d").alias("tab"))
     )
@@ -1284,7 +1349,10 @@ def _adc_rank_and_rescore(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _adc_distance().alias("approx_dist"),
+            # round 16: SQL-string form of _adc_distance (kept as the
+            # pinned reference) — same M lookups, same 0.0-seeded
+            # left-associative sum, round 6
+            F.expr(_adc_distance_sql()).alias("approx_dist"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= keep)
@@ -1322,7 +1390,7 @@ def pq_topk(
     it is a trained artifact — exactly what production persists — and
     it feeds two consumers (corpus encode + per-query tables), so
     materializing its n_cells rows once halves the embeddings scans."""
-    cents = ivf_centroids(emb).localCheckpoint()
+    cents = ivf_centroids(emb).localCheckpoint(eager=False)
     codes = pq_codes(emb, cents)
     qtab = _pq_query_tables(emb, query_ids, cents)
     return _adc_rank_and_rescore(
@@ -1357,7 +1425,7 @@ def ivf_pq_topk(
     _adc_rank_and_rescore) to restore within-cell recall; measured
     contracts in tools/ann_recall_probe.py.
     Output: (query_id, neighbor_id, rank, approx_dist, sim)."""
-    cents = ivf_centroids(emb).localCheckpoint()
+    cents = ivf_centroids(emb).localCheckpoint(eager=False)
     assigned = ivf_cells(emb, cents, keep_embedding=True)
     index = pq_codes(assigned, cents, extra_cols=["cell"])
     probes = (
