@@ -79,7 +79,7 @@ def doc_token_hashes(docs: DataFrame) -> DataFrame:
 
     Every doc keeps a row: docs with zero tokens (or NULL text) get an
     empty array (they must still receive sentinel signatures)."""
-    return token_hash_projection(docs).localCheckpoint()
+    return token_hash_projection(docs).localCheckpoint(eager=False)
 
 
 def token_hash_projection(docs: DataFrame) -> DataFrame:
@@ -220,7 +220,7 @@ def lsh_candidate_pairs(
         F.posexplode(S.lsh_bands(F.col("signature"), bands, rows)).alias(
             "band_idx", "band_key"
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -419,7 +419,7 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
     showed 4 documents scans here before this — same redundancy class
     the near_duplicates fix removed)."""
     dth = doc_token_hashes(docs)
-    sig = minhash_signatures(docs, dth=dth).localCheckpoint()
+    sig = minhash_signatures(docs, dth=dth).localCheckpoint(eager=False)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
     agree = F.aggregate(
@@ -473,7 +473,7 @@ def duplicate_clusters(
     pairs = (
         near_duplicates(docs, threshold)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges = pairs.unionByName(
         pairs.select(
@@ -490,7 +490,7 @@ def duplicate_clusters(
     labels = (
         edges.groupBy(F.col("doc_a").alias("doc_id"))
         .agg(F.least(F.min("doc_a"), F.min("doc_b")).alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = -1
     for _ in range(max_iters):
@@ -981,6 +981,9 @@ def bloom_decontamination_flags(docs: DataFrame) -> DataFrame:
     ).select("jb.j", "jb.bit").distinct()
 
     train = docs.filter(~is_eval)
+    # eager stays (round 16 interleaved A/B): lazy measured +0.17 s on
+    # dd_bloom_decontaminate — the probes subtree re-plans under the
+    # consuming job; the dedicated materialization job is cheaper here
     tr_sh = doc_shingles(train).localCheckpoint()
     probes = tr_sh.select(
         "doc_id",

@@ -357,16 +357,20 @@ def triangles_from_pairs(pairs: DataFrame, k: int = TRIANGLE_TOPK) -> DataFrame:
     page keyspace fixed — BASELINE.md r08 caveat). Same plan, same
     checkpoints; coedit_triangles delegates here."""
     pairs = pairs.localCheckpoint(eager=False)
+    # deg and oriented each fan out to two consumers but are NOT
+    # checkpointed (round 16, measured): under AQE every checkpoint —
+    # even lazy — executes its subtree's shuffle stages at toRdd time,
+    # so each barrier is a serial job; AQE's canonical-plan stage reuse
+    # already dedups the two join branches' identical agg stages.
+    # Variants measured end-to-end at sf0.1 (median-of-3, rows equal):
+    # 4 ckpts 4.45s / pairs+top_pages only 3.76s / none 6.69s — the
+    # pairs barrier IS load-bearing (three consumers, nontrivial
+    # subtree), the deg/oriented ones were pure serialization.
     deg = (
         pairs.select(F.col("page_a").alias("node"))
         .unionByName(pairs.select(F.col("page_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
-        # two join branches (deg_a, deg_b) consume it — barrier, per the
-        # multi-consumer checkpoint rule (ADVICE r7); lazy (round 16):
-        # the persisted cut survives, the serial materialization job
-        # does not
-        .localCheckpoint(eager=False)
     )
     e = (
         pairs.join(deg.withColumnRenamed("node", "page_a")
@@ -381,7 +385,7 @@ def triangles_from_pairs(pairs: DataFrame, k: int = TRIANGLE_TOPK) -> DataFrame:
         F.when(lower_first, F.col("page_a")).otherwise(F.col("page_b")).alias("u"),
         F.when(lower_first, F.col("page_b")).otherwise(F.col("page_a")).alias("v"),
         F.col("n_coeditors").alias("w"),
-    ).localCheckpoint(eager=False)
+    )
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.v") == F.col("e2.u"))

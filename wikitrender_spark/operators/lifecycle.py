@@ -167,7 +167,7 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
     # one row per (branch, page); read by both union branches below
     states = aggregate_classified(
         tagged, with_collections, with_first_seq=True, extra_keys=("_branch",)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     base = states.filter(F.col("_branch") == 0).drop("_branch")
     adopted_state = states.filter(F.col("_branch") == 1).drop("_branch")
 
