@@ -873,30 +873,39 @@ def decontamination_flags(
     never shuffles for the membership probe — one narrow projection, a
     broadcast hash join, and a map-combined per-doc count. The
     contaminated flag compares the UNROUNDED ratio (exact IEEE division
-    of two ints — bit-identical across engines)."""
+    of two ints — bit-identical across engines).
+
+    Round 16 (guide §2.4, the state_diff/degree_topk move): sizes and
+    hits were two separate aggregations over two doc_shingles branches
+    (each its own exchange) merged by two doc_id joins; now ONE
+    broadcast membership left-join tags each shingle and ONE hash-agg
+    computes n_shingles = count(*) and n_eval_hits = count(_ev) —
+    count(col) ignores the NULLs of unmatched shingles exactly where
+    the old inner-join + coalesce(0) produced zero."""
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     ev_sh = (
         doc_shingles(docs.filter(is_eval)).select("shingle").distinct()
     )
     train = docs.filter(~is_eval)
-    sizes = (
+    per_doc = (
         doc_shingles(train)
+        .join(
+            F.broadcast(ev_sh.withColumn("_ev", F.lit(1))),
+            "shingle",
+            "left",
+        )
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
-    hits = (
-        doc_shingles(train)
-        .join(F.broadcast(ev_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_ev").alias("n_eval_hits"),
+        )
     )
     frac = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
         F.col("n_eval_hits").cast("double") / F.col("n_shingles").cast("double")
     )
     return (
         train.select("doc_id")
-        .join(sizes, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
@@ -936,6 +945,57 @@ def _bloom_bit(shingle, j: int):
     return ((shingle * a + b) % T.HASH_MOD) % BLOOM_M
 
 
+def _bloom_bit_sql(shingle: str, j: int) -> str:
+    """SQL rendering of _bloom_bit over a column reference — same
+    integer arithmetic, term for term."""
+    a, b = BLOOM_ROWS[j]
+    return f"((({shingle} * {a} + {b}) % {T.HASH_MOD}) % {BLOOM_M})"
+
+
+def _bloom_masks(ev_sh: DataFrame) -> list[list[int]]:
+    """Fold the eval shingle set into the BLOOM_K M-bit rows and return
+    them as BLOOM_K lists of M/64 signed 64-bit words — the bounded
+    filter hand-off (<= K*M bits REGARDLESS of eval size; the Bloom
+    filter is exactly the build-then-broadcast summary of guide §3.2,
+    and this collect is the filter, never data). One aggregation job:
+    collect_set of each row's bit per shingle, OR-folded into machine
+    words on the driver."""
+    row = ev_sh.agg(
+        *[
+            F.collect_set(_bloom_bit(F.col("shingle"), j)).alias(f"b{j}")
+            for j in range(BLOOM_K)
+        ]
+    ).first()
+    masks: list[list[int]] = []
+    for j in range(BLOOM_K):
+        words = [0] * (BLOOM_M // 64)
+        for bit in row[f"b{j}"] or []:
+            words[bit // 64] |= 1 << (bit % 64)
+        masks.append(
+            [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        )
+    return masks
+
+
+def _bloom_test_sql(shingle: str, masks: list[list[int]]) -> str:
+    """One SQL predicate: shingle bloom-hits iff EVERY row j's bit is
+    set in that row's mask words. Rendered as a string (the
+    pq/bpe_apply construction-cost precedent): per row, index the
+    16-word literal array by bit DIV 64 and test bit % 64 via
+    shiftright — O(1) per row, whole-stage codegen'd."""
+    tests = []
+    for j in range(BLOOM_K):
+        bit = _bloom_bit_sql(shingle, j)
+        arr = ", ".join(f"{w}L" for w in masks[j])
+        word = (
+            f"element_at(array({arr}), CAST({bit} DIV 64 AS INT) + 1)"
+        )
+        tests.append(
+            f"((shiftright({word}, CAST({bit} % 64 AS INT)) & 1) = 1)"
+        )
+    return " AND ".join(tests)
+
+
 def bloom_decontamination_flags(docs: DataFrame) -> DataFrame:
     """Bloom-filter variant of decontamination_flags: the eval shingle
     set is folded into a BLOOM_M-bit / BLOOM_K-row Bloom filter and
@@ -953,74 +1013,46 @@ def bloom_decontamination_flags(docs: DataFrame) -> DataFrame:
     construction — pinned in tests); false positives are measured, not
     assumed, via the exact twin.
 
-    Scale shape: eval side collapses to <= K*M distinct (row, bit) rows
-    broadcast once; the corpus side tokenizes/shingles ONCE — the
-    training shingle relation is localCheckpoint'd and feeds all three
-    consumers (probes, exact hits, per-doc sizes); without the barrier
-    each branch would re-run the HOF tokenization (the round's
-    clean-corpus lesson). Then one projection per shingle into K
-    (row, bit) probes, a broadcast join, and a per-(doc, shingle)
-    all-rows-matched count — no corpus shuffle beyond the per-doc
-    aggregate it already shares with the exact path."""
+    Scale shape (round 16 rework, guide §2.4 + §3.2): the eval side is
+    folded into the actual K x M-bit filter — BLOOM_K literal arrays of
+    M/64 machine words, built by one collect_set aggregation and handed
+    off driver-side (<= K*M bits regardless of eval size; the same
+    bounded-summary class as ngram_model's vocabulary hand-off, and
+    exactly the build-then-broadcast Bloom recipe of guide §3.2). Each
+    training shingle then tests its K bits as a codegen'd word-indexed
+    predicate — the former K-way explode (3x the shingle stream), the
+    (row, bit) broadcast join, and the two-level (doc, shingle) ->
+    doc aggregation are gone. Exact hits ride the SAME single pass: one
+    broadcast membership left-join tags each shingle, and ONE hash-agg
+    per doc computes n_shingles / n_exact_hits / n_bloom_hits together
+    (previously three aggregations merged by three doc_id joins). The
+    corpus side still tokenizes/shingles once and never shuffles beyond
+    the one per-doc aggregate."""
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     ev_sh = doc_shingles(docs.filter(is_eval)).select("shingle").distinct()
-    # the filter: distinct (row j, bit) pairs — the relational stand-in
-    # for the M-bit array (bounded by K*M rows regardless of eval size)
-    ev_bits = ev_sh.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _bloom_bit(F.col("shingle"), j).alias("bit"),
-                    )
-                    for j in range(BLOOM_K)
-                ]
-            )
-        ).alias("jb")
-    ).select("jb.j", "jb.bit").distinct()
+    masks = _bloom_masks(ev_sh)
 
     train = docs.filter(~is_eval)
-    # eager stays (round 16 interleaved A/B): lazy measured +0.17 s on
-    # dd_bloom_decontaminate — the probes subtree re-plans under the
-    # consuming job; the dedicated materialization job is cheaper here
-    tr_sh = doc_shingles(train).localCheckpoint()
-    probes = tr_sh.select(
-        "doc_id",
-        "shingle",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _bloom_bit(F.col("shingle"), j).alias("bit"),
-                    )
-                    for j in range(BLOOM_K)
-                ]
-            )
-        ).alias("jb"),
-    ).select("doc_id", "shingle", "jb.j", "jb.bit")
-    bloom_hits = (
-        probes.join(F.broadcast(ev_bits), ["j", "bit"])
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("n_rows_set"))
-        .filter(F.col("n_rows_set") == BLOOM_K)
+    per_doc = (
+        doc_shingles(train)
+        .join(
+            F.broadcast(ev_sh.withColumn("_ev", F.lit(1))),
+            "shingle",
+            "left",
+        )
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
-    )
-    exact_hits = (
-        tr_sh.join(F.broadcast(ev_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
-    )
-    sizes = tr_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_ev").alias("n_exact_hits"),
+            F.sum(
+                F.when(F.expr(_bloom_test_sql("shingle", masks)), 1)
+                .otherwise(0)
+            ).alias("n_bloom_hits"),
+        )
     )
     return (
         train.select("doc_id")
-        .join(sizes, "doc_id", "left")
-        .join(exact_hits, "doc_id", "left")
-        .join(bloom_hits, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
