@@ -291,7 +291,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("n_ts"))
-        .localCheckpoint()  # three consumers: totals x2 + scoring
+        .localCheckpoint(eager=False)  # three consumers: totals x2 + scoring
     )
     s_tot = st.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
     t_tot = st.groupBy("term").agg(F.sum("n_ts").alias("n_t"))
@@ -305,7 +305,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ts").cast(d38) * F.col("n_corpus").cast(d38)
             - F.col("n_t").cast(d38) * F.col("n_s").cast(d38),
         )
-        .localCheckpoint()  # two consumers: L1 aggregate + top-K cut
+        .localCheckpoint(eager=False)  # two consumers: L1 aggregate + top-K cut
     )
     l1 = scored.groupBy("source").agg(
         (
@@ -4862,7 +4862,9 @@ def ngram_ppl_buckets(d: DataFrame, n_buckets: int = NLL_BUCKETS) -> DataFrame:
     from pyspark.sql import Window
 
     scored = (
-        ngram_nll(d).select("doc_id", "n_bigrams", "nll").localCheckpoint()
+        ngram_nll(d)
+        .select("doc_id", "n_bigrams", "nll")
+        .localCheckpoint(eager=False)
     )
     rated = scored.filter(F.col("n_bigrams") > 0).withColumn(
         "_r", F.col("nll") / F.col("n_bigrams").cast("double")
@@ -4949,7 +4951,9 @@ def ngram_ppl_buckets_approx(
     # each re-runs the model join + per-doc sorted folds above
     # ngram_nll's token checkpoint (review r14 — the scoring ran 3x)
     scored = (
-        ngram_nll(d).select("doc_id", "n_bigrams", "nll").localCheckpoint()
+        ngram_nll(d)
+        .select("doc_id", "n_bigrams", "nll")
+        .localCheckpoint(eager=False)
     )
     rated = scored.filter(F.col("n_bigrams") > 0).withColumn(
         "_r", F.col("nll") / F.col("n_bigrams").cast("double")

@@ -1692,7 +1692,7 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint()  # both self-join branches consume it
+        .localCheckpoint(eager=False)  # both self-join branches consume it
     )
     pairs = (
         li.alias("a")
