@@ -144,7 +144,13 @@ def q_purge_safe_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-lifespan override (/root/reference/index.js:362-398,
     markSafe index.js:186-191)."""
     rc = rc_events(spark, sf_dir)
-    st = page_state(rc, with_collections=False)
+    # three consumers (metrics + the two derived control streams) read
+    # the page_state aggregate; without the barrier each re-runs the
+    # two-level aggregation over its own event scan (round 16, guide
+    # §2.4 — AQE does not reuse the agg stages across the fan-out)
+    st = page_state(rc, with_collections=False).localCheckpoint(
+        eager=False
+    )
     m = with_snapshot_metrics(
         st, rc_events(spark, sf_dir, spread=False),
         grace_minutes=sqlgen.GRACE_MINUTES,
