@@ -81,7 +81,10 @@ def replay_events_with_dupes(
     )
 
 
-def drain_to_memory(deduped: DataFrame, name: str, ckpt: str) -> DataFrame:
+def drain_to_memory(
+    deduped: DataFrame, name: str, ckpt: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """The ONE home of the append-mode memory-sink drain discipline
     (previously copy-pasted per call site — self-review r10): run the
     streaming relation to exhaustion under Trigger.AvailableNow, then
@@ -89,16 +92,25 @@ def drain_to_memory(deduped: DataFrame, name: str, ckpt: str) -> DataFrame:
     checkpoint) and drop the view immediately — the returned relation
     stays valid for the caller's lifetime with no per-run temp view
     accumulating in the session catalog, and no trap where a later
-    invocation's cleanup invalidates an earlier invocation's result."""
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    invocation's cleanup invalidates an earlier invocation's result.
+
+    ``state_partitions`` scopes the query's state-store partition count
+    (round 17, streaming/sizing.py: stateful operators freeze
+    spark.sql.shuffle.partitions into the checkpoint and cannot
+    AQE-coalesce; callers derive a scale-adaptive count from their
+    replay input size). None keeps the session default."""
+    from .sizing import state_partition_conf
+
+    with state_partition_conf(deduped.sparkSession, state_partitions):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     spark = deduped.sparkSession
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
@@ -115,10 +127,17 @@ def ingest_dedup_to_memory(
     native streaming-dedup state, checkpoint-recoverable; production
     ingest with an unbounded firehose uses the watermark-bounded variant
     (dedup_stream_within_watermark) instead."""
+    from .sizing import adaptive_state_partitions, dir_bytes
+
     deduped = replay_events_with_dupes(spark, sf_dir, work_dir).dropDuplicates(
         ["event_id"]
     )
-    return drain_to_memory(deduped, name, ckpt)
+    # scale-adaptive state partitions, derived from the replay chunk
+    # bytes just written (round 17; see streaming/sizing.py)
+    n_state = adaptive_state_partitions(
+        dir_bytes(os.path.join(work_dir, "ingest_chunks"))
+    )
+    return drain_to_memory(deduped, name, ckpt, state_partitions=n_state)
 
 
 def replay_events_with_late_dupes(
@@ -194,11 +213,17 @@ def ingest_dedup_watermark_to_memory(
     at the declared cost that a duplicate arriving after its original's
     horizon expires is re-admitted — which the replay pins as exact,
     deterministic survivors."""
+    from .sizing import adaptive_state_partitions, dir_bytes
+
     stream, horizon = replay_events_with_late_dupes(spark, sf_dir, work_dir)
     deduped = stream.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return drain_to_memory(deduped, name, ckpt)
+    # scale-adaptive state partitions (round 17; streaming/sizing.py)
+    n_state = adaptive_state_partitions(
+        dir_bytes(os.path.join(work_dir, "ingest_wm_chunks"))
+    )
+    return drain_to_memory(deduped, name, ckpt, state_partitions=n_state)
 
 
 def with_digest(docs: DataFrame) -> DataFrame:

@@ -212,17 +212,23 @@ def final_state(changelog: DataFrame) -> DataFrame:
 
 
 def run_changelog_to_memory(changelog: DataFrame, name: str,
-                            checkpoint_dir: str) -> DataFrame:
+                            checkpoint_dir: str,
+                            state_partitions: int | None = None) -> DataFrame:
     """Execute a changelog stream to completion over all available input
     (Trigger.AvailableNow — multiple micro-batches when the source is
-    chunked) into an in-memory table; returns the accumulated changelog."""
-    q = (
-        changelog.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    chunked) into an in-memory table; returns the accumulated changelog.
+    ``state_partitions`` scopes the query's state-store partition count
+    (round 17; streaming/sizing.py)."""
+    from .sizing import state_partition_conf
+
+    with state_partition_conf(changelog.sparkSession, state_partitions):
+        q = (
+            changelog.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return changelog.sparkSession.table(name)

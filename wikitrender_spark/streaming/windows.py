@@ -134,21 +134,27 @@ def dedup_events_stream(
 
 
 def run_windowed_to_memory(
-    windowed: DataFrame, name: str, checkpoint: str, mode: str = "append"
+    windowed: DataFrame, name: str, checkpoint: str, mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the windowed stream to a memory sink with AvailableNow and
     return the sink table. `append` emits only watermark-finalized
     windows — required for a multi-stateful chain, and the
-    late-data-safe output."""
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    late-data-safe output. ``state_partitions`` scopes the query's
+    state-store partition count (round 17; streaming/sizing.py — the
+    scale-adaptive replacement for inheriting the local core count)."""
+    from .sizing import state_partition_conf
+
+    with state_partition_conf(windowed.sparkSession, state_partitions):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return windowed.sparkSession.table(name)
 
 
@@ -538,7 +544,14 @@ def trending_replay_to_memory(
             "n_events",
         )
     )
-    out = run_windowed_to_memory(counts, name, ckpt, mode="append")
+    from .sizing import adaptive_state_partitions, dir_bytes
+
+    out = run_windowed_to_memory(
+        counts, name, ckpt, mode="append",
+        # scale-adaptive state partitions, derived from the replay
+        # chunk bytes (round 17; streaming/sizing.py)
+        state_partitions=adaptive_state_partitions(dir_bytes(chunk_dir)),
+    )
     survivors = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return survivors, cut_us
