@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..barrier import corpus_barrier
+
 from ..functions import similarity as S
 
 N_PLANES = 8
@@ -184,8 +186,8 @@ def filtered_ivf_expand_topk(
     # assignment, and their exchanges differ so ReuseExchange cannot
     # dedupe — without the checkpoint the corpus assignment fold runs
     # once per consumer (r09 review: the fold appeared 5x in the plan)
-    cellsf = ivf_cells(emb.filter(predicate), cents).localCheckpoint(
-        eager=False
+    cellsf = corpus_barrier(  # corpus-sized: filtered assignment rows
+        ivf_cells(emb.filter(predicate), cents), eager=False
     )
     pops = cellsf.groupBy("cell").agg(F.count(F.lit(1)).alias("pop"))
     q = emb.filter(F.col("vec_id").isin(query_ids))
@@ -515,7 +517,9 @@ def embedding_near_duplicates(
     CacheManager entry for the session. At corpus scale you'd materialize
     band keys to a bucketed table once and join off that — same idea,
     durable form."""
-    banded = embedding_band_keys(emb).localCheckpoint(eager=False)
+    banded = corpus_barrier(  # corpus-sized: band rows per vector
+        embedding_band_keys(emb), eager=False
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -609,9 +613,10 @@ def semantic_dedup(
     reasoning as embedding_near_duplicates' band relation — measured
     6 parquet scans -> 2, ~2x wall on the sf0.1 corpus)."""
     cents = ivf_centroids(emb)
-    assigned = ivf_cells(
-        emb, cents, keep_embedding=True, keep_norm=True
-    ).localCheckpoint(eager=False)
+    assigned = corpus_barrier(  # corpus-sized: one row per vector
+        ivf_cells(emb, cents, keep_embedding=True, keep_norm=True),
+        eager=False,
+    )
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("vec_a"),
@@ -665,9 +670,11 @@ def kmeans_refine(emb: DataFrame) -> DataFrame:
     join; means + member counts), so both are localCheckpoint'd — one
     corpus scan for centroids, one for assignment, instead of re-deriving
     the whole subtree per consumer."""
+    # cents is BOUNDED (K centroid rows): raw localCheckpoint is
+    # scale-safe; the assignment is corpus-sized (one row per vector)
     cents = ivf_centroids(emb).localCheckpoint(eager=False)
-    assigned = ivf_cells(emb, cents, keep_embedding=True).localCheckpoint(
-        eager=False
+    assigned = corpus_barrier(
+        ivf_cells(emb, cents, keep_embedding=True), eager=False
     )
     new = _cell_means(assigned, "cell").select(
         "cell", F.col("centroid").alias("new_centroid")

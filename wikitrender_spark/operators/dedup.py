@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..barrier import corpus_barrier
 from ..functions import similarity as S
 from ..functions import text as T
 
@@ -78,8 +79,14 @@ def doc_token_hashes(docs: DataFrame) -> DataFrame:
     (streaming/dedup.lsh_band_keys_py) for the same round-13 reason.
 
     Every doc keeps a row: docs with zero tokens (or NULL text) get an
-    empty array (they must still receive sentinel signatures)."""
-    return token_hash_projection(docs).localCheckpoint(eager=False)
+    empty array (they must still receive sentinel signatures).
+
+    Barrier class (round 17): CORPUS-SIZED — the per-token hash arrays
+    are comparable to the input, so the barrier rides corpus_barrier's
+    WTR_BARRIER_MODE switch (reliable checkpoints at cluster scale;
+    localCheckpoint locally). Both modes cut lineage, so the
+    nested-lambda protection above is mode-independent."""
+    return corpus_barrier(token_hash_projection(docs), eager=False)
 
 
 def token_hash_projection(docs: DataFrame) -> DataFrame:
@@ -215,12 +222,15 @@ def lsh_candidate_pairs(
     if sig is None:
         sig = minhash_signatures(docs, k, dth=dth)
     sig = sig.filter(F.element_at("signature", 1) != S.EMPTY_SIG)
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(S.lsh_bands(F.col("signature"), bands, rows)).alias(
-            "band_idx", "band_key"
+    banded = corpus_barrier(  # corpus-sized: one row per (doc, band)
+        sig.select(
+            "doc_id",
+            F.posexplode(S.lsh_bands(F.col("signature"), bands, rows)).alias(
+                "band_idx", "band_key"
+            ),
         ),
-    ).localCheckpoint(eager=False)
+        eager=False,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -348,7 +358,9 @@ def lsh_tuning_report(
     per config. Verification shares _verified_jaccard — the same
     arithmetic near_duplicates uses, one home."""
     dth = doc_token_hashes(docs)
-    sig = minhash_signatures(docs, dth=dth).localCheckpoint(eager=False)
+    sig = corpus_barrier(  # corpus-sized: one k-int row per doc
+        minhash_signatures(docs, dth=dth), eager=False
+    )
     sets = dth.select(
         "doc_id", F.array_distinct(_shingles(F.col("ths"))).alias("sh")
     )
@@ -356,9 +368,12 @@ def lsh_tuning_report(
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = None
     for bands, rows in configs:
-        cands = lsh_candidate_pairs(
-            docs, bands=bands, rows=rows, dth=dth, sig=sig
-        ).localCheckpoint(eager=False)
+        cands = corpus_barrier(  # corpus-sized: candidate pair rows
+            lsh_candidate_pairs(
+                docs, bands=bands, rows=rows, dth=dth, sig=sig
+            ),
+            eager=False,
+        )
         verified = _verified_jaccard(
             cands.join(a, "doc_a").join(b, "doc_b")
         ).filter(F.col("jaccard") >= threshold)
@@ -419,7 +434,9 @@ def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
     showed 4 documents scans here before this — same redundancy class
     the near_duplicates fix removed)."""
     dth = doc_token_hashes(docs)
-    sig = minhash_signatures(docs, dth=dth).localCheckpoint(eager=False)
+    sig = corpus_barrier(  # corpus-sized: one k-int row per doc
+        minhash_signatures(docs, dth=dth), eager=False
+    )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
     agree = F.aggregate(
@@ -470,10 +487,9 @@ def duplicate_clusters(
     # union executes both — checkpointing the pairs first makes the
     # swapped branch a re-read of tiny cached blocks (measured at
     # sf0.1: ~2 s saved per run)
-    pairs = (
-        near_duplicates(docs, threshold)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+    pairs = corpus_barrier(  # corpus-sized: near-dup pair rows
+        near_duplicates(docs, threshold).select("doc_a", "doc_b"),
+        eager=False,
     )
     edges = pairs.unionByName(
         pairs.select(
@@ -487,10 +503,10 @@ def duplicate_clusters(
     # iteration 1 would have produced from identity labels, one shuffle
     # round cheaper. The loop below then only confirms/propagates
     # deeper chains (diameter >= 2 components).
-    labels = (
+    labels = corpus_barrier(  # corpus-sized: one label row per paired doc
         edges.groupBy(F.col("doc_a").alias("doc_id"))
-        .agg(F.least(F.min("doc_a"), F.min("doc_b")).alias("label"))
-        .localCheckpoint(eager=False)
+        .agg(F.least(F.min("doc_a"), F.min("doc_b")).alias("label")),
+        eager=False,
     )
     changed = -1
     for _ in range(max_iters):
@@ -507,7 +523,7 @@ def duplicate_clusters(
             F.col("label").alias("cand"),
             F.lit(False).alias("own"),
         )
-        joined = (
+        joined = corpus_barrier(  # corpus-sized: per-round label relation
             nbr.unionByName(
                 labels.select(
                     "doc_id",
@@ -519,8 +535,8 @@ def duplicate_clusters(
             .agg(
                 F.min(F.when(F.col("own"), F.col("cand"))).alias("old_label"),
                 F.min("cand").alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
         changed = joined.filter(F.col("label") != F.col("old_label")).count()
         labels = joined.select("doc_id", "label")
@@ -742,7 +758,9 @@ def simhash_hamming_pairs(
     verification joins the 4-long fingerprint arrays for candidate rows
     only. The Hamming-ball guarantee is what LSH banding (probabilistic)
     cannot give."""
-    fp = simhash64_blocks(docs).localCheckpoint(eager=False)
+    fp = corpus_barrier(  # corpus-sized: one fingerprint row per doc
+        simhash64_blocks(docs), eager=False
+    )
     blocks = fp.select("doc_id", F.posexplode("fp").alias("b", "blk"))
     if max_bucket is not None:
         pops = blocks.groupBy("b", "blk").agg(
@@ -802,10 +820,13 @@ def simhash_tuning_report(
             "caps must include None (the uncapped baseline n_missed is "
             f"measured against); got {caps!r}"
         )
-    fp = simhash64_blocks(docs).localCheckpoint(eager=False)
-    blocks_all = fp.select(
-        "doc_id", F.posexplode("fp").alias("b", "blk")
-    ).localCheckpoint(eager=False)
+    fp = corpus_barrier(  # corpus-sized: one fingerprint row per doc
+        simhash64_blocks(docs), eager=False
+    )
+    blocks_all = corpus_barrier(  # corpus-sized: 4 block rows per doc
+        fp.select("doc_id", F.posexplode("fp").alias("b", "blk")),
+        eager=False,
+    )
     pops = blocks_all.groupBy("b", "blk").agg(F.count(F.lit(1)).alias("_n"))
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
@@ -817,9 +838,9 @@ def simhash_tuning_report(
             if cap is None
             else _cap_hot_buckets(blocks_all, pops, cap)
         )
-        cand = _manku_candidate_pairs(blocks).localCheckpoint(
-            eager=False
-        )  # 2 consumers: count + verify
+        cand = corpus_barrier(  # corpus-sized candidates; 2 consumers:
+            _manku_candidate_pairs(blocks), eager=False  # count + verify
+        )
         pairs = (
             cand.join(fa, "doc_a")
             .join(fb, "doc_b")
@@ -837,7 +858,9 @@ def simhash_tuning_report(
             )
         )
         out = row if out is None else out.unionByName(row)
-    out = out.localCheckpoint(eager=False)  # consumed by base + final
+    # BOUNDED (one row per cap — len(caps) rows): raw localCheckpoint
+    # is scale-safe here; consumed by base + final
+    out = out.localCheckpoint(eager=False)
     base = out.filter(F.col("max_bucket") == -1).select(
         F.col("n_pairs").alias("_base")
     )
@@ -1027,9 +1050,23 @@ def bloom_decontamination_flags(docs: DataFrame) -> DataFrame:
     per doc computes n_shingles / n_exact_hits / n_bloom_hits together
     (previously three aggregations merged by three doc_id joins). The
     corpus side still tokenizes/shingles once and never shuffles beyond
-    the one per-doc aggregate."""
+    the one per-doc aggregate.
+
+    CONSTRUCTION RUNS A JOB (ADVICE r16): _bloom_masks collects the
+    K mask rows eagerly when this function is CALLED, so the Bloom
+    filter is frozen at construction time. To keep the no-false-negative
+    contract (n_bloom_hits >= n_exact_hits) independent of when the
+    returned DataFrame executes, the eval shingle relation is
+    checkpointed EAGERLY first: the masks and the exact-membership
+    broadcast both read that one materialized snapshot — the exact side
+    can never see a shingle the frozen masks did not, and the eval slice
+    (filter + tokenize + shingle + distinct) is computed once instead of
+    twice."""
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    ev_sh = doc_shingles(docs.filter(is_eval)).select("shingle").distinct()
+    ev_sh = corpus_barrier(  # eval-corpus-sized: distinct eval shingles
+        doc_shingles(docs.filter(is_eval)).select("shingle").distinct(),
+        eager=True,
+    )
     masks = _bloom_masks(ev_sh)
 
     train = docs.filter(~is_eval)
@@ -1153,7 +1190,9 @@ def _flagged_shingle_fraction(
     into (doc_id, flag 0/1) rows, then roll up count/sum per doc and
     left-join every document back in with 0/0/0.0 for the shingle-less.
     The fraction is one exact IEEE division of two ints, rounded to 6."""
-    ex = doc_shingles(docs).localCheckpoint(eager=False)
+    ex = corpus_barrier(  # corpus-sized: the shingle inverted index
+        doc_shingles(docs), eager=False
+    )
     per_doc = flag_join(ex).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum("flag").alias(n_name),

@@ -51,6 +51,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..barrier import corpus_barrier
+
 #: fixed-point scale: initial score per node (1.0 == 1e6).
 SCALE = 1_000_000
 #: damping 0.85 as the rational pair (85, 100); teleport = 0.15 * SCALE.
@@ -129,18 +131,17 @@ def pagerank(
     # the K+2 serial materialization jobs collapse into the final
     # action's job graph (measured: eager checkpoint jobs dominated the
     # graph-family wall at bench scale).
-    edges = (
+    edges = corpus_barrier(  # edge-set-sized (graph-proportional)
         trans.withColumn(
             "out_w", F.sum("w").over(Window.partitionBy("src"))
-        )
-        .select("src", "dst", "w", "out_w")
-        .localCheckpoint(eager=False)
+        ).select("src", "dst", "w", "out_w"),
+        eager=False,
     )
-    nodes = (
+    nodes = corpus_barrier(  # node-set-sized (graph-proportional)
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        eager=False,
     )
     scores = nodes.select(
         "node", F.lit(SCALE).cast("bigint").alias("score")
@@ -168,8 +169,8 @@ def pagerank(
                 .cast("bigint")
                 .alias("score"),
             )
-            .localCheckpoint(eager=False)
         )
+        scores = corpus_barrier(scores, eager=False)  # node-set-sized
     return scores
 
 
@@ -209,11 +210,11 @@ def coedit_pair_weights(
         .agg(F.count(F.lit(1)).alias("n_edits"))
     )
     w = Window.partitionBy("user").orderBy(F.desc("n_edits"), F.asc("id"))
-    top_pages = (
+    top_pages = corpus_barrier(  # user-set-sized (<= cap rows/user)
         ue.withColumn("pr", F.row_number().over(w))
         .filter(F.col("pr") <= cap)
-        .select("user", "id")
-        .localCheckpoint(eager=False)
+        .select("user", "id"),
+        eager=False,
     )
     return (
         top_pages.alias("a")
@@ -282,7 +283,7 @@ def degree_topk(trans: DataFrame, k: int = DEGREE_TOPK) -> DataFrame:
     localCheckpoint'd LAZILY before the two-branch fan-out (ADVICE r7;
     eager=False keeps the recomputation guard without a separate
     materialization job)."""
-    trans = trans.localCheckpoint(eager=False)
+    trans = corpus_barrier(trans, eager=False)  # edge-set-sized
     tagged = trans.select(
         F.col("src").alias("node"), F.lit(1).alias("is_out"), "w"
     ).unionByName(
@@ -356,7 +357,7 @@ def triangles_from_pairs(pairs: DataFrame, k: int = TRIANGLE_TOPK) -> DataFrame:
     node/edge count actually grows (the sf1 event replication holds the
     page keyspace fixed — BASELINE.md r08 caveat). Same plan, same
     checkpoints; coedit_triangles delegates here."""
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = corpus_barrier(pairs, eager=False)  # pair-set-sized
     # deg and oriented each fan out to two consumers but are NOT
     # checkpointed (round 16, measured): under AQE every checkpoint —
     # even lazy — executes its subtree's shuffle stages at toRdd time,

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..barrier import corpus_barrier
 from ..functions import classify
 from ..streaming import fold
 from .page_state import aggregate_classified, classified_edit_events
@@ -85,9 +86,10 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
 
     Scan economics: log events are a sliver of the stream (~0.1% here; the
     same on the real firehose) but feed ~10 subtrees (cuts, last-cut,
-    moves, protect windows). They are cached once — every later use is a
-    broadcast off the cached sliver instead of a fresh scan of the full
-    event set. Edit events are scanned exactly ONCE (round 16; guide
+    moves, protect windows). They are materialized once per plan (lazy
+    localCheckpoint — not .cache(), whose CacheManager entry would
+    outlive the query) — every later use is a broadcast off the
+    materialized sliver instead of a fresh scan of the full event set. Edit events are scanned exactly ONCE (round 16; guide
     §2.4): each event is tagged with its lifetime branch (direct —
     after the page's last cut — or adopted — inside the last move's
     window; the branches are provably disjoint because the move IS a
@@ -101,7 +103,15 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
     main aggregation (with_first_seq) rather than a third scan +
     groupBy + join."""
     e = classified_edit_events(rc)
-    logs = log_events(rc).cache()
+    # a BARRIER, not .cache() (round 17, VERDICT r16 #3): the cache
+    # entry lived in the session CacheManager forever (never
+    # unpersisted — at 100 TB that pins ~0.1% of the stream for the
+    # session lifetime, and cross-pass cache hits flatter any bench row
+    # sharing the subtree). corpus_barrier gives the same compute-once
+    # fan-out guarantee per plan, its blocks are released with the
+    # DataFrame, and the sliver is stream-proportional so it rides the
+    # reliable-checkpoint scale switch.
+    logs = corpus_barrier(log_events(rc), eager=False)
     cuts = _cuts(logs)
 
     last_cut = cuts.groupBy("id").agg(F.max("seq").alias("cut_seq"))
@@ -134,12 +144,11 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
     # one row per moved-out page; feeds three subtrees (branch bounds,
     # protect window, final remap) — localCheckpoint so the max_by
     # aggregation runs once, not once per consumer
-    window_bounds = (
-        last_move.join(F.broadcast(prev_cut), "id", "left")
-        .withColumn(
+    window_bounds = corpus_barrier(  # one row per moved-out page
+        last_move.join(F.broadcast(prev_cut), "id", "left").withColumn(
             "prev_cut_seq", F.coalesce(F.col("prev_cut_seq"), F.lit(_NEG_INF))
-        )
-        .localCheckpoint(eager=False)
+        ),
+        eager=False,
     )
 
     # --- ONE pass over the edit set: tag each event's lifetime branch ------
@@ -165,9 +174,13 @@ def page_state_lifecycle(rc: DataFrame, with_collections: bool = False) -> DataF
         .select("_branch", *e.columns)
     )
     # one row per (branch, page); read by both union branches below
-    states = aggregate_classified(
-        tagged, with_collections, with_first_seq=True, extra_keys=("_branch",)
-    ).localCheckpoint(eager=False)
+    states = corpus_barrier(  # one row per (branch, live page)
+        aggregate_classified(
+            tagged, with_collections, with_first_seq=True,
+            extra_keys=("_branch",),
+        ),
+        eager=False,
+    )
     base = states.filter(F.col("_branch") == 0).drop("_branch")
     adopted_state = states.filter(F.col("_branch") == 1).drop("_branch")
 

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..barrier import corpus_barrier
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
@@ -1186,7 +1188,9 @@ def dhash_hamming_pairs(
     only and its volume is sum over block buckets of C(bucket, 2) — a
     corpus property, never all-pairs; verification touches candidate
     rows only. Output: (media_a, media_b, hamming), exact integers."""
-    fp = hashes.select("media_id", "fp").localCheckpoint(eager=False)
+    fp = corpus_barrier(  # corpus-sized: one fingerprint row per media
+        hashes.select("media_id", "fp"), eager=False
+    )
     blocks = fp.select("media_id", F.posexplode("fp").alias("b", "blk"))
     if max_bucket is not None:
         pops = blocks.groupBy("b", "blk").agg(F.count(F.lit(1)).alias("_n"))
@@ -1274,10 +1278,13 @@ def dhash_tuning_report(
             "caps must include None (the uncapped baseline n_missed is "
             f"measured against); got {caps!r}"
         )
-    fp = hashes.select("media_id", "fp").localCheckpoint(eager=False)
-    blocks_all = fp.select(
-        "media_id", F.posexplode("fp").alias("b", "blk")
-    ).localCheckpoint(eager=False)
+    fp = corpus_barrier(  # corpus-sized: one fingerprint row per media
+        hashes.select("media_id", "fp"), eager=False
+    )
+    blocks_all = corpus_barrier(  # corpus-sized: block rows per media
+        fp.select("media_id", F.posexplode("fp").alias("b", "blk")),
+        eager=False,
+    )
     pops = blocks_all.groupBy("b", "blk").agg(F.count(F.lit(1)).alias("_n"))
     fa = fp.select(F.col("media_id").alias("media_a"), F.col("fp").alias("fp_a"))
     fb = fp.select(F.col("media_id").alias("media_b"), F.col("fp").alias("fp_b"))
@@ -1316,7 +1323,8 @@ def dhash_tuning_report(
                 F.col("b.media_id").alias("media_b"),
             )
             .distinct()
-            .localCheckpoint(eager=False)  # 2 consumers: count + verify
+            # corpus-sized candidates; 2 consumers: count + verify
+            .transform(lambda d: corpus_barrier(d, eager=False))
         )
         pairs = (
             cand.join(fa, "media_a").join(fb, "media_b").filter(ham <= ham_max)
@@ -1333,7 +1341,9 @@ def dhash_tuning_report(
             )
         )
         out = row if out is None else out.unionByName(row)
-    out = out.localCheckpoint(eager=False)  # consumed by base + final
+    # BOUNDED (one row per cap): raw localCheckpoint is scale-safe;
+    # consumed by base + final
+    out = out.localCheckpoint(eager=False)
     base = out.filter(F.col("max_bucket") == -1).select(
         F.col("n_pairs").alias("_base")
     )

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..barrier import corpus_barrier
+
 from ..functions import portable
 from ..functions import text as T
 from ..functions.similarity import hyperplane
@@ -291,7 +293,9 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("n_ts"))
-        .localCheckpoint(eager=False)  # three consumers: totals x2 + scoring
+        # corpus-sized (source x vocab); three consumers: totals x2 +
+        # scoring
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
     s_tot = st.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
     t_tot = st.groupBy("term").agg(F.sum("n_ts").alias("n_t"))
@@ -305,7 +309,8 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ts").cast(d38) * F.col("n_corpus").cast(d38)
             - F.col("n_t").cast(d38) * F.col("n_s").cast(d38),
         )
-        .localCheckpoint(eager=False)  # two consumers: L1 aggregate + top-K cut
+        # corpus-sized; two consumers: L1 aggregate + top-K cut
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
     l1 = scored.groupBy("source").agg(
         (
@@ -1195,10 +1200,10 @@ def cdc_chunk_summary(d: DataFrame) -> DataFrame:
     # sets diverge) so ReuseExchange cannot kick in — without the
     # checkpoint the per-char token-hash fold runs twice over the
     # corpus (plan-pinned in tests/test_plans.py)
-    ch = (
+    ch = corpus_barrier(  # corpus-sized: chunk rows per doc
         base.select("doc_id", "source", F.explode(chunks).alias("c"))
-        .select("doc_id", "source", "c.chunk_len", "c.chunk_hash")
-        .localCheckpoint(eager=False)
+        .select("doc_id", "source", "c.chunk_len", "c.chunk_hash"),
+        eager=False,
     )
     dup = ch.groupBy("chunk_hash", "chunk_len").agg(
         F.count_distinct("doc_id").alias("n_docs")
@@ -1541,7 +1546,14 @@ def q_stream_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(chunk_dir)
         )
         fresh = fresh_band_buckets(stream, ts_col="ingest_ts", horizon="1 hour")
-        out = drain_to_memory(fresh, name, ckpt)
+        from ..streaming.sizing import adaptive_state_partitions, dir_bytes
+
+        out = drain_to_memory(
+            fresh, name, ckpt,
+            # scale-adaptive state partitions from the replay chunk
+            # bytes (round 17; streaming/sizing.py)
+            state_partitions=adaptive_state_partitions(dir_bytes(chunk_dir)),
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -2802,7 +2814,8 @@ def tfidf_terms(d: DataFrame) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        # corpus-sized: (doc, distinct term) rows
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2890,7 +2903,8 @@ def bm25_topk(d: DataFrame) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        # corpus-sized: (doc, distinct term) rows
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -3009,12 +3023,15 @@ def collocations(d: DataFrame) -> DataFrame:
     # tk feeds BOTH the unigram and bigram branches: checkpoint so the
     # corpus is tokenized once (r05 review finding: repeated HOF
     # tokenization across plan branches)
-    tk = d.select(T.tokens(F.col("text")).alias("ts")).localCheckpoint(eager=False)
+    tk = corpus_barrier(  # corpus-sized: the full token stream
+        d.select(T.tokens(F.col("text")).alias("ts")), eager=False
+    )
     uni = (
         tk.select(F.explode("ts").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # O(vocab); feeds 3 consumers
+        # vocab-proportional (grows with corpus content); 3 consumers
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
     bg = (
         tk.filter(F.size("ts") >= 2)
@@ -3031,7 +3048,8 @@ def collocations(d: DataFrame) -> DataFrame:
     bgc = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint(eager=False)  # O(vocab^2); feeds scalars + scored
+        # O(vocab^2) — corpus-content-proportional; scalars + scored
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
     scalars = uni.agg(F.sum("c").alias("n_tokens")).crossJoin(
         bgc.agg(F.sum("c_ab").alias("n_bigrams"))
@@ -4353,7 +4371,9 @@ def _dsir_bucket_counts(big: DataFrame) -> DataFrame:
                 .cast("long")
             ).alias("ct"),
         )
-        .localCheckpoint(eager=False)  # 2 consumers: vocab + totals
+        # BOUNDED (<= DSIR_BUCKETS rows): raw localCheckpoint is
+        # scale-safe; 2 consumers: vocab + totals
+        .localCheckpoint(eager=False)
     )
 
 
@@ -4652,7 +4672,8 @@ def _ngram_doc_bigrams(toks: DataFrame) -> DataFrame:
         .select("doc_id", "bg.w1", "bg.w2")
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("xf"))
-        .localCheckpoint(eager=False)
+        # corpus-sized: (doc, bigram) rows
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
 
 
@@ -4677,7 +4698,8 @@ def _ngram_model_relation(toks: DataFrame, pf: DataFrame) -> DataFrame:
                 - F.expr(portable.pln_sql("(b + 1)"))
             ).alias("nl"),
         )
-        .localCheckpoint(eager=False)
+        # vocab^2-proportional model relation (grows with corpus)
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
 
 
@@ -4726,9 +4748,10 @@ def ngram_nll(d: DataFrame) -> DataFrame:
     1.8x wall for 10x rows. The pre-fix form read 3.8x at the same
     scale: the per-document corpus-total array was real measured cost,
     not just a theoretical driver hazard."""
-    toks = d.select(
-        "doc_id", T.tokens(F.col("text")).alias("toks")
-    ).localCheckpoint(eager=False)
+    toks = corpus_barrier(  # corpus-sized: the full token stream
+        d.select("doc_id", T.tokens(F.col("text")).alias("toks")),
+        eager=False,
+    )
     pf = _ngram_doc_bigrams(toks)
     model = _ngram_model_relation(toks, pf)
     per = (
@@ -4861,10 +4884,8 @@ def ngram_ppl_buckets(d: DataFrame, n_buckets: int = NLL_BUCKETS) -> DataFrame:
     projection keeps the barrier at ~24 bytes/doc — never the text."""
     from pyspark.sql import Window
 
-    scored = (
-        ngram_nll(d)
-        .select("doc_id", "n_bigrams", "nll")
-        .localCheckpoint(eager=False)
+    scored = corpus_barrier(  # corpus-sized: 3 columns per doc
+        ngram_nll(d).select("doc_id", "n_bigrams", "nll"), eager=False
     )
     rated = scored.filter(F.col("n_bigrams") > 0).withColumn(
         "_r", F.col("nll") / F.col("n_bigrams").cast("double")
@@ -4950,10 +4971,8 @@ def ngram_ppl_buckets_approx(
     # the shorts branch of the final union), and without the barrier
     # each re-runs the model join + per-doc sorted folds above
     # ngram_nll's token checkpoint (review r14 — the scoring ran 3x)
-    scored = (
-        ngram_nll(d)
-        .select("doc_id", "n_bigrams", "nll")
-        .localCheckpoint(eager=False)
+    scored = corpus_barrier(  # corpus-sized: 3 columns per doc
+        ngram_nll(d).select("doc_id", "n_bigrams", "nll"), eager=False
     )
     rated = scored.filter(F.col("n_bigrams") > 0).withColumn(
         "_r", F.col("nll") / F.col("n_bigrams").cast("double")
@@ -5054,9 +5073,10 @@ def ngram_model(d: DataFrame) -> tuple[dict, dict, int]:
     The collect here is the MODEL hand-off, bounded by vocabulary (the
     same broadcastability argument as ngram_nll's model join), not a
     data-path collect."""
-    toks = d.select(
-        "doc_id", T.tokens(F.col("text")).alias("toks")
-    ).localCheckpoint(eager=False)
+    toks = corpus_barrier(  # corpus-sized: the full token stream
+        d.select("doc_id", T.tokens(F.col("text")).alias("toks")),
+        eager=False,
+    )
     pf = _ngram_doc_bigrams(toks)
     bm_rows = (
         pf.groupBy("w1", "w2")

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..barrier import corpus_barrier
+
 from ..schemas import load_table
 
 
@@ -1254,6 +1256,8 @@ def q_hourly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
+        # BOUNDED (event types x hours): raw localCheckpoint is
+        # scale-safe
         .localCheckpoint(eager=False)
     )
     byv = W.partitionBy("event_type").orderBy("n_events", "hour")
@@ -1267,6 +1271,7 @@ def q_hourly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (
         cells.join(F.broadcast(med), "event_type")
         .withColumn("dev", F.abs(F.col("n_events") - F.col("med_events")))
+        # BOUNDED (event types x hours)
         .localCheckpoint(eager=False)
     )
     bydev = W.partitionBy("event_type").orderBy("dev", "hour")
@@ -1364,7 +1369,8 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             F.from_json("props", "k long").getField("k").alias("level"),
         )
-        .localCheckpoint(eager=False)
+        # corpus-sized: one row per purchase event
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
     nxt = W.partitionBy("user_id").orderBy("ts", "version")
     intervals = ch.select(
@@ -1692,7 +1698,9 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)  # both self-join branches consume it
+        # corpus-sized (distinct lineitem keys); both self-join
+        # branches consume it
+        .transform(lambda df: corpus_barrier(df, eager=False))
     )
     pairs = (
         li.alias("a")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..barrier import corpus_barrier
+
 from ..functions import classify, metrics
 from ..operators import graph, lifecycle, topk
 from ..operators.derive import rc_events
@@ -148,8 +150,8 @@ def q_purge_safe_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the page_state aggregate; without the barrier each re-runs the
     # two-level aggregation over its own event scan (round 16, guide
     # §2.4 — AQE does not reuse the agg stages across the fan-out)
-    st = page_state(rc, with_collections=False).localCheckpoint(
-        eager=False
+    st = corpus_barrier(  # corpus-sized: one row per live page
+        page_state(rc, with_collections=False), eager=False
     )
     m = with_snapshot_metrics(
         st, rc_events(spark, sf_dir, spread=False),
@@ -266,19 +268,30 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     step 5) -> final-state collapse. Checked against the same oracle as
     both batch lifecycle formulations — a four-way agreement (declarative
     batch, exact batch replay, streaming, DuckDB)."""
+    import os
     import tempfile
     import uuid
 
     from ..operators.derive import move_closed_group
     from ..sources.replay import rc_event_stream
     from ..streaming import processor
+    from ..streaming.sizing import adaptive_state_partitions
 
     cl = processor.page_state_changelog(
         rc_event_stream(spark, sf_dir), move_closed_group()
     )
     name = "wt_stream_replay_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="wt_stream_ckpt_")
-    changelog = processor.run_changelog_to_memory(cl, name, ckpt)
+    changelog = processor.run_changelog_to_memory(
+        cl, name, ckpt,
+        # scale-adaptive state partitions from the replay input size
+        # (round 17; streaming/sizing.py). python_heavy: the page-state
+        # fold's per-row pandas cost dominates (A/B in sizing.py).
+        state_partitions=adaptive_state_partitions(
+            os.path.getsize(os.path.join(sf_dir, "events.parquet")),
+            python_heavy=True,
+        ),
+    )
     return _lifecycle_select(processor.final_state(changelog))
 
 
@@ -299,11 +312,13 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     this checks against the same DuckDB oracle a batch GROUP BY +
     row_number would — the wt_stream_replay agreement pattern for the
     frequency family."""
+    import os
     import tempfile
     import uuid
 
     from ..sources.replay import rc_event_stream
     from ..streaming import heavyhitters as hh
+    from ..streaming.sizing import adaptive_state_partitions
 
     stream = rc_event_stream(spark, sf_dir).select(
         F.col("wiki").alias("key"), F.col("title").alias("item")
@@ -311,7 +326,14 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "wt_stream_hh_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="wt_stream_hh_ckpt_")
     emissions = hh.run_to_memory(
-        hh.heavy_hitter_stream(stream, HH_CAPACITY), name, ckpt
+        hh.heavy_hitter_stream(stream, HH_CAPACITY), name, ckpt,
+        # scale-adaptive state partitions (round 17; streaming/sizing.py).
+        # Default target, NOT python_heavy: the SpaceSaving counter fold
+        # is light per row (interleaved A/B in sizing.py: 2.67 s at the
+        # derived count vs 3.57 at 16).
+        state_partitions=adaptive_state_partitions(
+            os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        ),
     )
     return hh.final_topk(emissions, HH_TOPK).select(
         F.col("key").alias("wiki"),
