@@ -35,7 +35,13 @@ from wikitrender_spark.session import get_spark
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(REPO, ".benchdata", "sf1")
+#: v2 layout (round 17): documents replicate CONTENT-DIVERSE (every
+#: token carries a per-replica suffix), so vocabulary / shingle space /
+#: band keys scale 10x and the dedup/text sketch rows measure real
+#: scale instead of degenerate verbatim duplicates — that unlocks the
+#: --heavy list below. v1 kept verbatim text; the dir is versioned so
+#: a stale generation can never mix with the new probe rows.
+SF1 = os.path.join(REPO, ".benchdata", "sf1v2")
 FACTOR = 10
 
 QUERIES = [
@@ -83,6 +89,27 @@ QUERIES = [
     "wt_coedit_pairs",
 ]
 
+#: round-17 --heavy list (VERDICT r16 next-round #2): the heaviest
+#: rewritten rows of optimization rounds 16-17, probed at sf1 to turn
+#: their plan-shape claims into measured scale numbers. The dedup/text
+#: sketch rows are only meaningful under the v2 content-diverse
+#: replication (see SF1 comment); the two streaming drains exercise the
+#: round-17 scale-adaptive state-partition derivation at 10x input.
+HEAVY_QUERIES = [
+    "tx_clean_corpus",
+    "dd_minhash_signatures",
+    "dd_lsh_candidates",
+    "dd_near_duplicates",
+    "dd_simhash_pairs",
+    "wt_page_state_lifecycle",
+    "wt_state_diff",
+    "tx_ngram_ppl_buckets",
+    "wt_coedit_triangles",
+    "dd_bloom_decontaminate",
+    "wt_stream_trending",
+    "dd_stream_band_buckets",
+]
+
 
 def generate() -> None:
     os.makedirs(SF1, exist_ok=True)
@@ -122,9 +149,22 @@ def generate() -> None:
         # regime the sharded variant exists for). Dedup/ANN queries stay
         # off this table's probe list (verbatim copies would only add
         # degenerate all-pairs duplicates there).
+        # v2 (round 17): replica 0 keeps the original text; replicas
+        # 1..9 suffix EVERY token with r<_r>, so tokens/shingles/band
+        # keys are disjoint across replicas — vocabulary and candidate
+        # structure scale 10x while each replica's internal near-dup
+        # geometry mirrors the base corpus exactly. n_chars stays the
+        # source value (the packing probes read it as a size column;
+        # the +3/token drift is irrelevant to scaling ratios).
         "documents": f"""
-            SELECT doc_id + _r * 10000000 AS doc_id, text, lang, source,
-                   n_chars
+            SELECT doc_id + _r * 10000000 AS doc_id,
+                   CASE WHEN _r = 0 THEN text
+                        ELSE array_to_string(
+                            list_transform(string_split(text, ' '),
+                                           x -> x || 'r' || _r),
+                            ' ')
+                   END AS text,
+                   lang, source, n_chars
             FROM read_parquet('{SF01}/documents.parquet'), {rep}""",
     }
     for t, sql in jobs.items():
@@ -135,14 +175,23 @@ def generate() -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--heavy", action="store_true",
+                    help="probe the round-17 HEAVY_QUERIES list")
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="core count for this run (local[N]); run the "
+                         "probe twice (e.g. 32 and 8) for the "
+                         "low/high-core scaling ratio")
     args = ap.parse_args()
-    names = args.queries.split(",")
+    if args.queries:
+        names = args.queries.split(",")
+    else:
+        names = HEAVY_QUERIES if args.heavy else QUERIES
 
     if not os.path.isdir(SF1):
         generate()
 
-    spark = get_spark("scale-probe")
+    spark = get_spark("scale-probe", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
 
@@ -165,15 +214,27 @@ def main() -> None:
 
     t01 = timed(SF01)
     t1 = timed(SF1)
-    print(json.dumps({
+    record = {
         "metric": "sf1_scale_probe_wall_seconds",
         "factor": FACTOR,
+        "cpus": args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "layout": os.path.basename(SF1),
         "queries": {n: {"sf0.1": t01[n], "sf1": t1[n],
                         "ratio": round(t1[n] / max(t01[n], 1e-9), 2)}
                     for n in names},
         "total_sf0.1": round(sum(t01.values()), 2),
         "total_sf1": round(sum(t1.values()), 2),
-    }))
+    }
+    # archive beside the bench sample archives so a later round can
+    # always re-read the scaling evidence (the write_samples rationale)
+    runs_dir = os.path.join(REPO, "bench_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    session = time.strftime("%Y%m%dT%H%M%S", time.gmtime()) + f"-{os.getpid()}"
+    with open(os.path.join(
+        runs_dir, f"scale-probe-{session}.json"
+    ), "w") as f:
+        json.dump(record, f)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
