@@ -4,68 +4,44 @@ The driver's correctness gate attests only the first 50 registered
 queries, so window membership is load-bearing evidence. These tests make
 gate drift a CI failure instead of a round-verdict surprise: the window
 must match registry.GATE_WINDOW exactly, and every query that has never
-been driver-attested on current testdata must sit inside it.
+been driver-attested on current code must sit inside it.
 
 The steady-state rotation contract itself lives on registry.GATE_WINDOW
-(round 13, VERDICT r12 ask #1): new rows always seat; promised rows
-overflowing GATE_SIZE displace to the next round with a per-row
-rationale and seat FIRST there; maximum evidence age is bounded at
-ceil(N / GATE_SIZE) + 1 rounds. The numbers below are that contract
-applied to round 16.
+(round 13, VERDICT r12 ask #1): new rows always seat; rule 4
+(stale-by-code-change) overrides age; promised rows overflowing
+GATE_SIZE displace to the next round with a per-row rationale and seat
+FIRST there. The numbers below are that contract applied to round 17,
+the second optimization round.
 """
 
 from __future__ import annotations
 
 from wikitrender_spark.plans import registry
 
-#: Queries whose most recent driver attestation is missing or stale
-#: (new this round, code changed after their last green attestation, or
-#: driver evidence more than two rounds old). Round 16 adds no queries
-#: and touches no registered query's compute path or oracle text (the
-#: round's changes live in bench.py, tools/, and tests/ — the audit is
-#: on registry.GATE_WINDOW), so this set is EMPTY — a first since the
-#: rotation contract was stated. The rotation debt below is pure
-#: age-based promise, no rule-1/rule-4 rows.
-NEVER_OR_STALE_ATTESTED: set[str] = set()
-
-#: The 60 rows promised the r16 window by round 15 (= the 49 remaining
-#: r13-evidence rows | R15_DISPLACED from round 15's derivation, kept
-#: VERBATIM so the payment is testable against the promised names, not
-#: a recomputation that could drift with the window).
-R16_PROMISE = {
-    # the eleven r15-displaced rows (r12 evidence — seated first)
-    "ann_filtered_expand", "ann_ivfpq_rerank", "ann_lsh_buckets",
-    "ann_ivf_rp_topk", "dd_simhash_pairs", "dd_minhash_est",
-    "mm_image_neardup_content", "mm_frame_sample", "rel_nation_presence",
-    "rel_rollup_orders", "wt_stream_trending",
-    # the 49-row r13-evidence cohort (the r13 window's 50 keys minus
-    # tx_ngram_ppl_buckets, which re-attested in r15 under rule 4)
-    "ann_bruteforce_topk", "dd_cross_source_dups",
-    "dd_embedding_neardup_exact", "dd_lsh_tuning", "dd_semantic_dedup",
-    "dd_simhash_tuning", "mm_image_neardup", "mm_video_neardup",
-    "mm_wav_features", "mm_y4m_frames", "rel_approx_percentiles",
-    "rel_approx_segments", "rel_asof_last_signup", "rel_hourly_autocorr",
-    "rel_hourly_ewma", "rel_hourly_mad", "rel_interval_coverage",
-    "rel_json_props", "rel_lateral_topk", "rel_order_gaps",
-    "rel_percentiles", "rel_recursive_months", "rel_salted_revenue",
-    "rel_scd2_intervals", "rel_sessionize", "rel_value_pareto",
-    "rel_window_rank_suite", "tx_bm25_topk", "tx_boilerplate",
-    "tx_bpe_merges", "tx_chunks", "tx_collocations", "tx_dsir_weights",
-    "tx_leakage_split", "tx_mix_sample", "tx_mix_weights",
-    "tx_novelty", "tx_pack_sharded", "tx_pii_scrub", "tx_rarity",
-    "tx_stratified_sample", "tx_tfidf_terms", "wt_biggest_movers",
-    "wt_coedit_pairs", "wt_ingest_dedup", "wt_lifecycle_replay",
-    "wt_markov_transitions", "wt_pagerank", "wt_top_pages_per_wiki",
+#: Rule-4 rows for round 17: round-16 rewrites whose driver evidence
+#: predates the rewrite (VERDICT r16 next-round #3's list, verbatim)
+#: plus the round-17 behavior-touching changes (the six streaming
+#: replay rows — scale-adaptive state partitions). The corpus_barrier
+#: call-site conversions are mode-default-identity (see the
+#: classification note on registry.GATE_WINDOW) and do not re-seat
+#: rows by themselves.
+RULE4_R16 = {
+    "wt_state_diff", "dd_bloom_decontaminate", "dd_decontaminate",
+    "wt_purge_safe_list", "tx_clean_corpus", "dd_near_duplicates",
+    "dd_lsh_candidates", "dd_minhash_signatures", "wt_coedit_pairs",
+    "wt_coedit_triangles", "wt_graph_degrees", "tx_ngram_ppl_buckets",
+    "tx_ngram_ppl_approx_classes", "ann_pq_topk", "ann_ivfpq_topk",
+    "tx_bpe_encode",
+}
+RULE4_R17 = {
+    "wt_stream_replay", "wt_stream_heavy_hitters", "wt_ingest_dedup",
+    "wt_ingest_dedup_watermark", "wt_stream_trending",
+    "dd_stream_band_buckets",
 }
 
-#: The ten promised rows the r16 window could not seat (60 promised +
-#: 0 new + 0 rule-4 = 60 > 50, so exactly ten spill under the rotation
-#: contract — the steady-state minimum). Chosen because each has FRESH
-#: family evidence (r14/r15 windows, or family rows seating in the r16
-#: window itself) AND its code path is untouched since its own r13
-#: attestation (round-16 changes touch no registered query's code at
-#: all); all ten are named FIRST in the r17 promise. Per-row rationale
-#: on registry.GATE_WINDOW.
+#: The ten rows round 16 displaced to this window (r13 evidence — the
+#: registry's oldest; rule 2 seats them FIRST), verbatim from round
+#: 16's derivation.
 R16_DISPLACED = {
     "ann_bruteforce_topk", "dd_lsh_tuning", "dd_simhash_tuning",
     "dd_semantic_dedup", "mm_image_neardup", "mm_video_neardup",
@@ -73,13 +49,11 @@ R16_DISPLACED = {
     "wt_coedit_pairs",
 }
 
-#: The rows whose latest driver attestation was r14 when this window
-#: was composed (= CORRECTNESS_r14.json keys minus CORRECTNESS_r15.json
-#: keys — the FIXED population, 49 rows): their evidence will be two
-#: rounds old after r16, so together with the ten displaced rows they
-#: are PROMISED the r17 window — 59 rows > 50, the steady-state
-#: pressure again: r17 must displace at least nine rows even with zero
-#: additions; the displaced rows seat first.
+#: The rows whose latest driver attestation was r14 when round 16
+#: composed its window (= CORRECTNESS_r14.json keys minus
+#: CORRECTNESS_r15.json keys — the FIXED population, 49 rows): their
+#: evidence is now three rounds old, so together with the r16
+#: displacement they were PROMISED this window.
 R14_COHORT = {
     "ann_ivfpq_topk", "ann_kmeans_refine", "ann_range_search",
     "dd_exact_groups", "dd_simhash", "dd_stream_band_buckets",
@@ -100,70 +74,109 @@ R14_COHORT = {
     "wt_session_activity", "wt_stream_replay", "wt_windowed_activity",
 }
 
-#: COMPLETENESS IS TESTED, not hand-maintained: every row owed the r17
-#: window — the r14-evidence cohort plus the r16 displacement — minus
-#: anything already re-attesting now.
-R17_DEFERRED = (R14_COHORT | R16_DISPLACED) - set(registry.GATE_WINDOW)
+#: The r17 promise as round 16 stated it (R14_COHORT | R16_DISPLACED,
+#: 59 rows).
+R17_PROMISE = R14_COHORT | R16_DISPLACED
+
+#: Rows the r17 window could not seat: 59 promised + 20 rule-4 rows
+#: outside the promise is far over GATE_SIZE, so the spill is the
+#: largest yet — every displaced row carries a family-evidence +
+#: code-untouched rationale on registry.GATE_WINDOW and seats FIRST in
+#: r18. COMPLETENESS IS TESTED, not hand-maintained.
+R18_DEFERRED = (R14_COHORT | R16_DISPLACED) - set(registry.GATE_WINDOW)
+
+#: The r15-evidence cohort (= CORRECTNESS_r15.json keys minus
+#: CORRECTNESS_r16.json keys; zero overlap measured, so this is the
+#: full r15 window) — their evidence goes two rounds stale after r17,
+#: so whatever of it does not re-attest NOW joins the r18 promise.
+R15_COHORT = {
+    "ann_filtered_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
+    "ann_rp_topk", "ann_sq_topk", "dd_bloom_decontaminate",
+    "dd_cdc_chunks", "dd_containment", "dd_decontaminate",
+    "dd_dup_clusters", "dd_editdist_pairs", "dd_embedding_neardup",
+    "dd_jaccard_histogram", "dd_lsh_candidates", "dd_minhash_signatures",
+    "dd_near_duplicates", "dd_ngram_jaccard", "mm_audio_vad",
+    "mm_media_features", "mm_pgm_features", "mm_video_keyframes",
+    "rel_audience_overlap", "rel_corr_subquery", "rel_cube_summary",
+    "rel_dq_audit", "rel_hourly_anomalies", "rel_nation_set_ops",
+    "rel_pivot_status", "rel_regional_revenue", "rel_running_revenue",
+    "rel_scalar_functions", "rel_top_customers", "rel_weekday_profile",
+    "tx_bpe_encode", "tx_clean_corpus", "tx_cms_terms",
+    "tx_dedup_lineage", "tx_filter_funnel", "tx_ngram_nll",
+    "tx_ngram_ppl_approx_classes", "tx_ngram_ppl_buckets",
+    "tx_repetition", "tx_split", "tx_substring_scrub", "tx_token_stats",
+    "tx_vocab", "tx_winnowing", "wt_state_diff",
+    "wt_stream_heavy_hitters",
+}
 
 
-def test_r16_promise_is_paid():
-    """Every row round 15 promised the r16 window sits in it, except
-    the TEN documented displacements — paid against the promised
-    NAMES."""
-    missing = R16_PROMISE - set(registry.GATE_WINDOW)
-    assert missing == R16_DISPLACED, sorted(missing)
-
-
-def test_r16_window_is_led_by_the_displaced_eleven():
-    """VERDICT r15 next-round #1's 'done' condition verbatim: the
-    window is LED by the eleven r12-evidence rows round 15 displaced —
-    they hold slots 0-10 (rule 2's 'displaced rows seat FIRST')."""
-    assert registry.GATE_WINDOW[:11] == [
-        "ann_filtered_expand", "ann_ivfpq_rerank", "ann_lsh_buckets",
-        "ann_ivf_rp_topk", "dd_simhash_pairs", "dd_minhash_est",
-        "mm_image_neardup_content", "mm_frame_sample",
-        "rel_nation_presence", "rel_rollup_orders", "wt_stream_trending",
+def test_window_is_led_by_the_displaced_ten():
+    """Rule 2's 'displaced rows seat FIRST': the ten rows round 16
+    displaced hold slots 0-9, in round 16's order."""
+    assert registry.GATE_WINDOW[:10] == [
+        "ann_bruteforce_topk", "dd_lsh_tuning", "dd_simhash_tuning",
+        "dd_semantic_dedup", "mm_image_neardup", "mm_video_neardup",
+        "rel_percentiles", "tx_bpe_merges", "rel_hourly_autocorr",
+        "wt_coedit_pairs",
     ]
 
 
-def test_displacement_is_minimal():
-    """The displacement rule allows spill only because the window is
-    genuinely full: 50 promised + 0 new + 0 rule-4 = 50 exactly."""
-    assert len(R16_PROMISE - R16_DISPLACED) + len(
-        NEVER_OR_STALE_ATTESTED - R16_PROMISE
-    ) == registry.GATE_SIZE
+def test_every_rule4_row_is_seated():
+    """Rule 4 (stale-by-code-change overrides age): every round-16
+    rewrite the r16 driver window never saw, and every round-17
+    behavior-touching change, re-attests NOW."""
+    missing = (RULE4_R16 | RULE4_R17) - set(registry.GATE_WINDOW)
+    assert not missing, sorted(missing)
 
 
-def test_never_attested_rows_sit_in_window():
-    """Rule 1: a query with no driver attestation at all must seat in
-    the current window (vacuously true this round — the set is empty
-    because round 16 adds nothing and stales nothing — but the test
-    stays so a future addition that misses the window fails CI)."""
-    assert NEVER_OR_STALE_ATTESTED <= set(registry.GATE_WINDOW)
+def test_r17_promise_is_paid_or_documented():
+    """Every row round 16 promised this window either seats or is in
+    the documented r18 deferral — nothing falls out silently."""
+    missing = R17_PROMISE - set(registry.GATE_WINDOW)
+    assert missing == R18_DEFERRED, sorted(
+        missing.symmetric_difference(R18_DEFERRED)
+    )
+    # the spill is exactly the 23 rows rationalized on GATE_WINDOW
+    assert len(R18_DEFERRED) == 23, sorted(R18_DEFERRED)
 
 
-def test_every_owed_row_is_windowed_or_deferred():
-    """The r17 promise must be complete by construction: every row with
-    r14-or-older driver evidence is either re-attesting in the r16
-    window or explicitly in the r17 debt — nothing falls out silently."""
-    expected = (R14_COHORT | R16_DISPLACED) - set(registry.GATE_WINDOW)
-    assert R17_DEFERRED == expected
-    # zero additions and zero rule-4 rows this round, so the r17 debt
-    # is the full 49-row r14 cohort plus the ten displaced rows
-    # (59 > 50: the steady-state cadence the contract on
-    # registry.GATE_WINDOW pins)
-    assert len(R17_DEFERRED) == 59, len(R17_DEFERRED)
+def test_displaced_rows_carry_no_rule4_debt():
+    """A row may only be displaced if its code path had no
+    behavior-affecting change in rounds 16-17 — i.e. the deferral set
+    and the rule-4 set are disjoint."""
+    assert not R18_DEFERRED & (RULE4_R16 | RULE4_R17)
+
+
+def test_window_is_exactly_gate_size_and_registered():
+    assert len(registry.GATE_WINDOW) == registry.GATE_SIZE
+    assert len(set(registry.GATE_WINDOW)) == registry.GATE_SIZE
+    names = set(registry.all_queries())
+    assert set(registry.GATE_WINDOW) <= names
+    # the registry reorder puts the window in the first GATE_SIZE slots
+    assert list(registry.all_queries())[: registry.GATE_SIZE] == (
+        registry.GATE_WINDOW
+    )
+
+
+def test_r18_promise_is_complete():
+    """The r18 debt: the 23 displaced rows (seat first) plus every
+    r15-evidence row not re-attesting now — stated here so round 18
+    inherits a testable promise exactly as rounds 13-17 did."""
+    r15_not_seated = R15_COHORT - set(registry.GATE_WINDOW)
+    r18_promise = R18_DEFERRED | r15_not_seated
+    # sanity: the promise is the usual steady-state overflow (> 50)
+    assert len(r18_promise) == len(R18_DEFERRED) + len(r15_not_seated)
+    assert len(r18_promise) > registry.GATE_SIZE
 
 
 def test_evidence_age_bound_holds():
-    """Rule 3 of the rotation contract, checked on this round's
-    numbers: the oldest evidence seated this round (the eleven r12
-    rows, age 4 at r16) and the oldest evidence deferred (the ten r13
-    rows, age 4 when they seat at r17) both sit within the contract
-    bound ceil(N / GATE_SIZE) + 1."""
+    """Rule 3 on this round's numbers: the oldest evidence seated this
+    round (the ten r13 rows, age 4 at r17) and the oldest deferred (the
+    r14 rows seating at r18, age 4) sit within the contract bound
+    ceil(N / GATE_SIZE) + 1."""
     import math
 
     n = len(registry.all_queries())
     bound = math.ceil(n / registry.GATE_SIZE) + 1
-    assert 16 - 12 <= bound  # the r12 rows seated this round
-    assert 17 - 13 <= bound  # the r13 rows displaced to r17
+    assert 17 - 13 <= bound  # the r13 rows seated this round
+    assert 18 - 14 <= bound  # the r14 rows displaced to r18

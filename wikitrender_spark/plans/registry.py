@@ -68,133 +68,129 @@ _loaded = False
 #:      code path changed after its evidence re-attests in the next
 #:      window regardless of cohort position.
 #:
-#: Round-16 composition (the r15 window went 50/50 green; the R16
-#: promise — the 49 remaining rows of the r13-evidence cohort PLUS the
-#: eleven rows displaced by round 15 — is 60 rows; with ZERO additions
-#: and zero rule-4 re-attestations the candidate set is still 60 > 50,
-#: so exactly ten promised rows spill to r17, each with the required
-#: rationale — the steady-state spill the contract above makes
-#: permanent):
-#: (a) the ELEVEN r15-displaced rows seat FIRST (r12 evidence, the
-#: registry's oldest — rule 2's "displacements seated first" clause):
-#: ann_filtered_expand, ann_ivfpq_rerank, ann_lsh_buckets,
-#: ann_ivf_rp_topk, dd_simhash_pairs, dd_minhash_est,
-#: mm_image_neardup_content, mm_frame_sample, rel_nation_presence,
-#: rel_rollup_orders, wt_stream_trending;
-#: (b) no rule-4 re-attestations: round-16 changes touch only
-#: tools/floor_check.py, tools/corpus_throughput_probe.py, tools/
-#: bpe_probe.py, bench.py, tests, and this composition — no registered
-#: query's compute path or oracle text changes (audit at the bottom of
-#: this comment);
-#: (c) no additions: round 16 is an evidence/instrumentation round
-#: (floor adjudication, BPE crossover pricing, soak x recovery) —
-#: VERDICT r15 asked to keep net additions <= 1 because the rotation
-#: sits at its steady-state ceiling, and zero is the minimal spill;
-#: (d) 39 of the 49 remaining r13-evidence rows. DISPLACED to r17:
-#: ann_bruteforce_topk, dd_lsh_tuning, dd_simhash_tuning,
-#: dd_semantic_dedup, mm_image_neardup, mm_video_neardup,
-#: rel_percentiles, tx_bpe_merges, rel_hourly_autocorr, wt_coedit_pairs
-#: — chosen because each has FRESH family evidence (r14/r15 windows,
-#: or family rows seating in THIS window) AND its code path is
-#: untouched since its own r13 attestation (round-16 touches no query
-#: code at all):
-#: ann_bruteforce_topk's brute-force cosine scan is covered by
-#: ann_filtered_expand (seating NOW, slot 0 — the same full distance
-#: scan plus filter/probe expansion) and ann_ivf_topk (r15);
-#: dd_lsh_tuning's banded-LSH parameter sweep by dd_lsh_candidates
-#: (r15 — the very relation it tunes) and ann_lsh_buckets (seating NOW
-#: — the same banding); dd_simhash_tuning's Hamming-radius sweep by
-#: dd_simhash_pairs (seating NOW, same file — the same Manku block-key
-#: machinery it tunes) and dd_simhash (r14); dd_semantic_dedup's
-#: embedding-cluster dedup by dd_embedding_neardup (r15) and
-#: dd_embedding_neardup_exact (seating NOW — the all-pairs ground
-#: truth over the same embedding space); mm_image_neardup's
-#: channel-band image dedup by mm_image_neardup_content (seating NOW,
-#: same file — the content-banded variant of the same kernel) and
-#: mm_pgm_features (r15 — the same netpbm parser); mm_video_neardup's
-#: frame-signature dedup by mm_frame_sample (seating NOW),
-#: mm_y4m_frames (seating NOW — the same Y4M parser) and
-#: mm_video_keyframes (r15); rel_percentiles' exact-percentile suite
-#: by rel_approx_percentiles (seating NOW — the sketch twin whose
-#: error-bound contract is stated against this exact form) and
-#: rel_hourly_mad (seating NOW — the same percentile machinery);
-#: tx_bpe_merges' merge-table trainer by tx_bpe_encode (r15 — its
-#: oracle re-derives the merge sequence end-to-end, so the trainer's
-#: semantics were re-attested with it) and tx_vocab (r15);
-#: rel_hourly_autocorr's hourly-series lags by rel_hourly_anomalies
-#: (r15) and rel_hourly_ewma (seating NOW — the same hourly CTE base);
-#: wt_coedit_pairs' co-edit pair relation by wt_coedit_triangles (r14
-#: — built directly ON the pair relation) and wt_markov_transitions
-#: (seating NOW — the same edit-graph family). All ten are named FIRST
-#: in the r17 promise (tests/test_registry_gate.py R17_DEFERRED).
+#: Round-17 composition (the r16 window went 50/50 green; round 17 is
+#: the second optimization round, so rule 4 — stale-by-code-change
+#: overrides age — does the seating this time. The owed set: the TEN
+#: r16-displaced rows (r13 evidence, the registry's oldest) + the
+#: 49-row r14-evidence cohort + the rule-4 rows of BOTH optimization
+#: rounds. That is far more than 50, so the spill is large and
+#: documented):
+#: (a) the TEN r16-displaced rows seat FIRST (rule 2's "displacements
+#: seated first" clause): ann_bruteforce_topk, dd_lsh_tuning,
+#: dd_simhash_tuning, dd_semantic_dedup, mm_image_neardup,
+#: mm_video_neardup, rel_percentiles, tx_bpe_merges,
+#: rel_hourly_autocorr, wt_coedit_pairs;
+#: (b) rule 4, round-16 rewrites whose driver evidence predates the
+#: rewrite (VERDICT r16 next-round #3 names them; builder-side
+#: evidence so far is the full-registry oracle sweeps): wt_state_diff,
+#: dd_bloom_decontaminate, dd_decontaminate, wt_purge_safe_list,
+#: tx_clean_corpus, dd_near_duplicates, dd_lsh_candidates,
+#: dd_minhash_signatures, wt_coedit_triangles, wt_graph_degrees,
+#: tx_ngram_ppl_buckets, tx_ngram_ppl_approx_classes, ann_pq_topk,
+#: ann_ivfpq_topk, tx_bpe_encode;
+#: (c) rule 4, round-17 behavior-touching changes: the six streaming
+#: replay rows (scale-adaptive state partitions — wt_stream_replay,
+#: wt_stream_heavy_hitters, wt_ingest_dedup, wt_ingest_dedup_watermark,
+#: wt_stream_trending, dd_stream_band_buckets; trending and
+#: ingest_dedup were r16-attested but their drains changed THIS round,
+#: so rule 4 re-seats them);
+#: (d) 19 rows of the r14-evidence cohort, rule-4-overlap first (the
+#: r16 metrics-clock change #2, the r16 lazy-barrier change #12, the
+#: r16 simhash file, the round-17 corpus_barrier conversions):
+#: wt_page_state_lifecycle, wt_page_state, wt_most_edited,
+#: wt_most_vibrant, wt_purge_survivors, wt_epm_variants, dd_simhash,
+#: tx_source_divergence, rel_copurchase_pairs, dd_exact_groups,
+#: dd_substring_runs, ann_kmeans_refine, ann_range_search,
+#: mm_audio_neardup, mm_video_motion, mm_audio_energy,
+#: wt_classify_counts, wt_windowed_activity, wt_session_activity.
 #:
-#: Stale-by-code-change audit for the seated rows (rule 4): round-16
-#: changes are bench/tools instrumentation only — floor_check's
-#: same-second tie-break + always-solo sweep adjudication, bench.py's
-#: atomic archive-first write_samples + extended-composition stamp,
-#: corpus_throughput_probe's zero-state soak verdict + the soak x
-#: recovery composition, bpe_probe's padded-merge-table crossover
-#: pricing, and this window recomposition. None of these is imported
-#: by any registered query's compute path, so no seated or displaced
-#: row's code changed after its evidence.
+#: DISPLACED to r18 (the remaining 23 r14-cohort rows, each with
+#: fresh family evidence and NO behavior-affecting code change in
+#: rounds 16-17): the twelve rel_* rows (rel_acctbal_band_pairs,
+#: rel_customers_without_orders, rel_event_funnel, rel_grouping_sets,
+#: rel_pricing_summary, rel_retention_cohorts,
+#: rel_rolling_revenue_window, rel_signup_burst,
+#: rel_small_quantity_revenue, rel_suppliers_with_shipments,
+#: rel_topk_per_brand, rel_unpivot_presence — the rel family is the
+#: repo's least-touched code (r16 changed 2 lines, copurchase only,
+#: which seats NOW; r17 touched only copurchase/scd2 barriers) and
+#: nineteen sibling rel rows went green in the r16 window; seven tx
+#: single-pass rows (tx_dsir_log, tx_fingerprint, tx_langid,
+#: tx_length_histogram, tx_pack, tx_pack_split, tx_quality — untouched
+#: projections/windows; tx_pack_sharded (r16 green) is the same
+#: packing kernel, tx_dsir_weights (r16 green) the same DSIR bucket
+#: machinery); four wt single-window rows (wt_delete_targets,
+#: wt_edit_wars, wt_protect_followups, wt_revert_chains — untouched
+#: one-scan plans; the whole wt metrics/classify family re-attests in
+#: THIS window). All 23 are named FIRST in the r18 promise
+#: (tests/test_registry_gate.py R18_DEFERRED).
+#:
+#: Rule-4 classification note for round 17: the corpus_barrier
+#: conversion (wikitrender_spark/barrier.py) rewrote ~40 call sites
+#: from `.localCheckpoint(eager=...)` to `corpus_barrier(df, eager=...)`
+#: whose DEFAULT mode executes the identical localCheckpoint call —
+#: mode-default-identity, verified by the post-change full-registry
+#: oracle sweep (159/159 at sf0.01). Those conversions alone do not
+#: re-seat a row; the rows seated under (c)/(d) are the ones whose
+#: round-17 change alters actual execution (streaming state
+#: partitions, the lifecycle cache -> barrier swap, the Bloom eval-
+#: shingle snapshot) or whose round-16 rewrite was never driver-
+#: attested (b).
 GATE_WINDOW: list[str] = [
-    # (a) the eleven r15-displaced rows, r12 evidence — seated first
-    "ann_filtered_expand",
-    "ann_ivfpq_rerank",
-    "ann_lsh_buckets",
-    "ann_ivf_rp_topk",
-    "dd_simhash_pairs",
-    "dd_minhash_est",
-    "mm_image_neardup_content",
-    "mm_frame_sample",
-    "rel_nation_presence",
-    "rel_rollup_orders",
-    "wt_stream_trending",
-    # (b)/(c): no rule-4 re-attestations and no additions this round
-    # (d) the r13-evidence cohort, minus the ten documented
-    # displacements (ann_bruteforce_topk, dd_lsh_tuning,
-    # dd_simhash_tuning, dd_semantic_dedup, mm_image_neardup,
-    # mm_video_neardup, rel_percentiles, tx_bpe_merges,
-    # rel_hourly_autocorr, wt_coedit_pairs -> r17, seated first there)
-    "dd_cross_source_dups",
-    "dd_embedding_neardup_exact",
-    "mm_wav_features",
-    "mm_y4m_frames",
-    "rel_approx_percentiles",
-    "rel_approx_segments",
-    "rel_asof_last_signup",
-    "rel_hourly_ewma",
-    "rel_hourly_mad",
-    "rel_interval_coverage",
-    "rel_json_props",
-    "rel_lateral_topk",
-    "rel_order_gaps",
-    "rel_recursive_months",
-    "rel_salted_revenue",
-    "rel_scd2_intervals",
-    "rel_sessionize",
-    "rel_value_pareto",
-    "rel_window_rank_suite",
-    "tx_bm25_topk",
-    "tx_boilerplate",
-    "tx_chunks",
-    "tx_collocations",
-    "tx_dsir_weights",
-    "tx_leakage_split",
-    "tx_mix_sample",
-    "tx_mix_weights",
-    "tx_novelty",
-    "tx_pack_sharded",
-    "tx_pii_scrub",
-    "tx_rarity",
-    "tx_stratified_sample",
-    "tx_tfidf_terms",
-    "wt_biggest_movers",
+    # (a) the ten r16-displaced rows, r13 evidence — seated first
+    "ann_bruteforce_topk",
+    "dd_lsh_tuning",
+    "dd_simhash_tuning",
+    "dd_semantic_dedup",
+    "mm_image_neardup",
+    "mm_video_neardup",
+    "rel_percentiles",
+    "tx_bpe_merges",
+    "rel_hourly_autocorr",
+    "wt_coedit_pairs",
+    # (b) rule 4 — round-16 rewrites the r16 driver window never saw
+    "wt_state_diff",
+    "dd_bloom_decontaminate",
+    "dd_decontaminate",
+    "wt_purge_safe_list",
+    "tx_clean_corpus",
+    "dd_near_duplicates",
+    "dd_lsh_candidates",
+    "dd_minhash_signatures",
+    "wt_coedit_triangles",
+    "wt_graph_degrees",
+    "tx_ngram_ppl_buckets",
+    "tx_ngram_ppl_approx_classes",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "tx_bpe_encode",
+    # (c) rule 4 — round-17 streaming state-partition derivation
+    "wt_stream_replay",
+    "wt_stream_heavy_hitters",
     "wt_ingest_dedup",
-    "wt_lifecycle_replay",
-    "wt_markov_transitions",
-    "wt_pagerank",
-    "wt_top_pages_per_wiki",
+    "wt_ingest_dedup_watermark",
+    "wt_stream_trending",
+    "dd_stream_band_buckets",
+    # (d) r14-evidence cohort, rule-4-overlap first
+    "wt_page_state_lifecycle",
+    "wt_page_state",
+    "wt_most_edited",
+    "wt_most_vibrant",
+    "wt_purge_survivors",
+    "wt_epm_variants",
+    "dd_simhash",
+    "tx_source_divergence",
+    "rel_copurchase_pairs",
+    "dd_exact_groups",
+    "dd_substring_runs",
+    "ann_kmeans_refine",
+    "ann_range_search",
+    "mm_audio_neardup",
+    "mm_video_motion",
+    "mm_audio_energy",
+    "wt_classify_counts",
+    "wt_windowed_activity",
+    "wt_session_activity",
 ]
 GATE_SIZE = 50
 
