@@ -728,3 +728,47 @@ def test_ngram_ppl_approx_classes_scores_once_behind_checkpoint(plans):
     plan = plans("tx_ngram_ppl_approx_classes")
     assert "ExistingRDD" in plan, "scored relation no longer checkpointed"
     assert "documents.parquet" not in plan
+
+
+def test_classified_sql_form_matches_column_reference(spark):
+    """Round 17 (the bpe_apply_sql precedent): classified_edit_events'
+    SQL-text rendering must be OPTIMIZED-PLAN-IDENTICAL to the pinned
+    Column reference form — sameResult over the Catalyst-canonicalized
+    plans, which is stronger than value equality (same expressions,
+    same filters, same output attributes up to ids)."""
+    from wikitrender_spark.operators.derive import rc_events
+    from wikitrender_spark.operators.page_state import (
+        classified_edit_events,
+        classified_edit_events_columns,
+    )
+
+    rc = rc_events(spark, "/root/testdata/sf0.001")
+    sql_form = classified_edit_events(rc)
+    col_form = classified_edit_events_columns(rc)
+    assert sql_form.schema == col_form.schema
+    pa = sql_form._jdf.queryExecution().optimizedPlan()
+    pb = col_form._jdf.queryExecution().optimizedPlan()
+    assert pa.sameResult(pb), (
+        "SQL-text classifier diverged from the Column reference:\n"
+        + pa.toString()[:2000] + "\n=====\n" + pb.toString()[:2000]
+    )
+
+
+def test_log_events_sql_form_matches_column_reference(spark):
+    """Round 17: log_events' SQL-text rendering pinned optimized-plan-
+    identical to its Column reference (see the classified pin above)."""
+    from wikitrender_spark.operators.derive import rc_events
+    from wikitrender_spark.operators.lifecycle import (
+        log_events,
+        log_events_columns,
+    )
+
+    rc = rc_events(spark, "/root/testdata/sf0.001")
+    sql_form = log_events(rc)
+    col_form = log_events_columns(rc)
+    assert sql_form.schema == col_form.schema
+    pa = sql_form._jdf.queryExecution().optimizedPlan()
+    pb = col_form._jdf.queryExecution().optimizedPlan()
+    assert pa.sameResult(pb), (
+        pa.toString()[:2000] + "\n=====\n" + pb.toString()[:2000]
+    )

@@ -48,8 +48,11 @@ from .page_state import aggregate_classified, classified_edit_events
 _NEG_INF = -1  # sentinel: "no cut" (seq are non-negative)
 
 
-def log_events(rc: DataFrame) -> DataFrame:
-    """The routed log branch (F4) with normalized ids."""
+def log_events_columns(rc: DataFrame) -> DataFrame:
+    """REFERENCE Column form of the log-branch router — the pinned twin
+    of log_events' SQL-text rendering (round 17; optimized-plan
+    sameResult asserted in tests/test_plans.py). Not on any query
+    path."""
     return rc.filter(F.col("log_type").isNotNull()).select(
         classify.page_id(F.col("wiki"), F.col("title")).alias("id"),
         F.when(
@@ -67,6 +70,32 @@ def log_events(rc: DataFrame) -> DataFrame:
         F.col("wiki"),
         F.col("ts"),
         F.col("seq"),
+    )
+
+
+#: log-branch router rendered once as SQL strings (round 17 — the
+#: classified_edit_events precedent; generated from the same classify
+#: constants, optimized-plan sameResult pinned in tests/test_plans.py).
+_LOG_SELECT_SQL: tuple[str, ...] = (
+    f"{classify.page_id_sql('wiki', 'title')} AS id",
+    "CASE WHEN log_action = 'move' THEN "
+    f"{classify.page_id_sql('wiki', 'log_target')} END AS move_dst",
+    "CASE WHEN log_action = 'delete' THEN "
+    + classify.page_id_sql('wiki', f"({classify.delete_target_sql('log_action_comment')})")
+    + " END AS delete_id",
+    "log_action",
+    "log_target",
+    "wiki",
+    "ts",
+    "seq",
+)
+
+
+def log_events(rc: DataFrame) -> DataFrame:
+    """The routed log branch (F4) with normalized ids (SQL-text
+    rendering; log_events_columns is the pinned Column reference)."""
+    return rc.filter(F.col("log_type").isNotNull()).selectExpr(
+        *_LOG_SELECT_SQL
     )
 
 

@@ -39,9 +39,11 @@ def _wiki_norm(wiki: Column) -> Column:
     return F.when(wiki == "enwiki", F.lit("")).otherwise(wiki)
 
 
-def classified_edit_events(rc: DataFrame) -> DataFrame:
-    """Edit-branch events (log_type IS NULL) with derived flag columns —
-    the F4 router plus F5-F10 classifiers as one narrow projection."""
+def classified_edit_events_columns(rc: DataFrame) -> DataFrame:
+    """REFERENCE Column form of the classifier projection — the pinned
+    twin of classified_edit_events' SQL-text rendering (round 17;
+    optimized-plan sameResult asserted in tests/test_plans.py). Not on
+    any query path."""
     eligible = ~classify.is_bot_edit(F.col("bot"), F.col("user")) & ~classify.is_revert(
         F.col("comment")
     )
@@ -62,6 +64,43 @@ def classified_edit_events(rc: DataFrame) -> DataFrame:
         classify.bytes_changed(F.col("length_new"), F.col("length_old")).alias(
             "delta"
         ),
+    )
+
+
+#: the classifier projection rendered once as SQL strings (round 17,
+#: VERDICT r16 next-round #5 — the bpe_apply/pq construction-cost
+#: precedent): classified_edit_events is built by ~25 queries per
+#: bench pass and the Column form cost ~0.35 s of py4j per build;
+#: selectExpr over these pre-rendered strings is ~3 round-trips. The
+#: strings are GENERATED from the same classify constants as the
+#: Column twins (keyword drift impossible) and pinned
+#: optimized-plan-identical in tests/test_plans.py.
+_CLASSIFIED_SELECT_SQL: tuple[str, ...] = (
+    f"{classify.page_id_sql('wiki', 'title')} AS id",
+    f"{classify.wiki_norm_sql('wiki')} AS wiki",
+    "title",
+    "user",
+    "ts",
+    "seq",
+    f"{classify.is_revert_sql('comment')} AS is_revert",
+    f"{classify.is_bot_edit_sql('bot', 'user')} AS is_bot",
+    f"(NOT {classify.is_bot_edit_sql('bot', 'user')} AND NOT "
+    f"{classify.is_revert_sql('comment')}) AS eligible",
+    f"({classify.is_ip_sql('user')}) AS is_anon",
+    "(type = 'new') AS is_new",
+    f"{classify.notability_hit_sql('comment')} AS notability_hit",
+    f"{classify.volatile_hit_sql('comment')} AS volatile_hit",
+    "(length_new - length_old) AS delta",
+)
+
+
+def classified_edit_events(rc: DataFrame) -> DataFrame:
+    """Edit-branch events (log_type IS NULL) with derived flag columns —
+    the F4 router plus F5-F10 classifiers as one narrow projection
+    (SQL-text rendering; classified_edit_events_columns is the pinned
+    Column reference)."""
+    return rc.filter(F.col("log_type").isNull()).selectExpr(
+        *_CLASSIFIED_SELECT_SQL
     )
 
 
