@@ -122,3 +122,27 @@ def test_started_query_uses_scoped_count(spark):
     spark.catalog.dropTempView("sizing_probe_live")
     spark.catalog.dropTempView("sizing_probe_def")
     spark.catalog.dropTempView("sizing_probe_2")
+
+
+def test_replay_scan_split_derivation(spark, monkeypatch):
+    monkeypatch.delenv(sizing.REPLAY_SPLIT_BYTES_ENV, raising=False)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    # tiny replay input clamps to the 1 MiB floor (local behavior
+    # unchanged: single-digit tasks per chunk)
+    assert sizing.replay_scan_split(spark, 2 << 20) == 1 << 20
+    # huge input clamps to the 128 MiB ceiling (cluster default)
+    assert sizing.replay_scan_split(spark, 100 << 40) == 128 << 20
+    # mid-range derives input/(2*parallelism)
+    mid = (4 << 20) * 2 * par
+    assert sizing.replay_scan_split(spark, mid) == 4 << 20
+    monkeypatch.setenv(sizing.REPLAY_SPLIT_BYTES_ENV, str(8 << 20))
+    assert sizing.replay_scan_split(spark, 0) == 8 << 20
+
+
+def test_conf_scopes_scan_split_too(spark):
+    key = "spark.sql.files.maxPartitionBytes"
+    before = spark.conf.get(key)
+    with sizing.state_partition_conf(spark, 2, 4 << 20):
+        assert spark.conf.get(key) == str(4 << 20)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+    assert spark.conf.get(key) == before

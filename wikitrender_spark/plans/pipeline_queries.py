@@ -1546,13 +1546,21 @@ def q_stream_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(chunk_dir)
         )
         fresh = fresh_band_buckets(stream, ts_col="ingest_ts", horizon="1 hour")
-        from ..streaming.sizing import adaptive_state_partitions, dir_bytes
+        from ..streaming.sizing import (
+            adaptive_state_partitions,
+            dir_bytes,
+            replay_scan_split,
+        )
 
+        nb = dir_bytes(chunk_dir)
         out = drain_to_memory(
             fresh, name, ckpt,
-            # scale-adaptive state partitions from the replay chunk
-            # bytes (round 17; streaming/sizing.py)
-            state_partitions=adaptive_state_partitions(dir_bytes(chunk_dir)),
+            # scale-adaptive state partitions + scan split from the
+            # replay chunk bytes (round 17; streaming/sizing.py) — the
+            # scan split parallelizes the Arrow sketch front, which is
+            # otherwise ONE task per single-file chunk (sf1-measured)
+            state_partitions=adaptive_state_partitions(nb),
+            scan_split_bytes=replay_scan_split(spark, nb),
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

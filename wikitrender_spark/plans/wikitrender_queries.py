@@ -275,22 +275,22 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.derive import move_closed_group
     from ..sources.replay import rc_event_stream
     from ..streaming import processor
-    from ..streaming.sizing import adaptive_state_partitions
+    from ..streaming.sizing import adaptive_state_partitions, replay_scan_split
 
     cl = processor.page_state_changelog(
         rc_event_stream(spark, sf_dir), move_closed_group()
     )
     name = "wt_stream_replay_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="wt_stream_ckpt_")
+    nb = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     changelog = processor.run_changelog_to_memory(
         cl, name, ckpt,
-        # scale-adaptive state partitions from the replay input size
-        # (round 17; streaming/sizing.py). python_heavy: the page-state
-        # fold's per-row pandas cost dominates (A/B in sizing.py).
-        state_partitions=adaptive_state_partitions(
-            os.path.getsize(os.path.join(sf_dir, "events.parquet")),
-            python_heavy=True,
-        ),
+        # scale-adaptive state partitions + scan split from the replay
+        # input size (round 17; streaming/sizing.py). python_heavy: the
+        # page-state fold's per-row pandas cost dominates (A/B in
+        # sizing.py).
+        state_partitions=adaptive_state_partitions(nb, python_heavy=True),
+        scan_split_bytes=replay_scan_split(spark, nb),
     )
     return _lifecycle_select(processor.final_state(changelog))
 
@@ -318,22 +318,22 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.replay import rc_event_stream
     from ..streaming import heavyhitters as hh
-    from ..streaming.sizing import adaptive_state_partitions
+    from ..streaming.sizing import adaptive_state_partitions, replay_scan_split
 
     stream = rc_event_stream(spark, sf_dir).select(
         F.col("wiki").alias("key"), F.col("title").alias("item")
     )
     name = "wt_stream_hh_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="wt_stream_hh_ckpt_")
+    nb = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     emissions = hh.run_to_memory(
         hh.heavy_hitter_stream(stream, HH_CAPACITY), name, ckpt,
-        # scale-adaptive state partitions (round 17; streaming/sizing.py).
-        # Default target, NOT python_heavy: the SpaceSaving counter fold
-        # is light per row (interleaved A/B in sizing.py: 2.67 s at the
-        # derived count vs 3.57 at 16).
-        state_partitions=adaptive_state_partitions(
-            os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-        ),
+        # scale-adaptive state partitions + scan split (round 17;
+        # streaming/sizing.py). Default target, NOT python_heavy: the
+        # SpaceSaving counter fold is light per row (interleaved A/B in
+        # sizing.py: 2.67 s at the derived count vs 3.57 at 16).
+        state_partitions=adaptive_state_partitions(nb),
+        scan_split_bytes=replay_scan_split(spark, nb),
     )
     return hh.final_topk(emissions, HH_TOPK).select(
         F.col("key").alias("wiki"),

@@ -84,6 +84,7 @@ def replay_events_with_dupes(
 def drain_to_memory(
     deduped: DataFrame, name: str, ckpt: str,
     state_partitions: int | None = None,
+    scan_split_bytes: int | None = None,
 ) -> DataFrame:
     """The ONE home of the append-mode memory-sink drain discipline
     (previously copy-pasted per call site — self-review r10): run the
@@ -101,7 +102,9 @@ def drain_to_memory(
     replay input size). None keeps the session default."""
     from .sizing import state_partition_conf
 
-    with state_partition_conf(deduped.sparkSession, state_partitions):
+    with state_partition_conf(
+        deduped.sparkSession, state_partitions, scan_split_bytes
+    ):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
@@ -132,12 +135,16 @@ def ingest_dedup_to_memory(
     deduped = replay_events_with_dupes(spark, sf_dir, work_dir).dropDuplicates(
         ["event_id"]
     )
-    # scale-adaptive state partitions, derived from the replay chunk
-    # bytes just written (round 17; see streaming/sizing.py)
-    n_state = adaptive_state_partitions(
-        dir_bytes(os.path.join(work_dir, "ingest_chunks"))
+    # scale-adaptive state partitions + scan split, derived from the
+    # replay chunk bytes just written (round 17; streaming/sizing.py)
+    from .sizing import replay_scan_split
+
+    nb = dir_bytes(os.path.join(work_dir, "ingest_chunks"))
+    return drain_to_memory(
+        deduped, name, ckpt,
+        state_partitions=adaptive_state_partitions(nb),
+        scan_split_bytes=replay_scan_split(spark, nb),
     )
-    return drain_to_memory(deduped, name, ckpt, state_partitions=n_state)
 
 
 def replay_events_with_late_dupes(
@@ -213,17 +220,19 @@ def ingest_dedup_watermark_to_memory(
     at the declared cost that a duplicate arriving after its original's
     horizon expires is re-admitted — which the replay pins as exact,
     deterministic survivors."""
-    from .sizing import adaptive_state_partitions, dir_bytes
+    from .sizing import adaptive_state_partitions, dir_bytes, replay_scan_split
 
     stream, horizon = replay_events_with_late_dupes(spark, sf_dir, work_dir)
     deduped = stream.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    # scale-adaptive state partitions (round 17; streaming/sizing.py)
-    n_state = adaptive_state_partitions(
-        dir_bytes(os.path.join(work_dir, "ingest_wm_chunks"))
+    # scale-adaptive state partitions + scan split (streaming/sizing.py)
+    nb = dir_bytes(os.path.join(work_dir, "ingest_wm_chunks"))
+    return drain_to_memory(
+        deduped, name, ckpt,
+        state_partitions=adaptive_state_partitions(nb),
+        scan_split_bytes=replay_scan_split(spark, nb),
     )
-    return drain_to_memory(deduped, name, ckpt, state_partitions=n_state)
 
 
 def with_digest(docs: DataFrame) -> DataFrame:

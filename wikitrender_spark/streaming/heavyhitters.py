@@ -160,12 +160,14 @@ def final_topk(emissions: DataFrame, k: int) -> DataFrame:
 
 
 def run_to_memory(summaries: DataFrame, name: str, ckpt: str,
-                  state_partitions: int | None = None) -> DataFrame:
+                  state_partitions: int | None = None,
+                  scan_split_bytes: int | None = None) -> DataFrame:
     """Drive the summary stream to a memory sink (availableNow) and
     return the emissions table — the shared update-mode driver in
     streaming/processor.py (one implementation to maintain)."""
     from .processor import run_changelog_to_memory
 
     return run_changelog_to_memory(
-        summaries, name, ckpt, state_partitions=state_partitions
+        summaries, name, ckpt, state_partitions=state_partitions,
+        scan_split_bytes=scan_split_bytes,
     )

@@ -213,7 +213,8 @@ def final_state(changelog: DataFrame) -> DataFrame:
 
 def run_changelog_to_memory(changelog: DataFrame, name: str,
                             checkpoint_dir: str,
-                            state_partitions: int | None = None) -> DataFrame:
+                            state_partitions: int | None = None,
+                            scan_split_bytes: int | None = None) -> DataFrame:
     """Execute a changelog stream to completion over all available input
     (Trigger.AvailableNow — multiple micro-batches when the source is
     chunked) into an in-memory table; returns the accumulated changelog.
@@ -221,7 +222,9 @@ def run_changelog_to_memory(changelog: DataFrame, name: str,
     (round 17; streaming/sizing.py)."""
     from .sizing import state_partition_conf
 
-    with state_partition_conf(changelog.sparkSession, state_partitions):
+    with state_partition_conf(
+        changelog.sparkSession, state_partitions, scan_split_bytes
+    ):
         q = (
             changelog.writeStream.format("memory")
             .queryName(name)

@@ -110,21 +110,53 @@ def adaptive_state_partitions(
     return min(max(1, math.ceil(input_bytes / max(target, 1))), cap)
 
 
+#: explicit override for the replay scan-split size (bytes).
+REPLAY_SPLIT_BYTES_ENV = "WTR_REPLAY_SPLIT_BYTES"
+
+
+def replay_scan_split(spark, input_bytes: int) -> int:
+    """Scan-split size (spark.sql.files.maxPartitionBytes) for a replay
+    drain, derived so the PRE-shuffle stage parallelizes too: each
+    replay chunk is ONE parquet file (the mtime-ordering recipe), so
+    under the 128 MB default a multi-MB chunk runs its whole stateless
+    front (the Arrow sketch pass included) in a SINGLE task per
+    micro-batch. Measured at the sf1 probe layout (round 17,
+    dd_stream_band_buckets, ~75 MB of chunks): 18-24 s at 128 MB splits
+    vs ~12.7 s at 4 MB. Derivation: input_bytes / (2 x default
+    parallelism), clamped to [1 MiB, 128 MiB] — at sf0.1 the clamp
+    floor leaves the current single-task behavior untouched; at
+    cluster scale the cap restores the normal default."""
+    explicit = os.environ.get(REPLAY_SPLIT_BYTES_ENV)
+    if explicit:
+        return max(1 << 20, int(explicit))
+    par = max(1, spark.sparkContext.defaultParallelism)
+    return min(max(input_bytes // (2 * par), 1 << 20), 128 << 20)
+
+
 @contextmanager
-def state_partition_conf(spark, n: int | None):
-    """Scope ``spark.sql.shuffle.partitions`` = n around a streaming
+def state_partition_conf(spark, n: int | None,
+                         scan_split_bytes: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` = n (and optionally the
+    replay scan-split size, see replay_scan_split) around a streaming
     query's start: StreamExecution clones the session (and its conf) at
-    ``.start()``, so the scoped value becomes the query's state-store
-    partition count while the outer session is restored immediately
-    after — batch plans elsewhere never see it. ``n=None`` is a no-op
-    (callers that did not derive a count keep the session default)."""
-    if n is None:
+    ``.start()``, so the scoped values become the query's state-store
+    partition count / scan split while the outer session is restored
+    immediately after — batch plans elsewhere never see them.
+    ``n=None`` is a no-op for its key (callers that did not derive a
+    count keep the session default)."""
+    keys = {}
+    if n is not None:
+        keys["spark.sql.shuffle.partitions"] = str(n)
+    if scan_split_bytes is not None:
+        keys["spark.sql.files.maxPartitionBytes"] = str(scan_split_bytes)
+    if not keys:
         yield
         return
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -136,6 +136,7 @@ def dedup_events_stream(
 def run_windowed_to_memory(
     windowed: DataFrame, name: str, checkpoint: str, mode: str = "append",
     state_partitions: int | None = None,
+    scan_split_bytes: int | None = None,
 ) -> DataFrame:
     """Run the windowed stream to a memory sink with AvailableNow and
     return the sink table. `append` emits only watermark-finalized
@@ -145,7 +146,9 @@ def run_windowed_to_memory(
     scale-adaptive replacement for inheriting the local core count)."""
     from .sizing import state_partition_conf
 
-    with state_partition_conf(windowed.sparkSession, state_partitions):
+    with state_partition_conf(
+        windowed.sparkSession, state_partitions, scan_split_bytes
+    ):
         q = (
             windowed.writeStream.format("memory")
             .queryName(name)
@@ -544,13 +547,19 @@ def trending_replay_to_memory(
             "n_events",
         )
     )
-    from .sizing import adaptive_state_partitions, dir_bytes
+    from .sizing import (
+        adaptive_state_partitions,
+        dir_bytes,
+        replay_scan_split,
+    )
 
+    nb = dir_bytes(chunk_dir)
     out = run_windowed_to_memory(
         counts, name, ckpt, mode="append",
-        # scale-adaptive state partitions, derived from the replay
-        # chunk bytes (round 17; streaming/sizing.py)
-        state_partitions=adaptive_state_partitions(dir_bytes(chunk_dir)),
+        # scale-adaptive state partitions + scan split, derived from
+        # the replay chunk bytes (round 17; streaming/sizing.py)
+        state_partitions=adaptive_state_partitions(nb),
+        scan_split_bytes=replay_scan_split(spark, nb),
     )
     survivors = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
